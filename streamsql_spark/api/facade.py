@@ -1,0 +1,209 @@
+"""StreamSQL facade — the reference's public API surface on Spark.
+
+Mirrors rulego/streamsql ``streamsql.go``: ``Execute`` / ``Emit`` /
+``EmitSync`` / ``AddSink`` / ``RegisterTable`` / ``UpsertTable`` /
+``TriggerWindow`` / ``ToChannel``-style pull / ``PrintTable`` / ``Stop``.
+
+Two execution styles:
+
+- **DataFrame path** (``query(df)``): apply the compiled plan to any
+  batch or streaming DataFrame — the idiomatic Spark route and the one
+  every production pipeline should use.
+- **Row-emit harness** (``emit`` / ``emit_sync`` / ``trigger_window``):
+  API-parity test harness backed by batch replays, matching the
+  reference's deterministic test pattern (EmitSync + TriggerWindow,
+  SURVEY §5).  Per-row Spark jobs are not a throughput path and are
+  documented as such.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..dialect import nodes as N
+from ..dialect.parser import parse
+from ..dialect.planner import plan as make_plan
+from ..engine.batch import BatchExecutor
+from ..functions.registry import register_function as _register_function
+
+
+class StreamSQL:
+    """One SQL statement per instance (streamsql.go:141-143)."""
+
+    def __init__(self, spark: SparkSession | None = None, schema=None,
+                 max_buffer_rows: int = 100_000):
+        if spark is None:
+            from ..session import get_spark
+            spark = get_spark()
+        self.spark = spark
+        self.schema = schema
+        self.max_buffer_rows = max_buffer_rows
+        self._plan = None
+        self._stmt = None
+        self._tables: dict[str, DataFrame] = {}
+        self._table_rows: dict[str, list[dict]] = {}
+        self._table_keys: dict[str, tuple] = {}
+        self._sinks: list[Callable[[list[dict]], None]] = []
+        self._buffer: list[dict] = []
+        self._history: list[dict] = []  # analytic state continuity for emit_sync
+        self._results: list[list[dict]] = []
+        self._stopped = False
+
+    # ------------------------------------------------------------ compile
+    def execute(self, sql: str) -> "StreamSQL":
+        if self._plan is not None:
+            raise RuntimeError("Execute may be called once per StreamSQL instance")
+        self._stmt = parse(sql)
+        self._plan = make_plan(self._stmt)
+        return self
+
+    @property
+    def plan(self):
+        return self._plan
+
+    # ------------------------------------------------------- table store
+    def register_table(self, name: str, rows, *key_fields: str) -> None:
+        """Register a dimension snapshot for stream-table JOIN
+        (streamsql.go:503-515).  Accepts a DataFrame or list[dict]."""
+        if isinstance(rows, DataFrame):
+            self._tables[name] = rows
+            return
+        self._table_rows[name] = list(rows)
+        self._table_keys[name] = key_fields or self._derive_join_keys(name)
+        self._tables[name] = self.spark.createDataFrame(self._table_rows[name])
+
+    def _derive_join_keys(self, name: str) -> tuple:
+        """Auto-derive key fields from the JOIN ON equality condition
+        (streamsql.go:506-513)."""
+        if self._stmt is None:
+            return ()
+        keys = []
+        for j in self._stmt.joins:
+            if j.table == name and j.on is not None:
+                for node in N.walk(j.on):
+                    if isinstance(node, N.Bin) and node.op == "=":
+                        for side in (node.left, node.right):
+                            if isinstance(side, N.Col) and len(side.parts) == 2 \
+                                    and str(side.parts[0]) in (j.alias, j.table):
+                                keys.append(str(side.parts[1]))
+        return tuple(keys)
+
+    def upsert_table(self, name: str, row: dict) -> None:
+        """Incremental dim-table upsert (stream/table_store.go:71-85)."""
+        rows = self._table_rows.setdefault(name, [])
+        keys = self._table_keys.get(name, ())
+        if keys:
+            kv = tuple(row.get(k) for k in keys)
+            rows[:] = [r for r in rows if tuple(r.get(k) for k in keys) != kv]
+        rows.append(row)
+        self._tables[name] = self.spark.createDataFrame(rows)
+
+    def delete_table(self, name: str, row: dict) -> None:
+        rows = self._table_rows.get(name, [])
+        keys = self._table_keys.get(name, ())
+        if keys:
+            kv = tuple(row.get(k) for k in keys)
+            rows[:] = [r for r in rows if tuple(r.get(k) for k in keys) != kv]
+            if rows:
+                self._tables[name] = self.spark.createDataFrame(rows)
+            elif name in self._tables:
+                self._tables[name] = self._tables[name].limit(0)
+
+    # -------------------------------------------------------- DataFrame path
+    def query(self, source_df: DataFrame, tables: dict[str, DataFrame] | None = None) -> DataFrame:
+        """Apply the compiled plan to a DataFrame (batch or streaming-ready).
+
+        This is the scale path: one declarative Catalyst plan, no
+        driver-side loops.
+        """
+        if self._plan is None:
+            raise RuntimeError("call execute(sql) first")
+        all_tables = dict(self._tables)
+        if tables:
+            all_tables.update(tables)
+        return BatchExecutor(self.spark, all_tables).execute(self._plan, source_df)
+
+    # ------------------------------------------------------- emit harness
+    def _rows_df(self, rows: list[dict]) -> DataFrame:
+        if self.schema is not None:
+            return self.spark.createDataFrame(rows, schema=self.schema)
+        return self.spark.createDataFrame(rows)
+
+    def emit(self, row: dict) -> None:
+        """Buffer a row (async path analog, streamsql.go:223-237)."""
+        if self._stopped:
+            return
+        if self.schema is not None and hasattr(self.schema, "fieldNames"):
+            missing = [f for f in self.schema.fieldNames() if f not in row]
+            if missing:
+                return  # validate-and-drop (streamsql.go:227-235)
+        if len(self._buffer) >= self.max_buffer_rows:
+            self._buffer.pop(0)  # overflow strategy: drop oldest
+        self._buffer.append(row)
+
+    def emit_sync(self, row: dict) -> dict | None:
+        """Synchronous direct-path execution (streamsql.go:262-282).
+
+        Returns the projected row, or None when filtered out.  Analytic
+        state persists across calls via history replay.
+        """
+        if self._plan is None:
+            raise RuntimeError("call execute(sql) first")
+        if self._plan.mode != "direct":
+            raise RuntimeError("EmitSync requires a direct (non-window) query")
+        needs_history = bool(self._plan.analytics)
+        if needs_history:
+            self._history.append(row)
+            if len(self._history) > self.max_buffer_rows:
+                self._history.pop(0)
+            df = self._rows_df(self._history)
+            rows = self.query(df).collect()
+            # replay emits one output per surviving input, in order: the
+            # current row survived iff the output count grew
+            prev = getattr(self, "_last_survived", 0)
+            self._last_survived = len(rows)
+            if len(rows) == prev:
+                return None
+            return rows[-1].asDict(recursive=True)
+        df = self._rows_df([row])
+        out = self.query(df).collect()
+        return out[0].asDict(recursive=True) if out else None
+
+    def add_sink(self, fn: Callable[[list[dict]], None]) -> None:
+        self._sinks.append(fn)
+
+    def trigger_window(self) -> list[dict]:
+        """Flush buffered rows through the full pipeline and deliver one
+        result batch to sinks (streamsql.go:339-343 TriggerWindow)."""
+        if self._plan is None:
+            raise RuntimeError("call execute(sql) first")
+        if not self._buffer:
+            return []
+        df = self._rows_df(self._buffer)
+        batch = [r.asDict(recursive=True) for r in self.query(df).collect()]
+        self._results.append(batch)
+        for sink in self._sinks:
+            sink(batch)
+        return batch
+
+    def results(self) -> list[list[dict]]:
+        """Pull-style result access (ToChannel analog, streamsql.go:483-488)."""
+        return list(self._results)
+
+    def print_table(self) -> None:
+        """Console sink (streamsql.go:446-457)."""
+        if self._buffer:
+            self.query(self._rows_df(self._buffer)).show(truncate=False)
+
+    def register_function(self, name: str, fn, return_type="string") -> None:
+        """Custom scalar UDF (functions/registry.go:239-288)."""
+        _register_function(self.spark, name, fn, return_type)
+
+    def stop(self) -> None:
+        if self._buffer and self._plan is not None and self._plan.mode == "window":
+            self.trigger_window()
+        self._stopped = True
+        self._buffer.clear()
+        self._history.clear()

@@ -1,0 +1,239 @@
+"""Semantic analysis: SelectStmt AST → QueryPlan.
+
+Tree-based version of the reference's ``AST.ToStreamConfig``
+(rulego/streamsql ``rsql/ast.go:57-322``): exec-mode classification,
+default-window injection, aggregate lifting (post-aggregation
+expressions, ``rsql/ast.go:1417-1724``), hidden HAVING aggregates
+(``rsql/ast.go:561-623``), analytic-call extraction
+(``rsql/ast.go:410-468``), and window_start/window_end resolution.
+"""
+
+from __future__ import annotations
+
+from ..functions import registry
+from ..plans.plan import AggSpec, AnalyticSpec, JoinPlan, OutputField, QueryPlan
+from . import nodes as N
+from .render import Renderer, render
+
+WINDOW_START_COL = "window_start"
+WINDOW_END_COL = "window_end"
+
+
+class PlanError(ValueError):
+    pass
+
+
+def _has_aggregate(e: N.Expr) -> bool:
+    for node in N.walk(e):
+        if isinstance(node, N.Func) and registry.is_aggregate(node.name) \
+                and node.name.lower() not in ("min", "max") :
+            return True
+        if isinstance(node, N.Func) and node.name.lower() in ("min", "max") and node.over is None:
+            # min/max with a single arg are aggregates in this dialect
+            return True
+        if isinstance(node, N.Func) and node.name.lower() in registry.WINDOW_CONTEXT_FUNCS:
+            return True
+    return False
+
+
+def _has_analytic(e: N.Expr) -> bool:
+    return any(isinstance(n, N.Func) and registry.is_analytic(n.name) for n in N.walk(e))
+
+
+def _default_name(e: N.Expr, i: int) -> str:
+    if isinstance(e, N.Col):
+        last = e.parts[-1]
+        if isinstance(last, N.MapKey):
+            return last.key
+        return str(last)
+    if isinstance(e, N.Func):
+        return e.name.lower()
+    return f"col_{i}"
+
+
+class Planner:
+    def __init__(self, stmt: N.SelectStmt):
+        self.stmt = stmt
+        self.agg_specs: list[AggSpec] = []
+        self.analytics: list[AnalyticSpec] = []
+        self._agg_by_sql: dict[str, str] = {}
+
+    # ------------------------------------------------------------ lifting
+    def _lift_aggregates(self, e: N.Expr) -> N.Expr:
+        """Replace aggregate calls with placeholder column refs, collecting
+        AggSpecs (post-aggregation expressions become plain projections).
+        Also resolves window_start()/window_end() context aggregates."""
+
+        def fn(node: N.Expr) -> N.Expr:
+            if isinstance(node, N.Func):
+                lname = node.name.lower()
+                if lname in registry.WINDOW_CONTEXT_FUNCS:
+                    if lname == "window_start":
+                        self.uses_window_start = True
+                        return N.Col((WINDOW_START_COL,))
+                    self.uses_window_end = True
+                    return N.Col((WINDOW_END_COL,))
+                if registry.is_aggregate(lname):
+                    arg_renderer = Renderer(agg_mode="forbid")
+                    args_sql = [arg_renderer.render(a) for a in node.args]
+                    sql = registry.render_aggregate(lname, args_sql, node.args)
+                    ph = self._agg_by_sql.get(sql)
+                    if ph is None:
+                        ph = f"__agg_{len(self.agg_specs)}__"
+                        self._agg_by_sql[sql] = ph
+                        self.agg_specs.append(AggSpec(ph, sql, node))
+                    return N.Col((ph,))
+            return node
+
+        return N.transform(e, fn)
+
+    def _lift_analytics(self, e: N.Expr) -> N.Expr:
+        """Replace analytic calls (lag/latest/acc_*/changed...) with
+        placeholder refs; the engines compute them statefully/window-wise."""
+
+        def fn(node: N.Expr) -> N.Expr:
+            if isinstance(node, N.Func) and registry.is_analytic(node.name):
+                ph = f"__analytic_{len(self.analytics)}__"
+                over = node.over or N.OverSpec()
+                part_sql = [render(p) for p in over.partition_by]
+                when_sql = render(over.when) if over.when is not None else None
+                self.analytics.append(AnalyticSpec(ph, node, part_sql, when_sql))
+                return N.Col((ph,))
+            return node
+
+        return N.transform(e, fn)
+
+    # ------------------------------------------------------------- build
+    def plan(self) -> QueryPlan:
+        stmt = self.stmt
+        self.uses_window_start = False
+        self.uses_window_end = False
+
+        if stmt.match is not None:
+            mode = "cep"
+        else:
+            has_agg = any(not isinstance(f.expr, N.Star) and _has_aggregate(f.expr)
+                          for f in stmt.fields)
+            has_agg = has_agg or (stmt.having is not None) or bool(stmt.group_by) \
+                or stmt.window is not None
+            mode = "window" if has_agg else "direct"
+
+        window = stmt.window
+        if mode == "window" and window is None:
+            # aggregate without explicit window → default 10s tumbling
+            # (rsql/ast.go:136-140)
+            window = N.WindowSpec(kind="tumbling", size="10s")
+
+        plan = QueryPlan(
+            mode=mode,
+            stmt=stmt,
+            source=stmt.source,
+            source_alias=stmt.source_alias,
+            window=window,
+            limit=stmt.limit,
+            distinct=stmt.distinct,
+            options=dict(stmt.with_opts),
+        )
+        ts_field = stmt.with_opts.get("TIMESTAMP")
+        if ts_field:
+            plan.event_time_col = ts_field
+        plan.timeunit = stmt.with_opts.get("TIMEUNIT", "ms").lower()
+
+        for j in stmt.joins:
+            on_sql = render(j.on) if j.on is not None else None
+            plan.joins.append(JoinPlan(j.kind, j.table, j.alias, on_sql))
+
+        # WHERE — may contain analytic calls (placeholder-injected pre-filter,
+        # rsql/ast.go:314-319); aggregates are rejected (standard SQL).
+        if stmt.where is not None:
+            w = stmt.where
+            if _has_analytic(w):
+                w = self._lift_analytics(w)
+            plan.where_sql = render(w, agg_mode="forbid")
+
+        if mode == "window":
+            self._plan_window(plan)
+        elif mode == "direct":
+            self._plan_direct(plan)
+        else:
+            self._plan_cep(plan)
+
+        plan.analytics = self.analytics
+        plan.uses_window_start = self.uses_window_start
+        plan.uses_window_end = self.uses_window_end
+        return plan
+
+    def _plan_direct(self, plan: QueryPlan) -> None:
+        stmt = self.stmt
+        for i, f in enumerate(stmt.fields):
+            if isinstance(f.expr, N.Star):
+                plan.outputs.append(OutputField(name="*", star=True,
+                                                star_qualifier=f.expr.qualifier))
+                continue
+            e = self._lift_analytics(f.expr)
+            name = f.alias or _default_name(f.expr, i)
+            if isinstance(f.expr, N.Func) and f.expr.name.lower() in registry.MULTIROW_FUNCS:
+                plan.outputs.append(OutputField(
+                    name=f.alias or "unnest",
+                    unnest_sql=render(f.expr.args[0]) if f.expr.args else None))
+                continue
+            plan.outputs.append(OutputField(name=name, sql=render(e)))
+        for e, asc in stmt.order_by:
+            plan.order_by.append((render(e), asc))
+
+    def _plan_window(self, plan: QueryPlan) -> None:
+        stmt = self.stmt
+        # group keys: plain fields or scalar expressions (injected per-row,
+        # stream/processor_field.go:208-226)
+        for g in stmt.group_by:
+            plan.group_sqls.append(render(g))
+
+        for i, f in enumerate(stmt.fields):
+            if isinstance(f.expr, N.Star):
+                raise PlanError("SELECT * is not supported with GROUP BY/window aggregation")
+            e = f.expr
+            if _has_analytic(e):
+                # window-output analytic (state across windows,
+                # stream/processor_data.go:443-453)
+                e = self._lift_analytics(e)
+            e = self._lift_aggregates(e)
+            name = f.alias or _default_name(f.expr, i)
+            plan.outputs.append(OutputField(name=name, sql=render(e)))
+
+        if stmt.having is not None:
+            # HAVING may reference SELECT aliases (mapped back to their source
+            # expressions, rsql/ast.go:561) and aggregates not in SELECT
+            # (hidden __having_N__ fields in the reference, rsql/ast.go:561-623
+            # — here they just become extra lifted AggSpecs never projected).
+            alias_map = {f.alias.lower(): f.expr for f in stmt.fields if f.alias}
+
+            def sub_alias(node: N.Expr) -> N.Expr:
+                if isinstance(node, N.Col) and len(node.parts) == 1 \
+                        and str(node.parts[0]).lower() in alias_map:
+                    return alias_map[str(node.parts[0]).lower()]
+                return node
+
+            h = N.transform(stmt.having, sub_alias)
+            h = self._lift_aggregates(h)
+            plan.having_sql = render(h)
+        for e, asc in stmt.order_by:
+            e2 = self._lift_aggregates(e)
+            plan.order_by.append((render(e2), asc))
+        plan.agg_specs = self.agg_specs
+
+    def _plan_cep(self, plan: QueryPlan) -> None:
+        # outer SELECT over measure rows (stream/stream.go:400-409)
+        stmt = self.stmt
+        for i, f in enumerate(stmt.fields):
+            if isinstance(f.expr, N.Star):
+                plan.outputs.append(OutputField(name="*", star=True,
+                                                star_qualifier=f.expr.qualifier))
+            else:
+                name = f.alias or _default_name(f.expr, i)
+                plan.outputs.append(OutputField(name=name, sql=render(f.expr)))
+        for e, asc in stmt.order_by:
+            plan.order_by.append((render(e), asc))
+
+
+def plan(stmt: N.SelectStmt) -> QueryPlan:
+    return Planner(stmt).plan()

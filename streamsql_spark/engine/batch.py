@@ -1,0 +1,413 @@
+"""QueryPlan → DataFrame (batch execution).
+
+Everything here is declarative DataFrame/SQL assembly — Catalyst does
+predicate pushdown, column pruning, join selection (broadcast for dim
+tables) and whole-stage codegen.  Pipeline order mirrors the reference
+(``stream/processor_data.go:84-110, 383-493``):
+
+    join-enrich → analytic eval → WHERE → window assign → aggregate
+    → HAVING → DISTINCT → ORDER BY → LIMIT
+
+Scale notes per operator are inline; the only non-Catalyst paths are
+the global-window TRIGGER WHEN general predicate (pandas-segmented,
+keyed) — counting windows and count-only triggers stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..dialect import nodes as N
+from ..dialect.planner import WINDOW_END_COL, WINDOW_START_COL
+from ..dialect.render import render
+from ..plans.plan import AnalyticSpec, QueryPlan
+
+_TS = "__event_time__"
+_ROWID = "__row_id__"
+
+
+class ExecError(ValueError):
+    pass
+
+
+def _duration_to_spark(dur: str) -> str:
+    """'5s' / '500ms' / '2m' / '1h' / '1d' → Spark interval string."""
+    dur = dur.strip()
+    units = [("ms", "milliseconds"), ("us", "microseconds"),
+             ("s", "seconds"), ("m", "minutes"), ("h", "hours"), ("d", "days")]
+    for suf, name in units:
+        if dur.endswith(suf) and dur[: -len(suf)].isdigit():
+            return f"{dur[:-len(suf)]} {name}"
+    if dur.isdigit():  # bare number = seconds
+        return f"{dur} seconds"
+    raise ExecError(f"bad duration literal: {dur!r}")
+
+
+def duration_to_seconds(dur: str) -> float:
+    dur = dur.strip()
+    mult = {"ms": 0.001, "us": 0.000001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+    for suf, m in mult.items():
+        if dur.endswith(suf) and dur[: -len(suf)].isdigit():
+            return int(dur[: -len(suf)]) * m
+    if dur.isdigit():
+        return float(dur)
+    raise ExecError(f"bad duration literal: {dur!r}")
+
+
+def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
+    """Resolve the event-time column per WITH (TIMESTAMP=..., TIMEUNIT=...).
+
+    Long columns are converted per TIMEUNIT (reference default ms,
+    window/factory.go:76-133); timestamp columns pass through.
+    """
+    name = plan.event_time_col
+    if name is None:
+        for cand in ("ts", "event_time", "timestamp"):
+            if cand in df.columns:
+                name = cand
+                break
+    if name is None:
+        return None
+    dt = dict(df.dtypes).get(name)
+    if dt is None:
+        return None
+    c = F.col(name)
+    if dt in ("bigint", "int", "long"):
+        unit = plan.timeunit
+        if unit == "ms":
+            return F.timestamp_millis(c.cast("long"))
+        if unit in ("s", "ss"):
+            return F.timestamp_seconds(c.cast("long"))
+        if unit == "us":
+            return F.timestamp_micros(c.cast("long"))
+        if unit == "ns":
+            return F.timestamp_micros((c / 1000).cast("long"))
+        return F.timestamp_millis(c.cast("long"))
+    if dt in ("timestamp", "timestamp_ntz", "date"):
+        return c.cast("timestamp")
+    if dt == "string":
+        return F.to_timestamp(c)
+    return c.cast("timestamp")
+
+
+# ------------------------------------------------------------- analytics
+
+
+def _analytic_column(spec: AnalyticSpec, order_cols: list[Column]) -> Column:
+    """Batch realization of a stateful analytic call via Spark window
+    functions (§2.6 mapping).  Streaming uses the stateful operator in
+    ``streaming/stateful.py``; semantics here match the reference's state
+    machine on an ordered replay.
+    """
+    f = spec.func
+    name = f.name.lower()
+    parts = [F.expr(p) for p in spec.partition_by] or [F.lit(1)]
+    w = Window.partitionBy(*parts).orderBy(*order_cols)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    when_sql = spec.when_sql
+
+    def arg(i: int, default=None) -> Column:
+        if i < len(f.args):
+            return F.expr(render(f.args[i]))
+        return F.lit(default)
+
+    def lit_arg(i: int, default=None):
+        if i < len(f.args) and isinstance(f.args[i], N.Lit):
+            return f.args[i].value
+        return default
+
+    if name == "lag":
+        n = int(lit_arg(1, 1) or 1)
+        default = lit_arg(2, None)
+        if when_sql is None:
+            return F.lag(arg(0), n, default).over(w)
+        if n != 1:
+            raise ExecError("lag with WHEN gating supports offset 1 in batch mode")
+        gated = F.when(F.expr(when_sql), arg(0))
+        # gated row: previous gated value; non-gated row: state unchanged →
+        # last gated value (stream/analytic.go WHEN semantics)
+        res = F.when(F.expr(when_sql), F.last(gated, ignorenulls=True).over(w_prev)) \
+               .otherwise(F.last(gated, ignorenulls=True).over(w_run))
+        return F.coalesce(res, F.lit(default)) if default is not None else res
+
+    if name == "latest":
+        default = lit_arg(1, None)
+        src = arg(0) if when_sql is None else F.when(F.expr(when_sql), arg(0))
+        res = F.last(src, ignorenulls=True).over(w_run)
+        return F.coalesce(res, F.lit(default)) if default is not None else res
+
+    if name == "had_changed":
+        # had_changed(colOrTrue, cols...) — true iff any watched column
+        # changed vs the previous row (functions_analytical.go:84-103).
+        watched = f.args[1:] if len(f.args) > 1 else f.args[:1]
+        conds = []
+        for a in watched:
+            c = F.expr(render(a))
+            prev = F.lag(c).over(w)
+            conds.append(~prev.eqNullSafe(c))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+
+    if name == "changed_col":
+        # name of the first watched column that changed vs previous row
+        watched = f.args[1:] if len(f.args) > 1 else []
+        result = F.lit(None).cast("string")
+        for a in reversed(watched):
+            c = F.expr(render(a))
+            prev = F.lag(c).over(w)
+            colname = a.name if isinstance(a, N.Col) else render(a)
+            result = F.when(~prev.eqNullSafe(c), F.lit(colname)).otherwise(result)
+        return result
+
+    if name in ("acc_sum", "acc_max", "acc_min", "acc_count", "acc_avg"):
+        x = arg(0)
+        if when_sql is not None:
+            x = F.when(F.expr(when_sql), x)
+        # optional reset condition (arg 2 per functions/analytic_acc.go):
+        # segment id = running count of reset hits
+        seg = None
+        if len(f.args) > 2:
+            reset = F.expr(render(f.args[2]))
+            seg = F.sum(F.when(reset, 1).otherwise(0)).over(w_run)
+        if len(f.args) > 1 and not isinstance(f.args[1], N.Lit):
+            start = F.expr(render(f.args[1]))
+            started = F.max(F.when(start, 1).otherwise(0)).over(w_run)
+            x = F.when(started == 1, x)
+        wseg = (Window.partitionBy(*parts, seg) if seg is not None
+                else Window.partitionBy(*parts)).orderBy(*order_cols) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        agg = {"acc_sum": F.sum, "acc_max": F.max, "acc_min": F.min,
+               "acc_count": F.count, "acc_avg": F.avg}[name]
+        return agg(x).over(wseg)
+
+    raise ExecError(f"unsupported analytic function: {name}")
+
+
+# ------------------------------------------------------------- executor
+
+
+class BatchExecutor:
+    """Compile a QueryPlan against batch DataFrames."""
+
+    def __init__(self, spark: SparkSession, tables: dict[str, DataFrame] | None = None):
+        self.spark = spark
+        self.tables = tables or {}
+
+    def execute(self, plan: QueryPlan, source_df: DataFrame) -> DataFrame:
+        if plan.mode == "cep":
+            from ..cep.executor import execute_cep
+            return execute_cep(self.spark, plan, source_df, self)
+        df = source_df
+        ts = _event_time_col(df, plan)
+        if ts is not None:
+            df = df.withColumn(_TS, ts)
+
+        df = self._apply_joins(df, plan)
+        df = self._apply_analytics(df, plan)
+        if plan.where_sql:
+            df = df.filter(F.expr(plan.where_sql))
+
+        if plan.mode == "window":
+            df = self._apply_window_agg(df, plan)
+        else:
+            df = self._project_direct(df, plan)
+
+        if plan.distinct:
+            df = df.dropDuplicates()
+        df = self._apply_order_limit(df, plan)
+        return df
+
+    # ------------------------------------------------------------- joins
+    def _apply_joins(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
+        if not plan.joins:
+            return df
+        left = df.alias(plan.source_alias or plan.source)
+        for j in plan.joins:
+            t = self.tables.get(j.table)
+            if t is None:
+                raise ExecError(f"table {j.table!r} not registered")
+            # dimension snapshots broadcast: no shuffle of the stream side —
+            # the Spark analog of the reference's hash-lookup table
+            # (stream/table_store.go:87-153)
+            right = F.broadcast(t.alias(j.alias or j.table))
+            if j.kind == "cross":
+                left = left.crossJoin(right)
+            else:
+                left = left.join(right, on=F.expr(j.on_sql), how=j.kind)
+        return left
+
+    # --------------------------------------------------------- analytics
+    def _apply_analytics(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
+        if not plan.analytics:
+            return df
+        if _TS not in df.columns:
+            raise ExecError("analytic functions need an event-time column "
+                            "(WITH (TIMESTAMP='...') or a 'ts' column)")
+        order_cols = [F.col(_TS)]
+        for tiebreak in ("event_id", "id", "seq"):
+            if tiebreak in df.columns:
+                order_cols.append(F.col(tiebreak))
+                break
+        for spec in plan.analytics:
+            df = df.withColumn(spec.placeholder, _analytic_column(spec, order_cols))
+        return df
+
+    # ----------------------------------------------------------- windows
+    def _apply_window_agg(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
+        w = plan.window
+        group_cols: list[Column] = []
+        injected: dict[str, str] = {}  # group expr sql -> injected col name
+        simple_keys: list[str] = []
+        for i, gsql in enumerate(plan.group_sqls):
+            if gsql in df.columns or (gsql.split(".")[0] in df.columns):
+                group_cols.append(F.expr(gsql))
+                simple_keys.append(gsql)
+            else:
+                name = f"__gk_{i}__"
+                df = df.withColumn(name, F.expr(gsql))
+                injected[gsql] = name
+                group_cols.append(F.col(name))
+
+        window_struct = None
+        if w is not None and w.kind in ("tumbling", "sliding", "session"):
+            if _TS not in df.columns:
+                raise ExecError(f"{w.kind} window requires an event-time column")
+            if w.kind == "tumbling":
+                window_struct = F.window(F.col(_TS), _duration_to_spark(w.size))
+            elif w.kind == "sliding":
+                window_struct = F.window(F.col(_TS), _duration_to_spark(w.size),
+                                         _duration_to_spark(w.slide))
+            else:
+                window_struct = F.session_window(F.col(_TS), _duration_to_spark(w.gap))
+            group_cols = [window_struct.alias("__window__")] + group_cols
+        elif w is not None and w.kind == "counting":
+            # batch semantics: per-key arrival order chunks of N rows
+            # (window/counting_window.go).  Shuffle+sort once per key, then a
+            # plain hash aggregate — scales as a single exchange.
+            order = F.col(_TS) if _TS in df.columns else F.monotonically_increasing_id()
+            part = [F.expr(s) for s in plan.group_sqls] or [F.lit(1)]
+            rn = F.row_number().over(Window.partitionBy(*part).orderBy(order))
+            df = df.withColumn("__win_id__", F.floor((rn - 1) / F.lit(w.count)))
+            group_cols.append(F.col("__win_id__"))
+        elif w is not None and w.kind == "global":
+            df = self._apply_global_trigger(df, plan)
+            if df is not None and "__win_id__" in df.columns:
+                group_cols.append(F.col("__win_id__"))
+
+        aggs = [F.expr(s.sql).alias(s.placeholder) for s in plan.agg_specs]
+        if not aggs:
+            aggs = [F.count(F.lit(1)).alias("__cnt_dummy__")]
+        if plan.uses_window_start or plan.uses_window_end:
+            if window_struct is None and _TS in df.columns:
+                aggs.append(F.min(_TS).alias("__ws_min__"))
+                aggs.append(F.max(_TS).alias("__ws_max__"))
+        grouped = df.groupBy(*group_cols).agg(*aggs)
+
+        if window_struct is not None:
+            grouped = grouped.withColumn(WINDOW_START_COL, F.col("__window__.start")) \
+                             .withColumn(WINDOW_END_COL, F.col("__window__.end"))
+        elif plan.uses_window_start or plan.uses_window_end:
+            grouped = grouped.withColumnRenamed("__ws_min__", WINDOW_START_COL) \
+                             .withColumnRenamed("__ws_max__", WINDOW_END_COL)
+
+        if plan.having_sql:
+            grouped = grouped.filter(F.expr(plan.having_sql))
+
+        # final projection (post-aggregation expressions over placeholders)
+        out_cols = []
+        for out in plan.outputs:
+            sql = out.sql
+            if sql in injected:
+                out_cols.append(F.col(injected[sql]).alias(out.name))
+            else:
+                out_cols.append(F.expr(sql).alias(out.name))
+        # keep ORDER BY-referenced placeholders alive through projection
+        extra = [s.placeholder for s in plan.agg_specs
+                 if any(s.placeholder in osql for osql, _ in plan.order_by)]
+        self._order_extras = extra
+        return grouped.select(*out_cols, *[F.col(e) for e in extra])
+
+    def _apply_global_trigger(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
+        """GLOBAL WINDOW TRIGGER WHEN — FIRE_AND_PURGE segmentation.
+
+        Count-only predicates (``count(*) >= N``) reduce to counting-window
+        chunking, staying JVM-side.  General predicates over running
+        aggregates take the pandas-segmentation path (per-key sequential by
+        construction — same state model as window/global_window.go:49-731).
+        """
+        w = plan.window
+        trig = w.trigger_when
+        # fast path: count(*) >= N
+        if isinstance(trig, N.Bin) and trig.op in (">=", ">") \
+                and isinstance(trig.left, N.Func) and trig.left.name.lower() == "count" \
+                and isinstance(trig.right, N.Lit):
+            n = int(trig.right.value) + (1 if trig.op == ">" else 0)
+            order = F.col(_TS) if _TS in df.columns else F.monotonically_increasing_id()
+            part = [F.expr(s) for s in plan.group_sqls] or [F.lit(1)]
+            rn = F.row_number().over(Window.partitionBy(*part).orderBy(order))
+            df = df.withColumn("__win_id__", F.floor((rn - 1) / F.lit(n)))
+            # FIRE_AND_PURGE: only chunks that actually hit the trigger
+            # count emit; the trailing partial chunk stays pending
+            return self._join_full_chunks(df, plan, n)
+        from ..operators.global_window import segment_by_trigger
+        return segment_by_trigger(df, plan, _TS)
+
+    def _join_full_chunks(self, df: DataFrame, plan: QueryPlan, n: int):
+        # mark chunks that reached the trigger count; drop trailing partials
+        part_sqls = plan.group_sqls or []
+        cnt_w = Window.partitionBy(*([F.expr(s) for s in part_sqls] + [F.col("__win_id__")]))
+        df = df.withColumn("__chunk_n__", F.count(F.lit(1)).over(cnt_w))
+        return df.filter(F.col("__chunk_n__") >= n).drop("__chunk_n__")
+
+    # ------------------------------------------------------------ direct
+    def _project_direct(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
+        hidden = {_TS, _ROWID} | {a.placeholder for a in plan.analytics} \
+            | {"__win_id__", "__chunk_n__"}
+        out_cols: list[Column] = []
+        unnest: tuple[str, str] | None = None
+        for out in plan.outputs:
+            if out.star:
+                cols = [c for c in df.columns if c not in hidden]
+                if out.star_qualifier:
+                    out_cols.append(F.col(f"{out.star_qualifier}.*"))
+                else:
+                    out_cols.extend(F.col(c) for c in cols)
+            elif out.unnest_sql is not None:
+                unnest = (out.name, out.unnest_sql)
+            else:
+                out_cols.append(F.expr(out.sql).alias(out.name))
+        if unnest is not None:
+            name, arr_sql = unnest
+            arr = F.expr(arr_sql)
+            elem_type = df.select(arr.alias("__a__")).schema["__a__"].dataType
+            from pyspark.sql.types import ArrayType, StructType
+            # struct-array elements fan out to columns (reference unnest,
+            # functions_multirow.go:15-191) — Spark inline(); scalars explode.
+            if isinstance(elem_type, ArrayType) and isinstance(elem_type.elementType, StructType):
+                out_cols.append(F.expr(f"inline({arr_sql})"))
+            else:
+                out_cols.append(F.explode(arr).alias(name))
+        if not out_cols:
+            raise ExecError("empty SELECT list")
+        return df.select(*out_cols)
+
+    # -------------------------------------------------------- order/limit
+    def _apply_order_limit(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
+        if plan.order_by:
+            # ORDER BY + LIMIT compiles to TakeOrderedAndProject — a top-K
+            # per partition + merge, no global sort at scale.
+            exprs = []
+            for sql, asc in plan.order_by:
+                c = F.expr(sql)
+                exprs.append(c.asc() if asc else c.desc())
+            df = df.orderBy(*exprs)
+        extras = getattr(self, "_order_extras", [])
+        if extras:
+            df = df.drop(*extras)
+        if plan.limit is not None:
+            df = df.limit(plan.limit)
+        return df

@@ -1,0 +1,424 @@
+"""StreamSQL → Spark SQL function registry.
+
+Maps every scalar/aggregate function of the reference engine
+(rulego/streamsql ``functions/builtin.go:6-179``) onto Spark SQL
+expression text, staying JVM-side (Catalyst builtins, whole-stage
+codegen) — no Python UDFs in the hot path.
+
+A renderer takes the already-rendered Spark-SQL argument fragments
+(plus the raw AST args for literal-folding decisions) and returns a
+Spark SQL fragment.  Unlisted functions pass through verbatim, so any
+function Spark itself knows (``xxhash64``, ``levenshtein``, …) is
+usable from the dialect for free.
+
+Dialect deviations handled here (with reference citations):
+- ``log``  is base-10 (functions_math.go:419) → ``log10``.
+- ``substring`` is 0-based, Go-style (functions_string.go:295-304).
+- ``indexof`` is 0-based ``strings.Index`` (functions_string.go:271).
+- ``percentile(p, col)`` takes p FIRST and uses the lower value at
+  index ``floor(p*(n-1))`` (functions_aggregation.go:518-555).
+- ``format(v,'0.00')`` is printf-style, no thousands separators
+  (functions_string.go:156-208) → ``format_string``.
+- ``date_format``/``date_parse`` accept YYYY/MM/DD/HH/MI/SS-style
+  tokens (functions_datetime.go:338-368) → translated to JVM patterns.
+- ``merge_agg`` joins with "," (functions_aggregation.go:746-760).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from ..dialect import nodes as N
+
+Renderer = Callable[[list[str], list[N.Expr]], str]
+
+# --------------------------------------------------------------- helpers
+
+
+def _lit_str(e: N.Expr) -> str | None:
+    if isinstance(e, N.Lit) and e.is_string:
+        return str(e.value)
+    return None
+
+
+def _lit_num(e: N.Expr):
+    if isinstance(e, N.Lit) and isinstance(e.value, (int, float)) and not isinstance(e.value, bool):
+        return e.value
+    return None
+
+
+def go_format_to_java(fmt: str) -> str:
+    """Translate the reference's date tokens to a JVM datetime pattern.
+
+    Mirrors convertToGoFormat (functions_datetime.go:338-368): uppercase
+    ``MM``=month / lowercase ``mm``=minute, ``MI``=minute, ``DD``/``dd``=day,
+    ``HH``/``hh``=24-hour, ``SS``/``ss``=second.
+    """
+    out = []
+    i = 0
+    repl = [  # longest-first
+        ("YYYY", "yyyy"), ("yyyy", "yyyy"), ("MI", "mm"), ("mi", "mm"),
+        ("YY", "yy"), ("yy", "yy"), ("MM", "MM"), ("mm", "mm"),
+        ("DD", "dd"), ("dd", "dd"), ("HH", "HH"), ("hh", "HH"),
+        ("SS", "ss"), ("ss", "ss"),
+    ]
+    while i < len(fmt):
+        for old, new in repl:
+            if fmt.startswith(old, i):
+                out.append(new)
+                i += len(old)
+                break
+        else:
+            ch = fmt[i]
+            # quote any literal letter so Java patterns don't misread it
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+_CAST_TYPES = {
+    "int": "INT", "int32": "INT", "integer": "INT",
+    "int64": "BIGINT", "bigint": "BIGINT", "long": "BIGINT",
+    "float": "DOUBLE", "float64": "DOUBLE", "double": "DOUBLE",
+    "float32": "FLOAT",
+    "string": "STRING", "varchar": "STRING", "text": "STRING",
+    "bool": "BOOLEAN", "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP", "time": "TIMESTAMP", "datetime": "TIMESTAMP",
+    "date": "DATE",
+    "decimal": "DECIMAL(38,18)",
+}
+
+
+def _render_cast(args: list[str], ast: list[N.Expr]) -> str:
+    ty = (_lit_str(ast[1]) or "string").lower() if len(ast) > 1 else "string"
+    spark_ty = _CAST_TYPES.get(ty, ty.upper())
+    return f"CAST({args[0]} AS {spark_ty})"
+
+
+def _render_substring(args: list[str], ast: list[N.Expr]) -> str:
+    # 0-based Go semantics → Spark 1-based; negative start passes through
+    # (both count from the end with the same meaning).
+    start_lit = _lit_num(ast[1]) if len(ast) > 1 else None
+    if start_lit is not None:
+        start_sql = str(int(start_lit) + 1) if start_lit >= 0 else str(int(start_lit))
+    else:
+        s = args[1]
+        start_sql = f"(CASE WHEN ({s}) >= 0 THEN ({s})+1 ELSE ({s}) END)"
+    if len(args) == 3:
+        return f"substring({args[0]}, {start_sql}, {args[2]})"
+    return f"substring({args[0]}, {start_sql})"
+
+
+def _render_trunc(args: list[str], ast: list[N.Expr]) -> str:
+    # numeric truncate-toward-zero (functions_conversion.go:443)
+    x = args[0]
+    n = args[1] if len(args) > 1 else "0"
+    p = f"pow(10, {n})"
+    return (f"(CASE WHEN ({x}) >= 0 THEN floor(({x})*{p}) "
+            f"ELSE ceil(({x})*{p}) END / {p})")
+
+
+def _render_encode(args: list[str], ast: list[N.Expr]) -> str:
+    fmt = (_lit_str(ast[1]) or "base64").lower()
+    if fmt == "base64":
+        return f"base64(CAST({args[0]} AS BINARY))"
+    if fmt == "hex":
+        return f"lower(hex(CAST({args[0]} AS BINARY)))"
+    if fmt == "url":
+        return f"url_encode({args[0]})"
+    raise ValueError(f"unsupported encode format: {fmt}")
+
+
+def _render_decode(args: list[str], ast: list[N.Expr]) -> str:
+    fmt = (_lit_str(ast[1]) or "base64").lower()
+    if fmt == "base64":
+        return f"CAST(unbase64({args[0]}) AS STRING)"
+    if fmt == "hex":
+        return f"CAST(unhex({args[0]}) AS STRING)"
+    if fmt == "url":
+        return f"url_decode({args[0]})"
+    raise ValueError(f"unsupported decode format: {fmt}")
+
+
+def _render_format(args: list[str], ast: list[N.Expr]) -> str:
+    if len(args) == 1:
+        return f"CAST({args[0]} AS STRING)"
+    pattern = _lit_str(ast[1])
+    digits = 2
+    if pattern is not None and "." in pattern:
+        digits = len(pattern.split(".", 1)[1])
+    elif pattern == "0":
+        digits = 0
+    return f"format_string('%.{digits}f', CAST({args[0]} AS DOUBLE))"
+
+
+def _render_date_format(args: list[str], ast: list[N.Expr]) -> str:
+    pat = _lit_str(ast[1])
+    if pat is not None:
+        return f"date_format({args[0]}, '{go_format_to_java(pat)}')"
+    return f"date_format({args[0]}, {args[1]})"
+
+
+def _render_date_parse(args: list[str], ast: list[N.Expr]) -> str:
+    pat = _lit_str(ast[1])
+    if pat is not None:
+        return f"to_timestamp({args[0]}, '{go_format_to_java(pat)}')"
+    return f"to_timestamp({args[0]}, {args[1]})"
+
+
+def _render_json_extract(args: list[str], ast: list[N.Expr]) -> str:
+    path = _lit_str(ast[1])
+    if path is not None:
+        jpath = path if path.startswith("$") else "$." + path
+        return f"get_json_object({args[0]}, '{jpath}')"
+    return f"get_json_object({args[0]}, concat('$.', {args[1]}))"
+
+
+_TS_UNITS = {"year", "years", "month", "months", "day", "days",
+             "hour", "hours", "minute", "minutes", "second", "seconds",
+             "week", "weeks", "quarter", "millisecond", "milliseconds",
+             "microsecond", "microseconds"}
+
+
+def _ts_unit(e: N.Expr, default: str = "day") -> str:
+    u = (_lit_str(e) or default).lower().rstrip("s") or "day"
+    if u == "year":
+        return "YEAR"
+    return {"month": "MONTH", "day": "DAY", "hour": "HOUR", "minute": "MINUTE",
+            "second": "SECOND", "week": "WEEK", "quarter": "QUARTER",
+            "millisecond": "MILLISECOND", "microsecond": "MICROSECOND"}.get(u, "DAY")
+
+
+def _render_date_add(args: list[str], ast: list[N.Expr]) -> str:
+    # date_add(date, interval, unit) — functions_datetime.go:101-163
+    unit = _ts_unit(ast[2]) if len(ast) > 2 else "DAY"
+    return f"timestampadd({unit}, CAST({args[1]} AS BIGINT), CAST({args[0]} AS TIMESTAMP))"
+
+
+def _render_date_sub(args: list[str], ast: list[N.Expr]) -> str:
+    unit = _ts_unit(ast[2]) if len(ast) > 2 else "DAY"
+    return f"timestampadd({unit}, -CAST({args[1]} AS BIGINT), CAST({args[0]} AS TIMESTAMP))"
+
+
+def _render_date_diff(args: list[str], ast: list[N.Expr]) -> str:
+    # date_diff(d1, d2, unit) → d1 - d2 in unit
+    unit = _ts_unit(ast[2]) if len(ast) > 2 else "DAY"
+    return (f"timestampdiff({unit}, CAST({args[1]} AS TIMESTAMP), "
+            f"CAST({args[0]} AS TIMESTAMP))")
+
+
+def _render_extract(args: list[str], ast: list[N.Expr]) -> str:
+    # extract(unit, date) — functions_datetime.go:410-455; Go weekday 0=Sunday
+    unit = (_lit_str(ast[0]) or "year").lower()
+    t = f"CAST({args[1]} AS TIMESTAMP)"
+    m = {"year": f"year({t})", "month": f"month({t})", "day": f"day({t})",
+         "hour": f"hour({t})", "minute": f"minute({t})", "second": f"second({t})",
+         "weekday": f"(dayofweek({t}) - 1)", "yearday": f"dayofyear({t})"}
+    if unit not in m:
+        raise ValueError(f"unsupported extract unit: {unit}")
+    return m[unit]
+
+
+def _render_convert_tz(args: list[str], ast: list[N.Expr]) -> str:
+    if len(args) == 2:
+        return f"from_utc_timestamp(CAST({args[0]} AS TIMESTAMP), {args[1]})"
+    return f"convert_timezone({args[1]}, {args[2]}, CAST({args[0]} AS TIMESTAMP))"
+
+
+def _simple(template: str) -> Renderer:
+    def r(args: list[str], ast: list[N.Expr]) -> str:
+        return template.format(*args)
+    return r
+
+
+# ------------------------------------------------------- scalar registry
+
+SCALAR_RENDERERS: dict[str, Renderer] = {
+    # math (functions_math.go) — log is base-10 in the reference
+    "log": _simple("log10({0})"),
+    "ceiling": _simple("ceiling({0})"),
+    "mod": _simple("mod({0}, {1})"),
+    "power": _simple("power({0}, {1})"),
+    "pow": _simple("power({0}, {1})"),
+    "sign": _simple("signum({0})"),
+    "bitand": _simple("({0} & {1})"),
+    "bitor": _simple("({0} | {1})"),
+    "bitxor": _simple("({0} ^ {1})"),
+    "bitnot": _simple("(~{0})"),
+    # string (functions_string.go)
+    "len": _simple("length({0})"),
+    "length": _simple("length({0})"),
+    "indexof": _simple("(instr({0}, {1}) - 1)"),
+    "substring": _render_substring,
+    "format": _render_format,
+    "regexp_matches": _simple("regexp_like({0}, {1})"),
+    "regexp_substring": _simple("regexp_extract({0}, {1}, 0)"),
+    "endswith": _simple("endswith({0}, {1})"),
+    "startswith": _simple("startswith({0}, {1})"),
+    # conversion (functions_conversion.go)
+    "cast": _render_cast,
+    "hex2dec": _simple("CAST(conv({0}, 16, 10) AS BIGINT)"),
+    "dec2hex": _simple("lower(hex(CAST({0} AS BIGINT)))"),
+    "encode": _render_encode,
+    "decode": _render_decode,
+    "to_seconds": _simple("unix_timestamp(CAST({0} AS TIMESTAMP))"),
+    "chr": _simple("char({0})"),
+    "trunc": _render_trunc,
+    "url_encode": _simple("url_encode({0})"),
+    "url_decode": _simple("url_decode({0})"),
+    # datetime (functions_datetime.go)
+    "now": _simple("current_timestamp()"),
+    "current_time": _simple("date_format(current_timestamp(), 'HH:mm:ss')"),
+    "current_date": _simple("current_date()"),
+    "date_add": _render_date_add,
+    "date_sub": _render_date_sub,
+    "date_diff": _render_date_diff,
+    "date_format": _render_date_format,
+    "date_parse": _render_date_parse,
+    "extract": _render_extract,
+    "unix_timestamp": lambda a, t: "unix_timestamp()" if not a else f"unix_timestamp(CAST({a[0]} AS TIMESTAMP))",
+    "from_unixtime": _simple("from_unixtime({0})"),
+    "day": _simple("dayofmonth({0})"),
+    "dayofweek": _simple("dayofweek({0})"),
+    "convert_tz": _render_convert_tz,
+    # json (functions_json.go)
+    "json_extract": _render_json_extract,
+    "json_valid": _simple("(try_parse_json({0}) IS NOT NULL)"),
+    "json_type": _simple(
+        "(CASE WHEN {0} IS NULL THEN NULL"
+        " WHEN trim({0}) = 'null' THEN 'null'"
+        " WHEN startswith(trim({0}), '{{') THEN 'object'"
+        " WHEN startswith(trim({0}), '[') THEN 'array'"
+        " WHEN startswith(trim({0}), '\"') THEN 'string'"
+        " WHEN trim({0}) IN ('true','false') THEN 'boolean'"
+        " WHEN try_cast(trim({0}) AS DOUBLE) IS NOT NULL THEN 'number'"
+        " ELSE NULL END)"
+    ),
+    "json_length": _simple(
+        "(CASE WHEN startswith(trim({0}), '[') THEN json_array_length({0})"
+        " WHEN startswith(trim({0}), '{{') THEN size(json_object_keys({0}))"
+        " ELSE NULL END)"
+    ),
+    # hash (functions_hash.go)
+    "sha256": _simple("sha2({0}, 256)"),
+    "sha512": _simple("sha2({0}, 512)"),
+    # array (functions_array.go)
+    "array_length": _simple("size({0})"),
+    # type checks (functions_type.go)
+    "is_null": _simple("({0} IS NULL)"),
+    "is_not_null": _simple("({0} IS NOT NULL)"),
+    "is_numeric": _simple("(try_cast(CAST({0} AS STRING) AS DOUBLE) IS NOT NULL)"),
+    "is_string": _simple("(typeof({0}) = 'string')"),
+    "is_bool": _simple("(typeof({0}) = 'boolean')"),
+    "is_array": _simple("startswith(typeof({0}), 'array')"),
+    "is_object": _simple("(startswith(typeof({0}), 'map') OR startswith(typeof({0}), 'struct'))"),
+    # conditional (functions_conditional.go)
+    "if_null": _simple("ifnull({0}, {1})"),
+    "null_if": _simple("nullif({0}, {1})"),
+}
+
+
+def _render_case_when(args: list[str], ast: list[N.Expr]) -> str:
+    parts = ["CASE"]
+    i = 0
+    while i + 1 < len(args):
+        parts.append(f"WHEN {args[i]} THEN {args[i+1]}")
+        i += 2
+    if i < len(args):
+        parts.append(f"ELSE {args[i]}")
+    parts.append("END")
+    return " ".join(parts)
+
+
+SCALAR_RENDERERS["case_when"] = _render_case_when
+
+
+# ---------------------------------------------------- aggregate registry
+
+def _render_percentile(args: list[str], ast: list[N.Expr]) -> str:
+    # reference: percentile(p, col), lower value at floor(p*(n-1)).
+    # Exact-parity expression; at scale prefer approx_percentile (see
+    # operators/scale notes) — this one buffers the group like the reference.
+    p, col = args[0], args[1]
+    return (f"try_element_at(array_sort(collect_list({col})), "
+            f"CAST(floor(({p}) * (count({col}) - 1)) AS INT) + 1)")
+
+
+AGG_RENDERERS: dict[str, Renderer] = {
+    "sum": _simple("sum({0})"),
+    "avg": _simple("avg({0})"),
+    "min": _simple("min({0})"),
+    "max": _simple("max({0})"),
+    "count": lambda a, t: "count(*)" if not a or isinstance(t[0], N.Star) else f"count({a[0]})",
+    "stddev": _simple("stddev_pop({0})"),
+    "stddevs": _simple("stddev_samp({0})"),
+    "var": _simple("var_pop({0})"),
+    "vars": _simple("var_samp({0})"),
+    "median": _simple("median({0})"),
+    "percentile": _render_percentile,
+    "collect": _simple("collect_list({0})"),
+    "first_value": _simple("first({0})"),
+    "last_value": _simple("last({0})"),
+    "merge_agg": _simple("concat_ws(',', collect_list(CAST({0} AS STRING)))"),
+    "deduplicate": _simple("collect_set({0})"),
+    "nth_value": _simple("try_element_at(collect_list({0}), {1})"),
+    # Spark-native extras (approximate aggregates the reference lacks; free)
+    "approx_count_distinct": _simple("approx_count_distinct({0})"),
+}
+
+# window-context aggregates (functions_window.go:15-113) — resolved by the
+# planner to the window struct column, listed here for classification.
+WINDOW_CONTEXT_FUNCS = {"window_start", "window_end"}
+
+# stateful analytic functions (§2.6) — compiled by the analytic operator,
+# not rendered as plain SQL.
+ANALYTIC_FUNCS = {
+    "lag", "latest", "had_changed", "changed_col", "changed_cols",
+    "acc_sum", "acc_max", "acc_min", "acc_count", "acc_avg",
+}
+
+# multi-row (UDTF-style) functions — fan out rows (functions_multirow.go)
+MULTIROW_FUNCS = {"unnest"}
+
+
+# ------------------------------------------------ custom function support
+
+_CUSTOM_SCALARS: dict[str, "object"] = {}
+
+
+def register_function(spark, name: str, fn, return_type="string") -> None:
+    """Runtime scalar-UDF registration mirroring the reference's
+    ``RegisterCustomFunction`` (functions/registry.go:239-288).
+
+    The UDF becomes callable from the dialect immediately (pass-through
+    rendering finds it in Spark's function registry).  Python UDFs are
+    the slow path — prefer contributing a SQL-expression renderer.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt = return_type if not isinstance(return_type, str) else _parse_datatype_string(return_type)
+    spark.udf.register(name, fn, dt)
+    _CUSTOM_SCALARS[name.lower()] = fn
+
+
+def is_aggregate(name: str) -> bool:
+    return name.lower() in AGG_RENDERERS
+
+
+def is_analytic(name: str) -> bool:
+    return name.lower() in ANALYTIC_FUNCS
+
+
+def render_scalar(name: str, args: list[str], ast: list[N.Expr]) -> str:
+    r = SCALAR_RENDERERS.get(name.lower())
+    if r is not None:
+        return r(args, ast)
+    # pass through: Spark-native or custom-registered function
+    return f"{name}({', '.join(args)})"
+
+
+def render_aggregate(name: str, args: list[str], ast: list[N.Expr]) -> str:
+    r = AGG_RENDERERS.get(name.lower())
+    if r is None:
+        raise ValueError(f"unknown aggregate function: {name}")
+    return r(args, ast)

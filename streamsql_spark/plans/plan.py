@@ -1,0 +1,74 @@
+"""Typed query plan — the tree-shaped analog of the reference's flat
+``types.Config`` (rulego/streamsql ``types/config.go``), consumed by the
+batch and streaming engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..dialect import nodes as N
+
+
+@dataclass
+class AggSpec:
+    """One aggregate call lifted out of SELECT/HAVING/ORDER BY."""
+
+    placeholder: str          # generated column name, e.g. __agg_0__
+    sql: str                  # rendered Spark SQL aggregate expression
+    func: N.Func              # original call (for streaming/state builds)
+
+
+@dataclass
+class AnalyticSpec:
+    """One stateful analytic call (lag/latest/had_changed/acc_*, §2.6)."""
+
+    placeholder: str
+    func: N.Func
+    partition_by: list[str] = field(default_factory=list)  # rendered SQL
+    when_sql: str | None = None
+
+
+@dataclass
+class OutputField:
+    name: str
+    sql: str | None = None     # rendered post-agg/projection expression
+    star: bool = False
+    star_qualifier: str | None = None
+    unnest_sql: str | None = None  # argument of unnest(...) if multirow
+
+
+@dataclass
+class JoinPlan:
+    kind: str
+    table: str
+    alias: str | None
+    on_sql: str | None
+
+
+@dataclass
+class QueryPlan:
+    mode: str                         # direct | window | cep
+    stmt: N.SelectStmt
+    source: str = "stream"
+    source_alias: str | None = None
+    event_time_col: str | None = None # column named by WITH (TIMESTAMP=...)
+    timeunit: str = "ms"              # ms | s | us | ns (for long columns)
+    joins: list[JoinPlan] = field(default_factory=list)
+    where_sql: str | None = None
+    analytics: list[AnalyticSpec] = field(default_factory=list)
+    # window mode
+    window: N.WindowSpec | None = None
+    group_sqls: list[str] = field(default_factory=list)
+    agg_specs: list[AggSpec] = field(default_factory=list)
+    having_sql: str | None = None
+    # shared tail
+    outputs: list[OutputField] = field(default_factory=list)
+    order_by: list[tuple] = field(default_factory=list)  # [(sql, asc)]
+    limit: int | None = None
+    distinct: bool = False
+    # window context usage
+    uses_window_start: bool = False
+    uses_window_end: bool = False
+    # options from WITH(...)
+    options: dict = field(default_factory=dict)

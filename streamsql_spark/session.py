@@ -1,0 +1,103 @@
+"""SparkSession helpers tuned for both local testing and cluster scale.
+
+The defaults mirror what we would set on a 1000-executor cluster reading
+~100 TB of parquet: AQE on (runtime re-planning, skew-join splitting,
+partition coalescing), broadcast threshold sized for dimension tables,
+Arrow enabled for the few pandas-UDF code paths.
+
+Local tests run on ``local[N]`` with a small shuffle-partition count so
+60k-row fixtures do not pay 200-task overhead; on a real cluster the AQE
+coalescer makes the initial shuffle-partition number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are scale-critical and apply in any deployment.
+SCALE_CONFS: dict[str, str] = {
+    # Adaptive query execution: runtime stats drive partition coalescing,
+    # skew-join splitting and join-strategy switching.  Non-negotiable at
+    # 100 TB where static estimates are always wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/customer/part metadata, stream-table
+    # join snapshots) should broadcast; 64 MB covers every dim we handle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow transfer for pandas UDF / applyInPandas paths (CEP, stateful ops).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Read-side parallelism: 128 MB splits is the parquet sweet spot.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Streaming micro-batches without data still advance watermarks so
+    # event-time windows close on idle sources (reference IDLETIMEOUT intent).
+    "spark.sql.streaming.noDataMicroBatches.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # The driver's parquet uses INT64 TIMESTAMP(NANOS) which Spark has no
+    # native type for; read as long and convert (see load_tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "streamsql-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Return the active session or build a local one for tests/bench.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract).
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in SCALE_CONFS.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)) -> dict[str, "object"]:
+    """Load the driver's parquet tables and register temp views.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst;
+    nothing is cached here — callers decide what to persist.
+    """
+    from pyspark.sql import functions as F
+
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            for col in _nanos_timestamp_columns(path):
+                # ns-long → µs timestamp (matches DuckDB's µs truncation)
+                df = df.withColumn(
+                    col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (read by Spark as long
+    under nanosAsLong)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    except Exception:
+        return []
