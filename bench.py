@@ -1,0 +1,67 @@
+"""Benchmark harness (driver contract).
+
+Runs the operator catalog at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is forced to full execution with a noop write (no driver
+collect — measures the distributed pipeline, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> int:
+    # noop datasource: full execution, zero sink cost
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    from streamsql_spark.catalog import CATALOG
+    from streamsql_spark.session import get_spark, load_tables
+
+    spark = get_spark("streamsql-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the session + parquet footers so query timings measure the
+    # pipelines, not JVM startup
+    load_tables(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, entry in CATALOG.items():
+        try:
+            t0 = time.perf_counter()
+            df = entry.run(spark, sf_dir)
+            _force(df)
+            dt = time.perf_counter() - t0
+        except Exception:  # noqa: BLE001 — a failing query counts as missing
+            dt = -1.0
+        timings[name] = round(dt, 4)
+        if dt > 0:
+            total += dt
+
+    print(json.dumps({
+        "metric": "catalog_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

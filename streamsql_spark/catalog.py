@@ -1,0 +1,751 @@
+"""Query catalog: one entry per implemented operator (SURVEY.md §2).
+
+Each entry pairs a Spark-side query — almost all expressed in the
+StreamSQL dialect and compiled through the full parser→planner→batch
+engine stack — with an ANSI-SQL DuckDB oracle.  The driver runs both at
+sf0.01 and compares row count + schema + order-insensitive value hash.
+
+Conventions for oracle parity:
+- every computed column is aliased identically on both sides;
+- double aggregates are rounded (4–6 dp) on both sides to absorb
+  summation-order differences between Spark partials and DuckDB;
+- arrays are sorted on both sides (collect/deduplicate order is
+  arrival-dependent in the reference — sorting makes it checkable);
+- window starts are emitted as epoch-second BIGINTs on both sides;
+- analytic ordering is (ts, event_id) on both sides — the engine's
+  batch analytic operator auto-tiebreaks on event_id.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .api.facade import StreamSQL
+from .session import load_tables
+
+
+@dataclass
+class Entry:
+    run: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey: str  # SURVEY §2 line this entry covers
+
+
+def _dialect(sql: str, source: str, dims: tuple[str, ...] = ()) -> Callable:
+    """Run a StreamSQL-dialect query through the full engine stack."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = load_tables(spark, sf_dir)
+        q = StreamSQL(spark).execute(sql)
+        for d in dims:
+            q.register_table(d, tables[d])
+        return q.query(tables[source])
+
+    return run
+
+
+CATALOG: dict[str, Entry] = {}
+
+
+def _add(name: str, entry: Entry) -> None:
+    CATALOG[name] = entry
+
+
+# ===================================================================
+# §2.2 Projections / filters / predicates
+# ===================================================================
+
+_add("filter_project", Entry(
+    _dialect("""
+        SELECT event_id, user_id, round(value * 1.8 + 32, 4) AS value_f,
+               CASE WHEN value > 100 THEN 'high'
+                    WHEN value > 50 THEN 'mid' ELSE 'low' END AS grade
+        FROM stream
+        WHERE value > 10 AND event_type != 'error'
+    """, "events"),
+    """
+    SELECT event_id, user_id, round(value * 1.8 + 32, 4) AS value_f,
+           CASE WHEN value > 100 THEN 'high'
+                WHEN value > 50 THEN 'mid' ELSE 'low' END AS grade
+    FROM events WHERE value > 10 AND event_type != 'error'
+    """,
+    "§2.2 SELECT projection + WHERE + CASE (stream/processor_field.go:39-105)"))
+
+_add("predicates", Entry(
+    _dialect("""
+        SELECT event_id, event_type FROM stream
+        WHERE (event_type LIKE 'p%' OR event_type IN ('login', 'signup'))
+          AND value BETWEEN 20 AND 500
+          AND props IS NOT NULL AND NOT (user_id = 7)
+    """, "events"),
+    """
+    SELECT event_id, event_type FROM events
+    WHERE (event_type LIKE 'p%' OR event_type IN ('login', 'signup'))
+      AND value BETWEEN 20 AND 500
+      AND props IS NOT NULL AND NOT (user_id = 7)
+    """,
+    "§2.2 WHERE predicates: LIKE/IN/BETWEEN/IS NULL/NOT (condition/condition.go:31-338)"))
+
+_add("distinct", Entry(
+    _dialect("SELECT DISTINCT user_id, event_type FROM stream WHERE value > 100",
+             "events"),
+    "SELECT DISTINCT user_id, event_type FROM events WHERE value > 100",
+    "§2.2 DISTINCT (stream/processor_data.go:496-515)"))
+
+_add("orderby_limit", Entry(
+    _dialect("""
+        SELECT o_orderkey, o_totalprice FROM stream
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """, "orders"),
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "§2.2 ORDER BY + LIMIT top-K (stream/sorter.go:15-160)"))
+
+_add("unnest", Entry(
+    _dialect("""
+        SELECT doc_id, unnest(split(text, ' ')) AS word
+        FROM stream WHERE doc_id < 20
+    """, "documents"),
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 20
+    """,
+    "§2.2 unnest lateral expand (functions_multirow.go:15-191)"))
+
+# ===================================================================
+# §2.3 Joins (stream-table enrichment)
+# ===================================================================
+
+_add("join_inner", Entry(
+    _dialect("""
+        SELECT l.l_orderkey AS okey, l.l_linenumber AS lno,
+               o.o_orderpriority AS prio,
+               round(l.l_extendedprice * (1 - l.l_discount), 4) AS net
+        FROM stream AS l
+        INNER JOIN orders AS o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F' AND l.l_quantity > 25
+    """, "lineitem", dims=("orders",)),
+    """
+    SELECT l.l_orderkey AS okey, l.l_linenumber AS lno,
+           o.o_orderpriority AS prio,
+           round(l.l_extendedprice * (1 - l.l_discount), 4) AS net
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F' AND l.l_quantity > 25
+    """,
+    "§2.3 INNER stream-table join (stream/join.go:35-67)"))
+
+_add("join_left_nullgroup", Entry(
+    _dialect("""
+        SELECT c.c_mktsegment AS seg, count(*) AS cnt,
+               round(sum(e.value), 4) AS total
+        FROM stream AS e
+        LEFT JOIN customer AS c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """, "events", dims=("customer",)),
+    """
+    SELECT c.c_mktsegment AS seg, count(*) AS cnt,
+           round(sum(e.value), 4) AS total
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "§2.3 LEFT join, NULL group collapse (stream/join.go:58-62, group_aggregator.go:14-22)"))
+
+_add("join_composite_key", Entry(
+    _dialect("""
+        SELECT n.n_name AS nation, count(*) AS cnt
+        FROM stream AS c
+        INNER JOIN nation AS n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """, "customer", dims=("nation",)),
+    """
+    SELECT n.n_name AS nation, count(*) AS cnt
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "§2.3 qualified refs + group on joined column (rsql/parser.go:834-926)"))
+
+# ===================================================================
+# §2.4 Aggregations
+# ===================================================================
+
+_add("agg_tpch_q1", Entry(
+    _dialect("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price,
+               count(*) AS count_order
+        FROM stream
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """, "lineitem"),
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "§2.4 sum/avg/min/max/count hash aggregation (functions_aggregation.go:21-397)"))
+
+_add("agg_stats", Entry(
+    _dialect("""
+        SELECT l_returnflag,
+               round(stddev(l_quantity), 6) AS sd_pop,
+               round(stddevs(l_quantity), 6) AS sd_samp,
+               round(var(l_quantity), 6) AS var_pop,
+               round(vars(l_quantity), 6) AS var_samp,
+               round(median(l_quantity), 4) AS med
+        FROM stream GROUP BY l_returnflag
+    """, "lineitem"),
+    """
+    SELECT l_returnflag,
+           round(stddev_pop(l_quantity), 6) AS sd_pop,
+           round(stddev_samp(l_quantity), 6) AS sd_samp,
+           round(var_pop(l_quantity), 6) AS var_pop,
+           round(var_samp(l_quantity), 6) AS var_samp,
+           round(median(l_quantity), 4) AS med
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "§2.4 stddev/stddevs/var/vars/median (functions_aggregation.go:399-1239)"))
+
+_add("agg_percentile", Entry(
+    _dialect("""
+        SELECT l_returnflag,
+               percentile(0.5, l_extendedprice) AS p50,
+               percentile(0.9, l_extendedprice) AS p90
+        FROM stream GROUP BY l_returnflag
+    """, "lineitem"),
+    """
+    SELECT l_returnflag,
+           (list_sort(list(l_extendedprice)))[1 + CAST(floor(0.5*(count(l_extendedprice)-1)) AS INT)] AS p50,
+           (list_sort(list(l_extendedprice)))[1 + CAST(floor(0.9*(count(l_extendedprice)-1)) AS INT)] AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "§2.4 percentile lower-index semantics (functions_aggregation.go:518-555)"))
+
+_add("agg_collect", Entry(
+    _dialect("""
+        SELECT user_id,
+               sort_array(deduplicate(event_type)) AS types,
+               array_join(sort_array(collect(event_type)), ',') AS merged,
+               count(event_type) AS cnt
+        FROM stream WHERE value > 150 GROUP BY user_id
+    """, "events"),
+    """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(event_type)), ',') AS merged,
+           count(event_type) AS cnt
+    FROM events WHERE value > 150 GROUP BY user_id
+    """,
+    "§2.4 collect/deduplicate/merge_agg (functions_aggregation.go:564-618, 900-931, 737-811)"))
+
+_add("agg_first_last", Entry(
+    _dialect("""
+        SELECT user_id,
+               min_by(value, ts) AS first_v,
+               max_by(value, ts) AS last_v,
+               round(max_by(value, ts) - min_by(value, ts), 4) AS delta
+        FROM stream GROUP BY user_id
+    """, "events"),
+    """
+    SELECT user_id,
+           arg_min(value, ts) AS first_v,
+           arg_max(value, ts) AS last_v,
+           round(arg_max(value, ts) - arg_min(value, ts), 4) AS delta
+    FROM events GROUP BY user_id
+    """,
+    "§2.4 first_value/last_value (deterministic by event time) + post-agg expr "
+    "(functions_aggregation.go:620-735, aggregator/post_aggregation.go:62-829)"))
+
+_add("agg_post_expr", Entry(
+    _dialect("""
+        SELECT o_orderpriority,
+               round(sum(o_totalprice) / count(*), 4) AS avg_manual,
+               round(avg(o_totalprice), 4) AS avg_builtin,
+               count(*) * 2 AS double_cnt
+        FROM stream GROUP BY o_orderpriority
+    """, "orders"),
+    """
+    SELECT o_orderpriority,
+           round(sum(o_totalprice) / count(*), 4) AS avg_manual,
+           round(avg(o_totalprice), 4) AS avg_builtin,
+           count(*) * 2 AS double_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "§2.4 post-aggregation expressions (rsql/ast.go:1417-1724)"))
+
+_add("agg_having_hidden", Entry(
+    _dialect("""
+        SELECT o_orderpriority, count(*) AS cnt
+        FROM stream GROUP BY o_orderpriority
+        HAVING avg(o_totalprice) > 100000 AND cnt > 10
+    """, "orders"),
+    """
+    SELECT o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    HAVING avg(o_totalprice) > 100000 AND count(*) > 10
+    """,
+    "§2.4 HAVING hidden aggregates + alias ref (rsql/ast.go:561-623)"))
+
+_add("agg_expr_group_key", Entry(
+    _dialect("""
+        SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+               count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev
+        FROM stream GROUP BY year(l_shipdate), month(l_shipdate)
+    """, "lineitem"),
+    """
+    SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(month(l_shipdate) AS INT) AS mo,
+           count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev
+    FROM lineitem GROUP BY 1, 2
+    """,
+    "§2.4 expression group keys (rsql/ast.go:724-736, processor_field.go:208-226)"))
+
+_add("agg_count_distinct", Entry(
+    _dialect("""
+        SELECT event_type, count(DISTINCT user_id) AS n_users,
+               round(sum(DISTINCT round(value, 0)), 2) AS sum_distinct_v
+        FROM stream GROUP BY event_type
+    """, "events"),
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           round(sum(DISTINCT round(value, 0)), 2) AS sum_distinct_v
+    FROM events GROUP BY event_type
+    """,
+    "§2.10 DISTINCT-in-aggregate (Spark-native extension beyond reference; "
+    "approx_count_distinct also exposed)"))
+
+# ===================================================================
+# §2.5 Window operators (batch semantics over event time)
+# ===================================================================
+
+_add("window_tumbling", Entry(
+    _dialect("""
+        SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
+               unix_timestamp(window_start()) AS ws
+        FROM stream GROUP BY event_type, TumblingWindow('6h')
+    """, "events"),
+    """
+    SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
+           CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS ws
+    FROM events GROUP BY event_type, ws
+    """,
+    "§2.5 tumbling window, epoch-aligned (window/tumbling_window.go:56-905)"))
+
+_add("window_sliding", Entry(
+    _dialect("""
+        SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
+               unix_timestamp(window_start()) AS ws
+        FROM stream GROUP BY event_type, SlidingWindow('12h', '6h')
+    """, "events"),
+    """
+    SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
+           CAST(floor(epoch(ts)/21600)*21600 - k.off*21600 AS BIGINT) AS ws
+    FROM events, LATERAL (SELECT unnest([0, 1]) AS off) k
+    GROUP BY event_type, ws
+    """,
+    "§2.5 sliding window (window/sliding_window.go:60-970)"))
+
+_add("window_session", Entry(
+    _dialect("""
+        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+        FROM stream GROUP BY user_id, SessionWindow('4h')
+    """, "events"),
+    """
+    WITH marked AS (
+      SELECT user_id, value, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '4 hours' OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+    FROM sessions GROUP BY user_id, sid
+    """,
+    "§2.5 session window, 4h inactivity gap (window/session_window.go:37-686)"))
+
+_add("window_counting", Entry(
+    _dialect("""
+        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+        FROM stream GROUP BY user_id, CountingWindow(25)
+    """, "events"),
+    """
+    WITH numbered AS (
+      SELECT user_id, value,
+             floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 25) AS win
+      FROM events)
+    SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+    FROM numbered GROUP BY user_id, win HAVING count(*) = 25
+    """,
+    "§2.5 counting window — emits only full windows (window/counting_window.go:36-357)"))
+
+_add("window_global_trigger", Entry(
+    _dialect("""
+        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+        FROM stream GROUP BY user_id GLOBAL WINDOW TRIGGER WHEN count(*) >= 20
+    """, "events"),
+    """
+    WITH numbered AS (
+      SELECT user_id, value,
+             floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 20) AS win
+      FROM events)
+    SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+    FROM numbered GROUP BY user_id, win HAVING count(*) = 20
+    """,
+    "§2.5 global window TRIGGER WHEN count, FIRE_AND_PURGE (window/global_window.go:49-731)"))
+
+# ===================================================================
+# §2.6 Analytic (stateful per-row) functions
+# ===================================================================
+
+_ANALYTIC_W = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+_ANALYTIC_W_RUN = ("OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+
+_add("analytic_lag", Entry(
+    _dialect("""
+        SELECT event_id, user_id, value,
+               lag(value) OVER (PARTITION BY user_id) AS prev_v,
+               round(value - lag(value) OVER (PARTITION BY user_id), 4) AS delta,
+               lag(value, 2, -1.0) OVER (PARTITION BY user_id) AS prev2
+        FROM stream
+    """, "events"),
+    f"""
+    SELECT event_id, user_id, value,
+           lag(value) {_ANALYTIC_W} AS prev_v,
+           round(value - lag(value) {_ANALYTIC_W}, 4) AS delta,
+           lag(value, 2, -1.0) {_ANALYTIC_W} AS prev2
+    FROM events
+    """,
+    "§2.6 lag with offset/default, expression-wrapped (functions_analytical.go:14-44)"))
+
+_add("analytic_acc", Entry(
+    _dialect("""
+        SELECT event_id, user_id,
+               round(acc_sum(value) OVER (PARTITION BY user_id), 4) AS run_sum,
+               acc_count(value) OVER (PARTITION BY user_id) AS run_cnt,
+               round(acc_sum(value) OVER (PARTITION BY user_id), 4)
+                   / acc_count(value) OVER (PARTITION BY user_id) AS run_avg,
+               acc_max(value) OVER (PARTITION BY user_id) AS run_max,
+               acc_min(value) OVER (PARTITION BY user_id) AS run_min
+        FROM stream
+    """, "events"),
+    f"""
+    SELECT event_id, user_id,
+           round(sum(value) {_ANALYTIC_W_RUN}, 4) AS run_sum,
+           count(value) {_ANALYTIC_W_RUN} AS run_cnt,
+           round(sum(value) {_ANALYTIC_W_RUN}, 4)
+               / count(value) {_ANALYTIC_W_RUN} AS run_avg,
+           max(value) {_ANALYTIC_W_RUN} AS run_max,
+           min(value) {_ANALYTIC_W_RUN} AS run_min
+    FROM events
+    """,
+    "§2.6 acc_sum/acc_count/acc_avg/acc_max/acc_min (functions/analytic_acc.go:8-122)"))
+
+_add("analytic_had_changed", Entry(
+    _dialect("""
+        SELECT event_id, user_id, event_type,
+               had_changed(true, event_type) OVER (PARTITION BY user_id) AS type_changed
+        FROM stream
+    """, "events"),
+    f"""
+    SELECT event_id, user_id, event_type,
+           (event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}) AS type_changed
+    FROM events
+    """,
+    "§2.6 had_changed CDC detection (functions_analytical.go:84-103)"))
+
+_add("analytic_latest", Entry(
+    _dialect("""
+        SELECT event_id, user_id,
+               latest(CASE WHEN value > 100 THEN value END)
+                   OVER (PARTITION BY user_id) AS last_big
+        FROM stream
+    """, "events"),
+    f"""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN value > 100 THEN value END IGNORE NULLS)
+               {_ANALYTIC_W_RUN} AS last_big
+    FROM events
+    """,
+    "§2.6 latest (most recent non-null) (functions_analytical.go:46-63)"))
+
+_add("analytic_when_gated", Entry(
+    _dialect("""
+        SELECT event_id, user_id,
+               round(acc_sum(value) OVER (PARTITION BY user_id WHEN event_type = 'purchase'), 4)
+                   AS purchase_total
+        FROM stream
+    """, "events"),
+    f"""
+    SELECT event_id, user_id,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END)
+                 {_ANALYTIC_W_RUN}, 4) AS purchase_total
+    FROM events
+    """,
+    "§2.6 OVER(... WHEN cond) conditional state update (rsql/parser.go:671-757)"))
+
+# ===================================================================
+# §2.8 Scalar functions
+# ===================================================================
+
+_add("scalar_math", Entry(
+    _dialect("""
+        SELECT l_orderkey, l_linenumber,
+               round(abs(l_discount - 0.05), 6) AS ab,
+               round(sqrt(l_quantity), 6) AS sq,
+               floor(l_extendedprice / 1000) AS fl,
+               ceiling(l_tax * 100) AS ce,
+               round(power(l_quantity, 2), 4) AS pw,
+               mod(l_linenumber, 3) AS md,
+               round(exp(l_discount), 6) AS ex,
+               round(ln(l_quantity + 1), 6) AS lnv,
+               round(log(l_extendedprice), 6) AS lg,
+               round(sin(l_discount), 6) AS sn,
+               round(atan2(l_quantity, 10), 6) AS at2,
+               bitand(l_linenumber, 3) AS ba,
+               bitor(l_linenumber, 8) AS bo,
+               bitxor(l_linenumber, 5) AS bx
+        FROM stream WHERE l_orderkey < 100
+    """, "lineitem"),
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS ab,
+           round(sqrt(l_quantity), 6) AS sq,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS fl,
+           CAST(ceil(l_tax * 100) AS BIGINT) AS ce,
+           round(pow(l_quantity, 2), 4) AS pw,
+           mod(l_linenumber, 3) AS md,
+           round(exp(l_discount), 6) AS ex,
+           round(ln(l_quantity + 1), 6) AS lnv,
+           round(log(l_extendedprice), 6) AS lg,
+           round(sin(l_discount), 6) AS sn,
+           round(atan2(l_quantity, 10), 6) AS at2,
+           l_linenumber & 3 AS ba,
+           l_linenumber | 8 AS bo,
+           xor(l_linenumber, 5) AS bx
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    "§2.8 math functions incl. base-10 log, bit ops (functions_math.go)"))
+
+_add("scalar_string", Entry(
+    _dialect("""
+        SELECT p_partkey,
+               upper(p_name) AS up, lower(p_brand) AS lo,
+               length(p_name) AS len_n,
+               substring(p_name, 0, 5) AS sub5,
+               substring(p_name, 3) AS sub_from3,
+               replace(p_type, ' ', '_') AS rep,
+               lpad(p_brand, 12, '*') AS lp,
+               rpad(p_brand, 12, '-') AS rp,
+               trim(concat('  ', p_name)) AS tr,
+               indexof(p_name, 'a') AS idx,
+               endswith(p_type, 'STEEL') AS es,
+               startswith(p_type, 'STANDARD') AS ss,
+               concat(p_brand, '#', p_type) AS cc,
+               split(p_name, ' ') AS words
+        FROM stream WHERE p_partkey <= 100
+    """, "part"),
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up, lower(p_brand) AS lo,
+           CAST(length(p_name) AS INT) AS len_n,
+           substr(p_name, 1, 5) AS sub5,
+           substr(p_name, 4) AS sub_from3,
+           replace(p_type, ' ', '_') AS rep,
+           lpad(p_brand, 12, '*') AS lp,
+           rpad(p_brand, 12, '-') AS rp,
+           trim('  ' || p_name) AS tr,
+           CAST(instr(p_name, 'a') - 1 AS INT) AS idx,
+           ends_with(p_type, 'STEEL') AS es,
+           starts_with(p_type, 'STANDARD') AS ss,
+           p_brand || '#' || p_type AS cc,
+           string_split(p_name, ' ') AS words
+    FROM part WHERE p_partkey <= 100
+    """,
+    "§2.8 string functions, 0-based substring/indexof dialect (functions_string.go)"))
+
+_add("scalar_regex", Entry(
+    _dialect("""
+        SELECT doc_id,
+               regexp_matches(text, 'spark') AS has_spark,
+               regexp_replace(text, '[aeiou]', '_') AS devowel,
+               regexp_substring(text, 'w[a-z]+') AS first_w
+        FROM stream WHERE doc_id < 50
+    """, "documents"),
+    """
+    SELECT doc_id,
+           regexp_matches(text, 'spark') AS has_spark,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devowel,
+           coalesce(regexp_extract(text, 'w[a-z]+'), '') AS first_w
+    FROM documents WHERE doc_id < 50
+    """,
+    "§2.8 regexp_matches/replace/substring (functions_string.go:569-660)"))
+
+_add("scalar_datetime", Entry(
+    _dialect("""
+        SELECT o_orderkey,
+               year(o_orderdate) AS y, month(o_orderdate) AS m,
+               day(o_orderdate) AS d, hour(o_orderdate) AS h,
+               minute(o_orderdate) AS mi, second(o_orderdate) AS s,
+               dayofyear(o_orderdate) AS dy,
+               weekofyear(o_orderdate) AS wy,
+               date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS ds,
+               unix_timestamp(o_orderdate) AS ut,
+               extract('weekday', o_orderdate) AS wd
+        FROM stream WHERE o_orderkey < 200
+    """, "orders"),
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d, CAST(hour(o_orderdate) AS INT) AS h,
+           CAST(minute(o_orderdate) AS INT) AS mi, CAST(second(o_orderdate) AS INT) AS s,
+           CAST(dayofyear(o_orderdate) AS INT) AS dy,
+           CAST(weekofyear(o_orderdate) AS INT) AS wy,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ds,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ut,
+           CAST(dayofweek(o_orderdate) AS INT) AS wd
+    FROM orders WHERE o_orderkey < 200
+    """,
+    "§2.8 datetime extraction + Go-layout date_format (functions_datetime.go)"))
+
+_add("scalar_datetime_arith", Entry(
+    _dialect("""
+        SELECT o_orderkey,
+               date_add(o_orderdate, 3, 'days') AS plus3d,
+               date_sub(o_orderdate, 2, 'hours') AS minus2h,
+               date_diff(o_orderdate, '2024-01-01', 'days') AS since_ny
+        FROM stream WHERE o_orderkey < 100
+    """, "orders"),
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL '3 days' AS plus3d,
+           o_orderdate - INTERVAL '2 hours' AS minus2h,
+           date_diff('day', TIMESTAMP '2024-01-01', o_orderdate) AS since_ny
+    FROM orders WHERE o_orderkey < 100
+    """,
+    "§2.8 date_add/date_sub/date_diff unit-based (functions_datetime.go:101-306)"))
+
+_add("scalar_json", Entry(
+    _dialect("""
+        SELECT event_id,
+               json_extract(props, 'k') AS k,
+               json_valid(props) AS jv,
+               json_length(props) AS jl,
+               json_type(props) AS jt
+        FROM stream WHERE event_id < 500
+    """, "events"),
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k,
+           json_valid(props) AS jv,
+           CAST(len(json_keys(props)) AS INT) AS jl,
+           'object' AS jt
+    FROM events WHERE event_id < 500
+    """,
+    "§2.8 json_extract/json_valid/json_length/json_type (functions_json.go)"))
+
+_add("scalar_hash", Entry(
+    _dialect("""
+        SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+        FROM stream WHERE doc_id < 100
+    """, "documents"),
+    # sha1/sha512 have no DuckDB equivalent — covered by unit tests vs hashlib
+    """
+    SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+    FROM documents WHERE doc_id < 100
+    """,
+    "§2.8 md5/sha1/sha256 (functions_hash.go)"))
+
+_add("scalar_conditional", Entry(
+    _dialect("""
+        SELECT event_id,
+               coalesce(null_if(event_type, 'error'), 'filtered') AS et,
+               if_null(null_if(value, value), -1.0) AS nn,
+               greatest(value, 50.0) AS g,
+               least(value, 50.0) AS l,
+               case_when(value > 100, 'big', value > 50, 'mid', 'small') AS cw
+        FROM stream WHERE event_id < 400
+    """, "events"),
+    """
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'filtered') AS et,
+           ifnull(nullif(value, value), -1.0) AS nn,
+           greatest(value, 50.0) AS g,
+           least(value, 50.0) AS l,
+           CASE WHEN value > 100 THEN 'big' WHEN value > 50 THEN 'mid'
+                ELSE 'small' END AS cw
+    FROM events WHERE event_id < 400
+    """,
+    "§2.8 if_null/null_if/greatest/least/case_when (functions_conditional.go)"))
+
+_add("scalar_conversion", Entry(
+    _dialect("""
+        SELECT event_id,
+               cast(value, 'string') AS vs,
+               cast(event_id, 'float') AS vf,
+               cast(value, 'int') AS vi,
+               hex2dec(substring(md5(event_type), 0, 8)) AS h2d,
+               dec2hex(event_id) AS d2h,
+               encode(event_type, 'base64') AS b64,
+               decode(encode(event_type, 'base64'), 'base64') AS rt,
+               trunc(value / 7, 2) AS tr
+        FROM stream WHERE event_id < 300
+    """, "events"),
+    """
+    SELECT event_id,
+           CAST(value AS VARCHAR) AS vs,
+           CAST(event_id AS DOUBLE) AS vf,
+           CAST(trunc(value) AS INT) AS vi,
+           ('0x' || substr(md5(event_type), 1, 8))::BIGINT AS h2d,
+           lower(to_hex(event_id)) AS d2h,
+           to_base64(event_type::BLOB) AS b64,
+           event_type AS rt,
+           trunc((value / 7) * 100) / 100 AS tr
+    FROM events WHERE event_id < 300
+    """,
+    "§2.8 cast/hex2dec/dec2hex/encode/decode/trunc (functions_conversion.go)"))
+
+_add("scalar_array", Entry(
+    _dialect("""
+        SELECT doc_id,
+               array_length(split(text, ' ')) AS n_words,
+               array_contains(split(text, ' '), 'spark') AS has_spark,
+               sort_array(array_distinct(split(text, ' '))) AS uniq,
+               array_position(split(text, ' '), 'the') AS pos_the
+        FROM stream WHERE doc_id < 30
+    """, "documents"),
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           list_sort(list_distinct(string_split(text, ' '))) AS uniq,
+           CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS pos_the
+    FROM documents WHERE doc_id < 30
+    """,
+    "§2.8 array functions (functions_array.go)"))
+
+
+def names() -> list[str]:
+    return list(CATALOG)

@@ -365,7 +365,13 @@ class Parser:
         t = self.peek()
         if t.kind == OP and t.text == "-":
             self.next()
-            return N.Un("-", self.parse_unary())
+            inner = self.parse_unary()
+            # fold negative numeric literals so they stay Lit nodes
+            # (analytic defaults like lag(x, 1, -1.0) need literal extraction)
+            if isinstance(inner, N.Lit) and isinstance(inner.value, (int, float)) \
+                    and not isinstance(inner.value, bool):
+                return N.Lit(-inner.value)
+            return N.Un("-", inner)
         if t.kind == OP and t.text == "+":
             self.next()
             return self.parse_unary()

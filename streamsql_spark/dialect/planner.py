@@ -76,7 +76,12 @@ class Planner:
                 if registry.is_aggregate(lname):
                     arg_renderer = Renderer(agg_mode="forbid")
                     args_sql = [arg_renderer.render(a) for a in node.args]
-                    sql = registry.render_aggregate(lname, args_sql, node.args)
+                    if node.distinct:
+                        # DISTINCT-in-aggregate: Spark-native extension
+                        # (absent in the reference, SURVEY §2.10)
+                        sql = f"{lname}(DISTINCT {', '.join(args_sql)})"
+                    else:
+                        sql = registry.render_aggregate(lname, args_sql, node.args)
                     ph = self._agg_by_sql.get(sql)
                     if ph is None:
                         ph = f"__agg_{len(self.agg_specs)}__"
@@ -119,10 +124,10 @@ class Planner:
             mode = "window" if has_agg else "direct"
 
         window = stmt.window
-        if mode == "window" and window is None:
-            # aggregate without explicit window → default 10s tumbling
-            # (rsql/ast.go:136-140)
-            window = N.WindowSpec(kind="tumbling", size="10s")
+        # The reference injects a default 10s tumbling window for aggregates
+        # without one (rsql/ast.go:136-140) — a *streaming* necessity.  In
+        # batch, no window = plain relational aggregate; the streaming
+        # builder applies the 10s default at readStream time instead.
 
         plan = QueryPlan(
             mode=mode,

@@ -273,7 +273,9 @@ class BatchExecutor:
                 group_cols.append(F.col(name))
 
         window_struct = None
-        if w is not None and w.kind in ("tumbling", "sliding", "session"):
+        if w is None:
+            pass  # plain relational aggregate (batch GROUP BY)
+        elif w.kind in ("tumbling", "sliding", "session"):
             if _TS not in df.columns:
                 raise ExecError(f"{w.kind} window requires an event-time column")
             if w.kind == "tumbling":
@@ -284,21 +286,32 @@ class BatchExecutor:
             else:
                 window_struct = F.session_window(F.col(_TS), _duration_to_spark(w.gap))
             group_cols = [window_struct.alias("__window__")] + group_cols
-        elif w is not None and w.kind == "counting":
+        chunk_n: int | None = None
+        if w is not None and w.kind == "counting":
             # batch semantics: per-key arrival order chunks of N rows
             # (window/counting_window.go).  Shuffle+sort once per key, then a
-            # plain hash aggregate — scales as a single exchange.
-            order = F.col(_TS) if _TS in df.columns else F.monotonically_increasing_id()
-            part = [F.expr(s) for s in plan.group_sqls] or [F.lit(1)]
-            rn = F.row_number().over(Window.partitionBy(*part).orderBy(order))
-            df = df.withColumn("__win_id__", F.floor((rn - 1) / F.lit(w.count)))
+            # plain hash aggregate — scales as a single exchange.  The
+            # counting window emits ONLY on the Nth row, so trailing partial
+            # chunks stay pending and are dropped here.
+            df = self._chunk_rows(df, plan, w.count)
             group_cols.append(F.col("__win_id__"))
+            chunk_n = w.count
         elif w is not None and w.kind == "global":
-            df = self._apply_global_trigger(df, plan)
-            if df is not None and "__win_id__" in df.columns:
+            n = self._count_trigger_n(w)
+            if n is not None:
+                # TRIGGER WHEN count(*) >= N ≡ counting-window chunks of N
+                # (stays JVM-side, no pandas)
+                df = self._chunk_rows(df, plan, n)
+                group_cols.append(F.col("__win_id__"))
+                chunk_n = n
+            else:
+                from ..operators.global_window import segment_by_trigger
+                df = segment_by_trigger(df, plan, _TS)
                 group_cols.append(F.col("__win_id__"))
 
         aggs = [F.expr(s.sql).alias(s.placeholder) for s in plan.agg_specs]
+        if chunk_n is not None:
+            aggs.append(F.count(F.lit(1)).alias("__wcnt__"))
         if not aggs:
             aggs = [F.count(F.lit(1)).alias("__cnt_dummy__")]
         if plan.uses_window_start or plan.uses_window_end:
@@ -313,6 +326,9 @@ class BatchExecutor:
         elif plan.uses_window_start or plan.uses_window_end:
             grouped = grouped.withColumnRenamed("__ws_min__", WINDOW_START_COL) \
                              .withColumnRenamed("__ws_max__", WINDOW_END_COL)
+
+        if chunk_n is not None:
+            grouped = grouped.filter(F.col("__wcnt__") == chunk_n).drop("__wcnt__")
 
         if plan.having_sql:
             grouped = grouped.filter(F.expr(plan.having_sql))
@@ -331,37 +347,26 @@ class BatchExecutor:
         self._order_extras = extra
         return grouped.select(*out_cols, *[F.col(e) for e in extra])
 
-    def _apply_global_trigger(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
-        """GLOBAL WINDOW TRIGGER WHEN — FIRE_AND_PURGE segmentation.
+    def _chunk_rows(self, df: DataFrame, plan: QueryPlan, n: int) -> DataFrame:
+        """Per-key arrival-order chunks of N rows → ``__win_id__``."""
+        order = F.col(_TS) if _TS in df.columns else F.monotonically_increasing_id()
+        part = [F.expr(s) for s in plan.group_sqls] or [F.lit(1)]
+        rn = F.row_number().over(Window.partitionBy(*part).orderBy(order))
+        return df.withColumn("__win_id__", F.floor((rn - 1) / F.lit(n)))
 
-        Count-only predicates (``count(*) >= N``) reduce to counting-window
-        chunking, staying JVM-side.  General predicates over running
-        aggregates take the pandas-segmentation path (per-key sequential by
-        construction — same state model as window/global_window.go:49-731).
-        """
-        w = plan.window
+    @staticmethod
+    def _count_trigger_n(w) -> int | None:
+        """TRIGGER WHEN count(*) >= N fast-path detection (count-only
+        predicates reduce to counting-window chunking, staying JVM-side;
+        general predicates go to the pandas segmenter)."""
         trig = w.trigger_when
-        # fast path: count(*) >= N
-        if isinstance(trig, N.Bin) and trig.op in (">=", ">") \
-                and isinstance(trig.left, N.Func) and trig.left.name.lower() == "count" \
-                and isinstance(trig.right, N.Lit):
-            n = int(trig.right.value) + (1 if trig.op == ">" else 0)
-            order = F.col(_TS) if _TS in df.columns else F.monotonically_increasing_id()
-            part = [F.expr(s) for s in plan.group_sqls] or [F.lit(1)]
-            rn = F.row_number().over(Window.partitionBy(*part).orderBy(order))
-            df = df.withColumn("__win_id__", F.floor((rn - 1) / F.lit(n)))
-            # FIRE_AND_PURGE: only chunks that actually hit the trigger
-            # count emit; the trailing partial chunk stays pending
-            return self._join_full_chunks(df, plan, n)
-        from ..operators.global_window import segment_by_trigger
-        return segment_by_trigger(df, plan, _TS)
-
-    def _join_full_chunks(self, df: DataFrame, plan: QueryPlan, n: int):
-        # mark chunks that reached the trigger count; drop trailing partials
-        part_sqls = plan.group_sqls or []
-        cnt_w = Window.partitionBy(*([F.expr(s) for s in part_sqls] + [F.col("__win_id__")]))
-        df = df.withColumn("__chunk_n__", F.count(F.lit(1)).over(cnt_w))
-        return df.filter(F.col("__chunk_n__") >= n).drop("__chunk_n__")
+        if not (isinstance(trig, N.Bin) and trig.op in (">=", ">")
+                and isinstance(trig.left, N.Func)
+                and trig.left.name.lower() == "count"
+                and (not trig.left.args or isinstance(trig.left.args[0], N.Star))
+                and isinstance(trig.right, N.Lit)):
+            return None
+        return int(trig.right.value) + (1 if trig.op == ">" else 0)
 
     # ------------------------------------------------------------ direct
     def _project_direct(self, df: DataFrame, plan: QueryPlan) -> DataFrame:

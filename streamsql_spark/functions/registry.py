@@ -362,8 +362,20 @@ AGG_RENDERERS: dict[str, Renderer] = {
     "merge_agg": _simple("concat_ws(',', collect_list(CAST({0} AS STRING)))"),
     "deduplicate": _simple("collect_set({0})"),
     "nth_value": _simple("try_element_at(collect_list({0}), {1})"),
-    # Spark-native extras (approximate aggregates the reference lacks; free)
+    # Spark-native extras (beyond the reference — free on Catalyst).
+    # min_by/max_by give deterministic first/last-by-event-time.
     "approx_count_distinct": _simple("approx_count_distinct({0})"),
+    "min_by": _simple("min_by({0}, {1})"),
+    "max_by": _simple("max_by({0}, {1})"),
+    "any_value": _simple("any_value({0})"),
+    "corr": _simple("corr({0}, {1})"),
+    "covar_pop": _simple("covar_pop({0}, {1})"),
+    "covar_samp": _simple("covar_samp({0}, {1})"),
+    "skewness": _simple("skewness({0})"),
+    "kurtosis": _simple("kurtosis({0})"),
+    "count_if": _simple("count_if({0})"),
+    "bool_and": _simple("bool_and({0})"),
+    "bool_or": _simple("bool_or({0})"),
 }
 
 # window-context aggregates (functions_window.go:15-113) — resolved by the
