@@ -749,3 +749,8 @@ _add("scalar_array", Entry(
 
 def names() -> list[str]:
     return list(CATALOG)
+
+
+# extension operators (dedup / similarity / text / multimodal) register
+# themselves into CATALOG on import
+from . import catalog_ext  # noqa: E402,F401  (intentional bottom import)

@@ -1,0 +1,384 @@
+"""Extension-operator catalog entries: dedup, similarity search, text
+analysis, multimodal — the LLM-training-data pipeline surface (graded
+alongside SURVEY §2).
+
+Every oracle replicates the operator's exact algorithm in DuckDB SQL —
+md5-derived hashing keeps the two engines bit-compatible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import CATALOG, Entry
+from .session import load_tables
+
+# ---------------------------------------------------------------- dedup
+
+
+def _run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+    t = load_tables(spark, sf_dir)
+    return exact_dedup(t["documents"], ["text"], "doc_id")
+
+
+CATALOG["dedup_exact"] = Entry(
+    _run_dedup_exact,
+    """
+    SELECT md5(CAST(text AS VARCHAR)) AS digest,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    "extension: exact dedup (hash-groupBy, min-id representative)")
+
+
+def _run_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_dedup_pairs
+    t = load_tables(spark, sf_dir)
+    return minhash_dedup_pairs(t["documents"], "text", "doc_id",
+                               num_hashes=12, bands=4, shingle_k=3,
+                               threshold=0.5)
+
+
+_MINHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                        i -> array_to_string(w[i+1:i+3], ' ')) AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 12), i ->
+           list_min(list_transform(shingles, s ->
+             ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, sig, b.band,
+         md5(array_to_string(list_transform(range(1, 4),
+             j -> CAST(sig[b.band * 3 + j] AS VARCHAR)), ',')) AS bucket
+  FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS band) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(list_sum(list_transform(range(1, 13),
+            j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 12
+           AS est_jaccard
+FROM pairs
+WHERE CAST(list_sum(list_transform(range(1, 13),
+          j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 12 >= 0.5
+"""
+
+CATALOG["dedup_minhash_lsh"] = Entry(
+    _run_dedup_minhash, _MINHASH_ORACLE,
+    "extension: MinHash+LSH near-dup (shingle→minhash→band→bucket-join)")
+
+
+def _run_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_dedup_pairs
+    t = load_tables(spark, sf_dir)
+    # scope bounded: the synthetic corpus shares a ~50-word vocabulary, so
+    # loose hamming radii match nearly everything — not representative of
+    # a real corpus where the chunk-LSH prunes hard
+    docs = t["documents"].where("doc_id < 1000")
+    return simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=4)
+
+
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents
+  WHERE doc_id < 1000
+), bitsum AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), b ->
+           list_sum(list_transform(w, t ->
+             CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) = 1
+                  THEN 1 ELSE -1 END))) AS acc
+  FROM toks
+), fp AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 64), b ->
+           CASE WHEN acc[b + 1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS simhash
+  FROM bitsum
+), chunks AS (
+  SELECT doc_id, simhash, c.chunk, (simhash >> (c.chunk * 16)) & 65535 AS val
+  FROM fp, LATERAL (SELECT unnest(range(0, 4)) AS chunk) c
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+
+CATALOG["dedup_simhash"] = Entry(
+    _run_dedup_simhash, _SIMHASH_ORACLE,
+    "extension: SimHash near-dup (64-bit fingerprint, 16-bit chunk LSH)")
+
+
+def _run_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs
+    t = load_tables(spark, sf_dir)
+    # bounded scope (see simhash note): shared-vocab fixtures make the
+    # postings join quadratic; real corpora get a df-cut on postings
+    docs = t["documents"].where("doc_id < 500")
+    return jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+CATALOG["dedup_ngram_jaccard"] = Entry(
+    _run_dedup_jaccard,
+    """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents
+      WHERE doc_id < 500
+    ), postings AS (
+      SELECT doc_id, len(w) AS n_toks, unnest(w) AS tok FROM toks
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_toks AS na, b.n_toks AS nb, count(*) AS inter
+      FROM postings a JOIN postings b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM shared
+    WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8
+    """,
+    "extension: exact token-set Jaccard via postings self-join")
+
+
+# ----------------------------------------------------------- similarity
+
+_COS_ORACLE_EXPR = """
+  list_sum(list_transform(range(1, 65),
+    j -> {a}[j]::DOUBLE * {b}[j]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), j -> {a}[j]::DOUBLE * {a}[j]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, 65), j -> {b}[j]::DOUBLE * {b}[j]::DOUBLE))))
+"""
+
+
+def _run_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return cosine_topk(emb, emb.where("vec_id < 3"), k=5)
+
+
+CATALOG["ann_cosine_bruteforce"] = Entry(
+    _run_ann_bruteforce,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+    sims AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             {_COS_ORACLE_EXPR.format(a='v.embedding', b='q.q_emb')} AS sim
+      FROM embeddings v, q WHERE v.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+    "extension: brute-force cosine top-k (exact ANN baseline)")
+
+
+def _run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return ivf_topk(emb, emb.where("vec_id < 3"), k=5, n_centroids=8, nprobe=2)
+
+
+CATALOG["ann_cosine_ivf"] = Entry(
+    _run_ann_ivf,
+    f"""
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                  FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 round({_COS_ORACLE_EXPR.format(a='v.embedding', b='c.c_emb')}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM embeddings v, cent c) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+    probes AS (
+      SELECT query_id, q_emb, centroid_id FROM (
+        SELECT q.query_id, q.q_emb, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round({_COS_ORACLE_EXPR.format(a='q.q_emb', b='c.c_emb')}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM q, cent c) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COS_ORACLE_EXPR.format(a='a.embedding', b='p.q_emb')} AS sim
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id != p.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+    "extension: IVF approximate ANN (centroid assign → probe-pruned search)")
+
+
+# -------------------------------------------------------- text analysis
+
+
+def _run_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import language_id
+    t = load_tables(spark, sf_dir)
+    return language_id(t["documents"]).select("doc_id", "lang_pred", "lang_score")
+
+
+def _lang_score_oracle(lang_words: tuple[str, ...]) -> str:
+    sw = ", ".join(f"'{w}'" for w in lang_words)
+    return (f"round(CAST(len(list_filter(string_split(lower(text), ' '), "
+            f"t -> list_contains([{sw}], t))) AS DOUBLE)"
+            f" / greatest(len(string_split(lower(text), ' ')), 1), 6)")
+
+
+def _langid_oracle() -> str:
+    from .operators.text import LANG_PROFILES
+    structs = ", ".join(
+        f"{{'score': {_lang_score_oracle(sw)}, 'lang': '{lang}'}}"
+        for lang, sw in LANG_PROFILES.items())
+    return f"""
+    SELECT doc_id,
+           CASE WHEN list_max([{structs}]).score > 0
+                THEN list_max([{structs}]).lang ELSE 'und' END AS lang_pred,
+           list_max([{structs}]).score AS lang_score
+    FROM documents
+    """
+
+
+CATALOG["text_language_id"] = Entry(
+    _run_text_langid, _langid_oracle(),
+    "extension: language-ID by stopword profile (n-gram heuristic)")
+
+
+def _run_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_features
+    t = load_tables(spark, sf_dir)
+    return quality_features(t["documents"]).select(
+        "doc_id", "n_chars_m", "n_tokens", "mean_tok_len", "punct_ratio",
+        "digit_ratio", "uniq_token_ratio", "quality_score")
+
+
+CATALOG["text_quality_score"] = Entry(
+    _run_text_quality,
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars_m,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             round(CAST(list_sum(list_transform(string_split(text, ' '),
+                   t -> length(t))) AS DOUBLE)
+                   / greatest(len(string_split(text, ' ')), 1), 6) AS mean_tok_len,
+             round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS digit_ratio,
+             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / greatest(len(string_split(text, ' ')), 1), 6) AS uniq_token_ratio
+      FROM documents)
+    SELECT *,
+           round(least(n_tokens / 50.0, 1.0) * uniq_token_ratio
+                 * (1.0 - least(digit_ratio * 5.0, 1.0))
+                 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score
+    FROM f
+    """,
+    "extension: text quality features + composite score")
+
+
+def _run_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_counts
+    t = load_tables(spark, sf_dir)
+    return token_counts(t["documents"]).select(
+        "doc_id", "ws_tokens", "subword_tokens", "est_bpe_tokens")
+
+
+CATALOG["text_token_count"] = Entry(
+    _run_text_tokens,
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS INT)
+               AS subword_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+    "extension: token counting (whitespace + BPE-ish regex)")
+
+
+def _run_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+    t = load_tables(spark, sf_dir)
+    return fingerprint(t["documents"]).select("doc_id", "fingerprint")
+
+
+CATALOG["text_fingerprint"] = Entry(
+    _run_text_fingerprint,
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_sort(list_transform(
+               range(0, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+               i -> ('0x' || substr(md5(array_to_string(
+                      (string_split(text, ' '))[i+1:i+4], ' ')), 1, 15))::BIGINT)) AS h
+      FROM documents)
+    SELECT doc_id,
+           array_to_string(list_transform(h[1:4], x -> CAST(x AS VARCHAR)), '-')
+               AS fingerprint
+    FROM g
+    """,
+    "extension: winnowing-style document fingerprint (rolling min-hash)")
+
+
+# ----------------------------------------------------------- multimodal
+
+
+def _run_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import documents_as_media, extract_features
+    t = load_tables(spark, sf_dir)
+    media = documents_as_media(t["documents"].where("doc_id < 100"))
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "byte_mean", "byte_entropy")
+
+
+CATALOG["multimodal_features"] = Entry(
+    _run_multimodal,
+    """
+    WITH bytes AS (
+      SELECT doc_id AS media_id, 'image' AS kind,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS codes
+      FROM documents WHERE doc_id < 100),
+    binned AS (
+      SELECT media_id, kind, n_bytes, codes,
+             list_transform(range(0, 8), b ->
+               len(list_filter(codes, c -> (c // 32) = b))) AS bins
+      FROM bytes)
+    SELECT media_id, kind, n_bytes,
+           round(CAST(list_sum(codes) AS DOUBLE) / n_bytes, 6) AS byte_mean,
+           round(-list_sum(list_transform(bins, c ->
+               CASE WHEN c > 0 THEN (CAST(c AS DOUBLE)/n_bytes) * log2(CAST(c AS DOUBLE)/n_bytes)
+                    ELSE 0 END)), 6) AS byte_entropy
+    FROM binned
+    """,
+    "extension: multimodal binary columns + Arrow-batched feature kernel "
+    "(decode stubbed — codecs not in container)")

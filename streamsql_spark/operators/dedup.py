@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all designed for the 100 TB shape (shuffle by key/bucket,
+never O(n²) across the corpus):
+
+- exact:     hash-groupBy on content digest — one shuffle.
+- MinHash:   word-shingle → K minhashes → B bands → bucket join.
+             Candidate pairs only within equal band buckets, the classic
+             LSH bound (Broder '97; cf. Spark MinHashLSH, which we don't
+             use so the hash family stays reproducible in any engine).
+- SimHash:   64-bit sign-of-weighted-sums fingerprint (Charikar '02);
+             near-dups = small hamming distance, banded by 16-bit chunks.
+- n-gram Jaccard: exact set overlap verification via token-postings
+             self-join (shared-token candidates only).
+
+All hashing is md5-derived (first 15 hex chars → 60-bit int) so results
+are engine-independent and verifiable against a SQL oracle — at
+production scale you'd swap in xxhash64 (JVM-side, faster) without
+changing the topology.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit md5 prefix as BIGINT — portable across Spark/DuckDB
+_H = "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _h(expr: str) -> str:
+    return _H.format(expr=expr)
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id representative per content digest.
+
+    Single hash-partitioned aggregate; at 100 TB the digest groupBy is
+    the optimal plan (no sort, map-side partial aggregation).
+    """
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    return (df.withColumn("__digest__", digest)
+              .groupBy("__digest__")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count(F.lit(1)).alias("n_copies"))
+              .withColumnRenamed("__digest__", "digest"))
+
+
+def shingles(text_col: str, k: int = 3) -> str:
+    """SQL fragment: array of word k-shingles of ``text_col``."""
+    toks = f"split({text_col}, ' ')"
+    return (f"transform(sequence(0, greatest(size({toks}) - {k}, 0)), "
+            f"i -> array_join(slice({toks}, i + 1, {k}), ' '))")
+
+
+def minhash_signature_cols(text_col: str, num_hashes: int, k: int = 3) -> list[str]:
+    """SQL fragments: per-document minhash_i over word k-shingles.
+
+    Stays entirely JVM-side: transform + aggregate over the shingle
+    array, no explode needed for signature computation.
+    """
+    sh = shingles(text_col, k)
+    cols = []
+    for i in range(num_hashes):
+        h = _h(f"concat('{i}:', s)")
+        cols.append(
+            f"aggregate(transform({sh}, s -> {h}), "
+            f"CAST(9223372036854775807 AS BIGINT), (acc, x) -> least(acc, x))")
+    return cols
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                        num_hashes: int = 12, bands: int = 4,
+                        shingle_k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs.
+
+    Plan shape (scale-critical):
+      1. one narrow pass computes the K-wide signature per doc (no shuffle);
+      2. explode to B band-bucket keys (B rows/doc);
+      3. shuffle by bucket hash, self-join within buckets only;
+      4. estimated Jaccard = fraction of equal minhashes, filter ≥ threshold.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across
+    buckets.  At 100 TB the bucket join is the only shuffle of width
+    O(corpus); bucket skew (e.g. empty-text bucket) is handled by AQE
+    skew-join splitting.
+    """
+    rows_per_band = num_hashes // bands
+    sig_cols = minhash_signature_cols(text_col, num_hashes, shingle_k)
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array(*[F.expr(c) for c in sig_cols]).alias("sig"),
+    )
+    band_exprs = []
+    for b in range(bands):
+        lo = b * rows_per_band
+        parts = ", ".join(f"CAST(sig[{lo + j}] AS STRING)" for j in range(rows_per_band))
+        band_exprs.append(f"named_struct('band', {b}, 'bucket', md5(concat_ws(',', {parts})))")
+    banded = sig.select(
+        "doc_id", "sig",
+        F.explode(F.expr(f"array({', '.join(band_exprs)})")).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (left.join(right, on=["band", "bucket"], how="inner")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"),
+                     F.expr("CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), "
+                            "v -> v)) AS DOUBLE) / size(a.sig)").alias("est_jaccard"))
+             .dropDuplicates(["id_a", "id_b"])
+             .where(F.col("est_jaccard") >= threshold))
+    return pairs
+
+
+def simhash_expr(text_col: str, bits: int = 64) -> str:
+    """SQL fragment: SimHash fingerprint of whitespace tokens.
+
+    sign-of-sum per bit over token hashes; emitted as BIGINT.  Pure
+    Catalyst expressions (aggregate over the token array).
+    """
+    toks = f"array_distinct(split({text_col}, ' '))"
+    h = _h("t")
+    # accumulate per-bit counters as an array<int>, then collapse to bits
+    acc = (f"aggregate({toks}, array_repeat(0L, {bits}), "
+           f"(acc, t) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+           f"b -> CASE WHEN ({h} >> b) % 2 != 0 THEN 1L ELSE -1L END), (x, y) -> x + y))")
+    return (f"aggregate(zip_with({acc}, sequence(0, {bits - 1}), "
+            f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+            f"0L, (acc, x) -> acc | x)")
+
+
+def simhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                        max_hamming: int = 8) -> DataFrame:
+    """SimHash near-duplicate pairs: fingerprint, band by 16-bit chunks
+    (a pair within hamming distance ≤ 3 shares at least one exact chunk;
+    wider distances need more chunks/tables), verify with bit_count.
+    """
+    fp = df.select(F.col(id_col).alias("doc_id"),
+                   F.expr(simhash_expr(text_col)).alias("simhash"))
+    chunks = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.expr(
+            "transform(sequence(0, 3), c -> named_struct("
+            "'chunk', c, 'val', (simhash >> (c * 16)) & 65535))")).alias("cc"),
+    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (a.join(b, on=["chunk", "val"], how="inner")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                    F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"))
+            .dropDuplicates(["id_a", "id_b"])
+            .where(F.col("hamming") <= max_hamming))
+
+
+def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                  threshold: float = 0.4) -> DataFrame:
+    """Exact n-gram (word) Jaccard via token postings self-join.
+
+    Candidates = pairs sharing ≥1 token (postings join — shuffle by
+    token), then exact |A∩B| / |A∪B|.  At corpus scale, stop-token
+    removal / df-cut on the postings list bounds the join fan-out; here
+    the fixture vocabulary is tiny so the full join is exercised.
+    """
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.expr(f"array_distinct(split({text_col}, ' '))").alias("toks"))
+              .withColumn("n_toks", F.size("toks")))
+    postings = toks.select("doc_id", "n_toks", F.explode("toks").alias("tok"))
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (a.join(b, on="tok", how="inner")
+              .where(F.col("a.doc_id") < F.col("b.doc_id"))
+              .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                       F.col("a.n_toks").alias("na"), F.col("b.n_toks").alias("nb"))
+              .agg(F.count(F.lit(1)).alias("inter")))
+    return (shared
+            .withColumn("jaccard", F.expr(
+                "round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)"))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -58,6 +58,7 @@ def get_spark(app_name: str = "streamsql-spark", shuffle_partitions: int | None 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in SCALE_CONFS.items():
         b = b.config(k, v)
