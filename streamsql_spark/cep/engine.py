@@ -1,0 +1,209 @@
+"""MATCH_RECOGNIZE pattern matcher (batch kernel).
+
+Design parity with the reference's compositional pattern tree + NFA
+(``cep/pattern.go``, ``cep/nfa.go``, ``cep/engine.go``), re-expressed
+as preference-ordered backtracking over an in-memory partition — the
+right shape for a batch kernel where each partition's rows are local
+(the streaming variant keeps the same matcher over a state-held row
+buffer).  Preference order implements SQL:2016 semantics:
+
+- quantifiers: greedy prefers MORE repetitions, reluctant fewer;
+- alternation prefers the leftmost branch;
+- PERMUTE expands to leftmost-preferred alternation of permutations;
+- matches are found leftmost-first; AFTER MATCH SKIP controls the next
+  search position (PAST LAST ROW / TO NEXT ROW / TO FIRST|LAST sym);
+- WITHIN bounds last.ts − first.ts.
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+from ..dialect import nodes as N
+from .eval import MatchContext, evaluate
+
+
+class CepError(ValueError):
+    pass
+
+
+def _expand_subsets(pat: N.Pattern, subsets: dict) -> N.Pattern:
+    """A SUBSET name used as a pattern atom matches any member —
+    PATTERN(S C) with S=(A,B) ≡ ((A|B) C), CLASSIFIER() keeps the
+    member symbol (engine.go:738-864)."""
+    if isinstance(pat, N.PSym):
+        if pat.name in subsets:
+            return N.PAlt([N.PSym(m) for m in subsets[pat.name]])
+        return pat
+    if isinstance(pat, N.PSeq):
+        return N.PSeq([_expand_subsets(p, subsets) for p in pat.items])
+    if isinstance(pat, N.PAlt):
+        return N.PAlt([_expand_subsets(p, subsets) for p in pat.items])
+    if isinstance(pat, N.PPermute):
+        return N.PPermute([_expand_subsets(p, subsets) for p in pat.items])
+    if isinstance(pat, N.PQuant):
+        q = N.PQuant(_expand_subsets(pat.item, subsets), pat.min, pat.max)
+        q.greedy = pat.greedy
+        return q
+    return pat
+
+
+class Matcher:
+    def __init__(self, spec: N.MatchSpec, rows: list[dict],
+                 ts_values: list | None = None, within: float | None = None):
+        self.spec = spec
+        self.rows = rows
+        self.ts = ts_values
+        self.within = within
+        self.defines = spec.defines
+        self.subsets = spec.subsets
+        self.pattern = _expand_subsets(spec.pattern, spec.subsets) \
+            if spec.pattern is not None else None
+        self.match_number = 0
+
+    # ------------------------------------------------------ classification
+    def classify(self, pos: int, sym: str, bindings: list) -> bool:
+        if self.within is not None and bindings:
+            first_idx = bindings[0][0]
+            if self.ts is not None and self.ts[pos] is not None \
+                    and self.ts[first_idx] is not None \
+                    and (self.ts[pos] - self.ts[first_idx]) > self.within:
+                return False
+        cond = self.defines.get(sym)
+        if cond is None:
+            return True  # undefined symbol ≡ TRUE (engine.go:463-478)
+        ctx = MatchContext(self.rows, bindings, pos=pos, current_symbol=sym,
+                           match_number=self.match_number + 1,
+                           subsets=self.subsets)
+        try:
+            return bool(evaluate(cond, ctx))
+        except Exception:
+            return False
+
+    # ---------------------------------------------------------- matching
+    def _match(self, pat: N.Pattern, pos: int, bindings: list):
+        """Yield (end_pos, bindings') in preference order."""
+        if isinstance(pat, N.PSym):
+            if pos < len(self.rows) and self.classify(pos, pat.name, bindings):
+                yield pos + 1, bindings + [(pos, pat.name)]
+            return
+        if isinstance(pat, N.PSeq):
+            yield from self._match_seq(pat.items, 0, pos, bindings)
+            return
+        if isinstance(pat, N.PAlt):
+            for item in pat.items:
+                yield from self._match(item, pos, bindings)
+            return
+        if isinstance(pat, N.PPermute):
+            for perm in permutations(pat.items):
+                yield from self._match_seq(list(perm), 0, pos, bindings)
+            return
+        if isinstance(pat, N.PQuant):
+            yield from self._match_quant(pat, pos, bindings, 0)
+            return
+        raise CepError(f"unsupported pattern node {type(pat).__name__}")
+
+    def _match_seq(self, items: list, i: int, pos: int, bindings: list):
+        if i >= len(items):
+            yield pos, bindings
+            return
+        for p2, b2 in self._match(items[i], pos, bindings):
+            yield from self._match_seq(items, i + 1, p2, b2)
+
+    def _match_quant(self, pat: N.PQuant, pos: int, bindings: list, reps: int):
+        can_more = pat.max is None or reps < pat.max
+        done_ok = reps >= pat.min
+        if pat.greedy:
+            if can_more:
+                for p2, b2 in self._match(pat.item, pos, bindings):
+                    if p2 == pos:  # zero-width guard
+                        break
+                    yield from self._match_quant(pat, p2, b2, reps + 1)
+            if done_ok:
+                yield pos, bindings
+        else:
+            if done_ok:
+                yield pos, bindings
+            if can_more:
+                for p2, b2 in self._match(pat.item, pos, bindings):
+                    if p2 == pos:
+                        break
+                    yield from self._match_quant(pat, p2, b2, reps + 1)
+
+    def first_match(self, start: int):
+        """Preferred match starting exactly at ``start``, or None."""
+        for end, bindings in self._match(self.pattern, start, []):
+            if bindings:  # ignore empty matches
+                return end, bindings
+        return None
+
+    # ------------------------------------------------------------- drive
+    def find_all(self, max_matches: int = 100000):
+        """All matches per AFTER MATCH SKIP policy, leftmost-first."""
+        out = []
+        start = 0
+        n = len(self.rows)
+        while start < n and len(out) < max_matches:
+            m = self.first_match(start)
+            if m is None:
+                start += 1
+                continue
+            end, bindings = m
+            self.match_number += 1
+            out.append(bindings)
+            skip = self.spec.after_match_skip
+            first_idx = bindings[0][0]
+            last_idx = bindings[-1][0]
+            if skip[0] == "past_last_row":
+                start = last_idx + 1
+            elif skip[0] == "to_next_row":
+                start = first_idx + 1
+            elif skip[0] in ("to_first", "to_last"):
+                sym = skip[1]
+                members = set(self.subsets.get(sym, {sym}))
+                sym_rows = [i for i, s in bindings if s in members]
+                if not sym_rows:
+                    start = last_idx + 1
+                else:
+                    target = sym_rows[0] if skip[0] == "to_first" else sym_rows[-1]
+                    # must advance to avoid infinite loops (engine.go:593-625)
+                    start = target if target > first_idx else first_idx + 1
+            else:
+                start = last_idx + 1
+        return out
+
+    # ----------------------------------------------------------- measures
+    def measure_rows(self, bindings: list, match_no: int) -> list[dict]:
+        """Emit measure row(s) for a completed match."""
+        spec = self.spec
+        outs = []
+        if spec.rows_per_match == "all":
+            # ALL ROWS exposes the input columns alongside MEASURES
+            # (cep_test.go TestCEP_AllRowsSelectStarIncludesInput)
+            positions = [i for i, _ in bindings]
+            for p in positions:
+                ctx = MatchContext(self.rows, bindings, pos=p,
+                                   match_number=match_no, subsets=self.subsets)
+                out = dict(self.rows[p])
+                out.update({m.alias or f"m{j}": evaluate(m.expr, ctx)
+                            for j, m in enumerate(spec.measures)})
+                outs.append(out)
+        else:
+            ctx = MatchContext(self.rows, bindings, pos=None,
+                               match_number=match_no, subsets=self.subsets)
+            outs.append({m.alias or f"m{j}": evaluate(m.expr, ctx)
+                         for j, m in enumerate(spec.measures)})
+        return outs
+
+
+def run_partition(spec: N.MatchSpec, rows: list[dict],
+                  ts_values: list | None, within: float | None) -> list[dict]:
+    """Match one ordered partition; returns measure rows."""
+    if spec.pattern is None:
+        raise CepError("MATCH_RECOGNIZE requires PATTERN")
+    matcher = Matcher(spec, rows, ts_values, within)
+    out = []
+    matcher.match_number = 0
+    for no, bindings in enumerate(matcher.find_all(), start=1):
+        out.extend(matcher.measure_rows(bindings, no))
+    return out

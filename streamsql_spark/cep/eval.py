@@ -1,0 +1,313 @@
+"""Python expression evaluator for CEP DEFINE / MEASURES.
+
+The one place expressions evaluate outside Catalyst: DEFINE predicates
+and MEASURES run row-at-a-time inside the per-partition match kernel
+(the reference does the same — ``cep/eval.go``).  The evaluator handles
+the dialect's expression AST plus the MATCH_RECOGNIZE navigation /
+aggregate surface:
+
+- symbol-qualified refs ``X.col``: current row while classifying X,
+  else the LAST row bound to X (reference ``cep/eval.go:362-380``);
+- ``PREV/NEXT(col[, n])``: physical navigation over partition rows;
+- ``FIRST/LAST(X.col[, n])``: navigation over a symbol's bound rows;
+- aggregates ``SUM/AVG/COUNT/MIN/MAX`` over bound rows (RUNNING);
+- ``CLASSIFIER()``, ``MATCH_NUMBER()``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..dialect import nodes as N
+
+_NAV_FUNCS = {"prev", "next", "first", "last"}
+_AGG_FUNCS = {"sum", "avg", "count", "min", "max"}
+
+_SCALARS = {
+    "abs": abs,
+    "round": lambda x, n=0: round(x, int(n)),
+    "floor": math.floor,
+    "ceil": math.ceil,
+    "ceiling": math.ceil,
+    "sqrt": math.sqrt,
+    "power": lambda a, b: a ** b,
+    "pow": lambda a, b: a ** b,
+    "coalesce": lambda *a: next((x for x in a if x is not None), None),
+    "concat": lambda *a: "".join(str(x) for x in a),
+    "upper": lambda s: s.upper() if s is not None else None,
+    "lower": lambda s: s.lower() if s is not None else None,
+    "length": lambda s: len(s) if s is not None else None,
+}
+
+
+class CepEvalError(ValueError):
+    pass
+
+
+class MatchContext:
+    """Evaluation context for one (partial or complete) match.
+
+    rows:      the partition's rows (list[dict]) in order
+    bindings:  [(row_index, symbol)] for rows matched so far
+    pos:       index of the row being classified (DEFINE) or the
+               running-row (MEASURES ALL ROWS); None = FINAL
+    current_symbol: symbol under classification (DEFINE only)
+    subsets:   name -> set of member symbols
+    """
+
+    def __init__(self, rows, bindings, pos=None, current_symbol=None,
+                 match_number=1, subsets=None):
+        self.rows = rows
+        self.bindings = bindings
+        self.pos = pos
+        self.current_symbol = current_symbol
+        self.match_number = match_number
+        self.subsets = {k: set(v) for k, v in (subsets or {}).items()}
+
+    # -------- helpers
+    def symbol_rows(self, sym: str) -> list[int]:
+        members = self.subsets.get(sym, {sym})
+        return [i for i, s in self.bindings if s in members]
+
+    def all_rows(self) -> list[int]:
+        return [i for i, _ in self.bindings]
+
+    def row_at(self, idx: int) -> dict | None:
+        if 0 <= idx < len(self.rows):
+            return self.rows[idx]
+        return None
+
+
+def _num(v):
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def _cmp(op: str, a, b):
+    if a is None or b is None:
+        return False  # NULL comparisons are not matches (reference semantics)
+    try:
+        if op == "=":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == ">":
+            return a > b
+        if op == ">=":
+            return a >= b
+    except TypeError:
+        return False
+    raise CepEvalError(f"bad comparison op {op}")
+
+
+def evaluate(e: N.Expr, ctx: MatchContext):
+    if isinstance(e, N.Lit):
+        return e.value
+    if isinstance(e, N.Star):
+        return None
+    if isinstance(e, N.Col):
+        return _eval_col(e, ctx)
+    if isinstance(e, N.Func):
+        return _eval_func(e, ctx)
+    if isinstance(e, N.Bin):
+        return _eval_bin(e, ctx)
+    if isinstance(e, N.Un):
+        v = evaluate(e.operand, ctx)
+        if e.op == "NOT":
+            return not bool(v)
+        return -v if v is not None else None
+    if isinstance(e, N.IsNull):
+        v = evaluate(e.operand, ctx)
+        return (v is not None) if e.negated else (v is None)
+    if isinstance(e, N.InList):
+        v = evaluate(e.operand, ctx)
+        vals = [evaluate(i, ctx) for i in e.items]
+        return (v not in vals) if e.negated else (v in vals)
+    if isinstance(e, N.Between):
+        v = evaluate(e.operand, ctx)
+        lo, hi = evaluate(e.low, ctx), evaluate(e.high, ctx)
+        if v is None or lo is None or hi is None:
+            return False
+        inside = lo <= v <= hi
+        return (not inside) if e.negated else inside
+    if isinstance(e, N.Case):
+        if e.operand is not None:
+            opv = evaluate(e.operand, ctx)
+            for c, val in e.whens:
+                if evaluate(c, ctx) == opv:
+                    return evaluate(val, ctx)
+        else:
+            for c, val in e.whens:
+                if evaluate(c, ctx):
+                    return evaluate(val, ctx)
+        return evaluate(e.else_, ctx) if e.else_ is not None else None
+    raise CepEvalError(f"cannot evaluate {type(e).__name__}")
+
+
+def _field(row: dict | None, path) -> object:
+    if row is None:
+        return None
+    cur: object = row
+    for p in path:
+        if isinstance(p, N.MapKey):
+            p = p.key
+        if isinstance(cur, dict):
+            cur = cur.get(p)
+        elif isinstance(cur, (list, tuple)) and isinstance(p, int):
+            cur = cur[p] if 0 <= p < len(cur) else None
+        else:
+            return None
+    return cur
+
+
+def _eval_col(e: N.Col, ctx: MatchContext):
+    root = str(e.parts[0])
+    # symbol-qualified ref?
+    is_symbol = root == ctx.current_symbol or root in ctx.subsets \
+        or any(s == root for _, s in ctx.bindings)
+    if is_symbol and len(e.parts) > 1:
+        if root == ctx.current_symbol and ctx.pos is not None:
+            return _field(ctx.row_at(ctx.pos), e.parts[1:])
+        rows = ctx.symbol_rows(root)
+        if not rows:
+            return None
+        return _field(ctx.row_at(rows[-1]), e.parts[1:])
+    # unqualified: current row (DEFINE / running), else last matched row
+    if ctx.pos is not None:
+        return _field(ctx.row_at(ctx.pos), e.parts)
+    allr = ctx.all_rows()
+    return _field(ctx.row_at(allr[-1]) if allr else None, e.parts)
+
+
+def _sym_arg(e: N.Expr):
+    """Split ``X.col`` into (symbol, path) or (None, path) for plain col."""
+    if isinstance(e, N.Col) and len(e.parts) > 1:
+        return str(e.parts[0]), e.parts[1:]
+    if isinstance(e, N.Col):
+        return None, e.parts
+    return None, None
+
+
+def _eval_func(e: N.Func, ctx: MatchContext):
+    name = e.name.lower()
+    if name == "__final__":
+        # FINAL semantics: evaluate over the whole match (pos=None)
+        final_ctx = MatchContext(ctx.rows, ctx.bindings, pos=None,
+                                 match_number=ctx.match_number,
+                                 subsets=ctx.subsets)
+        return evaluate(e.args[0], final_ctx)
+    if name == "__running__":
+        return evaluate(e.args[0], ctx)
+    if name == "classifier":
+        if ctx.pos is not None:
+            if ctx.current_symbol is not None:
+                return ctx.current_symbol
+            for i, s in ctx.bindings:
+                if i == ctx.pos:
+                    return s
+            return None
+        return ctx.bindings[-1][1] if ctx.bindings else None
+    if name == "match_number":
+        return ctx.match_number
+
+    if name in ("prev", "next"):
+        sym, path = _sym_arg(e.args[0]) if e.args else (None, None)
+        if path is None:
+            raise CepEvalError(f"{name}() needs a column argument")
+        n = int(evaluate(e.args[1], ctx)) if len(e.args) > 1 else 1
+        # physical navigation relative to the row being evaluated
+        base = ctx.pos if ctx.pos is not None else (
+            ctx.all_rows()[-1] if ctx.bindings else None)
+        if base is None:
+            return None
+        idx = base - n if name == "prev" else base + n
+        # symbol-qualified PREV(X.col): navigate but read the path
+        return _field(ctx.row_at(idx), path if sym is None or True else path)
+
+    if name in ("first", "last"):
+        sym, path = _sym_arg(e.args[0]) if e.args else (None, None)
+        if path is None:
+            raise CepEvalError(f"{name}() needs a column argument")
+        n = int(evaluate(e.args[1], ctx)) if len(e.args) > 1 else 0
+        rows = ctx.symbol_rows(sym) if sym and (
+            sym in ctx.subsets or any(s == sym for _, s in ctx.bindings)
+            or sym == ctx.current_symbol) else ctx.all_rows()
+        if sym and not rows and sym != ctx.current_symbol:
+            # qualified but unbound symbol
+            return None
+        if ctx.pos is not None:  # RUNNING: restrict to rows ≤ pos
+            rows = [i for i in rows if i <= ctx.pos]
+        if not rows:
+            return None
+        idx = rows[n] if name == "first" else rows[-1 - n]
+        if not (0 <= (n if name == "first" else len(rows) - 1 - n) < len(rows)):
+            return None
+        return _field(ctx.row_at(idx), path)
+
+    if name in _AGG_FUNCS:
+        if name == "count" and (not e.args or isinstance(e.args[0], N.Star)):
+            # COUNT(*) = all match rows; COUNT(X.*) = rows bound to X
+            qual = e.args[0].qualifier if e.args else None
+            rows = ctx.symbol_rows(qual) if qual else ctx.all_rows()
+            if ctx.pos is not None:
+                rows = [i for i in rows if i <= ctx.pos]
+            return len(rows)
+        sym, path = _sym_arg(e.args[0])
+        rows = ctx.symbol_rows(sym) if sym and (
+            sym in ctx.subsets or any(s == sym for _, s in ctx.bindings)) \
+            else ctx.all_rows()
+        if ctx.pos is not None:
+            rows = [i for i in rows if i <= ctx.pos]
+        vals = [_field(ctx.row_at(i), path) for i in rows]
+        vals = [_num(v) for v in vals if v is not None]
+        if name == "count":
+            return len(vals)
+        if not vals:
+            return None
+        if name == "sum":
+            return sum(vals)
+        if name == "avg":
+            return sum(vals) / len(vals)
+        if name == "min":
+            return min(vals)
+        if name == "max":
+            return max(vals)
+
+    fn = _SCALARS.get(name)
+    if fn is not None:
+        return fn(*[evaluate(a, ctx) for a in e.args])
+    raise CepEvalError(f"unsupported function in CEP context: {name}")
+
+
+def _eval_bin(e: N.Bin, ctx: MatchContext):
+    op = e.op
+    if op == "AND":
+        return bool(evaluate(e.left, ctx)) and bool(evaluate(e.right, ctx))
+    if op == "OR":
+        return bool(evaluate(e.left, ctx)) or bool(evaluate(e.right, ctx))
+    l, r = evaluate(e.left, ctx), evaluate(e.right, ctx)
+    if op in ("=", "!=", "<", "<=", ">", ">="):
+        return _cmp(op, _num(l), _num(r))
+    if l is None or r is None:
+        return None
+    l, r = _num(l), _num(r)
+    if op == "+":
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        return l / r if r != 0 else None
+    if op == "%":
+        return l % r if r != 0 else None
+    if op == "^":
+        return l ** r
+    if op == "||":
+        return f"{l}{r}"
+    raise CepEvalError(f"unsupported operator {op}")

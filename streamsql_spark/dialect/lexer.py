@@ -20,7 +20,7 @@ STRING = "STRING"
 OP = "OP"
 EOF = "EOF"
 
-_TWO_CHAR_OPS = {"!=", "<>", "<=", ">=", "||", "->"}
+_TWO_CHAR_OPS = {"!=", "<>", "<=", ">=", "||", "->", "=="}
 _ONE_CHAR_OPS = set("=<>+-*/%^.,()[]{}?|&~")
 
 
@@ -81,10 +81,12 @@ def tokenize(sql: str) -> list[Token]:
             i = j + 1
             continue
         if c == '"':
+            # expr-lang style: double quotes are STRING literals in this
+            # dialect (DEFINE A AS type == "vib"); backticks quote idents
             j = sql.find('"', i + 1)
             if j < 0:
-                raise LexError("unterminated double-quoted identifier", i)
-            toks.append(Token(QIDENT, sql[i + 1 : j], i))
+                raise LexError("unterminated double-quoted string", i)
+            toks.append(Token(STRING, sql[i + 1 : j], i))
             i = j + 1
             continue
         if c == "`":

@@ -302,9 +302,10 @@ class Parser:
     def parse_comparison(self) -> N.Expr:
         left = self.parse_additive()
         t = self.peek()
-        if t.kind == OP and t.text in _CMP_OPS:
+        if t.kind == OP and (t.text in _CMP_OPS or t.text == "=="):
             self.next()
-            return N.Bin(t.text, left, self.parse_additive())
+            op = "=" if t.text == "==" else t.text
+            return N.Bin(op, left, self.parse_additive())
         negated = False
         if t.is_kw("NOT") and self.peek(1).is_kw("LIKE", "IN", "BETWEEN"):
             self.next()
@@ -499,9 +500,24 @@ class Parser:
             spec.order_by.append(self.parse_expr())
             while self.accept_op(","):
                 spec.order_by.append(self.parse_expr())
+            self.accept_kw("ASC")
+            if self.peek().is_kw("DESC"):
+                # arrival order is the only meaningful stream order
+                # (rsql/ast.go:264-272 rejects DESC)
+                raise ParseError("MATCH_RECOGNIZE ORDER BY DESC is not supported")
         if self.accept_kw("MEASURES"):
             while True:
+                # optional FINAL / RUNNING semantics prefix (SQL:2016);
+                # only a prefix when followed by an expression start
+                sem = None
+                t = self.peek()
+                if t.kind == IDENT and t.upper in ("FINAL", "RUNNING") \
+                        and self.peek(1).kind == IDENT:
+                    sem = t.upper.lower()
+                    self.next()
                 e = self.parse_expr()
+                if sem is not None:
+                    e = N.Func(name=f"__{sem}__", args=[e])
                 alias = None
                 if self.accept_kw("AS"):
                     alias = self.parse_identifier()
@@ -532,32 +548,42 @@ class Parser:
                     raise ParseError("expected NEXT ROW / FIRST sym / LAST sym after SKIP TO")
             else:
                 raise ParseError("expected PAST LAST ROW or TO ... after AFTER MATCH SKIP")
-        if self.accept_kw("PATTERN"):
-            self.expect_op("(")
-            spec.pattern = self.parse_pattern_alt()
-            self.expect_op(")")
-        if self.accept_kw("WITHIN"):
-            t = self.next()
-            if t.kind != STRING:
-                raise ParseError("WITHIN expects a duration string like '1h'")
-            spec.within = t.text
-        while self.accept_kw("SUBSET"):
-            name = self.parse_identifier()
-            self.expect_op("=")
-            self.expect_op("(")
-            members = [self.parse_identifier()]
-            while self.accept_op(","):
-                members.append(self.parse_identifier())
-            self.expect_op(")")
-            spec.subsets[name] = members
-            self.accept_op(",")
-        if self.accept_kw("DEFINE"):
-            while True:
-                sym = self.parse_identifier()
-                self.expect_kw("AS")
-                spec.defines[sym] = self.parse_expr()
-                if not self.accept_op(","):
-                    break
+        # PATTERN / SUBSET / WITHIN / DEFINE accept any clause order
+        # (the reference's tests interleave them freely)
+        while True:
+            if self.accept_kw("PATTERN"):
+                self.expect_op("(")
+                spec.pattern = self.parse_pattern_alt()
+                self.expect_op(")")
+            elif self.accept_kw("WITHIN"):
+                t = self.next()
+                if t.kind == STRING:
+                    spec.within = t.text
+                elif t.kind == NUMBER and self.peek().kind == IDENT:
+                    # `WITHIN 1 MINUTES` numeric-unit form
+                    spec.within = f"{t.text} {self.next().text}"
+                else:
+                    raise ParseError(
+                        "WITHIN expects a duration ('1h' or 1 MINUTES)")
+            elif self.accept_kw("SUBSET"):
+                name = self.parse_identifier()
+                self.expect_op("=")
+                self.expect_op("(")
+                members = [self.parse_identifier()]
+                while self.accept_op(","):
+                    members.append(self.parse_identifier())
+                self.expect_op(")")
+                spec.subsets[name] = members
+                self.accept_op(",")
+            elif self.accept_kw("DEFINE"):
+                while True:
+                    sym = self.parse_identifier()
+                    self.expect_kw("AS")
+                    spec.defines[sym] = self.parse_expr()
+                    if not self.accept_op(","):
+                        break
+            else:
+                break
         self.expect_op(")")
         return spec
 
@@ -571,7 +597,7 @@ class Parser:
         items = []
         while True:
             t = self.peek()
-            if t.kind == OP and t.text in (")", "|"):
+            if t.kind == OP and t.text in (")", "|", ","):
                 break
             if t.kind == EOF:
                 raise ParseError("unterminated PATTERN")

@@ -116,6 +116,11 @@ class Planner:
 
         if stmt.match is not None:
             mode = "cep"
+            if stmt.group_by or stmt.window is not None:
+                raise PlanError("MATCH_RECOGNIZE cannot be combined with "
+                                "GROUP BY/windows (rsql/ast.go:248-274)")
+            if stmt.match.pattern is None:
+                raise PlanError("MATCH_RECOGNIZE requires a PATTERN clause")
         else:
             has_agg = any(not isinstance(f.expr, N.Star) and _has_aggregate(f.expr)
                           for f in stmt.fields)

@@ -45,8 +45,14 @@ def _duration_to_spark(dur: str) -> str:
 
 
 def duration_to_seconds(dur: str) -> float:
-    dur = dur.strip()
+    dur = dur.strip().lower()
     mult = {"ms": 0.001, "us": 0.000001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+    words = {"millisecond": 0.001, "milliseconds": 0.001,
+             "second": 1.0, "seconds": 1.0, "minute": 60.0, "minutes": 60.0,
+             "hour": 3600.0, "hours": 3600.0, "day": 86400.0, "days": 86400.0}
+    parts = dur.split()
+    if len(parts) == 2 and parts[0].isdigit() and parts[1] in words:
+        return int(parts[0]) * words[parts[1]]
     for suf, m in mult.items():
         if dur.endswith(suf) and dur[: -len(suf)].isdigit():
             return int(dur[: -len(suf)]) * m

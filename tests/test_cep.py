@@ -1,0 +1,699 @@
+"""MATCH_RECOGNIZE (CEP) end-to-end tests.
+
+Ports the reference's e2e CEP matrix (test/e2e/cep_test.go) to the
+batch harness: emit the whole event sequence, trigger, assert measure
+rows.  Batch replay subsumes the reference's Stop()-flush semantics
+(greedy pending matches emit when the stream ends).
+"""
+
+import pytest
+
+from streamsql_spark.api.facade import StreamSQL
+from streamsql_spark.dialect.parser import ParseError, parse
+from streamsql_spark.dialect.planner import PlanError, plan as make_plan
+
+
+def run_cep(spark, sql, rows, sort_by=None):
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in rows:
+        s.emit(r)
+    out = s.trigger_window()
+    if sort_by:
+        out.sort(key=lambda r: tuple(r[k] for k in sort_by))
+    return out
+
+
+# --- cep_test.go:66 TestCEP_ConsecutiveThreshold
+def test_consecutive_threshold(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, A.v AS peak
+        ONE ROW PER MATCH
+        PATTERN (A{3})
+        WITHIN '1h'
+        DEFINE A AS v > 50
+    )"""
+    rows = [{"ts": t, "v": v} for t, v in
+            [(1, 10), (2, 60), (3, 70), (4, 80), (5, 5)]]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["mn"] == 1
+    assert out[0]["peak"] == 80  # A.v = last A row
+
+
+# --- cep_test.go:91 TestCEP_RiseThenDrop
+def test_rise_then_drop(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES A.temp AS peak, B.temp AS drp
+        PATTERN (A B)
+        DEFINE A AS temp > 100, B AS temp < 100
+    )"""
+    rows = [{"ts": 1, "temp": 50}, {"ts": 2, "temp": 120}, {"ts": 3, "temp": 90}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["peak"] == 120 and out[0]["drp"] == 90
+
+
+# --- cep_test.go:112 TestCEP_TrendReversal (PREV navigation + aggregates)
+def test_trend_reversal(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MAX(v) AS peak, FIRST(v) AS strt, LAST(v) AS fin
+        ONE ROW PER MATCH
+        PATTERN (A B+ C)
+        DEFINE B AS v > PREV(v, 1), C AS v < PREV(v, 1)
+    )"""
+    rows = [{"ts": t, "v": v} for t, v in [(1, 10), (2, 20), (3, 30), (4, 25)]]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["peak"] == 30 and out[0]["strt"] == 10 and out[0]["fin"] == 25
+
+
+# --- cep_test.go:136 TestCEP_VibrationBurst (A{5,} greedy, == and "str")
+def test_vibration_burst(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES COUNT(*) AS n, MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        PATTERN (A{5,})
+        WITHIN '1h'
+        DEFINE A AS type == "vib"
+    )"""
+    rows = [{"ts": t, "type": "vib"} for t in range(1, 7)] + \
+           [{"ts": 7, "type": "normal"}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["n"] == 6
+
+
+# --- cep_test.go:162 TestCEP_CrossEventSequence
+def test_cross_event_sequence(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS steps
+        ONE ROW PER MATCH
+        PATTERN (Strt Process+ Fin)
+        DEFINE Strt AS status == "start", Process AS status == "process",
+               Fin AS status == "end"
+    )"""
+    rows = [{"ts": 1, "status": "start"}, {"ts": 2, "status": "process"},
+            {"ts": 3, "status": "process"}, {"ts": 4, "status": "end"}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1 and out[0]["steps"] == 4
+
+
+# --- cep_test.go:184 TestCEP_PartitionBy
+def test_partition_by(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY dev
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, A.v AS v
+        ONE ROW PER MATCH
+        PATTERN (A{2})
+        WITHIN '1h'
+        DEFINE A AS v > 50
+    )"""
+    rows = [{"ts": 1, "dev": "d1", "v": 60}, {"ts": 2, "dev": "d2", "v": 70},
+            {"ts": 3, "dev": "d1", "v": 80}, {"ts": 4, "dev": "d2", "v": 90}]
+    out = run_cep(spark, sql, rows, sort_by=["dev"])
+    assert len(out) == 2
+    assert [r["dev"] for r in out] == ["d1", "d2"]
+
+
+# --- cep_test.go:206 TestCEP_Alternation + CLASSIFIER
+def test_alternation_classifier(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES CLASSIFIER() AS c, FIRST(A.ts) AS ats, FIRST(B.ts) AS bts
+        ONE ROW PER MATCH
+        PATTERN (A | B)
+        DEFINE A AS k == 1, B AS k == 2
+    )"""
+    rows = [{"ts": 1, "k": 1}, {"ts": 2, "k": 2}, {"ts": 3, "k": 3}]
+    out = run_cep(spark, sql, rows)
+    out.sort(key=lambda r: r["c"])
+    assert [r["c"] for r in out] == ["A", "B"]
+
+
+# --- cep_test.go:228 TestCEP_AllRowsPerMatch (RUNNING COUNT)
+def test_all_rows_per_match_running(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES CLASSIFIER() AS c, COUNT(*) AS n
+        ALL ROWS PER MATCH
+        PATTERN (A{3})
+        WITHIN '1h'
+        DEFINE A AS v > 50
+    )"""
+    rows = [{"ts": 1, "v": 60}, {"ts": 2, "v": 70}, {"ts": 3, "v": 80}]
+    out = run_cep(spark, sql, rows, sort_by=["ts"])
+    assert len(out) == 3
+    assert [r["n"] for r in out] == [1, 2, 3]
+    assert all(r["c"] == "A" for r in out)
+
+
+# --- cep_test.go:256 TestCEP_SkipToNextRow (overlapping matches)
+def test_skip_to_next_row(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A{2})
+        WITHIN '1h'
+        DEFINE A AS v > 50
+    )"""
+    rows = [{"ts": t, "v": 50 + 10 * t} for t in range(1, 5)]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 3  # (1,2),(2,3),(3,4)
+
+
+# --- cep_test.go:279 TestCEP_GroupRepetition (A B)+
+def test_group_repetition(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN ((A B)+)
+        WITHIN '1h'
+        DEFINE A AS k == 1, B AS k == 2
+    )"""
+    rows = [{"ts": 1, "k": 1}, {"ts": 2, "k": 2}, {"ts": 3, "k": 1},
+            {"ts": 4, "k": 2}, {"ts": 5, "k": 3}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1 and out[0]["n"] == 4
+
+
+# --- cep_test.go:303 TestCEP_ExecuteRejects (fail-fast at compile)
+@pytest.mark.parametrize("bad_sql", [
+    "SELECT * FROM stream MATCH_RECOGNIZE (ORDER BY ts DEFINE A AS v>0)",
+    "SELECT * FROM stream MATCH_RECOGNIZE (ORDER BY ts PATTERN ({- A -}) DEFINE A AS v>0)",
+    "SELECT * FROM stream MATCH_RECOGNIZE (ORDER BY ts PATTERN (A) DEFINE A AS v>0) GROUP BY TumblingWindow('1s')",
+    "SELECT * FROM stream MATCH_RECOGNIZE (ORDER BY ts DESC PATTERN (A) DEFINE A AS v>0)",
+])
+def test_execute_rejects(bad_sql):
+    with pytest.raises((ParseError, PlanError)):
+        make_plan(parse(bad_sql))
+
+
+# --- cep_test.go:334 RiseStepsWithDelta (measure arithmetic over symbols)
+def test_rise_steps_with_delta(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES C.temp AS peak, C.temp - A.temp AS rise
+        ONE ROW PER MATCH
+        PATTERN (A B C)
+        DEFINE B AS temp > PREV(temp, 1), C AS temp > PREV(temp, 1)
+    )"""
+    rows = [{"ts": 1, "temp": 10}, {"ts": 2, "temp": 20}, {"ts": 3, "temp": 30}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["peak"] == 30 and out[0]["rise"] == 20
+
+
+# --- cep_test.go:355 CaseLevel (CASE over aggregate in MEASURES)
+def test_case_level(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES CASE WHEN MAX(v) > 200 THEN "critical"
+                      WHEN MAX(v) > 100 THEN "warn"
+                      ELSE "ok" END AS lvl, MAX(v) AS peak
+        ONE ROW PER MATCH
+        PATTERN (A{3})
+        WITHIN '1h'
+        DEFINE A AS v > 50
+    )"""
+    rows = [{"ts": 1, "v": 60}, {"ts": 2, "v": 70}, {"ts": 3, "v": 120}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["peak"] == 120 and out[0]["lvl"] == "warn"
+
+
+# --- cep_test.go:377 DefineWithFunction (abs() + AND in DEFINE)
+def test_define_with_function(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, v AS v
+        ONE ROW PER MATCH
+        PATTERN (A)
+        WITHIN '1h'
+        DEFINE A AS abs(v) > 50 AND type == "spike"
+    )"""
+    rows = [{"ts": 1, "v": 10, "type": "spike"},
+            {"ts": 2, "v": 80, "type": "spike"},
+            {"ts": 3, "v": 80, "type": "normal"}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1 and out[0]["v"] == 80
+
+
+# --- cep_test.go:425 RetryThenSuccess (A+ B)
+def test_retry_then_success(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (A+ B)
+        WITHIN '1h'
+        DEFINE A AS r == "fail", B AS r == "ok"
+    )"""
+    rows = [{"ts": t, "r": "fail"} for t in (1, 2, 3)] + [{"ts": 4, "r": "ok"}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1 and out[0]["n"] == 4
+
+
+# --- cep_test.go:447 ArithmeticMeasures (MAX-MIN, AVG)
+def test_arithmetic_measures(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MAX(v) - MIN(v) AS rng, AVG(v) AS mean
+        ONE ROW PER MATCH
+        PATTERN (A{3})
+        WITHIN '1h'
+        DEFINE A AS v >= 0
+    )"""
+    rows = [{"ts": 1, "v": 10}, {"ts": 2, "v": 50}, {"ts": 3, "v": 30}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["rng"] == 40 and out[0]["mean"] == 30.0
+
+
+# --- cep_test.go:469 OptionalMiddle (S P? E)
+def test_optional_middle(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (St Pr? En)
+        WITHIN '1h'
+        DEFINE St AS s == "S", Pr AS s == "P", En AS s == "E"
+    )"""
+    rows = [{"ts": 1, "s": "S"}, {"ts": 2, "s": "P"}, {"ts": 3, "s": "E"},
+            {"ts": 4, "s": "S"}, {"ts": 5, "s": "E"}]
+    out = run_cep(spark, sql, rows, sort_by=["mn"])
+    assert len(out) == 2
+    assert out[0]["n"] == 3 and out[1]["n"] == 2
+
+
+# --- cep_test.go:491 MeasuresScalarFunctions
+def test_measures_scalar_functions(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES upper(type) AS t, round(v) AS rv, v + 1 AS vp1
+        ONE ROW PER MATCH
+        PATTERN (A)
+        WITHIN '1h'
+        DEFINE A AS v > 0
+    )"""
+    out = run_cep(spark, sql, [{"ts": 1, "type": "alert", "v": 3.4}])
+    assert len(out) == 1
+    assert out[0]["t"] == "ALERT" and out[0]["rv"] == 3.0
+    assert abs(out[0]["vp1"] - 4.4) < 1e-9
+
+
+# --- cep_test.go:510 AllRows_FirstLastRunning
+def test_all_rows_first_last_running(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES LAST(v) AS lv, FIRST(v) AS fv, COUNT(*) AS n
+        ALL ROWS PER MATCH
+        PATTERN (A{3})
+        WITHIN '1h'
+        DEFINE A AS v > 0
+    )"""
+    rows = [{"ts": 1, "v": 10}, {"ts": 2, "v": 20}, {"ts": 3, "v": 30}]
+    out = run_cep(spark, sql, rows, sort_by=["ts"])
+    assert [r["lv"] for r in out] == [10, 20, 30]
+    assert [r["fv"] for r in out] == [10, 10, 10]
+    assert [r["n"] for r in out] == [1, 2, 3]
+
+
+# --- cep_test.go:532 SelectProjectsMeasures (outer SELECT narrows)
+def test_select_projects_measures(spark):
+    sql = """SELECT mn, peak FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, A.v AS peak
+        ONE ROW PER MATCH
+        PATTERN (A{2})
+        WITHIN '1h'
+        DEFINE A AS v > 50
+    )"""
+    out = run_cep(spark, sql, [{"ts": 1, "v": 60}, {"ts": 2, "v": 70}])
+    assert len(out) == 1
+    assert out[0] == {"mn": 1, "peak": 70}
+
+
+# --- cep_test.go:552 SelectExpressionOverMeasures
+def test_select_expression_over_measures(spark):
+    sql = """SELECT hi - lo AS span, hi FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MAX(v) AS hi, MIN(v) AS lo
+        ONE ROW PER MATCH
+        PATTERN (A{3})
+        WITHIN '1h'
+        DEFINE A AS v > 0
+    )"""
+    rows = [{"ts": 1, "v": 10}, {"ts": 2, "v": 50}, {"ts": 3, "v": 30}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["hi"] == 50 and out[0]["span"] == 40
+
+
+# --- cep_test.go:570 SelectStarOneRowMeasuresOnly
+def test_select_star_one_row_measures_only(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        PATTERN (A{2})
+        WITHIN '1h'
+        DEFINE A AS v > 50
+    )"""
+    out = run_cep(spark, sql, [{"ts": 1, "v": 60}, {"ts": 2, "v": 70}])
+    assert len(out) == 1
+    assert out[0]["mn"] == 1
+    assert "ts" not in out[0] and "v" not in out[0]
+
+
+# --- cep_test.go:589/609 AllRows SELECT exposes input fields
+def test_all_rows_select_input_field(spark):
+    sql = """SELECT ts, c FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES CLASSIFIER() AS c
+        ALL ROWS PER MATCH
+        PATTERN (A{2})
+        WITHIN '1h'
+        DEFINE A AS v > 50
+    )"""
+    out = run_cep(spark, sql, [{"ts": 1, "v": 60}, {"ts": 2, "v": 70}],
+                  sort_by=["ts"])
+    assert out == [{"ts": 1, "c": "A"}, {"ts": 2, "c": "A"}]
+
+
+def test_all_rows_select_star_includes_input(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES CLASSIFIER() AS c
+        ALL ROWS PER MATCH
+        PATTERN (A{2})
+        WITHIN '1h'
+        DEFINE A AS v > 50
+    )"""
+    out = run_cep(spark, sql, [{"ts": 1, "v": 60}, {"ts": 2, "v": 70}],
+                  sort_by=["ts"])
+    assert len(out) == 2
+    assert "v" in out[0] and "c" in out[0] and "ts" in out[0]
+
+
+# --- cep_test.go:630 PERMUTE(A, B)
+def test_permute(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES CLASSIFIER() AS lastc, MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        PATTERN (PERMUTE(A, B))
+        WITHIN '1h'
+        DEFINE A AS k == 1, B AS k == 2
+    )"""
+    rows = [{"ts": 1, "k": 1}, {"ts": 2, "k": 2}, {"ts": 3, "k": 2},
+            {"ts": 4, "k": 1}]
+    out = run_cep(spark, sql, rows, sort_by=["mn"])
+    assert len(out) == 2
+    assert out[0]["lastc"] == "B"  # [A,B] → last symbol B
+    assert out[1]["lastc"] == "A"  # [B,A] → last symbol A
+
+
+# --- cep_test.go:648 WithinExpiryRecovery (event-time WITHIN)
+def test_within_expiry_recovery(spark):
+    base = 1700000000000
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, FIRST(A.ts) AS ats
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        WITHIN 1 MINUTES
+        DEFINE A AS k == 1, B AS k == 2
+    )"""
+    rows = [{"ts": base, "k": 1},
+            {"ts": base + 70000, "k": 2},   # 70s > 1min → expired
+            {"ts": base + 100000, "k": 1},
+            {"ts": base + 100030, "k": 2}]  # 30ms < 1min → match
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["ats"] == base + 100000
+
+
+# --- cep_test.go:671 NextNavigation (out-of-match NEXT → null)
+def test_next_navigation(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES A.k AS ak, NEXT(B.k, 1) AS nxt
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        WITHIN '1h'
+        DEFINE A AS k == 1, B AS k == 2
+    )"""
+    out = run_cep(spark, sql, [{"ts": 1, "k": 1}, {"ts": 2, "k": 2}])
+    assert len(out) == 1
+    assert out[0]["ak"] == 1 and out[0]["nxt"] is None
+
+
+# --- cep_test.go:689 DefineOrAndCrossSymbol (B AS v > A.v OR k == 9)
+def test_define_or_and_cross_symbol(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, FIRST(A.ts) AS ats
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        WITHIN '1h'
+        DEFINE A AS v > 10, B AS v > A.v OR k == 9
+    )"""
+    rows = [{"ts": 1, "v": 20, "k": 0}, {"ts": 2, "v": 5, "k": 0},
+            {"ts": 3, "v": 20, "k": 0}, {"ts": 4, "v": 25, "k": 0}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["ats"] == 3
+
+
+# --- cep_test.go:710 MultiPartitionBy
+def test_multi_partition_by(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY dev, tenant
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        PATTERN (A{2})
+        WITHIN '1h'
+        DEFINE A AS v > 50
+    )"""
+    rows = [{"ts": 1, "dev": "d1", "tenant": "t1", "v": 60},
+            {"ts": 2, "dev": "d1", "tenant": "t2", "v": 70},
+            {"ts": 3, "dev": "d1", "tenant": "t1", "v": 80},
+            {"ts": 4, "dev": "d1", "tenant": "t2", "v": 90}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 2
+
+
+# --- cep_test.go:731 MeasuresSum
+def test_measures_sum(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES SUM(v) AS total, COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (A{3})
+        WITHIN '1h'
+        DEFINE A AS v > 0
+    )"""
+    rows = [{"ts": 1, "v": 10}, {"ts": 2, "v": 20}, {"ts": 3, "v": 30}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["total"] == 60 and out[0]["n"] == 3
+
+
+# --- cep_test.go:749 StarQuantifier (A* B)
+def test_star_quantifier(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (A* B)
+        WITHIN '1h'
+        DEFINE A AS k == 1, B AS k == 2
+    )"""
+    rows = [{"ts": 1, "k": 1}, {"ts": 2, "k": 1}, {"ts": 3, "k": 2}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1 and out[0]["n"] == 3
+
+
+# --- cep_test.go:766 SkipToLastSymbol
+def test_skip_to_last_symbol(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO LAST B
+        PATTERN (A B+ C)
+        WITHIN '1h'
+        DEFINE A AS k == 1, B AS k == 2, C AS k == 3
+    )"""
+    rows = [{"ts": 1, "k": 1}, {"ts": 2, "k": 2}, {"ts": 3, "k": 2},
+            {"ts": 4, "k": 3}, {"ts": 5, "k": 2}, {"ts": 6, "k": 3}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1 and out[0]["mn"] == 1
+
+
+# --- cep_test.go:788 FlushUnclosed (batch replay = flush at end)
+def test_flush_unclosed_greedy(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (A+)
+        WITHIN '1h'
+        DEFINE A AS k == 1
+    )"""
+    rows = [{"ts": 1, "k": 1}, {"ts": 2, "k": 1}, {"ts": 3, "k": 1}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1 and out[0]["n"] == 3
+
+
+# --- cep_test.go:818 SymbolScopedAggregate
+def test_symbol_scoped_aggregate(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES SUM(A.v) AS av, SUM(v) AS allv
+        ONE ROW PER MATCH
+        PATTERN (A B+)
+        WITHIN '1h'
+        DEFINE A AS k == 1, B AS k == 2
+    )"""
+    rows = [{"ts": 1, "k": 1, "v": 1}, {"ts": 2, "k": 2, "v": 10},
+            {"ts": 3, "k": 2, "v": 100}, {"ts": 4, "k": 3, "v": 0}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["av"] == 1 and out[0]["allv"] == 111
+
+
+# --- cep_test.go:850 SubsetAggregate
+def test_subset_aggregate(spark):
+    sql = """SELECT sv, lastv, mn FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES SUM(S.v) AS sv, SUM(A.v) AS av, S.v AS lastv,
+                 MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        PATTERN (A B+)
+        SUBSET S = (A, B)
+        WITHIN '1h'
+        DEFINE A AS k == 1, B AS k == 2
+    )"""
+    rows = [{"ts": 1, "k": 1, "v": 1}, {"ts": 2, "k": 2, "v": 10},
+            {"ts": 3, "k": 2, "v": 100}, {"ts": 4, "k": 3, "v": 0}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["sv"] == 111 and out[0]["lastv"] == 100 and out[0]["mn"] == 1
+    assert "av" not in out[0]
+
+
+# --- cep_test.go:878 SubsetInPattern: PATTERN(S C) with S=(A,B) → (A|B) C
+def test_subset_in_pattern(spark):
+    sql = """SELECT ts, c FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES CLASSIFIER() AS c
+        ALL ROWS PER MATCH
+        PATTERN (S C)
+        SUBSET S = (A, B)
+        WITHIN '1h'
+        DEFINE A AS k == 1, B AS k == 2, C AS k == 3
+    )"""
+    rows = [{"ts": 1, "k": 1}, {"ts": 2, "k": 3}]
+    out = run_cep(spark, sql, rows, sort_by=["ts"])
+    assert out == [{"ts": 1, "c": "A"}, {"ts": 2, "c": "C"}]
+
+
+# --- cep_test.go:902 FinalVsRunning
+def test_final_vs_running(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES FINAL SUM(v) AS fs, RUNNING SUM(v) AS rs
+        ALL ROWS PER MATCH
+        PATTERN (A{3})
+        WITHIN '1h'
+        DEFINE A AS v > 0
+    )"""
+    rows = [{"ts": 1, "v": 10}, {"ts": 2, "v": 20}, {"ts": 3, "v": 30}]
+    out = run_cep(spark, sql, rows, sort_by=["ts"])
+    assert [r["fs"] for r in out] == [60, 60, 60]
+    assert [r["rs"] for r in out] == [10, 30, 60]
+
+
+# --- cep_test.go:925 FinalOneRowNoChange
+def test_final_one_row_no_change(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES FINAL SUM(v) AS fs, SUM(v) AS rs
+        ONE ROW PER MATCH
+        PATTERN (A{3})
+        WITHIN '1h'
+        DEFINE A AS v > 0
+    )"""
+    rows = [{"ts": 1, "v": 10}, {"ts": 2, "v": 20}, {"ts": 3, "v": 30}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["fs"] == 60 and out[0]["rs"] == 60
+
+
+# --- cep_test.go:995 GreedyStarLongest (overlapping defines)
+def test_greedy_star_longest(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (A* B)
+        WITHIN '1h'
+        DEFINE A AS v > 0, B AS v > 0
+    )"""
+    rows = [{"ts": 1, "v": 1}, {"ts": 2, "v": 2}, {"ts": 3, "v": 3}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1 and out[0]["n"] == 3
+
+
+# --- cep_test.go:1025 ReluctantStarShortest
+def test_reluctant_star_shortest(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES COUNT(*) AS n, MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        PATTERN (A*? B)
+        WITHIN '1h'
+        DEFINE A AS v > 0, B AS v > 0
+    )"""
+    rows = [{"ts": 1, "v": 1}, {"ts": 2, "v": 2}, {"ts": 3, "v": 3}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 3
+    assert all(r["n"] == 1 for r in out)
+
+
+# --- COUNT(B.*) counts only B-bound rows
+def test_count_symbol_star(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES FIRST(A.ts) AS start_ts, LAST(B.ts) AS end_ts,
+                 COUNT(B.*) AS n_high, COUNT(*) AS n_all
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B+)
+        DEFINE A AS temperature < 20, B AS temperature > 20
+    )"""
+    rows = [
+        {"deviceId": "d1", "temperature": 10.0, "ts": 1000},
+        {"deviceId": "d1", "temperature": 25.0, "ts": 2000},
+        {"deviceId": "d1", "temperature": 30.0, "ts": 3000},
+        {"deviceId": "d1", "temperature": 12.0, "ts": 4000},
+        {"deviceId": "d1", "temperature": 26.0, "ts": 5000},
+    ]
+    out = run_cep(spark, sql, rows, sort_by=["start_ts"])
+    assert len(out) == 2
+    assert out[0]["n_high"] == 2 and out[0]["n_all"] == 3
+    assert out[1]["n_high"] == 1 and out[1]["n_all"] == 2
