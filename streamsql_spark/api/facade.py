@@ -125,6 +125,42 @@ class StreamSQL:
             all_tables.update(tables)
         return BatchExecutor(self.spark, all_tables).execute(self._plan, source_df)
 
+    # -------------------------------------------------------- streaming path
+    def query_stream(self, stream_df: DataFrame,
+                     tables: dict[str, DataFrame] | None = None) -> DataFrame:
+        """Apply the compiled plan to a streaming DataFrame (readStream).
+
+        Returns the transformed streaming DataFrame; pair with
+        ``writeStream`` or use :meth:`start_stream` for the full
+        reference sink pipeline (ORDER BY/LIMIT per emission batch).
+        """
+        if self._plan is None:
+            raise RuntimeError("call execute(sql) first")
+        from ..streaming.executor import StreamingExecutor
+        all_tables = dict(self._tables)
+        if tables:
+            all_tables.update(tables)
+        return StreamingExecutor(self.spark, all_tables).build(self._plan, stream_df)
+
+    def start_stream(self, stream_df: DataFrame,
+                     sink: Callable[[list[dict]], None] | None = None,
+                     **kwargs):
+        """readStream → plan → foreachBatch sink pipeline; returns the
+        StreamingQuery (AddSink + Start analog, streamsql.go:406-424)."""
+        if self._plan is None:
+            raise RuntimeError("call execute(sql) first")
+        from ..streaming.executor import StreamingExecutor
+        ex = StreamingExecutor(self.spark, dict(self._tables))
+        sinks = list(self._sinks)
+        if sink is not None:
+            sinks.append(sink)
+
+        def fanout(rows: list[dict]) -> None:
+            for s in sinks:
+                s(rows)
+
+        return ex.start(self._plan, stream_df, sink=fanout, **kwargs)
+
     # ------------------------------------------------------- emit harness
     def _rows_df(self, rows: list[dict]) -> DataFrame:
         if self.schema is not None:

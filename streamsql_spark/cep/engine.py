@@ -84,7 +84,11 @@ class Matcher:
     def _match(self, pat: N.Pattern, pos: int, bindings: list):
         """Yield (end_pos, bindings') in preference order."""
         if isinstance(pat, N.PSym):
-            if pos < len(self.rows) and self.classify(pos, pat.name, bindings):
+            if pos >= len(self.rows):
+                # pattern wanted a row beyond the buffer — a future row
+                # could extend this partial (streaming hold signal)
+                self._hit_end = True
+            elif self.classify(pos, pat.name, bindings):
                 yield pos + 1, bindings + [(pos, pat.name)]
             return
         if isinstance(pat, N.PSeq):
@@ -132,6 +136,7 @@ class Matcher:
 
     def first_match(self, start: int):
         """Preferred match starting exactly at ``start``, or None."""
+        self._hit_end = False
         for end, bindings in self._match(self.pattern, start, []):
             if bindings:  # ignore empty matches
                 return end, bindings
@@ -171,6 +176,66 @@ class Matcher:
             else:
                 start = last_idx + 1
         return out
+
+    def _expired(self, start: int) -> bool:
+        """Event-time WITHIN expiry for a held partial at ``start``: rows
+        are ordered, so once the newest event is beyond start's WITHIN
+        horizon no future row can complete it (watermark analog of the
+        reference's sweeper, cep/engine.go:269-320)."""
+        if self.within is None or self.ts is None or not self.rows:
+            return False
+        t0, t1 = self.ts[start], self.ts[-1]
+        if t0 is None or t1 is None:
+            return False
+        return (t1 - t0) > self.within
+
+    def find_emittable(self, flush: bool = False):
+        """Incremental drive for streaming: emit only matches that cannot
+        extend with future rows (their preferred end is strictly before the
+        buffer tail), unless ``flush``.  Returns (matches, consumed_upto):
+        the caller may drop buffer rows before ``consumed_upto`` — the
+        Spark-state analog of the reference's emit-on-advance + Stop()
+        flush (cep/engine.go:240-267, 492-552)."""
+        out = []
+        start = 0
+        n = len(self.rows)
+        while start < n:
+            m = self.first_match(start)
+            if m is None:
+                if self._hit_end and not flush and not self._expired(start):
+                    # a partial match wanted rows beyond the buffer —
+                    # hold this position for the next micro-batch
+                    return out, start
+                start += 1
+                continue
+            end, bindings = m
+            if end >= n and not flush and not self._expired(start):
+                # touches the buffer tail: a future row may extend it
+                return out, start
+            if end >= n and not flush:
+                # WITHIN expired: no future row can extend it — emit now
+                pass
+            self.match_number += 1
+            out.append(bindings)
+            skip = self.spec.after_match_skip
+            first_idx = bindings[0][0]
+            last_idx = bindings[-1][0]
+            if skip[0] == "past_last_row":
+                start = last_idx + 1
+            elif skip[0] == "to_next_row":
+                start = first_idx + 1
+            elif skip[0] in ("to_first", "to_last"):
+                sym = skip[1]
+                members = set(self.subsets.get(sym, {sym}))
+                sym_rows = [i for i, s in bindings if s in members]
+                if not sym_rows:
+                    start = last_idx + 1
+                else:
+                    target = sym_rows[0] if skip[0] == "to_first" else sym_rows[-1]
+                    start = target if target > first_idx else first_idx + 1
+            else:
+                start = last_idx + 1
+        return out, start
 
     # ----------------------------------------------------------- measures
     def measure_rows(self, bindings: list, match_no: int) -> list[dict]:

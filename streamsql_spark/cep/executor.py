@@ -77,9 +77,11 @@ def _measure_type(e: N.Expr, schema: dict[str, DataType]) -> DataType:
     return StringType()
 
 
-def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> DataFrame:
+def build_cep_parts(df: DataFrame, plan) -> dict:
+    """Shared MATCH_RECOGNIZE prep for the batch and streaming executors:
+    WHERE pushdown, partition-key materialization, output schema, event
+    time resolution."""
     spec: N.MatchSpec = plan.stmt.match
-    df = source_df
     if plan.where_sql:
         df = df.filter(F.expr(plan.where_sql))
 
@@ -110,14 +112,32 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
     for j, m in enumerate(spec.measures):
         alias = m.alias or f"m{j}"
         fields.append(StructField(alias, _measure_type(m.expr, in_schema)))
-    out_schema = StructType(fields)
+    return {
+        "spec": spec,
+        "df": df,
+        "out_schema": StructType(fields),
+        "part_names": part_names,
+        "ts_col": ts_col,
+        "ts_is_time": isinstance(in_schema.get(ts_col), TimestampType),
+        "within": duration_to_seconds(spec.within) if spec.within else None,
+        "measure_names": [m.alias or f"m{j}"
+                          for j, m in enumerate(spec.measures)],
+        "order_cols": [c for c in order_sqls if c in in_schema],
+    }
 
-    within_s = duration_to_seconds(spec.within) if spec.within else None
+
+def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> DataFrame:
+    parts = build_cep_parts(source_df, plan)
+    spec = parts["spec"]
+    df = parts["df"]
+    out_schema = parts["out_schema"]
+    part_names = parts["part_names"]
+    ts_col = parts["ts_col"]
+    ts_is_time = parts["ts_is_time"]
+    within_s = parts["within"]
+    measure_names = parts["measure_names"]
+    order_cols = parts["order_cols"]
     all_rows = spec.rows_per_match == "all"
-    ts_is_time = isinstance(in_schema.get(ts_col), TimestampType)
-    measures = spec.measures
-    measure_names = [m.alias or f"m{j}" for j, m in enumerate(measures)]
-    order_cols = [c for c in order_sqls if c in in_schema]
     spec_ser = spec  # captured by closure (plain dataclasses — picklable)
 
     def kernel(pdf):

@@ -1,0 +1,104 @@
+"""Pandas-side aggregate evaluation for stateful streaming kernels.
+
+The counting / global trigger windows cannot use Spark's native
+streaming aggregation (their trigger semantics are row-count /
+predicate-driven, not time-driven — window/counting_window.go,
+window/global_window.go), so their kernels aggregate in Python over
+Arrow batches.  Aggregate *arguments* are still evaluated JVM-side
+(pre-projected columns), so the kernel only applies the aggregate
+function itself.
+
+Semantics mirror the reference accumulators
+(functions/functions_aggregation.go): numeric aggregates skip
+non-numeric/None values; percentile uses the lower value at
+floor(p*(n-1)).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def _nums(values):
+    out = []
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            out.append(int(v))
+        elif isinstance(v, (int, float)):
+            if isinstance(v, float) and math.isnan(v):
+                continue
+            out.append(v)
+    return out
+
+
+def py_aggregate(name: str, values: list, extra=None):
+    """Evaluate one reference aggregate over a window's buffered values.
+
+    ``values``: the pre-evaluated argument column for the window's rows
+    (arrival order).  ``extra``: second argument (percentile p, nth n).
+    """
+    name = name.lower()
+    if name == "count":
+        return sum(1 for v in values if v is not None)
+    if name == "count_star":
+        return len(values)
+    if name == "collect":
+        return list(values)
+    if name == "deduplicate":
+        seen, out = set(), []
+        for v in values:
+            k = repr(v)
+            if k not in seen:
+                seen.add(k)
+                out.append(v)
+        return out
+    if name == "merge_agg":
+        return ",".join(str(v) for v in values if v is not None)
+    if name == "first_value":
+        return values[0] if values else None
+    if name == "last_value":
+        return values[-1] if values else None
+    if name == "nth_value":
+        n = int(extra or 1)
+        return values[n - 1] if 0 < n <= len(values) else None
+
+    nums = _nums(values)
+    if name in ("min", "max"):
+        non_null = [v for v in values if v is not None]
+        if not non_null:
+            return None
+        try:
+            return min(non_null) if name == "min" else max(non_null)
+        except TypeError:
+            return (min(nums) if name == "min" else max(nums)) if nums else None
+    if not nums:
+        return None
+    if name == "sum":
+        return float(sum(nums))
+    if name == "avg":
+        return float(sum(nums)) / len(nums)
+    if name in ("stddev", "var", "stddevs", "vars"):
+        n = len(nums)
+        mean = sum(nums) / n
+        ss = sum((x - mean) ** 2 for x in nums)
+        if name in ("stddevs", "vars"):
+            if n < 2:
+                return None
+            var = ss / (n - 1)
+        else:
+            var = ss / n
+        return math.sqrt(var) if name.startswith("stddev") else var
+    if name == "median":
+        s = sorted(nums)
+        n = len(s)
+        mid = n // 2
+        return float(s[mid]) if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+    if name == "percentile":
+        # floor(p*(n-1)) lower-value semantics
+        # (functions_aggregation.go:518-555)
+        p = float(extra if extra is not None else 0.5)
+        s = sorted(nums)
+        return float(s[int(math.floor(p * (len(s) - 1)))])
+    raise ValueError(f"unsupported streaming aggregate: {name}")

@@ -1,0 +1,163 @@
+"""Structured Streaming execution of a QueryPlan.
+
+The streaming analog of ``engine.batch.BatchExecutor``: the same plan
+compiles onto ``readStream`` sources.  Catalyst-native pieces (filter,
+projection, stream-static broadcast join, time windows + watermark,
+HAVING) stay declarative; the reference's four custom operators run as
+``applyInPandasWithState`` kernels (``streaming.stateful``).
+
+Pipeline mirror of the reference (stream/processor_data.go:383-493):
+
+    readStream → [join static] → [analytic state] → WHERE
+      → window agg | stateful window | CEP
+      → HAVING → foreachBatch { DISTINCT → ORDER BY → LIMIT → sinks }
+
+Event time & watermark (window/watermark.go):
+- ``WITH (TIMESTAMP='f', TIMEUNIT='ms')`` selects event time; the
+  watermark delay is MAXOUTOFORDERNESS + ALLOWEDLATENESS (Spark folds
+  allowed-lateness into the watermark, SURVEY §2.5 delta note).
+- Append output emits a window once the watermark passes its end —
+  the analog of the reference's watermark ≥ window-end trigger.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.batch import (_TS, BatchExecutor, ExecError, _event_time_col,
+                            duration_to_seconds)
+from .stateful import (analytic_stream, cep_stream, counting_window_stream,
+                       global_window_stream)
+
+
+class StreamingExecutor:
+    """Compile a QueryPlan against a streaming DataFrame."""
+
+    def __init__(self, spark: SparkSession, tables: dict[str, DataFrame] | None = None):
+        self.spark = spark
+        self.tables = tables or {}
+        self._batch = BatchExecutor(spark, tables)
+
+    # ------------------------------------------------------------- build
+    def build(self, plan, stream_df: DataFrame) -> DataFrame:
+        """Streaming DataFrame with all pre-sink transformations applied.
+
+        ORDER BY / LIMIT / DISTINCT are per-emission semantics in the
+        reference and belong in the sink stage — use ``post_batch_fn``
+        inside ``foreachBatch`` (or ``start()`` which wires both).
+        """
+        df = stream_df
+        ts = _event_time_col(df, plan)
+        if ts is not None:
+            df = df.withColumn(_TS, ts)
+            delay = self._watermark_seconds(plan)
+            if delay is not None:
+                df = df.withWatermark(_TS, f"{delay} seconds")
+
+        df = self._batch._apply_joins(df, plan)
+
+        if plan.mode == "cep":
+            return cep_stream(self.spark, plan, df)
+
+        if plan.analytics:
+            df = analytic_stream(df, plan, _TS if _TS in df.columns else None)
+        if plan.where_sql:
+            df = df.filter(F.expr(plan.where_sql))
+
+        if plan.mode == "window":
+            return self._window_stream(df, plan)
+        return self._batch._project_direct(df, plan)
+
+    def _watermark_seconds(self, plan) -> float | None:
+        opts = {k.upper(): v for k, v in plan.options.items()}
+        total = 0.0
+        found = False
+        for key in ("MAXOUTOFORDERNESS", "ALLOWEDLATENESS"):
+            v = opts.get(key)
+            if v is not None:
+                total += duration_to_seconds(str(v))
+                found = True
+        if found:
+            return total
+        # event-time windows need a watermark for append-mode emission
+        return 0.0 if plan.mode in ("window", "cep") else None
+
+    def _window_stream(self, df: DataFrame, plan) -> DataFrame:
+        w = plan.window
+        if w is not None and w.kind == "counting":
+            agged = counting_window_stream(df, plan, _TS if _TS in df.columns else None)
+            return self._project_stateful(agged, plan)
+        if w is not None and w.kind == "global":
+            agged = global_window_stream(df, plan, _TS if _TS in df.columns else None)
+            return self._project_stateful(agged, plan)
+        if w is not None and w.kind in ("tumbling", "sliding", "session") \
+                and _TS not in df.columns:
+            raise ExecError(f"{w.kind} window requires an event-time column")
+        # time windows / plain aggregates are Catalyst-native — reuse the
+        # batch compilation verbatim (same plan, streaming source)
+        return self._batch._apply_window_agg(df, plan)
+
+    def _project_stateful(self, agged: DataFrame, plan) -> DataFrame:
+        """HAVING + output projection over a stateful kernel's
+        placeholder columns (post-aggregation expressions included)."""
+        if plan.having_sql:
+            agged = agged.filter(F.expr(plan.having_sql))
+        out_cols = []
+        for out in plan.outputs:
+            out_cols.append(F.expr(out.sql).alias(out.name))
+        return agged.select(*out_cols)
+
+    # ----------------------------------------------------------- sinks
+    def post_batch_fn(self, plan) -> Callable[[DataFrame], DataFrame]:
+        """Per-emission tail: DISTINCT → ORDER BY → LIMIT
+        (stream/processor_data.go:438-493 order)."""
+        def fn(batch_df: DataFrame) -> DataFrame:
+            df = batch_df
+            if plan.distinct:
+                df = df.dropDuplicates()
+            if plan.order_by:
+                exprs = [F.expr(s).asc() if asc else F.expr(s).desc()
+                         for s, asc in plan.order_by]
+                df = df.orderBy(*exprs)
+            if plan.limit is not None:
+                df = df.limit(plan.limit)
+            return df
+        return fn
+
+    def start(self, plan, stream_df: DataFrame,
+              sink: Callable[[list[dict]], None] | None = None,
+              trigger: dict | None = None,
+              checkpoint: str | None = None,
+              query_name: str = "streamsql"):
+        """Wire build() into a writeStream with the reference's sink
+        semantics: each emission batch is post-processed then delivered
+        to the sink callback as list[dict] (AddSink analog)."""
+        out = self.build(plan, stream_df)
+        post = self.post_batch_fn(plan)
+
+        def handle(batch_df: DataFrame, _batch_id: int):
+            done = post(batch_df)
+            if sink is not None:
+                rows = [r.asDict(recursive=True) for r in done.collect()]
+                if rows:
+                    sink(rows)
+
+        writer = out.writeStream.foreachBatch(handle).queryName(query_name)
+        writer = writer.outputMode(self._output_mode(plan))
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        trigger = trigger or {"availableNow": True}
+        writer = writer.trigger(**trigger)
+        return writer.start()
+
+    @staticmethod
+    def _output_mode(plan) -> str:
+        if plan.mode == "window":
+            w = plan.window
+            if w is not None and w.kind in ("counting", "global"):
+                return "append"  # stateful kernels emit final rows
+            return "append"      # windows emit on watermark close
+        return "append"

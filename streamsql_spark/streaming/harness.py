@@ -1,0 +1,69 @@
+"""Deterministic streaming test harness.
+
+Replays row batches as a file-source stream (one JSON file per
+micro-batch, ``maxFilesPerTrigger=1``, ascending mtimes) and runs the
+query with ``Trigger.AvailableNow`` — the Spark analog of the
+reference's deterministic Emit + TriggerWindow test pattern (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+
+
+class StreamReplay:
+    """Write batches to a temp dir and expose them as a readStream."""
+
+    def __init__(self, spark: SparkSession, schema, subdir: str = "input"):
+        self.spark = spark
+        self.root = tempfile.mkdtemp(prefix="streamsql_replay_")
+        self.input_dir = os.path.join(self.root, subdir)
+        os.makedirs(self.input_dir)
+        self.checkpoint = os.path.join(self.root, "ckpt")
+        self.schema = schema
+        self._n = 0
+
+    def add_batch(self, rows: list[dict]) -> None:
+        path = os.path.join(self.input_dir, f"batch-{self._n:05d}.json")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        # file source orders by modification time — force strict ascent
+        mtime = time.time() + self._n
+        os.utime(path, (mtime, mtime))
+        self._n += 1
+
+    def stream(self, max_files_per_trigger: int = 1):
+        return (self.spark.readStream.schema(self.schema)
+                .option("maxFilesPerTrigger", max_files_per_trigger)
+                .json(self.input_dir))
+
+    def cleanup(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+
+
+def run_streaming_collect(spark, plan_holder, batches: list[list[dict]],
+                          schema, tables=None, timeout: int = 120) -> list[dict]:
+    """Replay ``batches``, run the compiled query to completion
+    (AvailableNow), return all sunk rows in arrival order."""
+    from .executor import StreamingExecutor
+
+    replay = StreamReplay(spark, schema)
+    try:
+        for b in batches:
+            replay.add_batch(b)
+        got: list[dict] = []
+        ex = StreamingExecutor(spark, tables or {})
+        q = ex.start(plan_holder.plan, replay.stream(),
+                     sink=lambda rows: got.extend(rows),
+                     checkpoint=replay.checkpoint)
+        q.awaitTermination(timeout)
+        return got
+    finally:
+        replay.cleanup()

@@ -1,0 +1,558 @@
+"""Custom stateful streaming operators on ``applyInPandasWithState``.
+
+The four reference operators Spark has no built-in for (SURVEY §4):
+
+- **counting window** (window/counting_window.go): per-key chunks of N
+  rows, emit on the Nth row; partial chunks stay pending in state.
+- **global window TRIGGER WHEN** (window/global_window.go): per-key
+  running aggregates + predicate, FIRE_AND_PURGE on hit.
+- **analytic state machine** (stream/analytic.go): lag/latest/
+  had_changed/changed_col/acc_* with PARTITION BY + WHEN gating.
+- **CEP MATCH_RECOGNIZE** (cep/engine.go): per-key tail buffer driving
+  the batch matcher incrementally; matches that can no longer extend
+  emit, the rest stay pending.
+
+State is a single pickled blob per key (BinaryType) — schema-free, like
+the reference's per-key Go structs.  Keys parallelize across executors;
+within a key processing is sequential by construction (same as the
+reference's per-partition goroutine).  Aggregate/analytic *arguments*
+are pre-projected JVM-side so kernels never evaluate SQL expressions.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, DataType,
+                               DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+from ..dialect import nodes as N
+from ..dialect.render import render
+from .aggutil import py_aggregate
+
+_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+
+def _load_state(state):
+    if state.exists:
+        (blob,) = state.get
+        if blob is not None:
+            return pickle.loads(bytes(blob))
+    return None
+
+
+def _save_state(state, obj) -> None:
+    state.update((pickle.dumps(obj),))
+
+
+def _sorted_batch(pdf_iter, order_cols: list[str]):
+    import pandas as pd
+
+    parts = [p for p in pdf_iter if len(p)]
+    if not parts:
+        return pd.DataFrame()
+    pdf = pd.concat(parts, ignore_index=True)
+    cols = [c for c in order_cols if c in pdf.columns]
+    if cols:
+        pdf = pdf.sort_values(cols, kind="mergesort")
+    return pdf
+
+
+def _clean(v):
+    """numpy scalar → python scalar, NaN → None (state must pickle small)."""
+    import pandas as pd
+
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if hasattr(v, "item"):
+        return v.item()
+    return v
+
+
+# --------------------------------------------------------------- agg prep
+
+def _agg_parts(spec) -> tuple[str, str | None, object]:
+    """AggSpec → (kernel agg name, arg SQL | None, extra literal)."""
+    f: N.Func = spec.func
+    name = f.name.lower()
+    if name == "count":
+        if not f.args or isinstance(f.args[0], N.Star):
+            return "count_star", None, None
+        return "count", render(f.args[0]), None
+    if name == "percentile":
+        # reference order percentile(p, col)
+        p = f.args[0].value if isinstance(f.args[0], N.Lit) else 0.5
+        return "percentile", render(f.args[1]), p
+    if name == "nth_value":
+        n = f.args[1].value if len(f.args) > 1 and isinstance(f.args[1], N.Lit) else 1
+        return "nth_value", render(f.args[0]), n
+    return name, (render(f.args[0]) if f.args else None), None
+
+
+def _agg_out_type(kernel_name: str, arg_type: DataType | None) -> DataType:
+    if kernel_name in ("count", "count_star", "nth_value") and kernel_name != "nth_value":
+        return LongType()
+    if kernel_name in ("sum", "avg", "stddev", "stddevs", "var", "vars",
+                       "median", "percentile"):
+        return DoubleType()
+    if kernel_name in ("collect", "deduplicate"):
+        return ArrayType(arg_type or StringType())
+    if kernel_name == "merge_agg":
+        return StringType()
+    # min/max/first_value/last_value/nth_value keep the arg type
+    return arg_type or DoubleType()
+
+
+def _prep_agg_columns(df: DataFrame, plan):
+    """Pre-project aggregate argument columns; return (df, kernel specs).
+
+    kernel specs: [(placeholder, kernel_name, arg_col | None, extra)].
+    """
+    specs = []
+    for i, s in enumerate(plan.agg_specs):
+        kname, arg_sql, extra = _agg_parts(s)
+        arg_col = None
+        if arg_sql is not None:
+            arg_col = f"__aa_{i}__"
+            df = df.withColumn(arg_col, F.expr(arg_sql))
+        specs.append((s.placeholder, kname, arg_col, extra))
+    return df, specs
+
+
+def _key_columns(df: DataFrame, plan) -> tuple[DataFrame, list[str]]:
+    """Materialize group-key expressions as named columns."""
+    names = []
+    for i, gsql in enumerate(plan.group_sqls):
+        if gsql in df.columns:
+            names.append(gsql)
+        else:
+            name = f"__gk_{i}__"
+            df = df.withColumn(name, F.expr(gsql))
+            names.append(name)
+    return df, names
+
+
+def _field_type(df: DataFrame, col: str) -> DataType:
+    return df.schema[col].dataType
+
+
+# ---------------------------------------------------------------- counting
+
+def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
+    """Streaming counting window: emit one aggregated row per N-row chunk
+    per key; the partial chunk persists in state across micro-batches."""
+    n = plan.window.count
+    df, keys = _key_columns(df, plan)
+    df, agg_specs = _prep_agg_columns(df, plan)
+
+    fields = [StructField(k, _field_type(df, k)) for k in keys]
+    for ph, kname, arg_col, _ in agg_specs:
+        at = _field_type(df, arg_col) if arg_col else None
+        fields.append(StructField(ph, _agg_out_type(kname, at)))
+    out_schema = StructType(fields)
+
+    arg_cols = [c for _, _, c, _ in agg_specs if c is not None]
+    order = [ts_col] if ts_col and ts_col in df.columns else []
+    key_names = list(keys)
+
+    def kernel(key, pdf_iter, state):
+        import pandas as pd
+
+        pdf = _sorted_batch(pdf_iter, order)
+        buf = _load_state(state) or []
+        rows_out = []
+        if len(pdf):
+            vals = {c: pdf[c].tolist() for c in arg_cols}
+            for i in range(len(pdf)):
+                buf.append(tuple(_clean(vals[c][i]) for c in arg_cols))
+                if len(buf) >= n:
+                    chunk = buf[:n]
+                    buf = buf[n:]
+                    out = dict(zip(key_names, key))
+                    for ph, kname, arg_col, extra in agg_specs:
+                        if kname == "count_star":
+                            out[ph] = len(chunk)
+                        else:
+                            idx = arg_cols.index(arg_col)
+                            out[ph] = py_aggregate(
+                                kname, [t[idx] for t in chunk], extra)
+                    rows_out.append(out)
+        _save_state(state, buf)
+        if rows_out:
+            yield pd.DataFrame(rows_out, columns=[f.name for f in out_schema.fields])
+
+    grouped = df.groupBy(*[F.col(k) for k in keys]) if keys \
+        else df.groupBy(F.lit(1).alias("__k__"))
+    if not keys:
+        out_schema = StructType([StructField("__k__", LongType())]
+                                + list(out_schema.fields))
+
+        def kernel_nokey(key, pdf_iter, state, _inner=kernel):
+            for out in _inner(key, pdf_iter, state):
+                out.insert(0, "__k__", 1)
+                yield out
+        fn = kernel_nokey
+    else:
+        fn = kernel
+    out = grouped.applyInPandasWithState(
+        fn, out_schema, _STATE_SCHEMA, "append", "NoTimeout")
+    return out.drop("__k__") if not keys else out
+
+
+# ----------------------------------------------------------------- global
+
+def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
+    """Streaming GLOBAL WINDOW TRIGGER WHEN: per-key buffered arg values +
+    running trigger aggregates; on predicate hit emit + purge."""
+    from ..operators.global_window import _compile_trigger
+
+    trig = plan.window.trigger_when
+    src, trig_aggs = _compile_trigger(trig)
+    code_src = src  # compile() inside the kernel (code objects don't pickle)
+
+    df, keys = _key_columns(df, plan)
+    df, agg_specs = _prep_agg_columns(df, plan)
+    # trigger aggregate argument columns
+    trig_cols = []
+    for var, fname, argc in trig_aggs:
+        if argc is not None and argc not in df.columns:
+            raise ValueError(f"TRIGGER WHEN references unknown column {argc}")
+        trig_cols.append((var, fname, argc))
+
+    fields = [StructField(k, _field_type(df, k)) for k in keys]
+    for ph, kname, arg_col, _ in agg_specs:
+        at = _field_type(df, arg_col) if arg_col else None
+        fields.append(StructField(ph, _agg_out_type(kname, at)))
+    out_schema = StructType(fields)
+
+    arg_cols = [c for _, _, c, _ in agg_specs if c is not None]
+    read_cols = sorted({*arg_cols, *[c for _, _, c in trig_cols if c]})
+    order = [ts_col] if ts_col and ts_col in df.columns else []
+    key_names = list(keys)
+
+    def kernel(key, pdf_iter, state):
+        import pandas as pd
+
+        pdf = _sorted_batch(pdf_iter, order)
+        st = _load_state(state) or {"buf": [], "trig": {}, "counts": {}}
+        buf, tstate, counts = st["buf"], st["trig"], st["counts"]
+        code = compile(code_src, "<trigger_when>", "eval")
+        rows_out = []
+        if len(pdf):
+            vals = {c: pdf[c].tolist() for c in read_cols}
+            for i in range(len(pdf)):
+                buf.append(tuple(_clean(vals[c][i]) if c else None
+                                 for c in arg_cols))
+                env = {}
+                for var, fname, argc in trig_cols:
+                    v = _clean(vals[argc][i]) if argc else None
+                    if fname == "count":
+                        counts[var] = counts.get(var, 0) + (
+                            1 if argc is None or v is not None else 0)
+                        env[var] = counts[var]
+                        continue
+                    if v is not None:
+                        if fname == "sum":
+                            tstate[var] = (tstate.get(var) or 0) + v
+                        elif fname == "min":
+                            tstate[var] = v if var not in tstate else min(tstate[var], v)
+                        elif fname == "max":
+                            tstate[var] = v if var not in tstate else max(tstate[var], v)
+                        elif fname == "avg":
+                            s, c = tstate.get(var, (0.0, 0))
+                            tstate[var] = (s + v, c + 1)
+                    if fname == "avg":
+                        s, c = tstate.get(var, (0.0, 0))
+                        env[var] = (s / c) if c else None
+                    else:
+                        env[var] = tstate.get(var)
+                try:
+                    fired = bool(eval(code, {"__builtins__": {}}, env))
+                except TypeError:
+                    fired = False
+                if fired:
+                    out = dict(zip(key_names, key))
+                    for ph, kname, arg_col, extra in agg_specs:
+                        if arg_col is None:
+                            out[ph] = len(buf) if kname == "count_star" else \
+                                py_aggregate(kname, [None] * len(buf), extra)
+                        else:
+                            idx = arg_cols.index(arg_col)
+                            out[ph] = py_aggregate(
+                                kname, [t[idx] for t in buf], extra)
+                    rows_out.append(out)
+                    buf.clear()
+                    tstate.clear()
+                    counts.clear()
+        _save_state(state, {"buf": buf, "trig": tstate, "counts": counts})
+        if rows_out:
+            yield pd.DataFrame(rows_out, columns=[f.name for f in out_schema.fields])
+
+    grouped = df.groupBy(*[F.col(k) for k in keys]) if keys \
+        else df.groupBy(F.lit(1).alias("__k__"))
+    if not keys:
+        out_schema = StructType([StructField("__k__", LongType())]
+                                + list(out_schema.fields))
+
+        def kernel_nokey(key, pdf_iter, state, _inner=kernel):
+            for out in _inner(key, pdf_iter, state):
+                out.insert(0, "__k__", 1)
+                yield out
+        fn = kernel_nokey
+    else:
+        fn = kernel
+    out = grouped.applyInPandasWithState(
+        fn, out_schema, _STATE_SCHEMA, "append", "NoTimeout")
+    return out.drop("__k__") if not keys else out
+
+
+# -------------------------------------------------------------- analytics
+
+_LAG_CAP = 64  # ring buffer bound per lag() call
+
+
+def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
+    """Streaming analytic state machine: appends one placeholder column
+    per analytic call; state persists across micro-batches per partition
+    key (stream/analytic.go:125-234 semantics, WHEN gating included)."""
+    specs = plan.analytics
+    part_sqls = specs[0].partition_by if specs else []
+    for s in specs:
+        if s.partition_by != part_sqls:
+            raise ValueError("streaming analytics require a common "
+                             "OVER (PARTITION BY ...) across calls")
+
+    # materialize partition key / WHEN / argument columns JVM-side
+    key_cols = []
+    for i, psql in enumerate(part_sqls):
+        name = psql if psql in df.columns else f"__ak_{i}__"
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(psql))
+        key_cols.append(name)
+
+    prep = []  # per spec: dict describing kernel work
+    for i, s in enumerate(specs):
+        f = s.func
+        name = f.name.lower()
+        info = {"name": name, "ph": s.placeholder, "args": [], "lits": []}
+        when_col = None
+        if s.when_sql:
+            when_col = f"__aw_{i}__"
+            df = df.withColumn(when_col, F.expr(s.when_sql))
+        info["when"] = when_col
+        for j, a in enumerate(f.args):
+            if isinstance(a, N.Lit):
+                info["lits"].append(a.value)
+                info["args"].append(None)
+            else:
+                c = f"__aarg_{i}_{j}__"
+                df = df.withColumn(c, F.expr(render(a)))
+                info["args"].append(c)
+                info["lits"].append(None)
+        prep.append(info)
+
+    def ph_type(info) -> DataType:
+        nm = info["name"]
+        if nm == "had_changed":
+            return BooleanType()
+        if nm == "changed_col":
+            return StringType()
+        if nm == "acc_count":
+            return LongType()
+        if nm in ("acc_sum", "acc_avg"):
+            return DoubleType()
+        first_arg = next((c for c in info["args"] if c), None)
+        return _field_type(df, first_arg) if first_arg else DoubleType()
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(p["ph"], ph_type(p)) for p in prep])
+    order = [ts_col] if ts_col and ts_col in df.columns else []
+    all_cols = df.columns
+
+    def kernel(key, pdf_iter, state):
+        import pandas as pd
+
+        pdf = _sorted_batch(pdf_iter, order)
+        st = _load_state(state) or {}
+        outs = {p["ph"]: [] for p in prep}
+        if len(pdf):
+            vals = {c: pdf[c].tolist() for c in pdf.columns}
+            for i in range(len(pdf)):
+                for p in prep:
+                    nm, ph = p["name"], p["ph"]
+                    s = st.setdefault(ph, {})
+                    gate = True
+                    if p["when"] is not None:
+                        gate = bool(_clean(vals[p["when"]][i]))
+                    argv = [_clean(vals[c][i]) if c else p["lits"][j]
+                            for j, c in enumerate(p["args"])]
+                    outs[ph].append(_step(p, s, argv, gate))
+        _save_state(state, st)
+        if len(pdf):
+            for ph, col in outs.items():
+                pdf[ph] = col
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    def _step(p, s, argv, gate):
+        nm = p["name"]
+        if nm == "lag":
+            # WHEN-gated rows don't update state; every row reads the
+            # last gated values (stream/analytic.go WHEN semantics)
+            n = int(argv[1]) if len(argv) > 1 and argv[1] is not None else 1
+            default = argv[2] if len(argv) > 2 else None
+            buf = s.setdefault("buf", [])
+            out = buf[-n] if len(buf) >= n else default
+            if gate:
+                buf.append(argv[0])
+                del buf[:-_LAG_CAP]
+            return out if out is not None else default
+        if nm == "latest":
+            default = argv[1] if len(argv) > 1 else None
+            if gate and argv[0] is not None:
+                s["v"] = argv[0]
+            return s.get("v", default)
+        if nm == "had_changed":
+            watched = argv[1:] if len(argv) > 1 else argv[:1]
+            prev = s.get("prev")
+            s["prev"] = watched
+            if prev is None:
+                return True  # first row counts as changed (reference)
+            return any(a != b for a, b in zip(prev, watched))
+        if nm == "changed_col":
+            watched = argv[1:] if len(argv) > 1 else []
+            names = s.setdefault("names", [f"c{j}" for j in range(len(watched))])
+            prev = s.get("prev")
+            s["prev"] = watched
+            if prev is None:
+                return None
+            for name, a, b in zip(names, prev, watched):
+                if a != b:
+                    return name
+            return None
+        if nm.startswith("acc_"):
+            # acc_x(expr[, startCond, resetCond]) — conditions are
+            # pre-evaluated into argv[1]/argv[2]; a literal start arg is
+            # ignored, matching the batch path (analytic_acc.go:8-122)
+            if len(argv) > 2 and argv[2]:
+                s.pop("acc", None)
+            has_start = len(p["args"]) > 1 and p["args"][1] is not None
+            if has_start:
+                if not s.get("started") and argv[1]:
+                    s["started"] = True
+                started = s.get("started", False)
+            else:
+                started = True
+            v = argv[0]
+            if gate and started and v is not None:
+                acc = s.get("acc")
+                if nm == "acc_sum":
+                    s["acc"] = (acc or 0) + v
+                elif nm == "acc_count":
+                    s["acc"] = (acc or 0) + 1
+                elif nm == "acc_min":
+                    s["acc"] = v if acc is None else min(acc, v)
+                elif nm == "acc_max":
+                    s["acc"] = v if acc is None else max(acc, v)
+                elif nm == "acc_avg":
+                    tot, cnt = acc or (0.0, 0)
+                    s["acc"] = (tot + v, cnt + 1)
+            acc = s.get("acc")
+            if nm == "acc_avg":
+                if acc is None:
+                    return None
+                tot, cnt = acc
+                return tot / cnt if cnt else None
+            return acc
+
+        raise ValueError(f"unsupported streaming analytic: {nm}")
+
+    kernel._step = _step  # noqa — exposed for unit tests
+
+    grouped = df.groupBy(*[F.col(c) for c in key_cols]) if key_cols \
+        else df.groupBy(F.lit(1).alias("__k__"))
+    if not key_cols:
+        out_schema2 = StructType([StructField("__k__", LongType())]
+                                 + list(out_schema.fields))
+
+        def kernel_nokey(key, pdf_iter, state, _inner=kernel):
+            for out in _inner(key, pdf_iter, state):
+                out.insert(0, "__k__", 1)
+                yield out
+        res = grouped.applyInPandasWithState(
+            kernel_nokey, out_schema2, _STATE_SCHEMA, "append", "NoTimeout")
+        return res.drop("__k__")
+    return grouped.applyInPandasWithState(
+        kernel, out_schema, _STATE_SCHEMA, "append", "NoTimeout")
+
+
+# -------------------------------------------------------------------- CEP
+
+_CEP_MAX_BUFFER = 10_000  # reference maxRunRows default (cep/engine.go:17-23)
+
+
+def cep_stream(spark, plan, df: DataFrame):
+    """Streaming MATCH_RECOGNIZE: per-key row tail buffer in state; the
+    batch matcher runs incrementally, emitting matches that can no longer
+    extend (see Matcher.find_emittable)."""
+    from ..cep.executor import build_cep_parts
+
+    parts = build_cep_parts(df, plan)
+    spec = parts["spec"]
+    out_schema = parts["out_schema"]
+    part_names = parts["part_names"]
+    ts_col = parts["ts_col"]
+    ts_is_time = parts["ts_is_time"]
+    within = parts["within"]
+    df = parts["df"]
+    measure_names = parts["measure_names"]
+    all_rows_mode = spec.rows_per_match == "all"
+
+    from ..cep.engine import Matcher
+
+    def kernel(key, pdf_iter, state):
+        import pandas as pd
+
+        pdf = _sorted_batch(pdf_iter, [ts_col])
+        st = _load_state(state) or {"rows": [], "mn": 0}
+        rows, mn = st["rows"], st["mn"]
+        if len(pdf):
+            for r in pdf.to_dict("records"):
+                rows.append({k: _clean(v) for k, v in r.items()})
+        if len(rows) > _CEP_MAX_BUFFER:
+            rows = rows[-_CEP_MAX_BUFFER:]
+        if ts_is_time:
+            ts_vals = [r[ts_col].timestamp() if r[ts_col] is not None else None
+                       for r in rows]
+            w = within
+        else:
+            ts_vals = [r.get(ts_col) for r in rows]
+            w = within * 1000 if within is not None else None
+
+        matcher = Matcher(spec, rows, ts_vals, w)
+        matcher.match_number = mn
+        matches, consumed = matcher.find_emittable(flush=False)
+        outs = []
+        for bindings in matches:
+            mn += 1
+            for m in matcher.measure_rows(bindings, mn):
+                if not all_rows_mode:
+                    m = {**dict(zip(part_names, key)), **m}
+                outs.append(m)
+        st = {"rows": rows[consumed:], "mn": mn}
+        _save_state(state, st)
+        if outs:
+            yield pd.DataFrame(outs, columns=[f.name for f in out_schema.fields])
+
+    grouped = df.groupBy(*[F.col(c) for c in part_names]) if part_names \
+        else df.groupBy(F.lit(1).alias("__g__"))
+    matched = grouped.applyInPandasWithState(
+        kernel, out_schema, _STATE_SCHEMA, "append", "NoTimeout")
+    return matched

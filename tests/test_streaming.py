@@ -1,0 +1,225 @@
+"""Structured Streaming path tests.
+
+Each test replays row batches through a file-source stream with
+Trigger.AvailableNow (deterministic, SURVEY §5 pattern) and compares
+against reference semantics; several also cross-check the batch
+executor on the same rows (stream/batch parity).
+"""
+
+import pytest
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from streamsql_spark.api.facade import StreamSQL
+from streamsql_spark.streaming.harness import run_streaming_collect
+
+EVT = StructType([
+    StructField("deviceId", StringType()),
+    StructField("temperature", DoubleType()),
+    StructField("humidity", DoubleType()),
+    StructField("ts", LongType()),
+    StructField("status", StringType()),
+])
+
+
+def _rows(*tuples):
+    return [{"deviceId": d, "temperature": t, "humidity": h, "ts": ts,
+             "status": s} for d, t, h, ts, s in tuples]
+
+
+def run_stream(spark, sql, batches, schema=EVT, tables=None):
+    s = StreamSQL(spark)
+    s.execute(sql)
+    if tables:
+        for name, rows in tables.items():
+            s.register_table(name, rows)
+    return run_streaming_collect(spark, s, batches, schema,
+                                 tables=s._tables)
+
+
+# ------------------------------------------------------------- direct mode
+def test_direct_filter_project(spark):
+    sql = ("SELECT deviceId, temperature * 1.8 + 32 AS f FROM stream "
+           "WHERE temperature > 20")
+    batches = [
+        _rows(("d1", 25.0, 60.0, 1000, "ok"), ("d2", 10.0, 50.0, 2000, "ok")),
+        _rows(("d3", 30.0, 70.0, 3000, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    got.sort(key=lambda r: r["deviceId"])
+    assert [(r["deviceId"], round(r["f"], 1)) for r in got] == \
+        [("d1", 77.0), ("d3", 86.0)]
+
+
+def test_direct_join_enrichment(spark):
+    sql = ("SELECT s.deviceId, s.temperature, m.location FROM stream s "
+           "INNER JOIN meta m ON s.deviceId = m.deviceId")
+    batches = [_rows(("d1", 25.0, 60.0, 1000, "ok"),
+                     ("dX", 30.0, 60.0, 2000, "ok"))]
+    tables = {"meta": [{"deviceId": "d1", "location": "hall"},
+                       {"deviceId": "d2", "location": "lab"}]}
+    got = run_stream(spark, sql, batches, tables=tables)
+    assert len(got) == 1
+    assert got[0]["deviceId"] == "d1" and got[0]["location"] == "hall"
+
+
+# --------------------------------------------------------- tumbling window
+def test_tumbling_window_append_emission(spark):
+    # watermark 0s: a window emits once an event beyond its end arrives
+    sql = ("SELECT deviceId, avg(temperature) AS avg_t FROM stream "
+           "GROUP BY deviceId, TumblingWindow('10s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    batches = [
+        _rows(("d1", 10.0, 0.0, 1000, "ok"), ("d1", 20.0, 0.0, 5000, "ok")),
+        _rows(("d1", 30.0, 0.0, 12000, "ok")),   # closes [0,10s) window
+        _rows(("d1", 40.0, 0.0, 25000, "ok")),   # closes [10,20s)
+    ]
+    got = run_stream(spark, sql, batches)
+    got.sort(key=lambda r: r["avg_t"])
+    # [0,10s) avg=15; [10,20s) avg=30; [20,30s) never closes (no later event)
+    assert [(r["deviceId"], r["avg_t"]) for r in got] == \
+        [("d1", 15.0), ("d1", 30.0)]
+
+
+def test_sliding_window_stream(spark):
+    sql = ("SELECT deviceId, sum(temperature) AS s FROM stream "
+           "GROUP BY deviceId, SlidingWindow('10s', '5s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    batches = [
+        _rows(("d1", 1.0, 0.0, 1000, "ok"), ("d1", 2.0, 0.0, 6000, "ok")),
+        _rows(("d1", 4.0, 0.0, 30000, "ok")),  # advances watermark, closes all
+    ]
+    got = run_stream(spark, sql, batches)
+    vals = sorted(r["s"] for r in got)
+    # windows [-5,5): 1.0; [0,10): 3.0; [5,15): 2.0
+    assert vals == [1.0, 2.0, 3.0]
+
+
+# --------------------------------------------------------- counting window
+def test_counting_window_state_across_batches(spark):
+    sql = ("SELECT deviceId, sum(temperature) AS s, count(*) AS n FROM stream "
+           "GROUP BY deviceId, CountingWindow(3)")
+    batches = [
+        _rows(("d1", 1.0, 0.0, 1000, "ok"), ("d1", 2.0, 0.0, 2000, "ok")),
+        _rows(("d1", 3.0, 0.0, 3000, "ok"),   # completes chunk 1 (1+2+3)
+              ("d1", 4.0, 0.0, 4000, "ok")),
+        _rows(("d1", 5.0, 0.0, 5000, "ok"), ("d1", 6.0, 0.0, 6000, "ok")),
+        # chunk 2 = 4+5+6; trailing nothing
+    ]
+    got = run_stream(spark, sql, batches)
+    got.sort(key=lambda r: r["s"])
+    assert [(r["s"], r["n"]) for r in got] == [(6.0, 3), (15.0, 3)]
+
+
+# ----------------------------------------------------- global trigger when
+def test_global_window_trigger_stream(spark):
+    sql = ("SELECT deviceId, sum(temperature) AS total FROM stream "
+           "GROUP BY deviceId GLOBAL WINDOW TRIGGER WHEN sum(temperature) >= 10")
+    batches = [
+        _rows(("d1", 4.0, 0.0, 1000, "ok"), ("d1", 5.0, 0.0, 2000, "ok")),
+        _rows(("d1", 3.0, 0.0, 3000, "ok")),   # 4+5+3=12 ≥ 10 → fire+purge
+        _rows(("d1", 11.0, 0.0, 4000, "ok")),  # 11 ≥ 10 → fire
+        _rows(("d1", 2.0, 0.0, 5000, "ok")),   # pending, never emits
+    ]
+    got = run_stream(spark, sql, batches)
+    got.sort(key=lambda r: r["total"])
+    assert [r["total"] for r in got] == [11.0, 12.0]
+
+
+# ----------------------------------------------------------- analytic state
+def test_analytic_lag_state_across_batches(spark):
+    sql = ("SELECT deviceId, temperature, "
+           "temperature - lag(temperature) OVER (PARTITION BY deviceId) AS delta "
+           "FROM stream")
+    batches = [
+        _rows(("d1", 10.0, 0.0, 1000, "ok"), ("d2", 100.0, 0.0, 1500, "ok")),
+        _rows(("d1", 15.0, 0.0, 2000, "ok")),
+        _rows(("d1", 12.0, 0.0, 3000, "ok"), ("d2", 90.0, 0.0, 3500, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    got.sort(key=lambda r: (r["deviceId"], r["temperature"] or 0))
+    by_dev = {}
+    for r in got:
+        by_dev.setdefault(r["deviceId"], []).append(r["delta"])
+    assert sorted(x for x in by_dev["d1"] if x is not None) == [-3.0, 5.0]
+    assert [x for x in by_dev["d2"] if x is not None] == [-10.0]
+
+
+def test_analytic_acc_sum_stream(spark):
+    sql = ("SELECT deviceId, acc_sum(temperature) OVER (PARTITION BY deviceId) "
+           "AS running FROM stream")
+    batches = [
+        _rows(("d1", 1.0, 0.0, 1000, "ok")),
+        _rows(("d1", 2.0, 0.0, 2000, "ok")),
+        _rows(("d1", 3.0, 0.0, 3000, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    assert sorted(r["running"] for r in got) == [1.0, 3.0, 6.0]
+
+
+def test_analytic_had_changed_stream(spark):
+    sql = ("SELECT deviceId, status, "
+           "had_changed(true, status) OVER (PARTITION BY deviceId) AS chg "
+           "FROM stream")
+    batches = [
+        _rows(("d1", 1.0, 0.0, 1000, "on")),
+        _rows(("d1", 1.0, 0.0, 2000, "on")),
+        _rows(("d1", 1.0, 0.0, 3000, "off")),
+    ]
+    got = run_stream(spark, sql, batches)
+    got.sort(key=lambda r: r["status"])
+    # ts order: on(True first row), on(False), off(True)
+    chgs = {r["ts"]: r["chg"] for r in got} if "ts" in (got[0] if got else {}) else None
+    trues = sum(1 for r in got if r["chg"])
+    assert len(got) == 3 and trues == 2
+
+
+# -------------------------------------------------------------- CEP stream
+def test_cep_stream_incremental(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES FIRST(A.ts) AS a_ts, LAST(B.ts) AS b_ts, COUNT(B.*) AS nb
+        ONE ROW PER MATCH
+        PATTERN (A B+)
+        DEFINE A AS temperature < 20, B AS temperature > 20
+    )"""
+    batches = [
+        _rows(("d1", 10.0, 0.0, 1000, "ok")),
+        _rows(("d1", 25.0, 0.0, 2000, "ok"), ("d1", 30.0, 0.0, 3000, "ok")),
+        # B+ still extendable — no emission yet
+        _rows(("d1", 5.0, 0.0, 4000, "ok")),   # breaks B+ → emit match 1
+        _rows(("d1", 28.0, 0.0, 5000, "ok"),
+              ("d1", 6.0, 0.0, 6000, "ok")),   # match 2 closes
+    ]
+    got = run_stream(spark, sql, batches)
+    got.sort(key=lambda r: r["a_ts"])
+    assert [(r["a_ts"], r["b_ts"], r["nb"]) for r in got] == \
+        [(1000, 3000, 2), (4000, 5000, 1)]
+
+
+# ------------------------------------------------- batch/stream parity
+def test_stream_batch_parity_window_agg(spark):
+    sql = ("SELECT deviceId, min(temperature) AS lo, max(temperature) AS hi, "
+           "count(*) AS n FROM stream "
+           "GROUP BY deviceId, TumblingWindow('5s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = _rows(
+        ("d1", 10.0, 0.0, 1000, "ok"), ("d2", 20.0, 0.0, 2000, "ok"),
+        ("d1", 12.0, 0.0, 4000, "ok"), ("d2", 22.0, 0.0, 6000, "ok"),
+        ("d1", 14.0, 0.0, 8000, "ok"), ("d1", 1.0, 0.0, 60000, "ok"),
+    )
+    # batch run
+    b = StreamSQL(spark)
+    b.execute(sql)
+    for r in rows:
+        b.emit(r)
+    batch_out = {(r["deviceId"], r["lo"], r["hi"], r["n"])
+                 for r in b.trigger_window()}
+    # stream run: one row per micro-batch; final row closes all windows
+    got = run_stream(spark, sql, [[r] for r in rows])
+    stream_out = {(r["deviceId"], r["lo"], r["hi"], r["n"]) for r in got}
+    # every streamed (closed) window must match the batch result exactly;
+    # the last window never closes in streaming (no later event)
+    assert stream_out <= batch_out
+    assert len(batch_out - stream_out) == 1  # only the final open window
