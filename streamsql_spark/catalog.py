@@ -747,6 +747,72 @@ _add("scalar_array", Entry(
     "§2.8 array functions (functions_array.go)"))
 
 
+# ===================================================================
+# §2.7 Complex event processing — MATCH_RECOGNIZE
+# ===================================================================
+# CEP is not ANSI-SQL-expressible in general, but these two patterns
+# have exact relational equivalents, giving the NFA engine a full
+# value-level oracle: adjacent pairs ≡ LAG, and greedy A{2,} with SKIP
+# PAST LAST ROW ≡ gaps-and-islands maximal runs.
+
+_add("cep_adjacent_pair", Entry(
+    _dialect("""
+        SELECT user_id, a_ts, b_ts, a_val, b_val FROM stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, B.ts AS b_ts,
+                     A.value AS a_val, B.value AS b_val
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS value > 80, B AS value < 20
+        )
+    """, "events"),
+    """
+    WITH w AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val
+        FROM events)
+    SELECT user_id, prev_ts AS a_ts, ts AS b_ts,
+           prev_val AS a_val, value AS b_val
+    FROM w WHERE prev_val > 80 AND value < 20
+    """,
+    "§2.7 MATCH_RECOGNIZE A B adjacent-pair pattern (cep/engine.go:374-461)"))
+
+_add("cep_burst_islands", Entry(
+    _dialect("""
+        SELECT user_id, start_ts, end_ts, n, round(avg_v, 4) AS avg_v
+        FROM stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.ts) AS start_ts, LAST(A.ts) AS end_ts,
+                     COUNT(*) AS n, AVG(value) AS avg_v
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A{2,})
+            DEFINE A AS value > 75
+        )
+    """, "events"),
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               CASE WHEN value > 75 THEN 1 ELSE 0 END AS hit
+        FROM events),
+    isl AS (
+        SELECT *, rn - row_number()
+                 OVER (PARTITION BY user_id, hit ORDER BY rn) AS grp
+        FROM seq WHERE hit = 1)
+    SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+           count(*) AS n, round(avg(value), 4) AS avg_v
+    FROM isl GROUP BY user_id, grp HAVING count(*) >= 2
+    """,
+    "§2.7 MATCH_RECOGNIZE greedy A{2,} burst ≡ maximal runs (cep/engine.go:492-552)"))
+
+
 def names() -> list[str]:
     return list(CATALOG)
 

@@ -1,0 +1,377 @@
+"""Batch-engine e2e tests porting the reference's test matrices
+(test/e2e/: select, null, case, analytic_cdc, window_tumbling,
+post_aggregation, join, function tests) onto the deterministic
+emit + trigger_window / emit_sync harness (SURVEY §5 pattern).
+"""
+
+import pytest
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from streamsql_spark.api.facade import StreamSQL
+
+
+def run_query(spark, sql, rows, tables=None, schema=None):
+    s = StreamSQL(spark, schema=schema)
+    s.execute(sql)
+    if tables:
+        for name, t in tables.items():
+            s.register_table(name, t)
+    for r in rows:
+        s.emit(r)
+    return s.trigger_window()
+
+
+# ------------------------------------------------------------ direct mode
+
+def test_select_arithmetic_case(spark):
+    # doc_cases_test.go:29-41 temp conversion
+    sql = ("SELECT deviceId, temperature * 1.8 + 32 AS temp_f, "
+           "CASE WHEN temperature > 30 THEN 'hot' "
+           "WHEN temperature > 20 THEN 'warm' ELSE 'cold' END AS level "
+           "FROM stream WHERE temperature > 0")
+    rows = [{"deviceId": "d1", "temperature": 35.0},
+            {"deviceId": "d2", "temperature": 25.0},
+            {"deviceId": "d3", "temperature": 10.0},
+            {"deviceId": "d4", "temperature": -5.0}]
+    out = run_query(spark, sql, rows)
+    out.sort(key=lambda r: r["deviceId"])
+    assert [(r["deviceId"], round(r["temp_f"], 1), r["level"]) for r in out] == \
+        [("d1", 95.0, "hot"), ("d2", 77.0, "warm"), ("d3", 50.0, "cold")]
+
+
+def test_is_null_filters(spark):
+    # null_test.go IS NULL / IS NOT NULL
+    schema = StructType([StructField("deviceId", StringType()),
+                         StructField("value", DoubleType())])
+    rows = [{"deviceId": "sensor1", "value": 25.5},
+            {"deviceId": "sensor2", "value": None},
+            {"deviceId": "sensor3", "value": 30.0},
+            {"deviceId": "sensor4", "value": None}]
+    out = run_query(spark, "SELECT deviceId, value FROM stream WHERE value IS NULL",
+                    rows, schema=schema)
+    assert sorted(r["deviceId"] for r in out) == ["sensor2", "sensor4"]
+    out = run_query(spark,
+                    "SELECT deviceId, value FROM stream WHERE value IS NOT NULL",
+                    rows, schema=schema)
+    assert sorted(r["deviceId"] for r in out) == ["sensor1", "sensor3"]
+
+
+def test_like_predicates(spark):
+    # like_test.go
+    rows = [{"name": "temperature_01"}, {"name": "humidity_01"},
+            {"name": "temp_probe"}, {"name": "pressure"}]
+    out = run_query(spark, "SELECT name FROM stream WHERE name LIKE 'temp%'", rows)
+    assert sorted(r["name"] for r in out) == ["temp_probe", "temperature_01"]
+    out = run_query(spark, "SELECT name FROM stream WHERE name LIKE '%_01'", rows)
+    assert sorted(r["name"] for r in out) == ["humidity_01", "temperature_01"]
+
+
+def test_nested_struct_field_access(spark):
+    # nested_field_test.go — dot paths over struct columns
+    schema = StructType([
+        StructField("deviceId", StringType()),
+        StructField("device", StructType([
+            StructField("info", StructType([
+                StructField("name", StringType()),
+                StructField("type", StringType()),
+            ])),
+        ])),
+        StructField("temperature", DoubleType()),
+    ])
+    rows = [
+        {"deviceId": "d1",
+         "device": {"info": {"name": "probe-A", "type": "thermal"}},
+         "temperature": 25.0},
+        {"deviceId": "d2",
+         "device": {"info": {"name": "probe-B", "type": "optical"}},
+         "temperature": 30.0},
+    ]
+    sql = ("SELECT deviceId, device.info.name AS sensor_name, temperature "
+           "FROM stream WHERE device.info.type = 'thermal'")
+    out = run_query(spark, sql, rows, schema=schema)
+    assert out == [{"deviceId": "d1", "sensor_name": "probe-A",
+                    "temperature": 25.0}]
+
+
+def test_unnest_explode(spark):
+    # functions_multirow.go unnest fan-out
+    sql = "SELECT deviceId, unnest(readings) AS r FROM stream"
+    rows = [{"deviceId": "d1", "readings": [1.0, 2.0]},
+            {"deviceId": "d2", "readings": [3.0]}]
+    out = run_query(spark, sql, rows)
+    out.sort(key=lambda r: r["r"])
+    assert [(r["deviceId"], r["r"]) for r in out] == \
+        [("d1", 1.0), ("d1", 2.0), ("d2", 3.0)]
+
+
+def test_distinct_order_limit(spark):
+    sql = ("SELECT status FROM stream WHERE n > 0 "
+           "ORDER BY status LIMIT 2")
+    rows = [{"status": "c", "n": 1}, {"status": "a", "n": 2},
+            {"status": "b", "n": 3}, {"status": "a", "n": 4}]
+    out = run_query(spark, sql, rows)
+    assert [r["status"] for r in out] == ["a", "a"]
+    sql2 = "SELECT DISTINCT status FROM stream ORDER BY status LIMIT 2"
+    out2 = run_query(spark, sql2, rows)
+    assert [r["status"] for r in out2] == ["a", "b"]
+
+
+# -------------------------------------------------------------- emit_sync
+
+def test_emit_sync_direct(spark):
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, temperature FROM stream WHERE temperature > 21")
+    assert s.emit_sync({"deviceId": "d1", "temperature": 25.0}) == \
+        {"deviceId": "d1", "temperature": 25.0}
+    assert s.emit_sync({"deviceId": "d2", "temperature": 18.0}) is None
+
+
+def test_emit_sync_lag_state(spark):
+    # analytic_cdc_test.go TestAnalytic_LagInSelect
+    s = StreamSQL(spark)
+    s.execute("SELECT temperature, lag(temperature) AS prev FROM stream "
+              "WITH (TIMESTAMP='ts')")
+    r1 = s.emit_sync({"temperature": 23.0, "ts": 1})
+    assert r1["prev"] is None
+    r2 = s.emit_sync({"temperature": 25.0, "ts": 2})
+    assert r2["prev"] == 23.0
+    r3 = s.emit_sync({"temperature": 27.0, "ts": 3})
+    assert r3["prev"] == 25.0
+
+
+def test_emit_sync_lag_in_where_partitioned(spark):
+    # analytic_cdc_test.go TestAnalytic_CDC_LagInWhere_PartitionBy
+    s = StreamSQL(spark)
+    s.execute("SELECT current, deviceId, ts FROM stream WHERE current > 300 "
+              "AND lag(current) OVER (PARTITION BY deviceId) < 300 "
+              "WITH (TIMESTAMP='ts')")
+    inputs = [
+        {"current": 300, "ts": 1, "deviceId": 1},
+        {"current": 400, "ts": 2, "deviceId": 2},
+        {"current": 200, "ts": 3, "deviceId": 1},
+        {"current": 200, "ts": 4, "deviceId": 2},
+        {"current": 500, "ts": 5, "deviceId": 1},
+        {"current": 200, "ts": 6, "deviceId": 2},
+        {"current": 400, "ts": 7, "deviceId": 1},
+        {"current": 600, "ts": 8, "deviceId": 2},
+    ]
+    outs = [r for r in (s.emit_sync(i) for i in inputs) if r is not None]
+    assert [(r["current"], r["deviceId"]) for r in outs] == [(500, 1), (600, 2)]
+
+
+def test_emit_sync_had_changed_in_where(spark):
+    # TestAnalytic_HadChangedInWhere: first row counts as changed
+    s = StreamSQL(spark)
+    s.execute("SELECT ts, temperature FROM stream "
+              "WHERE had_changed(true, temperature) = true WITH (TIMESTAMP='ts')")
+    inputs = [{"ts": 1, "temperature": 23}, {"ts": 2, "temperature": 23},
+              {"ts": 3, "temperature": 25}, {"ts": 4, "temperature": 25},
+              {"ts": 5, "temperature": 27}]
+    outs = [r for r in (s.emit_sync(i) for i in inputs) if r is not None]
+    assert [r["ts"] for r in outs] == [1, 3, 5]
+
+
+def test_emit_sync_latest_ignores_null(spark):
+    # TestAnalytic_Latest: nil does not update state
+    schema = StructType([StructField("temperature", DoubleType()),
+                         StructField("ts", LongType())])
+    s = StreamSQL(spark, schema=schema)
+    s.execute("SELECT latest(temperature) AS lt FROM stream WITH (TIMESTAMP='ts')")
+    assert s.emit_sync({"temperature": 23.0, "ts": 1})["lt"] == 23.0
+    assert s.emit_sync({"temperature": 25.0, "ts": 2})["lt"] == 25.0
+    assert s.emit_sync({"temperature": None, "ts": 3})["lt"] == 25.0
+
+
+def test_acc_sum_running(spark):
+    sql = ("SELECT deviceId, ts, acc_sum(v) OVER (PARTITION BY deviceId) AS run "
+           "FROM stream WITH (TIMESTAMP='ts')")
+    rows = [{"deviceId": "a", "v": 1.0, "ts": 1},
+            {"deviceId": "b", "v": 10.0, "ts": 2},
+            {"deviceId": "a", "v": 2.0, "ts": 3},
+            {"deviceId": "a", "v": 3.0, "ts": 4},
+            {"deviceId": "b", "v": 20.0, "ts": 5}]
+    out = run_query(spark, sql, rows)
+    out.sort(key=lambda r: r["ts"])
+    assert [r["run"] for r in out] == [1.0, 10.0, 3.0, 6.0, 30.0]
+
+
+# ----------------------------------------------------------- aggregation
+
+def test_tumbling_event_time_alignment(spark):
+    # epoch-aligned slots (window/watermark.go:226-239)
+    sql = ("SELECT deviceId, count(*) AS n, avg(t) AS avg_t, "
+           "window_start() AS ws FROM stream "
+           "GROUP BY deviceId, TumblingWindow('10s') WITH (TIMESTAMP='ts')")
+    rows = [{"deviceId": "d1", "t": 10.0, "ts": 1_000},
+            {"deviceId": "d1", "t": 20.0, "ts": 9_000},
+            {"deviceId": "d1", "t": 30.0, "ts": 11_000},
+            {"deviceId": "d1", "t": 40.0, "ts": 21_000}]
+    out = run_query(spark, sql, rows)
+    out.sort(key=lambda r: r["ws"])
+    assert [(r["n"], r["avg_t"]) for r in out] == [(2, 15.0), (1, 30.0), (1, 40.0)]
+
+
+def test_aggregates_skip_null(spark):
+    # aggregator null policy (group_aggregator.go:311-314)
+    schema = StructType([StructField("k", StringType()),
+                         StructField("v", DoubleType()),
+                         StructField("ts", LongType())])
+    sql = ("SELECT k, sum(v) AS s, count(v) AS c, count(*) AS n, "
+           "min(v) AS lo, max(v) AS hi "
+           "FROM stream GROUP BY k, TumblingWindow('1h') WITH (TIMESTAMP='ts')")
+    rows = [{"k": "a", "v": 1.0, "ts": 1000},
+            {"k": "a", "v": None, "ts": 2000},
+            {"k": "a", "v": 3.0, "ts": 3000}]
+    out = run_query(spark, sql, rows, schema=schema)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["s"], r["c"], r["n"], r["lo"], r["hi"]) == (4.0, 2, 3, 1.0, 3.0)
+
+
+def test_post_aggregation_expressions(spark):
+    # post_aggregation.go: expressions over aggregate results
+    sql = ("SELECT deviceId, round(avg(t), 1) AS a, "
+           "max(t) - min(t) AS spread, "
+           "last_value(t) - first_value(t) AS delta "
+           "FROM stream GROUP BY deviceId, TumblingWindow('1h') "
+           "WITH (TIMESTAMP='ts')")
+    rows = [{"deviceId": "d", "t": 10.0, "ts": 1000},
+            {"deviceId": "d", "t": 17.0, "ts": 2000},
+            {"deviceId": "d", "t": 14.0, "ts": 3000}]
+    out = run_query(spark, sql, rows)
+    assert out == [{"deviceId": "d", "a": 13.7, "spread": 7.0, "delta": 4.0}]
+
+
+def test_having_hidden_aggregate(spark):
+    # HAVING referencing an aggregate not in SELECT (rsql/ast.go:561-623)
+    # reference clause order: GROUP BY → WITH → HAVING (rsql/parser.go)
+    sql = ("SELECT deviceId, avg(t) AS a FROM stream "
+           "GROUP BY deviceId, TumblingWindow('1h') "
+           "WITH (TIMESTAMP='ts') HAVING count(*) >= 2")
+    rows = [{"deviceId": "d1", "t": 10.0, "ts": 1000},
+            {"deviceId": "d1", "t": 20.0, "ts": 2000},
+            {"deviceId": "d2", "t": 99.0, "ts": 3000}]
+    out = run_query(spark, sql, rows)
+    assert len(out) == 1 and out[0]["deviceId"] == "d1" and out[0]["a"] == 15.0
+    assert "count" not in str(out[0].keys())
+
+
+def test_agg_without_window_defaults(spark):
+    # aggregate with plain GROUP BY (no window) — batch relational agg
+    sql = "SELECT k, sum(v) AS s FROM stream GROUP BY k"
+    rows = [{"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "a", "v": 3}]
+    out = run_query(spark, sql, rows)
+    out.sort(key=lambda r: r["k"])
+    assert [(r["k"], r["s"]) for r in out] == [("a", 4.0), ("b", 2.0)]
+
+
+def test_counting_window_batch(spark):
+    # window/counting_window.go: emit every N rows per key; drop partials
+    sql = ("SELECT deviceId, sum(v) AS s FROM stream "
+           "GROUP BY deviceId, CountingWindow(2) WITH (TIMESTAMP='ts')")
+    rows = [{"deviceId": "d", "v": 1.0, "ts": 1},
+            {"deviceId": "d", "v": 2.0, "ts": 2},
+            {"deviceId": "d", "v": 3.0, "ts": 3},
+            {"deviceId": "d", "v": 4.0, "ts": 4},
+            {"deviceId": "d", "v": 5.0, "ts": 5}]
+    out = run_query(spark, sql, rows)
+    assert sorted(r["s"] for r in out) == [3.0, 7.0]  # (1+2), (3+4); 5 pending
+
+
+def test_global_window_trigger_batch(spark):
+    # window/global_window.go FIRE_AND_PURGE
+    sql = ("SELECT deviceId, sum(v) AS total FROM stream "
+           "GROUP BY deviceId GLOBAL WINDOW TRIGGER WHEN sum(v) >= 10 "
+           "WITH (TIMESTAMP='ts')")
+    rows = [{"deviceId": "d", "v": 4.0, "ts": 1},
+            {"deviceId": "d", "v": 5.0, "ts": 2},
+            {"deviceId": "d", "v": 3.0, "ts": 3},   # 12 → fire
+            {"deviceId": "d", "v": 11.0, "ts": 4},  # 11 → fire
+            {"deviceId": "d", "v": 2.0, "ts": 5}]   # pending
+    out = run_query(spark, sql, rows)
+    assert sorted(r["total"] for r in out) == [11.0, 12.0]
+
+
+def test_session_window_batch(spark):
+    sql = ("SELECT deviceId, count(*) AS n FROM stream "
+           "GROUP BY deviceId, SessionWindow('5s') WITH (TIMESTAMP='ts')")
+    rows = [{"deviceId": "d", "ts": 1_000},
+            {"deviceId": "d", "ts": 3_000},
+            {"deviceId": "d", "ts": 20_000},
+            {"deviceId": "d", "ts": 22_000},
+            {"deviceId": "d", "ts": 23_000}]
+    out = run_query(spark, sql, rows)
+    assert sorted(r["n"] for r in out) == [2, 3]
+
+
+# ----------------------------------------------------------------- joins
+
+def test_inner_join_enrichment(spark):
+    # join_test.go: stream-table INNER JOIN drops unmatched
+    sql = ("SELECT s.deviceId, s.t, m.location FROM stream s "
+           "INNER JOIN meta m ON s.deviceId = m.deviceId")
+    rows = [{"deviceId": "d1", "t": 20.0}, {"deviceId": "dX", "t": 30.0}]
+    meta = [{"deviceId": "d1", "location": "hall"},
+            {"deviceId": "d2", "location": "lab"}]
+    out = run_query(spark, sql, rows, tables={"meta": meta})
+    assert out == [{"deviceId": "d1", "t": 20.0, "location": "hall"}]
+
+
+def test_left_join_null_columns(spark):
+    # join.go:58-62: LEFT JOIN no-match → NULL columns
+    sql = ("SELECT s.deviceId, m.location FROM stream s "
+           "LEFT JOIN meta m ON s.deviceId = m.deviceId")
+    rows = [{"deviceId": "d1"}, {"deviceId": "dX"}]
+    meta = [{"deviceId": "d1", "location": "hall"}]
+    out = run_query(spark, sql, rows, tables={"meta": meta})
+    out.sort(key=lambda r: r["deviceId"])
+    assert out == [{"deviceId": "d1", "location": "hall"},
+                   {"deviceId": "dX", "location": None}]
+
+
+def test_left_join_null_group_collapse(spark):
+    # group_aggregator.go:14-22: NULL group keys collapse into one group
+    sql = ("SELECT m.region AS region, count(*) AS n FROM stream s "
+           "LEFT JOIN meta m ON s.deviceId = m.deviceId "
+           "GROUP BY m.region, TumblingWindow('1h') WITH (TIMESTAMP='ts')")
+    rows = [{"deviceId": "d1", "ts": 1000}, {"deviceId": "dX", "ts": 2000},
+            {"deviceId": "dY", "ts": 3000}]
+    meta = [{"deviceId": "d1", "region": "east"}]
+    out = run_query(spark, sql, rows, tables={"meta": meta})
+    got = {r["region"]: r["n"] for r in out}
+    assert got == {"east": 1, None: 2}
+
+
+def test_join_composite_keys(spark):
+    sql = ("SELECT s.a, s.b, m.v FROM stream s "
+           "INNER JOIN meta m ON s.a = m.a AND s.b = m.b")
+    rows = [{"a": 1, "b": "x"}, {"a": 1, "b": "y"}]
+    meta = [{"a": 1, "b": "x", "v": 100}]
+    out = run_query(spark, sql, rows, tables={"meta": meta})
+    assert out == [{"a": 1, "b": "x", "v": 100}]
+
+
+# ------------------------------------------------------- scalar functions
+
+def test_scalar_function_mix(spark):
+    sql = ("SELECT upper(name) AS u, length(name) AS l, "
+           "concat(name, '!') AS c, round(sqrt(x), 3) AS sq, "
+           "if_null(missing, 'dflt') AS d "
+           "FROM stream")
+    schema = StructType([StructField("name", StringType()),
+                         StructField("x", DoubleType()),
+                         StructField("missing", StringType())])
+    rows = [{"name": "probe", "x": 2.0, "missing": None}]
+    out = run_query(spark, sql, rows, schema=schema)
+    assert out == [{"u": "PROBE", "l": 5, "c": "probe!", "sq": 1.414,
+                    "d": "dflt"}]
+
+
+def test_custom_function_registration(spark):
+    # functions/registry.go:239-288 runtime registration
+    s = StreamSQL(spark)
+    s.register_function("double_it", lambda x: x * 2, "double")
+    s.execute("SELECT double_it(v) AS dv FROM stream")
+    s.emit({"v": 21.0})
+    assert s.trigger_window() == [{"dv": 42.0}]
