@@ -40,7 +40,16 @@ def _run_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.5)
 
 
-_MINHASH_ORACLE = r"""
+def _minhash_oracle_consts() -> str:
+    from .operators.dedup import _mh_consts
+    a, b = _mh_consts(12)
+    return (f"[{', '.join(str(x) for x in a)}]",
+            f"[{', '.join(str(x) for x in b)}]")
+
+
+_MH_A, _MH_B = _minhash_oracle_consts()
+
+_MINHASH_ORACLE = rf"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sh AS (
@@ -48,12 +57,17 @@ WITH toks AS (
          list_transform(range(0, greatest(len(w) - 3, 0) + 1),
                         i -> array_to_string(w[i+1:i+3], ' ')) AS shingles
   FROM toks
+), base AS (
+  SELECT doc_id,
+         list_transform(shingles, s ->
+           ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+  FROM sh
 ), sig AS (
   SELECT doc_id,
          list_transform(range(0, 12), i ->
-           list_min(list_transform(shingles, s ->
-             ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT))) AS sig
-  FROM sh
+           list_min(list_transform(hs, h ->
+             (({_MH_A}[i+1] * h + {_MH_B}[i+1]) % 2147483647)))) AS sig
+  FROM base
 ), banded AS (
   SELECT doc_id, sig, b.band,
          md5(array_to_string(list_transform(range(1, 4),

@@ -53,20 +53,37 @@ def shingles(text_col: str, k: int = 3) -> str:
             f"i -> array_join(slice({toks}, i + 1, {k}), ' '))")
 
 
+# Affine MinHash family over a 28-bit md5 base hash:
+#   h_i(s) = (A_i * base(s) + B_i) mod P,  P = 2^31 - 1 (prime)
+# base < 2^28 and A_i,B_i < 2^30 keep every product within 2^59 — no
+# 64-bit overflow, so Spark and DuckDB (which errors on overflow)
+# compute bit-identical values.  One md5 per shingle total, instead of
+# one per shingle per hash function.
+_MH_P = 2_147_483_647
+_MH_BASE = "CAST(conv(substring(md5({expr}), 1, 7), 16, 10) AS BIGINT)"
+
+
+def _mh_consts(num_hashes: int) -> tuple[list[int], list[int]]:
+    a = [((0x9E3779B1 * (i + 1)) % (1 << 30)) | 1 for i in range(num_hashes)]
+    b = [(0x85EBCA77 * (i + 1)) % (1 << 30) for i in range(num_hashes)]
+    return a, b
+
+
 def minhash_signature_cols(text_col: str, num_hashes: int, k: int = 3) -> list[str]:
     """SQL fragments: per-document minhash_i over word k-shingles.
 
-    Stays entirely JVM-side: transform + aggregate over the shingle
-    array, no explode needed for signature computation.
+    Stays entirely JVM-side: one base-hash pass over the shingle array,
+    then ``num_hashes`` cheap integer min-folds — no explode, no shuffle.
     """
     sh = shingles(text_col, k)
+    base = f"transform({sh}, s -> {_MH_BASE.format(expr='s')})"
+    av, bv = _mh_consts(num_hashes)
     cols = []
     for i in range(num_hashes):
-        h = _h(f"concat('{i}:', s)")
         cols.append(
-            f"aggregate(transform({sh}, s -> {h}), "
+            f"aggregate(transform(__mh_base__, h -> ({av[i]}L * h + {bv[i]}L) % {_MH_P}), "
             f"CAST(9223372036854775807 AS BIGINT), (acc, x) -> least(acc, x))")
-    return cols
+    return [base] + cols
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -87,11 +104,11 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     skew-join splitting.
     """
     rows_per_band = num_hashes // bands
-    sig_cols = minhash_signature_cols(text_col, num_hashes, shingle_k)
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array(*[F.expr(c) for c in sig_cols]).alias("sig"),
-    )
+    base, *sig_cols = minhash_signature_cols(text_col, num_hashes, shingle_k)
+    sig = (df.select(F.col(id_col).alias("doc_id"),
+                     F.expr(base).alias("__mh_base__"))
+             .select("doc_id",
+                     F.array(*[F.expr(c) for c in sig_cols]).alias("sig")))
     band_exprs = []
     for b in range(bands):
         lo = b * rows_per_band
