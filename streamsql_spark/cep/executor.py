@@ -77,6 +77,51 @@ def _measure_type(e: N.Expr, schema: dict[str, DataType]) -> DataType:
     return StringType()
 
 
+def _referenced_columns(spec: N.MatchSpec, columns: list[str]) -> set[str]:
+    """Input columns the pattern/measures actually read — the kernel
+    prunes to these (column pruning can't see through applyInPandas,
+    so we do it explicitly; at scale this keeps wide rows out of the
+    Arrow transfer and the per-row Python dicts)."""
+    symbols = set(spec.defines) | set(spec.subsets)
+    for sub in spec.subsets.values():
+        symbols.update(sub)
+    for p in _pattern_symbols(spec.pattern):
+        symbols.add(p)
+    refs: set[str] = set()
+
+    def visit(e):
+        for node in N.walk(e):
+            if isinstance(node, N.Col):
+                parts = [p for p in node.parts if isinstance(p, str)]
+                if not parts:
+                    continue
+                if parts[0] in symbols and len(parts) > 1:
+                    refs.add(parts[1])
+                else:
+                    refs.add(parts[0])
+
+    for m in spec.measures:
+        visit(m.expr)
+    for cond in spec.defines.values():
+        visit(cond)
+    return {c for c in refs if c in set(columns)}
+
+
+def _pattern_symbols(pat) -> list[str]:
+    if pat is None:
+        return []
+    out = []
+    for node in [pat]:
+        if isinstance(node, N.PSym):
+            out.append(node.name)
+        elif isinstance(node, (N.PSeq, N.PAlt, N.PPermute)):
+            for it in node.items:
+                out.extend(_pattern_symbols(it))
+        elif isinstance(node, N.PQuant):
+            out.extend(_pattern_symbols(node.item))
+    return out
+
+
 def build_cep_parts(df: DataFrame, plan) -> dict:
     """Shared MATCH_RECOGNIZE prep for the batch and streaming executors:
     WHERE pushdown, partition-key materialization, output schema, event
@@ -95,6 +140,17 @@ def build_cep_parts(df: DataFrame, plan) -> dict:
     if ts_col not in in_schema:
         raise ValueError(f"MATCH_RECOGNIZE ORDER BY column {ts_col!r} "
                          f"not found in input columns {sorted(in_schema)}")
+
+    if spec.rows_per_match != "all":
+        # ONE ROW PER MATCH exposes only measures — prune the kernel's
+        # input to columns the pattern actually reads
+        needed = _referenced_columns(spec, df.columns)
+        needed.update(c for c in order_sqls if c in in_schema)
+        needed.update(p for p in part_sqls if p in in_schema)
+        keep = [c for c in df.columns if c in needed]
+        if keep and len(keep) < len(df.columns):
+            df = df.select(*keep)
+            in_schema = {f.name: f.dataType for f in df.schema.fields}
     fields = []
     part_names = []
     for i, psql in enumerate(part_sqls):
@@ -140,10 +196,12 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
     all_rows = spec.rows_per_match == "all"
     spec_ser = spec  # captured by closure (plain dataclasses — picklable)
 
-    def kernel(pdf):
+    names = [f.name for f in out_schema.fields]
+
+    def run_group(pdf):
+        """One ordered partition (already sorted) → measure-row dicts."""
         import pandas as pd
 
-        pdf = pdf.sort_values(order_cols or [ts_col], kind="mergesort")
         rows = pdf.to_dict("records")
         if ts_is_time:
             ts_vals = [r[ts_col].timestamp() if pd.notna(r[ts_col]) else None
@@ -154,18 +212,43 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
             # numeric event time: reference default unit is ms
             within = within_s * 1000 if within_s is not None else None
         out = run_partition(spec_ser, rows, ts_vals, within)
-        names = [f.name for f in out_schema.fields]
-        res = pd.DataFrame(out, columns=names if all_rows else measure_names)
-        if not all_rows:
-            for name in part_names:
-                res.insert(0, name, rows[0][name] if rows else None)
-        return res[names]
+        if not all_rows and out:
+            head = {name: rows[0][name] for name in part_names}
+            out = [{**head, **m} for m in out]
+        return out
 
     if part_names:
-        grouped = df.groupBy(*[F.col(c) for c in part_names])
+        # One shuffle co-locates each key's rows; mapInPandas then walks
+        # MANY keys per Python roundtrip (vs applyInPandas' call-per-key
+        # overhead — at 1M tiny keys that's the difference between a few
+        # hundred pandas invocations and a million).
+        parted = (df.repartition(*[F.col(c) for c in part_names])
+                    .sortWithinPartitions(*part_names,
+                                          *(order_cols or [ts_col])))
+
+        def map_groups(batch_iter):
+            import pandas as pd
+
+            parts_acc = [p for p in batch_iter if len(p)]
+            if not parts_acc:
+                return
+            pdf = pd.concat(parts_acc, ignore_index=True)
+            outs = []
+            for _, g in pdf.groupby(part_names, sort=False, dropna=False):
+                outs.extend(run_group(g))
+            if outs:
+                yield pd.DataFrame(outs, columns=names)
+
+        matched = parted.mapInPandas(map_groups, schema=out_schema)
     else:
-        grouped = df.groupBy(F.lit(1).alias("__g__"))
-    matched = grouped.applyInPandas(kernel, schema=out_schema)
+        def kernel(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(order_cols or [ts_col], kind="mergesort")
+            return pd.DataFrame(run_group(pdf), columns=names)
+
+        matched = df.groupBy(F.lit(1).alias("__g__")) \
+                    .applyInPandas(kernel, schema=out_schema)
 
     # outer SELECT over measure rows
     out_cols = []
