@@ -14,5 +14,15 @@ from .dialect.planner import plan
 from .engine.batch import BatchExecutor
 from .session import get_spark, load_tables
 
-__all__ = ["StreamSQL", "parse", "plan", "BatchExecutor", "get_spark", "load_tables"]
+
+def __getattr__(name):
+    # lazy: streaming pulls in pandas/pyarrow kernels
+    if name == "StreamingExecutor":
+        from .streaming.executor import StreamingExecutor
+        return StreamingExecutor
+    raise AttributeError(name)
+
+
+__all__ = ["StreamSQL", "StreamingExecutor", "parse", "plan", "BatchExecutor",
+           "get_spark", "load_tables"]
 __version__ = "0.1.0"

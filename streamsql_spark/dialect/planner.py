@@ -98,6 +98,11 @@ class Planner:
 
         def fn(node: N.Expr) -> N.Expr:
             if isinstance(node, N.Func) and registry.is_analytic(node.name):
+                if node.name.lower() == "changed_cols":
+                    # multi-column output can't embed in a scalar
+                    # expression (analytic_acc.go:201-203)
+                    raise PlanError("changed_cols must be a standalone "
+                                    "SELECT field")
                 ph = f"__analytic_{len(self.analytics)}__"
                 over = node.over or N.OverSpec()
                 part_sql = [render(p) for p in over.partition_by]
@@ -173,12 +178,38 @@ class Planner:
         plan.uses_window_end = self.uses_window_end
         return plan
 
+    def _expand_changed_cols(self, plan: QueryPlan, call: N.Func) -> None:
+        """changed_cols(prefix, ignoreNull, cols...) fans out to one
+        typed output column per watched column (prefix+name), NULL when
+        unchanged — the fixed-schema rendering of the reference's
+        dynamic multi-column output (analytic_acc.go:195-205,
+        stream/analytic.go:236-290)."""
+        if len(call.args) < 3:
+            raise PlanError("changed_cols(prefix, ignoreNull, col...) "
+                            "needs at least 3 arguments")
+        prefix = call.args[0].value if isinstance(call.args[0], N.Lit) else ""
+        over = call.over or N.OverSpec()
+        part_sql = [render(p) for p in over.partition_by]
+        when_sql = render(over.when) if over.when is not None else None
+        for a in call.args[2:]:
+            if isinstance(a, N.Lit) and a.value == "*":
+                raise PlanError("changed_cols(..., \"*\") needs a declared "
+                                "schema — list the columns explicitly")
+            colname = a.name if isinstance(a, N.Col) else render(a)
+            ph = f"__analytic_{len(self.analytics)}__"
+            synth = N.Func(name="__changed_value__", args=[a])
+            self.analytics.append(AnalyticSpec(ph, synth, part_sql, when_sql))
+            plan.outputs.append(OutputField(name=f"{prefix}{colname}", sql=ph))
+
     def _plan_direct(self, plan: QueryPlan) -> None:
         stmt = self.stmt
         for i, f in enumerate(stmt.fields):
             if isinstance(f.expr, N.Star):
                 plan.outputs.append(OutputField(name="*", star=True,
                                                 star_qualifier=f.expr.qualifier))
+                continue
+            if isinstance(f.expr, N.Func) and f.expr.name.lower() == "changed_cols":
+                self._expand_changed_cols(plan, f.expr)
                 continue
             e = self._lift_analytics(f.expr)
             name = f.alias or _default_name(f.expr, i)

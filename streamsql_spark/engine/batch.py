@@ -169,6 +169,13 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column]) -> Column:
             result = F.when(~prev.eqNullSafe(c), F.lit(colname)).otherwise(result)
         return result
 
+    if name == "__changed_value__":
+        # changed_cols fan-out member: the value when it changed vs the
+        # previous row (first row counts as changed), else NULL
+        c = arg(0)
+        prev = F.lag(c).over(w)
+        return F.when(~prev.eqNullSafe(c), c)
+
     if name in ("acc_sum", "acc_max", "acc_min", "acc_count", "acc_avg"):
         x = arg(0)
         if when_sql is not None:

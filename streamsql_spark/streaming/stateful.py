@@ -437,6 +437,10 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                 if a != b:
                     return name
             return None
+        if nm == "__changed_value__":
+            prev = s.get("prev", ...)
+            s["prev"] = argv[0]
+            return argv[0] if (prev is ... or prev != argv[0]) else None
         if nm.startswith("acc_"):
             # acc_x(expr[, startCond, resetCond]) — conditions are
             # pre-evaluated into argv[1]/argv[2]; a literal start arg is

@@ -375,3 +375,35 @@ def test_custom_function_registration(spark):
     s.execute("SELECT double_it(v) AS dv FROM stream")
     s.emit({"v": 21.0})
     assert s.trigger_window() == [{"dv": 42.0}]
+
+
+def test_changed_cols_fanout(spark):
+    # analytic_parity_test.go E2: multi-column fan-out with prefix;
+    # fixed-schema rendering: unchanged → NULL (reference omits the key)
+    sql = ('SELECT changed_cols("c_", true, temperature, humidity) '
+           "FROM stream WITH (TIMESTAMP='ts')")
+    rows = [{"ts": 1, "temperature": 23, "humidity": 88},
+            {"ts": 2, "temperature": 23, "humidity": 88},
+            {"ts": 3, "temperature": 23, "humidity": 88},
+            {"ts": 4, "temperature": 25, "humidity": 88},
+            {"ts": 5, "temperature": 25, "humidity": 90},
+            {"ts": 6, "temperature": 25, "humidity": 91},
+            {"ts": 7, "temperature": 25, "humidity": 91},
+            {"ts": 8, "temperature": 25, "humidity": 91}]
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in rows:
+        s.emit(r)
+    out = s.trigger_window()
+    changed = [(r["c_temperature"], r["c_humidity"]) for r in out
+               if r["c_temperature"] is not None or r["c_humidity"] is not None]
+    assert sorted(changed, key=lambda t: (t[0] is None, t)) == \
+        [(23, 88), (25, None), (None, 90), (None, 91)]
+
+
+def test_changed_cols_rejected_in_expression(spark):
+    from streamsql_spark.dialect.parser import parse
+    from streamsql_spark.dialect.planner import PlanError, plan as make_plan
+    with pytest.raises(PlanError):
+        make_plan(parse(
+            'SELECT changed_cols("c_", true, temperature) + 1 AS x FROM stream'))
