@@ -237,6 +237,13 @@ class StreamSQL:
         """Custom scalar UDF (functions/registry.go:239-288)."""
         _register_function(self.spark, name, fn, return_type)
 
+    def register_aggregate_function(self, name: str, fn,
+                                    return_type="double") -> None:
+        """Custom UDAF: fn(pandas.Series) -> scalar
+        (functions/aggregator_interface.go:5-18)."""
+        from ..functions.registry import register_aggregate_function
+        register_aggregate_function(self.spark, name, fn, return_type)
+
     def stop(self) -> None:
         if self._buffer and self._plan is not None and self._plan.mode == "window":
             self.trigger_window()

@@ -113,11 +113,72 @@ class Planner:
 
         return N.transform(e, fn)
 
+    # -------------------------------------------------------- validation
+    def _validate(self) -> None:
+        """Parse-time rejection matrix (rsql/ast.go semantic checks,
+        sql_check_test.go): nested analytics/aggregates, alias
+        collisions, window parameter shapes, GLOBAL without TRIGGER."""
+        stmt = self.stmt
+
+        def check_nesting(e: N.Expr, in_analytic: bool, in_agg: bool) -> None:
+            if isinstance(e, N.Func):
+                is_an = registry.is_analytic(e.name)
+                is_ag = registry.is_aggregate(e.name)
+                if is_an and in_analytic:
+                    raise PlanError(
+                        f"analytic functions cannot be nested: {e.name}")
+                if is_an and in_agg:
+                    raise PlanError(
+                        f"analytic functions cannot be nested in an "
+                        f"aggregate: {e.name}")
+                if is_ag and in_agg:
+                    raise PlanError(
+                        f"aggregate function calls cannot be nested: {e.name}")
+                for a in e.args:
+                    check_nesting(a, in_analytic or is_an, in_agg or is_ag)
+                return
+            for child in e.children():
+                check_nesting(child, in_analytic, in_agg)
+
+        names_seen: set[str] = set()
+        for i, f in enumerate(stmt.fields):
+            if isinstance(f.expr, N.Star):
+                continue
+            check_nesting(f.expr, False, False)
+            if f.alias:
+                name = f.alias
+            elif isinstance(f.expr, N.Col) and len(f.expr.parts) == 1:
+                name = str(f.expr.parts[0])
+            else:
+                name = None
+            if name is not None:
+                if name in names_seen:
+                    raise PlanError(f"duplicate output column: {name!r}")
+                names_seen.add(name)
+        if stmt.having is not None:
+            check_nesting(stmt.having, False, False)
+
+        w = stmt.window
+        if w is not None:
+            from ..engine.batch import ExecError, duration_to_seconds
+            if w.kind == "global" and w.trigger_when is None:
+                raise PlanError("GLOBAL WINDOW requires TRIGGER WHEN "
+                                "(rsql/ast.go:73-79)")
+            if w.kind == "counting" and not isinstance(w.count, int):
+                raise PlanError("CountingWindow expects an integer count")
+            for dur in [getattr(w, a, None) for a in ("size", "slide", "gap")]:
+                if dur is not None:
+                    try:
+                        duration_to_seconds(dur)
+                    except ExecError as exc:
+                        raise PlanError(str(exc)) from exc
+
     # ------------------------------------------------------------- build
     def plan(self) -> QueryPlan:
         stmt = self.stmt
         self.uses_window_start = False
         self.uses_window_end = False
+        self._validate()
 
         if stmt.match is not None:
             mode = "cep"

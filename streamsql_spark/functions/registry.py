@@ -413,6 +413,24 @@ def register_function(spark, name: str, fn, return_type="string") -> None:
     _CUSTOM_SCALARS[name.lower()] = fn
 
 
+def register_aggregate_function(spark, name: str, fn, return_type="double") -> None:
+    """Runtime UDAF registration — the reference's custom
+    ``AggregatorFunction`` surface (functions/aggregator_interface.go:5-18).
+
+    ``fn(values: pandas.Series) -> scalar`` runs as an Arrow-batched
+    grouped-agg pandas UDF (partial batches per group, JVM-side
+    grouping); becomes callable in dialect GROUP BY queries immediately.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt = return_type if not isinstance(return_type, str) \
+        else _parse_datatype_string(return_type)
+    udaf = pandas_udf(fn, dt, PandasUDFType.GROUPED_AGG)
+    spark.udf.register(name, udaf)
+    AGG_RENDERERS[name.lower()] = _simple(f"{name}({{0}})")
+
+
 def is_aggregate(name: str) -> bool:
     return name.lower() in AGG_RENDERERS
 

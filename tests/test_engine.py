@@ -407,3 +407,16 @@ def test_changed_cols_rejected_in_expression(spark):
     with pytest.raises(PlanError):
         make_plan(parse(
             'SELECT changed_cols("c_", true, temperature) + 1 AS x FROM stream'))
+
+
+def test_custom_aggregate_function(spark):
+    # functions/aggregator_interface.go:5-18 custom UDAF surface
+    s = StreamSQL(spark)
+    s.register_aggregate_function(
+        "geo_mean", lambda v: float(v.prod() ** (1.0 / len(v))), "double")
+    s.execute("SELECT k, geo_mean(v) AS g FROM stream GROUP BY k")
+    for r in [{"k": "a", "v": 2.0}, {"k": "a", "v": 8.0}, {"k": "b", "v": 5.0}]:
+        s.emit(r)
+    out = s.trigger_window()
+    out.sort(key=lambda r: r["k"])
+    assert [(r["k"], round(r["g"], 6)) for r in out] == [("a", 4.0), ("b", 5.0)]

@@ -1,0 +1,118 @@
+"""Parse/plan-time validation matrix (sql_check_test.go port):
+must-reject and must-accept SQL, locking the validation boundary.
+No Spark session needed — pure front-end tests.
+"""
+
+import pytest
+
+from streamsql_spark.dialect.lexer import LexError
+from streamsql_spark.dialect.parser import ParseError, parse
+from streamsql_spark.dialect.planner import PlanError, plan as make_plan
+
+
+def accept(sql):
+    make_plan(parse(sql))
+
+
+def reject(sql):
+    with pytest.raises((ParseError, PlanError, LexError)):
+        make_plan(parse(sql))
+
+
+# --- analytic functions wrapped in scalar functions: accepted
+@pytest.mark.parametrize("sql", [
+    "SELECT UPPER(changed_col(true, temperature)) AS c FROM stream",
+    "SELECT ROUND(lag(temperature), 2) AS c FROM stream",
+    "SELECT ABS(acc_sum(v)) AS a FROM stream",
+    "SELECT CONCAT('prefix', changed_col(true, temperature)) AS s FROM stream",
+    "SELECT coalesce(lag(temp), -1) AS s FROM stream",
+    "SELECT CASE WHEN lag(temp) > 20 THEN 'up' ELSE 'down' END AS s FROM stream",
+])
+def test_analytic_in_scalar_accept(sql):
+    accept(sql)
+
+
+# --- valid analytic placements
+@pytest.mark.parametrize("sql", [
+    "SELECT changed_col(true, temperature) AS c FROM stream",
+    "SELECT lag(temperature) OVER (PARTITION BY deviceId) AS p FROM stream",
+    "SELECT lag(temp, 1) OVER () AS p FROM stream",
+    "SELECT lag(temp, 1, 0) OVER (PARTITION BY deviceId) AS p FROM stream",
+    "SELECT acc_sum(v) OVER (PARTITION BY deviceId) AS s FROM stream",
+    "SELECT lag(temp) OVER (PARTITION BY deviceId WHEN temp > 0) AS p FROM stream",
+    "SELECT ts - lag(ts) OVER (PARTITION BY k) AS d FROM stream",
+    "SELECT lag(a) OVER (PARTITION BY k) AS p, name AS n FROM stream",
+    # analytic-name text inside string literals must not be misparsed
+    "SELECT CONCAT('see lag(', name) AS s FROM stream",
+    "SELECT UPPER('changed_col(x)') AS s FROM stream",
+    "SELECT UPPER('it''s lag(x)') AS s FROM stream",
+])
+def test_analytic_placement_accept(sql):
+    accept(sql)
+
+
+# --- nested analytic / aggregate-over-analytic: rejected (D9)
+@pytest.mark.parametrize("sql", [
+    "SELECT lag(lag(a)) AS p FROM stream",
+    "SELECT had_changed(true, changed_col(true, a)) AS h FROM stream",
+    "SELECT changed_col(true, lag(a)) AS c FROM stream",
+    "SELECT sum(lag(a)) AS s FROM stream GROUP BY CountingWindow(2)",
+    "SELECT max(acc_sum(v)) AS m FROM stream GROUP BY CountingWindow(2)",
+])
+def test_nested_analytic_reject(sql):
+    reject(sql)
+
+
+# --- nested aggregates: rejected
+@pytest.mark.parametrize("sql", [
+    "SELECT sum(count(x)) AS s FROM stream GROUP BY CountingWindow(2)",
+    "SELECT max(sum(x)) AS m FROM stream GROUP BY CountingWindow(2)",
+])
+def test_nested_aggregate_reject(sql):
+    reject(sql)
+
+
+# --- analytic over aggregate output (window-output analytic): accepted
+@pytest.mark.parametrize("sql", [
+    'SELECT lag(avg(temperature)) AS p FROM stream GROUP BY CountingWindow(2)',
+    'SELECT acc_sum(avg(temperature)) AS total FROM stream GROUP BY CountingWindow(2)',
+    'SELECT had_changed(true, avg(temp)) AS h FROM stream GROUP BY CountingWindow(2)',
+])
+def test_analytic_over_aggregate_accept(sql):
+    accept(sql)
+
+
+# --- duplicate output columns: rejected (D3)
+@pytest.mark.parametrize("sql", [
+    "SELECT temperature, lag(temperature) AS temperature FROM stream",
+    "SELECT lag(a) AS x, changed_col(true, a) AS x FROM stream",
+])
+def test_alias_collision_reject(sql):
+    reject(sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT temperature, lag(temperature) AS temp_lag FROM stream",
+    "SELECT lag(a) AS la, changed_col(true, a) AS ca FROM stream",
+])
+def test_alias_distinct_accept(sql):
+    accept(sql)
+
+
+# --- global window without TRIGGER WHEN: rejected (rsql/ast.go:73-79)
+def test_global_window_without_trigger_reject():
+    reject("SELECT k, sum(v) AS s FROM stream GROUP BY k GLOBAL WINDOW")
+
+
+# --- window params must be durations / counts
+@pytest.mark.parametrize("sql", [
+    "SELECT count(*) AS n FROM stream GROUP BY TumblingWindow('xyz')",
+    "SELECT count(*) AS n FROM stream GROUP BY CountingWindow('5s')",
+])
+def test_bad_window_params_reject(sql):
+    reject(sql)
+
+
+# --- typo suggestions: unknown function names fail at plan time
+def test_unknown_statement_reject():
+    reject("SELCT deviceId FROM stream")
