@@ -215,6 +215,33 @@ class Planner:
             plan.event_time_col = ts_field
         plan.timeunit = stmt.with_opts.get("TIMEUNIT", "ms").lower()
 
+        src_alias = stmt.source_alias or stmt.source
+        if stmt.joins:
+            # unqualified refs resolve to the stream side — the stream is
+            # primary, table columns are alias-qualified (reference
+            # rewriteQualifiedRefs, stream/processor_field.go:61-264)
+            table_names = {j.alias or j.table for j in stmt.joins} \
+                | {j.table for j in stmt.joins} | {src_alias}
+
+            def qualify(node: N.Expr) -> N.Expr:
+                if isinstance(node, N.Col) and len(node.parts) == 1 \
+                        and str(node.parts[0]) not in table_names:
+                    return N.Col((src_alias, node.parts[0]))
+                return node
+
+            for f in stmt.fields:
+                if not isinstance(f.expr, N.Star):
+                    f.expr = N.transform(f.expr, qualify)
+            if stmt.where is not None:
+                stmt.where = N.transform(stmt.where, qualify)
+            if stmt.having is not None:
+                stmt.having = N.transform(stmt.having, qualify)
+            stmt.group_by = [N.transform(g, qualify) for g in stmt.group_by]
+            stmt.order_by = [(N.transform(e, qualify), asc)
+                             for e, asc in stmt.order_by]
+            for j in stmt.joins:
+                if j.on is not None:
+                    j.on = N.transform(j.on, qualify)
         for j in stmt.joins:
             on_sql = render(j.on) if j.on is not None else None
             plan.joins.append(JoinPlan(j.kind, j.table, j.alias, on_sql))

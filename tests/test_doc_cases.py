@@ -1,0 +1,101 @@
+"""Doc-mirror tests: the reference's documented example SQL executed
+verbatim (test/e2e/doc_cases_test.go) so the public dialect surface
+can't drift."""
+
+import pytest
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from streamsql_spark.api.facade import StreamSQL
+from streamsql_spark.dialect.parser import parse
+from streamsql_spark.dialect.planner import plan as make_plan
+
+
+# doc_cases_test.go:16 — filter + conversion + CASE grading via EmitSync
+def test_doc_filter_transform(spark):
+    sql = """SELECT deviceId,
+       temperature,
+       temperature * 1.8 + 32 AS temp_f,
+       CASE WHEN temperature > 35 THEN 'CRITICAL'
+            WHEN temperature > 30 THEN 'WARNING'
+            ELSE 'OK' END AS level
+FROM stream
+WHERE temperature > 0 AND temperature < 100"""
+    schema = StructType([StructField("deviceId", StringType()),
+                         StructField("temperature", DoubleType())])
+    s = StreamSQL(spark, schema=schema)
+    s.execute(sql)
+    cases = [
+        ({"deviceId": "dev-01", "temperature": 28.0}, False, "OK", 82.4),
+        ({"deviceId": "dev-02", "temperature": 32.0}, False, "WARNING", 89.6),
+        ({"deviceId": "dev-03", "temperature": 38.0}, False, "CRITICAL", 100.4),
+        ({"deviceId": "dev-04", "temperature": 999.0}, True, "", 0),
+        ({"deviceId": "dev-05", "temperature": None}, True, "", 0),
+    ]
+    for row, filtered, level, temp_f in cases:
+        out = s.emit_sync(row)
+        if filtered:
+            assert out is None, f"{row} should be filtered"
+        else:
+            assert out["level"] == level
+            assert abs(out["temp_f"] - temp_f) < 0.01
+
+
+# doc_cases_test.go:55 — stream-table JOIN enrichment via EmitSync
+def test_doc_join_enrichment(spark):
+    sql = """SELECT deviceId, m.location, m.model, temperature
+FROM stream JOIN meta m ON deviceId = m.deviceId"""
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table("meta", [
+        {"deviceId": "d1", "location": "plantA", "model": "TX-100"},
+        {"deviceId": "d2", "location": "plantB", "model": "TX-200"},
+    ])
+    r1 = s.emit_sync({"deviceId": "d1", "temperature": 31.0})
+    assert r1["location"] == "plantA" and r1["model"] == "TX-100"
+    r2 = s.emit_sync({"deviceId": "d2", "temperature": 27.5})
+    assert r2["location"] == "plantB"
+    assert s.emit_sync({"deviceId": "d9", "temperature": 40.0}) is None
+
+
+# doc_cases_test.go:84 — CDC: global lag threshold crossing
+def test_doc_cdc_global_lag(spark):
+    s = StreamSQL(spark)
+    s.execute("SELECT current, ts FROM stream "
+              "WHERE current > 300 AND lag(current) <= 300 WITH (TIMESTAMP='ts')")
+    inputs = [{"current": c, "ts": t} for t, c in enumerate(
+        [300, 400, 200, 200, 500, 200, 400, 600], start=1)]
+    outs = [r for r in (s.emit_sync(i) for i in inputs) if r is not None]
+    assert [r["current"] for r in outs] == [400, 500, 400]
+
+
+# doc_cases_test.go:112 — CDC: OVER (WHEN ...) gated lag
+def test_doc_cdc_when_limited_lag(spark):
+    s = StreamSQL(spark)
+    s.execute("SELECT current, deviceId, ts FROM stream "
+              "WHERE current > 300 AND deviceId = 1 "
+              "AND lag(current) OVER (WHEN deviceId = 1) < 300 "
+              "WITH (TIMESTAMP='ts')")
+    data = [(300, 1), (400, 2), (200, 1), (200, 2),
+            (500, 1), (200, 2), (400, 1), (600, 2)]
+    inputs = [{"current": c, "deviceId": d, "ts": t}
+              for t, (c, d) in enumerate(data, start=1)]
+    outs = [r for r in (s.emit_sync(i) for i in inputs) if r is not None]
+    assert len(outs) == 1
+    assert outs[0]["current"] == 500 and outs[0]["deviceId"] == 1
+
+
+# doc_cases_test.go:139 — documented window SQL parses and plans
+@pytest.mark.parametrize("sql", [
+    "SELECT deviceId, COUNT(*) AS msgs, MAX(ts) AS last_ts FROM stream "
+    "GROUP BY deviceId, SessionWindow('5s')",
+    "SELECT MIN(concurrency) AS mn, COUNT(*) AS c FROM stream "
+    "GROUP BY SlidingWindow('10s','2s') HAVING mn > 200",
+    "SELECT deviceId, COUNT(*) AS samples, AVG(temperature) AS a FROM stream "
+    "GROUP BY deviceId, TumblingWindow('1m') WITH (TIMESTAMP='ts', TIMEUNIT='ms')",
+    "SELECT deviceId, MAX(temperature) AS max_t, COUNT(*) AS samples "
+    "FROM stream GROUP BY deviceId, GLOBAL WINDOW "
+    "TRIGGER WHEN MAX(temperature) > 50",
+])
+def test_doc_window_sql_plans(sql):
+    make_plan(parse(sql))
