@@ -64,6 +64,8 @@ def run_streaming_collect(spark, plan_holder, batches: list[list[dict]],
                      sink=lambda rows: got.extend(rows),
                      checkpoint=replay.checkpoint)
         q.awaitTermination(timeout)
+        if q.isActive:  # timed out — stop before the checkpoint vanishes
+            q.stop()
         return got
     finally:
         replay.cleanup()

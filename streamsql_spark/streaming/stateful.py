@@ -44,8 +44,24 @@ def _load_state(state):
     return None
 
 
-def _save_state(state, obj) -> None:
+def _save_state(state, obj, ttl_ms: int | None = None) -> None:
     state.update((pickle.dumps(obj),))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
+
+
+def state_ttl_ms(plan) -> int | None:
+    """STATETTL option → per-key state timeout (the reference reaps idle
+    counting/global/analytic keys, types/config.go:135)."""
+    from ..engine.batch import duration_to_seconds
+
+    opts = {k.upper(): v for k, v in plan.options.items()}
+    v = opts.get("STATETTL")
+    return int(duration_to_seconds(str(v)) * 1000) if v is not None else None
+
+
+def _timeout_conf(ttl_ms: int | None) -> str:
+    return "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
 
 
 def _sorted_batch(pdf_iter, order_cols: list[str]):
@@ -150,6 +166,7 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
     """Streaming counting window: emit one aggregated row per N-row chunk
     per key; the partial chunk persists in state across micro-batches."""
     n = plan.window.count
+    ttl_ms = state_ttl_ms(plan)
     df, keys = _key_columns(df, plan)
     df, agg_specs = _prep_agg_columns(df, plan)
 
@@ -166,6 +183,9 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
     def kernel(key, pdf_iter, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()  # STATETTL idle-key reap
+            return
         pdf = _sorted_batch(pdf_iter, order)
         buf = _load_state(state) or []
         rows_out = []
@@ -185,7 +205,7 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
                             out[ph] = py_aggregate(
                                 kname, [t[idx] for t in chunk], extra)
                     rows_out.append(out)
-        _save_state(state, buf)
+        _save_state(state, buf, ttl_ms)
         if rows_out:
             yield pd.DataFrame(rows_out, columns=[f.name for f in out_schema.fields])
 
@@ -203,7 +223,7 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
     else:
         fn = kernel
     out = grouped.applyInPandasWithState(
-        fn, out_schema, _STATE_SCHEMA, "append", "NoTimeout")
+        fn, out_schema, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
     return out.drop("__k__") if not keys else out
 
 
@@ -215,6 +235,7 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     from ..operators.global_window import _compile_trigger
 
     trig = plan.window.trigger_when
+    ttl_ms = state_ttl_ms(plan)
     src, trig_aggs = _compile_trigger(trig)
     code_src = src  # compile() inside the kernel (code objects don't pickle)
 
@@ -241,6 +262,9 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     def kernel(key, pdf_iter, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()  # STATETTL idle-key reap
+            return
         pdf = _sorted_batch(pdf_iter, order)
         st = _load_state(state) or {"buf": [], "trig": {}, "counts": {}}
         buf, tstate, counts = st["buf"], st["trig"], st["counts"]
@@ -292,7 +316,7 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                     buf.clear()
                     tstate.clear()
                     counts.clear()
-        _save_state(state, {"buf": buf, "trig": tstate, "counts": counts})
+        _save_state(state, {"buf": buf, "trig": tstate, "counts": counts}, ttl_ms)
         if rows_out:
             yield pd.DataFrame(rows_out, columns=[f.name for f in out_schema.fields])
 
@@ -310,7 +334,7 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     else:
         fn = kernel
     out = grouped.applyInPandasWithState(
-        fn, out_schema, _STATE_SCHEMA, "append", "NoTimeout")
+        fn, out_schema, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
     return out.drop("__k__") if not keys else out
 
 
@@ -324,6 +348,7 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     per analytic call; state persists across micro-batches per partition
     key (stream/analytic.go:125-234 semantics, WHEN gating included)."""
     specs = plan.analytics
+    ttl_ms = state_ttl_ms(plan)
     part_sqls = specs[0].partition_by if specs else []
     for s in specs:
         if s.partition_by != part_sqls:
@@ -380,6 +405,9 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     def kernel(key, pdf_iter, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()  # STATETTL idle-key reap
+            return
         pdf = _sorted_batch(pdf_iter, order)
         st = _load_state(state) or {}
         outs = {p["ph"]: [] for p in prep}
@@ -395,7 +423,7 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                     argv = [_clean(vals[c][i]) if c else p["lits"][j]
                             for j, c in enumerate(p["args"])]
                     outs[ph].append(_step(p, s, argv, gate))
-        _save_state(state, st)
+        _save_state(state, st, ttl_ms)
         if len(pdf):
             for ph, col in outs.items():
                 pdf[ph] = col
@@ -491,10 +519,10 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                 out.insert(0, "__k__", 1)
                 yield out
         res = grouped.applyInPandasWithState(
-            kernel_nokey, out_schema2, _STATE_SCHEMA, "append", "NoTimeout")
+            kernel_nokey, out_schema2, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
         return res.drop("__k__")
     return grouped.applyInPandasWithState(
-        kernel, out_schema, _STATE_SCHEMA, "append", "NoTimeout")
+        kernel, out_schema, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
 
 
 # -------------------------------------------------------------------- CEP
@@ -508,6 +536,7 @@ def cep_stream(spark, plan, df: DataFrame):
     extend (see Matcher.find_emittable)."""
     from ..cep.executor import build_cep_parts
 
+    ttl_ms = state_ttl_ms(plan)
     parts = build_cep_parts(df, plan)
     spec = parts["spec"]
     out_schema = parts["out_schema"]
@@ -524,6 +553,9 @@ def cep_stream(spark, plan, df: DataFrame):
     def kernel(key, pdf_iter, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()  # STATETTL / WITHIN idle-key reap
+            return
         pdf = _sorted_batch(pdf_iter, [ts_col])
         st = _load_state(state) or {"rows": [], "mn": 0}
         rows, mn = st["rows"], st["mn"]
@@ -551,12 +583,12 @@ def cep_stream(spark, plan, df: DataFrame):
                     m = {**dict(zip(part_names, key)), **m}
                 outs.append(m)
         st = {"rows": rows[consumed:], "mn": mn}
-        _save_state(state, st)
+        _save_state(state, st, ttl_ms)
         if outs:
             yield pd.DataFrame(outs, columns=[f.name for f in out_schema.fields])
 
     grouped = df.groupBy(*[F.col(c) for c in part_names]) if part_names \
         else df.groupBy(F.lit(1).alias("__g__"))
     matched = grouped.applyInPandasWithState(
-        kernel, out_schema, _STATE_SCHEMA, "append", "NoTimeout")
+        kernel, out_schema, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
     return matched

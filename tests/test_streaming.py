@@ -223,3 +223,15 @@ def test_stream_batch_parity_window_agg(spark):
     # the last window never closes in streaming (no later event)
     assert stream_out <= batch_out
     assert len(batch_out - stream_out) == 1  # only the final open window
+
+
+def test_counting_window_with_statettl(spark):
+    # STATETTL wires ProcessingTimeTimeout; results unchanged while active
+    sql = ("SELECT deviceId, sum(temperature) AS s FROM stream "
+           "GROUP BY deviceId, CountingWindow(2) WITH (STATETTL='60s')")
+    batches = [
+        _rows(("d1", 1.0, 0.0, 1000, "ok"), ("d1", 2.0, 0.0, 2000, "ok")),
+        _rows(("d1", 3.0, 0.0, 3000, "ok"), ("d1", 4.0, 0.0, 4000, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    assert sorted(r["s"] for r in got) == [3.0, 7.0]
