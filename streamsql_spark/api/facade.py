@@ -63,6 +63,13 @@ class StreamSQL:
     def plan(self):
         return self._plan
 
+    def is_aggregation_query(self) -> bool:
+        """IsAggregationQuery analog (streamsql.go) — True for
+        window/aggregate mode, False for the direct path."""
+        if self._plan is None:
+            raise RuntimeError("call execute(sql) first")
+        return self._plan.mode == "window"
+
     # ------------------------------------------------------- table store
     def register_table(self, name: str, rows, *key_fields: str) -> None:
         """Register a dimension snapshot for stream-table JOIN
@@ -167,14 +174,35 @@ class StreamSQL:
             return self.spark.createDataFrame(rows, schema=self.schema)
         return self.spark.createDataFrame(rows)
 
+    def _schema_violation(self, row: dict) -> str | None:
+        """Declared-schema validation (schema/schema.go:97-265): missing
+        fields and type mismatches; None values pass (nullable)."""
+        if self.schema is None or not hasattr(self.schema, "fields"):
+            return None
+        _OK = {"long": (int,), "integer": (int,), "short": (int,),
+               "double": (int, float), "float": (int, float),
+               "string": (str,), "boolean": (bool,)}
+        for f in self.schema.fields:
+            if f.name not in row:
+                return f"missing field {f.name!r}"
+            v = row[f.name]
+            if v is None:
+                continue
+            ok = _OK.get(f.dataType.typeName())
+            if ok is not None and not isinstance(v, ok):
+                return f"field {f.name!r} expects {f.dataType.typeName()}"
+            if ok == (int,) and isinstance(v, bool):
+                return f"field {f.name!r} expects {f.dataType.typeName()}"
+        return None
+
     def emit(self, row: dict) -> None:
-        """Buffer a row (async path analog, streamsql.go:223-237)."""
+        """Buffer a row (async path analog, streamsql.go:223-237);
+        rows failing the declared schema are dropped
+        (streamsql.go:227-235)."""
         if self._stopped:
             return
-        if self.schema is not None and hasattr(self.schema, "fieldNames"):
-            missing = [f for f in self.schema.fieldNames() if f not in row]
-            if missing:
-                return  # validate-and-drop (streamsql.go:227-235)
+        if self._schema_violation(row) is not None:
+            return  # validate-and-drop
         if len(self._buffer) >= self.max_buffer_rows:
             self._buffer.pop(0)  # overflow strategy: drop oldest
         self._buffer.append(row)
@@ -189,6 +217,10 @@ class StreamSQL:
             raise RuntimeError("call execute(sql) first")
         if self._plan.mode != "direct":
             raise RuntimeError("EmitSync requires a direct (non-window) query")
+        viol = self._schema_violation(row)
+        if viol is not None:
+            # sync path errors instead of dropping (streamsql.go:262-282)
+            raise ValueError(f"schema validation failed: {viol}")
         needs_history = bool(self._plan.analytics)
         if needs_history:
             self._history.append(row)
@@ -209,6 +241,15 @@ class StreamSQL:
 
     def add_sink(self, fn: Callable[[list[dict]], None]) -> None:
         self._sinks.append(fn)
+
+    # sync sinks run inline in the reference (ordering guarantee); the
+    # batch harness delivers all sinks inline already
+    add_sync_sink = add_sink
+
+    def to_channel(self):
+        """Pull-style iterator over result batches delivered so far
+        (ToChannel analog, streamsql.go:483-488)."""
+        return iter(self._results)
 
     def trigger_window(self) -> list[dict]:
         """Flush buffered rows through the full pipeline and deliver one

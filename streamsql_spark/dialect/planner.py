@@ -92,9 +92,13 @@ class Planner:
 
         return N.transform(e, fn)
 
-    def _lift_analytics(self, e: N.Expr) -> N.Expr:
+    def _lift_analytics(self, e: N.Expr, window_mode: bool = False) -> N.Expr:
         """Replace analytic calls (lag/latest/acc_*/changed...) with
-        placeholder refs; the engines compute them statefully/window-wise."""
+        placeholder refs; the engines compute them statefully/window-wise.
+
+        In window mode the analytic evaluates over window-emission rows
+        (state across windows) — aggregate calls inside its args are
+        lifted so the spec references aggregate placeholders."""
 
         def fn(node: N.Expr) -> N.Expr:
             if isinstance(node, N.Func) and registry.is_analytic(node.name):
@@ -107,7 +111,14 @@ class Planner:
                 over = node.over or N.OverSpec()
                 part_sql = [render(p) for p in over.partition_by]
                 when_sql = render(over.when) if over.when is not None else None
-                self.analytics.append(AnalyticSpec(ph, node, part_sql, when_sql))
+                func = node
+                if window_mode:
+                    func = N.Func(name=node.name,
+                                  args=[self._lift_aggregates(a)
+                                        for a in node.args],
+                                  over=node.over)
+                self.analytics.append(AnalyticSpec(
+                    ph, func, part_sql, when_sql, window_output=window_mode))
                 return N.Col((ph,))
             return node
 
@@ -266,7 +277,8 @@ class Planner:
         plan.uses_window_end = self.uses_window_end
         return plan
 
-    def _expand_changed_cols(self, plan: QueryPlan, call: N.Func) -> None:
+    def _expand_changed_cols(self, plan: QueryPlan, call: N.Func,
+                             window_mode: bool = False) -> None:
         """changed_cols(prefix, ignoreNull, cols...) fans out to one
         typed output column per watched column (prefix+name), NULL when
         unchanged — the fixed-schema rendering of the reference's
@@ -283,10 +295,17 @@ class Planner:
             if isinstance(a, N.Lit) and a.value == "*":
                 raise PlanError("changed_cols(..., \"*\") needs a declared "
                                 "schema — list the columns explicitly")
-            colname = a.name if isinstance(a, N.Col) else render(a)
+            if isinstance(a, N.Col):
+                colname = a.name
+            elif isinstance(a, N.Func):
+                colname = a.name.lower()  # avg(t) → "avg" display name
+            else:
+                colname = render(a)
             ph = f"__analytic_{len(self.analytics)}__"
-            synth = N.Func(name="__changed_value__", args=[a])
-            self.analytics.append(AnalyticSpec(ph, synth, part_sql, when_sql))
+            arg = self._lift_aggregates(a) if window_mode else a
+            synth = N.Func(name="__changed_value__", args=[arg])
+            self.analytics.append(AnalyticSpec(
+                ph, synth, part_sql, when_sql, window_output=window_mode))
             plan.outputs.append(OutputField(name=f"{prefix}{colname}", sql=ph))
 
     def _plan_direct(self, plan: QueryPlan) -> None:
@@ -320,11 +339,14 @@ class Planner:
         for i, f in enumerate(stmt.fields):
             if isinstance(f.expr, N.Star):
                 raise PlanError("SELECT * is not supported with GROUP BY/window aggregation")
+            if isinstance(f.expr, N.Func) and f.expr.name.lower() == "changed_cols":
+                self._expand_changed_cols(plan, f.expr, window_mode=True)
+                continue
             e = f.expr
             if _has_analytic(e):
                 # window-output analytic (state across windows,
                 # stream/processor_data.go:443-453)
-                e = self._lift_analytics(e)
+                e = self._lift_analytics(e, window_mode=True)
             e = self._lift_aggregates(e)
             name = f.alias or _default_name(f.expr, i)
             plan.outputs.append(OutputField(name=name, sql=render(e)))

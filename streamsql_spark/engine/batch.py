@@ -255,7 +255,7 @@ class BatchExecutor:
 
     # --------------------------------------------------------- analytics
     def _apply_analytics(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
-        if not plan.analytics:
+        if not any(not a.window_output for a in plan.analytics):
             return df
         if _TS not in df.columns:
             raise ExecError("analytic functions need an event-time column "
@@ -266,6 +266,8 @@ class BatchExecutor:
                 order_cols.append(F.col(tiebreak))
                 break
         for spec in plan.analytics:
+            if spec.window_output:
+                continue  # evaluated over window-emission rows instead
             df = df.withColumn(spec.placeholder, _analytic_column(spec, order_cols))
         return df
 
@@ -342,6 +344,27 @@ class BatchExecutor:
 
         if chunk_n is not None:
             grouped = grouped.filter(F.col("__wcnt__") == chunk_n).drop("__wcnt__")
+
+        # window-output analytics: state across successive window
+        # emissions (stream/processor_data.go:443-453) — evaluated over
+        # the aggregated rows ordered by window, partitioned by the OVER
+        # clause (default: the non-window group keys)
+        win_specs = [a for a in plan.analytics if a.window_output]
+        if win_specs:
+            if WINDOW_START_COL in grouped.columns:
+                order_cols = [F.col(WINDOW_START_COL)]
+            elif "__win_id__" in grouped.columns:
+                order_cols = [F.col("__win_id__")]
+            else:
+                raise ExecError("window-output analytics need a window "
+                                "(they order by window emission)")
+            default_parts = simple_keys + list(injected.values())
+            for spec in win_specs:
+                eff = spec if spec.partition_by else AnalyticSpec(
+                    spec.placeholder, spec.func, default_parts,
+                    spec.when_sql, True)
+                grouped = grouped.withColumn(
+                    spec.placeholder, _analytic_column(eff, order_cols))
 
         if plan.having_sql:
             grouped = grouped.filter(F.expr(plan.having_sql))

@@ -27,6 +27,10 @@ class AnalyticSpec:
     func: N.Func
     partition_by: list[str] = field(default_factory=list)  # rendered SQL
     when_sql: str | None = None
+    # True = evaluated over window-emission rows with state persisting
+    # across windows (stream/processor_data.go:443-453); func args then
+    # reference aggregate placeholders
+    window_output: bool = False
 
 
 @dataclass

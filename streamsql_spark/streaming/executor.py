@@ -62,6 +62,11 @@ class StreamingExecutor:
         if plan.mode == "cep":
             return cep_stream(self.spark, plan, df)
 
+        if any(a.window_output for a in plan.analytics):
+            raise ExecError(
+                "analytics over window-emission rows (e.g. lag(avg(x))) "
+                "are batch-only for now — in streaming, apply them in a "
+                "foreachBatch stage over the windowed output")
         if plan.analytics:
             df = analytic_stream(df, plan, _TS if _TS in df.columns else None)
         if plan.where_sql:

@@ -420,3 +420,81 @@ def test_custom_aggregate_function(spark):
     out = s.trigger_window()
     out.sort(key=lambda r: r["k"])
     assert [(r["k"], round(r["g"], 6)) for r in out] == [("a", 4.0), ("b", 5.0)]
+
+
+def test_window_output_analytics(spark):
+    # analytic_combo_test.go: lag/had_changed over window-emission rows,
+    # state persisting across windows (stream/processor_data.go:443-453)
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, avg(t) AS a, lag(avg(t)) AS prev_avg, "
+              "had_changed(true, avg(t)) AS chg FROM stream "
+              "GROUP BY deviceId, CountingWindow(2) WITH (TIMESTAMP='ts')")
+    rows = [{"deviceId": "d", "t": float(v), "ts": i}
+            for i, v in enumerate([10, 20, 30, 40, 50, 60], 1)]
+    for r in rows:
+        s.emit(r)
+    out = s.trigger_window()
+    out.sort(key=lambda r: r["a"])
+    assert [(r["a"], r["prev_avg"], r["chg"]) for r in out] == \
+        [(15.0, None, True), (35.0, 15.0, True), (55.0, 35.0, True)]
+
+
+def test_window_output_acc_sum(spark):
+    # acc_sum over successive window aggregates
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, sum(t) AS st, acc_sum(sum(t)) AS cum "
+              "FROM stream GROUP BY deviceId, CountingWindow(2) "
+              "WITH (TIMESTAMP='ts')")
+    rows = [{"deviceId": "d", "t": float(v), "ts": i}
+            for i, v in enumerate([1, 2, 3, 4], 1)]
+    for r in rows:
+        s.emit(r)
+    out = s.trigger_window()
+    out.sort(key=lambda r: r["st"])
+    assert [(r["st"], r["cum"]) for r in out] == [(3.0, 3.0), (7.0, 10.0)]
+
+
+def test_changed_cols_over_window_aggregates(spark):
+    # analytic_parity_test.go:546: changed_cols tracking avg and max
+    s = StreamSQL(spark)
+    s.execute('SELECT changed_cols("c_", true, avg(t), max(t)) FROM stream '
+              "GROUP BY CountingWindow(2) WITH (TIMESTAMP='ts')")
+    rows = [{"t": float(v), "ts": i}
+            for i, v in enumerate([10, 20, 30, 20, 30, 20], 1)]
+    for r in rows:
+        s.emit(r)
+    out = s.trigger_window()
+    assert len(out) == 3
+
+
+def test_schema_validation_gate(spark):
+    # schema/schema.go: async drops bad rows, sync errors (streamsql.go:227)
+    schema = StructType([StructField("deviceId", StringType()),
+                         StructField("t", DoubleType())])
+    s = StreamSQL(spark, schema=schema)
+    s.execute("SELECT deviceId, t FROM stream")
+    s.emit({"deviceId": "d1", "t": 1.5})
+    s.emit({"deviceId": "d2"})            # missing field → dropped
+    s.emit({"deviceId": "d3", "t": "x"})  # wrong type → dropped
+    out = s.trigger_window()
+    assert [r["deviceId"] for r in out] == ["d1"]
+    with pytest.raises(ValueError):
+        s2 = StreamSQL(spark, schema=schema)
+        s2.execute("SELECT deviceId FROM stream")
+        s2.emit_sync({"deviceId": "d4"})  # sync mode errors
+
+
+def test_api_surface_parity(spark):
+    # IsAggregationQuery / AddSyncSink / ToChannel analogs
+    s = StreamSQL(spark)
+    s.execute("SELECT k, sum(v) AS s FROM stream GROUP BY k")
+    assert s.is_aggregation_query() is True
+    seen = []
+    s.add_sync_sink(lambda rows: seen.append(len(rows)))
+    s.emit({"k": "a", "v": 1})
+    s.trigger_window()
+    assert seen == [1]
+    assert [len(b) for b in s.to_channel()] == [1]
+    d = StreamSQL(spark)
+    d.execute("SELECT k FROM stream")
+    assert d.is_aggregation_query() is False
