@@ -176,6 +176,34 @@ _COS_ORACLE_EXPR = """
 """
 
 
+def _run_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_neardup_pairs
+    t = load_tables(spark, sf_dir)
+    return embedding_neardup_pairs(t["embeddings"], threshold=0.4, n_centroids=8)
+
+
+CATALOG["dedup_embedding_cosine"] = Entry(
+    _run_dedup_embedding,
+    f"""
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                  FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 round({_COS_ORACLE_EXPR.format(a='v.embedding', b='c.c_emb')}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM embeddings v, cent c) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_ORACLE_EXPR.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE round({_COS_ORACLE_EXPR.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
+    """,
+    "extension: embedding-cosine near-dup (cluster-blocked pairwise sim)")
+
+
 def _run_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk
     t = load_tables(spark, sf_dir)

@@ -196,3 +196,31 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                 "round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)"))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.4,
+                            n_centroids: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine(emb_a, emb_b) ≥ t.
+
+    Cluster blocking bounds the quadratic self-join: each vector is
+    assigned to its nearest centroid (one broadcast pass, same topology
+    as IVF search) and only within-cluster pairs are compared — the
+    shuffle key is the cluster id, so at 100 TB the O(n²) becomes
+    K · O((n/K)²) with K tunable to the cluster's pair budget.  The
+    deterministic min-id centroids drop out for a KMeans fit at
+    production scale without changing the plan shape.
+    """
+    from .similarity import assign_clusters, cosine_sim_expr
+    centroids = df.where(F.col(id_col) < n_centroids)
+    assigned = assign_clusters(df, centroids, id_col, vec_col)
+    a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("emb_a"))
+    b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("emb_b"))
+    return (a.join(b, on="centroid_id", how="inner")
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("sim", F.round(F.expr(cosine_sim_expr("emb_a", "emb_b")), 6))
+             .where(F.col("sim") >= threshold)
+             .select("id_a", "id_b", "sim"))
