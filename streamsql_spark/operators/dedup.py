@@ -89,19 +89,23 @@ def minhash_signature_cols(text_col: str, num_hashes: int, k: int = 3) -> list[s
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                         num_hashes: int = 12, bands: int = 4,
                         shingle_k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_bucket: int = 100_000) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
     Plan shape (scale-critical):
       1. one narrow pass computes the K-wide signature per doc (no shuffle);
       2. explode to B band-bucket keys (B rows/doc);
-      3. shuffle by bucket hash, self-join within buckets only;
-      4. estimated Jaccard = fraction of equal minhashes, filter ≥ threshold.
+      3. ONE shuffle by bucket, collect bucket members, in-bucket pair
+         combinations as a JVM array expression (no self-join — a join
+         would recompute the dominant signature pass once per side);
+      4. estimated Jaccard = fraction of equal minhashes, filter ≥
+         threshold, then cross-band pair dedup.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across
-    buckets.  At 100 TB the bucket join is the only shuffle of width
-    O(corpus); bucket skew (e.g. empty-text bucket) is handled by AQE
-    skew-join splitting.
+    buckets.  Buckets larger than ``max_bucket`` are degenerate content
+    (e.g. the all-empty-text bucket) whose pair count is quadratic —
+    dropped, the standard LSH-dedup guard.
     """
     rows_per_band = num_hashes // bands
     base, *sig_cols = minhash_signature_cols(text_col, num_hashes, shingle_k)
@@ -119,17 +123,23 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
         F.explode(F.expr(f"array({', '.join(band_exprs)})")).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (left.join(right, on=["band", "bucket"], how="inner")
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("id_a"),
-                     F.col("b.doc_id").alias("id_b"),
-                     F.expr("CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), "
-                            "v -> v)) AS DOUBLE) / size(a.sig)").alias("est_jaccard"))
-             .dropDuplicates(["id_a", "id_b"])
-             .where(F.col("est_jaccard") >= threshold))
-    return pairs
+    # groupBy bucket + in-bucket combinations instead of a self-join:
+    # the signature pass over the corpus runs exactly ONCE (a self-join
+    # computes it per side — at 100 TB that doubles the dominant cost),
+    # and pair generation is a JVM array expression, no second shuffle.
+    # Oversized buckets (degenerate content, e.g. empty text) would blow
+    # the pair budget quadratically — capped and dropped, the standard
+    # LSH-dedup guard; the cap never triggers on honest near-dup buckets.
+    members = (banded.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("m"))
+               .where((F.size("m") > 1) & (F.size("m") <= max_bucket)))
+    pairs = members.select(F.explode(F.expr(
+        "flatten(transform(m, (a, i) -> transform(slice(m, i + 2, size(m)), "
+        "b -> struct(a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) AS DOUBLE)"
+        " / size(a.sig) AS est_jaccard))))")).alias("p")).select("p.*")
+    return (pairs.where(F.col("est_jaccard") >= threshold)
+                 .dropDuplicates(["id_a", "id_b"]))
 
 
 def simhash_expr(text_col: str, bits: int = 64) -> str:
