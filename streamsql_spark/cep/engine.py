@@ -48,9 +48,44 @@ def _expand_subsets(pat: N.Pattern, subsets: dict) -> N.Pattern:
     return pat
 
 
+def _first_symbols(pat) -> tuple[set, bool]:
+    """(symbols that can classify a match's FIRST row, can-match-empty).
+    Conservative over-approximation — used only to SKIP start positions
+    that provably cannot begin a match."""
+    if isinstance(pat, N.PSym):
+        return {pat.name}, False
+    if isinstance(pat, N.PSeq):
+        syms: set = set()
+        for it in pat.items:
+            s, e = _first_symbols(it)
+            syms |= s
+            if not e:
+                return syms, False
+        return syms, True
+    if isinstance(pat, N.PAlt):
+        syms, empty = set(), False
+        for it in pat.items:
+            s, e = _first_symbols(it)
+            syms |= s
+            empty = empty or e
+        return syms, empty
+    if isinstance(pat, N.PPermute):
+        syms, empty = set(), True
+        for it in pat.items:
+            s, e = _first_symbols(it)
+            syms |= s
+            empty = empty and e
+        return syms, empty
+    if isinstance(pat, N.PQuant):
+        s, e = _first_symbols(pat.item)
+        return s, e or pat.min == 0
+    return set(), True  # unknown node: no skipping
+
+
 class Matcher:
     def __init__(self, spec: N.MatchSpec, rows: list[dict],
-                 ts_values: list | None = None, within: float | None = None):
+                 ts_values: list | None = None, within: float | None = None,
+                 pre_cls: dict | None = None):
         self.spec = spec
         self.rows = rows
         self.ts = ts_values
@@ -60,6 +95,9 @@ class Matcher:
         self.pattern = _expand_subsets(spec.pattern, spec.subsets) \
             if spec.pattern is not None else None
         self.match_number = 0
+        # sym -> bool array: DEFINE predicates the executor evaluated
+        # JVM-side over the whole partition (current-row-only conditions)
+        self.pre_cls = pre_cls or {}
 
     # ------------------------------------------------------ classification
     def classify(self, pos: int, sym: str, bindings: list) -> bool:
@@ -69,6 +107,9 @@ class Matcher:
                     and self.ts[first_idx] is not None \
                     and (self.ts[pos] - self.ts[first_idx]) > self.within:
                 return False
+        arr = self.pre_cls.get(sym)
+        if arr is not None:
+            return bool(arr[pos])
         cond = self.defines.get(sym)
         if cond is None:
             return True  # undefined symbol ≡ TRUE (engine.go:463-478)
@@ -143,38 +184,77 @@ class Matcher:
         return None
 
     # ------------------------------------------------------------- drive
+    def _skip_to(self, bindings: list) -> int:
+        """Next search position per AFTER MATCH SKIP (engine.go:593-625)."""
+        skip = self.spec.after_match_skip
+        first_idx = bindings[0][0]
+        last_idx = bindings[-1][0]
+        if skip[0] == "to_next_row":
+            return first_idx + 1
+        if skip[0] in ("to_first", "to_last"):
+            sym = skip[1]
+            members = set(self.subsets.get(sym, {sym}))
+            sym_rows = [i for i, s in bindings if s in members]
+            if not sym_rows:
+                return last_idx + 1
+            target = sym_rows[0] if skip[0] == "to_first" else sym_rows[-1]
+            # must advance to avoid infinite loops
+            return target if target > first_idx else first_idx + 1
+        return last_idx + 1  # past_last_row (default)
+
+    def _start_candidates(self):
+        """Positions where a match could begin, as a sorted index array —
+        only when every possible first symbol has a precomputed
+        classification (else None: every position is a candidate).  Lets
+        the drive loop jump over provably-dead starts instead of paying
+        the backtracking machinery per row."""
+        if self.pattern is None or not self.pre_cls:
+            return None
+        syms, can_empty = _first_symbols(self.pattern)
+        if can_empty or not syms:
+            return None
+        arrs = []
+        for s in syms:
+            arr = self.pre_cls.get(s)
+            if arr is None:
+                return None  # undefined (≡ TRUE) or non-vectorized symbol
+            arrs.append(arr)
+        import numpy as np
+
+        mask = arrs[0]
+        for a in arrs[1:]:
+            mask = mask | a
+        return np.flatnonzero(mask)
+
     def find_all(self, max_matches: int = 100000):
         """All matches per AFTER MATCH SKIP policy, leftmost-first."""
         out = []
-        start = 0
         n = len(self.rows)
+        cand = self._start_candidates()
+        if cand is not None:
+            import numpy as np
+
+            ci = 0
+            while ci < len(cand) and len(out) < max_matches:
+                m = self.first_match(int(cand[ci]))
+                if m is None:
+                    ci += 1
+                    continue
+                _, bindings = m
+                self.match_number += 1
+                out.append(bindings)
+                ci = int(np.searchsorted(cand, self._skip_to(bindings)))
+            return out
+        start = 0
         while start < n and len(out) < max_matches:
             m = self.first_match(start)
             if m is None:
                 start += 1
                 continue
-            end, bindings = m
+            _, bindings = m
             self.match_number += 1
             out.append(bindings)
-            skip = self.spec.after_match_skip
-            first_idx = bindings[0][0]
-            last_idx = bindings[-1][0]
-            if skip[0] == "past_last_row":
-                start = last_idx + 1
-            elif skip[0] == "to_next_row":
-                start = first_idx + 1
-            elif skip[0] in ("to_first", "to_last"):
-                sym = skip[1]
-                members = set(self.subsets.get(sym, {sym}))
-                sym_rows = [i for i, s in bindings if s in members]
-                if not sym_rows:
-                    start = last_idx + 1
-                else:
-                    target = sym_rows[0] if skip[0] == "to_first" else sym_rows[-1]
-                    # must advance to avoid infinite loops (engine.go:593-625)
-                    start = target if target > first_idx else first_idx + 1
-            else:
-                start = last_idx + 1
+            start = self._skip_to(bindings)
         return out
 
     def _expired(self, start: int) -> bool:
@@ -217,24 +297,7 @@ class Matcher:
                 pass
             self.match_number += 1
             out.append(bindings)
-            skip = self.spec.after_match_skip
-            first_idx = bindings[0][0]
-            last_idx = bindings[-1][0]
-            if skip[0] == "past_last_row":
-                start = last_idx + 1
-            elif skip[0] == "to_next_row":
-                start = first_idx + 1
-            elif skip[0] in ("to_first", "to_last"):
-                sym = skip[1]
-                members = set(self.subsets.get(sym, {sym}))
-                sym_rows = [i for i, s in bindings if s in members]
-                if not sym_rows:
-                    start = last_idx + 1
-                else:
-                    target = sym_rows[0] if skip[0] == "to_first" else sym_rows[-1]
-                    start = target if target > first_idx else first_idx + 1
-            else:
-                start = last_idx + 1
+            start = self._skip_to(bindings)
         return out, start
 
     # ----------------------------------------------------------- measures
@@ -262,11 +325,12 @@ class Matcher:
 
 
 def run_partition(spec: N.MatchSpec, rows: list[dict],
-                  ts_values: list | None, within: float | None) -> list[dict]:
+                  ts_values: list | None, within: float | None,
+                  pre_cls: dict | None = None) -> list[dict]:
     """Match one ordered partition; returns measure rows."""
     if spec.pattern is None:
         raise CepError("MATCH_RECOGNIZE requires PATTERN")
-    matcher = Matcher(spec, rows, ts_values, within)
+    matcher = Matcher(spec, rows, ts_values, within, pre_cls=pre_cls)
     out = []
     matcher.match_number = 0
     for no, bindings in enumerate(matcher.find_all(), start=1):

@@ -107,6 +107,42 @@ def _referenced_columns(spec: N.MatchSpec, columns: list[str]) -> set[str]:
     return {c for c in refs if c in set(columns)}
 
 
+# DEFINE conditions built only from these nodes evaluate identically in
+# Catalyst and in the Python evaluator (NULL → no-match), so they can be
+# precomputed JVM-side as boolean columns — classification becomes an
+# array lookup instead of a per-row interpreted AST walk.  Division /
+# modulo / power stay out (ANSI-mode divide-by-zero errors vs the
+# evaluator's NULL); navigation/aggregate functions are inherently
+# row-context-dependent.
+_VEC_BIN_OPS = {"=", "!=", "<", "<=", ">", ">=", "AND", "OR", "+", "-", "*"}
+_VEC_FUNCS = {"abs", "round", "floor", "ceil", "ceiling", "sqrt",
+              "upper", "lower", "length", "coalesce"}
+
+
+def _vectorizable_define(cond: N.Expr, symbols: set[str]) -> bool:
+    """True iff the DEFINE condition reads only the current row and maps
+    1:1 onto Catalyst semantics."""
+    for node in N.walk(cond):
+        if isinstance(node, (N.Lit, N.IsNull, N.InList, N.Between,
+                             N.Case, N.Un)):
+            continue
+        if isinstance(node, N.Col):
+            root = node.parts[0]
+            if isinstance(root, str) and root in symbols and len(node.parts) > 1:
+                return False  # symbol-qualified ref → match-context-dependent
+            continue
+        if isinstance(node, N.Bin):
+            if node.op not in _VEC_BIN_OPS:
+                return False
+            continue
+        if isinstance(node, N.Func):
+            if node.name.lower() not in _VEC_FUNCS:
+                return False
+            continue
+        return False  # Star / unknown node
+    return True
+
+
 def _pattern_symbols(pat) -> list[str]:
     if pat is None:
         return []
@@ -198,10 +234,31 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
 
     names = [f.name for f in out_schema.fields]
 
+    # Current-row-only DEFINE predicates evaluate in Catalyst (codegen)
+    # before the shuffle; the kernel reads them as boolean arrays.  The
+    # drive loop additionally jumps over start positions where no first
+    # pattern symbol holds (Matcher._start_candidates) — at 100 TB the
+    # Python matcher then only runs at candidate rows, not every row.
+    symbols = set(spec.defines) | set(spec.subsets)
+    symbols.update(_pattern_symbols(spec.pattern))
+    pre_cols: dict[str, str] = {}
+    for i, (sym, cond) in enumerate(spec.defines.items()):
+        if _vectorizable_define(cond, symbols):
+            pre_cols[sym] = f"__cls_{i}__"
+    if pre_cols:
+        df = df.select("*", *[
+            F.expr(render(spec.defines[sym])).alias(c)
+            for sym, c in pre_cols.items()])
+
     def run_group(pdf):
         """One ordered partition (already sorted) → measure-row dicts."""
         import pandas as pd
 
+        pre_cls = None
+        if pre_cols:
+            pre_cls = {sym: pdf[c].fillna(False).to_numpy(dtype=bool)
+                       for sym, c in pre_cols.items()}
+            pdf = pdf.drop(columns=list(pre_cols.values()))
         rows = pdf.to_dict("records")
         if ts_is_time:
             ts_vals = [r[ts_col].timestamp() if pd.notna(r[ts_col]) else None
@@ -211,7 +268,7 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
             ts_vals = [r.get(ts_col) for r in rows]
             # numeric event time: reference default unit is ms
             within = within_s * 1000 if within_s is not None else None
-        out = run_partition(spec_ser, rows, ts_vals, within)
+        out = run_partition(spec_ser, rows, ts_vals, within, pre_cls=pre_cls)
         if not all_rows and out:
             head = {name: rows[0][name] for name in part_names}
             out = [{**head, **m} for m in out]

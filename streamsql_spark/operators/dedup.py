@@ -160,10 +160,17 @@ def simhash_expr(text_col: str, bits: int = 64) -> str:
 
 
 def simhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
-                        max_hamming: int = 8) -> DataFrame:
+                        max_hamming: int = 8,
+                        max_bucket: int = 100_000) -> DataFrame:
     """SimHash near-duplicate pairs: fingerprint, band by 16-bit chunks
     (a pair within hamming distance ≤ 3 shares at least one exact chunk;
     wider distances need more chunks/tables), verify with bit_count.
+
+    Like :func:`minhash_dedup_pairs`, candidates come from ONE shuffle
+    (groupBy chunk bucket → in-bucket pair combinations as a JVM array
+    expression), not a self-join — the fingerprint aggregate is the
+    dominant pass over the corpus and must run exactly once.  Degenerate
+    buckets (> ``max_bucket`` members, e.g. all-empty text) are dropped.
     """
     fp = df.select(F.col(id_col).alias("doc_id"),
                    F.expr(simhash_expr(text_col)).alias("simhash"))
@@ -173,13 +180,15 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
             "transform(sequence(0, 3), c -> named_struct("
             "'chunk', c, 'val', (simhash >> (c * 16)) & 65535))")).alias("cc"),
     ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    return (a.join(b, on=["chunk", "val"], how="inner")
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-                    F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"))
-            .dropDuplicates(["id_a", "id_b"])
-            .where(F.col("hamming") <= max_hamming))
+    members = (chunks.groupBy("chunk", "val")
+               .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
+               .where((F.size("m") > 1) & (F.size("m") <= max_bucket)))
+    pairs = members.select(F.explode(F.expr(
+        "flatten(transform(m, (a, i) -> transform(slice(m, i + 2, size(m)), "
+        "b -> struct(a.doc_id AS id_a, b.doc_id AS id_b, "
+        "bit_count(a.simhash ^ b.simhash) AS hamming))))")).alias("p")).select("p.*")
+    return (pairs.where(F.col("hamming") <= max_hamming)
+                 .dropDuplicates(["id_a", "id_b"]))
 
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
