@@ -80,33 +80,36 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """
 
     def kernel(batches: Iterator["object"]) -> Iterator["object"]:
-        import math
-
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out_rows = []
-            for _, row in pdf.iterrows():
-                payload = decode_image_stub(row["payload"]) or b""
-                n = len(payload)
-                counts = [0] * 8
-                total = 0
-                for by in payload:
-                    counts[by >> 5] += 1
-                    total += by
-                mean = (total / n) if n else 0.0
-                ent = 0.0
-                for c in counts:
-                    if c:
-                        p = c / n
-                        ent -= p * math.log2(p)
+            for media_id, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                # byte statistics vectorize: the per-payload work is numpy
+                # (a per-byte Python loop would be the row-at-a-time slow
+                # path this stage exists to avoid)
+                arr = np.frombuffer(decode_image_stub(payload) or b"",
+                                    dtype=np.uint8)
+                n = int(arr.size)
+                counts = np.bincount(arr >> 5, minlength=8) if n else \
+                    np.zeros(8, dtype=np.int64)
+                mean = float(arr.sum()) / n if n else 0.0
+                nz = counts[counts > 0]
+                if nz.size:
+                    p = nz / n
+                    ent = float(-(p * np.log2(p)).sum())
+                else:
+                    ent = 0.0
                 out_rows.append({
-                    "media_id": row["media_id"],
-                    "kind": row["kind"],
+                    "media_id": media_id,
+                    "kind": kind,
                     "n_bytes": n,
                     "byte_mean": round(mean, 6),
                     "byte_entropy": round(ent, 6),
-                    "feature": [round(c / n, 6) if n else 0.0 for c in counts],
+                    "feature": [round(c / n, 6) if n else 0.0
+                                for c in counts.tolist()],
                 })
             yield pd.DataFrame(out_rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
