@@ -80,9 +80,11 @@ def minhash_signature_cols(text_col: str, num_hashes: int, k: int = 3) -> list[s
     av, bv = _mh_consts(num_hashes)
     cols = []
     for i in range(num_hashes):
+        # affine map fused into the fold — no intermediate transformed
+        # array materialized per hash function
         cols.append(
-            f"aggregate(transform(__mh_base__, h -> ({av[i]}L * h + {bv[i]}L) % {_MH_P}), "
-            f"CAST(9223372036854775807 AS BIGINT), (acc, x) -> least(acc, x))")
+            f"aggregate(__mh_base__, CAST(9223372036854775807 AS BIGINT), "
+            f"(acc, h) -> least(acc, ({av[i]}L * h + {bv[i]}L) % {_MH_P}))")
     return [base] + cols
 
 
@@ -149,11 +151,15 @@ def simhash_expr(text_col: str, bits: int = 64) -> str:
     Catalyst expressions (aggregate over the token array).
     """
     toks = f"array_distinct(split({text_col}, ' '))"
-    h = _h("t")
+    # hash each token ONCE, outside the per-bit lambda — an inlined md5
+    # inside `b -> ...` would be re-evaluated per bit (64x per token):
+    # Catalyst does not CSE across interpreted higher-order-function
+    # lambda invocations
+    hashes = f"transform({toks}, t -> {_h('t')})"
     # accumulate per-bit counters as an array<int>, then collapse to bits
-    acc = (f"aggregate({toks}, array_repeat(0L, {bits}), "
-           f"(acc, t) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
-           f"b -> CASE WHEN ({h} >> b) % 2 != 0 THEN 1L ELSE -1L END), (x, y) -> x + y))")
+    acc = (f"aggregate({hashes}, array_repeat(0L, {bits}), "
+           f"(acc, h) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+           f"b -> CASE WHEN (h >> b) % 2 != 0 THEN 1L ELSE -1L END), (x, y) -> x + y))")
     return (f"aggregate(zip_with({acc}, sequence(0, {bits - 1}), "
             f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
             f"0L, (acc, x) -> acc | x)")
