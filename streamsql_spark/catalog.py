@@ -813,6 +813,156 @@ _add("cep_burst_islands", Entry(
     "§2.7 MATCH_RECOGNIZE greedy A{2,} burst ≡ maximal runs (cep/engine.go:492-552)"))
 
 
+# ===================================================================
+# Coverage closers: §2.6 changed_col/changed_cols, §2.4 nth_value,
+# §2.8 type checks / url / chr / convert_tz / to_seconds, §2.2 nested
+# field access (dot + bracket paths)
+# ===================================================================
+
+_add("analytic_changed_col", Entry(
+    _dialect("""
+        SELECT event_id, user_id,
+               changed_col(true, event_type, value)
+                   OVER (PARTITION BY user_id) AS chg
+        FROM stream
+    """, "events"),
+    f"""
+    SELECT event_id, user_id,
+           CASE WHEN event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}
+                THEN 'event_type'
+                WHEN value IS DISTINCT FROM lag(value) {_ANALYTIC_W}
+                THEN 'value' END AS chg
+    FROM events
+    """,
+    "§2.6 changed_col — first changed watched column (functions_analytical.go:65-82)"))
+
+_add("analytic_changed_cols", Entry(
+    _dialect("""
+        SELECT event_id, user_id,
+               changed_cols('c_', true, event_type, value)
+                   OVER (PARTITION BY user_id)
+        FROM stream
+    """, "events"),
+    f"""
+    SELECT event_id, user_id,
+           CASE WHEN event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}
+                THEN event_type END AS c_event_type,
+           CASE WHEN value IS DISTINCT FROM lag(value) {_ANALYTIC_W}
+                THEN value END AS c_value
+    FROM events
+    """,
+    "§2.6 changed_cols multi-column fan-out (functions/analytic_acc.go:195-205, "
+    "stream/analytic.go:236-290)"))
+
+_add("agg_nth_value", Entry(
+    _dialect("""
+        SELECT user_id,
+               nth_value(user_id, 3) AS third_uid,
+               try_element_at(sort_array(collect(value)), 3) AS v3_sorted
+        FROM stream GROUP BY user_id
+    """, "events"),
+    """
+    SELECT user_id,
+           CASE WHEN count(*) >= 3 THEN user_id END AS third_uid,
+           list_extract(list_sort(list(value)), 3) AS v3_sorted
+    FROM events GROUP BY user_id
+    """,
+    "§2.4 nth_value window-buffer indexing (functions_window.go:232-350); "
+    "arrival-order variant unit-tested, sorted variant oracled"))
+
+_add("scalar_type_checks", Entry(
+    _dialect("""
+        SELECT event_id,
+               is_null(props) AS p_null,
+               is_not_null(props) AS p_notnull,
+               is_numeric(event_type) AS et_num,
+               is_numeric(cast(value, 'string')) AS v_num,
+               is_string(event_type) AS et_str,
+               is_bool(value > 50) AS gt_bool,
+               is_array(split(event_type, '_')) AS is_arr,
+               is_object(event_type) AS is_obj
+        FROM stream WHERE event_id < 300
+    """, "events"),
+    """
+    SELECT event_id,
+           props IS NULL AS p_null,
+           props IS NOT NULL AS p_notnull,
+           (try_cast(event_type AS DOUBLE) IS NOT NULL) AS et_num,
+           (try_cast(CAST(value AS VARCHAR) AS DOUBLE) IS NOT NULL) AS v_num,
+           TRUE AS et_str,
+           TRUE AS gt_bool,
+           TRUE AS is_arr,
+           FALSE AS is_obj
+    FROM events WHERE event_id < 300
+    """,
+    "§2.8 is_null/is_not_null/is_numeric/is_string/is_bool/is_array/is_object "
+    "(functions_type.go:14-170; schema-static checks fold to constants)"))
+
+_add("scalar_url_chr", Entry(
+    _dialect("""
+        SELECT doc_id,
+               url_decode(url_encode(text)) AS rt,
+               url_encode(lang) AS enc_plain,
+               chr(65 + mod(doc_id, 26)) AS ch
+        FROM stream WHERE doc_id < 200
+    """, "documents"),
+    # DuckDB has no url_encode/url_decode: round-trip ≡ identity; lang is
+    # alphanumeric so form-encoding leaves it unchanged.
+    """
+    SELECT doc_id, text AS rt, lang AS enc_plain,
+           chr(CAST(65 + doc_id % 26 AS INTEGER)) AS ch
+    FROM documents WHERE doc_id < 200
+    """,
+    "§2.8 url_encode/url_decode/chr (functions_conversion.go:354-441)"))
+
+_add("scalar_timezone", Entry(
+    _dialect("""
+        SELECT event_id,
+               convert_tz(ts, 'Asia/Shanghai') AS ts_sh,
+               to_seconds(ts) AS secs
+        FROM stream WHERE event_id < 300
+    """, "events"),
+    # Asia/Shanghai is UTC+8 year-round (no DST) → fixed offset oracle
+    """
+    SELECT event_id,
+           ts + INTERVAL '8 hours' AS ts_sh,
+           CAST(floor(epoch(ts)) AS BIGINT) AS secs
+    FROM events WHERE event_id < 300
+    """,
+    "§2.8 convert_tz/to_seconds (functions_conversion.go:242-353)"))
+
+
+def _nested_field_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 nested paths: dot access into a struct column and bracket
+    index into an array column (utils/fieldpath/fieldpath.go:44-176).
+    The events.props JSON string is lifted to a struct source column —
+    the reference's map-shaped rows land the same way via a declared
+    schema (SURVEY §1.2)."""
+    from pyspark.sql import functions as F
+
+    tables = load_tables(spark, sf_dir)
+    src = (tables["events"]
+           .withColumn("meta", F.from_json("props", "struct<k:bigint>"))
+           .withColumn("toks", F.split("event_type", "i")))
+    q = StreamSQL(spark).execute("""
+        SELECT event_id, meta.k AS k_val, toks[0] AS first_seg
+        FROM stream WHERE meta.k IS NOT NULL AND meta.k > 50
+    """)
+    return q.query(src)
+
+
+_add("nested_field_access", Entry(
+    _nested_field_run,
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           string_split(event_type, 'i')[1] AS first_seg
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+    """,
+    "§2.2 nested field access a.b / arr[i] (utils/fieldpath/fieldpath.go:44-621)"))
+
+
 def names() -> list[str]:
     return list(CATALOG)
 
