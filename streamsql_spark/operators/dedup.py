@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_parallelism
+
 # 60-bit md5 prefix as BIGINT — portable across Spark/DuckDB
 _H = "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
@@ -38,6 +40,7 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     Single hash-partitioned aggregate; at 100 TB the digest groupBy is
     the optimal plan (no sort, map-side partial aggregation).
     """
+    df = ensure_parallelism(df)
     digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
     return (df.withColumn("__digest__", digest)
               .groupBy("__digest__")
@@ -109,6 +112,7 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     (e.g. the all-empty-text bucket) whose pair count is quadratic —
     dropped, the standard LSH-dedup guard.
     """
+    df = ensure_parallelism(df)
     rows_per_band = num_hashes // bands
     base, *sig_cols = minhash_signature_cols(text_col, num_hashes, shingle_k)
     sig = (df.select(F.col(id_col).alias("doc_id"),
@@ -178,6 +182,7 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     dominant pass over the corpus and must run exactly once.  Degenerate
     buckets (> ``max_bucket`` members, e.g. all-empty text) are dropped.
     """
+    df = ensure_parallelism(df)
     fp = df.select(F.col(id_col).alias("doc_id"),
                    F.expr(simhash_expr(text_col)).alias("simhash"))
     chunks = fp.select(
@@ -206,6 +211,7 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     removal / df-cut on the postings list bounds the join fan-out; here
     the fixture vocabulary is tiny so the full join is exercised.
     """
+    df = ensure_parallelism(df)
     toks = (df.select(F.col(id_col).alias("doc_id"),
                       F.expr(f"array_distinct(split({text_col}, ' '))").alias("toks"))
               .withColumn("n_toks", F.size("toks")))

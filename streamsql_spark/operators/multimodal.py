@@ -20,6 +20,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..session import ensure_parallelism
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, LongType,
                                StringType, StructField, StructType)
 
@@ -113,7 +115,7 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 })
             yield pd.DataFrame(out_rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
-    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    return ensure_parallelism(media).mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:

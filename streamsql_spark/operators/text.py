@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_parallelism
+
 # tiny deterministic stopword profiles; real pipelines would load
 # per-language frequency tables — topology is identical
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -30,6 +32,7 @@ def lang_score_expr(text_col: str, stopwords: tuple[str, ...]) -> str:
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Pick the best-scoring profile; 'und' when nothing matches."""
+    df = ensure_parallelism(df)
     scores = [(lang, lang_score_expr(text_col, sw)) for lang, sw in LANG_PROFILES.items()]
     # array_max on structs compares field-by-field → score first, lang as
     # the deterministic tiebreaker
@@ -93,6 +96,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4,
     joined to one hex string.  Robust to local edits; md5-based so any
     engine reproduces it.
     """
+    df = ensure_parallelism(df)
     toks = f"split({text_col}, ' ')"
     grams = (f"transform(sequence(0, greatest(size({toks}) - {k}, 0)), "
              f"i -> array_join(slice({toks}, i + 1, {k}), ' '))")

@@ -65,6 +65,14 @@ def get_spark(app_name: str = "streamsql-spark", shuffle_partitions: int | None 
     return b.getOrCreate()
 
 
+# DataFrame-handle memo: building the 10 scan DataFrames costs ~1 s of
+# driver-side work (file listing, footer schema reads) per call, and the
+# catalog calls load_tables once per query.  DataFrames are immutable
+# lazy plans, so sharing the handles across queries is safe; the data
+# itself is never cached — every query still scans parquet.
+_TABLE_MEMO: dict[tuple[int, str, tuple[str, ...]], dict] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -72,9 +80,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
     """Load the driver's parquet tables and register temp views.
 
     Parquet scans get predicate pushdown + column pruning from Catalyst;
-    nothing is cached here — callers decide what to persist.
+    the returned DataFrame handles are memoized per session — data is
+    never cached, callers decide what to persist.
     """
     from pyspark.sql import functions as F
+
+    key = (id(spark), os.path.abspath(sf_dir), tuple(names))
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
 
     out = {}
     for name in names:
@@ -87,7 +101,27 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
                     col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
             df.createOrReplaceTempView(name)
             out[name] = df
+    _TABLE_MEMO[key] = out
     return out
+
+
+def ensure_parallelism(df, min_ratio: float = 1.0):
+    """Spread a narrow scan across the cluster before a CPU-bound kernel.
+
+    A single small parquet file (one row group) plans as ONE input split,
+    which would serialize per-row compute (hashing, signatures, Python
+    kernels) on one core no matter how many the cluster has.  When the
+    plan's parallelism is below ``min_ratio * defaultParallelism``, round-
+    robin repartition to the cluster width; at real scale the scan already
+    has thousands of splits and this is a no-op — no shuffle is added.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    target = int(spark.sparkContext.defaultParallelism * min_ratio)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
