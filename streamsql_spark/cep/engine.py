@@ -226,8 +226,101 @@ class Matcher:
             mask = mask | a
         return np.flatnonzero(mask)
 
+    # ------------------------------------------------- vectorized shapes
+    def _cls_array(self, sym: str, n: int):
+        """Whole-partition classification array for ``sym`` when it is
+        binding-independent: precomputed (vectorized DEFINE) or
+        undefined (≡ TRUE).  None → not vectorizable."""
+        arr = self.pre_cls.get(sym)
+        if arr is not None:
+            return arr
+        if sym not in self.defines:
+            import numpy as np
+
+            return np.ones(n, dtype=bool)
+        return None
+
+    def _find_all_fast(self, max_matches: int):
+        """Closed-form drive for the two dominant pattern shapes under
+        SKIP PAST LAST ROW (leftmost-greedy ⇒ non-overlapping):
+
+        - ``A{m,}[{,M}]`` greedy  → maximal runs of A-classified rows,
+          found with one numpy pass (gaps-and-islands);
+        - ``A B C …`` fixed symbol sequence → shifted-AND of the class
+          arrays, then a leftmost non-overlap sweep over candidates.
+
+        Replaces per-row backtracking with O(n) vector work + O(#matches)
+        Python — the generic matcher remains the fallback for
+        alternation, PERMUTE, navigation-dependent DEFINEs, WITHIN, and
+        other skip policies.  Returns None when not applicable.
+        """
+        if self.spec.after_match_skip[0] != "past_last_row" \
+                or self.within is not None or self.pattern is None:
+            return None
+        import numpy as np
+
+        n = len(self.rows)
+        pat = self.pattern
+        if isinstance(pat, N.PSeq) and len(pat.items) == 1:
+            pat = pat.items[0]
+
+        if isinstance(pat, N.PQuant) and isinstance(pat.item, N.PSym) \
+                and pat.greedy and pat.min >= 1:
+            arr = self._cls_array(pat.item.name, n)
+            if arr is None:
+                return None
+            sym = pat.item.name
+            idx = np.flatnonzero(arr)
+            out: list = []
+            if idx.size == 0:
+                return out
+            brk = np.flatnonzero(np.diff(idx) > 1)
+            starts = np.concatenate(([idx[0]], idx[brk + 1]))
+            ends = np.concatenate((idx[brk], [idx[-1]]))
+            qmin, qmax = pat.min, pat.max
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                while s <= e and len(out) < max_matches:
+                    ln = e - s + 1
+                    if ln < qmin:
+                        break
+                    take = ln if qmax is None else min(ln, qmax)
+                    self.match_number += 1
+                    out.append([(i, sym) for i in range(s, s + take)])
+                    s += take
+            return out
+
+        items = pat.items if isinstance(pat, N.PSeq) else [pat]
+        if all(isinstance(it, N.PSym) for it in items):
+            arrs = []
+            for it in items:
+                a = self._cls_array(it.name, n)
+                if a is None:
+                    return None
+                arrs.append(a)
+            k = len(items)
+            if n < k:
+                return []
+            mask = arrs[0][: n - k + 1].copy()
+            for j in range(1, k):
+                mask &= arrs[j][j: n - k + 1 + j]
+            out = []
+            nxt = 0
+            for i in np.flatnonzero(mask).tolist():
+                if i < nxt:
+                    continue
+                self.match_number += 1
+                out.append([(i + j, items[j].name) for j in range(k)])
+                nxt = i + k
+                if len(out) >= max_matches:
+                    break
+            return out
+        return None
+
     def find_all(self, max_matches: int = 100000):
         """All matches per AFTER MATCH SKIP policy, leftmost-first."""
+        fast = self._find_all_fast(max_matches)
+        if fast is not None:
+            return fast
         out = []
         n = len(self.rows)
         cand = self._start_candidates()

@@ -250,29 +250,62 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
             F.expr(render(spec.defines[sym])).alias(c)
             for sym, c in pre_cols.items()])
 
-    def run_group(pdf):
-        """One ordered partition (already sorted) → measure-row dicts."""
+    def run_task(pdf):
+        """One sorted task frame (groups contiguous) → measure-row dicts.
+
+        Column work happens ONCE per task, vectorized — class arrays,
+        event-time seconds, the row-dict materialization — and each key
+        group is then a zero-copy slice.  Splitting per group with
+        pandas instead (frame copy + per-group conversions) costs ~1 ms
+        per key, which at ~1M tiny keys would dwarf the matcher itself.
+        """
+        import numpy as np
         import pandas as pd
 
-        pre_cls = None
+        n = len(pdf)
+        pre_full = None
         if pre_cols:
-            pre_cls = {sym: pdf[c].fillna(False).to_numpy(dtype=bool)
-                       for sym, c in pre_cols.items()}
+            pre_full = {sym: pdf[c].fillna(False).to_numpy(dtype=bool)
+                        for sym, c in pre_cols.items()}
             pdf = pdf.drop(columns=list(pre_cols.values()))
-        rows = pdf.to_dict("records")
         if ts_is_time:
-            ts_vals = [r[ts_col].timestamp() if pd.notna(r[ts_col]) else None
-                       for r in rows]
+            ints = pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
+            nat = pdf[ts_col].isna().to_numpy()
+            secs = ints / 1e9
+            ts_full = [None if nat[i] else secs[i] for i in range(n)]
             within = within_s
         else:
-            ts_vals = [r.get(ts_col) for r in rows]
+            ts_full = pdf[ts_col].tolist() if ts_col in pdf.columns else [None] * n
             # numeric event time: reference default unit is ms
             within = within_s * 1000 if within_s is not None else None
-        out = run_partition(spec_ser, rows, ts_vals, within, pre_cls=pre_cls)
-        if not all_rows and out:
-            head = {name: rows[0][name] for name in part_names}
-            out = [{**head, **m} for m in out]
-        return out
+        rows = pdf.to_dict("records")
+
+        if not part_names or n == 0:
+            bounds = [(0, n)] if n else []
+        else:
+            # rows arrive sorted by the partition key → group boundaries
+            # are key-change points (NaN-safe comparison)
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for c in part_names:
+                col = pdf[c]
+                same = col.eq(col.shift()) | (col.isna() & col.shift().isna())
+                change |= ~same.to_numpy(dtype=bool)
+            starts = np.flatnonzero(change)
+            bounds = list(zip(starts.tolist(), np.append(starts[1:], n).tolist()))
+
+        outs = []
+        for lo, hi in bounds:
+            pre = ({sym: a[lo:hi] for sym, a in pre_full.items()}
+                   if pre_full is not None else None)
+            grows = rows[lo:hi]
+            out = run_partition(spec_ser, grows, ts_full[lo:hi], within,
+                                pre_cls=pre)
+            if not all_rows and out:
+                head = {name: grows[0][name] for name in part_names}
+                out = [{**head, **m} for m in out]
+            outs.extend(out)
+        return outs
 
     if part_names:
         # One shuffle co-locates each key's rows; mapInPandas then walks
@@ -290,9 +323,7 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
             if not parts_acc:
                 return
             pdf = pd.concat(parts_acc, ignore_index=True)
-            outs = []
-            for _, g in pdf.groupby(part_names, sort=False, dropna=False):
-                outs.extend(run_group(g))
+            outs = run_task(pdf)
             if outs:
                 yield pd.DataFrame(outs, columns=names)
 
@@ -301,8 +332,9 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
         def kernel(pdf):
             import pandas as pd
 
-            pdf = pdf.sort_values(order_cols or [ts_col], kind="mergesort")
-            return pd.DataFrame(run_group(pdf), columns=names)
+            pdf = pdf.sort_values(order_cols or [ts_col], kind="mergesort") \
+                     .reset_index(drop=True)
+            return pd.DataFrame(run_task(pdf), columns=names)
 
         matched = df.groupBy(F.lit(1).alias("__g__")) \
                     .applyInPandas(kernel, schema=out_schema)
