@@ -963,6 +963,53 @@ _add("nested_field_access", Entry(
     "§2.2 nested field access a.b / arr[i] (utils/fieldpath/fieldpath.go:44-621)"))
 
 
+# ===================================================================
+# §3 Streaming execution — the events table replayed through the
+# Structured Streaming path (readStream → dialect plan → watermark +
+# windowed agg → AvailableNow), value-checked against the SAME oracle
+# as the batch tumbling entry: batch/stream parity is the check.
+# ===================================================================
+
+
+def _streaming_tumbling_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events.parquet as a file-source stream and run the
+    tumbling-window query through the streaming executor
+    (stream/stream.go:223-248 pipeline on Structured Streaming).
+    Complete output mode so every window is in the returned table —
+    the deterministic full-replay analog of TriggerWindow() flush."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from .session import _nanos_timestamp_columns
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    for col in _nanos_timestamp_columns(path):
+        stream = stream.withColumn(
+            col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
+    q = StreamSQL(spark).execute("""
+        SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
+               unix_timestamp(window_start()) AS ws
+        FROM stream GROUP BY event_type, TumblingWindow('6h')
+    """)
+    out = q.query_stream(stream)
+    name = "streaming_tumbling_" + _uuid.uuid4().hex[:8]
+    sq = (out.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    sq.awaitTermination(300)
+    return spark.table(name)
+
+
+_add("streaming_tumbling_replay", Entry(
+    _streaming_tumbling_run,
+    CATALOG["window_tumbling"].oracle,
+    "§3 streaming pipeline: readStream → watermark → windowed agg → sink "
+    "(stream/stream.go:223-248); value-parity with the batch path"))
+
+
 def names() -> list[str]:
     return list(CATALOG)
 
