@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import ensure_parallelism
+
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
 _NORM = "sqrt(aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
 
@@ -32,7 +34,8 @@ def cosine_sim_expr(a: str, b: str) -> str:
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, neighbor_id, rank, sim)."""
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_emb"))
+    v = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_emb"))
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
                                    F.col(vec_col).alias("q_emb")))
     sims = (v.crossJoin(q)
@@ -55,7 +58,8 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
     """
     c = F.broadcast(centroids.select(F.col(id_col).alias("centroid_id"),
                                      F.col(vec_col).alias("c_emb")))
-    scored = (vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"))
+    scored = (ensure_parallelism(vectors)
+              .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"))
               .crossJoin(c)
               .withColumn("c_sim", F.expr(cosine_sim_expr("emb", "c_emb"))))
     w = Window.partitionBy("vid").orderBy(
