@@ -932,6 +932,25 @@ _add("scalar_timezone", Entry(
     "§2.8 convert_tz/to_seconds (functions_conversion.go:242-353)"))
 
 
+_add("scalar_expr_escape", Entry(
+    _dialect("""
+        SELECT event_id,
+               expr('value * 2 + 1') AS v2,
+               expr('round(sqrt(value), 2)') AS sq,
+               expr('log(greatest(value, 1.0))') AS lg
+        FROM stream WHERE event_id < 200
+    """, "events"),
+    """
+    SELECT event_id,
+           value * 2 + 1 AS v2,
+           round(sqrt(value), 2) AS sq,
+           log10(greatest(value, 1.0)) AS lg
+    FROM events WHERE event_id < 200
+    """,
+    "§2.8 expr() runtime expression escape hatch, dialect semantics inside "
+    "(functions_expr.go:16-100; log is base-10 per functions_math.go:419)"))
+
+
 def _nested_field_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 nested paths: dot access into a struct column and bracket
     index into an array column (utils/fieldpath/fieldpath.go:44-176).

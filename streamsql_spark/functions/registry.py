@@ -333,6 +333,25 @@ def _render_case_when(args: list[str], ast: list[N.Expr]) -> str:
 SCALAR_RENDERERS["case_when"] = _render_case_when
 
 
+def _render_expr_escape(args: list[str], ast: list[N.Expr]) -> str:
+    """``expr('value * 2 + 1')`` — the reference's runtime expression
+    escape hatch (functions_expr.go:16-100).  The literal string is
+    parsed with the dialect grammar and inlined, so function-name
+    deviations (log, substring, …) apply inside it; Catalyst then
+    compiles it like any other expression."""
+    inner = _lit_str(ast[0])
+    if inner is None:
+        raise ValueError("expr() requires a string-literal expression")
+    from ..dialect import render as R
+    from ..dialect.parser import parse
+
+    node = parse(f"SELECT {inner} AS __e__ FROM stream").fields[0].expr
+    return f"({R.Renderer().render(node)})"
+
+
+SCALAR_RENDERERS["expr"] = _render_expr_escape
+
+
 # ---------------------------------------------------- aggregate registry
 
 def _render_percentile(args: list[str], ast: list[N.Expr]) -> str:

@@ -409,6 +409,29 @@ def test_changed_cols_rejected_in_expression(spark):
             'SELECT changed_cols("c_", true, temperature) + 1 AS x FROM stream'))
 
 
+def test_expr_escape_hatch(spark):
+    # functions_expr.go:16-100 — expr(str) evaluates a dialect expression;
+    # inner functions use dialect semantics (log = base-10)
+    s = StreamSQL(spark)
+    s.execute("SELECT expr('temperature * 1.8 + 32') AS f, "
+              "expr('log(temperature)') AS lg FROM stream")
+    out = s.emit_sync({"temperature": 100.0})
+    assert round(out["f"], 1) == 212.0
+    assert round(out["lg"], 6) == 2.0
+
+
+def test_expr_escape_requires_literal(spark):
+    from streamsql_spark.dialect.parser import parse
+    from streamsql_spark.dialect.planner import plan as make_plan
+    from streamsql_spark.engine.batch import BatchExecutor, ExecError
+
+    with pytest.raises(Exception):
+        df = spark.createDataFrame([(1.0,)], "temperature double")
+        s = StreamSQL(spark)
+        s.execute("SELECT expr(temperature) AS x FROM stream")
+        s.query(df).collect()
+
+
 def test_custom_aggregate_function(spark):
     # functions/aggregator_interface.go:5-18 custom UDAF surface
     s = StreamSQL(spark)
