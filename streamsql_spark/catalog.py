@@ -1029,6 +1029,49 @@ _add("streaming_tumbling_replay", Entry(
     "(stream/stream.go:223-248); value-parity with the batch path"))
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from .session import _nanos_timestamp_columns
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    for col in _nanos_timestamp_columns(path):
+        stream = stream.withColumn(
+            col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
+    return stream
+
+
+def _streaming_counting_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 counting window through the CUSTOM STATEFUL streaming kernel
+    (applyInPandasWithState, window/counting_window.go semantics): count
+    rows per key, emit on every 25th, carry remainder state across
+    micro-batches.  Full value parity with the batch counting oracle —
+    the stable per-batch (ts, event_id) ordering makes the replay
+    deterministic (TriggerWindow-analog AvailableNow drain)."""
+    q = StreamSQL(spark).execute("""
+        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+        FROM stream GROUP BY user_id, CountingWindow(25)
+    """)
+    acc: list[dict] = []
+    sq = q.start_stream(_events_stream(spark, sf_dir),
+                        sink=lambda rows: acc.extend(rows))
+    sq.awaitTermination(300)
+    return spark.createDataFrame(
+        [(r["user_id"], r["cnt"], r["total"]) for r in acc],
+        schema="user_id bigint, cnt bigint, total double")
+
+
+_add("streaming_counting_replay", Entry(
+    _streaming_counting_run,
+    CATALOG["window_counting"].oracle,
+    "§2.5+§3 counting window on the stateful streaming kernel "
+    "(streaming/stateful.py::counting_window_stream; "
+    "window/counting_window.go:36-357); value-parity with the batch path"))
+
+
 def names() -> list[str]:
     return list(CATALOG)
 
