@@ -48,17 +48,17 @@ def main() -> None:
     _force(spark.range(1000).toDF("x").mapInPandas(
         lambda it: it, schema="x long"))
 
-    # Each entry runs twice; the WARM run is reported.  The first run
-    # pays one-time Catalyst analysis + codegen JIT (~1-2 s per query
-    # shape) — constant cost, irrelevant at scale where a query runs for
-    # minutes; the warm run measures pipeline throughput, which is what
-    # scales with data volume.
+    # Each entry runs three times; the best WARM run is reported.  The
+    # first run pays one-time Catalyst analysis + codegen JIT (~1-4 s
+    # per query shape) — constant cost, irrelevant at scale where a
+    # query runs for minutes; the warm minimum measures pipeline
+    # throughput (what scales with data volume) with GC noise damped.
     timings: dict[str, float] = {}
     total = 0.0
     for name, entry in CATALOG.items():
         try:
             dt = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 _force(entry.run(spark, sf_dir))
                 dt = min(dt, time.perf_counter() - t0)

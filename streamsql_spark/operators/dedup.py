@@ -73,22 +73,24 @@ def _mh_consts(num_hashes: int) -> tuple[list[int], list[int]]:
 
 
 def minhash_signature_cols(text_col: str, num_hashes: int, k: int = 3) -> list[str]:
-    """SQL fragments: per-document minhash_i over word k-shingles.
+    """SQL fragments: (base-hash array, K-wide signature array).
 
-    Stays entirely JVM-side: one base-hash pass over the shingle array,
-    then ``num_hashes`` cheap integer min-folds — no explode, no shuffle.
+    Stays entirely JVM-side and makes ONE pass over the shingle array:
+    the fold accumulator is the whole K-wide minimum vector, updated per
+    shingle with a zip against the constant (A_i, B_i) coefficient array
+    — a single compact expression instead of K separate folds (K
+    re-walks of the array and a K× larger plan to analyze and codegen).
     """
     sh = shingles(text_col, k)
     base = f"transform({sh}, s -> {_MH_BASE.format(expr='s')})"
     av, bv = _mh_consts(num_hashes)
-    cols = []
-    for i in range(num_hashes):
-        # affine map fused into the fold — no intermediate transformed
-        # array materialized per hash function
-        cols.append(
-            f"aggregate(__mh_base__, CAST(9223372036854775807 AS BIGINT), "
-            f"(acc, h) -> least(acc, ({av[i]}L * h + {bv[i]}L) % {_MH_P}))")
-    return [base] + cols
+    ab = ", ".join(f"named_struct('a', {a}L, 'b', {b}L)"
+                   for a, b in zip(av, bv))
+    sig = (f"aggregate(__mh_base__, "
+           f"array_repeat(CAST(9223372036854775807 AS BIGINT), {num_hashes}), "
+           f"(acc, h) -> zip_with(acc, array({ab}), "
+           f"(m, c) -> least(m, (c.a * h + c.b) % {_MH_P})))")
+    return [base, sig]
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -114,11 +116,10 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     df = ensure_parallelism(df)
     rows_per_band = num_hashes // bands
-    base, *sig_cols = minhash_signature_cols(text_col, num_hashes, shingle_k)
+    base, sig_expr = minhash_signature_cols(text_col, num_hashes, shingle_k)
     sig = (df.select(F.col(id_col).alias("doc_id"),
                      F.expr(base).alias("__mh_base__"))
-             .select("doc_id",
-                     F.array(*[F.expr(c) for c in sig_cols]).alias("sig")))
+             .select("doc_id", F.expr(sig_expr).alias("sig")))
     band_exprs = []
     for b in range(bands):
         lo = b * rows_per_band
