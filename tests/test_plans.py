@@ -1,0 +1,67 @@
+"""Physical-plan regression tests — the scale contract as assertions.
+
+Each test pins a plan property that matters at 100 TB and that a
+refactor could silently lose: predicate pushdown into the parquet scan,
+column pruning, broadcast of the dimension side of stream-table joins,
+partial→final hash aggregation, and top-K compiling to
+TakeOrderedAndProject.  `.explain("formatted")` text is the oracle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def catalog_plan(spark):
+    from streamsql_spark.catalog import CATALOG
+
+    def plan_text(name: str) -> str:
+        df = CATALOG[name].run(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    return plan_text
+
+
+def test_filter_pushdown_and_pruning(catalog_plan):
+    p = catalog_plan("filter_project")
+    # WHERE reaches the parquet scan …
+    assert "PushedFilters:" in p
+    assert "GreaterThan(value,10.0)" in p
+    # … and the scan reads only the referenced columns (no ts/props)
+    schema_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "props" not in schema_line and "ts" not in schema_line
+
+
+def test_stream_table_join_broadcasts(catalog_plan):
+    # stream-table enrichment must not shuffle the stream side
+    p = catalog_plan("join_inner")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_aggregation_is_partial_then_final(catalog_plan):
+    p = catalog_plan("agg_tpch_q1")
+    # two HashAggregate operators around one exchange = map-side combine
+    assert p.count("(2) HashAggregate") + p.count("HashAggregate") >= 2
+    assert "SortAggregate" not in p
+
+
+def test_orderby_limit_is_topk(catalog_plan):
+    p = catalog_plan("orderby_limit")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_minhash_has_no_join_on_signature_side(catalog_plan):
+    # candidate pairing is groupBy bucket + in-bucket combination —
+    # a self-join would recompute the signature pass per side
+    p = catalog_plan("dedup_minhash_lsh")
+    assert "Join" not in p or "BroadcastHashJoin" in p
