@@ -932,6 +932,38 @@ _add("scalar_timezone", Entry(
     "§2.8 convert_tz/to_seconds (functions_conversion.go:242-353)"))
 
 
+_add("cep_all_rows", Entry(
+    _dialect("""
+        SELECT user_id, event_id, value, sym, n FROM stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES CLASSIFIER() AS sym, COUNT(*) AS n
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS value > 80, B AS value < 20
+        )
+    """, "events"),
+    # A/B classes are disjoint (>80 vs <20), so every matched row is
+    # identified relationally: A rows look ahead, B rows look back.
+    # RUNNING semantics: COUNT(*) is 1 on the A row, 2 on the B row.
+    f"""
+    WITH w AS (
+        SELECT user_id, event_id, value, ts,
+               lag(value) {_ANALYTIC_W} AS pv,
+               lead(value) {_ANALYTIC_W} AS nv
+        FROM events)
+    SELECT user_id, event_id, value, 'A' AS sym, CAST(1 AS BIGINT) AS n
+    FROM w WHERE value > 80 AND nv < 20
+    UNION ALL
+    SELECT user_id, event_id, value, 'B' AS sym, CAST(2 AS BIGINT) AS n
+    FROM w WHERE pv > 80 AND value < 20
+    """,
+    "§2.7 ALL ROWS PER MATCH with RUNNING measures + CLASSIFIER() "
+    "(types/match_recognize.go:19-26, cep/engine.go:638-655)"))
+
+
 _add("scalar_expr_escape", Entry(
     _dialect("""
         SELECT event_id,
