@@ -38,9 +38,11 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     """Exact dedup: keep the min-id representative per content digest.
 
     Single hash-partitioned aggregate; at 100 TB the digest groupBy is
-    the optimal plan (no sort, map-side partial aggregation).
+    the optimal plan (no sort, map-side partial aggregation).  No
+    parallelism guard here: one md5 per row is cheaper than the extra
+    round-robin shuffle it would add — the groupBy exchange already
+    spreads the aggregation.
     """
-    df = ensure_parallelism(df)
     digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
     return (df.withColumn("__digest__", digest)
               .groupBy("__digest__")
