@@ -1104,6 +1104,32 @@ _add("streaming_counting_replay", Entry(
     "window/counting_window.go:36-357); value-parity with the batch path"))
 
 
+def _streaming_global_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 GLOBAL WINDOW TRIGGER WHEN through the second custom
+    stateful kernel: per-key running aggregates + trigger predicate +
+    FIRE_AND_PURGE (streaming/stateful.py::global_window_stream;
+    window/global_window.go:49-731), value-checked against the batch
+    oracle."""
+    q = StreamSQL(spark).execute("""
+        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+        FROM stream GROUP BY user_id GLOBAL WINDOW TRIGGER WHEN count(*) >= 20
+    """)
+    acc: list[dict] = []
+    sq = q.start_stream(_events_stream(spark, sf_dir),
+                        sink=lambda rows: acc.extend(rows))
+    sq.awaitTermination(300)
+    return spark.createDataFrame(
+        [(r["user_id"], r["cnt"], r["total"]) for r in acc],
+        schema="user_id bigint, cnt bigint, total double")
+
+
+_add("streaming_global_trigger_replay", Entry(
+    _streaming_global_run,
+    CATALOG["window_global_trigger"].oracle,
+    "§2.5+§3 global TRIGGER WHEN window on the stateful streaming kernel "
+    "(running aggs + FIRE_AND_PURGE); value-parity with the batch path"))
+
+
 def names() -> list[str]:
     return list(CATALOG)
 
