@@ -1130,6 +1130,76 @@ _add("streaming_global_trigger_replay", Entry(
     "(running aggs + FIRE_AND_PURGE); value-parity with the batch path"))
 
 
+def _streaming_analytic_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 analytic state machine through the streaming kernel
+    (streaming/stateful.py::analytic_stream; stream/analytic.go:125-234):
+    lag with offset/default + expression wrapping, state keyed by
+    user_id.  One AvailableNow batch sorted by event time inside the
+    kernel ⇒ exact value parity with the batch analytic_lag oracle
+    ((user_id, ts) is unique in events, so the order is total)."""
+    import uuid as _uuid
+
+    q = StreamSQL(spark).execute("""
+        SELECT event_id, user_id, value,
+               lag(value) OVER (PARTITION BY user_id) AS prev_v,
+               round(value - lag(value) OVER (PARTITION BY user_id), 4) AS delta,
+               lag(value, 2, -1.0) OVER (PARTITION BY user_id) AS prev2
+        FROM stream
+    """)
+    out = q.query_stream(_events_stream(spark, sf_dir))
+    name = "streaming_analytic_" + _uuid.uuid4().hex[:8]
+    sq = (out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    sq.awaitTermination(300)
+    return spark.table(name)
+
+
+_add("streaming_analytic_replay", Entry(
+    _streaming_analytic_run,
+    CATALOG["analytic_lag"].oracle,
+    "§2.6+§3 lag analytic on the stateful streaming kernel "
+    "(applyInPandasWithState state machine, stream/analytic.go:125-234); "
+    "value-parity with the batch analytic path"))
+
+
+def _streaming_cep_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 MATCH_RECOGNIZE through the incremental streaming matcher
+    (streaming/stateful.py::cep_stream; cep/engine.go:374-461).  The
+    fixed-length PATTERN (A B) emits every match as soon as it closes —
+    no pending-greedy tail at end of stream — so the AvailableNow
+    replay carries full value parity with the batch relational oracle
+    (adjacent-pair ≡ LAG)."""
+    import uuid as _uuid
+
+    q = StreamSQL(spark).execute("""
+        SELECT user_id, a_ts, b_ts, a_val, b_val FROM stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, B.ts AS b_ts,
+                     A.value AS a_val, B.value AS b_val
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS value > 80, B AS value < 20
+        )
+    """)
+    out = q.query_stream(_events_stream(spark, sf_dir))
+    name = "streaming_cep_" + _uuid.uuid4().hex[:8]
+    sq = (out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    sq.awaitTermination(300)
+    return spark.table(name)
+
+
+_add("streaming_cep_replay", Entry(
+    _streaming_cep_run,
+    CATALOG["cep_adjacent_pair"].oracle,
+    "§2.7+§3 MATCH_RECOGNIZE on the incremental streaming matcher "
+    "(cep/engine.go:374-461 semantics in applyInPandasWithState); "
+    "value-parity with the batch CEP path"))
+
+
 def names() -> list[str]:
     return list(CATALOG)
 

@@ -82,6 +82,55 @@ def _first_symbols(pat) -> tuple[set, bool]:
     return set(), True  # unknown node: no skipping
 
 
+def _len_bounds(pat) -> tuple[int, int | None]:
+    """(min_rows, max_rows) a pattern node can consume; max None =
+    unbounded.  Excluded symbols still consume rows (exclusion only
+    hides them from ALL ROWS output), so they count."""
+    if pat is None:
+        return (0, 0)
+    if isinstance(pat, N.PSym):
+        return (1, 1)
+    if isinstance(pat, (N.PSeq, N.PPermute)):
+        lo, hi = 0, 0
+        for it in pat.items:
+            l, h = _len_bounds(it)
+            lo += l
+            hi = None if (hi is None or h is None) else hi + h
+        return (lo, hi)
+    if isinstance(pat, N.PAlt):
+        bounds = [_len_bounds(it) for it in pat.items]
+        hi = None if any(h is None for _, h in bounds) \
+            else max(h for _, h in bounds)
+        return (min(l for l, _ in bounds), hi)
+    if isinstance(pat, N.PQuant):
+        l, h = _len_bounds(pat.item)
+        lo = l * pat.min
+        hi = None if (pat.max is None or h is None) else h * pat.max
+        return (lo, hi)
+    return (0, None)  # unknown node: conservative
+
+
+def _uses_future_nav(spec: N.MatchSpec) -> bool:
+    """True if any DEFINE references NEXT() — row classification then
+    depends on rows after the current one, so even a fixed-length match
+    touching the buffer tail is not final."""
+    import dataclasses
+
+    def walk(x) -> bool:
+        if isinstance(x, N.Func) and str(x.name).lower() == "next":
+            return True
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            return any(walk(getattr(x, f.name))
+                       for f in dataclasses.fields(x))
+        if isinstance(x, (list, tuple)):
+            return any(walk(v) for v in x)
+        if isinstance(x, dict):
+            return any(walk(v) for v in x.values())
+        return False
+
+    return any(walk(e) for e in spec.defines.values())
+
+
 class Matcher:
     def __init__(self, spec: N.MatchSpec, rows: list[dict],
                  ts_values: list | None = None, within: float | None = None,
@@ -98,6 +147,15 @@ class Matcher:
         # sym -> bool array: DEFINE predicates the executor evaluated
         # JVM-side over the whole partition (current-row-only conditions)
         self.pre_cls = pre_cls or {}
+        # Fixed-length patterns (min rows == max rows, no NEXT() in
+        # DEFINE) can never extend once complete: the reference's NFA
+        # emits immediately when the accepting state has no outgoing
+        # transition (cep/engine.go:492-552).  find_emittable uses this
+        # to release tail-touching matches without waiting for the next
+        # micro-batch.
+        lo, hi = _len_bounds(self.pattern)
+        self.fixed_final = (hi is not None and lo == hi
+                            and not _uses_future_nav(spec))
 
     # ------------------------------------------------------ classification
     def classify(self, pos: int, sym: str, bindings: list) -> bool:
@@ -382,7 +440,8 @@ class Matcher:
                 start += 1
                 continue
             end, bindings = m
-            if end >= n and not flush and not self._expired(start):
+            if end >= n and not flush and not self._expired(start) \
+                    and not self.fixed_final:
                 # touches the buffer tail: a future row may extend it
                 return out, start
             if end >= n and not flush:

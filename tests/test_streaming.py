@@ -198,6 +198,24 @@ def test_cep_stream_incremental(spark):
         [(1000, 3000, 2), (4000, 5000, 1)]
 
 
+def test_cep_fixed_length_emits_at_tail(spark):
+    # a fixed-length pattern cannot extend: the match ending exactly at
+    # the buffer tail emits in the SAME micro-batch (no next-row wait)
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES A.ts AS a_ts, B.ts AS b_ts
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        DEFINE A AS temperature > 80, B AS temperature < 20
+    )"""
+    batches = [
+        _rows(("d1", 90.0, 0.0, 1000, "ok"), ("d1", 10.0, 0.0, 2000, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    assert [(r["a_ts"], r["b_ts"]) for r in got] == [(1000, 2000)]
+
+
 # ------------------------------------------------- batch/stream parity
 def test_stream_batch_parity_window_agg(spark):
     sql = ("SELECT deviceId, min(temperature) AS lo, max(temperature) AS hi, "
