@@ -163,10 +163,16 @@ def simhash_expr(text_col: str, bits: int = 64) -> str:
     # Catalyst does not CSE across interpreted higher-order-function
     # lambda invocations
     hashes = f"transform({toks}, t -> {_h('t')})"
-    # accumulate per-bit counters as an array<int>, then collapse to bits
+    # accumulate per-bit counters as an array<int>, then collapse to
+    # bits.  Single fused zip_with against a constant bit-index array —
+    # materializing a per-token transform(sequence(...)) array and then
+    # zipping it is two interpreted 64-iteration passes per token where
+    # one suffices.  shiftright(), not `>>`: the SQL parser rejects `>>`
+    # inside a two-parameter lambda.
+    bit_arr = "array(" + ", ".join(str(b) for b in range(bits)) + ")"
     acc = (f"aggregate({hashes}, array_repeat(0L, {bits}), "
-           f"(acc, h) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
-           f"b -> CASE WHEN (h >> b) % 2 != 0 THEN 1L ELSE -1L END), (x, y) -> x + y))")
+           f"(acc, h) -> zip_with(acc, {bit_arr}, "
+           f"(x, b) -> x + CASE WHEN shiftright(h, b) % 2 != 0 THEN 1L ELSE -1L END))")
     return (f"aggregate(zip_with({acc}, sequence(0, {bits - 1}), "
             f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
             f"0L, (acc, x) -> acc | x)")
