@@ -368,6 +368,31 @@ def test_scalar_function_mix(spark):
                     "d": "dflt"}]
 
 
+def test_scalar_passthrough_trig_bits_json(spark):
+    # the registry passes same-name functions straight to Spark SQL —
+    # pin the ones no other test exercises (builtin.go registrations:
+    # functions_math.go acos/asin/cosh/sinh/tanh/log2, bitnot,
+    # functions_datetime.go date_parse, functions_json.go to_json)
+    sql = ("SELECT round(acos(h), 4) AS a_acos, round(asin(h), 4) AS a_asin, "
+           "round(cosh(one), 4) AS a_cosh, round(sinh(one), 4) AS a_sinh, "
+           "round(tanh(one), 4) AS a_tanh, log2(eight) AS a_log2, "
+           "bitnot(five) AS a_bnot, "
+           "hour(date_parse(dstr, 'YYYY-MM-DD HH:MI:SS')) AS a_hour, "
+           "to_json(named_struct('k', five)) AS a_json "
+           "FROM stream")
+    schema = StructType([StructField("h", DoubleType()),
+                         StructField("one", DoubleType()),
+                         StructField("eight", DoubleType()),
+                         StructField("five", LongType()),
+                         StructField("dstr", StringType())])
+    rows = [{"h": 0.5, "one": 1.0, "eight": 8.0, "five": 5,
+             "dstr": "2024-03-05 10:20:30"}]
+    out = run_query(spark, sql, rows, schema=schema)
+    assert out == [{"a_acos": 1.0472, "a_asin": 0.5236, "a_cosh": 1.5431,
+                    "a_sinh": 1.1752, "a_tanh": 0.7616, "a_log2": 3.0,
+                    "a_bnot": -6, "a_hour": 10, "a_json": '{"k":5}'}]
+
+
 def test_custom_function_registration(spark):
     # functions/registry.go:239-288 runtime registration
     s = StreamSQL(spark)
