@@ -81,6 +81,39 @@ def test_tumbling_window_append_emission(spark):
         [("d1", 15.0), ("d1", 30.0)]
 
 
+def test_watermark_out_of_order_and_late_drop(spark):
+    # window/watermark.go semantics: watermark = max(event_time) −
+    # MAXOUTOFORDERNESS; an out-of-order row within the bound still lands
+    # in its (not-yet-closed) window; a row arriving after its window
+    # closed is dropped with no re-emission (IsEventTimeLate,
+    # watermark.go:199-213).  Spark's late filter uses the previous
+    # trigger's watermark, so the guaranteed drop is one batch after
+    # eviction — the delta vs the reference's per-event drop is timing
+    # granularity, not semantics.
+    sql = ("SELECT deviceId, sum(temperature) AS s, count(*) AS n FROM stream "
+           "GROUP BY deviceId, TumblingWindow('10s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms', MAXOUTOFORDERNESS='5s')")
+    batches = [
+        # watermark after batch: 12s − 5s = 7s < 10s ⇒ [0,10s) still open
+        _rows(("d1", 1.0, 0.0, 1000, "ok"), ("d1", 2.0, 0.0, 12000, "ok")),
+        # out-of-order 8s row: accepted (8s ≥ watermark 7s), joins [0,10s)
+        _rows(("d1", 4.0, 0.0, 8000, "ok")),
+        # advances watermark to 11s ≥ 10s
+        _rows(("d1", 8.0, 0.0, 16000, "ok")),
+        # batch runs with watermark 11s ⇒ [0,10s) evicted WITHOUT 100.0
+        _rows(("d1", 3.0, 0.0, 25000, "ok")),
+        # 5s is beyond lateness (its window already closed) ⇒ dropped,
+        # no spurious (100.0, 1) re-emission of [0,10s)
+        _rows(("d1", 100.0, 0.0, 5000, "ok"),
+              ("d1", 16.0, 0.0, 30000, "ok")),  # closes [10,20s)
+    ]
+    got = run_stream(spark, sql, batches)
+    got.sort(key=lambda r: r["s"])
+    # [0,10s): 1+4 (out-of-order row in, very-late row dropped);
+    # [10,20s): 2+8; [20,30s)/[30,40s) never close (watermark 25s)
+    assert [(r["s"], r["n"]) for r in got] == [(5.0, 2), (10.0, 2)]
+
+
 def test_sliding_window_stream(spark):
     sql = ("SELECT deviceId, sum(temperature) AS s FROM stream "
            "GROUP BY deviceId, SlidingWindow('10s', '5s') "
