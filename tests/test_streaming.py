@@ -231,6 +231,30 @@ def test_cep_stream_incremental(spark):
         [(1000, 3000, 2), (4000, 5000, 1)]
 
 
+def test_cep_stream_within_expiry(spark):
+    # WITHIN bounds a match across micro-batches: a partial match whose
+    # window lapsed cannot complete with a too-late row (cep/engine.go
+    # WITHIN sweeper, :269-320); the buffer position is released so a
+    # later in-bound pair still matches
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, FIRST(A.ts) AS ats
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        WITHIN '10s'
+        DEFINE A AS temperature < 20, B AS temperature > 20
+    )"""
+    batches = [
+        _rows(("d1", 10.0, 0.0, 1000, "ok")),    # A@1s — partial, held
+        _rows(("d1", 30.0, 0.0, 70000, "ok")),   # B@70s: 69s > 10s, expired
+        _rows(("d1", 11.0, 0.0, 80000, "ok"),    # fresh A@80s
+              ("d1", 31.0, 0.0, 81000, "ok")),   # B@81s: 1s < 10s → match
+    ]
+    got = run_stream(spark, sql, batches)
+    assert [(r["mn"], r["ats"]) for r in got] == [(1, 80000)]
+
+
 def test_cep_fixed_length_emits_at_tail(spark):
     # a fixed-length pattern cannot extend: the match ending exactly at
     # the buffer tail emits in the SAME micro-batch (no next-row wait)
