@@ -274,6 +274,56 @@ def test_cep_fixed_length_emits_at_tail(spark):
 
 
 # ------------------------------------------------- batch/stream parity
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_analytic_stream_batch_parity_random(spark, seed):
+    # the streaming state machine and the batch window-function
+    # compilation implement the SAME reference semantics
+    # (stream/analytic.go:125-234) — random sequences with nulls and
+    # arbitrary micro-batch splits must agree row-for-row
+    import random
+
+    rng = random.Random(seed)
+    statuses = ["ok", "warn", "err"]
+    rows = []
+    for i in range(40):
+        rows.append({
+            "deviceId": rng.choice(["d1", "d2", "d3"]),
+            "temperature": None if rng.random() < 0.15
+            else round(rng.uniform(-5, 40), 2),
+            "humidity": 0.0,
+            "ts": 1000 * (i + 1),
+            "status": rng.choice(statuses),
+        })
+    batches, i = [], 0
+    while i < len(rows):
+        n = rng.randint(1, 7)
+        batches.append(rows[i:i + n])
+        i += n
+
+    sql = ("SELECT deviceId, ts, temperature, "
+           "lag(temperature) OVER (PARTITION BY deviceId) AS prev, "
+           "acc_sum(temperature) OVER (PARTITION BY deviceId) AS rsum, "
+           "latest(temperature) OVER (PARTITION BY deviceId) AS cur, "
+           "had_changed(true, status) OVER (PARTITION BY deviceId) AS chg "
+           "FROM stream WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+
+    got_stream = run_stream(spark, sql, batches)
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    batch_df = spark.createDataFrame(rows, schema=EVT)
+    got_batch = [r.asDict() for r in s.query(batch_df).collect()]
+
+    def key(r):
+        return (r["deviceId"], r["ts"])
+
+    def norm(r):
+        return {k: (round(v, 6) if isinstance(v, float) else v)
+                for k, v in r.items()}
+
+    sd = {key(r): norm(r) for r in got_stream}
+    bd = {key(r): norm(r) for r in got_batch}
+    assert sd == bd
 def test_stream_batch_parity_window_agg(spark):
     sql = ("SELECT deviceId, min(temperature) AS lo, max(temperature) AS hi, "
            "count(*) AS n FROM stream "
