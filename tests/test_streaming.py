@@ -350,6 +350,34 @@ def test_stream_batch_parity_window_agg(spark):
     assert len(batch_out - stream_out) == 1  # only the final open window
 
 
+def test_analytic_stream_many_partitions(spark):
+    # partition-capacity analog of the reference's 100k-device claim
+    # (README.md perf table; stream/analytic.go LRU): 5000 distinct keys
+    # through the stateful kernel in one micro-batch — per-key state
+    # stays O(1) and every key computes independently
+    n_keys = 5000
+    rows = []
+    for k in range(n_keys):
+        for j in range(3):
+            rows.append({"deviceId": f"dev{k:05d}", "temperature": float(j),
+                         "humidity": 0.0, "ts": 1000 * (k * 3 + j + 1),
+                         "status": "ok"})
+    sql = ("SELECT deviceId, "
+           "acc_count(temperature) OVER (PARTITION BY deviceId) AS n, "
+           "lag(temperature) OVER (PARTITION BY deviceId) AS prev "
+           "FROM stream WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    got = run_stream(spark, sql, [rows])
+    assert len(got) == n_keys * 3
+    per_key = {}
+    for r in got:
+        per_key.setdefault(r["deviceId"], []).append(r)
+    assert len(per_key) == n_keys
+    sample = per_key["dev04999"]
+    assert sorted(r["n"] for r in sample) == [1, 2, 3]
+    assert sorted(r["prev"] for r in sample if r["prev"] is not None) == \
+        [0.0, 1.0]
+
+
 def test_counting_window_with_statettl(spark):
     # STATETTL wires ProcessingTimeTimeout; results unchanged while active
     sql = ("SELECT deviceId, sum(temperature) AS s FROM stream "
