@@ -118,6 +118,20 @@ class StreamSQL:
             elif name in self._tables:
                 self._tables[name] = self._tables[name].limit(0)
 
+    def sql(self, query: str,
+            tables: dict[str, DataFrame] | None = None) -> DataFrame:
+        """ANSI Spark SQL passthrough (SURVEY §2.10).
+
+        The reference grammar has no UNION / INTERSECT / EXCEPT /
+        subqueries (rsql/lexer.go:373-460, rsql/parser.go:149-253);
+        Spark provides them natively, so anything beyond the StreamSQL
+        dialect goes straight to Catalyst.  Registered dim tables and
+        any ``tables`` passed here are visible as temp views.
+        """
+        for name, df in {**self._tables, **(tables or {})}.items():
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     # -------------------------------------------------------- DataFrame path
     def query(self, source_df: DataFrame, tables: dict[str, DataFrame] | None = None) -> DataFrame:
         """Apply the compiled plan to a DataFrame (batch or streaming-ready).

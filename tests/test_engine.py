@@ -368,6 +368,21 @@ def test_scalar_function_mix(spark):
                     "d": "dflt"}]
 
 
+def test_ansi_sql_passthrough_union_subquery(spark):
+    # §2.10: set ops and subqueries are absent from the reference
+    # grammar; the facade passes ANSI SQL straight to Catalyst with
+    # registered dim tables visible as views
+    s = StreamSQL(spark)
+    s.register_table("t_a", [{"k": 1}, {"k": 2}])
+    s.register_table("t_b", [{"k": 2}, {"k": 3}])
+    union = s.sql("SELECT k FROM t_a UNION SELECT k FROM t_b ORDER BY k")
+    assert [r["k"] for r in union.collect()] == [1, 2, 3]
+    sub = s.sql("SELECT k FROM t_a WHERE k IN (SELECT k FROM t_b)")
+    assert [r["k"] for r in sub.collect()] == [2]
+    inter = s.sql("SELECT k FROM t_a INTERSECT SELECT k FROM t_b")
+    assert [r["k"] for r in inter.collect()] == [2]
+
+
 def test_scalar_passthrough_trig_bits_json(spark):
     # the registry passes same-name functions straight to Spark SQL —
     # pin the ones no other test exercises (builtin.go registrations:
