@@ -697,3 +697,70 @@ def test_count_symbol_star(spark):
     assert len(out) == 2
     assert out[0]["n_high"] == 2 and out[0]["n_all"] == 3
     assert out[1]["n_high"] == 1 and out[1]["n_all"] == 2
+
+
+# --- cep_doc_verify_test.go:83 DocCEP_D (Start Running+ Stop cycle)
+def test_doc_start_running_stop(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId ORDER BY ts
+        MEASURES MATCH_NUMBER() AS cycle, MAX(Running.power) AS peak_power
+        ONE ROW PER MATCH
+        PATTERN (Start Running+ Stop)
+        WITHIN '24h'
+        DEFINE Start AS type == "start", Running AS type == "running",
+               Stop AS type == "stop"
+    )"""
+    rows = [
+        {"deviceId": "dev-01", "ts": 1, "type": "start", "power": 0},
+        {"deviceId": "dev-01", "ts": 2, "type": "running", "power": 120},
+        {"deviceId": "dev-01", "ts": 3, "type": "running", "power": 150},
+        {"deviceId": "dev-01", "ts": 4, "type": "stop", "power": 0},
+    ]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["cycle"] == 1 and out[0]["peak_power"] == 150
+
+
+# --- cep_doc_verify_test.go:106 DocCEP_E (PERMUTE auth, per session)
+def test_doc_permute_auth(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY sessionId ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, FIRST(Login.ts) AS t1, FIRST(Auth.ts) AS t2
+        ONE ROW PER MATCH
+        PATTERN (PERMUTE(Login, Auth))
+        WITHIN '10m'
+        DEFINE Login AS event == "login", Auth AS event == "auth"
+    )"""
+    rows = [
+        {"sessionId": "s1", "ts": 1, "event": "login"},
+        {"sessionId": "s1", "ts": 2, "event": "auth"},
+        {"sessionId": "s2", "ts": 3, "event": "auth"},
+        {"sessionId": "s2", "ts": 4, "event": "login"},
+    ]
+    out = run_cep(spark, sql, rows, sort_by=["t1"])
+    assert len(out) == 2
+    # s1 matched login→auth, s2 matched auth→login (PERMUTE order-free)
+    assert (out[0]["t1"], out[0]["t2"]) == (1, 2)
+    assert (out[1]["t1"], out[1]["t2"]) == (4, 3)
+
+
+# --- cep_doc_verify_test.go:129 DocCEP_F (WITHIN pass vs expire per key)
+def test_doc_within_confirm(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, Alert.ts AS alert_at, Ack.ts AS ack_at
+        ONE ROW PER MATCH
+        PATTERN (Alert Ack)
+        WITHIN '30s'
+        DEFINE Alert AS event == "alert", Ack AS event == "ack"
+    )"""
+    rows = [
+        {"deviceId": "dev-01", "ts": 1700000000000, "event": "alert"},
+        {"deviceId": "dev-01", "ts": 1700000010000, "event": "ack"},   # 10s ok
+        {"deviceId": "dev-02", "ts": 1700000020000, "event": "alert"},
+        {"deviceId": "dev-02", "ts": 1700000080000, "event": "ack"},   # 60s late
+    ]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["alert_at"] == 1700000000000
+    assert out[0]["ack_at"] == 1700000010000
