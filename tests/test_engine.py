@@ -293,6 +293,22 @@ def test_global_window_trigger_batch(spark):
     assert sorted(r["total"] for r in out) == [11.0, 12.0]
 
 
+def test_global_window_trigger_only_aggregate(spark):
+    # the TRIGGER WHEN predicate may use running aggregates absent from
+    # SELECT (window/global_window.go trigger-only aggregates) — max(v)
+    # drives firing, only count(*) is projected
+    sql = ("SELECT deviceId, count(*) AS n FROM stream "
+           "GROUP BY deviceId GLOBAL WINDOW TRIGGER WHEN max(v) > 50 "
+           "WITH (TIMESTAMP='ts')")
+    rows = [{"deviceId": "d", "v": 10.0, "ts": 1},
+            {"deviceId": "d", "v": 60.0, "ts": 2},   # max > 50 → fire
+            {"deviceId": "d", "v": 20.0, "ts": 3},
+            {"deviceId": "d", "v": 55.0, "ts": 4},   # fire again (purged)
+            {"deviceId": "d", "v": 5.0, "ts": 5}]    # pending, no emit
+    out = run_query(spark, sql, rows)
+    assert [r["n"] for r in out] == [2, 2]
+
+
 def test_session_window_batch(spark):
     sql = ("SELECT deviceId, count(*) AS n FROM stream "
            "GROUP BY deviceId, SessionWindow('5s') WITH (TIMESTAMP='ts')")

@@ -160,6 +160,20 @@ def test_global_window_trigger_stream(spark):
 
 
 # ----------------------------------------------------------- analytic state
+def test_global_window_trigger_only_aggregate_stream(spark):
+    # trigger-only running aggregate (max not in SELECT) through the
+    # stateful kernel, firing across micro-batch boundaries
+    sql = ("SELECT deviceId, count(*) AS n FROM stream "
+           "GROUP BY deviceId GLOBAL WINDOW TRIGGER WHEN max(temperature) > 50")
+    batches = [
+        _rows(("d", 10.0, 0.0, 1, "ok"), ("d", 60.0, 0.0, 2, "ok")),  # fire
+        _rows(("d", 20.0, 0.0, 3, "ok"), ("d", 55.0, 0.0, 4, "ok")),  # fire
+        _rows(("d", 5.0, 0.0, 5, "ok")),                              # pending
+    ]
+    got = run_stream(spark, sql, batches)
+    assert [r["n"] for r in got] == [2, 2]
+
+
 def test_analytic_lag_state_across_batches(spark):
     sql = ("SELECT deviceId, temperature, "
            "temperature - lag(temperature) OVER (PARTITION BY deviceId) AS delta "
