@@ -177,22 +177,38 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column]) -> Column:
         return F.when(~prev.eqNullSafe(c), c)
 
     if name in ("acc_sum", "acc_max", "acc_min", "acc_count", "acc_avg"):
+        # acc_x(expr[, startCond, resetCond]) per functions/analytic_acc.go:
+        # a reset row zeroes the state WITHOUT accumulating its own value
+        # and clears the start latch; the latch re-arms on the next true
+        # startCond within the new segment.  WHEN gating (OVER ... WHEN)
+        # means the row does not touch state at all — including reset.
+        # Delta vs the reference (SURVEY §7 NULL policy): zero/empty state
+        # reads as SQL NULL, not 0.0.
         x = arg(0)
-        if when_sql is not None:
-            x = F.when(F.expr(when_sql), x)
-        # optional reset condition (arg 2 per functions/analytic_acc.go):
-        # segment id = running count of reset hits
+        gate = F.expr(when_sql) if when_sql is not None else None
+        if gate is not None:
+            x = F.when(gate, x)
         seg = None
         if len(f.args) > 2:
             reset = F.expr(render(f.args[2]))
+            if gate is not None:
+                reset = reset & gate
+            # segment id increments AT the reset row (current row included)
             seg = F.sum(F.when(reset, 1).otherwise(0)).over(w_run)
-        if len(f.args) > 1 and not isinstance(f.args[1], N.Lit):
-            start = F.expr(render(f.args[1]))
-            started = F.max(F.when(start, 1).otherwise(0)).over(w_run)
-            x = F.when(started == 1, x)
+            x = F.when(reset, F.lit(None)).otherwise(x)
         wseg = (Window.partitionBy(*parts, seg) if seg is not None
                 else Window.partitionBy(*parts)).orderBy(*order_cols) \
             .rowsBetween(Window.unboundedPreceding, 0)
+        if len(f.args) > 1 and not isinstance(f.args[1], N.Lit):
+            start_hit = F.expr(render(f.args[1]))
+            if len(f.args) > 2:
+                # the reset row returns early in the reference — it can
+                # never arm the latch for its own segment
+                start_hit = start_hit & ~F.expr(render(f.args[2]))
+            if gate is not None:
+                start_hit = start_hit & gate
+            started = F.max(F.when(start_hit, 1).otherwise(0)).over(wseg)
+            x = F.when(started == 1, x)
         agg = {"acc_sum": F.sum, "acc_max": F.max, "acc_min": F.min,
                "acc_count": F.count, "acc_avg": F.avg}[name]
         return agg(x).over(wseg)

@@ -472,30 +472,35 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
         if nm.startswith("acc_"):
             # acc_x(expr[, startCond, resetCond]) — conditions are
             # pre-evaluated into argv[1]/argv[2]; a literal start arg is
-            # ignored, matching the batch path (analytic_acc.go:8-122)
-            if len(argv) > 2 and argv[2]:
+            # ignored, matching the batch path (analytic_acc.go:8-122).
+            # A WHEN-gated-out row touches no state at all (not even
+            # reset); a reset row zeroes state WITHOUT accumulating its
+            # own value and clears the start latch (accState.Apply).
+            if gate and len(argv) > 2 and argv[2]:
                 s.pop("acc", None)
-            has_start = len(p["args"]) > 1 and p["args"][1] is not None
-            if has_start:
-                if not s.get("started") and argv[1]:
-                    s["started"] = True
-                started = s.get("started", False)
-            else:
-                started = True
-            v = argv[0]
-            if gate and started and v is not None:
-                acc = s.get("acc")
-                if nm == "acc_sum":
-                    s["acc"] = (acc or 0) + v
-                elif nm == "acc_count":
-                    s["acc"] = (acc or 0) + 1
-                elif nm == "acc_min":
-                    s["acc"] = v if acc is None else min(acc, v)
-                elif nm == "acc_max":
-                    s["acc"] = v if acc is None else max(acc, v)
-                elif nm == "acc_avg":
-                    tot, cnt = acc or (0.0, 0)
-                    s["acc"] = (tot + v, cnt + 1)
+                s.pop("started", None)
+            elif gate:
+                has_start = len(p["args"]) > 1 and p["args"][1] is not None
+                if has_start:
+                    if not s.get("started") and argv[1]:
+                        s["started"] = True
+                    started = s.get("started", False)
+                else:
+                    started = True
+                v = argv[0]
+                if started and v is not None:
+                    acc = s.get("acc")
+                    if nm == "acc_sum":
+                        s["acc"] = (acc or 0) + v
+                    elif nm == "acc_count":
+                        s["acc"] = (acc or 0) + 1
+                    elif nm == "acc_min":
+                        s["acc"] = v if acc is None else min(acc, v)
+                    elif nm == "acc_max":
+                        s["acc"] = v if acc is None else max(acc, v)
+                    elif nm == "acc_avg":
+                        tot, cnt = acc or (0.0, 0)
+                        s["acc"] = (tot + v, cnt + 1)
             acc = s.get("acc")
             if nm == "acc_avg":
                 if acc is None:

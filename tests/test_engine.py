@@ -198,6 +198,35 @@ def test_acc_sum_running(spark):
 
 # ----------------------------------------------------------- aggregation
 
+def test_acc_sum_start_reset_gating(spark):
+    # functions/analytic_acc.go accState.Apply truth table: startCond
+    # latches accumulation; a reset row zeroes state WITHOUT adding its
+    # own value and clears the latch, which re-arms on the next true
+    # startCond.  (Zero/empty state reads as NULL here — documented
+    # NULL-policy delta vs the reference's 0.0.)
+    sql = ("SELECT deviceId, ts, "
+           "acc_sum(v, status = 'go', status = 'reset') "
+           "OVER (PARTITION BY deviceId) AS run FROM stream "
+           "WITH (TIMESTAMP='ts')")
+    schema = StructType([StructField("deviceId", StringType()),
+                         StructField("v", DoubleType()),
+                         StructField("status", StringType()),
+                         StructField("ts", LongType())])
+    rows = [
+        {"deviceId": "d", "v": 1.0, "status": "idle", "ts": 1},   # not started
+        {"deviceId": "d", "v": 2.0, "status": "go", "ts": 2},     # latch + acc
+        {"deviceId": "d", "v": 3.0, "status": "idle", "ts": 3},   # still acc
+        {"deviceId": "d", "v": 9.0, "status": "reset", "ts": 4},  # zeroed, 9 NOT added
+        {"deviceId": "d", "v": 4.0, "status": "idle", "ts": 5},   # latch cleared
+        {"deviceId": "d", "v": 5.0, "status": "go", "ts": 6},     # re-latch
+        {"deviceId": "d", "v": 6.0, "status": "idle", "ts": 7},
+    ]
+    out = run_query(spark, sql, rows, schema=schema)
+    by_ts = {r["ts"]: r["run"] for r in out}
+    assert by_ts == {1: None, 2: 2.0, 3: 5.0, 4: None, 5: None,
+                     6: 5.0, 7: 11.0}
+
+
 def test_tumbling_event_time_alignment(spark):
     # epoch-aligned slots (window/watermark.go:226-239)
     sql = ("SELECT deviceId, count(*) AS n, avg(t) AS avg_t, "

@@ -204,6 +204,25 @@ def test_analytic_acc_sum_stream(spark):
     assert sorted(r["running"] for r in got) == [1.0, 3.0, 6.0]
 
 
+def test_analytic_acc_start_reset_stream(spark):
+    # same accState.Apply truth table as the batch test, across
+    # micro-batch boundaries: reset zeroes state without accumulating
+    # its own row and clears the start latch
+    sql = ("SELECT deviceId, ts, "
+           "acc_sum(temperature, status = 'go', status = 'reset') "
+           "OVER (PARTITION BY deviceId) AS run FROM stream")
+    batches = [
+        _rows(("d", 1.0, 0.0, 1, "idle"), ("d", 2.0, 0.0, 2, "go")),
+        _rows(("d", 3.0, 0.0, 3, "idle"), ("d", 9.0, 0.0, 4, "reset")),
+        _rows(("d", 4.0, 0.0, 5, "idle")),
+        _rows(("d", 5.0, 0.0, 6, "go"), ("d", 6.0, 0.0, 7, "idle")),
+    ]
+    got = run_stream(spark, sql, batches)
+    by_ts = {r["ts"]: r["run"] for r in got}
+    assert by_ts == {1: None, 2: 2.0, 3: 5.0, 4: None, 5: None,
+                     6: 5.0, 7: 11.0}
+
+
 def test_analytic_had_changed_stream(spark):
     sql = ("SELECT deviceId, status, "
            "had_changed(true, status) OVER (PARTITION BY deviceId) AS chg "
