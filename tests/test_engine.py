@@ -453,6 +453,41 @@ def test_scalar_passthrough_trig_bits_json(spark):
                     "a_bnot": -6, "a_hour": 10, "a_json": '{"k":5}'}]
 
 
+def test_scalar_datetime_now_sign_sha512_merge(spark):
+    # remaining reference builtins never executed elsewhere
+    # (functions_math.go sign, functions_hash.go sha512,
+    # functions_datetime.go now/current_date/current_time/from_unixtime,
+    # functions_aggregation.go merge_agg)
+    sql = ("SELECT sign(neg) AS sg, sha512(name) AS h, "
+           "from_unixtime(epoch) AS ft, "
+           "length(cast(now(), 'string')) > 18 AS has_now, "
+           "cast(current_date(), 'string') AS cd, "
+           "current_time() AS ct "
+           "FROM stream")
+    schema = StructType([StructField("name", StringType()),
+                         StructField("neg", DoubleType()),
+                         StructField("epoch", LongType())])
+    rows = [{"name": "probe", "neg": -7.5, "epoch": 1700000000}]
+    out = run_query(spark, sql, rows, schema=schema)
+    r = out[0]
+    assert r["sg"] == -1.0
+    assert len(r["h"]) == 128 and r["h"] == __import__("hashlib").sha512(
+        b"probe").hexdigest()
+    assert r["ft"].startswith("2023-11-14")
+    assert r["has_now"] is True
+    assert len(r["cd"]) == 10 and r["cd"][4] == "-"
+    assert len(r["ct"]) == 8 and r["ct"][2] == ":"
+
+    agg_sql = ("SELECT deviceId, merge_agg(v) AS merged FROM stream "
+               "GROUP BY deviceId, CountingWindow(3) WITH (TIMESTAMP='ts')")
+    agg_schema = StructType([StructField("deviceId", StringType()),
+                             StructField("v", LongType()),
+                             StructField("ts", LongType())])
+    agg_rows = [{"deviceId": "d", "v": i, "ts": i} for i in (1, 2, 3)]
+    agg_out = run_query(spark, agg_sql, agg_rows, schema=agg_schema)
+    assert sorted(agg_out[0]["merged"].split(",")) == ["1", "2", "3"]
+
+
 def test_custom_function_registration(spark):
     # functions/registry.go:239-288 runtime registration
     s = StreamSQL(spark)
