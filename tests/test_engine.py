@@ -119,6 +119,20 @@ def test_distinct_order_limit(spark):
 
 # -------------------------------------------------------------- emit_sync
 
+def test_order_by_null_ordering(spark):
+    # stream/sorter.go:60-75 compareOrderValues: nil is LEAST — first
+    # under ASC, last under DESC; Spark's default null ordering matches
+    sql_asc = "SELECT v FROM stream ORDER BY v"
+    sql_desc = "SELECT v FROM stream ORDER BY v DESC"
+    schema = StructType([StructField("v", DoubleType()),
+                         StructField("ts", LongType())])
+    rows = [{"v": 2.0, "ts": 1}, {"v": None, "ts": 2}, {"v": 1.0, "ts": 3}]
+    got_asc = [r["v"] for r in run_query(spark, sql_asc, rows, schema=schema)]
+    got_desc = [r["v"] for r in run_query(spark, sql_desc, rows, schema=schema)]
+    assert got_asc == [None, 1.0, 2.0]
+    assert got_desc == [2.0, 1.0, None]
+
+
 def test_emit_sync_direct(spark):
     s = StreamSQL(spark)
     s.execute("SELECT deviceId, temperature FROM stream WHERE temperature > 21")
