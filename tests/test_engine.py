@@ -502,6 +502,21 @@ def test_scalar_datetime_now_sign_sha512_merge(spark):
     assert sorted(agg_out[0]["merged"].split(",")) == ["1", "2", "3"]
 
 
+def test_extra_aggregates_beyond_reference(spark):
+    # Spark-native extensions registered beyond the reference surface
+    # (§2.10 approximate/statistical aggregates — "free if needed")
+    sql = ("SELECT count_if(v > 1) AS ci, bool_and(v > 0) AS ba, "
+           "bool_or(v > 2) AS bo, round(corr(v, w), 4) AS cr, "
+           "approx_count_distinct(v) AS acd "
+           "FROM stream GROUP BY CountingWindow(4) WITH (TIMESTAMP='ts')")
+    schema = StructType([StructField("v", DoubleType()),
+                         StructField("w", DoubleType()),
+                         StructField("ts", LongType())])
+    rows = [{"v": float(i), "w": float(2 * i), "ts": i} for i in (1, 2, 3, 4)]
+    out = run_query(spark, sql, rows, schema=schema)
+    assert out == [{"ci": 3, "ba": True, "bo": True, "cr": 1.0, "acd": 4}]
+
+
 def test_custom_function_registration(spark):
     # functions/registry.go:239-288 runtime registration
     s = StreamSQL(spark)
