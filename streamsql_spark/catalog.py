@@ -1162,6 +1162,41 @@ _add("streaming_analytic_replay", Entry(
     "value-parity with the batch analytic path"))
 
 
+def _streaming_acc_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 acc_* running aggregates through the streaming kernel —
+    the accumulator branch of the state machine (functions/
+    analytic_acc.go:8-122), including a post-expression over two
+    placeholder columns (run_avg).  Same determinism argument as the
+    lag replay: one AvailableNow batch, kernel-sorted by event time,
+    (user_id, ts) unique."""
+    import uuid as _uuid
+
+    q = StreamSQL(spark).execute("""
+        SELECT event_id, user_id,
+               round(acc_sum(value) OVER (PARTITION BY user_id), 4) AS run_sum,
+               acc_count(value) OVER (PARTITION BY user_id) AS run_cnt,
+               round(acc_sum(value) OVER (PARTITION BY user_id), 4)
+                   / acc_count(value) OVER (PARTITION BY user_id) AS run_avg,
+               acc_max(value) OVER (PARTITION BY user_id) AS run_max,
+               acc_min(value) OVER (PARTITION BY user_id) AS run_min
+        FROM stream
+    """)
+    out = q.query_stream(_events_stream(spark, sf_dir))
+    name = "streaming_acc_" + _uuid.uuid4().hex[:8]
+    sq = (out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    sq.awaitTermination(300)
+    return spark.table(name)
+
+
+_add("streaming_acc_replay", Entry(
+    _streaming_acc_run,
+    CATALOG["analytic_acc"].oracle,
+    "§2.6+§3 acc_sum/count/avg/max/min on the stateful streaming kernel "
+    "(accumulator state machine, functions/analytic_acc.go:8-122); "
+    "value-parity with the batch analytic path"))
+
+
 def _streaming_cep_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 MATCH_RECOGNIZE through the incremental streaming matcher
     (streaming/stateful.py::cep_stream; cep/engine.go:374-461).  The
