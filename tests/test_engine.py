@@ -656,6 +656,26 @@ def test_schema_validation_gate(spark):
         s2.emit_sync({"deviceId": "d4"})  # sync mode errors
 
 
+def test_robustness_edge_cases(spark):
+    # error_handling_test.go robustness matrix: heterogeneous rows
+    # (missing fields read as NULL), empty trigger, double-stop — none
+    # may raise
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, temperature FROM stream WHERE temperature > 5")
+    s.emit({"deviceId": "a", "temperature": 10.0})
+    s.emit({"deviceId": "b"})                      # missing temperature
+    s.emit({"temperature": 7.0})                   # missing deviceId
+    out = s.trigger_window()
+    assert [(r["deviceId"], r["temperature"]) for r in out] == \
+        [("a", 10.0), (None, 7.0)]
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT deviceId FROM stream")
+    assert s2.trigger_window() == []
+    s2.stop()
+    s2.stop()  # idempotent
+
+
 def test_api_surface_parity(spark):
     # IsAggregationQuery / AddSyncSink / ToChannel analogs
     s = StreamSQL(spark)
