@@ -1235,6 +1235,35 @@ _add("streaming_cep_replay", Entry(
     "value-parity with the batch CEP path"))
 
 
+def _streaming_session_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 session window through Catalyst's streaming session_window
+    (window/session_window.go:37-686 semantics): per-key sessions closed
+    after a 4h inactivity gap, sessions merged across rows by the native
+    streaming state store.  Complete output mode drains every session on
+    the AvailableNow replay — value parity with the batch gaps-and-islands
+    oracle."""
+    import uuid as _uuid
+
+    q = StreamSQL(spark).execute("""
+        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+        FROM stream GROUP BY user_id, SessionWindow('4h')
+    """)
+    out = q.query_stream(_events_stream(spark, sf_dir))
+    name = "streaming_session_" + _uuid.uuid4().hex[:8]
+    sq = (out.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    sq.awaitTermination(300)
+    return spark.table(name)
+
+
+_add("streaming_session_replay", Entry(
+    _streaming_session_run,
+    CATALOG["window_session"].oracle,
+    "§2.5+§3 session window on Catalyst's streaming session_window "
+    "state store (window/session_window.go:37-686); value-parity with "
+    "the batch session path"))
+
+
 def names() -> list[str]:
     return list(CATALOG)
 

@@ -128,6 +128,30 @@ def test_sliding_window_stream(spark):
     assert vals == [1.0, 2.0, 3.0]
 
 
+def test_session_window_stream_merges_across_batches(spark):
+    # window/session_window.go:37-686: a session stays open while rows
+    # keep arriving within the inactivity gap — including rows from
+    # LATER micro-batches (Spark's session_window state-store merge);
+    # it closes once the watermark passes last_ts + gap.
+    sql = ("SELECT deviceId, count(*) AS n, sum(temperature) AS s FROM stream "
+           "GROUP BY deviceId, SessionWindow('10s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    batches = [
+        _rows(("d1", 1.0, 0.0, 1000, "ok"), ("d1", 2.0, 0.0, 5000, "ok"),
+              ("d2", 7.0, 0.0, 1000, "ok")),
+        # 12000 is within 10s of 5000 ⇒ extends d1's session, not a new one
+        _rows(("d1", 4.0, 0.0, 12000, "ok")),
+        # 40000 closes d1's [1s,22s) and d2's [1s,11s) sessions
+        _rows(("d1", 100.0, 0.0, 40000, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    got.sort(key=lambda r: (r["deviceId"], r["s"]))
+    # d1: one merged 3-row session (1+2+4); the 40s session never closes.
+    # d2: single-row session.
+    assert [(r["deviceId"], r["n"], r["s"]) for r in got] == \
+        [("d1", 3, 7.0), ("d2", 1, 7.0)]
+
+
 # --------------------------------------------------------- counting window
 def test_counting_window_state_across_batches(spark):
     sql = ("SELECT deviceId, sum(temperature) AS s, count(*) AS n FROM stream "
