@@ -31,6 +31,36 @@ class ExecError(ValueError):
     pass
 
 
+def counting_key_sqls(plan: "QueryPlan", columns) -> list[str]:
+    """Group exprs that key a counting window's chunk sequence.
+
+    Parity with the reference's flat row lookup (window/
+    counting_window.go:330-356, and the injection contract at
+    stream/processor_field.go:208-218): a group field keys the window
+    iff it is a flat row field (source column) or a function expression
+    (injected into the row under its own text before Window.Add).
+    Qualified refs (m.location) and nested paths (a.b.c) miss the flat
+    lookup, so those rows share one chunk sequence; the fired chunk is
+    sub-grouped by the real values in the aggregator afterwards.
+
+    The planner qualifies unqualified refs with the source alias in
+    join queries (stream.deviceId) — those are flat stream fields and
+    DO key the window.
+    """
+    import re
+
+    src_prefix = (plan.source_alias or plan.source) + "."
+    out = []
+    for g in plan.group_sqls:
+        base = g
+        if g.startswith(src_prefix) and re.fullmatch(
+                r"[A-Za-z_][A-Za-z0-9_]*", g[len(src_prefix):]):
+            base = g[len(src_prefix):]
+        if base in columns or "(" in base:
+            out.append(g)
+    return out
+
+
 def _duration_to_spark(dur: str) -> str:
     """'5s' / '500ms' / '2m' / '1h' / '1d' → Spark interval string."""
     dur = dur.strip()
@@ -317,32 +347,38 @@ class BatchExecutor:
             else:
                 window_struct = F.session_window(F.col(_TS), _duration_to_spark(w.gap))
             group_cols = [window_struct.alias("__window__")] + group_cols
-        chunk_n: int | None = None
         if w is not None and w.kind == "counting":
-            # batch semantics: per-key arrival order chunks of N rows
-            # (window/counting_window.go).  Shuffle+sort once per key, then a
-            # plain hash aggregate — scales as a single exchange.  The
-            # counting window emits ONLY on the Nth row, so trailing partial
+            # batch semantics: arrival-order chunks of N rows, keyed the
+            # way the reference counting window keys rows — a FLAT lookup
+            # of each group field (window/counting_window.go:330-356):
+            # plain stream columns and injected function-expression keys
+            # (stream/processor_field.go:208-218) resolve; qualified refs
+            # (m.location) and nested paths miss and do NOT key the
+            # window, so those rows share one chunk sequence.  The fired
+            # chunk is then sub-grouped by the real group values in the
+            # aggregator (groupBy below includes every group expr).
+            # Shuffle+sort once per chunk key, then a plain hash
+            # aggregate — scales as a single exchange.  The counting
+            # window emits ONLY on the Nth row, so trailing partial
             # chunks stay pending and are dropped here.
-            df = self._chunk_rows(df, plan, w.count)
+            df = self._chunk_rows(df, counting_key_sqls(plan, df.columns),
+                                  w.count)
             group_cols.append(F.col("__win_id__"))
-            chunk_n = w.count
         elif w is not None and w.kind == "global":
             n = self._count_trigger_n(w)
             if n is not None:
                 # TRIGGER WHEN count(*) >= N ≡ counting-window chunks of N
-                # (stays JVM-side, no pandas)
-                df = self._chunk_rows(df, plan, n)
+                # (stays JVM-side, no pandas); the global window resolves
+                # nested group keys (global_window.go:620-648 fieldpath),
+                # so every group expr keys the chunk sequence.
+                df = self._chunk_rows(df, list(plan.group_sqls), n)
                 group_cols.append(F.col("__win_id__"))
-                chunk_n = n
             else:
                 from ..operators.global_window import segment_by_trigger
                 df = segment_by_trigger(df, plan, _TS)
                 group_cols.append(F.col("__win_id__"))
 
         aggs = [F.expr(s.sql).alias(s.placeholder) for s in plan.agg_specs]
-        if chunk_n is not None:
-            aggs.append(F.count(F.lit(1)).alias("__wcnt__"))
         if not aggs:
             aggs = [F.count(F.lit(1)).alias("__cnt_dummy__")]
         if plan.uses_window_start or plan.uses_window_end:
@@ -357,9 +393,6 @@ class BatchExecutor:
         elif plan.uses_window_start or plan.uses_window_end:
             grouped = grouped.withColumnRenamed("__ws_min__", WINDOW_START_COL) \
                              .withColumnRenamed("__ws_max__", WINDOW_END_COL)
-
-        if chunk_n is not None:
-            grouped = grouped.filter(F.col("__wcnt__") == chunk_n).drop("__wcnt__")
 
         # window-output analytics: state across successive window
         # emissions (stream/processor_data.go:443-453) — evaluated over
@@ -399,12 +432,24 @@ class BatchExecutor:
         self._order_extras = extra
         return grouped.select(*out_cols, *[F.col(e) for e in extra])
 
-    def _chunk_rows(self, df: DataFrame, plan: QueryPlan, n: int) -> DataFrame:
-        """Per-key arrival-order chunks of N rows → ``__win_id__``."""
+    def _chunk_rows(self, df: DataFrame, key_sqls: list[str],
+                    n: int) -> DataFrame:
+        """Arrival-order chunks of N rows per chunk key → ``__win_id__``,
+        with trailing partial chunks (the never-fired remainder) dropped
+        at row level: a chunk is full iff win_id < floor(key_total / N).
+
+        The chunk key may be a subset of the aggregation group keys
+        (counting-window flat-lookup parity); since it IS a subset, the
+        downstream groupBy — which includes every group expr — can never
+        collide win_ids across chunk-key partitions."""
         order = F.col(_TS) if _TS in df.columns else F.monotonically_increasing_id()
-        part = [F.expr(s) for s in plan.group_sqls] or [F.lit(1)]
+        part = [F.expr(s) for s in key_sqls] or [F.lit(1)]
         rn = F.row_number().over(Window.partitionBy(*part).orderBy(order))
-        return df.withColumn("__win_id__", F.floor((rn - 1) / F.lit(n)))
+        total = F.count(F.lit(1)).over(Window.partitionBy(*part))
+        df = df.withColumn("__win_id__", F.floor((rn - 1) / F.lit(n))) \
+               .withColumn("__win_full__",
+                           F.col("__win_id__") < F.floor(total / F.lit(n)))
+        return df.filter(F.col("__win_full__")).drop("__win_full__")
 
     @staticmethod
     def _count_trigger_n(w) -> int | None:

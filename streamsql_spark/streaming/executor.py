@@ -107,12 +107,25 @@ class StreamingExecutor:
 
     def _project_stateful(self, agged: DataFrame, plan) -> DataFrame:
         """HAVING + output projection over a stateful kernel's
-        placeholder columns (post-aggregation expressions included)."""
+        placeholder columns (post-aggregation expressions included).
+
+        Group keys the kernel materialized under injected names
+        (qualified refs / expression keys → ``__gk_i__``) are mapped
+        back on exact match, mirroring the batch engine's ``injected``
+        handling."""
+        colmap = {}
+        for i, gsql in enumerate(plan.group_sqls):
+            nm = f"__gk_{i}__"
+            if gsql not in agged.columns and nm in agged.columns:
+                colmap[gsql] = nm
         if plan.having_sql:
             agged = agged.filter(F.expr(plan.having_sql))
         out_cols = []
         for out in plan.outputs:
-            out_cols.append(F.expr(out.sql).alias(out.name))
+            if out.sql in colmap:
+                out_cols.append(F.col(colmap[out.sql]).alias(out.name))
+            else:
+                out_cols.append(F.expr(out.sql).alias(out.name))
         return agged.select(*out_cols)
 
     # ----------------------------------------------------------- sinks

@@ -160,17 +160,47 @@ def _field_type(df: DataFrame, col: str) -> DataType:
     return df.schema[col].dataType
 
 
+def _prune_kernel_input(df: DataFrame, names, plan, ts_col: str | None,
+                        extra=()) -> DataFrame:
+    """Narrow a stateful kernel's input to the columns it reads.
+
+    ``applyInPandasWithState`` rejects duplicate column names (a joined
+    stream carries both sides' join keys), and the pruned projection
+    shrinks the state-store shuffle to key + argument columns only."""
+    keep = list(dict.fromkeys(
+        [*names,
+         *[c for c in df.columns if c.startswith("__aa_")],
+         *extra,
+         *([ts_col] if ts_col and ts_col in df.columns else [])]))
+    return df.select(*keep)
+
+
 # ---------------------------------------------------------------- counting
 
 def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
-    """Streaming counting window: emit one aggregated row per N-row chunk
-    per key; the partial chunk persists in state across micro-batches."""
+    """Streaming counting window: emit aggregated rows per N-row chunk;
+    the partial chunk persists in state across micro-batches.
+
+    Chunk keying mirrors the reference's FLAT row lookup (window/
+    counting_window.go:330-356): plain columns and function-expression
+    keys partition the state; qualified refs / nested paths do NOT key
+    the window — their values ride along in the buffer and the fired
+    chunk is sub-grouped by them on emission (the aggregator's job in
+    stream/processor_data.go:383-418)."""
+    from ..engine.batch import counting_key_sqls
+
     n = plan.window.count
     ttl_ms = state_ttl_ms(plan)
-    df, keys = _key_columns(df, plan)
+    src_cols = list(df.columns)
+    df, names = _key_columns(df, plan)
+    flat = set(counting_key_sqls(plan, src_cols))
+    keys = [nm for gsql, nm in zip(plan.group_sqls, names) if gsql in flat]
+    carries = [nm for gsql, nm in zip(plan.group_sqls, names)
+               if gsql not in flat]
     df, agg_specs = _prep_agg_columns(df, plan)
+    df = _prune_kernel_input(df, names, plan, ts_col)
 
-    fields = [StructField(k, _field_type(df, k)) for k in keys]
+    fields = [StructField(nm, _field_type(df, nm)) for nm in names]
     for ph, kname, arg_col, _ in agg_specs:
         at = _field_type(df, arg_col) if arg_col else None
         fields.append(StructField(ph, _agg_out_type(kname, at)))
@@ -179,6 +209,8 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
     arg_cols = [c for _, _, c, _ in agg_specs if c is not None]
     order = [ts_col] if ts_col and ts_col in df.columns else []
     key_names = list(keys)
+    carry_names = list(carries)
+    ncarry = len(carry_names)
 
     def kernel(key, pdf_iter, state):
         import pandas as pd
@@ -190,41 +222,39 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
         buf = _load_state(state) or []
         rows_out = []
         if len(pdf):
-            vals = {c: pdf[c].tolist() for c in arg_cols}
+            vals = {c: pdf[c].tolist() for c in carry_names + arg_cols}
             for i in range(len(pdf)):
-                buf.append(tuple(_clean(vals[c][i]) for c in arg_cols))
+                buf.append(tuple(_clean(vals[c][i])
+                                 for c in carry_names + arg_cols))
                 if len(buf) >= n:
                     chunk = buf[:n]
                     buf = buf[n:]
-                    out = dict(zip(key_names, key))
-                    for ph, kname, arg_col, extra in agg_specs:
-                        if kname == "count_star":
-                            out[ph] = len(chunk)
-                        else:
-                            idx = arg_cols.index(arg_col)
-                            out[ph] = py_aggregate(
-                                kname, [t[idx] for t in chunk], extra)
-                    rows_out.append(out)
+                    # sub-group the fired chunk by the carried group
+                    # values (first-seen order, like the hash aggregator)
+                    groups: dict[tuple, list[tuple]] = {}
+                    for t in chunk:
+                        groups.setdefault(tuple(t[:ncarry]), []).append(t[ncarry:])
+                    for cvals, rows in groups.items():
+                        out = dict(zip(key_names, key))
+                        out.update(zip(carry_names, cvals))
+                        for ph, kname, arg_col, extra in agg_specs:
+                            if kname == "count_star":
+                                out[ph] = len(rows)
+                            else:
+                                idx = arg_cols.index(arg_col)
+                                out[ph] = py_aggregate(
+                                    kname, [t[idx] for t in rows], extra)
+                        rows_out.append(out)
         _save_state(state, buf, ttl_ms)
         if rows_out:
             yield pd.DataFrame(rows_out, columns=[f.name for f in out_schema.fields])
 
+    # keyless → a synthetic constant key; the output schema need not
+    # (and does not) include grouping columns
     grouped = df.groupBy(*[F.col(k) for k in keys]) if keys \
-        else df.groupBy(F.lit(1).alias("__k__"))
-    if not keys:
-        out_schema = StructType([StructField("__k__", LongType())]
-                                + list(out_schema.fields))
-
-        def kernel_nokey(key, pdf_iter, state, _inner=kernel):
-            for out in _inner(key, pdf_iter, state):
-                out.insert(0, "__k__", 1)
-                yield out
-        fn = kernel_nokey
-    else:
-        fn = kernel
-    out = grouped.applyInPandasWithState(
-        fn, out_schema, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
-    return out.drop("__k__") if not keys else out
+        else df.withColumn("__k__", F.lit(1)).groupBy("__k__")
+    return grouped.applyInPandasWithState(
+        kernel, out_schema, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
 
 
 # ----------------------------------------------------------------- global
@@ -247,6 +277,8 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
         if argc is not None and argc not in df.columns:
             raise ValueError(f"TRIGGER WHEN references unknown column {argc}")
         trig_cols.append((var, fname, argc))
+    df = _prune_kernel_input(df, keys, plan, ts_col,
+                             extra=[c for _, _, c in trig_cols if c])
 
     fields = [StructField(k, _field_type(df, k)) for k in keys]
     for ph, kname, arg_col, _ in agg_specs:
@@ -320,22 +352,12 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
         if rows_out:
             yield pd.DataFrame(rows_out, columns=[f.name for f in out_schema.fields])
 
+    # keyless → a synthetic constant key; the output schema need not
+    # (and does not) include grouping columns
     grouped = df.groupBy(*[F.col(k) for k in keys]) if keys \
-        else df.groupBy(F.lit(1).alias("__k__"))
-    if not keys:
-        out_schema = StructType([StructField("__k__", LongType())]
-                                + list(out_schema.fields))
-
-        def kernel_nokey(key, pdf_iter, state, _inner=kernel):
-            for out in _inner(key, pdf_iter, state):
-                out.insert(0, "__k__", 1)
-                yield out
-        fn = kernel_nokey
-    else:
-        fn = kernel
-    out = grouped.applyInPandasWithState(
-        fn, out_schema, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
-    return out.drop("__k__") if not keys else out
+        else df.withColumn("__k__", F.lit(1)).groupBy("__k__")
+    return grouped.applyInPandasWithState(
+        kernel, out_schema, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
 
 
 # -------------------------------------------------------------- analytics
@@ -513,19 +535,10 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
 
     kernel._step = _step  # noqa — exposed for unit tests
 
+    # keyless → a synthetic constant key; the output schema need not
+    # (and does not) include grouping columns
     grouped = df.groupBy(*[F.col(c) for c in key_cols]) if key_cols \
-        else df.groupBy(F.lit(1).alias("__k__"))
-    if not key_cols:
-        out_schema2 = StructType([StructField("__k__", LongType())]
-                                 + list(out_schema.fields))
-
-        def kernel_nokey(key, pdf_iter, state, _inner=kernel):
-            for out in _inner(key, pdf_iter, state):
-                out.insert(0, "__k__", 1)
-                yield out
-        res = grouped.applyInPandasWithState(
-            kernel_nokey, out_schema2, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
-        return res.drop("__k__")
+        else df.withColumn("__k__", F.lit(1)).groupBy("__k__")
     return grouped.applyInPandasWithState(
         kernel, out_schema, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
 
@@ -593,7 +606,7 @@ def cep_stream(spark, plan, df: DataFrame):
             yield pd.DataFrame(outs, columns=[f.name for f in out_schema.fields])
 
     grouped = df.groupBy(*[F.col(c) for c in part_names]) if part_names \
-        else df.groupBy(F.lit(1).alias("__g__"))
+        else df.withColumn("__g__", F.lit(1)).groupBy("__g__")
     matched = grouped.applyInPandasWithState(
         kernel, out_schema, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
     return matched

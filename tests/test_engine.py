@@ -402,6 +402,48 @@ def test_left_join_null_group_collapse(spark):
     assert got == {"east": 1, None: 2}
 
 
+def test_join_counting_window_group_by_table_field(spark):
+    # join_aggregation_test.go:16-51: GROUP BY a table column with a
+    # counting window — the reference keys the window by FLAT row lookup
+    # (window/counting_window.go:330-356), so the qualified m.location
+    # does NOT key the chunk sequence: the window fires on 4 TOTAL rows
+    # and the fired chunk sub-groups by location in the aggregator.
+    sql = ("SELECT m.location, AVG(temp) AS avg_t FROM stream "
+           "JOIN meta m ON deviceId = m.deviceId "
+           "GROUP BY m.location, CountingWindow(4)")
+    rows = [{"deviceId": "d1", "temp": 30.0}, {"deviceId": "d1", "temp": 40.0},
+            {"deviceId": "d2", "temp": 20.0}, {"deviceId": "d2", "temp": 60.0}]
+    meta = [{"deviceId": "d1", "location": "plantA"},
+            {"deviceId": "d2", "location": "plantB"}]
+    out = run_query(spark, sql, rows, tables={"meta": meta})
+    got = {r["location"]: r["avg_t"] for r in out}
+    assert got == {"plantA": 35.0, "plantB": 40.0}
+
+
+def test_join_left_counting_window_null_group(spark):
+    # join_aggregation_test.go:55-97: LEFT JOIN no-match row aggregates
+    # into the NULL group instead of being dropped; CountingWindow(2)
+    # fires on 2 total rows (flat-lookup keying, as above).
+    sql = ("SELECT m.location, AVG(temp) AS avg_t FROM stream "
+           "LEFT JOIN meta m ON deviceId = m.deviceId "
+           "GROUP BY m.location, CountingWindow(2)")
+    rows = [{"deviceId": "d1", "temp": 10.0}, {"deviceId": "d9", "temp": 20.0}]
+    meta = [{"deviceId": "d1", "location": "plantA"}]
+    out = run_query(spark, sql, rows, tables={"meta": meta})
+    got = {r["location"]: r["avg_t"] for r in out}
+    assert got == {"plantA": 10.0, None: 20.0}
+
+
+def test_counting_window_plain_key_still_per_key(spark):
+    # plain stream columns DO key the counting window (flat lookup
+    # hits): d1 completes a window of 2, d2's single row stays pending
+    sql = ("SELECT deviceId, count(*) AS n FROM stream "
+           "GROUP BY deviceId, CountingWindow(2)")
+    rows = [{"deviceId": "d1"}, {"deviceId": "d1"}, {"deviceId": "d2"}]
+    out = run_query(spark, sql, rows)
+    assert out == [{"deviceId": "d1", "n": 2}]
+
+
 def test_join_composite_keys(spark):
     sql = ("SELECT s.a, s.b, m.v FROM stream s "
            "INNER JOIN meta m ON s.a = m.a AND s.b = m.b")

@@ -153,6 +153,37 @@ def test_session_window_stream_merges_across_batches(spark):
 
 
 # --------------------------------------------------------- counting window
+def test_counting_window_join_table_group_stream(spark):
+    # join_aggregation_test.go:16-51 on the streaming kernel: the
+    # qualified m.location group key does not key the chunk sequence
+    # (flat-lookup parity); the fired 4-row chunk sub-groups by
+    # location on emission.
+    sql = ("SELECT m.location, AVG(temperature) AS avg_t FROM stream "
+           "JOIN meta m ON deviceId = m.deviceId "
+           "GROUP BY m.location, CountingWindow(4)")
+    batches = [
+        _rows(("d1", 30.0, 0.0, 1, "ok"), ("d1", 40.0, 0.0, 2, "ok")),
+        _rows(("d2", 20.0, 0.0, 3, "ok"), ("d2", 60.0, 0.0, 4, "ok")),
+    ]
+    meta = [{"deviceId": "d1", "location": "plantA"},
+            {"deviceId": "d2", "location": "plantB"}]
+    got = run_stream(spark, sql, batches, tables={"meta": meta})
+    assert {r["location"]: r["avg_t"] for r in got} == \
+        {"plantA": 35.0, "plantB": 40.0}
+
+
+def test_counting_window_keyless_stream(spark):
+    # GROUP BY CountingWindow(N) with no group fields: one global chunk
+    # sequence (getKey → "__global__", window/counting_window.go:333)
+    sql = "SELECT count(*) AS n, sum(temperature) AS s FROM stream GROUP BY CountingWindow(3)"
+    batches = [
+        _rows(("a", 1.0, 0.0, 1, "ok"), ("b", 2.0, 0.0, 2, "ok")),
+        _rows(("c", 3.0, 0.0, 3, "ok"), ("d", 4.0, 0.0, 4, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    assert got == [{"n": 3, "s": 6.0}]
+
+
 def test_counting_window_state_across_batches(spark):
     sql = ("SELECT deviceId, sum(temperature) AS s, count(*) AS n FROM stream "
            "GROUP BY deviceId, CountingWindow(3)")
