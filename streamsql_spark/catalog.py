@@ -1015,6 +1015,73 @@ _add("nested_field_access", Entry(
 
 
 # ===================================================================
+# §2.10 ANSI passthrough — UNION / subqueries / multi-way joins are
+# absent from the reference grammar (rsql/lexer.go:373-460); the
+# facade's sql() hands them to Catalyst.  These entries pin the
+# passthrough AND the scale-critical physical plans: a 3-way
+# broadcast+shuffle join pipeline and a self-join via IN-subquery
+# (rewritten by Catalyst to a shuffled semi-join).
+# ===================================================================
+
+
+def _ansi(sql: str) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir)  # registers the parquet temp views
+        return StreamSQL(spark).sql(sql)
+
+    return run
+
+
+_ANSI_Q3 = """
+    SELECT l.l_orderkey AS okey, o.o_orderdate AS odate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, okey LIMIT 10
+"""
+
+_add("ansi_tpch_q3", Entry(
+    _ansi(_ANSI_Q3),
+    _ANSI_Q3,
+    "§2.10 ANSI passthrough: TPC-H Q3-shaped 3-way join + agg + top-K "
+    "(beyond the reference grammar; streamsql.go facade analog is sql())"))
+
+
+_ANSI_Q18 = """
+    SELECT o.o_orderkey AS okey, round(sum(l.l_quantity), 2) AS qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 190)
+    GROUP BY o.o_orderkey
+    ORDER BY qty DESC, okey LIMIT 20
+"""
+
+_add("ansi_tpch_q18", Entry(
+    _ansi(_ANSI_Q18),
+    _ANSI_Q18,
+    "§2.10 ANSI passthrough: TPC-H Q18-shaped IN-subquery (semi-join) "
+    "+ agg + top-K"))
+
+
+_ANSI_UNION = """
+    SELECT user_id FROM events WHERE value > 150
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+_add("ansi_union", Entry(
+    _ansi(_ANSI_UNION),
+    _ANSI_UNION,
+    "§2.10 ANSI passthrough: UNION (absent from the reference grammar)"))
+
+
+# ===================================================================
 # §3 Streaming execution — the events table replayed through the
 # Structured Streaming path (readStream → dialect plan → watermark +
 # windowed agg → AvailableNow), value-checked against the SAME oracle
