@@ -65,3 +65,25 @@ def test_minhash_has_no_join_on_signature_side(catalog_plan):
     # a self-join would recompute the signature pass per side
     p = catalog_plan("dedup_minhash_lsh")
     assert "Join" not in p or "BroadcastHashJoin" in p
+
+
+def test_ansi_multiway_join_pushdown_topk(catalog_plan):
+    # the 3-way Q3 shape: every scan filter pushed down, no cartesian
+    # product, top-K as TakeOrderedAndProject (per-partition top-K +
+    # driver merge, not a global sort)
+    p = catalog_plan("ansi_tpch_q3")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_counting_window_single_exchange(catalog_plan):
+    # chunk assignment (row_number) and fullness (count) share one
+    # partitioning: exactly one shuffle before the final aggregation
+    # exchange — a regression here doubles the shuffled bytes at scale
+    p = catalog_plan("window_counting")
+    n_exchanges = sum(1 for l in p.splitlines()
+                      if l.strip().startswith("(") and "Exchange" in l
+                      and "Reused" not in l)
+    assert n_exchanges <= 2, p
+    assert "SortAggregate" not in p
