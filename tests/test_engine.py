@@ -444,6 +444,24 @@ def test_counting_window_plain_key_still_per_key(spark):
     assert out == [{"deviceId": "d1", "n": 2}]
 
 
+def test_upsert_delete_table_between_events(spark):
+    # table_store.go:71-85: UpsertTable replaces the row with the same
+    # key (derived from JOIN ON) and takes effect for subsequent events;
+    # Delete removes it (LEFT JOIN falls back to NULL columns).
+    s = StreamSQL(spark)
+    s.execute("SELECT s.deviceId, m.location AS loc FROM stream s "
+              "LEFT JOIN meta m ON s.deviceId = m.deviceId")
+    s.register_table("meta", [{"deviceId": "d1", "location": "hall"}])
+    assert s.emit_sync({"deviceId": "d1"})["loc"] == "hall"
+    assert s.emit_sync({"deviceId": "d2"})["loc"] is None
+    s.upsert_table("meta", {"deviceId": "d2", "location": "lab"})
+    assert s.emit_sync({"deviceId": "d2"})["loc"] == "lab"
+    s.upsert_table("meta", {"deviceId": "d1", "location": "roof"})
+    assert s.emit_sync({"deviceId": "d1"})["loc"] == "roof"  # replaced, not duplicated
+    s.delete_table("meta", {"deviceId": "d1"})
+    assert s.emit_sync({"deviceId": "d1"})["loc"] is None
+
+
 def test_join_composite_keys(spark):
     sql = ("SELECT s.a, s.b, m.v FROM stream s "
            "INNER JOIN meta m ON s.a = m.a AND s.b = m.b")
