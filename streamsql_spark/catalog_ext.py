@@ -32,6 +32,33 @@ CATALOG["dedup_exact"] = Entry(
     "extension: exact dedup (hash-groupBy, min-id representative)")
 
 
+def _run_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.skew import salted_aggregate
+    t = load_tables(spark, sf_dir)
+    out = salted_aggregate(
+        t["events"], ["event_type"],
+        {"cnt": ("count", "*"), "total": ("sum", "value"),
+         "vmax": ("max", "value"), "mean": ("avg", "value")},
+        n_salts=16)
+    return out.select("event_type", "cnt",
+                      F.round("total", 4).alias("total"),
+                      F.round("vmax", 4).alias("vmax"),
+                      F.round("mean", 4).alias("mean"))
+
+
+CATALOG["agg_salted_skew"] = Entry(
+    _run_salted_skew,
+    """
+    SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
+           round(max(value), 4) AS vmax, round(avg(value), 4) AS mean
+    FROM events GROUP BY event_type
+    """,
+    "extension: salted two-phase aggregation for skewed keys "
+    "(hot key sharded over n_salts reducers; partial→final combine)")
+
+
 def _run_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_dedup_pairs
     t = load_tables(spark, sf_dir)
@@ -424,3 +451,73 @@ CATALOG["multimodal_features"] = Entry(
     """,
     "extension: multimodal binary columns + Arrow-batched feature kernel "
     "(decode stubbed — codecs not in container)")
+
+
+# ------------------------------------------------- composed pipeline
+
+
+def _run_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep in ONE Catalyst plan: exact-dedup
+    survivors → language-ID → quality filter → token budgeting, rolled
+    up per predicted language.  The point is composition: every stage
+    is a column-level transform or one aggregation — no Python in the
+    loop, no driver round-trips between stages."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import exact_dedup
+    from .operators.text import language_id, quality_features, token_counts
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    reps = exact_dedup(docs, ["text"], "doc_id") \
+        .select(F.col("keep_id").alias("doc_id"))
+    keep = docs.join(reps, "doc_id", "left_semi")
+    feat = token_counts(quality_features(language_id(keep)))
+    return (feat.filter("quality_score >= 0.05")
+                .groupBy("lang_pred")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("est_bpe_tokens").alias("corpus_tokens"),
+                     F.round(F.avg("quality_score"), 6).alias("avg_quality")))
+
+
+def _pipeline_oracle() -> str:
+    from .operators.text import LANG_PROFILES
+    structs = ", ".join(
+        f"{{'score': {_lang_score_oracle(sw)}, 'lang': '{lang}'}}"
+        for lang, sw in LANG_PROFILES.items())
+    return f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY md5(CAST(text AS VARCHAR))),
+    d AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM keep)),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN list_max([{structs}]).score > 0
+                  THEN list_max([{structs}]).lang ELSE 'und' END AS lang_pred,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS digit_ratio,
+             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / greatest(len(string_split(text, ' ')), 1), 6) AS uniq_token_ratio,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+      FROM d),
+    q AS (
+      SELECT *, round(least(n_tokens / 50.0, 1.0) * uniq_token_ratio
+                      * (1.0 - least(digit_ratio * 5.0, 1.0))
+                      * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score
+      FROM f)
+    SELECT lang_pred, count(*) AS n_docs,
+           sum(est_bpe_tokens) AS corpus_tokens,
+           round(avg(quality_score), 6) AS avg_quality
+    FROM q WHERE quality_score >= 0.05 GROUP BY lang_pred
+    """
+
+
+CATALOG["pipeline_training_data"] = Entry(
+    _run_training_pipeline, _pipeline_oracle(),
+    "extension: composed training-data pipeline (dedup survivors → "
+    "language-ID → quality gate → token budget) in one Catalyst plan")
