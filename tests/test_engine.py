@@ -444,6 +444,19 @@ def test_counting_window_plain_key_still_per_key(spark):
     assert out == [{"deviceId": "d1", "n": 2}]
 
 
+def test_counting_window_start_end_are_chunk_bounds(spark):
+    # window/counting_window.go:312-327 createSlot: a counting window's
+    # slot spans the chunk's first to Nth event timestamp (no alignment)
+    sql = ("SELECT deviceId, count(*) AS n, window_start() AS ws, "
+           "window_end() AS we FROM stream "
+           "GROUP BY deviceId, CountingWindow(2) WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [{"deviceId": "d1", "ts": 1000}, {"deviceId": "d1", "ts": 5000},
+            {"deviceId": "d1", "ts": 9000}, {"deviceId": "d1", "ts": 12000}]
+    out = run_query(spark, sql, rows)
+    got = sorted((r["ws"].second, r["we"].second) for r in out)
+    assert got == [(1, 5), (9, 12)]
+
+
 def test_upsert_delete_table_between_events(spark):
     # table_store.go:71-85: UpsertTable replaces the row with the same
     # key (derived from JOIN ON) and takes effect for subsequent events;
