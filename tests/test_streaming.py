@@ -215,6 +215,24 @@ def test_global_window_trigger_stream(spark):
 
 
 # ----------------------------------------------------------- analytic state
+def test_global_window_trigger_join_table_key_stream(spark):
+    # GLOBAL WINDOW keyed by a joined table column: unlike the counting
+    # window, the global window resolves nested/qualified keys
+    # (global_window.go:620-648 fieldpath) — per-location running sums
+    # with FIRE_AND_PURGE
+    sql = ("SELECT m.location, count(*) AS n FROM stream "
+           "JOIN meta m ON deviceId = m.deviceId "
+           "GROUP BY m.location GLOBAL WINDOW TRIGGER WHEN sum(temperature) >= 50")
+    batches = [
+        _rows(("d1", 30.0, 0.0, 1, "ok"), ("d1", 25.0, 0.0, 2, "ok")),
+        _rows(("d2", 60.0, 0.0, 3, "ok")),
+    ]
+    meta = [{"deviceId": "d1", "location": "A"},
+            {"deviceId": "d2", "location": "B"}]
+    got = run_stream(spark, sql, batches, tables={"meta": meta})
+    assert sorted((r["location"], r["n"]) for r in got) == [("A", 2), ("B", 1)]
+
+
 def test_global_window_trigger_only_aggregate_stream(spark):
     # trigger-only running aggregate (max not in SELECT) through the
     # stateful kernel, firing across micro-batch boundaries
