@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..engine.batch import (_TS, BatchExecutor, ExecError, _event_time_col,
                             duration_to_seconds)
 from .stateful import (analytic_stream, cep_stream, counting_window_stream,
-                       global_window_stream)
+                       flatten_join_refs, global_window_stream)
 
 
 class StreamingExecutor:
@@ -68,6 +68,10 @@ class StreamingExecutor:
                 "are batch-only for now — in streaming, apply them in a "
                 "foreachBatch stage over the windowed output")
         if plan.analytics:
+            if plan.joins:
+                # the analytic kernel passes the whole row through a
+                # flat DataFrame — flatten qualified refs first
+                df, plan = flatten_join_refs(df, plan)
             df = analytic_stream(df, plan, _TS if _TS in df.columns else None)
         if plan.where_sql:
             df = df.filter(F.expr(plan.where_sql))

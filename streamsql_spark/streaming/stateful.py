@@ -160,6 +160,102 @@ def _field_type(df: DataFrame, col: str) -> DataType:
     return df.schema[col].dataType
 
 
+_QREF = __import__("re").compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\b")
+
+
+def flatten_join_refs(df: DataFrame, plan):
+    """Flatten alias-qualified refs for pass-through stateful kernels.
+
+    ``applyInPandasWithState`` output is a fresh flat DataFrame — join
+    aliases do not survive it, and duplicate column names (both sides'
+    join keys) are rejected at its input.  So, while aliases are still
+    alive: materialize every table-qualified ref the plan's expressions
+    use as a hidden flat column and rewrite those expressions to the
+    flat names; source-alias refs rewrite to bare names (the stream
+    side wins the duplicate-name dedupe, mirroring enrichJoin keeping
+    stream fields top-level, stream/join.go:35-67).  The Spark analog
+    of the reference's rewriteQualifiedRefs
+    (stream/processor_field.go:222-239).
+
+    Returns (df-with-hidden-columns, rewritten-plan).  The kernel entry
+    point dedupes the duplicate names (`_dedupe_columns`)."""
+    from dataclasses import replace
+
+    src = plan.source_alias or plan.source
+    quals = {j.table for j in plan.joins} | \
+            {j.alias for j in plan.joins if j.alias}
+    added: dict[str, str] = {}
+
+    def rw(sql):
+        if not sql:
+            return sql
+
+        def sub(m):
+            q, c = m.group(1), m.group(2)
+            if q == src:
+                return c
+            if q not in quals:
+                return m.group(0)
+            tok = f"{q}.{c}"
+            if tok not in added:
+                added[tok] = f"__q_{q}_{c}__"
+            return added[tok]
+
+        return _QREF.sub(sub, sql)
+
+    analytics2 = [replace(a, partition_by=[rw(p) for p in a.partition_by],
+                          when_sql=rw(a.when_sql)) for a in plan.analytics]
+    plan2 = replace(
+        plan,
+        where_sql=rw(plan.where_sql),
+        having_sql=rw(plan.having_sql),
+        group_sqls=[rw(g) for g in plan.group_sqls],
+        order_by=[(rw(s), asc) for s, asc in plan.order_by],
+        outputs=[replace(o, sql=rw(o.sql)) for o in plan.outputs],
+        analytics=analytics2,
+        options={**plan.options,
+                 "__qref_map__": {**added, "__src__": src}},
+    )
+    for tok, name in added.items():
+        df = df.withColumn(name, F.expr(tok))
+    return df, plan2
+
+
+def apply_qref_map(sql: str, plan) -> str:
+    """Apply a flatten_join_refs rewrite map to a late-rendered SQL
+    fragment (analytic arguments are rendered inside the kernel prep)."""
+    m = plan.options.get("__qref_map__") if plan.options else None
+    if not m or not sql:
+        return sql
+    src = m.get("__src__")
+
+    def sub(mt):
+        q, c = mt.group(1), mt.group(2)
+        if q == src:
+            return c
+        return m.get(f"{q}.{c}", mt.group(0))
+
+    return _QREF.sub(sub, sql)
+
+
+def _dedupe_columns(df: DataFrame) -> DataFrame:
+    """Drop later duplicates of a column name, keeping the first (the
+    stream side — the left of the join) — stateful kernels reject
+    duplicate input names."""
+    seen: set[str] = set()
+    names, drops = [], []
+    for c in df.columns:
+        if c in seen:
+            alt = f"__dupdrop_{len(drops)}__"
+            names.append(alt)
+            drops.append(alt)
+        else:
+            seen.add(c)
+            names.append(c)
+    return df.toDF(*names).drop(*drops) if drops else df
+
+
 def _prune_kernel_input(df: DataFrame, names, plan, ts_col: str | None,
                         extra=()) -> DataFrame:
     """Narrow a stateful kernel's input to the columns it reads.
@@ -369,6 +465,7 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     """Streaming analytic state machine: appends one placeholder column
     per analytic call; state persists across micro-batches per partition
     key (stream/analytic.go:125-234 semantics, WHEN gating included)."""
+    df = _dedupe_columns(df)
     specs = plan.analytics
     ttl_ms = state_ttl_ms(plan)
     part_sqls = specs[0].partition_by if specs else []
@@ -401,7 +498,7 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                 info["args"].append(None)
             else:
                 c = f"__aarg_{i}_{j}__"
-                df = df.withColumn(c, F.expr(render(a)))
+                df = df.withColumn(c, F.expr(apply_qref_map(render(a), plan)))
                 info["args"].append(c)
                 info["lits"].append(None)
         prep.append(info)

@@ -265,6 +265,28 @@ def test_analytic_lag_state_across_batches(spark):
     assert [x for x in by_dev["d2"] if x is not None] == [-10.0]
 
 
+def test_analytic_join_table_partition_stream(spark):
+    # analytic_combo_test.go: lag partitioned by a JOINED table column —
+    # the analytic kernel passes the whole row through a flat DataFrame,
+    # so qualified refs are flattened pre-kernel (flatten_join_refs, the
+    # rewriteQualifiedRefs analog).  State is shared across devices in
+    # the same location, across micro-batches.
+    sql = ("SELECT deviceId, m.location AS loc, "
+           "lag(temperature) OVER (PARTITION BY m.location) AS prev "
+           "FROM stream JOIN meta m ON deviceId = m.deviceId "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    batches = [
+        _rows(("d1", 1.0, 0.0, 1000, "ok")),
+        _rows(("d2", 2.0, 0.0, 2000, "ok")),
+    ]
+    meta = [{"deviceId": "d1", "location": "A"},
+            {"deviceId": "d2", "location": "A"}]
+    got = run_stream(spark, sql, batches, tables={"meta": meta})
+    got.sort(key=lambda r: r["deviceId"])
+    assert [(r["deviceId"], r["loc"], r["prev"]) for r in got] == \
+        [("d1", "A", None), ("d2", "A", 1.0)]
+
+
 def test_analytic_acc_sum_stream(spark):
     sql = ("SELECT deviceId, acc_sum(temperature) OVER (PARTITION BY deviceId) "
            "AS running FROM stream")
