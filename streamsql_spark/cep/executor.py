@@ -158,6 +158,61 @@ def _pattern_symbols(pat) -> list[str]:
     return out
 
 
+def _flatten_join_refs_cep(df: DataFrame, plan, spec: N.MatchSpec):
+    """Flatten table-qualified refs for the CEP kernels over a joined
+    stream (processCEP enriches before the NFA,
+    stream/processor_data.go:112-141).  The Python matcher evaluates
+    rows as flat dicts, so while join aliases are alive: source-alias
+    refs drop to bare names (the stream side wins the duplicate-name
+    dedupe), table refs materialize as hidden flat columns.  Pattern
+    symbols shadow join aliases (A.temp stays a symbol navigation)."""
+    from dataclasses import replace as _drep
+
+    src = plan.source_alias or plan.source
+    quals = ({j.table for j in plan.joins}
+             | {j.alias for j in plan.joins if j.alias})
+    syms = set(_pattern_symbols(spec.pattern)) | set(spec.subsets)
+    quals -= syms
+    added: dict[str, str] = {}
+
+    def xf(e):
+        if isinstance(e, N.Col) and len(e.parts) == 2 \
+                and all(isinstance(p, str) for p in e.parts):
+            root, col = str(e.parts[0]), str(e.parts[1])
+            if root in syms:
+                return e
+            if root == src:
+                return N.Col((col,))
+            if root in quals:
+                name = added.setdefault(f"{root}.{col}", f"__q_{root}_{col}__")
+                return N.Col((name,))
+        return e
+
+    spec = _drep(
+        spec,
+        partition_by=[N.transform(p, xf) for p in spec.partition_by],
+        order_by=[N.transform(o, xf) for o in spec.order_by],
+        measures=[_drep(m, expr=N.transform(m.expr, xf))
+                  for m in spec.measures],
+        defines={s: N.transform(c, xf) for s, c in spec.defines.items()},
+    )
+    for tok, name in added.items():
+        df = df.withColumn(name, F.expr(tok))
+    seen: set[str] = set()
+    names, drops = [], []
+    for c in df.columns:
+        if c in seen:
+            alt = f"__dupdrop_{len(drops)}__"
+            names.append(alt)
+            drops.append(alt)
+        else:
+            seen.add(c)
+            names.append(c)
+    if drops:
+        df = df.toDF(*names).drop(*drops)
+    return df, spec
+
+
 def build_cep_parts(df: DataFrame, plan) -> dict:
     """Shared MATCH_RECOGNIZE prep for the batch and streaming executors:
     WHERE pushdown, partition-key materialization, output schema, event
@@ -165,6 +220,8 @@ def build_cep_parts(df: DataFrame, plan) -> dict:
     spec: N.MatchSpec = plan.stmt.match
     if plan.where_sql:
         df = df.filter(F.expr(plan.where_sql))
+    if plan.joins:
+        df, spec = _flatten_join_refs_cep(df, plan, spec)
 
     part_sqls = [render(p) for p in spec.partition_by]
     order_sqls = [render(o) for o in spec.order_by]

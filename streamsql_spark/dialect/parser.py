@@ -116,6 +116,12 @@ class Parser:
                         and not self.peek().is_kw("MATCH_RECOGNIZE"):
                     stmt.source_alias = self.parse_identifier()
             self.parse_joins(stmt)
+            # MATCH_RECOGNIZE may follow stream-table JOINs — the CEP
+            # engine sees enriched rows (rsql/parser.go:188-196,
+            # stream/processor_data.go:112-141 processCEP)
+            if stmt.match is None and self.peek().is_kw("MATCH_RECOGNIZE"):
+                self.next()
+                stmt.match = self.parse_match_recognize()
         if self.accept_kw("WHERE"):
             stmt.where = self.parse_expr()
         if self.accept_kw("GROUP"):

@@ -240,16 +240,20 @@ class Planner:
                     return N.Col((src_alias, node.parts[0]))
                 return node
 
-            for f in stmt.fields:
-                if not isinstance(f.expr, N.Star):
-                    f.expr = N.transform(f.expr, qualify)
+            if stmt.match is None:
+                # with MATCH_RECOGNIZE, the outer SELECT / ORDER BY
+                # project MEASURE rows, not stream columns — only the
+                # pre-match WHERE sees the enriched stream row
+                for f in stmt.fields:
+                    if not isinstance(f.expr, N.Star):
+                        f.expr = N.transform(f.expr, qualify)
+                stmt.order_by = [(N.transform(e, qualify), asc)
+                                 for e, asc in stmt.order_by]
             if stmt.where is not None:
                 stmt.where = N.transform(stmt.where, qualify)
             if stmt.having is not None:
                 stmt.having = N.transform(stmt.having, qualify)
             stmt.group_by = [N.transform(g, qualify) for g in stmt.group_by]
-            stmt.order_by = [(N.transform(e, qualify), asc)
-                             for e, asc in stmt.order_by]
             for j in stmt.joins:
                 if j.on is not None:
                     j.on = N.transform(j.on, qualify)

@@ -258,8 +258,11 @@ class BatchExecutor:
 
     def execute(self, plan: QueryPlan, source_df: DataFrame) -> DataFrame:
         if plan.mode == "cep":
+            # processCEP order: JOIN enrichment precedes the NFA
+            # (stream/processor_data.go:112-141)
             from ..cep.executor import execute_cep
-            return execute_cep(self.spark, plan, source_df, self)
+            return execute_cep(self.spark, plan,
+                               self._apply_joins(source_df, plan), self)
         df = source_df
         ts = _event_time_col(df, plan)
         if ts is not None:

@@ -60,7 +60,14 @@ class StreamingExecutor:
         df = self._batch._apply_joins(df, plan)
 
         if plan.mode == "cep":
-            return cep_stream(self.spark, plan, df)
+            matched = cep_stream(self.spark, plan, df)
+            # outer SELECT over measure rows (stream/stream.go:400-409
+            # projectCep); hidden partition-key columns drop here
+            if any(o.star for o in plan.outputs):
+                return matched.drop(*[c for c in matched.columns
+                                      if c.startswith("__")])
+            return matched.select(*[F.expr(o.sql).alias(o.name)
+                                    for o in plan.outputs])
 
         if any(a.window_output for a in plan.analytics):
             raise ExecError(

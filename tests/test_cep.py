@@ -764,3 +764,32 @@ def test_doc_within_confirm(spark):
     assert len(out) == 1
     assert out[0]["alert_at"] == 1700000000000
     assert out[0]["ack_at"] == 1700000010000
+
+
+# --- rsql/parser.go:188-196 + processor_data.go:112-141: JOIN before CEP
+def test_cep_over_joined_stream(spark):
+    # stream-table enrichment feeds the NFA: PARTITION BY and MEASURES
+    # may reference table columns (flattened pre-kernel)
+    sql = """SELECT loc, a_t, b_t FROM stream
+        JOIN meta m ON deviceId = m.deviceId
+        MATCH_RECOGNIZE (
+            PARTITION BY m.location
+            ORDER BY ts
+            MEASURES m.location AS loc, A.temp AS a_t, B.temp AS b_t
+            ONE ROW PER MATCH
+            PATTERN (A B)
+            DEFINE A AS temp > 50, B AS temp < 10
+        ) WITH (TIMESTAMP='ts', TIMEUNIT='ms')"""
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table("meta", [{"deviceId": "d1", "location": "A"},
+                              {"deviceId": "d2", "location": "A"},
+                              {"deviceId": "d3", "location": "B"}])
+    # d1 and d2 are the SAME partition (location A): the A→B pair spans
+    # devices; d3's lone row in B never completes a match
+    for r in [{"deviceId": "d1", "temp": 60.0, "ts": 1000},
+              {"deviceId": "d3", "temp": 70.0, "ts": 1500},
+              {"deviceId": "d2", "temp": 5.0, "ts": 2000}]:
+        s.emit(r)
+    out = s.trigger_window()
+    assert out == [{"loc": "A", "a_t": 60.0, "b_t": 5.0}]

@@ -359,6 +359,27 @@ def test_cep_stream_incremental(spark):
         [(1000, 3000, 2), (4000, 5000, 1)]
 
 
+def test_cep_stream_over_joined_stream(spark):
+    # JOIN enrichment before the incremental matcher; the A→B pair spans
+    # two devices that map to one location partition, across micro-batches
+    sql = ("SELECT loc, a_t, b_t FROM stream "
+           "JOIN meta m ON deviceId = m.deviceId "
+           "MATCH_RECOGNIZE ("
+           "  PARTITION BY m.location ORDER BY ts "
+           "  MEASURES m.location AS loc, A.temperature AS a_t, B.temperature AS b_t "
+           "  ONE ROW PER MATCH PATTERN (A B) "
+           "  DEFINE A AS temperature > 50, B AS temperature < 10"
+           ") WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    batches = [
+        _rows(("d1", 60.0, 0.0, 1000, "ok")),
+        _rows(("d2", 5.0, 0.0, 2000, "ok")),
+    ]
+    meta = [{"deviceId": "d1", "location": "A"},
+            {"deviceId": "d2", "location": "A"}]
+    got = run_stream(spark, sql, batches, tables={"meta": meta})
+    assert got == [{"loc": "A", "a_t": 60.0, "b_t": 5.0}]
+
+
 def test_cep_stream_within_expiry(spark):
     # WITHIN bounds a match across micro-batches: a partial match whose
     # window lapsed cannot complete with a too-late row (cep/engine.go
