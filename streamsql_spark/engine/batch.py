@@ -31,6 +31,22 @@ class ExecError(ValueError):
     pass
 
 
+def replace_ref_tokens(sql: str | None, mapping: dict[str, str]) -> str | None:
+    """Whole-token textual replacement of expression references — the
+    Spark analog of rewriteGroupColumnRefs / rewriteQualifiedRefs
+    (stream/processor_field.go:222-264): HAVING and ORDER BY may
+    reference group exprs (m.location, upper(x)) that post-aggregation
+    DataFrames only carry under their materialized/output names."""
+    import re
+
+    if not sql or not mapping:
+        return sql
+    for old, new in sorted(mapping.items(), key=lambda kv: -len(kv[0])):
+        sql = re.sub(rf"(?<![A-Za-z0-9_.]){re.escape(old)}(?![A-Za-z0-9_])",
+                     new, sql)
+    return sql
+
+
 def counting_key_sqls(plan: "QueryPlan", columns) -> list[str]:
     """Group exprs that key a counting window's chunk sequence.
 
@@ -419,7 +435,8 @@ class BatchExecutor:
                     spec.placeholder, _analytic_column(eff, order_cols))
 
         if plan.having_sql:
-            grouped = grouped.filter(F.expr(plan.having_sql))
+            grouped = grouped.filter(
+                F.expr(replace_ref_tokens(plan.having_sql, injected)))
 
         # final projection (post-aggregation expressions over placeholders)
         out_cols = []
@@ -504,10 +521,14 @@ class BatchExecutor:
     def _apply_order_limit(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
         if plan.order_by:
             # ORDER BY + LIMIT compiles to TakeOrderedAndProject — a top-K
-            # per partition + merge, no global sort at scale.
+            # per partition + merge, no global sort at scale.  Sort keys
+            # referencing projected expressions (m.location, computed
+            # cols) rewrite to their output names.
+            outmap = {o.sql: o.name for o in plan.outputs
+                      if o.sql and o.name and o.sql != o.name}
             exprs = []
             for sql, asc in plan.order_by:
-                c = F.expr(sql)
+                c = F.expr(replace_ref_tokens(sql, outmap))
                 exprs.append(c.asc() if asc else c.desc())
             df = df.orderBy(*exprs)
         extras = getattr(self, "_order_extras", [])

@@ -124,13 +124,16 @@ class StreamingExecutor:
         (qualified refs / expression keys → ``__gk_i__``) are mapped
         back on exact match, mirroring the batch engine's ``injected``
         handling."""
+        from ..engine.batch import replace_ref_tokens
+
         colmap = {}
         for i, gsql in enumerate(plan.group_sqls):
             nm = f"__gk_{i}__"
             if gsql not in agged.columns and nm in agged.columns:
                 colmap[gsql] = nm
         if plan.having_sql:
-            agged = agged.filter(F.expr(plan.having_sql))
+            agged = agged.filter(
+                F.expr(replace_ref_tokens(plan.having_sql, colmap)))
         out_cols = []
         for out in plan.outputs:
             if out.sql in colmap:

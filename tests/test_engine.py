@@ -475,6 +475,30 @@ def test_upsert_delete_table_between_events(spark):
     assert s.emit_sync({"deviceId": "d1"})["loc"] is None
 
 
+def test_having_orderby_qualified_group_refs(spark):
+    # rewriteGroupColumnRefs (stream/processor_field.go:240-264): HAVING
+    # and ORDER BY may reference qualified group/projection exprs that
+    # post-aggregation frames only carry under output names
+    meta = [{"deviceId": "d1", "location": "A"},
+            {"deviceId": "d2", "location": "B"}]
+    rows = [{"deviceId": "d1", "temp": 1.0, "ts": 1},
+            {"deviceId": "d1", "temp": 3.0, "ts": 2},
+            {"deviceId": "d2", "temp": 9.0, "ts": 3},
+            {"deviceId": "d2", "temp": 11.0, "ts": 4}]
+    out = run_query(spark, ("SELECT m.location, avg(temp) AS a FROM stream "
+                            "JOIN meta m ON deviceId = m.deviceId "
+                            "GROUP BY m.location, CountingWindow(2) "
+                            "HAVING m.location != 'B'"),
+                    rows, tables={"meta": meta})
+    assert out == [{"location": "A", "a": 2.0}]
+
+    out = run_query(spark, ("SELECT s.deviceId, m.location FROM stream s "
+                            "JOIN meta m ON s.deviceId = m.deviceId "
+                            "ORDER BY m.location DESC"),
+                    rows[:3], tables={"meta": meta})
+    assert [r["location"] for r in out] == ["B", "A", "A"]
+
+
 def test_join_composite_keys(spark):
     sql = ("SELECT s.a, s.b, m.v FROM stream s "
            "INNER JOIN meta m ON s.a = m.a AND s.b = m.b")
