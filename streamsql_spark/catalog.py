@@ -822,19 +822,18 @@ _add("cep_burst_islands", Entry(
 _add("analytic_changed_col", Entry(
     _dialect("""
         SELECT event_id, user_id,
-               changed_col(true, event_type, value)
+               changed_col(true, event_type)
                    OVER (PARTITION BY user_id) AS chg
         FROM stream
     """, "events"),
     f"""
     SELECT event_id, user_id,
            CASE WHEN event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}
-                THEN 'event_type'
-                WHEN value IS DISTINCT FROM lag(value) {_ANALYTIC_W}
-                THEN 'value' END AS chg
+                THEN event_type END AS chg
     FROM events
     """,
-    "§2.6 changed_col — first changed watched column (functions_analytical.go:65-82)"))
+    "§2.6 changed_col — new value when changed, else NULL "
+    "(functions/analytic_acc.go:125-154 changedColState)"))
 
 _add("analytic_changed_cols", Entry(
     _dialect("""

@@ -205,15 +205,18 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column]) -> Column:
         return out
 
     if name == "changed_col":
-        # name of the first watched column that changed vs previous row
-        watched = f.args[1:] if len(f.args) > 1 else []
-        result = F.lit(None).cast("string")
-        for a in reversed(watched):
-            c = F.expr(render(a))
-            prev = F.lag(c).over(w)
-            colname = a.name if isinstance(a, N.Col) else render(a)
-            result = F.when(~prev.eqNullSafe(c), F.lit(colname)).otherwise(result)
-        return result
+        # changed_col(ignoreNull, expr): the NEW VALUE when it changed
+        # vs the previous processed row, else NULL; the first row counts
+        # as changed; ignoreNull=true skips null values without touching
+        # state (functions/analytic_acc.go:125-154 changedColState)
+        ignore_null = bool(lit_arg(0, False))
+        val = arg(1)
+        if ignore_null:
+            prev_eff = F.last(val, ignorenulls=True).over(w_prev)
+            return F.when(val.isNotNull() & ~prev_eff.eqNullSafe(val), val)
+        chg = (F.row_number().over(w) == 1) | \
+            ~F.lag(val).over(w).eqNullSafe(val)
+        return F.when(chg, val)
 
     if name == "__changed_value__":
         # changed_cols fan-out member: the value when it changed vs the

@@ -507,8 +507,6 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
         nm = info["name"]
         if nm == "had_changed":
             return BooleanType()
-        if nm == "changed_col":
-            return StringType()
         if nm == "acc_count":
             return LongType()
         if nm in ("acc_sum", "acc_avg"):
@@ -574,16 +572,18 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                 return True  # first row counts as changed (reference)
             return any(a != b for a, b in zip(prev, watched))
         if nm == "changed_col":
-            watched = argv[1:] if len(argv) > 1 else []
-            names = s.setdefault("names", [f"c{j}" for j in range(len(watched))])
-            prev = s.get("prev")
-            s["prev"] = watched
-            if prev is None:
+            # changedColState (functions/analytic_acc.go:125-154):
+            # new value on change (first row counts), None otherwise;
+            # ignoreNull skips nulls without touching state
+            ignore_null = bool(argv[0]) if argv else False
+            val = argv[1] if len(argv) > 1 else None
+            if ignore_null and val is None:
                 return None
-            for name, a, b in zip(names, prev, watched):
-                if a != b:
-                    return name
-            return None
+            had = s.get("has", False)
+            prev = s.get("prev")
+            s["prev"] = val
+            s["has"] = True
+            return val if (not had or prev != val) else None
         if nm == "__changed_value__":
             prev = s.get("prev", ...)
             s["prev"] = argv[0]

@@ -623,6 +623,28 @@ def test_custom_function_registration(spark):
     assert s.trigger_window() == [{"dv": 42.0}]
 
 
+def test_changed_col_returns_new_value(spark):
+    # analytic_cdc_test.go:161-174 + analytic_acc.go:125-154
+    # changedColState: the NEW VALUE on change (first row counts as
+    # changed), nil when unchanged
+    sql = "SELECT changed_col(true, temperature) AS chg FROM stream"
+    rows = [{"temperature": 23.0, "ts": 1}, {"temperature": 23.0, "ts": 2},
+            {"temperature": 25.0, "ts": 3}]
+    out = run_query(spark, sql, rows)
+    assert [r["chg"] for r in out] == [23.0, None, 25.0]
+
+
+def test_changed_col_composite_agg_arg(spark):
+    # analytic_parity_test.go:370-382 B3: changed_col over avg(temp)+1 —
+    # inner aggregate extracted, outer arithmetic kept; values not names
+    sql = ("SELECT changed_col(true, avg(temp) + 1) AS c FROM stream "
+           "GROUP BY CountingWindow(2)")
+    rows = [{"temp": 23.0, "ts": 1}, {"temp": 25.0, "ts": 2},
+            {"temp": 25.0, "ts": 3}, {"temp": 30.0, "ts": 4}]
+    out = run_query(spark, sql, rows)
+    assert sorted(r["c"] for r in out) == [25.0, 28.5]
+
+
 def test_changed_cols_fanout(spark):
     # analytic_parity_test.go E2: multi-column fan-out with prefix;
     # fixed-schema rendering: unchanged → NULL (reference omits the key)

@@ -318,6 +318,21 @@ def test_analytic_acc_start_reset_stream(spark):
                      6: 5.0, 7: 11.0}
 
 
+def test_analytic_changed_col_stream(spark):
+    # changedColState on the streaming kernel: new value on change
+    # (first row counts), None when unchanged — state across batches
+    sql = ("SELECT deviceId, changed_col(true, temperature) "
+           "OVER (PARTITION BY deviceId) AS chg FROM stream "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    batches = [
+        _rows(("d1", 23.0, 0.0, 1000, "ok")),
+        _rows(("d1", 23.0, 0.0, 2000, "ok"), ("d1", 25.0, 0.0, 3000, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    got.sort(key=lambda r: (r["chg"] is None, r["chg"]))
+    assert [r["chg"] for r in got] == [23.0, 25.0, None]
+
+
 def test_analytic_had_changed_stream(spark):
     sql = ("SELECT deviceId, status, "
            "had_changed(true, status) OVER (PARTITION BY deviceId) AS chg "
