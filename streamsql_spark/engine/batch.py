@@ -107,18 +107,25 @@ def duration_to_seconds(dur: str) -> float:
     raise ExecError(f"bad duration literal: {dur!r}")
 
 
+def event_time_name(columns, plan: QueryPlan) -> str | None:
+    """The column acting as event time (explicit WITH (TIMESTAMP=...) or
+    the ts/event_time/timestamp fallback)."""
+    name = plan.event_time_col
+    if name is None:
+        for cand in ("ts", "event_time", "timestamp"):
+            if cand in columns:
+                name = cand
+                break
+    return name
+
+
 def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
     """Resolve the event-time column per WITH (TIMESTAMP=..., TIMEUNIT=...).
 
     Long columns are converted per TIMEUNIT (reference default ms,
     window/factory.go:76-133); timestamp columns pass through.
     """
-    name = plan.event_time_col
-    if name is None:
-        for cand in ("ts", "event_time", "timestamp"):
-            if cand in df.columns:
-                name = cand
-                break
+    name = event_time_name(df.columns, plan)
     if name is None:
         return None
     dt = dict(df.dtypes).get(name)
@@ -146,7 +153,8 @@ def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
 # ------------------------------------------------------------- analytics
 
 
-def _analytic_column(spec: AnalyticSpec, order_cols: list[Column]) -> Column:
+def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
+                     columns: list[str] | None = None) -> Column:
     """Batch realization of a stateful analytic call via Spark window
     functions (§2.6 mapping).  Streaming uses the stateful operator in
     ``streaming/stateful.py``; semantics here match the reference's state
@@ -173,8 +181,16 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column]) -> Column:
     if name == "lag":
         n = int(lit_arg(1, 1) or 1)
         default = lit_arg(2, None)
+        # 4th arg ignoreNull DEFAULTS TRUE: nil values never enter the
+        # history (functions_analytical.go lagState, doc A3 semantics)
+        ignore_null = bool(lit_arg(3, True))
         if when_sql is None:
-            return F.lag(arg(0), n, default).over(w)
+            if not ignore_null:
+                return F.lag(arg(0), n, default).over(w)
+            # n-th previous NON-NULL value: collect_list drops nulls
+            hist = F.collect_list(arg(0)).over(w_prev)
+            res = F.when(F.size(hist) >= n, F.element_at(hist, -n))
+            return F.coalesce(res, F.lit(default)) if default is not None else res
         if n != 1:
             raise ExecError("lag with WHEN gating supports offset 1 in batch mode")
         gated = F.when(F.expr(when_sql), arg(0))
@@ -191,17 +207,31 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column]) -> Column:
         return F.coalesce(res, F.lit(default)) if default is not None else res
 
     if name == "had_changed":
-        # had_changed(colOrTrue, cols...) — true iff any watched column
-        # changed vs the previous row (functions_analytical.go:84-103).
+        # had_changed(ignoreNull, cols...) — true iff any watched column
+        # changed vs its baseline; the first row is always a change;
+        # ignoreNull+nil neither triggers nor overwrites the baseline
+        # (functions_analytical.go:170-207 hadChangedState)
+        ignore_null = bool(lit_arg(0, False))
         watched = f.args[1:] if len(f.args) > 1 else f.args[:1]
-        conds = []
+        cols: list[Column] = []
         for a in watched:
-            c = F.expr(render(a))
-            prev = F.lag(c).over(w)
-            conds.append(~prev.eqNullSafe(c))
-        out = conds[0]
-        for c in conds[1:]:
-            out = out | c
+            if isinstance(a, N.Star) or (isinstance(a, N.Lit) and a.value == "*"):
+                # had_changed(true, *): whole row by name
+                # (hadChangedState.ApplyNamed, stream/analytic.go:155-156)
+                if columns is None:
+                    raise ExecError("had_changed(..., *) needs the row "
+                                    "columns in scope")
+                cols.extend(F.col(c) for c in columns
+                            if not c.startswith("__"))
+            else:
+                cols.append(F.expr(render(a)))
+        out = F.row_number().over(w) == 1
+        for c in cols:
+            if ignore_null:
+                base = F.last(c, ignorenulls=True).over(w_prev)
+                out = out | (c.isNotNull() & ~base.eqNullSafe(c))
+            else:
+                out = out | ~F.lag(c).over(w).eqNullSafe(c)
         return out
 
     if name == "changed_col":
@@ -336,7 +366,14 @@ class BatchExecutor:
         for spec in plan.analytics:
             if spec.window_output:
                 continue  # evaluated over window-emission rows instead
-            df = df.withColumn(spec.placeholder, _analytic_column(spec, order_cols))
+            # star expansion sees data columns only — the event-time
+            # column is ordering metadata, not part of the row map
+            # (types.Row.Timestamp lives outside Data in the reference)
+            ts_name = event_time_name(df.columns, plan)
+            star_cols = [c for c in df.columns if c != ts_name]
+            df = df.withColumn(
+                spec.placeholder,
+                _analytic_column(spec, order_cols, columns=star_cols))
         return df
 
     # ----------------------------------------------------------- windows

@@ -493,7 +493,17 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
             df = df.withColumn(when_col, F.expr(s.when_sql))
         info["when"] = when_col
         for j, a in enumerate(f.args):
-            if isinstance(a, N.Lit):
+            if isinstance(a, N.Star) or (isinstance(a, N.Lit) and a.value == "*"):
+                # had_changed(true, *): whole row by name
+                # (hadChangedState.ApplyNamed, stream/analytic.go:155-156);
+                # the event-time column is ordering metadata, not data
+                from ..engine.batch import event_time_name
+                ts_name = event_time_name(df.columns, plan)
+                for c in list(df.columns):
+                    if not c.startswith("__") and c != ts_name:
+                        info["args"].append(c)
+                        info["lits"].append(None)
+            elif isinstance(a, N.Lit):
                 info["lits"].append(a.value)
                 info["args"].append(None)
             else:
@@ -550,27 +560,44 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
         nm = p["name"]
         if nm == "lag":
             # WHEN-gated rows don't update state; every row reads the
-            # last gated values (stream/analytic.go WHEN semantics)
+            # last gated values (stream/analytic.go WHEN semantics).
+            # 4th arg ignoreNull defaults TRUE: nil never enters the
+            # history (functions_analytical.go lagState)
             n = int(argv[1]) if len(argv) > 1 and argv[1] is not None else 1
             default = argv[2] if len(argv) > 2 else None
+            ignore_null = bool(argv[3]) if len(argv) > 3 \
+                and argv[3] is not None else True
             buf = s.setdefault("buf", [])
             out = buf[-n] if len(buf) >= n else default
-            if gate:
+            if gate and not (ignore_null and argv[0] is None):
                 buf.append(argv[0])
                 del buf[:-_LAG_CAP]
-            return out if out is not None else default
+            return out  # default covers missing history only (lagState)
         if nm == "latest":
             default = argv[1] if len(argv) > 1 else None
             if gate and argv[0] is not None:
                 s["v"] = argv[0]
             return s.get("v", default)
         if nm == "had_changed":
-            watched = argv[1:] if len(argv) > 1 else argv[:1]
+            # hadChangedState (functions_analytical.go:170-207):
+            # first row always true; ignoreNull+nil neither triggers
+            # nor overwrites the per-column baseline
+            ignore_null = bool(argv[0]) if argv else False
+            values = list(argv[1:]) if len(argv) > 1 else list(argv[:1])
             prev = s.get("prev")
-            s["prev"] = watched
             if prev is None:
-                return True  # first row counts as changed (reference)
-            return any(a != b for a, b in zip(prev, watched))
+                s["prev"] = values
+                return True
+            changed = False
+            new_prev = list(prev) + [None] * max(0, len(values) - len(prev))
+            for i, v in enumerate(values):
+                if ignore_null and v is None:
+                    continue
+                new_prev[i] = v
+                if i >= len(prev) or prev[i] != v:
+                    changed = True
+            s["prev"] = new_prev
+            return changed
         if nm == "changed_col":
             # changedColState (functions/analytic_acc.go:125-154):
             # new value on change (first row counts), None otherwise;

@@ -623,6 +623,52 @@ def test_custom_function_registration(spark):
     assert s.trigger_window() == [{"dv": 42.0}]
 
 
+def test_had_changed_star_whole_row(spark):
+    # analytic_test.go:127-143: had_changed(true, *) compares the whole
+    # row by column name — any column's change detects
+    schema = StructType([StructField("a", LongType()),
+                         StructField("b", LongType()),
+                         StructField("ts", LongType())])
+    # the ts column is ordering metadata (types.Row.Timestamp lives
+    # outside the row map in the reference) — star does not watch it
+    sql = "SELECT a, b FROM stream WHERE had_changed(true, *) == true"
+    rows = [{"a": 1, "b": 2, "ts": 1}, {"a": 1, "b": 2, "ts": 2},
+            {"a": 1, "b": 5, "ts": 3}, {"a": 1, "b": 5, "ts": 4}]
+    out = run_query(spark, sql, rows, schema=schema)
+    assert [(r["a"], r["b"]) for r in out] == [(1, 2), (1, 5)]
+
+
+def test_had_changed_ignore_null_keeps_baseline(spark):
+    # analytic_cdc_test.go:244-263 A2: ignoreNull+nil neither triggers a
+    # change nor overwrites the baseline (23, nil, 23, 25 →
+    # true, false, false, true)
+    schema = StructType([StructField("temperature", DoubleType()),
+                         StructField("ts", LongType())])
+    sql = "SELECT had_changed(true, temperature) AS chg FROM stream"
+    rows = [{"temperature": 23.0, "ts": 1}, {"temperature": None, "ts": 2},
+            {"temperature": 23.0, "ts": 3}, {"temperature": 25.0, "ts": 4}]
+    out = run_query(spark, sql, rows, schema=schema)
+    assert [r["chg"] for r in out] == [True, False, False, True]
+
+
+def test_lag_ignore_null_skips_history(spark):
+    # analytic_cdc_test.go:266-281 A3: nil values never enter lag's
+    # history (4th-arg ignoreNull defaults true); explicit false keeps
+    # the SQL-standard null-including lag
+    schema = StructType([StructField("value", DoubleType()),
+                         StructField("ts", LongType())])
+    rows = [{"value": 10.0, "ts": 1}, {"value": None, "ts": 2},
+            {"value": 30.0, "ts": 3}]
+    out = run_query(spark, "SELECT lag(value, 1, -1) AS lg FROM stream",
+                    rows, schema=schema)
+    assert [r["lg"] for r in out] == [-1.0, 10.0, 10.0]
+    # ignoreNull=false: the stored nil IS the lagged value (the default
+    # only covers missing history, lagState returns history[-offset])
+    out = run_query(spark, "SELECT lag(value, 1, -1, false) AS lg FROM stream",
+                    rows, schema=schema)
+    assert [r["lg"] for r in out] == [-1.0, 10.0, None]
+
+
 def test_changed_col_returns_new_value(spark):
     # analytic_cdc_test.go:161-174 + analytic_acc.go:125-154
     # changedColState: the NEW VALUE on change (first row counts as
