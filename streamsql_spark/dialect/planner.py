@@ -307,7 +307,9 @@ class Planner:
                 colname = render(a)
             ph = f"__analytic_{len(self.analytics)}__"
             arg = self._lift_aggregates(a) if window_mode else a
-            synth = N.Func(name="__changed_value__", args=[arg])
+            # thread the ignoreNull flag through (analytic_acc.go:168-185:
+            # nil is skipped entirely — no emit, baseline kept)
+            synth = N.Func(name="__changed_value__", args=[arg, call.args[1]])
             self.analytics.append(AnalyticSpec(
                 ph, synth, part_sql, when_sql, window_output=window_mode))
             plan.outputs.append(OutputField(name=f"{prefix}{colname}", sql=ph))

@@ -249,11 +249,16 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
         return F.when(chg, val)
 
     if name == "__changed_value__":
-        # changed_cols fan-out member: the value when it changed vs the
-        # previous row (first row counts as changed), else NULL
+        # changed_cols fan-out member: the value when it changed vs its
+        # baseline (first occurrence counts as changed), else NULL;
+        # ignoreNull+nil keeps the baseline (analytic_acc.go:168-185)
         c = arg(0)
+        if bool(lit_arg(1, False)):
+            base = F.last(c, ignorenulls=True).over(w_prev)
+            return F.when(c.isNotNull() & ~base.eqNullSafe(c), c)
         prev = F.lag(c).over(w)
-        return F.when(~prev.eqNullSafe(c), c)
+        chg = (F.row_number().over(w) == 1) | ~prev.eqNullSafe(c)
+        return F.when(chg, c)
 
     if name in ("acc_sum", "acc_max", "acc_min", "acc_count", "acc_avg"):
         # acc_x(expr[, startCond, resetCond]) per functions/analytic_acc.go:

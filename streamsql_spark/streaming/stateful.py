@@ -612,6 +612,9 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
             s["has"] = True
             return val if (not had or prev != val) else None
         if nm == "__changed_value__":
+            # ignoreNull+nil: no emit, baseline kept (analytic_acc.go:168-185)
+            if len(argv) > 1 and bool(argv[1]) and argv[0] is None:
+                return None
             prev = s.get("prev", ...)
             s["prev"] = argv[0]
             return argv[0] if (prev is ... or prev != argv[0]) else None

@@ -623,6 +623,18 @@ def test_custom_function_registration(spark):
     assert s.trigger_window() == [{"dv": 42.0}]
 
 
+def test_changed_cols_ignore_null_keeps_baseline(spark):
+    # analytic_acc.go:168-185: ignoreNull+nil skips the column entirely
+    # (no emit, baseline kept) — 5, nil, 5, 7 → emit 5, then only 7
+    schema = StructType([StructField("v", DoubleType()),
+                         StructField("ts", LongType())])
+    sql = 'SELECT changed_cols("c_", true, v) FROM stream'
+    rows = [{"v": 5.0, "ts": 1}, {"v": None, "ts": 2},
+            {"v": 5.0, "ts": 3}, {"v": 7.0, "ts": 4}]
+    out = run_query(spark, sql, rows, schema=schema)
+    assert [r["c_v"] for r in out] == [5.0, None, None, 7.0]
+
+
 def test_had_changed_star_whole_row(spark):
     # analytic_test.go:127-143: had_changed(true, *) compares the whole
     # row by column name — any column's change detects
