@@ -240,15 +240,33 @@ class StreamSQL:
             self._history.append(row)
             if len(self._history) > self.max_buffer_rows:
                 self._history.pop(0)
-            df = self._rows_df(self._history)
-            rows = self.query(df).collect()
+            from dataclasses import replace
+
+            from pyspark.sql import functions as F
+
+            from ..plans.plan import OutputField
+
+            # window-function evaluation does not preserve input order
+            # (each OVER spec re-sorts) — thread an arrival index
+            # through the projection so the replay's "last emitted row"
+            # is really the current event's output
+            df = self._rows_df(self._history).withColumn(
+                "__arrival__", F.monotonically_increasing_id())
+            plan2 = replace(self._plan, outputs=self._plan.outputs
+                            + [OutputField(name="__arrival__",
+                                           sql="__arrival__")])
+            rows = BatchExecutor(self.spark, dict(self._tables)) \
+                .execute(plan2, df).collect()
+            rows.sort(key=lambda r: r["__arrival__"])
             # replay emits one output per surviving input, in order: the
             # current row survived iff the output count grew
             prev = getattr(self, "_last_survived", 0)
             self._last_survived = len(rows)
             if len(rows) == prev:
                 return None
-            return rows[-1].asDict(recursive=True)
+            out = rows[-1].asDict(recursive=True)
+            out.pop("__arrival__", None)
+            return out
         df = self._rows_df([row])
         out = self.query(df).collect()
         return out[0].asDict(recursive=True) if out else None

@@ -623,6 +623,22 @@ def test_custom_function_registration(spark):
     assert s.trigger_window() == [{"dv": 42.0}]
 
 
+def test_analytics_with_distinct_partitions(spark):
+    # analytic_b_test.go: per-call OVER partitions may differ — each
+    # analytic keeps its own per-partition state; the replay's arrival
+    # index keeps emit_sync aligned when the specs re-sort the frame
+    s = StreamSQL(spark)
+    s.execute("SELECT lag(a) OVER (PARTITION BY k1) AS p1, "
+              "lag(b) OVER (PARTITION BY k2) AS p2 FROM stream")
+    outs = [s.emit_sync(r) for r in [
+        {"k1": "x", "k2": "m", "a": 1.0, "b": 10.0, "ts": 1},
+        {"k1": "x", "k2": "n", "a": 2.0, "b": 20.0, "ts": 2},
+        {"k1": "y", "k2": "m", "a": 3.0, "b": 30.0, "ts": 3}]]
+    assert outs == [{"p1": None, "p2": None},
+                    {"p1": 1.0, "p2": None},
+                    {"p1": None, "p2": 10.0}]
+
+
 def test_changed_cols_ignore_null_keeps_baseline(spark):
     # analytic_acc.go:168-185: ignoreNull+nil skips the column entirely
     # (no emit, baseline kept) — 5, nil, 5, 7 → emit 5, then only 7
