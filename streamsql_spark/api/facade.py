@@ -266,10 +266,22 @@ class StreamSQL:
                 return None
             out = rows[-1].asDict(recursive=True)
             out.pop("__arrival__", None)
-            return out
+            return self._deliver_sync(out)
         df = self._rows_df([row])
         out = self.query(df).collect()
-        return out[0].asDict(recursive=True) if out else None
+        if not out:
+            return None
+        return self._deliver_sync(out[0].asDict(recursive=True))
+
+    def _deliver_sync(self, row: dict) -> dict:
+        """EmitSync results also reach registered sinks — one single-row
+        batch per passing event (sink_test.go TestEmitSyncWithAddSink;
+        streamsql.go:262-282 routes sync results through the handler)."""
+        batch = [row]
+        self._results.append(batch)
+        for sink in self._sinks:
+            sink(batch)
+        return row
 
     def add_sink(self, fn: Callable[[list[dict]], None]) -> None:
         self._sinks.append(fn)

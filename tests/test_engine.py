@@ -623,6 +623,21 @@ def test_custom_function_registration(spark):
     assert s.trigger_window() == [{"dv": 42.0}]
 
 
+def test_emit_sync_delivers_to_sinks(spark):
+    # sink_test.go TestEmitSyncWithAddSink: every passing EmitSync row
+    # also reaches registered sinks as a single-row batch
+    s = StreamSQL(spark)
+    s.execute("SELECT temperature, temperature * 1.8 + 32 AS f FROM stream "
+              "WHERE temperature > 20")
+    got = []
+    s.add_sink(lambda rows: got.extend(rows))
+    assert s.emit_sync({"temperature": 25.0}) is not None
+    assert s.emit_sync({"temperature": 15.0}) is None   # filtered: no sink call
+    assert s.emit_sync({"temperature": 30.0}) is not None
+    assert [r["f"] for r in got] == [77.0, 86.0]
+    assert len(s.results()) == 2  # one batch per passing event
+
+
 def test_analytics_with_distinct_partitions(spark):
     # analytic_b_test.go: per-call OVER partitions may differ — each
     # analytic keeps its own per-partition state; the replay's arrival
