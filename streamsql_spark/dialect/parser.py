@@ -405,7 +405,9 @@ class Parser:
             return N.Lit(True)
         if t.kind == IDENT and t.upper == "FALSE":
             return N.Lit(False)
-        if t.kind == IDENT and t.upper == "NULL":
+        if t.kind == IDENT and t.upper in ("NULL", "NIL"):
+            # nil is the reference's Go-flavored NULL literal
+            # (test/e2e/null_test.go TestNullComparisons)
             return N.Lit(None)
         if t.kind in (IDENT, QIDENT):
             # function call?

@@ -100,6 +100,16 @@ class Renderer:
         raise ValueError(f"cannot render {type(e).__name__}")
 
     def render_bin(self, e: N.Bin) -> str:
+        # equality against a NULL/nil literal means IS [NOT] NULL in the
+        # reference (null_test.go TestNullComparisons; the expr bridge
+        # rewrites it, functions/expr_bridge.go) — not SQL UNKNOWN
+        def _is_null_lit(n):
+            return isinstance(n, N.Lit) and n.value is None
+        if e.op in ("=", "==", "!=", "<>") and \
+                (_is_null_lit(e.left) or _is_null_lit(e.right)):
+            side = e.right if _is_null_lit(e.left) else e.left
+            neg = "NOT " if e.op in ("!=", "<>") else ""
+            return f"({self.render(side)} IS {neg}NULL)"
         l, r = self.render(e.left), self.render(e.right)
         op = e.op
         if op == "^":  # exponentiation in the reference dialect (expr/doc.go)

@@ -623,6 +623,23 @@ def test_custom_function_registration(spark):
     assert s.trigger_window() == [{"dv": 42.0}]
 
 
+def test_null_equality_comparisons(spark):
+    # null_test.go TestNullComparisons: = nil / != nil / = null / != null
+    # mean IS [NOT] NULL (the expr bridge rewrite), not SQL UNKNOWN
+    schema = StructType([StructField("deviceId", StringType()),
+                         StructField("value", DoubleType())])
+    rows = [{"deviceId": "s1", "value": 25.5}, {"deviceId": "s2", "value": None},
+            {"deviceId": "s3", "value": 30.0}, {"deviceId": "s4", "value": None}]
+    expect = {"value = nil": ["s2", "s4"], "value != nil": ["s1", "s3"],
+              "value = null": ["s2", "s4"], "value != null": ["s1", "s3"],
+              "value != nil AND value > 20": ["s1", "s3"]}
+    for cond, ids in expect.items():
+        s = StreamSQL(spark, schema=schema)
+        s.execute(f"SELECT deviceId, value FROM stream WHERE {cond}")
+        out = [r for r in (s.emit_sync(x) for x in rows) if r is not None]
+        assert [r["deviceId"] for r in out] == ids, cond
+
+
 def test_emit_sync_delivers_to_sinks(spark):
     # sink_test.go TestEmitSyncWithAddSink: every passing EmitSync row
     # also reaches registered sinks as a single-row batch
