@@ -246,8 +246,8 @@ SCALAR_RENDERERS: dict[str, Renderer] = {
     "bitxor": _simple("({0} ^ {1})"),
     "bitnot": _simple("(~{0})"),
     # string (functions_string.go)
-    "len": _simple("length({0})"),
-    "length": _simple("length({0})"),
+    # len/length below (polymorphic: strings AND arrays,
+    # functions_string.go:46)
     "indexof": _simple("(instr({0}, {1}) - 1)"),
     "substring": _render_substring,
     "format": _render_format,
@@ -331,6 +331,29 @@ def _render_case_when(args: list[str], ast: list[N.Expr]) -> str:
 
 
 SCALAR_RENDERERS["case_when"] = _render_case_when
+
+
+_ARRAY_FUNCS = {
+    "split", "string_split", "array", "sequence", "slice", "transform",
+    "filter", "regexp_extract_all", "array_distinct", "array_union",
+    "array_intersect", "array_except", "array_remove", "array_repeat",
+    "map_keys", "map_values",
+}
+
+
+def _render_len(args: list[str], ast: list[N.Expr]) -> str:
+    """len/length is polymorphic in the reference — strings AND arrays
+    (functions_string.go:46).  Spark splits that into length() vs
+    cardinality(); branch on the argument's producing function (an
+    array column of unknown provenance still needs array_length)."""
+    a = ast[0] if ast else None
+    if isinstance(a, N.Func) and a.name.lower() in _ARRAY_FUNCS:
+        return f"cardinality({args[0]})"
+    return f"length({args[0]})"
+
+
+SCALAR_RENDERERS["len"] = _render_len
+SCALAR_RENDERERS["length"] = _render_len
 
 
 def _render_expr_escape(args: list[str], ast: list[N.Expr]) -> str:

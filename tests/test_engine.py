@@ -623,6 +623,16 @@ def test_custom_function_registration(spark):
     assert s.trigger_window() == [{"dv": 42.0}]
 
 
+def test_len_polymorphic_strings_and_arrays(spark):
+    # functions_string.go:46: length works on strings AND arrays
+    # (function_advanced_test.go len(split(...)))
+    s = StreamSQL(spark)
+    s.execute("SELECT len(split(upper(device), 'SENSOR')) AS c, "
+              "len(device) AS n FROM stream")
+    out = s.emit_sync({"device": "sensor1"})
+    assert out == {"c": 2, "n": 7}
+
+
 def test_null_equality_comparisons(spark):
     # null_test.go TestNullComparisons: = nil / != nil / = null / != null
     # mean IS [NOT] NULL (the expr bridge rewrite), not SQL UNKNOWN
