@@ -1330,6 +1330,35 @@ _add("streaming_session_replay", Entry(
     "the batch session path"))
 
 
+def _streaming_sliding_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 sliding window through Catalyst's streaming window state
+    (window/sliding_window.go:60-970 semantics): each event lands in
+    size/slide overlapping slots, windows drained by the AvailableNow
+    replay in complete mode — value parity with the batch sliding
+    oracle's LATERAL slot fan-out."""
+    import uuid as _uuid
+
+    q = StreamSQL(spark).execute("""
+        SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
+               unix_timestamp(window_start()) AS ws
+        FROM stream GROUP BY event_type, SlidingWindow('12h', '6h')
+    """)
+    out = q.query_stream(_events_stream(spark, sf_dir))
+    name = "streaming_sliding_" + _uuid.uuid4().hex[:8]
+    sq = (out.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    sq.awaitTermination(300)
+    return spark.table(name)
+
+
+_add("streaming_sliding_replay", Entry(
+    _streaming_sliding_run,
+    CATALOG["window_sliding"].oracle,
+    "§2.5+§3 sliding window on Catalyst's streaming windowed-agg state "
+    "store (window/sliding_window.go:60-970); value-parity with the "
+    "batch sliding path"))
+
+
 def names() -> list[str]:
     return list(CATALOG)
 
