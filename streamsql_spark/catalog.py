@@ -812,6 +812,67 @@ _add("cep_burst_islands", Entry(
     """,
     "§2.7 MATCH_RECOGNIZE greedy A{2,} burst ≡ maximal runs (cep/engine.go:492-552)"))
 
+_add("cep_within_pair", Entry(
+    _dialect("""
+        SELECT user_id, a_ts, b_ts, a_val, b_val FROM stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, B.ts AS b_ts,
+                     A.value AS a_val, B.value AS b_val
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS value > 80, B AS value < 20
+            WITHIN '4h'
+        )
+    """, "events"),
+    """
+    WITH w AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val
+        FROM events)
+    SELECT user_id, prev_ts AS a_ts, ts AS b_ts,
+           prev_val AS a_val, value AS b_val
+    FROM w WHERE prev_val > 80 AND value < 20
+      AND ts - prev_ts <= INTERVAL 4 HOUR
+    """,
+    "§2.7 WITHIN duration bound: match killed when last.ts − first.ts "
+    "exceeds the bound (cep/engine.go:690-696, 281-320)"))
+
+_add("cep_alternation", Entry(
+    # B and C are disjoint from A (no row can both close one match and
+    # open the next), so SKIP PAST LAST ROW never hides a pair and the
+    # LAG oracle is exact; CLASSIFIER() reports which branch closed.
+    _dialect("""
+        SELECT user_id, a_ts, b_ts, b_val, cls FROM stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, LAST(ts) AS b_ts,
+                     LAST(value) AS b_val, CLASSIFIER() AS cls
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A (B | C))
+            DEFINE A AS value > 80, B AS value < 20,
+                   C AS value BETWEEN 40 AND 60
+        )
+    """, "events"),
+    """
+    WITH w AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val
+        FROM events)
+    SELECT user_id, prev_ts AS a_ts, ts AS b_ts, value AS b_val,
+           CASE WHEN value < 20 THEN 'B' ELSE 'C' END AS cls
+    FROM w WHERE prev_val > 80
+      AND (value < 20 OR value BETWEEN 40 AND 60)
+    """,
+    "§2.7 alternation (B|C) + CLASSIFIER() measure "
+    "(cep/pattern.go alternation, cep/eval.go:531-570)"))
+
 
 # ===================================================================
 # Coverage closers: §2.6 changed_col/changed_cols, §2.4 nth_value,

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (BooleanType, DataType, DoubleType, LongType,
                                StringType, StructField, StructType,
-                               TimestampType)
+                               TimestampNTZType, TimestampType)
 
 from ..dialect import nodes as N
 from ..dialect.render import render
@@ -267,7 +267,8 @@ def build_cep_parts(df: DataFrame, plan) -> dict:
         "out_schema": StructType(fields),
         "part_names": part_names,
         "ts_col": ts_col,
-        "ts_is_time": isinstance(in_schema.get(ts_col), TimestampType),
+        "ts_is_time": isinstance(in_schema.get(ts_col),
+                                 (TimestampType, TimestampNTZType)),
         "within": duration_to_seconds(spec.within) if spec.within else None,
         "measure_names": [m.alias or f"m{j}"
                           for j, m in enumerate(spec.measures)],
