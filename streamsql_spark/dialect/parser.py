@@ -26,6 +26,9 @@ _WINDOW_FUNCS = {
 _CLAUSE_KWS = {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "WITH",
     "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "UNION",
+    # GLOBAL starts a bare "GLOBAL WINDOW" clause (a lexer keyword in the
+    # reference, rsql/lexer.go TokenGlobal) — never a source alias
+    "GLOBAL",
 }
 
 _CMP_OPS = {"=", "!=", "<>", "<", "<=", ">", ">="}
@@ -124,6 +127,17 @@ class Parser:
                 stmt.match = self.parse_match_recognize()
         if self.accept_kw("WHERE"):
             stmt.where = self.parse_expr()
+        if self.peek().is_kw("GLOBAL"):
+            # bare "GLOBAL WINDOW [TRIGGER WHEN ...]" with no GROUP BY:
+            # the whole stream is one implicit group (rsql/parser.go:970-977,
+            # test/e2e/global_window_test.go TestGlobalWindow_NoGroupBy)
+            self.next()
+            self.expect_kw("WINDOW")
+            spec = N.WindowSpec(kind="global")
+            if self.accept_kw("TRIGGER"):
+                self.expect_kw("WHEN")
+                spec.trigger_when = self.parse_expr()
+            stmt.window = spec
         if self.accept_kw("GROUP"):
             self.expect_kw("BY")
             self.parse_group_by(stmt)
@@ -210,6 +224,13 @@ class Parser:
             if t.kind == IDENT and t.upper in _WINDOW_FUNCS and self.peek(1).kind == OP \
                     and self.peek(1).text == "(":
                 stmt.window = self.parse_window_func(t.upper)
+                if self.peek().is_kw("OVER"):
+                    # reference parses OVER on a GROUP BY window, then
+                    # ToStreamConfig rejects it with a HAVING hint
+                    # (test/e2e/sql_check_test.go:233-244)
+                    raise ParseError(
+                        "OVER(...) on a GROUP BY window is not supported — "
+                        "use HAVING for threshold/duration detection")
             elif t.is_kw("GLOBAL"):
                 self.next()
                 self.expect_kw("WINDOW")
@@ -605,7 +626,8 @@ class Parser:
         items = []
         while True:
             t = self.peek()
-            if t.kind == OP and t.text in (")", "|", ","):
+            if t.kind == OP and t.text in (")", "|", ",", "-"):
+                # "-" only occurs as the {- ... -} exclusion closer
                 break
             if t.kind == EOF:
                 raise ParseError("unterminated PATTERN")
@@ -653,6 +675,19 @@ class Parser:
             p = self.parse_pattern_alt()
             self.expect_op(")")
             return p
+        if t.kind == OP and t.text == "{":
+            # {- ... -} exclusion: parsed, rejected at compile like the
+            # reference (rsql/parser_match_pattern.go:98-113 parses the
+            # Exclusion node; cep/pattern.go:78-79 rejects it)
+            if not self.accept_op("-"):
+                raise ParseError("expected '-' after '{' in exclusion pattern")
+            self.parse_pattern_alt()
+            if not self.accept_op("-"):
+                raise ParseError("expected '-}' to close exclusion pattern")
+            self.expect_op("}")
+            raise ParseError(
+                "pattern exclusion {- -} is not supported yet "
+                "(cep/pattern.go:78-79 parity)")
         if t.kind == IDENT and t.upper == "PERMUTE":
             self.expect_op("(")
             items = [self.parse_pattern_alt()]
