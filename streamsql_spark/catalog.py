@@ -65,46 +65,37 @@ _add("filter_project", Entry(
                     WHEN value > 50 THEN 'mid' ELSE 'low' END AS grade
         FROM stream
         WHERE value > 10 AND event_type != 'error'
+          AND (event_type LIKE 'p%'
+               OR event_type IN ('login', 'signup', 'click', 'view'))
+          AND value BETWEEN 10 AND 5000
+          AND props IS NOT NULL AND NOT (user_id = 7)
     """, "events"),
     """
     SELECT event_id, user_id, round(value * 1.8 + 32, 4) AS value_f,
            CASE WHEN value > 100 THEN 'high'
                 WHEN value > 50 THEN 'mid' ELSE 'low' END AS grade
-    FROM events WHERE value > 10 AND event_type != 'error'
-    """,
-    "§2.2 SELECT projection + WHERE + CASE (stream/processor_field.go:39-105)"))
-
-_add("predicates", Entry(
-    _dialect("""
-        SELECT event_id, event_type FROM stream
-        WHERE (event_type LIKE 'p%' OR event_type IN ('login', 'signup'))
-          AND value BETWEEN 20 AND 500
-          AND props IS NOT NULL AND NOT (user_id = 7)
-    """, "events"),
-    """
-    SELECT event_id, event_type FROM events
-    WHERE (event_type LIKE 'p%' OR event_type IN ('login', 'signup'))
-      AND value BETWEEN 20 AND 500
+    FROM events
+    WHERE value > 10 AND event_type != 'error'
+      AND (event_type LIKE 'p%'
+           OR event_type IN ('login', 'signup', 'click', 'view'))
+      AND value BETWEEN 10 AND 5000
       AND props IS NOT NULL AND NOT (user_id = 7)
     """,
-    "§2.2 WHERE predicates: LIKE/IN/BETWEEN/IS NULL/NOT (condition/condition.go:31-338)"))
+    "§2.2 SELECT projection + CASE + WHERE predicates LIKE/IN/BETWEEN/"
+    "IS NULL/NOT (stream/processor_field.go:39-105, "
+    "condition/condition.go:31-338)"))
 
-_add("distinct", Entry(
-    _dialect("SELECT DISTINCT user_id, event_type FROM stream WHERE value > 100",
-             "events"),
-    "SELECT DISTINCT user_id, event_type FROM events WHERE value > 100",
-    "§2.2 DISTINCT (stream/processor_data.go:496-515)"))
-
-_add("orderby_limit", Entry(
+_add("distinct_orderby_limit", Entry(
     _dialect("""
-        SELECT o_orderkey, o_totalprice FROM stream
-        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """, "orders"),
+        SELECT DISTINCT user_id, event_type FROM stream WHERE value > 100
+        ORDER BY user_id, event_type LIMIT 40
+    """, "events"),
     """
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    SELECT DISTINCT user_id, event_type FROM events WHERE value > 100
+    ORDER BY user_id, event_type LIMIT 40
     """,
-    "§2.2 ORDER BY + LIMIT top-K (stream/sorter.go:15-160)"))
+    "§2.2 DISTINCT + ORDER BY + LIMIT top-K "
+    "(stream/processor_data.go:496-515, stream/sorter.go:15-160)"))
 
 _add("unnest", Entry(
     _dialect("""
@@ -122,12 +113,15 @@ _add("unnest", Entry(
 # ===================================================================
 
 _add("join_inner", Entry(
+    # composite equi-ON (second key is an expression on both sides)
+    # exercises the multi-condition ON path without changing the result
     _dialect("""
         SELECT l.l_orderkey AS okey, l.l_linenumber AS lno,
                o.o_orderpriority AS prio,
                round(l.l_extendedprice * (1 - l.l_discount), 4) AS net
         FROM stream AS l
         INNER JOIN orders AS o ON l.l_orderkey = o.o_orderkey
+            AND mod(l.l_orderkey, 4) = mod(o.o_orderkey, 4)
         WHERE o.o_orderstatus = 'F' AND l.l_quantity > 25
     """, "lineitem", dims=("orders",)),
     """
@@ -135,9 +129,11 @@ _add("join_inner", Entry(
            o.o_orderpriority AS prio,
            round(l.l_extendedprice * (1 - l.l_discount), 4) AS net
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        AND mod(l.l_orderkey, 4) = mod(o.o_orderkey, 4)
     WHERE o.o_orderstatus = 'F' AND l.l_quantity > 25
     """,
-    "§2.3 INNER stream-table join (stream/join.go:35-67)"))
+    "§2.3 INNER stream-table join, composite/expression ON keys "
+    "(stream/join.go:35-67, rsql/parser.go:834-926)"))
 
 _add("join_left_nullgroup", Entry(
     _dialect("""
@@ -155,19 +151,6 @@ _add("join_left_nullgroup", Entry(
     """,
     "§2.3 LEFT join, NULL group collapse (stream/join.go:58-62, group_aggregator.go:14-22)"))
 
-_add("join_composite_key", Entry(
-    _dialect("""
-        SELECT n.n_name AS nation, count(*) AS cnt
-        FROM stream AS c
-        INNER JOIN nation AS n ON c.c_nationkey = n.n_nationkey
-        GROUP BY n.n_name
-    """, "customer", dims=("nation",)),
-    """
-    SELECT n.n_name AS nation, count(*) AS cnt
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-    "§2.3 qualified refs + group on joined column (rsql/parser.go:834-926)"))
 
 # ===================================================================
 # §2.4 Aggregations
@@ -183,7 +166,9 @@ _add("agg_tpch_q1", Entry(
                round(avg(l_extendedprice), 4) AS avg_price,
                round(min(l_extendedprice), 2) AS min_price,
                round(max(l_extendedprice), 2) AS max_price,
-               count(*) AS count_order
+               count(*) AS count_order,
+               count(DISTINCT l_suppkey) AS n_supp,
+               round(sum(DISTINCT l_quantity), 2) AS sum_d_qty
         FROM stream
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
@@ -197,11 +182,15 @@ _add("agg_tpch_q1", Entry(
            round(avg(l_extendedprice), 4) AS avg_price,
            round(min(l_extendedprice), 2) AS min_price,
            round(max(l_extendedprice), 2) AS max_price,
-           count(*) AS count_order
+           count(*) AS count_order,
+           count(DISTINCT l_suppkey) AS n_supp,
+           round(sum(DISTINCT l_quantity), 2) AS sum_d_qty
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    "§2.4 sum/avg/min/max/count hash aggregation (functions_aggregation.go:21-397)"))
+    "§2.4 sum/avg/min/max/count hash aggregation + §2.10 "
+    "DISTINCT-in-aggregate Spark extension "
+    "(functions_aggregation.go:21-397)"))
 
 _add("agg_stats", Entry(
     _dialect("""
@@ -210,7 +199,9 @@ _add("agg_stats", Entry(
                round(stddevs(l_quantity), 6) AS sd_samp,
                round(var(l_quantity), 6) AS var_pop,
                round(vars(l_quantity), 6) AS var_samp,
-               round(median(l_quantity), 4) AS med
+               round(median(l_quantity), 4) AS med,
+               percentile(0.5, l_extendedprice) AS p50,
+               percentile(0.9, l_extendedprice) AS p90
         FROM stream GROUP BY l_returnflag
     """, "lineitem"),
     """
@@ -219,117 +210,83 @@ _add("agg_stats", Entry(
            round(stddev_samp(l_quantity), 6) AS sd_samp,
            round(var_pop(l_quantity), 6) AS var_pop,
            round(var_samp(l_quantity), 6) AS var_samp,
-           round(median(l_quantity), 4) AS med
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    "§2.4 stddev/stddevs/var/vars/median (functions_aggregation.go:399-1239)"))
-
-_add("agg_percentile", Entry(
-    _dialect("""
-        SELECT l_returnflag,
-               percentile(0.5, l_extendedprice) AS p50,
-               percentile(0.9, l_extendedprice) AS p90
-        FROM stream GROUP BY l_returnflag
-    """, "lineitem"),
-    """
-    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS med,
            (list_sort(list(l_extendedprice)))[1 + CAST(floor(0.5*(count(l_extendedprice)-1)) AS INT)] AS p50,
            (list_sort(list(l_extendedprice)))[1 + CAST(floor(0.9*(count(l_extendedprice)-1)) AS INT)] AS p90
     FROM lineitem GROUP BY l_returnflag
     """,
-    "§2.4 percentile lower-index semantics (functions_aggregation.go:518-555)"))
+    "§2.4 stddev/stddevs/var/vars/median + percentile lower-index "
+    "semantics (functions_aggregation.go:399-1239, 518-555)"))
 
 _add("agg_collect", Entry(
+    # array outputs serialized with array_join so every result column is
+    # scalar (the correctness gate canonicalizes rows); merge_agg is
+    # checked in TRUE arrival order against DuckDB's ordered list()
     _dialect("""
         SELECT user_id,
-               sort_array(deduplicate(event_type)) AS types,
+               array_join(sort_array(deduplicate(event_type)), ',') AS types,
                array_join(sort_array(collect(event_type)), ',') AS merged,
+               merge_agg(event_type) AS seq_types,
                count(event_type) AS cnt
         FROM stream WHERE value > 150 GROUP BY user_id
     """, "events"),
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
            array_to_string(list_sort(list(event_type)), ',') AS merged,
+           array_to_string(list(event_type ORDER BY ts, event_id), ',') AS seq_types,
            count(event_type) AS cnt
     FROM events WHERE value > 150 GROUP BY user_id
     """,
-    "§2.4 collect/deduplicate/merge_agg (functions_aggregation.go:564-618, 900-931, 737-811)"))
+    "§2.4 collect/deduplicate/merge_agg, arrival-ordered buffers "
+    "(functions_aggregation.go:564-618, 900-931, 737-811)"))
 
 _add("agg_first_last", Entry(
+    # dialect first_value/last_value/nth_value — rendered to
+    # min_by/max_by/ordered-collect over the arrival-order column, so
+    # the result is deterministic after the groupBy shuffle
     _dialect("""
         SELECT user_id,
-               min_by(value, ts) AS first_v,
-               max_by(value, ts) AS last_v,
-               round(max_by(value, ts) - min_by(value, ts), 4) AS delta
+               first_value(value) AS first_v,
+               last_value(value) AS last_v,
+               round(last_value(value) - first_value(value), 4) AS delta,
+               nth_value(value, 3) AS v3
         FROM stream GROUP BY user_id
     """, "events"),
     """
     SELECT user_id,
            arg_min(value, ts) AS first_v,
            arg_max(value, ts) AS last_v,
-           round(arg_max(value, ts) - arg_min(value, ts), 4) AS delta
+           round(arg_max(value, ts) - arg_min(value, ts), 4) AS delta,
+           (list(value ORDER BY ts, event_id))[3] AS v3
     FROM events GROUP BY user_id
     """,
-    "§2.4 first_value/last_value (deterministic by event time) + post-agg expr "
-    "(functions_aggregation.go:620-735, aggregator/post_aggregation.go:62-829)"))
+    "§2.4 first_value/last_value/nth_value in arrival (event-time) order "
+    "+ post-agg expr (functions_aggregation.go:620-735, "
+    "functions_window.go:232-350, aggregator/post_aggregation.go:62-829)"))
 
-_add("agg_post_expr", Entry(
+_add("agg_post_having_exprkey", Entry(
+    # one query through all three planner paths: expression group keys,
+    # post-aggregation expressions, HAVING with hidden aggregate + alias
     _dialect("""
-        SELECT o_orderpriority,
+        SELECT o_orderpriority, year(o_orderdate) AS yr,
                round(sum(o_totalprice) / count(*), 4) AS avg_manual,
                round(avg(o_totalprice), 4) AS avg_builtin,
-               count(*) * 2 AS double_cnt
-        FROM stream GROUP BY o_orderpriority
-    """, "orders"),
-    """
-    SELECT o_orderpriority,
-           round(sum(o_totalprice) / count(*), 4) AS avg_manual,
-           round(avg(o_totalprice), 4) AS avg_builtin,
-           count(*) * 2 AS double_cnt
-    FROM orders GROUP BY o_orderpriority
-    """,
-    "§2.4 post-aggregation expressions (rsql/ast.go:1417-1724)"))
-
-_add("agg_having_hidden", Entry(
-    _dialect("""
-        SELECT o_orderpriority, count(*) AS cnt
-        FROM stream GROUP BY o_orderpriority
+               count(*) AS cnt, count(*) * 2 AS double_cnt
+        FROM stream GROUP BY o_orderpriority, year(o_orderdate)
         HAVING avg(o_totalprice) > 100000 AND cnt > 10
     """, "orders"),
     """
-    SELECT o_orderpriority, count(*) AS cnt
-    FROM orders GROUP BY o_orderpriority
+    SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr,
+           round(sum(o_totalprice) / count(*), 4) AS avg_manual,
+           round(avg(o_totalprice), 4) AS avg_builtin,
+           count(*) AS cnt, count(*) * 2 AS double_cnt
+    FROM orders GROUP BY o_orderpriority, year(o_orderdate)
     HAVING avg(o_totalprice) > 100000 AND count(*) > 10
     """,
-    "§2.4 HAVING hidden aggregates + alias ref (rsql/ast.go:561-623)"))
-
-_add("agg_expr_group_key", Entry(
-    _dialect("""
-        SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
-               count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev
-        FROM stream GROUP BY year(l_shipdate), month(l_shipdate)
-    """, "lineitem"),
-    """
-    SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(month(l_shipdate) AS INT) AS mo,
-           count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev
-    FROM lineitem GROUP BY 1, 2
-    """,
-    "§2.4 expression group keys (rsql/ast.go:724-736, processor_field.go:208-226)"))
-
-_add("agg_count_distinct", Entry(
-    _dialect("""
-        SELECT event_type, count(DISTINCT user_id) AS n_users,
-               round(sum(DISTINCT round(value, 0)), 2) AS sum_distinct_v
-        FROM stream GROUP BY event_type
-    """, "events"),
-    """
-    SELECT event_type, count(DISTINCT user_id) AS n_users,
-           round(sum(DISTINCT round(value, 0)), 2) AS sum_distinct_v
-    FROM events GROUP BY event_type
-    """,
-    "§2.10 DISTINCT-in-aggregate (Spark-native extension beyond reference; "
-    "approx_count_distinct also exposed)"))
+    "§2.4 expression group keys + post-aggregation expressions + HAVING "
+    "hidden aggregates/alias refs (rsql/ast.go:561-623, 724-736, "
+    "1417-1724, processor_field.go:208-226)"))
 
 # ===================================================================
 # §2.5 Window operators (batch semantics over event time)
@@ -428,17 +385,22 @@ _add("analytic_lag", Entry(
         SELECT event_id, user_id, value,
                lag(value) OVER (PARTITION BY user_id) AS prev_v,
                round(value - lag(value) OVER (PARTITION BY user_id), 4) AS delta,
-               lag(value, 2, -1.0) OVER (PARTITION BY user_id) AS prev2
+               lag(value, 2, -1.0) OVER (PARTITION BY user_id) AS prev2,
+               latest(CASE WHEN value > 100 THEN value END)
+                   OVER (PARTITION BY user_id) AS last_big
         FROM stream
     """, "events"),
     f"""
     SELECT event_id, user_id, value,
            lag(value) {_ANALYTIC_W} AS prev_v,
            round(value - lag(value) {_ANALYTIC_W}, 4) AS delta,
-           lag(value, 2, -1.0) {_ANALYTIC_W} AS prev2
+           lag(value, 2, -1.0) {_ANALYTIC_W} AS prev2,
+           last_value(CASE WHEN value > 100 THEN value END IGNORE NULLS)
+               {_ANALYTIC_W_RUN} AS last_big
     FROM events
     """,
-    "§2.6 lag with offset/default, expression-wrapped (functions_analytical.go:14-44)"))
+    "§2.6 lag with offset/default, expression-wrapped + latest "
+    "(most recent non-null) (functions_analytical.go:14-63)"))
 
 _add("analytic_acc", Entry(
     _dialect("""
@@ -448,7 +410,9 @@ _add("analytic_acc", Entry(
                round(acc_sum(value) OVER (PARTITION BY user_id), 4)
                    / acc_count(value) OVER (PARTITION BY user_id) AS run_avg,
                acc_max(value) OVER (PARTITION BY user_id) AS run_max,
-               acc_min(value) OVER (PARTITION BY user_id) AS run_min
+               acc_min(value) OVER (PARTITION BY user_id) AS run_min,
+               round(acc_sum(value) OVER (PARTITION BY user_id
+                     WHEN event_type = 'purchase'), 4) AS purchase_total
         FROM stream
     """, "events"),
     f"""
@@ -458,53 +422,42 @@ _add("analytic_acc", Entry(
            round(sum(value) {_ANALYTIC_W_RUN}, 4)
                / count(value) {_ANALYTIC_W_RUN} AS run_avg,
            max(value) {_ANALYTIC_W_RUN} AS run_max,
-           min(value) {_ANALYTIC_W_RUN} AS run_min
-    FROM events
-    """,
-    "§2.6 acc_sum/acc_count/acc_avg/acc_max/acc_min (functions/analytic_acc.go:8-122)"))
-
-_add("analytic_had_changed", Entry(
-    _dialect("""
-        SELECT event_id, user_id, event_type,
-               had_changed(true, event_type) OVER (PARTITION BY user_id) AS type_changed
-        FROM stream
-    """, "events"),
-    f"""
-    SELECT event_id, user_id, event_type,
-           (event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}) AS type_changed
-    FROM events
-    """,
-    "§2.6 had_changed CDC detection (functions_analytical.go:84-103)"))
-
-_add("analytic_latest", Entry(
-    _dialect("""
-        SELECT event_id, user_id,
-               latest(CASE WHEN value > 100 THEN value END)
-                   OVER (PARTITION BY user_id) AS last_big
-        FROM stream
-    """, "events"),
-    f"""
-    SELECT event_id, user_id,
-           last_value(CASE WHEN value > 100 THEN value END IGNORE NULLS)
-               {_ANALYTIC_W_RUN} AS last_big
-    FROM events
-    """,
-    "§2.6 latest (most recent non-null) (functions_analytical.go:46-63)"))
-
-_add("analytic_when_gated", Entry(
-    _dialect("""
-        SELECT event_id, user_id,
-               round(acc_sum(value) OVER (PARTITION BY user_id WHEN event_type = 'purchase'), 4)
-                   AS purchase_total
-        FROM stream
-    """, "events"),
-    f"""
-    SELECT event_id, user_id,
+           min(value) {_ANALYTIC_W_RUN} AS run_min,
            round(sum(CASE WHEN event_type = 'purchase' THEN value END)
                  {_ANALYTIC_W_RUN}, 4) AS purchase_total
     FROM events
     """,
-    "§2.6 OVER(... WHEN cond) conditional state update (rsql/parser.go:671-757)"))
+    "§2.6 acc_sum/acc_count/acc_avg/acc_max/acc_min + OVER(... WHEN "
+    "cond) conditional state update (functions/analytic_acc.go:8-122, "
+    "rsql/parser.go:671-757)"))
+
+_add("analytic_changed", Entry(
+    # the full CDC family in one pass: had_changed boolean, changed_col
+    # single-column value, changed_cols multi-column fan-out
+    _dialect("""
+        SELECT event_id, user_id, event_type,
+               had_changed(true, event_type)
+                   OVER (PARTITION BY user_id) AS type_changed,
+               changed_col(true, event_type)
+                   OVER (PARTITION BY user_id) AS chg,
+               changed_cols('c_', true, event_type, value)
+                   OVER (PARTITION BY user_id)
+        FROM stream
+    """, "events"),
+    f"""
+    SELECT event_id, user_id, event_type,
+           (event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}) AS type_changed,
+           CASE WHEN event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}
+                THEN event_type END AS chg,
+           CASE WHEN event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}
+                THEN event_type END AS c_event_type,
+           CASE WHEN value IS DISTINCT FROM lag(value) {_ANALYTIC_W}
+                THEN value END AS c_value
+    FROM events
+    """,
+    "§2.6 had_changed / changed_col / changed_cols CDC family "
+    "(functions_analytical.go:84-103, functions/analytic_acc.go:125-205, "
+    "stream/analytic.go:236-290)"))
 
 # ===================================================================
 # §2.8 Scalar functions
@@ -526,7 +479,9 @@ _add("scalar_math", Entry(
                round(atan2(l_quantity, 10), 6) AS at2,
                bitand(l_linenumber, 3) AS ba,
                bitor(l_linenumber, 8) AS bo,
-               bitxor(l_linenumber, 5) AS bx
+               bitxor(l_linenumber, 5) AS bx,
+               expr('l_quantity * 2 + 1') AS esc_v2,
+               expr('log(greatest(l_extendedprice, 1.0))') AS esc_lg
         FROM stream WHERE l_orderkey < 100
     """, "lineitem"),
     """
@@ -544,10 +499,14 @@ _add("scalar_math", Entry(
            round(atan2(l_quantity, 10), 6) AS at2,
            l_linenumber & 3 AS ba,
            l_linenumber | 8 AS bo,
-           xor(l_linenumber, 5) AS bx
+           xor(l_linenumber, 5) AS bx,
+           l_quantity * 2 + 1 AS esc_v2,
+           log10(greatest(l_extendedprice, 1.0)) AS esc_lg
     FROM lineitem WHERE l_orderkey < 100
     """,
-    "§2.8 math functions incl. base-10 log, bit ops (functions_math.go)"))
+    "§2.8 math functions incl. base-10 log, bit ops + expr() runtime "
+    "escape hatch with dialect semantics inside "
+    "(functions_math.go, functions_expr.go:16-100)"))
 
 _add("scalar_string", Entry(
     _dialect("""
@@ -564,7 +523,10 @@ _add("scalar_string", Entry(
                endswith(p_type, 'STEEL') AS es,
                startswith(p_type, 'STANDARD') AS ss,
                concat(p_brand, '#', p_type) AS cc,
-               split(p_name, ' ') AS words
+               array_join(split(p_name, ' '), '|') AS words,
+               regexp_matches(p_name, 'r[a-z]+') AS has_r,
+               regexp_replace(p_name, '[aeiou]', '_') AS devowel,
+               regexp_substring(p_name, 's[a-z]+') AS first_s
         FROM stream WHERE p_partkey <= 100
     """, "part"),
     """
@@ -581,27 +543,15 @@ _add("scalar_string", Entry(
            ends_with(p_type, 'STEEL') AS es,
            starts_with(p_type, 'STANDARD') AS ss,
            p_brand || '#' || p_type AS cc,
-           string_split(p_name, ' ') AS words
+           array_to_string(string_split(p_name, ' '), '|') AS words,
+           regexp_matches(p_name, 'r[a-z]+') AS has_r,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+           coalesce(regexp_extract(p_name, 's[a-z]+'), '') AS first_s
     FROM part WHERE p_partkey <= 100
     """,
-    "§2.8 string functions, 0-based substring/indexof dialect (functions_string.go)"))
-
-_add("scalar_regex", Entry(
-    _dialect("""
-        SELECT doc_id,
-               regexp_matches(text, 'spark') AS has_spark,
-               regexp_replace(text, '[aeiou]', '_') AS devowel,
-               regexp_substring(text, 'w[a-z]+') AS first_w
-        FROM stream WHERE doc_id < 50
-    """, "documents"),
-    """
-    SELECT doc_id,
-           regexp_matches(text, 'spark') AS has_spark,
-           regexp_replace(text, '[aeiou]', '_', 'g') AS devowel,
-           coalesce(regexp_extract(text, 'w[a-z]+'), '') AS first_w
-    FROM documents WHERE doc_id < 50
-    """,
-    "§2.8 regexp_matches/replace/substring (functions_string.go:569-660)"))
+    "§2.8 string functions, 0-based substring/indexof dialect + "
+    "regexp_matches/replace/substring "
+    "(functions_string.go, functions_string.go:569-660)"))
 
 _add("scalar_datetime", Entry(
     _dialect("""
@@ -613,9 +563,15 @@ _add("scalar_datetime", Entry(
                weekofyear(o_orderdate) AS wy,
                date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS ds,
                unix_timestamp(o_orderdate) AS ut,
-               extract('weekday', o_orderdate) AS wd
+               extract('weekday', o_orderdate) AS wd,
+               date_add(o_orderdate, 3, 'days') AS plus3d,
+               date_sub(o_orderdate, 2, 'hours') AS minus2h,
+               date_diff(o_orderdate, '2024-01-01', 'days') AS since_ny,
+               convert_tz(o_orderdate, 'Asia/Shanghai') AS ts_sh,
+               to_seconds(o_orderdate) AS secs
         FROM stream WHERE o_orderkey < 200
     """, "orders"),
+    # Asia/Shanghai is UTC+8 year-round (no DST) → fixed offset oracle
     """
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
@@ -625,58 +581,57 @@ _add("scalar_datetime", Entry(
            CAST(weekofyear(o_orderdate) AS INT) AS wy,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ds,
            CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ut,
-           CAST(dayofweek(o_orderdate) AS INT) AS wd
-    FROM orders WHERE o_orderkey < 200
-    """,
-    "§2.8 datetime extraction + Go-layout date_format (functions_datetime.go)"))
-
-_add("scalar_datetime_arith", Entry(
-    _dialect("""
-        SELECT o_orderkey,
-               date_add(o_orderdate, 3, 'days') AS plus3d,
-               date_sub(o_orderdate, 2, 'hours') AS minus2h,
-               date_diff(o_orderdate, '2024-01-01', 'days') AS since_ny
-        FROM stream WHERE o_orderkey < 100
-    """, "orders"),
-    """
-    SELECT o_orderkey,
+           CAST(dayofweek(o_orderdate) AS INT) AS wd,
            o_orderdate + INTERVAL '3 days' AS plus3d,
            o_orderdate - INTERVAL '2 hours' AS minus2h,
-           date_diff('day', TIMESTAMP '2024-01-01', o_orderdate) AS since_ny
-    FROM orders WHERE o_orderkey < 100
+           date_diff('day', TIMESTAMP '2024-01-01', o_orderdate) AS since_ny,
+           o_orderdate + INTERVAL '8 hours' AS ts_sh,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS secs
+    FROM orders WHERE o_orderkey < 200
     """,
-    "§2.8 date_add/date_sub/date_diff unit-based (functions_datetime.go:101-306)"))
+    "§2.8 datetime extraction + Go-layout date_format + unit-based "
+    "date_add/date_sub/date_diff + convert_tz/to_seconds "
+    "(functions_datetime.go, functions_conversion.go:242-353)"))
 
-_add("scalar_json", Entry(
-    _dialect("""
-        SELECT event_id,
+def _json_nested_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON functions + §2.2 nested paths in one plan: dot access
+    into a struct column and bracket index into an array column
+    (utils/fieldpath/fieldpath.go:44-176).  The events.props JSON string
+    is lifted to a struct source column — the reference's map-shaped
+    rows land the same way via a declared schema (SURVEY §1.2)."""
+    from pyspark.sql import functions as F
+
+    tables = load_tables(spark, sf_dir)
+    src = (tables["events"]
+           .withColumn("meta", F.from_json("props", "struct<k:bigint>"))
+           .withColumn("toks", F.split("event_type", "i")))
+    q = StreamSQL(spark).execute("""
+        SELECT event_id, meta.k AS k_val, toks[0] AS first_seg,
                json_extract(props, 'k') AS k,
                json_valid(props) AS jv,
                json_length(props) AS jl,
                json_type(props) AS jt
-        FROM stream WHERE event_id < 500
-    """, "events"),
+        FROM stream WHERE meta.k IS NOT NULL AND meta.k > 50
+    """)
+    return q.query(src)
+
+
+_add("scalar_json_nested", Entry(
+    _json_nested_run,
     """
     SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           string_split(event_type, 'i')[1] AS first_seg,
            json_extract_string(props, '$.k') AS k,
            json_valid(props) AS jv,
            CAST(len(json_keys(props)) AS INT) AS jl,
            'object' AS jt
-    FROM events WHERE event_id < 500
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
     """,
-    "§2.8 json_extract/json_valid/json_length/json_type (functions_json.go)"))
-
-_add("scalar_hash", Entry(
-    _dialect("""
-        SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
-        FROM stream WHERE doc_id < 100
-    """, "documents"),
-    # sha1/sha512 have no DuckDB equivalent — covered by unit tests vs hashlib
-    """
-    SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
-    FROM documents WHERE doc_id < 100
-    """,
-    "§2.8 md5/sha1/sha256 (functions_hash.go)"))
+    "§2.8 json_extract/json_valid/json_length/json_type + §2.2 nested "
+    "field access a.b / arr[i] (functions_json.go, "
+    "utils/fieldpath/fieldpath.go:44-621)"))
 
 _add("scalar_conditional", Entry(
     _dialect("""
@@ -685,7 +640,15 @@ _add("scalar_conditional", Entry(
                if_null(null_if(value, value), -1.0) AS nn,
                greatest(value, 50.0) AS g,
                least(value, 50.0) AS l,
-               case_when(value > 100, 'big', value > 50, 'mid', 'small') AS cw
+               case_when(value > 100, 'big', value > 50, 'mid', 'small') AS cw,
+               is_null(props) AS p_null,
+               is_not_null(props) AS p_notnull,
+               is_numeric(event_type) AS et_num,
+               is_numeric(cast(value, 'string')) AS v_num,
+               is_string(event_type) AS et_str,
+               is_bool(value > 50) AS gt_bool,
+               is_array(split(event_type, '_')) AS is_arr,
+               is_object(event_type) AS is_obj
         FROM stream WHERE event_id < 400
     """, "events"),
     """
@@ -695,10 +658,21 @@ _add("scalar_conditional", Entry(
            greatest(value, 50.0) AS g,
            least(value, 50.0) AS l,
            CASE WHEN value > 100 THEN 'big' WHEN value > 50 THEN 'mid'
-                ELSE 'small' END AS cw
+                ELSE 'small' END AS cw,
+           props IS NULL AS p_null,
+           props IS NOT NULL AS p_notnull,
+           (try_cast(event_type AS DOUBLE) IS NOT NULL) AS et_num,
+           (try_cast(CAST(value AS VARCHAR) AS DOUBLE) IS NOT NULL) AS v_num,
+           TRUE AS et_str,
+           TRUE AS gt_bool,
+           TRUE AS is_arr,
+           FALSE AS is_obj
     FROM events WHERE event_id < 400
     """,
-    "§2.8 if_null/null_if/greatest/least/case_when (functions_conditional.go)"))
+    "§2.8 if_null/null_if/greatest/least/case_when + "
+    "is_null/is_not_null/is_numeric/is_string/is_bool/is_array/is_object "
+    "(functions_conditional.go, functions_type.go:14-170; schema-static "
+    "checks fold to constants)"))
 
 _add("scalar_conversion", Entry(
     _dialect("""
@@ -710,9 +684,18 @@ _add("scalar_conversion", Entry(
                dec2hex(event_id) AS d2h,
                encode(event_type, 'base64') AS b64,
                decode(encode(event_type, 'base64'), 'base64') AS rt,
-               trunc(value / 7, 2) AS tr
+               trunc(value / 7, 2) AS tr,
+               url_decode(url_encode(event_type)) AS url_rt,
+               url_encode(event_type) AS enc_plain,
+               chr(65 + mod(event_id, 26)) AS ch,
+               md5(event_type) AS h_md5,
+               sha256(event_type) AS h_sha256
         FROM stream WHERE event_id < 300
     """, "events"),
+    # DuckDB has no url_encode/url_decode: round-trip ≡ identity; the
+    # event_type vocabulary is [a-z_]+ — form-encoding leaves it
+    # unchanged.  sha1/sha512 have no DuckDB equivalent — unit-tested
+    # against hashlib instead.
     """
     SELECT event_id,
            CAST(value AS VARCHAR) AS vs,
@@ -722,17 +705,24 @@ _add("scalar_conversion", Entry(
            lower(to_hex(event_id)) AS d2h,
            to_base64(event_type::BLOB) AS b64,
            event_type AS rt,
-           trunc((value / 7) * 100) / 100 AS tr
+           trunc((value / 7) * 100) / 100 AS tr,
+           event_type AS url_rt,
+           event_type AS enc_plain,
+           chr(CAST(65 + event_id % 26 AS INTEGER)) AS ch,
+           md5(event_type) AS h_md5,
+           sha256(event_type) AS h_sha256
     FROM events WHERE event_id < 300
     """,
-    "§2.8 cast/hex2dec/dec2hex/encode/decode/trunc (functions_conversion.go)"))
+    "§2.8 cast/hex2dec/dec2hex/encode/decode/trunc + "
+    "url_encode/url_decode/chr + md5/sha1/sha256 "
+    "(functions_conversion.go, functions_hash.go)"))
 
 _add("scalar_array", Entry(
     _dialect("""
         SELECT doc_id,
                array_length(split(text, ' ')) AS n_words,
                array_contains(split(text, ' '), 'spark') AS has_spark,
-               sort_array(array_distinct(split(text, ' '))) AS uniq,
+               array_join(sort_array(array_distinct(split(text, ' '))), ',') AS uniq,
                array_position(split(text, ' '), 'the') AS pos_the
         FROM stream WHERE doc_id < 30
     """, "documents"),
@@ -740,11 +730,12 @@ _add("scalar_array", Entry(
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_words,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
-           list_sort(list_distinct(string_split(text, ' '))) AS uniq,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS uniq,
            CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS pos_the
     FROM documents WHERE doc_id < 30
     """,
-    "§2.8 array functions (functions_array.go)"))
+    "§2.8 array functions, array outputs serialized for the gate "
+    "(functions_array.go)"))
 
 
 # ===================================================================
@@ -755,7 +746,7 @@ _add("scalar_array", Entry(
 # value-level oracle: adjacent pairs ≡ LAG, and greedy A{2,} with SKIP
 # PAST LAST ROW ≡ gaps-and-islands maximal runs.
 
-_add("cep_adjacent_pair", Entry(
+_add("cep_adjacent_within", Entry(
     _dialect("""
         SELECT user_id, a_ts, b_ts, a_val, b_val FROM stream
         MATCH_RECOGNIZE (
@@ -767,6 +758,7 @@ _add("cep_adjacent_pair", Entry(
             AFTER MATCH SKIP PAST LAST ROW
             PATTERN (A B)
             DEFINE A AS value > 80, B AS value < 20
+            WITHIN '4h'
         )
     """, "events"),
     """
@@ -778,8 +770,11 @@ _add("cep_adjacent_pair", Entry(
     SELECT user_id, prev_ts AS a_ts, ts AS b_ts,
            prev_val AS a_val, value AS b_val
     FROM w WHERE prev_val > 80 AND value < 20
+      AND ts - prev_ts <= INTERVAL 4 HOUR
     """,
-    "§2.7 MATCH_RECOGNIZE A B adjacent-pair pattern (cep/engine.go:374-461)"))
+    "§2.7 MATCH_RECOGNIZE A B adjacent-pair pattern + WITHIN duration "
+    "bound: match killed when last.ts − first.ts exceeds the bound "
+    "(cep/engine.go:374-461, 690-696, 281-320)"))
 
 _add("cep_burst_islands", Entry(
     _dialect("""
@@ -811,35 +806,6 @@ _add("cep_burst_islands", Entry(
     FROM isl GROUP BY user_id, grp HAVING count(*) >= 2
     """,
     "§2.7 MATCH_RECOGNIZE greedy A{2,} burst ≡ maximal runs (cep/engine.go:492-552)"))
-
-_add("cep_within_pair", Entry(
-    _dialect("""
-        SELECT user_id, a_ts, b_ts, a_val, b_val FROM stream
-        MATCH_RECOGNIZE (
-            PARTITION BY user_id
-            ORDER BY ts, event_id
-            MEASURES A.ts AS a_ts, B.ts AS b_ts,
-                     A.value AS a_val, B.value AS b_val
-            ONE ROW PER MATCH
-            AFTER MATCH SKIP PAST LAST ROW
-            PATTERN (A B)
-            DEFINE A AS value > 80, B AS value < 20
-            WITHIN '4h'
-        )
-    """, "events"),
-    """
-    WITH w AS (
-        SELECT user_id, ts, value,
-               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
-               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val
-        FROM events)
-    SELECT user_id, prev_ts AS a_ts, ts AS b_ts,
-           prev_val AS a_val, value AS b_val
-    FROM w WHERE prev_val > 80 AND value < 20
-      AND ts - prev_ts <= INTERVAL 4 HOUR
-    """,
-    "§2.7 WITHIN duration bound: match killed when last.ts − first.ts "
-    "exceeds the bound (cep/engine.go:690-696, 281-320)"))
 
 _add("cep_alternation", Entry(
     # B and C are disjoint from A (no row can both close one match and
@@ -874,124 +840,6 @@ _add("cep_alternation", Entry(
     "(cep/pattern.go alternation, cep/eval.go:531-570)"))
 
 
-# ===================================================================
-# Coverage closers: §2.6 changed_col/changed_cols, §2.4 nth_value,
-# §2.8 type checks / url / chr / convert_tz / to_seconds, §2.2 nested
-# field access (dot + bracket paths)
-# ===================================================================
-
-_add("analytic_changed_col", Entry(
-    _dialect("""
-        SELECT event_id, user_id,
-               changed_col(true, event_type)
-                   OVER (PARTITION BY user_id) AS chg
-        FROM stream
-    """, "events"),
-    f"""
-    SELECT event_id, user_id,
-           CASE WHEN event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}
-                THEN event_type END AS chg
-    FROM events
-    """,
-    "§2.6 changed_col — new value when changed, else NULL "
-    "(functions/analytic_acc.go:125-154 changedColState)"))
-
-_add("analytic_changed_cols", Entry(
-    _dialect("""
-        SELECT event_id, user_id,
-               changed_cols('c_', true, event_type, value)
-                   OVER (PARTITION BY user_id)
-        FROM stream
-    """, "events"),
-    f"""
-    SELECT event_id, user_id,
-           CASE WHEN event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}
-                THEN event_type END AS c_event_type,
-           CASE WHEN value IS DISTINCT FROM lag(value) {_ANALYTIC_W}
-                THEN value END AS c_value
-    FROM events
-    """,
-    "§2.6 changed_cols multi-column fan-out (functions/analytic_acc.go:195-205, "
-    "stream/analytic.go:236-290)"))
-
-_add("agg_nth_value", Entry(
-    _dialect("""
-        SELECT user_id,
-               nth_value(user_id, 3) AS third_uid,
-               try_element_at(sort_array(collect(value)), 3) AS v3_sorted
-        FROM stream GROUP BY user_id
-    """, "events"),
-    """
-    SELECT user_id,
-           CASE WHEN count(*) >= 3 THEN user_id END AS third_uid,
-           list_extract(list_sort(list(value)), 3) AS v3_sorted
-    FROM events GROUP BY user_id
-    """,
-    "§2.4 nth_value window-buffer indexing (functions_window.go:232-350); "
-    "arrival-order variant unit-tested, sorted variant oracled"))
-
-_add("scalar_type_checks", Entry(
-    _dialect("""
-        SELECT event_id,
-               is_null(props) AS p_null,
-               is_not_null(props) AS p_notnull,
-               is_numeric(event_type) AS et_num,
-               is_numeric(cast(value, 'string')) AS v_num,
-               is_string(event_type) AS et_str,
-               is_bool(value > 50) AS gt_bool,
-               is_array(split(event_type, '_')) AS is_arr,
-               is_object(event_type) AS is_obj
-        FROM stream WHERE event_id < 300
-    """, "events"),
-    """
-    SELECT event_id,
-           props IS NULL AS p_null,
-           props IS NOT NULL AS p_notnull,
-           (try_cast(event_type AS DOUBLE) IS NOT NULL) AS et_num,
-           (try_cast(CAST(value AS VARCHAR) AS DOUBLE) IS NOT NULL) AS v_num,
-           TRUE AS et_str,
-           TRUE AS gt_bool,
-           TRUE AS is_arr,
-           FALSE AS is_obj
-    FROM events WHERE event_id < 300
-    """,
-    "§2.8 is_null/is_not_null/is_numeric/is_string/is_bool/is_array/is_object "
-    "(functions_type.go:14-170; schema-static checks fold to constants)"))
-
-_add("scalar_url_chr", Entry(
-    _dialect("""
-        SELECT doc_id,
-               url_decode(url_encode(text)) AS rt,
-               url_encode(lang) AS enc_plain,
-               chr(65 + mod(doc_id, 26)) AS ch
-        FROM stream WHERE doc_id < 200
-    """, "documents"),
-    # DuckDB has no url_encode/url_decode: round-trip ≡ identity; lang is
-    # alphanumeric so form-encoding leaves it unchanged.
-    """
-    SELECT doc_id, text AS rt, lang AS enc_plain,
-           chr(CAST(65 + doc_id % 26 AS INTEGER)) AS ch
-    FROM documents WHERE doc_id < 200
-    """,
-    "§2.8 url_encode/url_decode/chr (functions_conversion.go:354-441)"))
-
-_add("scalar_timezone", Entry(
-    _dialect("""
-        SELECT event_id,
-               convert_tz(ts, 'Asia/Shanghai') AS ts_sh,
-               to_seconds(ts) AS secs
-        FROM stream WHERE event_id < 300
-    """, "events"),
-    # Asia/Shanghai is UTC+8 year-round (no DST) → fixed offset oracle
-    """
-    SELECT event_id,
-           ts + INTERVAL '8 hours' AS ts_sh,
-           CAST(floor(epoch(ts)) AS BIGINT) AS secs
-    FROM events WHERE event_id < 300
-    """,
-    "§2.8 convert_tz/to_seconds (functions_conversion.go:242-353)"))
-
-
 _add("cep_all_rows", Entry(
     _dialect("""
         SELECT user_id, event_id, value, sym, n FROM stream
@@ -1024,56 +872,6 @@ _add("cep_all_rows", Entry(
     "(types/match_recognize.go:19-26, cep/engine.go:638-655)"))
 
 
-_add("scalar_expr_escape", Entry(
-    _dialect("""
-        SELECT event_id,
-               expr('value * 2 + 1') AS v2,
-               expr('round(sqrt(value), 2)') AS sq,
-               expr('log(greatest(value, 1.0))') AS lg
-        FROM stream WHERE event_id < 200
-    """, "events"),
-    """
-    SELECT event_id,
-           value * 2 + 1 AS v2,
-           round(sqrt(value), 2) AS sq,
-           log10(greatest(value, 1.0)) AS lg
-    FROM events WHERE event_id < 200
-    """,
-    "§2.8 expr() runtime expression escape hatch, dialect semantics inside "
-    "(functions_expr.go:16-100; log is base-10 per functions_math.go:419)"))
-
-
-def _nested_field_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.2 nested paths: dot access into a struct column and bracket
-    index into an array column (utils/fieldpath/fieldpath.go:44-176).
-    The events.props JSON string is lifted to a struct source column —
-    the reference's map-shaped rows land the same way via a declared
-    schema (SURVEY §1.2)."""
-    from pyspark.sql import functions as F
-
-    tables = load_tables(spark, sf_dir)
-    src = (tables["events"]
-           .withColumn("meta", F.from_json("props", "struct<k:bigint>"))
-           .withColumn("toks", F.split("event_type", "i")))
-    q = StreamSQL(spark).execute("""
-        SELECT event_id, meta.k AS k_val, toks[0] AS first_seg
-        FROM stream WHERE meta.k IS NOT NULL AND meta.k > 50
-    """)
-    return q.query(src)
-
-
-_add("nested_field_access", Entry(
-    _nested_field_run,
-    """
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
-           string_split(event_type, 'i')[1] AS first_seg
-    FROM events
-    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
-    """,
-    "§2.2 nested field access a.b / arr[i] (utils/fieldpath/fieldpath.go:44-621)"))
-
-
 # ===================================================================
 # §2.10 ANSI passthrough — UNION / subqueries / multi-way joins are
 # absent from the reference grammar (rsql/lexer.go:373-460); the
@@ -1092,24 +890,33 @@ def _ansi(sql: str) -> Callable:
     return run
 
 
-_ANSI_Q3 = """
+def _ansi_q3_branch(segment: str) -> str:
+    return f"""
     SELECT l.l_orderkey AS okey, o.o_orderdate AS odate,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
+    WHERE c.c_mktsegment = '{segment}'
       AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY l.l_orderkey, o.o_orderdate
     ORDER BY revenue DESC, okey LIMIT 10
 """
 
-_add("ansi_tpch_q3", Entry(
+
+_ANSI_Q3 = f"""
+    SELECT * FROM ({_ansi_q3_branch("BUILDING")}) b
+    UNION ALL
+    SELECT * FROM ({_ansi_q3_branch("MACHINERY")}) m
+"""
+
+_add("ansi_tpch_q3_union", Entry(
     _ansi(_ANSI_Q3),
     _ANSI_Q3,
     "§2.10 ANSI passthrough: TPC-H Q3-shaped 3-way join + agg + top-K "
-    "(beyond the reference grammar; streamsql.go facade analog is sql())"))
+    "per branch, combined with UNION ALL — both absent from the "
+    "reference grammar (streamsql.go facade analog is sql())"))
 
 
 _ANSI_Q18 = """
@@ -1127,18 +934,6 @@ _add("ansi_tpch_q18", Entry(
     _ANSI_Q18,
     "§2.10 ANSI passthrough: TPC-H Q18-shaped IN-subquery (semi-join) "
     "+ agg + top-K"))
-
-
-_ANSI_UNION = """
-    SELECT user_id FROM events WHERE value > 150
-    UNION
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-"""
-
-_add("ansi_union", Entry(
-    _ansi(_ANSI_UNION),
-    _ANSI_UNION,
-    "§2.10 ANSI passthrough: UNION (absent from the reference grammar)"))
 
 
 # ===================================================================
@@ -1203,74 +998,79 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     return stream
 
 
-def _streaming_counting_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 counting window through the CUSTOM STATEFUL streaming kernel
-    (applyInPandasWithState, window/counting_window.go semantics): count
-    rows per key, emit on every 25th, carry remainder state across
-    micro-batches.  Full value parity with the batch counting oracle —
-    the stable per-batch (ts, event_id) ordering makes the replay
-    deterministic (TriggerWindow-analog AvailableNow drain)."""
-    q = StreamSQL(spark).execute("""
-        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
-        FROM stream GROUP BY user_id, CountingWindow(25)
-    """)
-    acc: list[dict] = []
-    sq = q.start_stream(_events_stream(spark, sf_dir),
-                        sink=lambda rows: acc.extend(rows))
-    sq.awaitTermination(300)
+def _streaming_counting_global_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 BOTH custom stateful streaming kernels in one entry
+    (applyInPandasWithState):
+
+    - counting window (window/counting_window.go semantics): count rows
+      per key, emit on every 25th, carry remainder state across
+      micro-batches;
+    - GLOBAL WINDOW TRIGGER WHEN: per-key running aggregates + trigger
+      predicate + FIRE_AND_PURGE (window/global_window.go:49-731).
+
+    Outputs are tagged with a ``mode`` column and unioned.  Full value
+    parity with the batch oracles — the stable per-batch (ts, event_id)
+    ordering makes the replays deterministic (TriggerWindow-analog
+    AvailableNow drain)."""
+    out = []
+    for mode, sql in (
+            ("counting", """
+                SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+                FROM stream GROUP BY user_id, CountingWindow(25)
+            """),
+            ("global", """
+                SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+                FROM stream GROUP BY user_id GLOBAL WINDOW TRIGGER WHEN count(*) >= 20
+            """)):
+        q = StreamSQL(spark).execute(sql)
+        acc: list[dict] = []
+        sq = q.start_stream(_events_stream(spark, sf_dir),
+                            sink=lambda rows, acc=acc: acc.extend(rows))
+        sq.awaitTermination(300)
+        out.extend((mode, r["user_id"], r["cnt"], r["total"]) for r in acc)
     return spark.createDataFrame(
-        [(r["user_id"], r["cnt"], r["total"]) for r in acc],
-        schema="user_id bigint, cnt bigint, total double")
+        out, schema="mode string, user_id bigint, cnt bigint, total double")
 
 
-_add("streaming_counting_replay", Entry(
-    _streaming_counting_run,
-    CATALOG["window_counting"].oracle,
-    "§2.5+§3 counting window on the stateful streaming kernel "
-    "(streaming/stateful.py::counting_window_stream; "
-    "window/counting_window.go:36-357); value-parity with the batch path"))
-
-
-def _streaming_global_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 GLOBAL WINDOW TRIGGER WHEN through the second custom
-    stateful kernel: per-key running aggregates + trigger predicate +
-    FIRE_AND_PURGE (streaming/stateful.py::global_window_stream;
-    window/global_window.go:49-731), value-checked against the batch
-    oracle."""
-    q = StreamSQL(spark).execute("""
-        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
-        FROM stream GROUP BY user_id GLOBAL WINDOW TRIGGER WHEN count(*) >= 20
-    """)
-    acc: list[dict] = []
-    sq = q.start_stream(_events_stream(spark, sf_dir),
-                        sink=lambda rows: acc.extend(rows))
-    sq.awaitTermination(300)
-    return spark.createDataFrame(
-        [(r["user_id"], r["cnt"], r["total"]) for r in acc],
-        schema="user_id bigint, cnt bigint, total double")
-
-
-_add("streaming_global_trigger_replay", Entry(
-    _streaming_global_run,
-    CATALOG["window_global_trigger"].oracle,
-    "§2.5+§3 global TRIGGER WHEN window on the stateful streaming kernel "
-    "(running aggs + FIRE_AND_PURGE); value-parity with the batch path"))
+_add("streaming_counting_global_replay", Entry(
+    _streaming_counting_global_run,
+    f"""
+    SELECT 'counting' AS mode, * FROM ({CATALOG["window_counting"].oracle})
+    UNION ALL
+    SELECT 'global' AS mode, * FROM ({CATALOG["window_global_trigger"].oracle})
+    """,
+    "§2.5+§3 counting window + global TRIGGER WHEN window on the two "
+    "stateful streaming kernels (streaming/stateful.py; "
+    "window/counting_window.go:36-357, window/global_window.go:49-731); "
+    "value-parity with the batch paths"))
 
 
 def _streaming_analytic_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 analytic state machine through the streaming kernel
     (streaming/stateful.py::analytic_stream; stream/analytic.go:125-234):
-    lag with offset/default + expression wrapping, state keyed by
-    user_id.  One AvailableNow batch sorted by event time inside the
-    kernel ⇒ exact value parity with the batch analytic_lag oracle
-    ((user_id, ts) is unique in events, so the order is total)."""
+    lag with offset/default + expression wrapping, latest, the acc_*
+    accumulator branch (functions/analytic_acc.go:8-122) incl. a
+    WHEN-gated accumulator and a post-expression over two placeholder
+    columns (run_avg), state keyed by user_id.  One AvailableNow batch
+    sorted by event time inside the kernel ⇒ exact value parity with
+    the batch analytic oracles ((user_id, ts) is unique in events, so
+    the order is total)."""
     import uuid as _uuid
 
     q = StreamSQL(spark).execute("""
         SELECT event_id, user_id, value,
                lag(value) OVER (PARTITION BY user_id) AS prev_v,
                round(value - lag(value) OVER (PARTITION BY user_id), 4) AS delta,
-               lag(value, 2, -1.0) OVER (PARTITION BY user_id) AS prev2
+               lag(value, 2, -1.0) OVER (PARTITION BY user_id) AS prev2,
+               latest(CASE WHEN value > 100 THEN value END)
+                   OVER (PARTITION BY user_id) AS last_big,
+               round(acc_sum(value) OVER (PARTITION BY user_id), 4) AS run_sum,
+               acc_count(value) OVER (PARTITION BY user_id) AS run_cnt,
+               round(acc_sum(value) OVER (PARTITION BY user_id), 4)
+                   / acc_count(value) OVER (PARTITION BY user_id) AS run_avg,
+               acc_max(value) OVER (PARTITION BY user_id) AS run_max,
+               round(acc_sum(value) OVER (PARTITION BY user_id
+                     WHEN event_type = 'purchase'), 4) AS purchase_total
         FROM stream
     """)
     out = q.query_stream(_events_stream(spark, sf_dir))
@@ -1283,44 +1083,25 @@ def _streaming_analytic_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("streaming_analytic_replay", Entry(
     _streaming_analytic_run,
-    CATALOG["analytic_lag"].oracle,
-    "§2.6+§3 lag analytic on the stateful streaming kernel "
-    "(applyInPandasWithState state machine, stream/analytic.go:125-234); "
-    "value-parity with the batch analytic path"))
-
-
-def _streaming_acc_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 acc_* running aggregates through the streaming kernel —
-    the accumulator branch of the state machine (functions/
-    analytic_acc.go:8-122), including a post-expression over two
-    placeholder columns (run_avg).  Same determinism argument as the
-    lag replay: one AvailableNow batch, kernel-sorted by event time,
-    (user_id, ts) unique."""
-    import uuid as _uuid
-
-    q = StreamSQL(spark).execute("""
-        SELECT event_id, user_id,
-               round(acc_sum(value) OVER (PARTITION BY user_id), 4) AS run_sum,
-               acc_count(value) OVER (PARTITION BY user_id) AS run_cnt,
-               round(acc_sum(value) OVER (PARTITION BY user_id), 4)
-                   / acc_count(value) OVER (PARTITION BY user_id) AS run_avg,
-               acc_max(value) OVER (PARTITION BY user_id) AS run_max,
-               acc_min(value) OVER (PARTITION BY user_id) AS run_min
-        FROM stream
-    """)
-    out = q.query_stream(_events_stream(spark, sf_dir))
-    name = "streaming_acc_" + _uuid.uuid4().hex[:8]
-    sq = (out.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    sq.awaitTermination(300)
-    return spark.table(name)
-
-
-_add("streaming_acc_replay", Entry(
-    _streaming_acc_run,
-    CATALOG["analytic_acc"].oracle,
-    "§2.6+§3 acc_sum/count/avg/max/min on the stateful streaming kernel "
-    "(accumulator state machine, functions/analytic_acc.go:8-122); "
+    f"""
+    SELECT event_id, user_id, value,
+           lag(value) {_ANALYTIC_W} AS prev_v,
+           round(value - lag(value) {_ANALYTIC_W}, 4) AS delta,
+           lag(value, 2, -1.0) {_ANALYTIC_W} AS prev2,
+           last_value(CASE WHEN value > 100 THEN value END IGNORE NULLS)
+               {_ANALYTIC_W_RUN} AS last_big,
+           round(sum(value) {_ANALYTIC_W_RUN}, 4) AS run_sum,
+           count(value) {_ANALYTIC_W_RUN} AS run_cnt,
+           round(sum(value) {_ANALYTIC_W_RUN}, 4)
+               / count(value) {_ANALYTIC_W_RUN} AS run_avg,
+           max(value) {_ANALYTIC_W_RUN} AS run_max,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END)
+                 {_ANALYTIC_W_RUN}, 4) AS purchase_total
+    FROM events
+    """,
+    "§2.6+§3 lag/latest/acc_*/WHEN-gated accumulator on the stateful "
+    "streaming kernel (applyInPandasWithState state machine, "
+    "stream/analytic.go:125-234, functions/analytic_acc.go:8-122); "
     "value-parity with the batch analytic path"))
 
 
@@ -1344,6 +1125,7 @@ def _streaming_cep_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             AFTER MATCH SKIP PAST LAST ROW
             PATTERN (A B)
             DEFINE A AS value > 80, B AS value < 20
+            WITHIN '4h'
         )
     """)
     out = q.query_stream(_events_stream(spark, sf_dir))
@@ -1356,7 +1138,7 @@ def _streaming_cep_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("streaming_cep_replay", Entry(
     _streaming_cep_run,
-    CATALOG["cep_adjacent_pair"].oracle,
+    CATALOG["cep_adjacent_within"].oracle,
     "§2.7+§3 MATCH_RECOGNIZE on the incremental streaming matcher "
     "(cep/engine.go:374-461 semantics in applyInPandasWithState); "
     "value-parity with the batch CEP path"))

@@ -307,10 +307,20 @@ CATALOG["ann_cosine_ivf"] = Entry(
 # -------------------------------------------------------- text analysis
 
 
-def _run_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import language_id
+def _run_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole text-analysis family in one Catalyst plan: language-ID
+    (stopword profiles), quality features + composite score, token
+    counting (whitespace + BPE-ish regex), winnowing-style rolling-hash
+    fingerprint — all pure column expressions, no Python in the loop."""
+    from .operators.text import (fingerprint, language_id, quality_features,
+                                 token_counts)
     t = load_tables(spark, sf_dir)
-    return language_id(t["documents"]).select("doc_id", "lang_pred", "lang_score")
+    feat = fingerprint(token_counts(quality_features(language_id(t["documents"]))))
+    return feat.select(
+        "doc_id", "lang_pred", "lang_score",
+        "n_chars_m", "n_tokens", "mean_tok_len", "punct_ratio",
+        "digit_ratio", "uniq_token_ratio", "quality_score",
+        "ws_tokens", "subword_tokens", "est_bpe_tokens", "fingerprint")
 
 
 def _lang_score_oracle(lang_words: tuple[str, ...]) -> str:
@@ -334,24 +344,24 @@ def _langid_oracle() -> str:
     """
 
 
-CATALOG["text_language_id"] = Entry(
-    _run_text_langid, _langid_oracle(),
-    "extension: language-ID by stopword profile (n-gram heuristic)")
-
-
-def _run_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import quality_features
-    t = load_tables(spark, sf_dir)
-    return quality_features(t["documents"]).select(
-        "doc_id", "n_chars_m", "n_tokens", "mean_tok_len", "punct_ratio",
-        "digit_ratio", "uniq_token_ratio", "quality_score")
-
-
-CATALOG["text_quality_score"] = Entry(
-    _run_text_quality,
-    """
-    WITH f AS (
+def _text_analysis_oracle() -> str:
+    from .operators.text import LANG_PROFILES
+    structs = ", ".join(
+        f"{{'score': {_lang_score_oracle(sw)}, 'lang': '{lang}'}}"
+        for lang, sw in LANG_PROFILES.items())
+    return rf"""
+    WITH fp AS (
       SELECT doc_id,
+             list_sort(list_transform(
+               range(0, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+               i -> ('0x' || substr(md5(array_to_string(
+                      (string_split(text, ' '))[i+1:i+4], ' ')), 1, 15))::BIGINT)) AS h
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN list_max([{structs}]).score > 0
+                  THEN list_max([{structs}]).lang ELSE 'und' END AS lang_pred,
+             list_max([{structs}]).score AS lang_score,
              CAST(length(text) AS INT) AS n_chars_m,
              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
              round(CAST(list_sum(list_transform(string_split(text, ' '),
@@ -362,59 +372,28 @@ CATALOG["text_quality_score"] = Entry(
              round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
                    / greatest(length(text), 1), 6) AS digit_ratio,
              round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                   / greatest(len(string_split(text, ' ')), 1), 6) AS uniq_token_ratio
+                   / greatest(len(string_split(text, ' ')), 1), 6) AS uniq_token_ratio,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS INT)
+                 AS subword_tokens,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
       FROM documents)
-    SELECT *,
+    SELECT f.*,
            round(least(n_tokens / 50.0, 1.0) * uniq_token_ratio
                  * (1.0 - least(digit_ratio * 5.0, 1.0))
-                 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score
-    FROM f
-    """,
-    "extension: text quality features + composite score")
-
-
-def _run_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import token_counts
-    t = load_tables(spark, sf_dir)
-    return token_counts(t["documents"]).select(
-        "doc_id", "ws_tokens", "subword_tokens", "est_bpe_tokens")
-
-
-CATALOG["text_token_count"] = Entry(
-    _run_text_tokens,
-    r"""
-    SELECT doc_id,
-           CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS INT)
-               AS subword_tokens,
-           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
-    FROM documents
-    """,
-    "extension: token counting (whitespace + BPE-ish regex)")
-
-
-def _run_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import fingerprint
-    t = load_tables(spark, sf_dir)
-    return fingerprint(t["documents"]).select("doc_id", "fingerprint")
-
-
-CATALOG["text_fingerprint"] = Entry(
-    _run_text_fingerprint,
-    """
-    WITH g AS (
-      SELECT doc_id,
-             list_sort(list_transform(
-               range(0, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
-               i -> ('0x' || substr(md5(array_to_string(
-                      (string_split(text, ' '))[i+1:i+4], ' ')), 1, 15))::BIGINT)) AS h
-      FROM documents)
-    SELECT doc_id,
-           array_to_string(list_transform(h[1:4], x -> CAST(x AS VARCHAR)), '-')
+                 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score,
+           array_to_string(list_transform(fp.h[1:4], x -> CAST(x AS VARCHAR)), '-')
                AS fingerprint
-    FROM g
-    """,
-    "extension: winnowing-style document fingerprint (rolling min-hash)")
+    FROM f JOIN fp USING (doc_id)
+    """
+
+
+CATALOG["text_analysis"] = Entry(
+    _run_text_analysis, _text_analysis_oracle(),
+    "extension: text-analysis family — language-ID (stopword profiles), "
+    "quality features + composite score, token counting (whitespace + "
+    "BPE-ish regex), winnowing-style rolling-hash fingerprint — one "
+    "Catalyst plan, pure column expressions")
 
 
 # ----------------------------------------------------------- multimodal

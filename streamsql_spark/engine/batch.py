@@ -442,6 +442,19 @@ class BatchExecutor:
                 df = segment_by_trigger(df, plan, _TS)
                 group_cols.append(F.col("__win_id__"))
 
+        if any("`__arrival_order__`" in s.sql for s in plan.agg_specs):
+            # first_value/last_value render to min_by/max_by over this
+            # column: event time + tiebreak when available (deterministic
+            # across shuffles), else a per-partition monotonic id (plain
+            # arrival order, matching the reference's single-node intake).
+            if _TS in df.columns:
+                tiebreak = next((c for c in ("event_id", "id", "seq")
+                                 if c in df.columns), None)
+                order_col = (F.struct(F.col(_TS), F.col(tiebreak))
+                             if tiebreak else F.col(_TS))
+            else:
+                order_col = F.monotonically_increasing_id()
+            df = df.withColumn("__arrival_order__", order_col)
         aggs = [F.expr(s.sql).alias(s.placeholder) for s in plan.agg_specs]
         if not aggs:
             aggs = [F.count(F.lit(1)).alias("__cnt_dummy__")]

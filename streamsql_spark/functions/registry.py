@@ -386,6 +386,12 @@ def _render_percentile(args: list[str], ast: list[N.Expr]) -> str:
             f"CAST(floor(({p}) * (count({col}) - 1)) AS INT) + 1)")
 
 
+# arrival-ordered value buffer: collect (order, value) pairs, sort by
+# arrival, strip the order key — deterministic collect/nth/merge/dedup
+_ARRIVAL_LIST = ("transform(array_sort(collect_list("
+                 "struct(`__arrival_order__` AS o, {0} AS v))), s -> s.v)")
+_ARRIVAL_LIST_STR = _ARRIVAL_LIST.replace("{0} AS v", "CAST({0} AS STRING) AS v")
+
 AGG_RENDERERS: dict[str, Renderer] = {
     "sum": _simple("sum({0})"),
     "avg": _simple("avg({0})"),
@@ -398,12 +404,18 @@ AGG_RENDERERS: dict[str, Renderer] = {
     "vars": _simple("var_samp({0})"),
     "median": _simple("median({0})"),
     "percentile": _render_percentile,
-    "collect": _simple("collect_list({0})"),
-    "first_value": _simple("first({0})"),
-    "last_value": _simple("last({0})"),
-    "merge_agg": _simple("concat_ws(',', collect_list(CAST({0} AS STRING)))"),
-    "deduplicate": _simple("collect_set({0})"),
-    "nth_value": _simple("try_element_at(collect_list({0}), {1})"),
+    # Buffer-order aggregates are ARRIVAL (event-time) ordered, the
+    # reference semantics (functions_aggregation.go:564-811).
+    # `__arrival_order__` is materialized by the executors as
+    # struct(event_time, tiebreak) — sorting/arg-extremizing over it is
+    # deterministic after any shuffle, unlike Spark's first()/last()
+    # or raw collect_list order.
+    "collect": _simple(_ARRIVAL_LIST),
+    "first_value": _simple("min_by({0}, `__arrival_order__`)"),
+    "last_value": _simple("max_by({0}, `__arrival_order__`)"),
+    "merge_agg": _simple(f"concat_ws(',', {_ARRIVAL_LIST_STR})"),
+    "deduplicate": _simple(f"array_distinct({_ARRIVAL_LIST})"),
+    "nth_value": _simple(f"try_element_at({_ARRIVAL_LIST}, {{1}})"),
     # Spark-native extras (beyond the reference — free on Catalyst).
     # min_by/max_by give deterministic first/last-by-event-time.
     "approx_count_distinct": _simple("approx_count_distinct({0})"),

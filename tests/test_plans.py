@@ -36,9 +36,10 @@ def test_filter_pushdown_and_pruning(catalog_plan):
     # WHERE reaches the parquet scan …
     assert "PushedFilters:" in p
     assert "GreaterThan(value,10.0)" in p
-    # … and the scan reads only the referenced columns (no ts/props)
+    assert "IsNotNull(props)" in p
+    # … and the scan reads only the referenced columns (no ts)
     schema_line = next(l for l in p.splitlines() if "ReadSchema" in l)
-    assert "props" not in schema_line and "ts" not in schema_line
+    assert "ts" not in schema_line
 
 
 def test_stream_table_join_broadcasts(catalog_plan):
@@ -56,7 +57,7 @@ def test_aggregation_is_partial_then_final(catalog_plan):
 
 
 def test_orderby_limit_is_topk(catalog_plan):
-    p = catalog_plan("orderby_limit")
+    p = catalog_plan("distinct_orderby_limit")
     assert "TakeOrderedAndProject" in p
 
 
@@ -71,7 +72,7 @@ def test_ansi_multiway_join_pushdown_topk(catalog_plan):
     # the 3-way Q3 shape: every scan filter pushed down, no cartesian
     # product, top-K as TakeOrderedAndProject (per-partition top-K +
     # driver merge, not a global sort)
-    p = catalog_plan("ansi_tpch_q3")
+    p = catalog_plan("ansi_tpch_q3_union")
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p
