@@ -154,9 +154,13 @@ def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
 
 
 def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
-                     columns: list[str] | None = None) -> Column:
+                     columns: list[str] | None = None,
+                     prep=None) -> Column:
     """Batch realization of a stateful analytic call via Spark window
-    functions (§2.6 mapping).  Streaming uses the stateful operator in
+    functions (§2.6 mapping).  ``prep(col) -> name`` (when provided)
+    materializes an intermediate column on the source DataFrame so
+    multi-pass constructions can order a second window by a first
+    window's result.  Streaming uses the stateful operator in
     ``streaming/stateful.py``; semantics here match the reference's state
     machine on an ordered replay.
     """
@@ -187,9 +191,26 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
         if when_sql is None:
             if not ignore_null:
                 return F.lag(arg(0), n, default).over(w)
-            # n-th previous NON-NULL value: collect_list drops nulls
-            hist = F.collect_list(arg(0)).over(w_prev)
-            res = F.when(F.size(hist) >= n, F.element_at(hist, -n))
+            if n == 1:
+                # previous non-null value — O(1) incremental frame
+                res = F.last(arg(0), ignorenulls=True).over(w_prev)
+            elif prep is not None:
+                # n-th previous NON-NULL value, exact and linear: count(x)
+                # increments only on non-null rows, so exactly one
+                # non-null row exists per count value — a constant-offset
+                # RANGE frame over the materialized count picks it out.
+                # (Replaces an unbounded running collect_list, which is
+                # O(rows²) memory/time per partition at scale.)
+                x = arg(0)
+                cnt_run = prep(F.count(x).over(w_run))
+                w_nn = Window.partitionBy(*parts).orderBy(F.col(cnt_run))
+                hit_nonnull = F.max(x).over(w_nn.rangeBetween(-n, -n))
+                hit_null = F.max(x).over(w_nn.rangeBetween(-(n - 1), -(n - 1)))
+                res = F.when(arg(0).isNotNull(), hit_nonnull).otherwise(hit_null)
+            else:
+                # window-emission rows (few per group): buffered history
+                hist = F.collect_list(arg(0)).over(w_prev)
+                res = F.when(F.size(hist) >= n, F.element_at(hist, -n))
             return F.coalesce(res, F.lit(default)) if default is not None else res
         if n != 1:
             raise ExecError("lag with WHEN gating supports offset 1 in batch mode")
@@ -376,9 +397,18 @@ class BatchExecutor:
             # (types.Row.Timestamp lives outside Data in the reference)
             ts_name = event_time_name(df.columns, plan)
             star_cols = [c for c in df.columns if c != ts_name]
-            df = df.withColumn(
-                spec.placeholder,
-                _analytic_column(spec, order_cols, columns=star_cols))
+            prepped: list[str] = []
+
+            def prep(col: Column, _spec=spec, _acc=prepped) -> str:
+                nonlocal df
+                name = f"__prep_{_spec.placeholder.strip('_')}_{len(_acc)}__"
+                _acc.append(name)
+                df = df.withColumn(name, col)
+                return name
+
+            out = _analytic_column(spec, order_cols, columns=star_cols,
+                                   prep=prep)
+            df = df.withColumn(spec.placeholder, out).drop(*prepped)
         return df
 
     # ----------------------------------------------------------- windows

@@ -925,3 +925,37 @@ def test_api_surface_parity(spark):
     d = StreamSQL(spark)
     d.execute("SELECT k FROM stream")
     assert d.is_aggregation_query() is False
+
+
+def test_lag_ignorenull_linear_at_scale(spark):
+    """lag(x, n>1) with ignoreNull must not build an unbounded running
+    buffer: 100k rows on ONE key (single window partition) finishes in
+    seconds (the old running-collect_list construction was O(rows²) —
+    minutes at this size), and the values are exact."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    n_rows = 100_000
+    df = (spark.range(n_rows)
+          .select(F.lit("k").alias("k"),
+                  F.col("id").alias("event_id"),
+                  F.timestamp_seconds(1700000000 + F.col("id")).alias("ts"),
+                  # every 3rd value is null — exercises non-null tracking
+                  F.when(F.col("id") % 3 != 0, F.col("id").cast("double"))
+                   .alias("v")))
+    s = StreamSQL(spark)
+    s.execute("SELECT event_id, lag(v, 2) OVER (PARTITION BY k) AS prev2 "
+              "FROM stream")
+    t0 = time.monotonic()
+    rows = s.query(df).collect()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"lag ignoreNull path took {elapsed:.0f}s"
+    got = {r["event_id"]: r["prev2"] for r in rows}
+    # exact check against a rolling non-null history
+    hist = []
+    for i in range(n_rows):
+        expect = hist[-2] if len(hist) >= 2 else None
+        assert got[i] == expect, (i, got[i], expect)
+        if i % 3 != 0:
+            hist.append(float(i))
