@@ -329,6 +329,16 @@ class StreamSQL:
         from ..functions.registry import register_aggregate_function
         register_aggregate_function(self.spark, name, fn, return_type)
 
+    def register_analytic_function(self, name: str, state_factory,
+                                   return_type="double") -> None:
+        """Custom stateful analytic: state_factory() -> state with
+        apply(args) -> value (+ optional reset()), one state per
+        OVER(PARTITION BY ...) key — the reference's StatefulAnalytic /
+        AnalyticState surface (functions/analytic_state.go:11-37).
+        Works in batch, streaming, and EmitSync paths."""
+        from ..functions.registry import register_analytic_function
+        register_analytic_function(name, state_factory, return_type)
+
     def stop(self) -> None:
         if self._buffer and self._plan is not None and self._plan.mode == "window":
             self.trigger_window()

@@ -459,6 +459,41 @@ _add("analytic_changed", Entry(
     "(functions_analytical.go:84-103, functions/analytic_acc.go:125-205, "
     "stream/analytic.go:236-290)"))
 
+def _custom_analytic_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 custom stateful analytic UDFs (functions/analytic_state.go:
+    11-37 StatefulAnalytic surface, registry.go TypeAnalytical): two
+    user state machines registered at runtime and evaluated per
+    OVER(PARTITION BY ...) key in event-time order — prev-value (lag-1
+    semantics) and running range (max − min so far)."""
+    from .functions.examples import PrevValueState, RunningRangeState
+    from .functions.registry import register_analytic_function
+
+    register_analytic_function("my_prev", PrevValueState, "double")
+    register_analytic_function("my_range", RunningRangeState, "double")
+    tables = load_tables(spark, sf_dir)
+    q = StreamSQL(spark).execute("""
+        SELECT event_id, user_id, value,
+               my_prev(value) OVER (PARTITION BY user_id) AS prev_v,
+               round(my_range(value) OVER (PARTITION BY user_id), 4) AS rng
+        FROM stream
+    """)
+    return q.query(tables["events"])
+
+
+_add("analytic_custom_udf", Entry(
+    _custom_analytic_run,
+    f"""
+    SELECT event_id, user_id, value,
+           lag(value) {_ANALYTIC_W} AS prev_v,
+           round(max(value) {_ANALYTIC_W_RUN} - min(value) {_ANALYTIC_W_RUN}, 4) AS rng
+    FROM events
+    """,
+    "§2.9 custom stateful analytic UDF registration "
+    "(functions/analytic_state.go:11-37, functions/registry.go:239-288 "
+    "TypeAnalytical; e2e parity with "
+    "test/e2e/custom_functions_single_entry_test.go)"))
+
+
 # ===================================================================
 # §2.8 Scalar functions
 # ===================================================================

@@ -321,6 +321,78 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
     raise ExecError(f"unsupported analytic function: {name}")
 
 
+def _apply_custom_analytic(df: DataFrame, spec: AnalyticSpec,
+                           order_names: list[str], factory, dtype) -> DataFrame:
+    """Custom stateful analytic (register_analytic_function) in batch:
+    one state object per OVER(PARTITION BY ...) key, ``apply`` called
+    per row in event-time order inside an ``applyInPandas`` pass —
+    the Spark realization of the reference's per-partition
+    ``AnalyticState`` machine (functions/analytic_state.go:11-37).
+    Argument expressions and the WHEN gate are pre-evaluated JVM-side;
+    only the state-machine steps run in Python (Arrow-batched)."""
+    import math
+
+    from pyspark.sql.types import StructField, StructType
+
+    from ..dialect.render import render as _render
+
+    key_cols: list[str] = []
+    for i, psql in enumerate(spec.partition_by):
+        nm = psql if psql in df.columns else f"__cak_{i}__"
+        if nm not in df.columns:
+            df = df.withColumn(nm, F.expr(psql))
+        key_cols.append(nm)
+    when_col = None
+    if spec.when_sql:
+        when_col = f"__caw_{spec.placeholder.strip('_')}__"
+        df = df.withColumn(when_col, F.expr(spec.when_sql))
+    arg_cols: list[str | None] = []
+    lits: list[object] = []
+    for j, a in enumerate(spec.func.args):
+        if isinstance(a, N.Lit):
+            arg_cols.append(None)
+            lits.append(a.value)
+        else:
+            c = f"__caa_{spec.placeholder.strip('_')}_{j}__"
+            df = df.withColumn(c, F.expr(_render(a)))
+            arg_cols.append(c)
+            lits.append(None)
+
+    hidden = [c for c in ([when_col] + arg_cols + key_cols)
+              if c and c.startswith("__ca")]
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(spec.placeholder, dtype)])
+    ph = spec.placeholder
+    order = [n for n in order_names if n]
+
+    def _clean(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        return v
+
+    def fn(pdf):
+        if order:
+            pdf = pdf.sort_values(order, kind="mergesort")
+        vals = {c: pdf[c].tolist() for c in set(filter(None, arg_cols))
+                | ({when_col} if when_col else set())}
+        st = factory()
+        last = None
+        out = []
+        for i in range(len(pdf)):
+            gate = bool(_clean(vals[when_col][i])) if when_col else True
+            if gate:
+                argv = [_clean(vals[c][i]) if c else lits[j]
+                        for j, c in enumerate(arg_cols)]
+                last = st.apply(argv)
+            out.append(last)
+        pdf[ph] = out
+        return pdf[[f.name for f in out_schema.fields]]
+
+    grouped = df.groupBy(*[F.col(c) for c in key_cols]) if key_cols \
+        else df.groupBy(F.lit(1))
+    return grouped.applyInPandas(fn, out_schema).drop(*hidden)
+
+
 # ------------------------------------------------------------- executor
 
 
@@ -384,14 +456,22 @@ class BatchExecutor:
         if _TS not in df.columns:
             raise ExecError("analytic functions need an event-time column "
                             "(WITH (TIMESTAMP='...') or a 'ts' column)")
+        order_names = [_TS]
         order_cols = [F.col(_TS)]
         for tiebreak in ("event_id", "id", "seq"):
             if tiebreak in df.columns:
                 order_cols.append(F.col(tiebreak))
+                order_names.append(tiebreak)
                 break
+        from ..functions import registry as _registry
+
         for spec in plan.analytics:
             if spec.window_output:
                 continue  # evaluated over window-emission rows instead
+            custom = _registry.custom_analytic(spec.func.name)
+            if custom is not None:
+                df = _apply_custom_analytic(df, spec, order_names, *custom)
+                continue
             # star expansion sees data columns only — the event-time
             # column is ordering metadata, not part of the row map
             # (types.Row.Timestamp lives outside Data in the reference)

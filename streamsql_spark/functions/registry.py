@@ -485,12 +485,43 @@ def register_aggregate_function(spark, name: str, fn, return_type="double") -> N
     AGG_RENDERERS[name.lower()] = _simple(f"{name}({{0}})")
 
 
+_CUSTOM_ANALYTICS: dict[str, tuple] = {}
+
+
+def register_analytic_function(name: str, state_factory, return_type="double") -> None:
+    """Custom stateful analytic registration — the reference's
+    ``StatefulAnalytic`` / ``AnalyticState`` surface
+    (functions/analytic_state.go:11-37, registry.go TypeAnalytical):
+    ``state_factory()`` returns a fresh state object exposing
+    ``apply(args) -> value`` (args[0] = main argument value, the rest
+    are the extra call arguments) and, optionally, ``reset()``.  The
+    engines keep ONE state per OVER(PARTITION BY ...) key and call
+    ``apply`` once per row in event-time order — batch via an ordered
+    ``applyInPandas`` pass, streaming via the analytic state kernel
+    (state objects are pickled into the state store between
+    micro-batches, so keep them picklable).
+
+    A WHEN-gated-out row does not touch the state; it reads the last
+    emitted value (the reference's OVER ... WHEN contract).
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt = return_type if not isinstance(return_type, str) \
+        else _parse_datatype_string(return_type)
+    _CUSTOM_ANALYTICS[name.lower()] = (state_factory, dt)
+
+
+def custom_analytic(name: str):
+    """(state_factory, return_type) for a registered custom analytic."""
+    return _CUSTOM_ANALYTICS.get(name.lower())
+
+
 def is_aggregate(name: str) -> bool:
     return name.lower() in AGG_RENDERERS
 
 
 def is_analytic(name: str) -> bool:
-    return name.lower() in ANALYTIC_FUNCS
+    return name.lower() in ANALYTIC_FUNCS or name.lower() in _CUSTOM_ANALYTICS
 
 
 def render_scalar(name: str, args: list[str], ast: list[N.Expr]) -> str:

@@ -31,6 +31,7 @@ from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, DataType,
 
 from ..dialect import nodes as N
 from ..dialect.render import render
+from ..functions import registry
 from .aggutil import py_aggregate
 
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
@@ -486,7 +487,11 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     for i, s in enumerate(specs):
         f = s.func
         name = f.name.lower()
-        info = {"name": name, "ph": s.placeholder, "args": [], "lits": []}
+        info = {"name": name, "ph": s.placeholder, "args": [], "lits": [],
+                # custom-analytic factory snapshot: the registry is
+                # driver-side module state — capture here so it ships
+                # inside the pickled kernel closure to the workers
+                "custom": registry.custom_analytic(name)}
         when_col = None
         if s.when_sql:
             when_col = f"__aw_{i}__"
@@ -515,6 +520,9 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
 
     def ph_type(info) -> DataType:
         nm = info["name"]
+        custom = registry.custom_analytic(nm)
+        if custom is not None:
+            return custom[1]
         if nm == "had_changed":
             return BooleanType()
         if nm == "acc_count":
@@ -657,6 +665,19 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                 tot, cnt = acc
                 return tot / cnt if cnt else None
             return acc
+
+        custom = p.get("custom")
+        if custom is not None:
+            # custom AnalyticState surface (functions/analytic_state.go):
+            # the state OBJECT itself lives in the pickled per-key state,
+            # so it survives micro-batch boundaries; WHEN-gated-out rows
+            # don't touch it and re-emit the last value
+            obj = s.get("obj")
+            if obj is None:
+                obj = s["obj"] = custom[0]()
+            if gate:
+                s["last"] = obj.apply(argv)
+            return s.get("last")
 
         raise ValueError(f"unsupported streaming analytic: {nm}")
 

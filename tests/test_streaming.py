@@ -552,3 +552,53 @@ def test_counting_window_with_statettl(spark):
     ]
     got = run_stream(spark, sql, batches)
     assert sorted(r["s"] for r in got) == [3.0, 7.0]
+
+
+# ------------------------------------------- custom stateful analytic UDF
+
+
+def test_custom_analytic_batch_stream_emitsync(spark):
+    # port of the reference e2e zz_my_prev case
+    # (test/e2e/custom_functions_single_entry_test.go:122-168)
+    from streamsql_spark.functions.examples import PrevValueState
+    from streamsql_spark.functions.registry import register_analytic_function
+
+    register_analytic_function("zz_my_prev", PrevValueState, "double")
+
+    sql = ("SELECT deviceId, temperature, "
+           "zz_my_prev(temperature) OVER (PARTITION BY deviceId) AS prev "
+           "FROM stream")
+    batches = [
+        _rows(("d1", 10.0, 60.0, 1000, "ok"), ("d2", 5.0, 50.0, 1500, "ok")),
+        _rows(("d1", 20.0, 60.0, 2000, "ok"), ("d1", 30.0, 60.0, 3000, "ok")),
+    ]
+    # streaming: state survives the micro-batch boundary
+    got = run_stream(spark, sql, batches)
+    got.sort(key=lambda r: (r["deviceId"], r["temperature"]))
+    assert [(r["deviceId"], r["temperature"], r["prev"]) for r in got] == [
+        ("d1", 10.0, None), ("d1", 20.0, 10.0), ("d1", 30.0, 20.0),
+        ("d2", 5.0, None)]
+
+    # batch path over the same rows (stream/batch parity)
+    s = StreamSQL(spark)
+    s.execute(sql)
+    df = spark.createDataFrame(
+        [r for b in batches for r in _rows(*[(x["deviceId"], x["temperature"],
+                                              x["humidity"], x["ts"], x["status"])
+                                             for x in b])] if False else
+        [x for b in batches for x in b], schema=EVT)
+    rows = sorted([(r["deviceId"], r["temperature"], r["prev"])
+                   for r in s.query(df).collect()],
+                  key=lambda t: (t[0], t[1]))
+    assert rows == [("d1", 10.0, None), ("d1", 20.0, 10.0),
+                    ("d1", 30.0, 20.0), ("d2", 5.0, None)]
+
+    # EmitSync path (the reference e2e's exact flow)
+    e = StreamSQL(spark)
+    e.execute(sql)
+    r1 = e.emit_sync({"deviceId": "d1", "temperature": 10.0, "humidity": 0.0,
+                      "ts": 1000, "status": "ok"})
+    assert r1["prev"] is None
+    r2 = e.emit_sync({"deviceId": "d1", "temperature": 20.0, "humidity": 0.0,
+                      "ts": 2000, "status": "ok"})
+    assert r2["prev"] == 10.0
