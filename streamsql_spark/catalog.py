@@ -1237,6 +1237,69 @@ _add("streaming_sliding_replay", Entry(
     "batch sliding path"))
 
 
+def _streaming_lateness_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5+§3 ALLOWEDLATENESS emit-then-update kernel at data scale
+    (window/tumbling_window.go:596-674, stream/processor_data.go:415-435):
+    the full events table replays through the stateful lateness kernel
+    (UPDATE mode, stable window_id per emission), then two flush batches
+    advance the watermark so every window fires — each exactly once here
+    (all data arrives in batch 1), giving value parity with the batch
+    tumbling oracle.  Late re-emission itself is unit-tested
+    (tests/test_streaming.py lateness case)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    tables = load_tables(spark, sf_dir)
+    events = tables["events"]
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="ssql_lateness_")
+    try:
+        in_dir = f"{root}/in"
+        events.coalesce(1).write.parquet(f"{in_dir}/b0")
+        flush = events.limit(1).select(
+            F.lit(-1).alias("event_id"), F.lit(-1).alias("user_id"),
+            F.lit("__flush__").alias("event_type"), F.lit(0.0).alias("value"),
+            (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(None).cast("string").alias("props"))
+        flush = flush.select(*events.columns)
+        for i in (1, 2):
+            flush.coalesce(1).write.parquet(f"{in_dir}/b{i}")
+        schema = spark.read.parquet(f"{in_dir}/b0").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", "true").parquet(in_dir))
+        q = StreamSQL(spark).execute("""
+            SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
+                   unix_timestamp(window_start()) AS ws
+            FROM stream GROUP BY event_type, TumblingWindow('6h')
+            WITH (TIMESTAMP='ts', MAXOUTOFORDERNESS='1h',
+                  ALLOWEDLATENESS='2h')
+        """)
+        acc: list[dict] = []
+        sq = q.start_stream(stream, sink=lambda rows: acc.extend(rows),
+                            query_name="lateness_" + _uuid.uuid4().hex[:8])
+        sq.awaitTermination(300)
+        return spark.createDataFrame(
+            [(r["event_type"], r["cnt"], r["total"], r["ws"]) for r in acc
+             if r["event_type"] != "__flush__"],
+            schema="event_type string, cnt bigint, total double, ws bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_add("streaming_lateness_replay", Entry(
+    _streaming_lateness_run,
+    CATALOG["window_tumbling"].oracle,
+    "§2.5+§3 ALLOWEDLATENESS emit-then-update on the stateful lateness "
+    "kernel: watermark-fired windows, accumulating late re-emits, stable "
+    "window_id stamping (tumbling_window.go:596-674, "
+    "stream/processor_data.go:415-435); value-parity with the batch "
+    "tumbling path"))
+
+
 def names() -> list[str]:
     return list(CATALOG)
 

@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from ..engine.batch import (_TS, BatchExecutor, ExecError, _event_time_col,
                             duration_to_seconds)
 from .stateful import (analytic_stream, cep_stream, counting_window_stream,
-                       flatten_join_refs, global_window_stream)
+                       flatten_join_refs, global_window_stream,
+                       lateness_window_stream)
 
 
 class StreamingExecutor:
@@ -112,9 +113,23 @@ class StreamingExecutor:
         if w is not None and w.kind in ("tumbling", "sliding", "session") \
                 and _TS not in df.columns:
             raise ExecError(f"{w.kind} window requires an event-time column")
+        if w is not None and w.kind in ("tumbling", "sliding") \
+                and self._allowed_lateness_ms(plan) > 0:
+            # ALLOWEDLATENESS > 0: emit-then-update re-emission with a
+            # stable window_id (tumbling_window.go:596-674) — Spark's
+            # native windowed agg cannot re-fire a closed window in
+            # append mode, so this runs on the stateful lateness kernel
+            agged = lateness_window_stream(df, plan, _TS)
+            return self._project_stateful(agged, plan)
         # time windows / plain aggregates are Catalyst-native — reuse the
         # batch compilation verbatim (same plan, streaming source)
         return self._batch._apply_window_agg(df, plan)
+
+    @staticmethod
+    def _allowed_lateness_ms(plan) -> int:
+        opts = {k.upper(): v for k, v in plan.options.items()}
+        v = opts.get("ALLOWEDLATENESS")
+        return int(duration_to_seconds(str(v)) * 1000) if v is not None else 0
 
     def _project_stateful(self, agged: DataFrame, plan) -> DataFrame:
         """HAVING + output projection over a stateful kernel's
@@ -140,6 +155,11 @@ class StreamingExecutor:
                 out_cols.append(F.col(colmap[out.sql]).alias(out.name))
             else:
                 out_cols.append(F.expr(out.sql).alias(out.name))
+        if "window_id" in agged.columns \
+                and not any(o.name == "window_id" for o in plan.outputs):
+            # lateness kernel emissions carry a stable window_id for
+            # sink dedup (stream/processor_data.go:415-435) — keep it
+            out_cols.append(F.col("window_id"))
         return agged.select(*out_cols)
 
     # ----------------------------------------------------------- sinks
@@ -189,6 +209,9 @@ class StreamingExecutor:
     def _output_mode(plan) -> str:
         if plan.mode == "window":
             w = plan.window
+            if w is not None and w.kind in ("tumbling", "sliding") \
+                    and StreamingExecutor._allowed_lateness_ms(plan) > 0:
+                return "update"  # lateness kernel re-emits fired windows
             if w is not None and w.kind in ("counting", "global"):
                 return "append"  # stateful kernels emit final rows
             return "append"      # windows emit on watermark close

@@ -354,6 +354,152 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
         kernel, out_schema, _STATE_SCHEMA, "append", _timeout_conf(ttl_ms))
 
 
+# --------------------------------------------------------------- lateness
+
+def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
+    """Emit-then-update time windows for ALLOWEDLATENESS > 0
+    (window/tumbling_window.go:596-674 handleLateData semantics):
+
+    - a window fires ON TIME when the reference watermark
+      (max event time − MAXOUTOFORDERNESS) passes its end;
+    - a late row landing in an already-fired window within
+      ALLOWEDLATENESS re-emits the FULL accumulated window;
+    - window state purges once the lateness horizon passes
+      (watermark ≥ end + lateness — rows later than that were already
+      dropped by Spark's watermark filter, delay = MOO + lateness);
+    - every emission carries a stable ``window_id``
+      ("<start_ns>_<end_ns>", stream/processor_data.go:415-435
+      stampWindowID) so sinks can dedup/replace across re-emits.
+
+    Spark's own windowed aggregation cannot re-fire a closed window in
+    append mode, so this runs as a per-key applyInPandasWithState kernel
+    in UPDATE output mode; Spark's per-key state holds
+    {slot_start: (buffered agg args, fired)}.  Slot fan-out (tumbling +
+    sliding) happens JVM-side before the shuffle.
+    """
+    from ..dialect.planner import WINDOW_END_COL, WINDOW_START_COL
+    from ..engine.batch import duration_to_seconds
+
+    w = plan.window
+    size_ms = int(duration_to_seconds(w.size) * 1000)
+    slide_ms = int(duration_to_seconds(w.slide) * 1000) \
+        if w.kind == "sliding" else size_ms
+    opts = {k.upper(): v for k, v in plan.options.items()}
+    al_ms = int(duration_to_seconds(str(opts["ALLOWEDLATENESS"])) * 1000)
+
+    df, names = _key_columns(df, plan)
+    df, agg_specs = _prep_agg_columns(df, plan)
+    ts_ms_col = "__ts_ms__"
+    df = df.withColumn(ts_ms_col,
+                       (F.col(ts_col).cast("double") * 1000).cast("long"))
+    if w.kind == "tumbling":
+        df = df.withColumn(
+            "__slot__", F.floor(F.col(ts_ms_col) / slide_ms) * slide_ms)
+    else:
+        nslots = (size_ms + slide_ms - 1) // slide_ms
+        base = F.floor(F.col(ts_ms_col) / slide_ms) * slide_ms
+        df = (df.withColumn("__off__",
+                            F.explode(F.sequence(F.lit(0), F.lit(nslots - 1))))
+                .withColumn("__slot__", base - F.col("__off__") * F.lit(slide_ms))
+                .where(F.col("__slot__") + F.lit(size_ms) > F.col(ts_ms_col))
+                .drop("__off__"))
+    df = _prune_kernel_input(df, names, plan, ts_col,
+                             extra=("__slot__", ts_ms_col))
+
+    fields = [StructField(nm, _field_type(df, nm)) for nm in names]
+    for ph, kname, arg_col, _ in agg_specs:
+        at = _field_type(df, arg_col) if arg_col else None
+        fields.append(StructField(ph, _agg_out_type(kname, at)))
+    fields.append(StructField(WINDOW_START_COL, TimestampType()))
+    fields.append(StructField(WINDOW_END_COL, TimestampType()))
+    fields.append(StructField("window_id", StringType()))
+    out_schema = StructType(fields)
+
+    arg_cols = [c for _, _, c, _ in agg_specs if c is not None]
+    key_names = list(names)
+
+    def kernel(key, pdf_iter, state):
+        from datetime import datetime, timezone
+
+        import pandas as pd
+
+        # Spark watermark = max_ts − (MOO + lateness) = the reference's
+        # lateness drop horizon; the reference watermark (max_ts − MOO)
+        # = spark_wm + lateness.  0 means "no watermark yet" (first
+        # batches) — nothing fires or drops then.
+        wm = state.getCurrentWatermarkMs()
+        ref_wm = wm + al_ms if wm > 0 else None
+        # slots: {slot_start_ms: [fired, [arg tuples...]]}
+        slots = _load_state(state) or {}
+        touched = set()
+        # the kernel is only invoked for keys present in the batch — an
+        # event-time timeout at the next fire/purge point wakes idle
+        # keys when the watermark alone advances past it
+        pdf = pd.DataFrame() if state.hasTimedOut \
+            else _sorted_batch(pdf_iter, [ts_ms_col])
+        if len(pdf):
+            vals = {c: pdf[c].tolist()
+                    for c in arg_cols + ["__slot__", ts_ms_col]}
+            for i in range(len(pdf)):
+                if wm > 0 and int(vals[ts_ms_col][i]) < wm:
+                    # beyond the lateness horizon (IsEventTimeLate,
+                    # window/watermark.go:199-213): dropped, no
+                    # re-emission — arbitrary stateful ops don't get
+                    # Spark's automatic late-row filter, so enforce it
+                    continue
+                slot = int(vals["__slot__"][i])
+                ent = slots.setdefault(slot, [False, []])
+                ent[1].append(tuple(_clean(vals[c][i]) for c in arg_cols))
+                touched.add(slot)
+        rows_out = []
+
+        def emit(slot, ent):
+            out = dict(zip(key_names, key))
+            for ph, kname, arg_col, extra in agg_specs:
+                if kname == "count_star":
+                    out[ph] = len(ent[1])
+                else:
+                    idx = arg_cols.index(arg_col)
+                    out[ph] = py_aggregate(
+                        kname, [t[idx] for t in ent[1]], extra)
+            end = slot + size_ms
+            out[WINDOW_START_COL] = datetime.fromtimestamp(
+                slot / 1000, tz=timezone.utc).replace(tzinfo=None)
+            out[WINDOW_END_COL] = datetime.fromtimestamp(
+                end / 1000, tz=timezone.utc).replace(tzinfo=None)
+            out["window_id"] = f"{slot * 1_000_000}_{end * 1_000_000}"
+            rows_out.append(out)
+
+        for slot in sorted(slots):
+            ent = slots[slot]
+            end = slot + size_ms
+            if not ent[0] and ref_wm is not None and ref_wm >= end:
+                emit(slot, ent)      # on-time fire at the reference watermark
+                ent[0] = True
+            elif ent[0] and slot in touched:
+                emit(slot, ent)      # accumulating late re-emit, same window_id
+            if wm > 0 and wm >= end:  # lateness horizon passed — purge
+                del slots[slot]
+        if slots:
+            _save_state(state, slots)
+            # next wake-up: earliest pending on-time fire (end − lateness,
+            # when the spark watermark reaches the reference fire point)
+            # or purge point (end) — clamped above the current watermark
+            nxt = min(s + size_ms - (0 if ent[0] else al_ms)
+                      for s, ent in slots.items())
+            state.setTimeoutTimestamp(max(nxt, wm + 1))
+        else:
+            state.remove()
+        if rows_out:
+            yield pd.DataFrame(rows_out,
+                               columns=[f.name for f in out_schema.fields])
+
+    grouped = df.groupBy(*[F.col(k) for k in key_names]) if key_names \
+        else df.withColumn("__k__", F.lit(1)).groupBy("__k__")
+    return grouped.applyInPandasWithState(
+        kernel, out_schema, _STATE_SCHEMA, "update", "EventTimeTimeout")
+
+
 # ----------------------------------------------------------------- global
 
 def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:

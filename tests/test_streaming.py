@@ -602,3 +602,44 @@ def test_custom_analytic_batch_stream_emitsync(spark):
     r2 = e.emit_sync({"deviceId": "d1", "temperature": 20.0, "humidity": 0.0,
                       "ts": 2000, "status": "ok"})
     assert r2["prev"] == 10.0
+
+
+def test_allowed_lateness_reemits_window_with_stable_window_id(spark):
+    """ALLOWEDLATENESS emit-then-update (tumbling_window.go:596-674):
+    a window fires on time at the reference watermark (max_ts -
+    MAXOUTOFORDERNESS); a late row within ALLOWEDLATENESS re-fires the
+    FULL accumulated window with the SAME window_id (stampWindowID,
+    processor_data.go:415-435); a row beyond lateness is dropped with
+    no re-emission.  Spark's watermark advances one batch behind the
+    data (same granularity delta as the watermark test above)."""
+    sql = ("SELECT deviceId, sum(temperature) AS s, count(*) AS n FROM stream "
+           "GROUP BY deviceId, TumblingWindow('10s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms', "
+           "MAXOUTOFORDERNESS='2s', ALLOWEDLATENESS='20s')")
+    batches = [
+        # [0,10s) accumulates 1+2
+        _rows(("d1", 1.0, 0.0, 1000, "ok"), ("d1", 2.0, 0.0, 5000, "ok")),
+        # 13s lands in [10,20s); watermark after: 13-22 < 0 -> none yet
+        _rows(("d1", 4.0, 0.0, 13000, "ok")),
+        # filler advances the watermark: after this batch wm = 24-22 = 2s
+        _rows(("d1", 0.25, 0.0, 24000, "ok")),
+        # runs with wm=2s -> ref watermark 22s: fires [0,10s)=(3.0,2)
+        # and [10,20s)=(4.0,1); after: wm = 30-22 = 8s
+        _rows(("d1", 0.25, 0.0, 30000, "ok")),
+        # 9s is LATE for the fired [0,10s) but within lateness (9 >= 8)
+        # -> re-emit accumulated (1+2+8=11.0, 3) with the SAME window_id
+        _rows(("d1", 8.0, 0.0, 9000, "ok")),
+        # push the drop horizon: after this batch wm = 55-22 = 33s
+        _rows(("d1", 0.5, 0.0, 55000, "ok")),
+        # 6s is beyond lateness (6 < 33) -> dropped, no re-emission;
+        # [0,10s) and [10,20s) purge (33 >= end)
+        _rows(("d1", 100.0, 0.0, 6000, "ok"), ("d1", 0.5, 0.0, 56000, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    win0 = [(r["s"], r["n"]) for r in got if r["window_id"] == "0_10000000000"]
+    assert win0 == [(3.0, 2), (11.0, 3)], got
+    win10 = [(r["s"], r["n"]) for r in got
+             if r["window_id"] == "10000000000_20000000000"]
+    assert win10 == [(4.0, 1)]
+    # the beyond-lateness 100.0 row never re-surfaced anywhere
+    assert not any(r["s"] >= 100 for r in got)
