@@ -25,6 +25,11 @@ from ..dialect.render import render
 from ..engine.batch import duration_to_seconds
 from .engine import run_partition
 
+# batch-kernel buffer flush threshold (rows): the pandas buffer drains at
+# the next key boundary past this, bounding Python memory per task — the
+# batch analog of the reference's run-row cap (cep/engine.go:17-23)
+_TASK_CHUNK_ROWS = 65_536
+
 
 def _measure_type(e: N.Expr, schema: dict[str, DataType]) -> DataType:
     if isinstance(e, N.Lit):
@@ -369,21 +374,54 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
         # One shuffle co-locates each key's rows; mapInPandas then walks
         # MANY keys per Python roundtrip (vs applyInPandas' call-per-key
         # overhead — at 1M tiny keys that's the difference between a few
-        # hundred pandas invocations and a million).
+        # hundred pandas invocations and a million).  The buffer flushes
+        # at key boundaries once it exceeds _TASK_CHUNK_ROWS, so Python
+        # memory is bounded by the chunk size (or the largest single
+        # key — whose rows ARE the match domain), not the partition.
         parted = (df.repartition(*[F.col(c) for c in part_names])
                     .sortWithinPartitions(*part_names,
                                           *(order_cols or [ts_col])))
 
+        def _last_key_change(pdf):
+            """Index of the first row of the final key group (0 if the
+            whole frame is one key)."""
+            import numpy as np
+
+            change = np.zeros(len(pdf), dtype=bool)
+            for c in part_names:
+                col = pdf[c]
+                same = col.eq(col.shift()) | (col.isna() & col.shift().isna())
+                change |= ~same.to_numpy(dtype=bool)
+            change[0] = False
+            idx = np.flatnonzero(change)
+            return int(idx[-1]) if len(idx) else 0
+
         def map_groups(batch_iter):
             import pandas as pd
 
-            parts_acc = [p for p in batch_iter if len(p)]
-            if not parts_acc:
-                return
-            pdf = pd.concat(parts_acc, ignore_index=True)
-            outs = run_task(pdf)
-            if outs:
-                yield pd.DataFrame(outs, columns=names)
+            pending: list = []
+            n_pending = 0
+            for p in batch_iter:
+                if not len(p):
+                    continue
+                pending.append(p)
+                n_pending += len(p)
+                if n_pending < _TASK_CHUNK_ROWS:
+                    continue
+                pdf = pd.concat(pending, ignore_index=True)
+                cut = _last_key_change(pdf)
+                if cut > 0:
+                    outs = run_task(pdf.iloc[:cut].reset_index(drop=True))
+                    if outs:
+                        yield pd.DataFrame(outs, columns=names)
+                    pdf = pdf.iloc[cut:].reset_index(drop=True)
+                pending = [pdf]
+                n_pending = len(pdf)
+            if n_pending:
+                pdf = pd.concat(pending, ignore_index=True)
+                outs = run_task(pdf)
+                if outs:
+                    yield pd.DataFrame(outs, columns=names)
 
         matched = parted.mapInPandas(map_groups, schema=out_schema)
     else:

@@ -793,3 +793,50 @@ def test_cep_over_joined_stream(spark):
         s.emit(r)
     out = s.trigger_window()
     assert out == [{"loc": "A", "a_t": 60.0, "b_t": 5.0}]
+
+
+def test_cep_chunked_flush_matches_unchunked(spark, monkeypatch):
+    """The mapInPandas buffer flushes at key boundaries past
+    _TASK_CHUNK_ROWS (bounded executor memory on huge partitions,
+    including one skewed key larger than the chunk).  Forcing a tiny
+    chunk must not change any match: boundaries only ever cut BETWEEN
+    key groups, and a single key larger than the chunk stays whole."""
+    from pyspark.sql import functions as F
+
+    from streamsql_spark.cep import executor as cep_executor
+
+    # 60 keys x 40 rows, plus one skewed key with 5k rows
+    base = (spark.range(2400)
+            .select((F.col("id") % 60).cast("string").alias("k"),
+                    F.col("id").alias("event_id"),
+                    F.timestamp_seconds(1700000000 + F.col("id")).alias("ts"),
+                    (F.col("id") % 7).cast("double").alias("v")))
+    skew = (spark.range(5000)
+            .select(F.lit("hot").alias("k"),
+                    (F.col("id") + 10000).alias("event_id"),
+                    F.timestamp_seconds(1700100000 + F.col("id")).alias("ts"),
+                    (F.col("id") % 7).cast("double").alias("v")))
+    df = base.unionByName(skew)
+    sql = """
+        SELECT k, a_id, b_id FROM stream
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts, event_id
+            MEASURES A.event_id AS a_id, B.event_id AS b_id
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS v = 6, B AS v = 0
+        )
+    """
+
+    def run():
+        s = StreamSQL(spark)
+        s.execute(sql)
+        return sorted((r["k"], r["a_id"], r["b_id"])
+                      for r in s.query(df).collect())
+
+    full = run()
+    assert len(full) > 700  # matches exist in both base and skewed keys
+    monkeypatch.setattr(cep_executor, "_TASK_CHUNK_ROWS", 512)
+    assert run() == full
