@@ -180,7 +180,10 @@ class StreamSQL:
             for s in sinks:
                 s(rows)
 
-        return ex.start(self._plan, stream_df, sink=fanout, **kwargs)
+        # no registered callbacks → skip the driver-side collect entirely
+        # (relevant with sink_path=..., the distributed write path)
+        return ex.start(self._plan, stream_df,
+                        sink=(fanout if sinks else None), **kwargs)
 
     # ------------------------------------------------------- emit harness
     def _rows_df(self, rows: list[dict]) -> DataFrame:

@@ -183,16 +183,39 @@ class StreamingExecutor:
               sink: Callable[[list[dict]], None] | None = None,
               trigger: dict | None = None,
               checkpoint: str | None = None,
-              query_name: str = "streamsql"):
+              query_name: str = "streamsql",
+              sink_path: str | None = None,
+              sink_format: str = "parquet",
+              sink_row_limit: int = 100_000):
         """Wire build() into a writeStream with the reference's sink
         semantics: each emission batch is post-processed then delivered
-        to the sink callback as list[dict] (AddSink analog)."""
+        to the sink callback as list[dict] (AddSink analog).
+
+        Sink contract at scale: the in-process callback collects each
+        emission batch to the driver — it is for small/aggregated
+        outputs (alerts, window rollups, test harnesses), the same
+        in-process delivery the reference's AddSink does.  For
+        row-volume outputs pass ``sink_path``: each batch is written
+        DISTRIBUTED (``foreachBatch`` append to parquet/any format, no
+        driver collect), and the callback — if also given — receives at
+        most ``sink_row_limit`` rows per batch as a bounded preview of
+        what landed on disk."""
         out = self.build(plan, stream_df)
         post = self.post_batch_fn(plan)
 
         def handle(batch_df: DataFrame, _batch_id: int):
             done = post(batch_df)
-            if sink is not None:
+            if sink_path is not None:
+                # distributed write path — executors write, the driver
+                # never materializes the batch
+                (done.write.format(sink_format)
+                     .mode("append").save(sink_path))
+                if sink is not None:
+                    rows = [r.asDict(recursive=True)
+                            for r in done.limit(sink_row_limit).collect()]
+                    if rows:
+                        sink(rows)
+            elif sink is not None:
                 rows = [r.asDict(recursive=True) for r in done.collect()]
                 if rows:
                     sink(rows)

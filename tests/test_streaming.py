@@ -643,3 +643,43 @@ def test_allowed_lateness_reemits_window_with_stable_window_id(spark):
     assert win10 == [(4.0, 1)]
     # the beyond-lateness 100.0 row never re-surfaced anywhere
     assert not any(r["s"] >= 100 for r in got)
+
+
+def test_distributed_sink_path(spark, tmp_path):
+    """sink_path writes each emission batch distributed (foreachBatch
+    append, no driver collect); a callback alongside it receives a
+    bounded preview capped at sink_row_limit."""
+    sql = ("SELECT deviceId, temperature FROM stream WHERE temperature > 0")
+    batches = [
+        _rows(*[("d%d" % (i % 4), float(i + 1), 0.0, 1000 + i, "ok")
+                for i in range(20)]),
+        _rows(*[("d%d" % (i % 4), float(i + 101), 0.0, 2000 + i, "ok")
+                for i in range(10)]),
+    ]
+    from streamsql_spark.streaming.harness import StreamReplay
+    from streamsql_spark.streaming.executor import StreamingExecutor
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    replay = StreamReplay(spark, EVT)
+    try:
+        for b in batches:
+            replay.add_batch(b)
+        out_dir = str(tmp_path / "out")
+        preview: list[dict] = []
+        ex = StreamingExecutor(spark, {})
+        q = ex.start(s.plan, replay.stream(),
+                     sink=lambda rows: preview.extend(rows),
+                     sink_path=out_dir, sink_row_limit=5,
+                     checkpoint=replay.checkpoint)
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        # the full 30 rows landed on disk, written by executors
+        disk = spark.read.parquet(out_dir)
+        assert disk.count() == 30
+        assert sorted(disk.columns) == ["deviceId", "temperature"]
+        # the callback saw at most 5 rows per emission batch
+        assert 0 < len(preview) <= 10
+    finally:
+        replay.cleanup()
