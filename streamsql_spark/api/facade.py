@@ -50,6 +50,8 @@ class StreamSQL:
         self._history: list[dict] = []  # analytic state continuity for emit_sync
         self._results: list[list[dict]] = []
         self._stopped = False
+        self._metrics = {"input": 0, "input_dropped": 0, "output": 0}
+        self._queries: list = []  # StreamingQueries started by start_stream
 
     # ------------------------------------------------------------ compile
     def execute(self, sql: str) -> "StreamSQL":
@@ -177,13 +179,16 @@ class StreamSQL:
             sinks.append(sink)
 
         def fanout(rows: list[dict]) -> None:
+            self._metrics["output"] += len(rows)
             for s in sinks:
                 s(rows)
 
         # no registered callbacks → skip the driver-side collect entirely
         # (relevant with sink_path=..., the distributed write path)
-        return ex.start(self._plan, stream_df,
-                        sink=(fanout if sinks else None), **kwargs)
+        sq = ex.start(self._plan, stream_df,
+                      sink=(fanout if sinks else None), **kwargs)
+        self._queries.append(sq)
+        return sq
 
     # ------------------------------------------------------- emit harness
     def _rows_df(self, rows: list[dict]) -> DataFrame:
@@ -218,10 +223,13 @@ class StreamSQL:
         (streamsql.go:227-235)."""
         if self._stopped:
             return
+        self._metrics["input"] += 1
         if self._schema_violation(row) is not None:
+            self._metrics["input_dropped"] += 1
             return  # validate-and-drop
         if len(self._buffer) >= self.max_buffer_rows:
             self._buffer.pop(0)  # overflow strategy: drop oldest
+            self._metrics["input_dropped"] += 1
         self._buffer.append(row)
 
     def emit_sync(self, row: dict) -> dict | None:
@@ -234,8 +242,10 @@ class StreamSQL:
             raise RuntimeError("call execute(sql) first")
         if self._plan.mode != "direct":
             raise RuntimeError("EmitSync requires a direct (non-window) query")
+        self._metrics["input"] += 1
         viol = self._schema_violation(row)
         if viol is not None:
+            self._metrics["input_dropped"] += 1
             # sync path errors instead of dropping (streamsql.go:262-282)
             raise ValueError(f"schema validation failed: {viol}")
         needs_history = bool(self._plan.analytics)
@@ -282,6 +292,7 @@ class StreamSQL:
         streamsql.go:262-282 routes sync results through the handler)."""
         batch = [row]
         self._results.append(batch)
+        self._metrics["output"] += 1
         for sink in self._sinks:
             sink(batch)
         return row
@@ -308,6 +319,7 @@ class StreamSQL:
         df = self._rows_df(self._buffer)
         batch = [r.asDict(recursive=True) for r in self.query(df).collect()]
         self._results.append(batch)
+        self._metrics["output"] += len(batch)
         for sink in self._sinks:
             sink(batch)
         return batch
@@ -320,6 +332,73 @@ class StreamSQL:
         """Console sink (streamsql.go:446-457)."""
         if self._buffer:
             self.query(self._rows_df(self._buffer)).show(truncate=False)
+
+    def get_stats(self) -> dict[str, int]:
+        """Stream processing statistics (streamsql.go:345-351 GetStats,
+        stream/manager_metrics.go:31-53): emit-harness counters merged
+        with Structured Streaming progress (numInputRows per micro-batch
+        from every start_stream query).  Channel/pool gauges map to
+        their micro-batch analogs: the emit buffer and delivered result
+        batches; backpressure channels don't exist on Spark (the engine
+        paces sources via maxOffsetsPerTrigger), so retry/expand
+        counters are structurally 0."""
+        stream_in = 0
+        for q in self._queries:
+            for p in (q.recentProgress or []):
+                om = p.get("observedMetrics") or {}
+                for name, vals in om.items():
+                    if name.startswith("streamsql_source"):
+                        stream_in += int(vals["rows"])
+        m = self._metrics
+        return {
+            "input_count": m["input"] + stream_in,
+            "output_count": m["output"],
+            "input_dropped_count": m["input_dropped"],
+            "output_dropped_count": 0,
+            "dropped_count": m["input_dropped"],
+            "data_chan_len": len(self._buffer),
+            "data_chan_cap": self.max_buffer_rows,
+            "result_chan_len": len(self._results),
+            "result_chan_cap": self.max_buffer_rows,
+            "sink_pool_len": len(self._sinks),
+            "sink_pool_cap": max(len(self._sinks), 1),
+            "active_retries": 0,
+            "expanding": 0,
+        }
+
+    def get_detailed_stats(self) -> dict:
+        """Detailed performance statistics (streamsql.go:353-359,
+        stream/manager_metrics.go GetDetailedStats + metrics.go:48-61
+        AssessPerformanceLevel thresholds)."""
+        basic = self.get_stats()
+        inp = basic["input_count"]
+        usage = 100.0 * basic["data_chan_len"] / basic["data_chan_cap"]
+        drop_rate = 100.0 * basic["dropped_count"] / inp if inp else 0.0
+        rates = [p["processedRowsPerSecond"]
+                 for q in self._queries for p in (q.recentProgress or [])
+                 if p.get("processedRowsPerSecond")]
+        if drop_rate > 50:
+            level = "critical"
+        elif drop_rate > 20:
+            level = "warning"
+        elif usage > 90:
+            level = "high_load"
+        elif usage > 70:
+            level = "moderate_load"
+        else:
+            level = "optimal"
+        return {
+            "basic_stats": basic,
+            "data_chan_usage": round(usage, 2),
+            "result_chan_usage": round(
+                100.0 * basic["result_chan_len"] / basic["result_chan_cap"], 2),
+            "sink_pool_usage": round(
+                100.0 * basic["sink_pool_len"] / basic["sink_pool_cap"], 2),
+            "process_rate": round(sum(rates) / len(rates), 2) if rates
+            else float(basic["output_count"]),
+            "drop_rate": round(drop_rate, 2),
+            "performance_level": level,
+        }
 
     def register_function(self, name: str, fn, return_type="string") -> None:
         """Custom scalar UDF (functions/registry.go:239-288)."""

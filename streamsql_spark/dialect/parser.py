@@ -43,6 +43,41 @@ _SUGGESTIONS = {
     "GRUOP": "GROUP", "HAVNG": "HAVING", "ODER": "ORDER", "LIMTI": "LIMIT",
 }
 
+_KEYWORDS = ("SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER",
+             "LIMIT", "DISTINCT", "BETWEEN", "PARTITION")
+
+
+def _suggest_keyword(word: str, want: str | None = None) -> str | None:
+    """Typo suggestion for an unknown keyword (rsql/lexer.go:464-480):
+    the curated table first, then edit distance ≤ 2 — which covers all
+    the reference's enumerated misspellings (SELECCT/SELET/FRON/WEHRE/
+    GROPU/ODER/DSITINCT/...) without listing them."""
+    hit = _SUGGESTIONS.get(word)
+    if hit is not None:
+        return hit
+    pool = (want,) if want else _KEYWORDS
+    best = None
+    for kw in pool:
+        d = _edit_distance(word, kw)
+        if d <= 2 and (best is None or d < best[0]):
+            best = (d, kw)
+    return best[1] if best else None
+
+
+def _edit_distance(a: str, b: str, cap: int = 2) -> int:
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        if min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
 
 class Parser:
     def __init__(self, sql: str):
@@ -68,7 +103,7 @@ class Parser:
     def expect_kw(self, word: str) -> Token:
         t = self.next()
         if not (t.kind == IDENT and t.upper == word):
-            hint = _SUGGESTIONS.get(t.upper)
+            hint = _suggest_keyword(t.upper, want=word)
             extra = f" (did you mean {hint}?)" if hint == word else ""
             raise ParseError(f"expected {word}, got {t.text!r}{extra}")
         return t
@@ -94,13 +129,24 @@ class Parser:
         stmt = self.parse_select()
         t = self.peek()
         if t.kind != EOF:
-            raise ParseError(f"unexpected trailing input at {t.text!r}")
+            hint = _suggest_keyword(t.upper) if t.kind == IDENT else None
+            # a misspelled optional clause keyword (FROM/WHERE/...) shows
+            # up here as trailing input — suggest the fix
+            prev = self.toks[self.i - 1] if self.i else None
+            if hint is None and prev is not None and prev.kind == IDENT:
+                hint = _suggest_keyword(prev.upper)
+                if hint:
+                    raise ParseError(
+                        f"unexpected trailing input at {t.text!r} "
+                        f"(did you mean {hint} before it?)")
+            extra = f" (did you mean {hint}?)" if hint else ""
+            raise ParseError(f"unexpected trailing input at {t.text!r}{extra}")
         return stmt
 
     def parse_select(self) -> N.SelectStmt:
         t = self.next()
         if not t.is_kw("SELECT"):
-            hint = _SUGGESTIONS.get(t.upper)
+            hint = _suggest_keyword(t.upper, want="SELECT")
             extra = f" (did you mean {hint}?)" if hint else ""
             raise ParseError(f"expected SELECT, got {t.text!r}{extra}")
         stmt = N.SelectStmt()

@@ -133,6 +133,14 @@ class Planner:
 
         def check_nesting(e: N.Expr, in_analytic: bool, in_agg: bool) -> None:
             if isinstance(e, N.Func):
+                close = registry.unknown_function_suggestions(e.name)
+                if close:
+                    # near-miss of a registered function: fail fast with
+                    # the suggestion instead of a late Spark analysis
+                    # error (rsql/function_validator.go behavior)
+                    raise PlanError(
+                        f"unknown function {e.name!r} — did you mean "
+                        f"{' or '.join(repr(c) for c in close)}?")
                 is_an = registry.is_analytic(e.name)
                 is_ag = registry.is_aggregate(e.name)
                 if is_an and in_analytic:

@@ -524,6 +524,52 @@ def is_analytic(name: str) -> bool:
     return name.lower() in ANALYTIC_FUNCS or name.lower() in _CUSTOM_ANALYTICS
 
 
+def _edit_distance(a: str, b: str, cap: int = 3) -> int:
+    """Optimal-string-alignment distance (adjacent transposition counts
+    as ONE edit — 'latets'→'latest' is a classic function typo)."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    rows = [list(range(len(b) + 1))]
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            d = min(rows[-1][j] + 1, cur[-1] + 1,
+                    rows[-1][j - 1] + (ca != cb))
+            if i > 1 and j > 1 and ca == b[j - 2] and a[i - 2] == cb:
+                d = min(d, rows[-2][j - 2] + 1)
+            cur.append(d)
+        if min(cur) > cap:
+            return cap + 1
+        rows.append(cur)
+    return rows[-1][-1]
+
+
+def known_function_names() -> set[str]:
+    return (set(SCALAR_RENDERERS) | set(AGG_RENDERERS) | ANALYTIC_FUNCS
+            | MULTIROW_FUNCS | WINDOW_CONTEXT_FUNCS
+            | set(_CUSTOM_ANALYTICS) | set(_CUSTOM_SCALARS))
+
+
+def unknown_function_suggestions(name: str) -> list[str] | None:
+    """Parse/plan-time function-name validation with typo suggestions —
+    the reference's function validator (rsql/function_validator.go,
+    asserted by rsql/error_test.go).  Returns None when the name
+    resolves (dialect registry, runtime-registered custom, or a
+    PySpark builtin — unknown names pass through to Spark by design,
+    SURVEY §2.8), else the close dialect names (possibly empty — an
+    empty list means "unknown but no near-miss", which passes through
+    so Spark's own analysis error surfaces)."""
+    lname = name.lower()
+    if lname in known_function_names():
+        return None
+    from pyspark.sql import functions as _sparkfns
+    if hasattr(_sparkfns, lname):
+        return None  # Spark builtin — legit pass-through
+    close = sorted(k for k in known_function_names()
+                   if _edit_distance(lname, k, 1) <= 1)
+    return close
+
+
 def render_scalar(name: str, args: list[str], ast: list[N.Expr]) -> str:
     r = SCALAR_RENDERERS.get(name.lower())
     if r is not None:

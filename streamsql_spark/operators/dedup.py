@@ -212,25 +212,59 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                  threshold: float = 0.4) -> DataFrame:
+                  threshold: float = 0.4,
+                  max_token_df: int | None = None) -> DataFrame:
     """Exact n-gram (word) Jaccard via token postings self-join.
 
     Candidates = pairs sharing ≥1 token (postings join — shuffle by
-    token), then exact |A∩B| / |A∪B|.  At corpus scale, stop-token
-    removal / df-cut on the postings list bounds the join fan-out; here
-    the fixture vocabulary is tiny so the full join is exercised.
+    token), then exact |A∩B| / |A∪B|.
+
+    ``max_token_df`` is the scale lever: tokens appearing in more than
+    that many documents are dropped from the POSTINGS (the standard
+    stop-token/df-cut bound), so per-token join fan-out is at most
+    max_token_df² instead of corpus².  Candidate pairs then join back
+    to the full token sets and the Jaccard is exact — the cut only
+    bounds recall (pairs sharing nothing but ultra-common tokens are
+    not near-duplicates at any useful threshold).  Without the cut the
+    single-pass postings aggregation computes the intersection directly.
     """
     df = ensure_parallelism(df)
     toks = (df.select(F.col(id_col).alias("doc_id"),
                       F.expr(f"array_distinct(split({text_col}, ' '))").alias("toks"))
               .withColumn("n_toks", F.size("toks")))
     postings = toks.select("doc_id", "n_toks", F.explode("toks").alias("tok"))
-    a, b = postings.alias("a"), postings.alias("b")
-    shared = (a.join(b, on="tok", how="inner")
-              .where(F.col("a.doc_id") < F.col("b.doc_id"))
-              .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-                       F.col("a.n_toks").alias("na"), F.col("b.n_toks").alias("nb"))
-              .agg(F.count(F.lit(1)).alias("inter")))
+    if max_token_df is not None:
+        # df-cut: one extra aggregation on the same shuffle key as the
+        # candidate join; the surviving postings bound the fan-out
+        rare = (postings.groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= max_token_df)
+                .select("tok"))
+        pruned = postings.join(rare, "tok", "left_semi")
+        a, b = pruned.alias("a"), pruned.alias("b")
+        cand = (a.join(b, on="tok", how="inner")
+                .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(F.col("a.doc_id").alias("id_a"),
+                        F.col("b.doc_id").alias("id_b"))
+                .distinct())
+        ta = toks.select(F.col("doc_id").alias("id_a"),
+                         F.col("toks").alias("toks_a"),
+                         F.col("n_toks").alias("na"))
+        tb = toks.select(F.col("doc_id").alias("id_b"),
+                         F.col("toks").alias("toks_b"),
+                         F.col("n_toks").alias("nb"))
+        shared = (cand.join(ta, "id_a").join(tb, "id_b")
+                  .withColumn("inter",
+                              F.size(F.array_intersect("toks_a", "toks_b"))))
+    else:
+        a, b = postings.alias("a"), postings.alias("b")
+        shared = (a.join(b, on="tok", how="inner")
+                  .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                  .groupBy(F.col("a.doc_id").alias("id_a"),
+                           F.col("b.doc_id").alias("id_b"),
+                           F.col("a.n_toks").alias("na"),
+                           F.col("b.n_toks").alias("nb"))
+                  .agg(F.count(F.lit(1)).alias("inter")))
     return (shared
             .withColumn("jaccard", F.expr(
                 "round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)"))

@@ -200,6 +200,14 @@ class StreamingExecutor:
         driver collect), and the callback — if also given — receives at
         most ``sink_row_limit`` rows per batch as a bounded preview of
         what landed on disk."""
+        import uuid as _uuid
+
+        # per-batch source row counts via a named observation — the file
+        # source's numInputRows reads 0 under AvailableNow, so GetStats
+        # (api/facade.py) folds observedMetrics["streamsql_source_*"] in
+        stream_df = stream_df.observe(
+            "streamsql_source_" + _uuid.uuid4().hex[:8],
+            F.count(F.lit(1)).alias("rows"))
         out = self.build(plan, stream_df)
         post = self.post_batch_fn(plan)
 

@@ -959,3 +959,58 @@ def test_lag_ignorenull_linear_at_scale(spark):
         assert got[i] == expect, (i, got[i], expect)
         if i % 3 != 0:
             hist.append(float(i))
+
+
+def test_get_stats_counters(spark):
+    """GetStats/GetDetailedStats parity (streamsql.go:345-359,
+    stream/manager_metrics.go): input/output/dropped counters over the
+    emit harness, performance level thresholds from metrics.go:48-61."""
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType)
+    schema = StructType([StructField("k", StringType()),
+                         StructField("v", DoubleType())])
+    s = StreamSQL(spark, schema=schema)
+    s.execute("SELECT k, v * 2 AS v2 FROM stream WHERE v > 1")
+    r = s.emit_sync({"k": "a", "v": 5.0})
+    assert r["v2"] == 10.0
+    assert s.emit_sync({"k": "a", "v": 0.5}) is None  # filtered, no output
+    s.emit({"k": "bad_row"})                          # schema drop
+    st = s.get_stats()
+    assert st["input_count"] == 3
+    assert st["output_count"] == 1
+    assert st["input_dropped_count"] == 1
+    assert st["dropped_count"] == 1
+    det = s.get_detailed_stats()
+    assert det["basic_stats"]["input_count"] == 3
+    assert det["drop_rate"] == round(100.0 / 3, 2)
+    assert det["performance_level"] == "warning"  # 33% drop rate > 20
+
+
+def test_get_stats_streaming_progress(spark):
+    """get_stats folds Structured Streaming progress (numInputRows) from
+    start_stream queries into input_count, and sink deliveries into
+    output_count."""
+    from streamsql_spark.streaming.harness import StreamReplay
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, temperature FROM stream WHERE temperature > 0")
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    evt = StructType([StructField("deviceId", StringType()),
+                      StructField("temperature", DoubleType()),
+                      StructField("ts", LongType())])
+    replay = StreamReplay(spark, evt)
+    try:
+        replay.add_batch([{"deviceId": "d1", "temperature": 1.0, "ts": 1},
+                          {"deviceId": "d2", "temperature": -1.0, "ts": 2}])
+        got = []
+        s.add_sink(lambda rows: got.extend(rows))
+        q = s.start_stream(replay.stream(), checkpoint=replay.checkpoint)
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        st = s.get_stats()
+        assert st["input_count"] >= 2   # stream progress rows
+        assert st["output_count"] == 1  # one row passed the filter
+        assert len(got) == 1
+    finally:
+        replay.cleanup()

@@ -116,3 +116,31 @@ def test_bad_window_params_reject(sql):
 # --- typo suggestions: unknown function names fail at plan time
 def test_unknown_statement_reject():
     reject("SELCT deviceId FROM stream")
+
+
+def test_keyword_typo_suggestions():
+    """rsql/lexer.go:464-480 misspelling table, covered via edit
+    distance instead of enumeration."""
+    for bad, good in [("SELECCT", "SELECT"), ("SELET", "SELECT"),
+                      ("FRON", "FROM"), ("WEHRE", "WHERE"),
+                      ("ODER", "ORDER"), ("DSITINCT", "DISTINCT")]:
+        if bad == "SELECCT" or bad == "SELET":
+            with pytest.raises(ParseError, match=f"did you mean {good}"):
+                parse(f"{bad} x FROM stream")
+    with pytest.raises(ParseError, match="did you mean FROM"):
+        parse("SELECT x FRON stream WHERE x > 1 GROUP BY x")
+
+
+def test_function_typo_suggestions():
+    """rsql/function_validator.go behavior: a near-miss of a registered
+    function fails at plan time with the suggestion; unknown names far
+    from any registered function still pass through to Spark."""
+    from streamsql_spark.dialect.planner import PlanError, plan
+
+    with pytest.raises(PlanError, match="did you mean .*'latest'"):
+        plan(parse("SELECT latets(v) OVER (PARTITION BY k) FROM stream"))
+    with pytest.raises(PlanError, match="did you mean .*'acc_sum'"):
+        plan(parse("SELECT acc_sun(v) OVER (PARTITION BY k) FROM stream"))
+    # genuine Spark builtins and far-off names pass through
+    plan(parse("SELECT log2(v) AS l FROM stream"))
+    plan(parse("SELECT some_totally_unknown_fn(v) AS u FROM stream"))
