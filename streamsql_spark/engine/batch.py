@@ -321,48 +321,55 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
     raise ExecError(f"unsupported analytic function: {name}")
 
 
-def _apply_custom_analytic(df: DataFrame, spec: AnalyticSpec,
-                           order_names: list[str], factory, dtype) -> DataFrame:
-    """Custom stateful analytic (register_analytic_function) in batch:
-    one state object per OVER(PARTITION BY ...) key, ``apply`` called
-    per row in event-time order inside an ``applyInPandas`` pass —
-    the Spark realization of the reference's per-partition
-    ``AnalyticState`` machine (functions/analytic_state.go:11-37).
-    Argument expressions and the WHEN gate are pre-evaluated JVM-side;
-    only the state-machine steps run in Python (Arrow-batched)."""
+def _apply_custom_analytics(df: DataFrame, group: list,
+                            order_names: list[str]) -> DataFrame:
+    """Custom stateful analytics (register_analytic_function) in batch:
+    one state object per spec per OVER(PARTITION BY ...) key, ``apply``
+    called per row in event-time order — the Spark realization of the
+    reference's per-partition ``AnalyticState`` machine
+    (functions/analytic_state.go:11-37).  All specs sharing a PARTITION
+    BY evaluate in ONE ``applyInPandas`` pass (one shuffle, one Python
+    walk); argument expressions and WHEN gates are pre-evaluated
+    JVM-side, so only the state-machine steps run in Python
+    (Arrow-batched)."""
     import math
 
     from pyspark.sql.types import StructField, StructType
 
     from ..dialect.render import render as _render
 
+    partition_by = group[0][0].partition_by
     key_cols: list[str] = []
-    for i, psql in enumerate(spec.partition_by):
+    for i, psql in enumerate(partition_by):
         nm = psql if psql in df.columns else f"__cak_{i}__"
         if nm not in df.columns:
             df = df.withColumn(nm, F.expr(psql))
         key_cols.append(nm)
-    when_col = None
-    if spec.when_sql:
-        when_col = f"__caw_{spec.placeholder.strip('_')}__"
-        df = df.withColumn(when_col, F.expr(spec.when_sql))
-    arg_cols: list[str | None] = []
-    lits: list[object] = []
-    for j, a in enumerate(spec.func.args):
-        if isinstance(a, N.Lit):
-            arg_cols.append(None)
-            lits.append(a.value)
-        else:
-            c = f"__caa_{spec.placeholder.strip('_')}_{j}__"
-            df = df.withColumn(c, F.expr(_render(a)))
-            arg_cols.append(c)
-            lits.append(None)
 
-    hidden = [c for c in ([when_col] + arg_cols + key_cols)
-              if c and c.startswith("__ca")]
-    out_schema = StructType(list(df.schema.fields)
-                            + [StructField(spec.placeholder, dtype)])
-    ph = spec.placeholder
+    tasks = []  # (placeholder, factory, when_col|None, arg_cols, lits)
+    fields = []
+    for spec, (factory, dtype) in group:
+        tag = spec.placeholder.strip("_")
+        when_col = None
+        if spec.when_sql:
+            when_col = f"__caw_{tag}__"
+            df = df.withColumn(when_col, F.expr(spec.when_sql))
+        arg_cols: list[str | None] = []
+        lits: list[object] = []
+        for j, a in enumerate(spec.func.args):
+            if isinstance(a, N.Lit):
+                arg_cols.append(None)
+                lits.append(a.value)
+            else:
+                c = f"__caa_{tag}_{j}__"
+                df = df.withColumn(c, F.expr(_render(a)))
+                arg_cols.append(c)
+                lits.append(None)
+        tasks.append((spec.placeholder, factory, when_col, arg_cols, lits))
+        fields.append(StructField(spec.placeholder, dtype))
+
+    hidden = [c for c in df.columns if c.startswith("__ca")]
+    out_schema = StructType(list(df.schema.fields) + fields)
     order = [n for n in order_names if n]
 
     def _clean(v):
@@ -373,19 +380,22 @@ def _apply_custom_analytic(df: DataFrame, spec: AnalyticSpec,
     def fn(pdf):
         if order:
             pdf = pdf.sort_values(order, kind="mergesort")
-        vals = {c: pdf[c].tolist() for c in set(filter(None, arg_cols))
-                | ({when_col} if when_col else set())}
-        st = factory()
-        last = None
-        out = []
-        for i in range(len(pdf)):
-            gate = bool(_clean(vals[when_col][i])) if when_col else True
-            if gate:
-                argv = [_clean(vals[c][i]) if c else lits[j]
-                        for j, c in enumerate(arg_cols)]
-                last = st.apply(argv)
-            out.append(last)
-        pdf[ph] = out
+        need = {c for _, _, w, acs, _ in tasks
+                for c in ([w] if w else []) + [a for a in acs if a]}
+        vals = {c: pdf[c].tolist() for c in need}
+        n = len(pdf)
+        for ph, factory, when_col, arg_cols, lits in tasks:
+            st = factory()
+            last = None
+            out = []
+            for i in range(n):
+                gate = bool(_clean(vals[when_col][i])) if when_col else True
+                if gate:
+                    argv = [_clean(vals[c][i]) if c else lits[j]
+                            for j, c in enumerate(arg_cols)]
+                    last = st.apply(argv)
+                out.append(last)
+            pdf[ph] = out
         return pdf[[f.name for f in out_schema.fields]]
 
     grouped = df.groupBy(*[F.col(c) for c in key_cols]) if key_cols \
@@ -465,13 +475,25 @@ class BatchExecutor:
                 break
         from ..functions import registry as _registry
 
+        # custom stateful analytics run in ONE ordered applyInPandas pass
+        # per distinct PARTITION BY (a pass per spec would shuffle and
+        # loop the partition once per call)
+        customs: dict[tuple, list] = {}
+        for spec in plan.analytics:
+            if spec.window_output:
+                continue
+            custom = _registry.custom_analytic(spec.func.name)
+            if custom is not None:
+                customs.setdefault(tuple(spec.partition_by), []).append(
+                    (spec, custom))
+        for group in customs.values():
+            df = _apply_custom_analytics(df, group, order_names)
+
         for spec in plan.analytics:
             if spec.window_output:
                 continue  # evaluated over window-emission rows instead
-            custom = _registry.custom_analytic(spec.func.name)
-            if custom is not None:
-                df = _apply_custom_analytic(df, spec, order_names, *custom)
-                continue
+            if _registry.custom_analytic(spec.func.name) is not None:
+                continue  # evaluated above
             # star expansion sees data columns only — the event-time
             # column is ordering metadata, not part of the row map
             # (types.Row.Timestamp lives outside Data in the reference)
