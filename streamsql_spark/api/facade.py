@@ -248,40 +248,102 @@ class StreamSQL:
             self._metrics["input_dropped"] += 1
             # sync path errors instead of dropping (streamsql.go:262-282)
             raise ValueError(f"schema validation failed: {viol}")
-        needs_history = bool(self._plan.analytics)
-        if needs_history:
-            self._history.append(row)
-            if len(self._history) > self.max_buffer_rows:
-                self._history.pop(0)
-            from dataclasses import replace
-
-            from pyspark.sql import functions as F
-
-            from ..plans.plan import OutputField
-
-            # window-function evaluation does not preserve input order
-            # (each OVER spec re-sorts) — thread an arrival index
-            # through the projection so the replay's "last emitted row"
-            # is really the current event's output
-            df = self._rows_df(self._history).withColumn(
-                "__arrival__", F.monotonically_increasing_id())
-            plan2 = replace(self._plan, outputs=self._plan.outputs
-                            + [OutputField(name="__arrival__",
-                                           sql="__arrival__")])
-            rows = BatchExecutor(self.spark, dict(self._tables)) \
-                .execute(plan2, df).collect()
-            rows.sort(key=lambda r: r["__arrival__"])
-            # replay emits one output per surviving input, in order: the
-            # current row survived iff the output count grew
-            prev = getattr(self, "_last_survived", 0)
-            self._last_survived = len(rows)
-            if len(rows) == prev:
-                return None
-            out = rows[-1].asDict(recursive=True)
-            out.pop("__arrival__", None)
-            return self._deliver_sync(out)
+        if self._plan.analytics:
+            return self._emit_sync_analytic(row)
         df = self._rows_df([row])
         out = self.query(df).collect()
+        if not out:
+            return None
+        return self._deliver_sync(out[0].asDict(recursive=True))
+
+    def _emit_sync_analytic(self, row: dict) -> dict | None:
+        """Per-event analytic evaluation in O(1) state (the reference's
+        streamTransform direct path, stream/analytic.go:125-234): the
+        SAME state-machine step function as the streaming kernel runs
+        locally, keyed by the OVER(PARTITION BY ...) values; Spark
+        evaluates only the single-row expressions.  (Replaces a full
+        history replay per event — O(n²) over the stream.)"""
+        from dataclasses import replace
+
+        from pyspark.sql import functions as F
+
+        from ..streaming.stateful import analytic_step
+
+        ex = BatchExecutor(self.spark, dict(self._tables))
+        df = ex._apply_joins(self._rows_df([row]), self._plan)
+
+        if not hasattr(self, "_an_prep"):
+            from ..dialect import nodes as N
+            from ..dialect.render import render
+            from ..functions.registry import custom_analytic
+
+            prep = []
+            exprs: dict[str, str] = {}  # alias -> sql
+
+            def want(sql: str) -> str:
+                alias = f"__ev_{len(exprs)}__"
+                exprs[alias] = sql
+                return alias
+
+            for spec in self._plan.analytics:
+                f = spec.func
+                info = {"name": f.name.lower(), "ph": spec.placeholder,
+                        "args": [], "lits": [],
+                        "custom": custom_analytic(f.name),
+                        "when": want(spec.when_sql) if spec.when_sql else None,
+                        "parts": [want(p) for p in spec.partition_by]}
+                for a in f.args:
+                    if isinstance(a, N.Star) or \
+                            (isinstance(a, N.Lit) and a.value == "*"):
+                        for c in df.columns:
+                            if not c.startswith("__") and c not in (
+                                    "ts", "event_time", "timestamp"):
+                                info["args"].append(want(c))
+                                info["lits"].append(None)
+                    elif isinstance(a, N.Lit):
+                        info["args"].append(None)
+                        info["lits"].append(a.value)
+                    else:
+                        info["args"].append(want(render(a)))
+                        info["lits"].append(None)
+                # output type for the placeholder literal
+                nm = info["name"]
+                if nm == "had_changed":
+                    dt = "boolean"
+                elif nm == "acc_count":
+                    dt = "bigint"
+                elif nm in ("acc_sum", "acc_avg"):
+                    dt = "double"
+                elif info["custom"] is not None:
+                    dt = info["custom"][1]
+                else:
+                    first = next((c for c in info["args"] if c), None)
+                    dt = (df.select(F.expr(exprs[first]).alias("x"))
+                          .schema[0].dataType.simpleString()
+                          if first else "double")
+                info["dtype"] = dt
+                prep.append(info)
+            self._an_prep = prep
+            self._an_exprs = exprs
+            self._an_states: dict = {}
+
+        sel = [F.expr(sql).alias(alias)
+               for alias, sql in self._an_exprs.items()]
+        vals = df.select("*", *sel).collect()[0].asDict()
+
+        for p in self._an_prep:
+            key = tuple(vals[a] for a in p["parts"])
+            st = self._an_states.setdefault((p["ph"], key), {})
+            gate = bool(vals[p["when"]]) if p["when"] is not None else True
+            argv = [vals[a] if a else p["lits"][j]
+                    for j, a in enumerate(p["args"])]
+            v = analytic_step(p, st, argv, gate)
+            df = df.withColumn(
+                p["ph"],
+                F.lit(v) if v is not None else F.lit(None).cast(p["dtype"]))
+
+        plan2 = replace(self._plan, joins=[])
+        out = ex.execute(plan2, df).collect()
         if not out:
             return None
         return self._deliver_sync(out[0].asDict(recursive=True))

@@ -463,6 +463,11 @@ class BatchExecutor:
     def _apply_analytics(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
         if not any(not a.window_output for a in plan.analytics):
             return df
+        if all(a.placeholder in df.columns for a in plan.analytics
+               if not a.window_output):
+            # placeholders pre-computed upstream (the emit_sync O(1)
+            # path evaluates the state machines outside Spark)
+            return df
         if _TS not in df.columns:
             raise ExecError("analytic functions need an event-time column "
                             "(WITH (TIMESTAMP='...') or a 'ts' column)")

@@ -608,6 +608,124 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
 _LAG_CAP = 64  # ring buffer bound per lag() call
 
 
+def analytic_step(p, s, argv, gate):
+    nm = p["name"]
+    if nm == "lag":
+        # WHEN-gated rows don't update state; every row reads the
+        # last gated values (stream/analytic.go WHEN semantics).
+        # 4th arg ignoreNull defaults TRUE: nil never enters the
+        # history (functions_analytical.go lagState)
+        n = int(argv[1]) if len(argv) > 1 and argv[1] is not None else 1
+        default = argv[2] if len(argv) > 2 else None
+        ignore_null = bool(argv[3]) if len(argv) > 3 \
+            and argv[3] is not None else True
+        buf = s.setdefault("buf", [])
+        out = buf[-n] if len(buf) >= n else default
+        if gate and not (ignore_null and argv[0] is None):
+            buf.append(argv[0])
+            del buf[:-_LAG_CAP]
+        return out  # default covers missing history only (lagState)
+    if nm == "latest":
+        default = argv[1] if len(argv) > 1 else None
+        if gate and argv[0] is not None:
+            s["v"] = argv[0]
+        return s.get("v", default)
+    if nm == "had_changed":
+        # hadChangedState (functions_analytical.go:170-207):
+        # first row always true; ignoreNull+nil neither triggers
+        # nor overwrites the per-column baseline
+        ignore_null = bool(argv[0]) if argv else False
+        values = list(argv[1:]) if len(argv) > 1 else list(argv[:1])
+        prev = s.get("prev")
+        if prev is None:
+            s["prev"] = values
+            return True
+        changed = False
+        new_prev = list(prev) + [None] * max(0, len(values) - len(prev))
+        for i, v in enumerate(values):
+            if ignore_null and v is None:
+                continue
+            new_prev[i] = v
+            if i >= len(prev) or prev[i] != v:
+                changed = True
+        s["prev"] = new_prev
+        return changed
+    if nm == "changed_col":
+        # changedColState (functions/analytic_acc.go:125-154):
+        # new value on change (first row counts), None otherwise;
+        # ignoreNull skips nulls without touching state
+        ignore_null = bool(argv[0]) if argv else False
+        val = argv[1] if len(argv) > 1 else None
+        if ignore_null and val is None:
+            return None
+        had = s.get("has", False)
+        prev = s.get("prev")
+        s["prev"] = val
+        s["has"] = True
+        return val if (not had or prev != val) else None
+    if nm == "__changed_value__":
+        # ignoreNull+nil: no emit, baseline kept (analytic_acc.go:168-185)
+        if len(argv) > 1 and bool(argv[1]) and argv[0] is None:
+            return None
+        prev = s.get("prev", ...)
+        s["prev"] = argv[0]
+        return argv[0] if (prev is ... or prev != argv[0]) else None
+    if nm.startswith("acc_"):
+        # acc_x(expr[, startCond, resetCond]) — conditions are
+        # pre-evaluated into argv[1]/argv[2]; a literal start arg is
+        # ignored, matching the batch path (analytic_acc.go:8-122).
+        # A WHEN-gated-out row touches no state at all (not even
+        # reset); a reset row zeroes state WITHOUT accumulating its
+        # own value and clears the start latch (accState.Apply).
+        if gate and len(argv) > 2 and argv[2]:
+            s.pop("acc", None)
+            s.pop("started", None)
+        elif gate:
+            has_start = len(p["args"]) > 1 and p["args"][1] is not None
+            if has_start:
+                if not s.get("started") and argv[1]:
+                    s["started"] = True
+                started = s.get("started", False)
+            else:
+                started = True
+            v = argv[0]
+            if started and v is not None:
+                acc = s.get("acc")
+                if nm == "acc_sum":
+                    s["acc"] = (acc or 0) + v
+                elif nm == "acc_count":
+                    s["acc"] = (acc or 0) + 1
+                elif nm == "acc_min":
+                    s["acc"] = v if acc is None else min(acc, v)
+                elif nm == "acc_max":
+                    s["acc"] = v if acc is None else max(acc, v)
+                elif nm == "acc_avg":
+                    tot, cnt = acc or (0.0, 0)
+                    s["acc"] = (tot + v, cnt + 1)
+        acc = s.get("acc")
+        if nm == "acc_avg":
+            if acc is None:
+                return None
+            tot, cnt = acc
+            return tot / cnt if cnt else None
+        return acc
+
+    custom = p.get("custom")
+    if custom is not None:
+        # custom AnalyticState surface (functions/analytic_state.go):
+        # the state OBJECT itself lives in the pickled per-key state,
+        # so it survives micro-batch boundaries; WHEN-gated-out rows
+        # don't touch it and re-emit the last value
+        obj = s.get("obj")
+        if obj is None:
+            obj = s["obj"] = custom[0]()
+        if gate:
+            s["last"] = obj.apply(argv)
+        return s.get("last")
+
+    raise ValueError(f"unsupported streaming analytic: {nm}")
+
+
 def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     """Streaming analytic state machine: appends one placeholder column
     per analytic call; state persists across micro-batches per partition
@@ -703,131 +821,15 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                         gate = bool(_clean(vals[p["when"]][i]))
                     argv = [_clean(vals[c][i]) if c else p["lits"][j]
                             for j, c in enumerate(p["args"])]
-                    outs[ph].append(_step(p, s, argv, gate))
+                    outs[ph].append(analytic_step(p, s, argv, gate))
         _save_state(state, st, ttl_ms)
         if len(pdf):
             for ph, col in outs.items():
                 pdf[ph] = col
             yield pdf[[f.name for f in out_schema.fields]]
 
-    def _step(p, s, argv, gate):
-        nm = p["name"]
-        if nm == "lag":
-            # WHEN-gated rows don't update state; every row reads the
-            # last gated values (stream/analytic.go WHEN semantics).
-            # 4th arg ignoreNull defaults TRUE: nil never enters the
-            # history (functions_analytical.go lagState)
-            n = int(argv[1]) if len(argv) > 1 and argv[1] is not None else 1
-            default = argv[2] if len(argv) > 2 else None
-            ignore_null = bool(argv[3]) if len(argv) > 3 \
-                and argv[3] is not None else True
-            buf = s.setdefault("buf", [])
-            out = buf[-n] if len(buf) >= n else default
-            if gate and not (ignore_null and argv[0] is None):
-                buf.append(argv[0])
-                del buf[:-_LAG_CAP]
-            return out  # default covers missing history only (lagState)
-        if nm == "latest":
-            default = argv[1] if len(argv) > 1 else None
-            if gate and argv[0] is not None:
-                s["v"] = argv[0]
-            return s.get("v", default)
-        if nm == "had_changed":
-            # hadChangedState (functions_analytical.go:170-207):
-            # first row always true; ignoreNull+nil neither triggers
-            # nor overwrites the per-column baseline
-            ignore_null = bool(argv[0]) if argv else False
-            values = list(argv[1:]) if len(argv) > 1 else list(argv[:1])
-            prev = s.get("prev")
-            if prev is None:
-                s["prev"] = values
-                return True
-            changed = False
-            new_prev = list(prev) + [None] * max(0, len(values) - len(prev))
-            for i, v in enumerate(values):
-                if ignore_null and v is None:
-                    continue
-                new_prev[i] = v
-                if i >= len(prev) or prev[i] != v:
-                    changed = True
-            s["prev"] = new_prev
-            return changed
-        if nm == "changed_col":
-            # changedColState (functions/analytic_acc.go:125-154):
-            # new value on change (first row counts), None otherwise;
-            # ignoreNull skips nulls without touching state
-            ignore_null = bool(argv[0]) if argv else False
-            val = argv[1] if len(argv) > 1 else None
-            if ignore_null and val is None:
-                return None
-            had = s.get("has", False)
-            prev = s.get("prev")
-            s["prev"] = val
-            s["has"] = True
-            return val if (not had or prev != val) else None
-        if nm == "__changed_value__":
-            # ignoreNull+nil: no emit, baseline kept (analytic_acc.go:168-185)
-            if len(argv) > 1 and bool(argv[1]) and argv[0] is None:
-                return None
-            prev = s.get("prev", ...)
-            s["prev"] = argv[0]
-            return argv[0] if (prev is ... or prev != argv[0]) else None
-        if nm.startswith("acc_"):
-            # acc_x(expr[, startCond, resetCond]) — conditions are
-            # pre-evaluated into argv[1]/argv[2]; a literal start arg is
-            # ignored, matching the batch path (analytic_acc.go:8-122).
-            # A WHEN-gated-out row touches no state at all (not even
-            # reset); a reset row zeroes state WITHOUT accumulating its
-            # own value and clears the start latch (accState.Apply).
-            if gate and len(argv) > 2 and argv[2]:
-                s.pop("acc", None)
-                s.pop("started", None)
-            elif gate:
-                has_start = len(p["args"]) > 1 and p["args"][1] is not None
-                if has_start:
-                    if not s.get("started") and argv[1]:
-                        s["started"] = True
-                    started = s.get("started", False)
-                else:
-                    started = True
-                v = argv[0]
-                if started and v is not None:
-                    acc = s.get("acc")
-                    if nm == "acc_sum":
-                        s["acc"] = (acc or 0) + v
-                    elif nm == "acc_count":
-                        s["acc"] = (acc or 0) + 1
-                    elif nm == "acc_min":
-                        s["acc"] = v if acc is None else min(acc, v)
-                    elif nm == "acc_max":
-                        s["acc"] = v if acc is None else max(acc, v)
-                    elif nm == "acc_avg":
-                        tot, cnt = acc or (0.0, 0)
-                        s["acc"] = (tot + v, cnt + 1)
-            acc = s.get("acc")
-            if nm == "acc_avg":
-                if acc is None:
-                    return None
-                tot, cnt = acc
-                return tot / cnt if cnt else None
-            return acc
 
-        custom = p.get("custom")
-        if custom is not None:
-            # custom AnalyticState surface (functions/analytic_state.go):
-            # the state OBJECT itself lives in the pickled per-key state,
-            # so it survives micro-batch boundaries; WHEN-gated-out rows
-            # don't touch it and re-emit the last value
-            obj = s.get("obj")
-            if obj is None:
-                obj = s["obj"] = custom[0]()
-            if gate:
-                s["last"] = obj.apply(argv)
-            return s.get("last")
-
-        raise ValueError(f"unsupported streaming analytic: {nm}")
-
-    kernel._step = _step  # noqa — exposed for unit tests
+    kernel._step = analytic_step  # noqa — exposed for unit tests
 
     # keyless → a synthetic constant key; the output schema need not
     # (and does not) include grouping columns

@@ -1014,3 +1014,19 @@ def test_get_stats_streaming_progress(spark):
         assert len(got) == 1
     finally:
         replay.cleanup()
+
+
+def test_emit_sync_analytic_o1_state(spark):
+    """EmitSync analytics run on O(1) per-key state (the streaming
+    kernel's step function), not a history replay: lag sequences stay
+    exact across keys and no history buffer accumulates."""
+    s = StreamSQL(spark)
+    s.execute("SELECT k, v, lag(v) OVER (PARTITION BY k) AS prev, "
+              "round(acc_sum(v) OVER (PARTITION BY k), 2) AS run "
+              "FROM stream")
+    seq = [("a", 1.0), ("b", 10.0), ("a", 2.0), ("b", 20.0), ("a", 3.0)]
+    got = [s.emit_sync({"k": k, "v": v, "ts": 1000 + i})
+           for i, (k, v) in enumerate(seq)]
+    assert [(r["prev"], r["run"]) for r in got] == [
+        (None, 1.0), (None, 10.0), (1.0, 3.0), (10.0, 30.0), (2.0, 6.0)]
+    assert s._history == []  # no replay buffer
