@@ -88,3 +88,36 @@ def test_counting_window_single_exchange(catalog_plan):
                       and "Reused" not in l)
     assert n_exchanges <= 2, p
     assert "SortAggregate" not in p
+
+
+def test_lag_ignorenull_has_no_running_collect(catalog_plan):
+    # lag(v, 2) with default-on ignoreNull must compile to the
+    # count-keyed range-window construction, never a running
+    # collect_list (O(rows²) per partition at scale)
+    p = catalog_plan("analytic_lag")
+    assert "collect_list" not in p
+
+
+def test_first_last_are_order_keyed(catalog_plan):
+    # dialect first_value/last_value render to min_by/max_by over the
+    # arrival-order column — deterministic after the groupBy shuffle
+    p = catalog_plan("agg_first_last")
+    assert "min_by" in p and "max_by" in p
+    assert "first(" not in p and "last(" not in p
+
+
+def test_custom_analytics_single_python_pass(catalog_plan):
+    # both registered state machines must share ONE shuffle and ONE
+    # FlatMapGroupsInPandas (a pass per spec doubles both)
+    p = catalog_plan("analytic_custom_udf")
+    n = sum(1 for l in p.splitlines()
+            if "FlatMapGroupsInPandas" in l and l.strip().startswith("("))
+    assert n == 1, p
+
+
+def test_jaccard_dfcut_bounds_candidate_join(catalog_plan):
+    # the df-cut path: candidate generation joins PRUNED postings (left
+    # semi against rare tokens), and the exact re-verify joins the full
+    # token sets back — no unbounded full-postings self-join
+    p = catalog_plan("dedup_ngram_jaccard")
+    assert "LeftSemi" in p
