@@ -683,3 +683,34 @@ def test_distributed_sink_path(spark, tmp_path):
         assert 0 < len(preview) <= 10
     finally:
         replay.cleanup()
+
+
+def test_allowed_lateness_sliding_slots(spark):
+    """Lateness kernel over SLIDING windows: each row fans out to its
+    size/slide slots JVM-side; a late row re-fires only the fired slots
+    it lands in, with their stable window_ids."""
+    sql = ("SELECT deviceId, sum(temperature) AS s, count(*) AS n FROM stream "
+           "GROUP BY deviceId, SlidingWindow('10s', '5s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms', "
+           "MAXOUTOFORDERNESS='2s', ALLOWEDLATENESS='20s')")
+    batches = [
+        # 1s -> slots [-5,5)+[0,10); 7s -> [0,10)+[5,15)
+        _rows(("d1", 1.0, 0.0, 1000, "ok"), ("d1", 2.0, 0.0, 7000, "ok")),
+        _rows(("d1", 0.25, 0.0, 30000, "ok")),   # wm after: 8s
+        # runs with wm=8s -> ref 28s: fires [-5,5)=(1,1), [0,10)=(3,2),
+        # [5,15)=(2,1); wm after: 14s
+        _rows(("d1", 0.25, 0.0, 36000, "ok")),
+        # 14.5s: late-but-within for fired [5,15) -> re-emit (10.0, 2)
+        # with the same window_id; also seeds unfired [10,20)
+        _rows(("d1", 8.0, 0.0, 14500, "ok")),
+        # wm=14s during: ref 34 -> fires [10,20)=(8,1); purges [-5,5),[0,10)
+        _rows(("d1", 0.5, 0.0, 80000, "ok")),
+        _rows(("d1", 0.5, 0.0, 86000, "ok")),    # drains the 25-40s slots
+    ]
+    got = run_stream(spark, sql, batches)
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["window_id"], []).append((r["s"], r["n"]))
+    assert by_id["0_10000000000"] == [(3.0, 2)]
+    assert by_id["5000000000_15000000000"] == [(2.0, 1), (10.0, 2)]
+    assert by_id["10000000000_20000000000"] == [(8.0, 1)]
