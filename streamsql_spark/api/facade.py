@@ -50,7 +50,8 @@ class StreamSQL:
         self._history: list[dict] = []  # analytic state continuity for emit_sync
         self._results: list[list[dict]] = []
         self._stopped = False
-        self._metrics = {"input": 0, "input_dropped": 0, "output": 0}
+        self._metrics = {"input": 0, "input_dropped": 0, "output": 0,
+                         "schema_dropped": 0}
         self._queries: list = []  # StreamingQueries started by start_stream
 
     # ------------------------------------------------------------ compile
@@ -226,6 +227,7 @@ class StreamSQL:
         self._metrics["input"] += 1
         if self._schema_violation(row) is not None:
             self._metrics["input_dropped"] += 1
+            self._metrics["schema_dropped"] += 1
             return  # validate-and-drop
         if len(self._buffer) >= self.max_buffer_rows:
             self._buffer.pop(0)  # overflow strategy: drop oldest
@@ -394,6 +396,16 @@ class StreamSQL:
         """Console sink (streamsql.go:446-457)."""
         if self._buffer:
             self.query(self._rows_df(self._buffer)).show(truncate=False)
+
+    def schema_dropped(self) -> int:
+        """Rows dropped by the declared-schema gate on the async emit
+        path (streamsql.go:285-288 SchemaDropped)."""
+        return self._metrics["schema_dropped"]
+
+    def is_cep_query(self) -> bool:
+        """True when the compiled statement is a MATCH_RECOGNIZE query
+        (streamsql.go:300-309 IsCEPQuery)."""
+        return self._plan is not None and self._plan.mode == "cep"
 
     def get_stats(self) -> dict[str, int]:
         """Stream processing statistics (streamsql.go:345-351 GetStats,

@@ -1030,3 +1030,26 @@ def test_emit_sync_analytic_o1_state(spark):
     assert [(r["prev"], r["run"]) for r in got] == [
         (None, 1.0), (None, 10.0), (1.0, 3.0), (10.0, 30.0), (2.0, 6.0)]
     assert s._history == []  # no replay buffer
+
+
+def test_schema_dropped_and_is_cep(spark):
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType)
+    schema = StructType([StructField("k", StringType()),
+                         StructField("v", DoubleType())])
+    s = StreamSQL(spark, schema=schema)
+    s.execute("SELECT k FROM stream")
+    s.emit({"k": "ok", "v": 1.0})
+    s.emit({"k": "bad"})          # missing v
+    s.emit({"k": 3, "v": 1.0})    # k type mismatch
+    assert s.schema_dropped() == 2
+    assert s.is_cep_query() is False
+    c = StreamSQL(spark)
+    c.execute("""
+        SELECT a_id FROM stream MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES A.event_id AS a_id
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A) DEFINE A AS v > 0)
+    """)
+    assert c.is_cep_query() is True
