@@ -99,3 +99,53 @@ def test_doc_cdc_when_limited_lag(spark):
 ])
 def test_doc_window_sql_plans(sql):
     make_plan(parse(sql))
+
+
+def test_custom_functions_demo_port(spark):
+    """Port of examples/custom-functions-demo/main.go: a geometric-mean
+    UDAF (Aggregation interface) and a moving-average stateful analytic
+    (TypeAnalytical) registered at runtime and called from the dialect."""
+    import math
+
+    from streamsql_spark.functions.registry import register_analytic_function
+
+    s = StreamSQL(spark)
+
+    def geomean(values):
+        vals = [v for v in values if v is not None and v > 0]
+        if not vals:
+            return None
+        return float(math.exp(sum(math.log(v) for v in vals) / len(vals)))
+
+    s.register_aggregate_function("geometric_mean", geomean, "double")
+
+    class MovingAvg:
+        """Real windowed version of the demo's moving_avg(value, n)."""
+
+        def __init__(self):
+            self.buf = []
+
+        def apply(self, args):
+            v, n = args[0], int(args[1])
+            if v is not None:
+                self.buf.append(v)
+                del self.buf[:-n]
+            return sum(self.buf) / len(self.buf) if self.buf else None
+
+        def reset(self):
+            self.buf = []
+
+    register_analytic_function("moving_avg", MovingAvg, "double")
+
+    df = spark.createDataFrame(
+        [("d1", float(v), 1000 + i) for i, v in enumerate([2, 8, 4, 16])],
+        "k string, v double, ts long")
+    s.execute("SELECT k, round(geometric_mean(v), 4) AS gm FROM stream GROUP BY k")
+    [row] = s.query(df).collect()
+    assert row["gm"] == round((2 * 8 * 4 * 16) ** 0.25, 4)
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT v, round(moving_avg(v, 2) OVER (PARTITION BY k), 2) "
+               "AS ma FROM stream")
+    rows = sorted((r["v"], r["ma"]) for r in s2.query(df).collect())
+    assert rows == [(2.0, 2.0), (4.0, 6.0), (8.0, 5.0), (16.0, 10.0)]
