@@ -102,3 +102,71 @@ def py_aggregate(name: str, values: list, extra=None):
         s = sorted(nums)
         return float(s[int(math.floor(p * (len(s) - 1)))])
     raise ValueError(f"unsupported streaming aggregate: {name}")
+
+
+# ------------------------------------------------- mergeable partials
+
+# Aggregates with O(1) mergeable state — windows that may re-fire under
+# ALLOWEDLATENESS keep these partials instead of buffering raw rows, so
+# per-window state is constant-size regardless of window row count.
+ALGEBRAIC_AGGS = {"count", "count_star", "sum", "avg", "min", "max",
+                  "stddev", "stddevs", "var", "vars",
+                  "first_value", "last_value"}
+
+
+def acc_new() -> list:
+    # [n_rows, n_nonnull, sum, sumsq, min, max, first, last]
+    return [0, 0, 0.0, 0.0, None, None, None, None]
+
+
+def acc_update(acc: list, v) -> None:
+    """Fold one pre-evaluated argument value (arrival order) in."""
+    acc[0] += 1
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return
+    if acc[6] is None and acc[1] == 0:
+        acc[6] = v
+    acc[7] = v
+    acc[1] += 1
+    if isinstance(v, bool):
+        v = int(v)
+    if isinstance(v, (int, float)):
+        acc[2] += v
+        acc[3] += v * v
+    try:
+        acc[4] = v if acc[4] is None else min(acc[4], v)
+        acc[5] = v if acc[5] is None else max(acc[5], v)
+    except TypeError:
+        pass
+
+
+def acc_result(name: str, acc: list):
+    n_rows, n, s, s2, lo, hi, first, last = acc
+    name = name.lower()
+    if name == "count_star":
+        return n_rows
+    if name == "count":
+        return n
+    if name == "first_value":
+        return first
+    if name == "last_value":
+        return last
+    if name == "min":
+        return lo
+    if name == "max":
+        return hi
+    if n == 0:
+        return None
+    if name == "sum":
+        return float(s)
+    if name == "avg":
+        return float(s) / n
+    if name in ("stddev", "var", "stddevs", "vars"):
+        if name in ("stddevs", "vars"):
+            if n < 2:
+                return None
+            var = max(0.0, (s2 - s * s / n) / (n - 1))
+        else:
+            var = max(0.0, s2 / n - (s / n) ** 2)
+        return math.sqrt(var) if name.startswith("stddev") else var
+    raise ValueError(f"not an algebraic aggregate: {name}")

@@ -32,7 +32,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, DataType,
 from ..dialect import nodes as N
 from ..dialect.render import render
 from ..functions import registry
-from .aggutil import py_aggregate
+from .aggutil import (ALGEBRAIC_AGGS, acc_new, acc_result, acc_update,
+                      py_aggregate)
 
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 
@@ -417,6 +418,7 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
 
     arg_cols = [c for _, _, c, _ in agg_specs if c is not None]
     key_names = list(names)
+    algebraic = all(kname in ALGEBRAIC_AGGS for _, kname, _, _ in agg_specs)
 
     def kernel(key, pdf_iter, state):
         from datetime import datetime, timezone
@@ -429,7 +431,13 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
         # batches) — nothing fires or drops then.
         wm = state.getCurrentWatermarkMs()
         ref_wm = wm + al_ms if wm > 0 else None
-        # slots: {slot_start_ms: [fired, [arg tuples...]]}
+        # slots: {slot_start_ms: [fired, window-agg state]}.  When every
+        # aggregate is algebraic the window state is a fixed-size
+        # partial accumulator per spec (constant memory per window no
+        # matter how many rows it holds — the scale-relevant case);
+        # holistic aggregates (median/percentile/collect/nth) fall back
+        # to buffering the argument tuples, like the reference's
+        # snapshotData (tumbling_window.go:617-674).
         slots = _load_state(state) or {}
         touched = set()
         # the kernel is only invoked for keys present in the batch — an
@@ -448,15 +456,24 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
                     # Spark's automatic late-row filter, so enforce it
                     continue
                 slot = int(vals["__slot__"][i])
-                ent = slots.setdefault(slot, [False, []])
-                ent[1].append(tuple(_clean(vals[c][i]) for c in arg_cols))
+                if algebraic:
+                    ent = slots.setdefault(
+                        slot, [False, [acc_new() for _ in agg_specs]])
+                    for k, (ph, kname, arg_col, extra) in enumerate(agg_specs):
+                        v = _clean(vals[arg_col][i]) if arg_col else None
+                        acc_update(ent[1][k], v)
+                else:
+                    ent = slots.setdefault(slot, [False, []])
+                    ent[1].append(tuple(_clean(vals[c][i]) for c in arg_cols))
                 touched.add(slot)
         rows_out = []
 
         def emit(slot, ent):
             out = dict(zip(key_names, key))
-            for ph, kname, arg_col, extra in agg_specs:
-                if kname == "count_star":
+            for k, (ph, kname, arg_col, extra) in enumerate(agg_specs):
+                if algebraic:
+                    out[ph] = acc_result(kname, ent[1][k])
+                elif kname == "count_star":
                     out[ph] = len(ent[1])
                 else:
                     idx = arg_cols.index(arg_col)

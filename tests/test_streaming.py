@@ -714,3 +714,23 @@ def test_allowed_lateness_sliding_slots(spark):
     assert by_id["0_10000000000"] == [(3.0, 2)]
     assert by_id["5000000000_15000000000"] == [(2.0, 1), (10.0, 2)]
     assert by_id["10000000000_20000000000"] == [(8.0, 1)]
+
+
+def test_allowed_lateness_holistic_agg_buffers(spark):
+    """Holistic aggregates (median) can't keep O(1) partials — the
+    lateness kernel falls back to buffering argument values, and late
+    re-emits still recompute the exact accumulated result."""
+    sql = ("SELECT deviceId, median(temperature) AS med, count(*) AS n "
+           "FROM stream GROUP BY deviceId, TumblingWindow('10s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms', "
+           "MAXOUTOFORDERNESS='2s', ALLOWEDLATENESS='20s')")
+    batches = [
+        _rows(("d1", 1.0, 0.0, 1000, "ok"), ("d1", 9.0, 0.0, 5000, "ok")),
+        _rows(("d1", 0.25, 0.0, 24000, "ok")),   # wm -> 2s
+        _rows(("d1", 0.25, 0.0, 30000, "ok")),   # fires [0,10s): med 5.0
+        _rows(("d1", 2.0, 0.0, 9000, "ok")),     # late -> re-emit med 2.0
+        _rows(("d1", 0.5, 0.0, 80000, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    win0 = [(r["med"], r["n"]) for r in got if r["window_id"] == "0_10000000000"]
+    assert win0 == [(5.0, 2), (2.0, 3)]
