@@ -550,6 +550,12 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     read_cols = sorted({*arg_cols, *[c for _, _, c in trig_cols if c]})
     order = [ts_col] if ts_col and ts_col in df.columns else []
     key_names = list(keys)
+    # all-algebraic output aggregates → O(1) partials per key instead of
+    # buffering every row until the trigger fires (a global window is
+    # unbounded by definition — constant state is the scale-safe shape);
+    # holistic aggregates keep the buffer, like the reference's window
+    # data (window/global_window.go:49-731)
+    algebraic = all(kname in ALGEBRAIC_AGGS for _, kname, _, _ in agg_specs)
 
     def kernel(key, pdf_iter, state):
         import pandas as pd
@@ -558,15 +564,28 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
             state.remove()  # STATETTL idle-key reap
             return
         pdf = _sorted_batch(pdf_iter, order)
-        st = _load_state(state) or {"buf": [], "trig": {}, "counts": {}}
-        buf, tstate, counts = st["buf"], st["trig"], st["counts"]
+        if algebraic:
+            st = _load_state(state) or {
+                "accs": [acc_new() for _ in agg_specs],
+                "trig": {}, "counts": {}}
+            accs = st["accs"]
+            buf = None
+        else:
+            st = _load_state(state) or {"buf": [], "trig": {}, "counts": {}}
+            buf = st["buf"]
+        tstate, counts = st["trig"], st["counts"]
         code = compile(code_src, "<trigger_when>", "eval")
         rows_out = []
         if len(pdf):
             vals = {c: pdf[c].tolist() for c in read_cols}
             for i in range(len(pdf)):
-                buf.append(tuple(_clean(vals[c][i]) if c else None
-                                 for c in arg_cols))
+                if algebraic:
+                    for k, (ph, kname, arg_col, extra) in enumerate(agg_specs):
+                        v = _clean(vals[arg_col][i]) if arg_col else None
+                        acc_update(accs[k], v)
+                else:
+                    buf.append(tuple(_clean(vals[c][i]) if c else None
+                                     for c in arg_cols))
                 env = {}
                 for var, fname, argc in trig_cols:
                     v = _clean(vals[argc][i]) if argc else None
@@ -596,19 +615,31 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                     fired = False
                 if fired:
                     out = dict(zip(key_names, key))
-                    for ph, kname, arg_col, extra in agg_specs:
-                        if arg_col is None:
-                            out[ph] = len(buf) if kname == "count_star" else \
-                                py_aggregate(kname, [None] * len(buf), extra)
-                        else:
-                            idx = arg_cols.index(arg_col)
-                            out[ph] = py_aggregate(
-                                kname, [t[idx] for t in buf], extra)
+                    if algebraic:
+                        for k, (ph, kname, arg_col, extra) in enumerate(agg_specs):
+                            out[ph] = acc_result(kname, accs[k])
+                        for k in range(len(accs)):
+                            accs[k] = acc_new()
+                    else:
+                        for ph, kname, arg_col, extra in agg_specs:
+                            if arg_col is None:
+                                out[ph] = len(buf) if kname == "count_star" \
+                                    else py_aggregate(
+                                        kname, [None] * len(buf), extra)
+                            else:
+                                idx = arg_cols.index(arg_col)
+                                out[ph] = py_aggregate(
+                                    kname, [t[idx] for t in buf], extra)
+                        buf.clear()
                     rows_out.append(out)
-                    buf.clear()
                     tstate.clear()
                     counts.clear()
-        _save_state(state, {"buf": buf, "trig": tstate, "counts": counts}, ttl_ms)
+        if algebraic:
+            _save_state(state, {"accs": accs, "trig": tstate,
+                                "counts": counts}, ttl_ms)
+        else:
+            _save_state(state, {"buf": buf, "trig": tstate,
+                                "counts": counts}, ttl_ms)
         if rows_out:
             yield pd.DataFrame(rows_out, columns=[f.name for f in out_schema.fields])
 
