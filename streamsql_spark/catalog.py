@@ -1246,31 +1246,46 @@ def _streaming_lateness_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all data arrives in batch 1), giving value parity with the batch
     tumbling oracle.  Late re-emission itself is unit-tested
     (tests/test_streaming.py lateness case)."""
+    import os
     import shutil
     import tempfile
     import uuid as _uuid
 
     from pyspark.sql import functions as F
 
-    tables = load_tables(spark, sf_dir)
-    events = tables["events"]
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    from .session import _nanos_timestamp_columns
+
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.parquet(path)  # raw schema (ts INT64 nanos or timestamp)
+    nanos_cols = _nanos_timestamp_columns(path)
+    max_v = raw.agg(F.max("ts")).collect()[0][0]
+    flush_ts = (F.lit(max_v + 30 * 86400 * 1_000_000_000)
+                if "ts" in nanos_cols
+                else F.lit(max_v) + F.expr("INTERVAL 30 DAYS"))
     root = tempfile.mkdtemp(prefix="ssql_lateness_")
     try:
         in_dir = f"{root}/in"
-        events.coalesce(1).write.parquet(f"{in_dir}/b0")
-        flush = events.limit(1).select(
-            F.lit(-1).alias("event_id"), F.lit(-1).alias("user_id"),
-            F.lit("__flush__").alias("event_type"), F.lit(0.0).alias("value"),
-            (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        os.makedirs(in_dir)
+        # batch 1 IS the source file (symlinked, not rewritten); the two
+        # flush batches carry one far-future row each to advance the
+        # watermark so every window fires
+        os.symlink(path, f"{in_dir}/b0.parquet")
+        flush = raw.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__flush__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            flush_ts.alias("ts"),
             F.lit(None).cast("string").alias("props"))
-        flush = flush.select(*events.columns)
+        flush = flush.select(*raw.columns)
         for i in (1, 2):
             flush.coalesce(1).write.parquet(f"{in_dir}/b{i}")
-        schema = spark.read.parquet(f"{in_dir}/b0").schema
-        stream = (spark.readStream.schema(schema)
+        stream = (spark.readStream.schema(raw.schema)
                   .option("maxFilesPerTrigger", 1)
                   .option("recursiveFileLookup", "true").parquet(in_dir))
+        for col in nanos_cols:
+            stream = stream.withColumn(
+                col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
         q = StreamSQL(spark).execute("""
             SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
                    unix_timestamp(window_start()) AS ws
