@@ -1053,3 +1053,18 @@ def test_schema_dropped_and_is_cep(spark):
             PATTERN (A) DEFINE A AS v > 0)
     """)
     assert c.is_cep_query() is True
+
+
+def test_windowed_buffer_aggs_are_arrival_ordered(spark):
+    """first_value/last_value/merge_agg inside a time window order by
+    event time WITHIN each window (the arrival-order column combines
+    with the window struct in the same groupBy)."""
+    rows = [("d1", float(v), 1000 * i) for i, v in enumerate([5, 3, 9, 2, 8, 1])]
+    df = spark.createDataFrame(rows, "k string, v double, ts_ms long")
+    s = StreamSQL(spark)
+    s.execute("SELECT k, first_value(v) AS fv, last_value(v) AS lv, "
+              "merge_agg(v) AS seq FROM stream GROUP BY k, TumblingWindow('3s') "
+              "WITH (TIMESTAMP='ts_ms', TIMEUNIT='ms')")
+    got = sorted(((r["fv"], r["lv"], r["seq"])
+                  for r in s.query(df).collect()))
+    assert got == [(2.0, 1.0, "2.0,8.0,1.0"), (5.0, 9.0, "5.0,3.0,9.0")]
