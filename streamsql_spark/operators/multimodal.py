@@ -7,11 +7,14 @@ Arrow-batched ``mapInPandas`` stages: one Python worker per partition,
 columnar transfer, output schema declared up front so Catalyst can
 prune/push around the stage.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
-the decode kernels are stubbed: ``decode_image_stub`` raises
-``NotImplementedError`` when asked for real decoding and otherwise
-produces a deterministic fake (byte-statistics features) — the Spark
-plumbing (schema, batching, partitioning) is real and tested.
+Decode is REAL for codec-free container formats — binary PPM (P6)
+images and PCM WAV audio parse with numpy/stdlib only, and their
+features (per-channel pixel stats + luma histogram; RMS/zero-crossing
+rate + FFT band energies) are genuine signal features.  Formats that
+need external codecs (JPEG/PNG/MP4 — PIL/librosa/ffmpeg are NOT in
+this container) fall back to deterministic byte-statistics features;
+``decode_image_stub`` documents that seam.  The Spark plumbing
+(schema, batching, partitioning) is identical either way.
 """
 
 from __future__ import annotations
@@ -62,13 +65,78 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) → (h, w, 3) uint8 array, or None if not P6.
+
+    Pure numpy — PPM is the codec-free image container, so this is REAL
+    image decoding, not a stub."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        return None
+    try:
+        # header: magic, width, height, maxval — whitespace/comment
+        # separated
+        fields, pos = [], 2
+        while len(fields) < 3 and pos < len(payload):
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields[0], fields[1], fields[2]
+        if maxval > 255:
+            return None  # 16-bit PPM out of scope
+        pix = np.frombuffer(payload, dtype=np.uint8,
+                            count=w * h * 3, offset=pos)
+        return pix.reshape(h, w, 3)
+    except (ValueError, IndexError):
+        return None  # malformed header/pixels — not a decodable P6
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV → (samples float array in [-1, 1], sample_rate), or None.
+
+    stdlib ``wave`` + numpy — real audio decoding for the codec-free
+    container."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as f:
+            rate = f.getframerate()
+            width = f.getsampwidth()
+            raw = f.readframes(f.getnframes())
+    except wave.Error:
+        return None
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                   - 128.0) / 128.0
+    else:
+        return None
+    return samples, rate
+
+
 def decode_image_stub(payload: bytes, real_decode: bool = False):
-    """Stub decode kernel.  Real decoding requires PIL/cv2 — not in this
-    container; a production build swaps this function only."""
+    """Codec-format decode seam.  JPEG/PNG/MP4 require PIL/cv2/ffmpeg —
+    not in this container; a production build swaps this function only.
+    Codec-free formats decode for real: see decode_ppm / decode_wav."""
     if real_decode:
         raise NotImplementedError(
-            "image decoding requires PIL/cv2 which are not installed; "
-            "the Spark plumbing around this kernel is real — swap this stub")
+            "codec decoding (JPEG/PNG/MP4) requires PIL/cv2/ffmpeg which "
+            "are not installed; PPM/WAV decode for real — swap this stub "
+            "for codec formats only")
     return payload  # passthrough for deterministic feature extraction
 
 
@@ -76,42 +144,75 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` keeps the pipeline streaming-shaped (no collect), and
-    the declared output schema lets Catalyst prune downstream.  The
-    deterministic fake features are byte statistics + an 8-bin histogram
-    'embedding' — stand-ins with the exact shape a CNN/codec stage has.
+    the declared output schema lets Catalyst prune downstream.  Per
+    payload, the kernel sniffs the container:
+
+    - P6 PPM → real pixel decode; ``byte_mean`` = mean luma,
+      ``feature`` = 8-bin luma histogram, kind → "image/ppm";
+    - PCM WAV → real sample decode; ``byte_mean`` = RMS,
+      ``byte_entropy`` = zero-crossing rate, ``feature`` = 8 FFT band
+      energies (power, normalized), kind → "audio/wav";
+    - anything else (codec formats — no codecs in this container) →
+      byte statistics + an 8-bin byte histogram, the deterministic
+      fallback with the exact output shape of a real decode stage.
     """
 
     def kernel(batches: Iterator["object"]) -> Iterator["object"]:
         import numpy as np
         import pandas as pd
 
+        def byte_stats(payload):
+            arr = np.frombuffer(payload or b"", dtype=np.uint8)
+            n = int(arr.size)
+            counts = np.bincount(arr >> 5, minlength=8) if n else \
+                np.zeros(8, dtype=np.int64)
+            mean = float(arr.sum()) / n if n else 0.0
+            nz = counts[counts > 0]
+            ent = float(-((nz / n) * np.log2(nz / n)).sum()) if nz.size else 0.0
+            feat = [round(c / n, 6) if n else 0.0 for c in counts.tolist()]
+            return mean, ent, feat
+
         for pdf in batches:
             out_rows = []
             for media_id, kind, payload in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"]):
-                # byte statistics vectorize: the per-payload work is numpy
-                # (a per-byte Python loop would be the row-at-a-time slow
-                # path this stage exists to avoid)
-                arr = np.frombuffer(decode_image_stub(payload) or b"",
-                                    dtype=np.uint8)
-                n = int(arr.size)
-                counts = np.bincount(arr >> 5, minlength=8) if n else \
-                    np.zeros(8, dtype=np.int64)
-                mean = float(arr.sum()) / n if n else 0.0
-                nz = counts[counts > 0]
-                if nz.size:
-                    p = nz / n
-                    ent = float(-(p * np.log2(p)).sum())
+                payload = bytes(payload) if payload is not None else b""
+                n = len(payload)
+                img = decode_ppm(payload)
+                if img is not None:
+                    # real image features: mean luma + luma histogram
+                    luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                            + 0.114 * img[..., 2])
+                    hist = np.histogram(luma, bins=8, range=(0, 256))[0]
+                    total = max(int(hist.sum()), 1)
+                    nz = hist[hist > 0]
+                    kind, mean = "image/ppm", float(luma.mean())
+                    ent = float(-((nz / total) * np.log2(nz / total)).sum())
+                    feat = [round(c / total, 6) for c in hist.tolist()]
+                elif (wav := decode_wav(payload)) is not None:
+                    # real audio features: RMS, zero-crossing rate, FFT
+                    # band energies
+                    samples, _rate = wav
+                    kind = "audio/wav"
+                    if samples.size:
+                        mean = float(np.sqrt((samples ** 2).mean()))
+                        ent = float((np.diff(np.signbit(samples)) != 0).mean())
+                        spec = np.abs(np.fft.rfft(samples)) ** 2
+                        bands = [float(b.sum()) for b in
+                                 np.array_split(spec, 8)]
+                        total = sum(bands) or 1.0
+                        feat = [round(b / total, 6) for b in bands]
+                    else:
+                        mean, ent, feat = 0.0, 0.0, [0.0] * 8
                 else:
-                    ent = 0.0
+                    mean, ent, feat = byte_stats(decode_image_stub(payload))
                 out_rows.append({
                     "media_id": media_id,
                     "kind": kind,
                     "n_bytes": n,
                     "byte_mean": round(mean, 6),
                     "byte_entropy": round(ent, 6),
-                    "feature": [round(c / n, 6) if n else 0.0
-                                for c in counts.tolist()],
+                    "feature": feat,
                 })
             yield pd.DataFrame(out_rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 

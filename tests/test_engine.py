@@ -1068,3 +1068,54 @@ def test_windowed_buffer_aggs_are_arrival_ordered(spark):
     got = sorted(((r["fv"], r["lv"], r["seq"])
                   for r in s.query(df).collect()))
     assert got == [(2.0, 1.0, "2.0,8.0,1.0"), (5.0, 9.0, "5.0,3.0,9.0")]
+
+
+def test_multimodal_real_ppm_and_wav_decode(spark):
+    """Codec-free formats decode for REAL in the multimodal kernel:
+    a binary PPM yields pixel-luma features, a PCM WAV yields
+    RMS/zero-crossing/FFT-band features; unknown payloads fall back to
+    byte statistics with the same output shape."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from streamsql_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      extract_features)
+
+    # 2x2 P6 image: two black px, one mid-gray, one white
+    ppm = b"P6\n2 2\n255\n" + bytes([0, 0, 0, 255, 255, 255,
+                                     128, 128, 128, 0, 0, 0])
+    # 8-sample 16-bit PCM WAV: alternating +/- square wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(struct.pack("<8h", *([16384, -16384] * 4)))
+    wav = buf.getvalue()
+
+    rows = [(1, "image", bytearray(ppm), ("image/x-portable-pixmap", len(ppm), "t")),
+            (2, "audio", bytearray(wav), ("audio/wav", len(wav), "t")),
+            (3, "image", bytearray(b"not media"), ("application/octet-stream", 9, "t"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_features(media).collect()}
+
+    img = got[1]
+    assert img["kind"] == "image/ppm"
+    lumas = [0.0, 255.0, 128.0, 0.0]
+    assert abs(img["byte_mean"] - sum(lumas) / 4) < 1e-4
+    assert abs(sum(img["feature"]) - 1.0) < 1e-4
+    assert img["feature"][0] == 0.5  # two black pixels in the lowest bin
+
+    aud = got[2]
+    assert aud["kind"] == "audio/wav"
+    assert abs(aud["byte_mean"] - 0.5) < 1e-3        # RMS of +/-0.5 square
+    assert abs(aud["byte_entropy"] - 1.0) < 1e-6     # alternates every sample
+    # a period-2 square wave concentrates power at the Nyquist bin
+    # (rfft bin 4 of 5 for 8 samples -> band index 4)
+    assert aud["feature"][4] > 0.9
+
+    other = got[3]
+    assert other["kind"] == "image"  # untouched fallback
+    assert other["n_bytes"] == 9 and len(other["feature"]) == 8
