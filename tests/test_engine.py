@@ -1119,3 +1119,46 @@ def test_multimodal_real_ppm_and_wav_decode(spark):
     other = got[3]
     assert other["kind"] == "image"  # untouched fallback
     assert other["n_bytes"] == 9 and len(other["feature"]) == 8
+
+
+def test_source_format_zoo(spark, tmp_path):
+    """read_source / read_stream_source: the same dialect SQL runs over
+    CSV, JSON, ORC, and parquet files (the reference's any-connector
+    intake, SURVEY §2.1)."""
+    from streamsql_spark.sources import read_source, read_stream_source
+
+    df = spark.createDataFrame(
+        [("d1", 25.0, 1000), ("d2", 5.0, 2000), ("d3", 30.0, 3000)],
+        "deviceId string, temperature double, ts long")
+    paths = {}
+    for fmt in ("parquet", "csv", "json", "orc"):
+        p = str(tmp_path / fmt)
+        df.write.format(fmt).option("header", "true").save(p)
+        paths[fmt] = p
+
+    sql = ("SELECT deviceId, temperature * 2 AS t2 FROM stream "
+           "WHERE temperature > 20")
+    for fmt, p in paths.items():
+        src = read_source(spark, p, fmt)
+        s = StreamSQL(spark)
+        s.execute(sql)
+        got = sorted((r["deviceId"], r["t2"]) for r in s.query(src).collect())
+        assert got == [("d1", 50.0), ("d3", 60.0)], fmt
+
+    # streaming: same SQL over a JSON file stream
+    s = StreamSQL(spark)
+    s.execute(sql)
+    stream = read_stream_source(spark, paths["json"], "json",
+                                schema=df.schema, maxFilesPerTrigger=1)
+    import uuid
+    name = "srczoo_" + uuid.uuid4().hex[:8]
+    q = (s.query_stream(stream).writeStream.format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["deviceId"], r["t2"])
+                 for r in spark.table(name).collect())
+    assert got == [("d1", 50.0), ("d3", 60.0)]
+
+    # rate source builds (synthetic load generator)
+    assert read_stream_source(spark, fmt="rate",
+                              rowsPerSecond=5).isStreaming

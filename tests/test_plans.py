@@ -121,3 +121,39 @@ def test_jaccard_dfcut_bounds_candidate_join(catalog_plan):
     # token sets back — no unbounded full-postings self-join
     p = catalog_plan("dedup_ngram_jaccard")
     assert "LeftSemi" in p
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both sides bucketed by the join key -> SortMergeJoin with NO
+    Exchange on either input: the fact-to-fact join strategy at scale
+    (shuffle paid once at write, amortized over every join)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from streamsql_spark.operators.bucketing import (bucketed_join,
+                                                     write_bucketed)
+
+    facts = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+    dims = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("w"))
+    write_bucketed(facts, "t_facts_b", ["k"], n_buckets=8)
+    write_bucketed(dims, "t_dims_b", ["k"], n_buckets=8)
+    # fact-to-fact sizes don't broadcast; emulate that on the fixture
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_facts_b", "t_dims_b", on=["k"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_facts_b")
+        spark.sql("DROP TABLE IF EXISTS t_dims_b")
