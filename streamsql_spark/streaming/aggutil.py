@@ -120,13 +120,18 @@ def acc_new() -> list:
 
 
 def acc_update(acc: list, v) -> None:
-    """Fold one pre-evaluated argument value (arrival order) in."""
+    """Fold one pre-evaluated argument value (arrival order) in.
+
+    first/last keep the LITERAL first/last value including None — the
+    reference's FirstValue/LastValue latch on the first Add regardless
+    (functions_aggregation.go:650-662), and Spark's min_by/max_by over
+    the arrival-order column behave identically."""
+    if acc[0] == 0:
+        acc[6] = v
+    acc[7] = v
     acc[0] += 1
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return
-    if acc[6] is None and acc[1] == 0:
-        acc[6] = v
-    acc[7] = v
     acc[1] += 1
     if isinstance(v, bool):
         v = int(v)
