@@ -35,3 +35,69 @@ def test_partials_match_buffered_evaluation(vals, name):
             (name, got, want)
     else:
         assert got == want, (name, got, want)
+
+
+# ---------------------------------------------------------------- CEP NFA
+
+def _parse_spec(sql):
+    from streamsql_spark.dialect.parser import parse
+    return parse(sql).match
+
+
+@settings(max_examples=150, deadline=None)
+@given(vals=st.lists(st.sampled_from("abx"), max_size=40))
+def test_cep_adjacent_pair_matches_greedy_scan(vals):
+    """PATTERN (A B) + SKIP PAST LAST ROW over any symbol sequence must
+    equal a greedy left-to-right scan for adjacent (A,B) pairs — the
+    NFA core checked against a 5-line brute-force oracle (no Spark)."""
+    from streamsql_spark.cep.engine import run_partition
+
+    spec = _parse_spec("""
+        SELECT * FROM stream MATCH_RECOGNIZE (
+            MEASURES A.i AS a_i, B.i AS b_i
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS s = 'a', B AS s = 'b')
+    """)
+    rows = [{"i": i, "s": s} for i, s in enumerate(vals)]
+    got = [(m["a_i"], m["b_i"])
+           for m in run_partition(spec, rows, [float(i) for i in range(len(rows))],
+                                  None)]
+    # brute force: greedy scan, consume both rows on match
+    want, i = [], 0
+    while i + 1 < len(vals):
+        if vals[i] == "a" and vals[i + 1] == "b":
+            want.append((i, i + 1))
+            i += 2
+        else:
+            i += 1
+    assert got == want, (vals, got, want)
+
+
+@settings(max_examples=150, deadline=None)
+@given(vals=st.lists(st.sampled_from("ax"), max_size=40))
+def test_cep_greedy_runs_match_islands(vals):
+    """PATTERN (A{2,}) + SKIP PAST LAST ROW ≡ maximal runs of 'a' with
+    length ≥ 2 (gaps-and-islands oracle)."""
+    from streamsql_spark.cep.engine import run_partition
+
+    spec = _parse_spec("""
+        SELECT * FROM stream MATCH_RECOGNIZE (
+            MEASURES FIRST(A.i) AS lo, LAST(A.i) AS hi, COUNT(*) AS n
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A{2,})
+            DEFINE A AS s = 'a')
+    """)
+    rows = [{"i": i, "s": s} for i, s in enumerate(vals)]
+    got = [(m["lo"], m["hi"], m["n"])
+           for m in run_partition(spec, rows, [float(i) for i in range(len(rows))],
+                                  None)]
+    want, run = [], []
+    for i, s in enumerate(vals + ["x"]):
+        if s == "a":
+            run.append(i)
+        else:
+            if len(run) >= 2:
+                want.append((run[0], run[-1], len(run)))
+            run = []
+    assert got == want, (vals, got, want)
