@@ -180,7 +180,9 @@ class StreamSQL:
             sinks.append(sink)
 
         def fanout(rows: list[dict]) -> None:
-            self._metrics["output"] += len(rows)
+            # streaming output is counted by the query's output
+            # observation (executor.start), not here — callbacks may be
+            # absent (sink_path) or see only a bounded preview
             for s in sinks:
                 s(rows)
 
@@ -269,10 +271,21 @@ class StreamSQL:
 
         from pyspark.sql import functions as F
 
-        from ..streaming.stateful import analytic_step
+        from ..streaming.stateful import (_dedupe_columns, analytic_step,
+                                          flatten_join_refs)
 
         ex = BatchExecutor(self.spark, dict(self._tables))
         df = ex._apply_joins(self._rows_df([row]), self._plan)
+        if self._plan.joins:
+            # alias-qualified refs don't survive the flat row rebuild —
+            # materialize them as flat columns and rewrite the plan,
+            # exactly as the streaming kernels do
+            df, plan_flat = flatten_join_refs(df, self._plan)
+            df = _dedupe_columns(df)
+        else:
+            plan_flat = self._plan
+        if not hasattr(self, "_an_plan_flat"):
+            self._an_plan_flat = plan_flat
 
         if not hasattr(self, "_an_prep"):
             from ..dialect import nodes as N
@@ -287,7 +300,7 @@ class StreamSQL:
                 exprs[alias] = sql
                 return alias
 
-            for spec in self._plan.analytics:
+            for spec in plan_flat.analytics:
                 f = spec.func
                 info = {"name": f.name.lower(), "ph": spec.placeholder,
                         "args": [], "lits": [],
@@ -297,16 +310,22 @@ class StreamSQL:
                 for a in f.args:
                     if isinstance(a, N.Star) or \
                             (isinstance(a, N.Lit) and a.value == "*"):
+                        # star sees data columns only — exclude the
+                        # resolved event-time column, same as the batch
+                        # and streaming star expansions
+                        from ..engine.batch import event_time_name
+                        ts_name = event_time_name(df.columns, plan_flat)
                         for c in df.columns:
-                            if not c.startswith("__") and c not in (
-                                    "ts", "event_time", "timestamp"):
+                            if not c.startswith("__") and c != ts_name:
                                 info["args"].append(want(c))
                                 info["lits"].append(None)
                     elif isinstance(a, N.Lit):
                         info["args"].append(None)
                         info["lits"].append(a.value)
                     else:
-                        info["args"].append(want(render(a)))
+                        from ..streaming.stateful import apply_qref_map
+                        info["args"].append(
+                            want(apply_qref_map(render(a), plan_flat)))
                         info["lits"].append(None)
                 # output type for the placeholder literal
                 nm = info["name"]
@@ -331,24 +350,43 @@ class StreamSQL:
 
         sel = [F.expr(sql).alias(alias)
                for alias, sql in self._an_exprs.items()]
-        vals = df.select("*", *sel).collect()[0].asDict()
+        collected = df.select("*", *sel).collect()
+        if not collected:
+            # the join dropped the event (no dim match): it never
+            # reaches the analytics — state untouched, no output
+            # (processor order join → analytic,
+            # stream/processor_data.go:84-110)
+            return None
 
+        # one state step per surviving (possibly join-fanned-out) row
+        ev_aliases = set(self._an_exprs)
+        rows2 = []
+        for r in collected:
+            d = r.asDict(recursive=True)
+            for p in self._an_prep:
+                key = tuple(d[a] for a in p["parts"])
+                st = self._an_states.setdefault((p["ph"], key), {})
+                gate = bool(d[p["when"]]) if p["when"] is not None else True
+                argv = [d[a] if a else p["lits"][j]
+                        for j, a in enumerate(p["args"])]
+                d[p["ph"]] = analytic_step(p, st, argv, gate)
+            rows2.append({k: v for k, v in d.items() if k not in ev_aliases})
+
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        ph_fields = []
         for p in self._an_prep:
-            key = tuple(vals[a] for a in p["parts"])
-            st = self._an_states.setdefault((p["ph"], key), {})
-            gate = bool(vals[p["when"]]) if p["when"] is not None else True
-            argv = [vals[a] if a else p["lits"][j]
-                    for j, a in enumerate(p["args"])]
-            v = analytic_step(p, st, argv, gate)
-            df = df.withColumn(
-                p["ph"],
-                F.lit(v) if v is not None else F.lit(None).cast(p["dtype"]))
-
-        plan2 = replace(self._plan, joins=[])
-        out = ex.execute(plan2, df).collect()
+            dt = p["dtype"]
+            if isinstance(dt, str):
+                dt = _parse_datatype_string(dt)
+            ph_fields.append(StructField(p["ph"], dt))
+        schema2 = StructType(list(df.schema.fields) + ph_fields)
+        df2 = self.spark.createDataFrame(rows2, schema2)
+        plan2 = replace(self._an_plan_flat, joins=[])
+        out = ex.execute(plan2, df2).collect()
         if not out:
             return None
-        return self._deliver_sync(out[0].asDict(recursive=True))
+        return self._deliver_sync(out[-1].asDict(recursive=True))
 
     def _deliver_sync(self, row: dict) -> dict:
         """EmitSync results also reach registered sinks — one single-row
@@ -416,17 +454,19 @@ class StreamSQL:
         batches; backpressure channels don't exist on Spark (the engine
         paces sources via maxOffsetsPerTrigger), so retry/expand
         counters are structurally 0."""
-        stream_in = 0
+        stream_in = stream_out = 0
         for q in self._queries:
             for p in (q.recentProgress or []):
                 om = p.get("observedMetrics") or {}
                 for name, vals in om.items():
                     if name.startswith("streamsql_source"):
                         stream_in += int(vals["rows"])
+                    elif name.startswith("streamsql_output"):
+                        stream_out += int(vals["rows"])
         m = self._metrics
         return {
             "input_count": m["input"] + stream_in,
-            "output_count": m["output"],
+            "output_count": m["output"] + stream_out,
             "input_dropped_count": m["input_dropped"],
             "output_dropped_count": 0,
             "dropped_count": m["input_dropped"],

@@ -49,34 +49,22 @@ _KEYWORDS = ("SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER",
 
 def _suggest_keyword(word: str, want: str | None = None) -> str | None:
     """Typo suggestion for an unknown keyword (rsql/lexer.go:464-480):
-    the curated table first, then edit distance ≤ 2 — which covers all
-    the reference's enumerated misspellings (SELECCT/SELET/FRON/WEHRE/
-    GROPU/ODER/DSITINCT/...) without listing them."""
+    the curated table first, then OSA edit distance ≤ 2 (shared with
+    the function-name validator) — which covers all the reference's
+    enumerated misspellings (SELECCT/SELET/FRON/WEHRE/GROPU/ODER/
+    DSITINCT/...) without listing them."""
+    from ..functions.registry import _edit_distance
+
     hit = _SUGGESTIONS.get(word)
     if hit is not None:
         return hit
     pool = (want,) if want else _KEYWORDS
     best = None
     for kw in pool:
-        d = _edit_distance(word, kw)
+        d = _edit_distance(word, kw, cap=2)
         if d <= 2 and (best is None or d < best[0]):
             best = (d, kw)
     return best[1] if best else None
-
-
-def _edit_distance(a: str, b: str, cap: int = 2) -> int:
-    if abs(len(a) - len(b)) > cap:
-        return cap + 1
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[-1] + 1,
-                           prev[j - 1] + (ca != cb)))
-        if min(cur) > cap:
-            return cap + 1
-        prev = cur
-    return prev[-1]
 
 
 class Parser:

@@ -105,6 +105,7 @@ def decode_wav(payload: bytes):
     stdlib ``wave`` + numpy — real audio decoding for the codec-free
     container."""
     import io
+    import struct
     import wave
 
     import numpy as np
@@ -116,7 +117,9 @@ def decode_wav(payload: bytes):
             rate = f.getframerate()
             width = f.getsampwidth()
             raw = f.readframes(f.getnframes())
-    except wave.Error:
+    except (wave.Error, EOFError, struct.error, ValueError):
+        # truncated/corrupt RIFF raises EOFError or struct.error, not
+        # just wave.Error — one bad payload must not fail the task
         return None
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0

@@ -209,20 +209,33 @@ class StreamingExecutor:
             "streamsql_source_" + _uuid.uuid4().hex[:8],
             F.count(F.lit(1)).alias("rows"))
         out = self.build(plan, stream_df)
+        # output rows counted the same way — GetStats reports output for
+        # the distributed sink path without any driver-side collect
+        out = out.observe("streamsql_output_" + _uuid.uuid4().hex[:8],
+                          F.count(F.lit(1)).alias("rows"))
         post = self.post_batch_fn(plan)
 
         def handle(batch_df: DataFrame, _batch_id: int):
             done = post(batch_df)
             if sink_path is not None:
                 # distributed write path — executors write, the driver
-                # never materializes the batch
-                (done.write.format(sink_format)
-                     .mode("append").save(sink_path))
+                # never materializes the batch; persist so the preview
+                # collect reuses the computed batch instead of
+                # re-executing the pipeline (and can't diverge from
+                # what was written)
                 if sink is not None:
-                    rows = [r.asDict(recursive=True)
-                            for r in done.limit(sink_row_limit).collect()]
-                    if rows:
-                        sink(rows)
+                    done = done.persist()
+                try:
+                    (done.write.format(sink_format)
+                         .mode("append").save(sink_path))
+                    if sink is not None:
+                        rows = [r.asDict(recursive=True)
+                                for r in done.limit(sink_row_limit).collect()]
+                        if rows:
+                            sink(rows)
+                finally:
+                    if sink is not None:
+                        done.unpersist()
             elif sink is not None:
                 rows = [r.asDict(recursive=True) for r in done.collect()]
                 if rows:

@@ -1162,3 +1162,20 @@ def test_source_format_zoo(spark, tmp_path):
     # rate source builds (synthetic load generator)
     assert read_stream_source(spark, fmt="rate",
                               rowsPerSecond=5).isStreaming
+
+
+def test_emit_sync_analytic_join_drop_returns_none(spark):
+    """An INNER JOIN with no dim match drops the event before the
+    analytics: EmitSync returns None and the per-key state is untouched
+    (processor order join -> analytic, stream/processor_data.go:84-110)."""
+    s = StreamSQL(spark)
+    s.execute("SELECT s.k, s.v, m.tag AS tag, "
+              "lag(s.v) OVER (PARTITION BY s.k) AS prev "
+              "FROM stream AS s INNER JOIN m ON s.k = m.k")
+    s.register_table("m", [{"k": "a", "tag": "t"}])
+    r1 = s.emit_sync({"k": "a", "v": 1.0, "ts": 1})
+    assert (r1["prev"], r1["tag"]) == (None, "t")
+    # unmatched key: dropped, no crash, no state pollution
+    assert s.emit_sync({"k": "zzz", "v": 99.0, "ts": 2}) is None
+    r3 = s.emit_sync({"k": "a", "v": 2.0, "ts": 3})
+    assert r3["prev"] == 1.0

@@ -582,11 +582,7 @@ def test_custom_analytic_batch_stream_emitsync(spark):
     # batch path over the same rows (stream/batch parity)
     s = StreamSQL(spark)
     s.execute(sql)
-    df = spark.createDataFrame(
-        [r for b in batches for r in _rows(*[(x["deviceId"], x["temperature"],
-                                              x["humidity"], x["ts"], x["status"])
-                                             for x in b])] if False else
-        [x for b in batches for x in b], schema=EVT)
+    df = spark.createDataFrame([x for b in batches for x in b], schema=EVT)
     rows = sorted([(r["deviceId"], r["temperature"], r["prev"])
                    for r in s.query(df).collect()],
                   key=lambda t: (t[0], t[1]))
@@ -681,6 +677,12 @@ def test_distributed_sink_path(spark, tmp_path):
         assert sorted(disk.columns) == ["deviceId", "temperature"]
         # the callback saw at most 5 rows per emission batch
         assert 0 < len(preview) <= 10
+        # output_count comes from the query's output observation — it
+        # reports the FULL written volume even though the callback only
+        # saw a preview
+        assert sum(int(v["rows"]) for pr in q.recentProgress
+                   for k, v in (pr.get("observedMetrics") or {}).items()
+                   if k.startswith("streamsql_output")) == 30
     finally:
         replay.cleanup()
 

@@ -120,13 +120,23 @@ def test_unknown_statement_reject():
 
 def test_keyword_typo_suggestions():
     """rsql/lexer.go:464-480 misspelling table, covered via edit
-    distance instead of enumeration."""
-    for bad, good in [("SELECCT", "SELECT"), ("SELET", "SELECT"),
-                      ("FRON", "FROM"), ("WEHRE", "WHERE"),
-                      ("ODER", "ORDER"), ("DSITINCT", "DISTINCT")]:
-        if bad == "SELECCT" or bad == "SELET":
-            with pytest.raises(ParseError, match=f"did you mean {good}"):
-                parse(f"{bad} x FROM stream")
+    distance instead of enumeration — every listed misspelling must
+    yield its suggestion."""
+    from streamsql_spark.dialect.parser import _suggest_keyword
+
+    for bad in ("SELECCT", "SELET"):
+        with pytest.raises(ParseError, match="did you mean SELECT"):
+            parse(f"{bad} x FROM stream")
+    # the reference's full misspelling list resolves via edit distance
+    for bad, good in [("SELCT", "SELECT"), ("FORM", "FROM"),
+                      ("FRON", "FROM"), ("FRMO", "FROM"),
+                      ("WHER", "WHERE"), ("WHRE", "WHERE"),
+                      ("WEHRE", "WHERE"), ("GROPU", "GROUP"),
+                      ("GRUP", "GROUP"), ("GRPUP", "GROUP"),
+                      ("ODER", "ORDER"), ("ORDR", "ORDER"),
+                      ("OREDR", "ORDER"), ("DSITINCT", "DISTINCT"),
+                      ("DISTINC", "DISTINCT"), ("DISTINT", "DISTINCT")]:
+        assert _suggest_keyword(bad) == good, bad
     with pytest.raises(ParseError, match="did you mean FROM"):
         parse("SELECT x FRON stream WHERE x > 1 GROUP BY x")
 
