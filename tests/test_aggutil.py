@@ -101,3 +101,62 @@ def test_cep_greedy_runs_match_islands(vals):
                 want.append((run[0], run[-1], len(run)))
             run = []
     assert got == want, (vals, got, want)
+
+
+# ------------------------------------------------------- front-end fuzz
+
+_cols = st.sampled_from(["deviceId", "temperature", "humidity", "ts", "k"])
+_lits = st.sampled_from(["1", "2.5", "'x'", "true", "NULL"])
+_scalars = st.sampled_from(["abs", "round", "upper", "lower", "length",
+                            "sqrt", "floor", "md5", "trim"])
+_aggs = st.sampled_from(["sum", "avg", "min", "max", "count", "median",
+                         "first_value", "last_value", "collect"])
+_cmp = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
+
+
+@st.composite
+def _expr(draw, depth=0):
+    choice = draw(st.integers(0, 3 if depth < 2 else 1))
+    if choice == 0:
+        return draw(_cols)
+    if choice == 1:
+        return draw(_lits)
+    if choice == 2:
+        return f"{draw(_scalars)}({draw(_expr(depth + 1))})"
+    return f"({draw(_expr(depth + 1))} + {draw(_expr(depth + 1))})"
+
+
+@st.composite
+def _query(draw):
+    n = draw(st.integers(1, 3))
+    fields = ", ".join(f"{draw(_expr())} AS f{i}" for i in range(n))
+    sql = f"SELECT {fields} FROM stream"
+    if draw(st.booleans()):
+        sql += f" WHERE {draw(_expr())} {draw(_cmp)} {draw(_expr())}"
+    if draw(st.booleans()):
+        gk = draw(_cols)
+        sql = (f"SELECT {gk}, {draw(_aggs)}(temperature) AS a0 "
+               f"FROM stream GROUP BY {gk}")
+        if draw(st.booleans()):
+            sql += ", TumblingWindow('5s')"
+        if draw(st.booleans()):
+            sql += " HAVING a0 > 1"
+    if draw(st.booleans()):
+        sql += " LIMIT 10"
+    return sql
+
+
+@settings(max_examples=300, deadline=None)
+@given(sql=_query())
+def test_frontend_never_crashes_untyped(sql):
+    """Any grammatical composition of the dialect surface either
+    compiles to a QueryPlan or raises a TYPED front-end error
+    (ParseError/PlanError/LexError) — never an arbitrary exception."""
+    from streamsql_spark.dialect.lexer import LexError
+    from streamsql_spark.dialect.parser import ParseError, parse
+    from streamsql_spark.dialect.planner import PlanError, plan
+
+    try:
+        plan(parse(sql))
+    except (ParseError, PlanError, LexError):
+        pass
