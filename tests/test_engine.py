@@ -1179,3 +1179,17 @@ def test_emit_sync_analytic_join_drop_returns_none(spark):
     assert s.emit_sync({"k": "zzz", "v": 99.0, "ts": 2}) is None
     r3 = s.emit_sync({"k": "a", "v": 2.0, "ts": 3})
     assert r3["prev"] == 1.0
+
+
+def test_emit_sync_star_excludes_configured_event_time(spark):
+    """had_changed(true, *) via EmitSync must exclude the CONFIGURED
+    event-time column (WITH TIMESTAMP=...), matching the batch/streaming
+    star expansion — otherwise the ever-changing timestamp makes every
+    row read as changed."""
+    s = StreamSQL(spark)
+    s.execute("SELECT k, v, had_changed(true, *) OVER (PARTITION BY k) AS chg "
+              "FROM stream WITH (TIMESTAMP='created_at')")
+    r1 = s.emit_sync({"k": "a", "v": 1.0, "created_at": 1000})
+    r2 = s.emit_sync({"k": "a", "v": 1.0, "created_at": 2000})  # only ts moved
+    r3 = s.emit_sync({"k": "a", "v": 2.0, "created_at": 3000})
+    assert (r1["chg"], r2["chg"], r3["chg"]) == (True, False, True)
