@@ -117,6 +117,26 @@ class Planner:
                                   args=[self._lift_aggregates(a)
                                         for a in node.args],
                                   over=node.over)
+                    # window-output analytics see only aggregated rows:
+                    # raw-column arguments cannot resolve there.  The
+                    # reference (v1.2) rejects mixing raw-column
+                    # analytics with GROUP BY/windows the same way —
+                    # analytics are OVER-only on the direct path
+                    # (test/e2e/function_advanced_test.go:762-766 skip)
+                    group_texts = {render(g) for g in self.stmt.group_by}
+                    group_texts |= {WINDOW_START_COL, WINDOW_END_COL}
+                    for a in func.args:
+                        for nref in N.walk(a):
+                            if isinstance(nref, N.Col) \
+                                    and not str(nref.parts[0]).startswith("__") \
+                                    and render(nref) not in group_texts:
+                                raise PlanError(
+                                    f"analytic {node.name}() over a raw "
+                                    f"column cannot be combined with GROUP "
+                                    f"BY/windows — wrap an aggregate "
+                                    f"(e.g. {node.name}(avg(x))) or use "
+                                    f"OVER (PARTITION BY ...) in a "
+                                    f"non-windowed query")
                 self.analytics.append(AnalyticSpec(
                     ph, func, part_sql, when_sql, window_output=window_mode))
                 return N.Col((ph,))

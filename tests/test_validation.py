@@ -154,3 +154,28 @@ def test_function_typo_suggestions():
     # genuine Spark builtins and far-off names pass through
     plan(parse("SELECT log2(v) AS l FROM stream"))
     plan(parse("SELECT some_totally_unknown_fn(v) AS u FROM stream"))
+
+
+def test_windowed_raw_column_analytic_rejected():
+    """The reference (v1.2) rejects analytics over raw columns mixed
+    with GROUP BY/windows — analytics are OVER-only on the direct path
+    (test/e2e/function_advanced_test.go:762-766).  A raw-column analytic
+    in a windowed query must fail typed at plan time, not as a Spark
+    analysis error; aggregate-wrapped analytics (lag(avg(x))) stay
+    valid (window-emission state)."""
+    with pytest.raises(PlanError, match="raw column"):
+        make_plan(parse(
+            "SELECT device, had_changed(temperature) AS c FROM stream "
+            "GROUP BY device, TumblingWindow('1s')"))
+    with pytest.raises(PlanError, match="raw column"):
+        make_plan(parse(
+            "SELECT device, lag(temperature) AS p FROM stream "
+            "GROUP BY device, TumblingWindow('1s')"))
+    # aggregate-fed analytics over window emissions remain supported
+    make_plan(parse(
+        "SELECT device, lag(avg(temperature)) AS prev_avg FROM stream "
+        "GROUP BY device, TumblingWindow('1s')"))
+    # group-key arguments are visible post-aggregation and stay valid
+    make_plan(parse(
+        "SELECT device, had_changed(true, device) AS c FROM stream "
+        "GROUP BY device, TumblingWindow('1s')"))
