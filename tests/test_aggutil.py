@@ -160,3 +160,31 @@ def test_frontend_never_crashes_untyped(sql):
         plan(parse(sql))
     except (ParseError, PlanError, LexError):
         pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(vals=st.lists(st.sampled_from("abcx"), max_size=40))
+def test_cep_alternation_matches_scan(vals):
+    """PATTERN (A (B | C)) + SKIP PAST LAST ROW: greedy scan oracle over
+    disjoint symbol classes, including the branch CLASSIFIER."""
+    from streamsql_spark.cep.engine import run_partition
+
+    spec = _parse_spec("""
+        SELECT * FROM stream MATCH_RECOGNIZE (
+            MEASURES A.i AS a_i, LAST(i) AS b_i, CLASSIFIER() AS cls
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A (B | C))
+            DEFINE A AS s = 'a', B AS s = 'b', C AS s = 'c')
+    """)
+    rows = [{"i": i, "s": s} for i, s in enumerate(vals)]
+    got = [(m["a_i"], m["b_i"], m["cls"])
+           for m in run_partition(spec, rows,
+                                  [float(i) for i in range(len(rows))], None)]
+    want, i = [], 0
+    while i + 1 < len(vals):
+        if vals[i] == "a" and vals[i + 1] in "bc":
+            want.append((i, i + 1, vals[i + 1].upper()))
+            i += 2
+        else:
+            i += 1
+    assert got == want, (vals, got, want)
