@@ -502,7 +502,7 @@ def _pipeline_oracle() -> str:
                       * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score
       FROM f)
     SELECT lang_pred, count(*) AS n_docs,
-           sum(est_bpe_tokens) AS corpus_tokens,
+           CAST(sum(est_bpe_tokens) AS BIGINT) AS corpus_tokens,
            round(avg(quality_score), 6) AS avg_quality
     FROM q WHERE quality_score >= 0.05 GROUP BY lang_pred
     """

@@ -582,15 +582,22 @@ class BatchExecutor:
         if any("`__arrival_order__`" in s.sql for s in plan.agg_specs):
             # first_value/last_value render to min_by/max_by over this
             # column: event time + tiebreak when available (deterministic
-            # across shuffles), else a per-partition monotonic id (plain
-            # arrival order, matching the reference's single-node intake).
-            if _TS in df.columns:
-                tiebreak = next((c for c in ("event_id", "id", "seq")
-                                 if c in df.columns), None)
-                order_col = (F.struct(F.col(_TS), F.col(tiebreak))
-                             if tiebreak else F.col(_TS))
-            else:
-                order_col = F.monotonically_increasing_id()
+            # across shuffles).  Without an event-time column the result
+            # would depend on physical partition layout — deterministic on
+            # one parquet scan, arbitrary after any repartition — so we
+            # refuse rather than silently bind to layout (the reference's
+            # single-node intake order has no distributed equivalent).
+            if _TS not in df.columns:
+                raise ExecError(
+                    "arrival-order aggregate (first_value/last_value/"
+                    "collect/nth_value/deduplicate) needs an event-time "
+                    "column: declare one with TIMESTAMP(col) or ensure "
+                    f"'{_TS}' is in scope — without it the result would "
+                    "depend on physical partition layout")
+            tiebreak = next((c for c in ("event_id", "id", "seq")
+                             if c in df.columns), None)
+            order_col = (F.struct(F.col(_TS), F.col(tiebreak))
+                         if tiebreak else F.col(_TS))
             df = df.withColumn("__arrival_order__", order_col)
         aggs = [F.expr(s.sql).alias(s.placeholder) for s in plan.agg_specs]
         if not aggs:

@@ -179,3 +179,33 @@ def test_windowed_raw_column_analytic_rejected():
     make_plan(parse(
         "SELECT device, had_changed(true, device) AS c FROM stream "
         "GROUP BY device, TumblingWindow('1s')"))
+
+
+def test_arrival_order_aggregate_without_event_time_rejected(spark):
+    """first_value/last_value (min_by/max_by over __arrival_order__) must
+    refuse when no event-time column is in scope: the only fallback would
+    be physical partition layout, which is deterministic on one parquet
+    scan but arbitrary after any repartition — a silent-wrong-answer
+    hazard at scale.  Counting windows don't require event time, so they
+    are the path that used to hit the monotonically_increasing_id
+    fallback (stream/window counting, group_aggregator.go first/last
+    arrival-order semantics)."""
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.engine.batch import ExecError
+
+    s = StreamSQL(spark)
+    s.execute("SELECT k, first_value(v) AS fv FROM stream "
+              "GROUP BY k, CountingWindow(2)")
+    for r in [{"k": "a", "v": 1.0}, {"k": "a", "v": 2.0}]:
+        s.emit(r)
+    with pytest.raises(ExecError, match="arrival-order aggregate"):
+        s.trigger_window()
+    # with an event-time column declared, the same query is fine
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT k, first_value(v) AS fv FROM stream "
+               "GROUP BY k, CountingWindow(2) WITH (TIMESTAMP='ts')")
+    for i, r in enumerate([{"k": "a", "v": 1.0, "ts": 1000},
+                           {"k": "a", "v": 2.0, "ts": 2000}]):
+        s2.emit(r)
+    out = s2.trigger_window()
+    assert out == [{"k": "a", "fv": 1.0}]
