@@ -628,12 +628,17 @@ _add("scalar_datetime", Entry(
     "date_add/date_sub/date_diff + convert_tz/to_seconds "
     "(functions_datetime.go, functions_conversion.go:242-353)"))
 
-def _json_nested_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 JSON functions + §2.2 nested paths in one plan: dot access
-    into a struct column and bracket index into an array column
-    (utils/fieldpath/fieldpath.go:44-176).  The events.props JSON string
-    is lifted to a struct source column — the reference's map-shaped
-    rows land the same way via a declared schema (SURVEY §1.2)."""
+def _json_conv_cond_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON + conversion + conditional/type functions and §2.2
+    nested paths in ONE plan: dot access into a struct column, bracket
+    index into an array column (utils/fieldpath/fieldpath.go:44-176),
+    plus the cast/encode/hash and if_null/case_when/type-check families
+    (functions_conversion.go, functions_hash.go, functions_conditional.go,
+    functions_type.go).  The events.props JSON string is lifted to a
+    struct source column — the reference's map-shaped rows land the same
+    way via a declared schema (SURVEY §1.2).  Merged from three round-2
+    entries (scalar_json_nested / scalar_conditional / scalar_conversion)
+    to stay inside the driver's 50-entry gate."""
     from pyspark.sql import functions as F
 
     tables = load_tables(spark, sf_dir)
@@ -645,32 +650,7 @@ def _json_nested_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                json_extract(props, 'k') AS k,
                json_valid(props) AS jv,
                json_length(props) AS jl,
-               json_type(props) AS jt
-        FROM stream WHERE meta.k IS NOT NULL AND meta.k > 50
-    """)
-    return q.query(src)
-
-
-_add("scalar_json_nested", Entry(
-    _json_nested_run,
-    """
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
-           string_split(event_type, 'i')[1] AS first_seg,
-           json_extract_string(props, '$.k') AS k,
-           json_valid(props) AS jv,
-           CAST(len(json_keys(props)) AS INT) AS jl,
-           'object' AS jt
-    FROM events
-    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
-    """,
-    "§2.8 json_extract/json_valid/json_length/json_type + §2.2 nested "
-    "field access a.b / arr[i] (functions_json.go, "
-    "utils/fieldpath/fieldpath.go:44-621)"))
-
-_add("scalar_conditional", Entry(
-    _dialect("""
-        SELECT event_id,
+               json_type(props) AS jt,
                coalesce(null_if(event_type, 'error'), 'filtered') AS et,
                if_null(null_if(value, value), -1.0) AS nn,
                greatest(value, 50.0) AS g,
@@ -683,35 +663,7 @@ _add("scalar_conditional", Entry(
                is_string(event_type) AS et_str,
                is_bool(value > 50) AS gt_bool,
                is_array(split(event_type, '_')) AS is_arr,
-               is_object(event_type) AS is_obj
-        FROM stream WHERE event_id < 400
-    """, "events"),
-    """
-    SELECT event_id,
-           coalesce(nullif(event_type, 'error'), 'filtered') AS et,
-           ifnull(nullif(value, value), -1.0) AS nn,
-           greatest(value, 50.0) AS g,
-           least(value, 50.0) AS l,
-           CASE WHEN value > 100 THEN 'big' WHEN value > 50 THEN 'mid'
-                ELSE 'small' END AS cw,
-           props IS NULL AS p_null,
-           props IS NOT NULL AS p_notnull,
-           (try_cast(event_type AS DOUBLE) IS NOT NULL) AS et_num,
-           (try_cast(CAST(value AS VARCHAR) AS DOUBLE) IS NOT NULL) AS v_num,
-           TRUE AS et_str,
-           TRUE AS gt_bool,
-           TRUE AS is_arr,
-           FALSE AS is_obj
-    FROM events WHERE event_id < 400
-    """,
-    "§2.8 if_null/null_if/greatest/least/case_when + "
-    "is_null/is_not_null/is_numeric/is_string/is_bool/is_array/is_object "
-    "(functions_conditional.go, functions_type.go:14-170; schema-static "
-    "checks fold to constants)"))
-
-_add("scalar_conversion", Entry(
-    _dialect("""
-        SELECT event_id,
+               is_object(event_type) AS is_obj,
                cast(value, 'string') AS vs,
                cast(event_id, 'float') AS vf,
                cast(value, 'int') AS vi,
@@ -725,14 +677,39 @@ _add("scalar_conversion", Entry(
                chr(65 + mod(event_id, 26)) AS ch,
                md5(event_type) AS h_md5,
                sha256(event_type) AS h_sha256
-        FROM stream WHERE event_id < 300
-    """, "events"),
+        FROM stream WHERE meta.k IS NOT NULL AND meta.k > 50
+    """)
+    return q.query(src)
+
+
+_add("scalar_conversion", Entry(
+    _json_conv_cond_run,
     # DuckDB has no url_encode/url_decode: round-trip ≡ identity; the
     # event_type vocabulary is [a-z_]+ — form-encoding leaves it
     # unchanged.  sha1/sha512 have no DuckDB equivalent — unit-tested
     # against hashlib instead.
     """
     SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           string_split(event_type, 'i')[1] AS first_seg,
+           json_extract_string(props, '$.k') AS k,
+           json_valid(props) AS jv,
+           CAST(len(json_keys(props)) AS INT) AS jl,
+           'object' AS jt,
+           coalesce(nullif(event_type, 'error'), 'filtered') AS et,
+           ifnull(nullif(value, value), -1.0) AS nn,
+           greatest(value, 50.0) AS g,
+           least(value, 50.0) AS l,
+           CASE WHEN value > 100 THEN 'big' WHEN value > 50 THEN 'mid'
+                ELSE 'small' END AS cw,
+           props IS NULL AS p_null,
+           props IS NOT NULL AS p_notnull,
+           (try_cast(event_type AS DOUBLE) IS NOT NULL) AS et_num,
+           (try_cast(CAST(value AS VARCHAR) AS DOUBLE) IS NOT NULL) AS v_num,
+           TRUE AS et_str,
+           TRUE AS gt_bool,
+           TRUE AS is_arr,
+           FALSE AS is_obj,
            CAST(value AS VARCHAR) AS vs,
            CAST(event_id AS DOUBLE) AS vf,
            CAST(trunc(value) AS INT) AS vi,
@@ -746,11 +723,15 @@ _add("scalar_conversion", Entry(
            chr(CAST(65 + event_id % 26 AS INTEGER)) AS ch,
            md5(event_type) AS h_md5,
            sha256(event_type) AS h_sha256
-    FROM events WHERE event_id < 300
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
     """,
-    "§2.8 cast/hex2dec/dec2hex/encode/decode/trunc + "
-    "url_encode/url_decode/chr + md5/sha1/sha256 "
-    "(functions_conversion.go, functions_hash.go)"))
+    "§2.8 json_extract/json_valid/json_length/json_type + §2.2 nested "
+    "paths a.b / arr[i] + cast/hex2dec/dec2hex/encode/decode/trunc/"
+    "url_encode/url_decode/chr/md5/sha256 + if_null/null_if/greatest/"
+    "least/case_when + type checks (functions_json.go, "
+    "functions_conversion.go, functions_hash.go, functions_conditional.go, "
+    "functions_type.go:14-170, utils/fieldpath/fieldpath.go:44-621)"))
 
 _add("scalar_array", Entry(
     _dialect("""
@@ -905,6 +886,77 @@ _add("cep_all_rows", Entry(
     """,
     "§2.7 ALL ROWS PER MATCH with RUNNING measures + CLASSIFIER() "
     "(types/match_recognize.go:19-26, cep/engine.go:638-655)"))
+
+
+_add("cep_skip_next_overlap", Entry(
+    # AFTER MATCH SKIP TO NEXT ROW restarts matching at the row AFTER
+    # the match's first row, so a run of n qualifying rows yields n-1
+    # overlapping A{2} matches (PAST LAST ROW would yield floor(n/2)).
+    # Every adjacent qualifying pair is therefore a match — exactly the
+    # LAG predicate, giving the skip policy a full value-level oracle.
+    _dialect("""
+        SELECT user_id, a1_ts, a2_ts, a1_val, a2_val FROM stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.ts) AS a1_ts, LAST(A.ts) AS a2_ts,
+                     FIRST(A.value) AS a1_val, LAST(A.value) AS a2_val
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{2})
+            DEFINE A AS value > 75
+        )
+    """, "events"),
+    """
+    WITH w AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val
+        FROM events)
+    SELECT user_id, prev_ts AS a1_ts, ts AS a2_ts,
+           prev_val AS a1_val, value AS a2_val
+    FROM w WHERE prev_val > 75 AND value > 75
+    """,
+    "§2.7 AFTER MATCH SKIP TO NEXT ROW overlapping matches "
+    "(cep/engine.go:593-625 skip policies; test/e2e/cep_test.go)"))
+
+_add("cep_permute", Entry(
+    # PERMUTE(A, B) ≡ (A B | B A).  A (>80) and B (<20) are disjoint
+    # classes; with SKIP TO NEXT ROW every adjacent high/low pair in
+    # either order is a match, so the LAG oracle is exact (PAST LAST
+    # ROW would hide chained pairs like H L H → only the first).
+    _dialect("""
+        SELECT user_id, hi_ts, lo_ts, hi_val, lo_val, last_sym FROM stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS hi_ts, B.ts AS lo_ts,
+                     A.value AS hi_val, B.value AS lo_val,
+                     CLASSIFIER() AS last_sym
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (PERMUTE(A, B))
+            DEFINE A AS value > 80, B AS value < 20
+        )
+    """, "events"),
+    """
+    WITH w AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val
+        FROM events)
+    SELECT user_id,
+           CASE WHEN prev_val > 80 THEN prev_ts ELSE ts END AS hi_ts,
+           CASE WHEN prev_val < 20 THEN prev_ts ELSE ts END AS lo_ts,
+           CASE WHEN prev_val > 80 THEN prev_val ELSE value END AS hi_val,
+           CASE WHEN prev_val < 20 THEN prev_val ELSE value END AS lo_val,
+           CASE WHEN value > 80 THEN 'A' ELSE 'B' END AS last_sym
+    FROM w WHERE (prev_val > 80 AND value < 20)
+             OR (prev_val < 20 AND value > 80)
+    """,
+    "§2.7 PERMUTE(A, B) order-free sequence + SKIP TO NEXT ROW + "
+    "CLASSIFIER() (rsql/parser_match_pattern.go PERMUTE expansion, "
+    "cep/engine.go:593-625; test/e2e/cep_test.go:630)"))
 
 
 # ===================================================================
