@@ -28,6 +28,9 @@ from ..dialect.planner import plan as make_plan
 from ..engine.batch import BatchExecutor
 from ..functions.registry import register_function as _register_function
 
+# sentinel: "this row can't take the templated sync fast path"
+_NOT_APPLICABLE = object()
+
 
 class StreamSQL:
     """One SQL statement per instance (streamsql.go:141-143)."""
@@ -199,6 +202,134 @@ class StreamSQL:
             return self.spark.createDataFrame(rows, schema=self.schema)
         return self.spark.createDataFrame(rows)
 
+    _SQL_TYPES = {"long": "BIGINT", "integer": "INT", "short": "SMALLINT",
+                  "byte": "TINYINT", "double": "DOUBLE", "float": "FLOAT",
+                  "string": "STRING", "boolean": "BOOLEAN",
+                  "timestamp": "TIMESTAMP", "date": "DATE"}
+
+    @staticmethod
+    def _sql_literal(v, sqlt: str | None) -> str | None:
+        """Encode one Python value as a Spark SQL literal (optionally
+        CAST to ``sqlt``); None when not literal-encodable."""
+        import datetime as _dt
+        import math
+
+        if v is None:
+            if sqlt is None or sqlt.lower() in ("void", "null"):
+                return None
+            return f"CAST(NULL AS {sqlt})"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return f"CAST({v} AS {sqlt or 'BIGINT'})"
+        if isinstance(v, float):
+            if math.isnan(v) or math.isinf(v):
+                return f"CAST('{v}' AS {sqlt or 'DOUBLE'})"
+            return f"CAST('{v!r}' AS {sqlt or 'DOUBLE'})"
+        if isinstance(v, str):
+            esc = v.replace("\\", "\\\\").replace("'", "\\'")
+            lit = f"'{esc}'"
+            return (f"CAST({lit} AS {sqlt})"
+                    if sqlt and sqlt.lower() != "string" else lit)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        return None  # arrays/structs/bytes: take the slow path
+
+    def _local_values_df(self, rows: list[dict],
+                         fields: list[tuple[str, str | None]]) -> DataFrame | None:
+        """DataFrame built as a VALUES literal — a genuine LocalRelation,
+        so Catalyst's ConvertToLocalRelation folds the whole
+        filter/projection pipeline at optimization time and collect()
+        runs ZERO Spark jobs (LocalTableScan.executeCollect is
+        driver-side).  This is the per-event sync hot path analog of the
+        reference's in-process expression engine (streamsql.go:262-282)
+        — scheduling a distributed job per event would be ~100x the
+        latency.  ``fields`` is (name, sql_type_or_None) in output
+        order; returns None when any value can't be encoded (the caller
+        falls back to createDataFrame)."""
+        if not rows or not fields:
+            return None
+        tuples = []
+        for row in rows:
+            lits = []
+            for name, sqlt in fields:
+                lit = self._sql_literal(row.get(name), sqlt)
+                if lit is None:
+                    return None
+                lits.append(lit)
+            tuples.append(f"({', '.join(lits)})")
+        names = ", ".join(f"`{n}`" for n, _ in fields)
+        return self.spark.sql(
+            f"SELECT * FROM VALUES {', '.join(tuples)} AS t({names})")
+
+    def _emit_sync_fast(self, row: dict):
+        """One-shot templated evaluation of the plain direct path:
+        ``SELECT <rendered outputs> FROM (VALUES <literals>) WHERE
+        <rendered predicate>`` — the SAME rendered SQL strings the batch
+        executor compiles, collapsed into a single query over a
+        LocalRelation so the whole per-event round trip is one parse +
+        fold, zero Spark jobs (streamsql.go:262-282 in-process direct
+        path).  Returns _NOT_APPLICABLE when the plan needs executor
+        machinery (joins/analytics/unnest/distinct/order/limit) or the
+        row isn't literal-encodable; None when filtered out."""
+        plan = self._plan
+        if (plan.joins or plan.analytics or plan.distinct or plan.order_by
+                or plan.limit is not None or not plan.outputs):
+            return _NOT_APPLICABLE
+        if not row:
+            return _NOT_APPLICABLE
+        if self.schema is not None and hasattr(self.schema, "fields"):
+            fields = [(f.name, self._SQL_TYPES.get(f.dataType.typeName()))
+                      for f in self.schema.fields]
+            if set(n for n, _ in fields) != set(row) or \
+                    any(t is None for _, t in fields):
+                return _NOT_APPLICABLE
+        else:
+            fields = [(k, None) for k in sorted(row)]
+        lits = []
+        for name, sqlt in fields:
+            lit = self._sql_literal(row[name], sqlt)
+            if lit is None:
+                return _NOT_APPLICABLE
+            lits.append(lit)
+        sel = []
+        for o in plan.outputs:
+            if getattr(o, "unnest_sql", None) is not None:
+                return _NOT_APPLICABLE
+            if o.star:
+                if o.star_qualifier:
+                    return _NOT_APPLICABLE
+                sel.extend(f"`{n}`" for n, _ in fields)
+            else:
+                sel.append(f"({o.sql}) AS `{o.name}`")
+        names = ", ".join(f"`{n}`" for n, _ in fields)
+        sql = (f"SELECT {', '.join(sel)} FROM "
+               f"(SELECT * FROM VALUES ({', '.join(lits)}) AS t({names}))")
+        if plan.where_sql:
+            sql += f" WHERE {plan.where_sql}"
+        out = self.spark.sql(sql).collect()
+        if not out:
+            return None
+        return out[0].asDict(recursive=True)
+
+    def _local_row_df(self, row: dict) -> DataFrame | None:
+        """Single-event VALUES literal honoring the declared schema
+        (or createDataFrame's sorted-key inference order)."""
+        if not row:
+            return None
+        if self.schema is not None and hasattr(self.schema, "fields"):
+            fields = [(f.name, self._SQL_TYPES.get(f.dataType.typeName()))
+                      for f in self.schema.fields]
+            if set(n for n, _ in fields) != set(row) or \
+                    any(t is None for _, t in fields):
+                return None
+        else:
+            # createDataFrame sorts dict keys — match it
+            fields = [(k, None) for k in sorted(row)]
+        return self._local_values_df([row], fields)
+
     def _schema_violation(self, row: dict) -> str | None:
         """Declared-schema validation (schema/schema.go:97-265): missing
         fields and type mismatches; None values pass (nullable)."""
@@ -254,7 +385,14 @@ class StreamSQL:
             raise ValueError(f"schema validation failed: {viol}")
         if self._plan.analytics:
             return self._emit_sync_analytic(row)
-        df = self._rows_df([row])
+        fast = self._emit_sync_fast(row)
+        if fast is not _NOT_APPLICABLE:
+            if fast is None:
+                return None
+            return self._deliver_sync(fast)
+        df = self._local_row_df(row)
+        if df is None:
+            df = self._rows_df([row])
         out = self.query(df).collect()
         if not out:
             return None
@@ -275,7 +413,10 @@ class StreamSQL:
                                           flatten_join_refs)
 
         ex = BatchExecutor(self.spark, dict(self._tables))
-        df = ex._apply_joins(self._rows_df([row]), self._plan)
+        src = self._local_row_df(row)
+        if src is None:
+            src = self._rows_df([row])
+        df = ex._apply_joins(src, self._plan)
         if self._plan.joins:
             # alias-qualified refs don't survive the flat row rebuild —
             # materialize them as flat columns and rewrite the plan,
@@ -381,7 +522,12 @@ class StreamSQL:
                 dt = _parse_datatype_string(dt)
             ph_fields.append(StructField(p["ph"], dt))
         schema2 = StructType(list(df.schema.fields) + ph_fields)
-        df2 = self.spark.createDataFrame(rows2, schema2)
+        # VALUES-literal rebuild keeps the whole sync hop foldable
+        # (zero Spark jobs) whenever the row is scalar-encodable
+        df2 = self._local_values_df(
+            rows2, [(f.name, f.dataType.simpleString()) for f in schema2.fields])
+        if df2 is None:
+            df2 = self.spark.createDataFrame(rows2, schema2)
         plan2 = replace(self._an_plan_flat, joins=[])
         out = ex.execute(plan2, df2).collect()
         if not out:

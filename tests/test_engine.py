@@ -1193,3 +1193,73 @@ def test_emit_sync_star_excludes_configured_event_time(spark):
     r2 = s.emit_sync({"k": "a", "v": 1.0, "created_at": 2000})  # only ts moved
     r3 = s.emit_sync({"k": "a", "v": 2.0, "created_at": 3000})
     assert (r1["chg"], r2["chg"], r3["chg"]) == (True, False, True)
+
+
+def test_emit_sync_direct_runs_zero_spark_jobs(spark):
+    """The non-analytic emit_sync path evaluates the compiled
+    filter/projection via a VALUES-literal LocalRelation, which
+    ConvertToLocalRelation folds at optimization time — collect() is
+    driver-side, zero jobs scheduled (the reference's in-process direct
+    path, streamsql.go:262-282).  Job count is observed through the
+    status tracker."""
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, temperature * 1.8 + 32 AS f, "
+              "CASE WHEN temperature > 30 THEN 'hot' ELSE 'cold' END AS lvl "
+              "FROM stream WHERE temperature > 21")
+    s.emit_sync({"deviceId": "w", "temperature": 25.0})  # warm any lazy init
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup() or [])
+    r = s.emit_sync({"deviceId": "d1", "temperature": 35.0})
+    assert r == {"deviceId": "d1", "f": pytest.approx(95.0), "lvl": "hot"}
+    assert s.emit_sync({"deviceId": "d2", "temperature": 18.0}) is None
+    after = set(spark.sparkContext.statusTracker().getJobIdsForGroup() or [])
+    assert after == before, f"emit_sync scheduled Spark jobs: {after - before}"
+
+
+def test_emit_sync_local_literal_parity(spark):
+    """The VALUES-literal fast path must produce byte-identical results
+    to the createDataFrame slow path across types, including string
+    escaping, NULLs (declared schema), bools, floats and timestamps."""
+    s = StreamSQL(spark)
+    s.execute("SELECT name, v * 2 AS v2, n + 1 AS n1, ok FROM stream "
+              "WHERE v >= 0")
+    tricky = [
+        {"name": "it's a 'quote'", "v": 1.5, "n": 7, "ok": "y"},
+        {"name": "back\\slash and \\' mix", "v": 0.1 + 0.2, "n": 0, "ok": "n"},
+        {"name": "", "v": 1e-300, "n": -9223372036854775808, "ok": "z"},
+    ]
+    for row in tricky:
+        fast = s.emit_sync(row)
+        slow = s.query(s._rows_df([row])).collect()
+        assert fast == slow[0].asDict(recursive=True), row
+
+
+def test_emit_sync_null_with_declared_schema_fast_path(spark):
+    schema = StructType([StructField("temperature", DoubleType()),
+                         StructField("ts", LongType())])
+    s = StreamSQL(spark, schema=schema)
+    s.execute("SELECT temperature, ts FROM stream WHERE ts > 0")
+    tracker = spark.sparkContext.statusTracker()
+    s.emit_sync({"temperature": 1.0, "ts": 1})
+    before = set(spark.sparkContext.statusTracker().getJobIdsForGroup() or [])
+    r = s.emit_sync({"temperature": None, "ts": 5})
+    assert r == {"temperature": None, "ts": 5}
+    after = set(spark.sparkContext.statusTracker().getJobIdsForGroup() or [])
+    assert after == before
+
+
+def test_emit_sync_analytic_runs_zero_spark_jobs(spark):
+    """With no joins, the analytic emit_sync path is fully foldable:
+    both the expression pre-projection and the post-state rebuild are
+    VALUES-literal LocalRelations, so per-event latency has no job
+    scheduling in it (stream/analytic.go:125-234 in-process analog)."""
+    s = StreamSQL(spark)
+    s.execute("SELECT temperature, lag(temperature) AS prev FROM stream "
+              "WITH (TIMESTAMP='ts')")
+    s.emit_sync({"temperature": 23.0, "ts": 1})  # warm: builds the prep
+    before = set(spark.sparkContext.statusTracker().getJobIdsForGroup() or [])
+    r = s.emit_sync({"temperature": 25.0, "ts": 2})
+    assert r["prev"] == 23.0
+    after = set(spark.sparkContext.statusTracker().getJobIdsForGroup() or [])
+    assert after == before, f"analytic emit_sync scheduled jobs: {after - before}"
