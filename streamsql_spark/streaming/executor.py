@@ -114,11 +114,16 @@ class StreamingExecutor:
                 and _TS not in df.columns:
             raise ExecError(f"{w.kind} window requires an event-time column")
         if w is not None and w.kind in ("tumbling", "sliding") \
-                and self._allowed_lateness_ms(plan) > 0:
+                and (self._allowed_lateness_ms(plan) > 0
+                     or self._idle_timeout_ms(plan) is not None):
             # ALLOWEDLATENESS > 0: emit-then-update re-emission with a
             # stable window_id (tumbling_window.go:596-674) — Spark's
             # native windowed agg cannot re-fire a closed window in
-            # append mode, so this runs on the stateful lateness kernel
+            # append mode, so this runs on the stateful lateness kernel.
+            # IDLETIMEOUT also routes here: Spark's native windowed agg
+            # only fires on watermark movement, while the kernel can
+            # advance the reference watermark on wall clock when the
+            # source goes idle (window/watermark.go:100-127).
             agged = lateness_window_stream(df, plan, _TS)
             return self._project_stateful(agged, plan)
         # time windows / plain aggregates are Catalyst-native — reuse the
@@ -130,6 +135,12 @@ class StreamingExecutor:
         opts = {k.upper(): v for k, v in plan.options.items()}
         v = opts.get("ALLOWEDLATENESS")
         return int(duration_to_seconds(str(v)) * 1000) if v is not None else 0
+
+    @staticmethod
+    def _idle_timeout_ms(plan) -> int | None:
+        opts = {k.upper(): v for k, v in plan.options.items()}
+        v = opts.get("IDLETIMEOUT")
+        return int(duration_to_seconds(str(v)) * 1000) if v is not None else None
 
     def _project_stateful(self, agged: DataFrame, plan) -> DataFrame:
         """HAVING + output projection over a stateful kernel's
@@ -254,7 +265,9 @@ class StreamingExecutor:
         if plan.mode == "window":
             w = plan.window
             if w is not None and w.kind in ("tumbling", "sliding") \
-                    and StreamingExecutor._allowed_lateness_ms(plan) > 0:
+                    and (StreamingExecutor._allowed_lateness_ms(plan) > 0
+                         or StreamingExecutor._idle_timeout_ms(plan)
+                         is not None):
                 return "update"  # lateness kernel re-emits fired windows
             if w is not None and w.kind in ("counting", "global"):
                 return "append"  # stateful kernels emit final rows

@@ -370,7 +370,13 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
       dropped by Spark's watermark filter, delay = MOO + lateness);
     - every emission carries a stable ``window_id``
       ("<start_ns>_<end_ns>", stream/processor_data.go:415-435
-      stampWindowID) so sinks can dedup/replace across re-emits.
+      stampWindowID) so sinks can dedup/replace across re-emits;
+    - IDLETIMEOUT (window/watermark.go:100-127): when a key sees no
+      data for the idle duration, the reference watermark advances on
+      WALL CLOCK (now − MAXOUTOFORDERNESS) so pending windows still
+      close.  The kernel then runs under ProcessingTimeTimeout (the
+      only Spark timeout that fires without watermark movement) and
+      persists the advanced watermark monotonically in state.
 
     Spark's own windowed aggregation cannot re-fire a closed window in
     append mode, so this runs as a per-key applyInPandasWithState kernel
@@ -386,7 +392,12 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
     slide_ms = int(duration_to_seconds(w.slide) * 1000) \
         if w.kind == "sliding" else size_ms
     opts = {k.upper(): v for k, v in plan.options.items()}
-    al_ms = int(duration_to_seconds(str(opts["ALLOWEDLATENESS"])) * 1000)
+    al_ms = int(duration_to_seconds(str(opts["ALLOWEDLATENESS"])) * 1000) \
+        if "ALLOWEDLATENESS" in opts else 0
+    idle_ms = int(duration_to_seconds(str(opts["IDLETIMEOUT"])) * 1000) \
+        if "IDLETIMEOUT" in opts else None
+    moo_ms = int(duration_to_seconds(str(opts["MAXOUTOFORDERNESS"])) * 1000) \
+        if "MAXOUTOFORDERNESS" in opts else 0
 
     df, names = _key_columns(df, plan)
     df, agg_specs = _prep_agg_columns(df, plan)
@@ -431,6 +442,16 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
         # batches) — nothing fires or drops then.
         wm = state.getCurrentWatermarkMs()
         ref_wm = wm + al_ms if wm > 0 else None
+        blob = _load_state(state) or {}
+        adv_ref = blob.pop("__adv__", 0) if isinstance(blob, dict) else 0
+        if idle_ms is not None and state.hasTimedOut:
+            # idle source: advance the reference watermark on wall
+            # clock (window/watermark.go:110-117) — monotonic via state
+            import time as _time
+            adv_ref = max(adv_ref, int(_time.time() * 1000) - moo_ms)
+        if adv_ref:
+            ref_wm = max(ref_wm or 0, adv_ref)
+            wm = max(wm, ref_wm - al_ms)
         # slots: {slot_start_ms: [fired, window-agg state]}.  When every
         # aggregate is algebraic the window state is a fixed-size
         # partial accumulator per spec (constant memory per window no
@@ -438,7 +459,7 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
         # holistic aggregates (median/percentile/collect/nth) fall back
         # to buffering the argument tuples, like the reference's
         # snapshotData (tumbling_window.go:617-674).
-        slots = _load_state(state) or {}
+        slots = blob
         touched = set()
         # the kernel is only invoked for keys present in the batch — an
         # event-time timeout at the next fire/purge point wakes idle
@@ -498,13 +519,22 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
             if wm > 0 and wm >= end:  # lateness horizon passed — purge
                 del slots[slot]
         if slots:
+            if adv_ref:
+                slots = dict(slots)
+                slots["__adv__"] = adv_ref
             _save_state(state, slots)
-            # next wake-up: earliest pending on-time fire (end − lateness,
-            # when the spark watermark reaches the reference fire point)
-            # or purge point (end) — clamped above the current watermark
-            nxt = min(s + size_ms - (0 if ent[0] else al_ms)
-                      for s, ent in slots.items())
-            state.setTimeoutTimestamp(max(nxt, wm + 1))
+            if idle_ms is not None:
+                # ProcessingTimeTimeout: wake after the idle duration
+                # even if the Spark watermark never moves again
+                state.setTimeoutDuration(idle_ms)
+            else:
+                # next wake-up: earliest pending on-time fire (end − lateness,
+                # when the spark watermark reaches the reference fire point)
+                # or purge point (end) — clamped above the current watermark
+                nxt = min(s + size_ms - (0 if ent[0] else al_ms)
+                          for s, ent in slots.items()
+                          if not isinstance(s, str))
+                state.setTimeoutTimestamp(max(nxt, wm + 1))
         else:
             state.remove()
         if rows_out:
@@ -514,7 +544,8 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
     grouped = df.groupBy(*[F.col(k) for k in key_names]) if key_names \
         else df.withColumn("__k__", F.lit(1)).groupBy("__k__")
     return grouped.applyInPandasWithState(
-        kernel, out_schema, _STATE_SCHEMA, "update", "EventTimeTimeout")
+        kernel, out_schema, _STATE_SCHEMA, "update",
+        "ProcessingTimeTimeout" if idle_ms is not None else "EventTimeTimeout")
 
 
 # ----------------------------------------------------------------- global

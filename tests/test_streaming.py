@@ -736,3 +736,40 @@ def test_allowed_lateness_holistic_agg_buffers(spark):
     got = run_stream(spark, sql, batches)
     win0 = [(r["med"], r["n"]) for r in got if r["window_id"] == "0_10000000000"]
     assert win0 == [(5.0, 2), (2.0, 3)]
+
+
+def test_idle_timeout_closes_window_without_new_data(spark):
+    """IDLETIMEOUT (window/watermark.go:100-127): when the source goes
+    idle, the reference watermark advances on WALL CLOCK (now −
+    MAXOUTOFORDERNESS) so pending windows still close — Spark's native
+    windowed agg would hold them open forever because the event-time
+    watermark only moves with new data.  One batch, then silence: the
+    window must still fire."""
+    import time as _time
+
+    from streamsql_spark.streaming.executor import StreamingExecutor
+    from streamsql_spark.streaming.harness import StreamReplay
+
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, avg(temperature) AS avg_t FROM stream "
+              "GROUP BY deviceId, TumblingWindow('10s') "
+              "WITH (TIMESTAMP='ts', MAXOUTOFORDERNESS='1s', "
+              "IDLETIMEOUT='1s')")
+    replay = StreamReplay(spark, EVT)
+    replay.add_batch(_rows(("d1", 20.0, 50.0, 1000, "ok"),
+                           ("d1", 30.0, 50.0, 1005, "ok")))
+    got: list[dict] = []
+    ex = StreamingExecutor(spark, {})
+    q = ex.start(s.plan, replay.stream(),
+                 sink=lambda rows: got.extend(rows),
+                 checkpoint=replay.checkpoint,
+                 trigger={"processingTime": "500 milliseconds"})
+    try:
+        deadline = _time.time() + 90
+        while not got and _time.time() < deadline:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        replay.cleanup()
+    assert got, "idle stream never closed its window"
+    assert got[0]["deviceId"] == "d1" and got[0]["avg_t"] == 25.0
