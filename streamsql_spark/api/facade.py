@@ -54,7 +54,7 @@ class StreamSQL:
         self._results: list[list[dict]] = []
         self._stopped = False
         self._metrics = {"input": 0, "input_dropped": 0, "output": 0,
-                         "schema_dropped": 0}
+                         "schema_dropped": 0, "stream_out_exact": 0}
         self._queries: list = []  # StreamingQueries started by start_stream
 
     # ------------------------------------------------------------ compile
@@ -183,16 +183,21 @@ class StreamSQL:
             sinks.append(sink)
 
         def fanout(rows: list[dict]) -> None:
-            # streaming output is counted by the query's output
-            # observation (executor.start), not here — callbacks may be
-            # absent (sink_path) or see only a bounded preview
             for s in sinks:
                 s(rows)
 
+        def count_out(n: int) -> None:
+            # exact post-post-processing output count (delivered rows);
+            # the distributed sink_path keeps observation-based counts
+            self._metrics["stream_out_exact"] += n
+
         # no registered callbacks → skip the driver-side collect entirely
         # (relevant with sink_path=..., the distributed write path)
+        collect_delivery = bool(sinks) and "sink_path" not in kwargs
         sq = ex.start(self._plan, stream_df,
-                      sink=(fanout if sinks else None), **kwargs)
+                      sink=(fanout if sinks else None),
+                      on_output=(count_out if collect_delivery else None),
+                      **kwargs)
         self._queries.append(sq)
         return sq
 
@@ -428,7 +433,13 @@ class StreamSQL:
         if not hasattr(self, "_an_plan_flat"):
             self._an_plan_flat = plan_flat
 
-        if not hasattr(self, "_an_prep"):
+        # prep caches star expansion + placeholder dtypes against THIS
+        # row's column set; undeclared-schema streams may widen/shrink
+        # the key set between events, so the cache is keyed on
+        # df.columns and rebuilt on change (analytic STATE persists
+        # across rebuilds — only the compiled expressions refresh)
+        prep_key = tuple(df.columns)
+        if getattr(self, "_an_prep_key", None) != prep_key:
             from ..dialect import nodes as N
             from ..dialect.render import render
             from ..functions.registry import custom_analytic
@@ -487,7 +498,13 @@ class StreamSQL:
                 prep.append(info)
             self._an_prep = prep
             self._an_exprs = exprs
-            self._an_states: dict = {}
+            if not hasattr(self, "_an_states"):
+                self._an_states: dict = {}
+            # a NULL first argument infers a void placeholder; don't pin
+            # that — re-infer on the next event until a real type lands
+            if not any(str(p["dtype"]).lower() in ("void", "null")
+                       for p in prep):
+                self._an_prep_key = prep_key
 
         sel = [F.expr(sql).alias(alias)
                for alias, sql in self._an_exprs.items()]
@@ -600,16 +617,26 @@ class StreamSQL:
         batches; backpressure channels don't exist on Spark (the engine
         paces sources via maxOffsetsPerTrigger), so retry/expand
         counters are structurally 0."""
+        # Totals come from the incremental accumulator (a session-wide
+        # listener + this synchronous drain, deduped by (runId, batchId)
+        # high-water mark) — NOT from re-summing recentProgress, which
+        # Spark caps at numRecentProgressUpdates (default 100) entries
+        # and would silently undercount long-running streams.  Output:
+        # driver-collect deliveries are counted exactly in the batch
+        # handler (post DISTINCT/ORDER/LIMIT); the distributed sink_path
+        # keeps the observation count, which is taken before the post
+        # stage and can exceed rows actually written when the plan has a
+        # post-stage LIMIT/DISTINCT.
+        from ..streaming.progress import ingest, totals
         stream_in = stream_out = 0
         for q in self._queries:
             for p in (q.recentProgress or []):
-                om = p.get("observedMetrics") or {}
-                for name, vals in om.items():
-                    if name.startswith("streamsql_source"):
-                        stream_in += int(vals["rows"])
-                    elif name.startswith("streamsql_output"):
-                        stream_out += int(vals["rows"])
+                ingest(p)
+            t = totals(q.id)
+            stream_in += t["in"]
+            stream_out += t["out"]
         m = self._metrics
+        stream_out += m["stream_out_exact"]
         return {
             "input_count": m["input"] + stream_in,
             "output_count": m["output"] + stream_out,

@@ -76,7 +76,8 @@ def py_aggregate(name: str, values: list, extra=None):
     if not nums:
         return None
     if name == "sum":
-        return float(sum(nums))
+        r = sum(nums)
+        return r if isinstance(r, int) else float(r)
     if name == "avg":
         return float(sum(nums)) / len(nums)
     if name in ("stddev", "var", "stddevs", "vars"):
@@ -115,8 +116,11 @@ ALGEBRAIC_AGGS = {"count", "count_star", "sum", "avg", "min", "max",
 
 
 def acc_new() -> list:
-    # [n_rows, n_nonnull, sum, sumsq, min, max, first, last]
-    return [0, 0, 0.0, 0.0, None, None, None, None]
+    # [n_rows, n_nonnull, sum, sumsq, min, max, first, last,
+    #  min_num, max_num, mixed_types]
+    # sum/sumsq start as int 0 so integer inputs keep an integer sum
+    # (matching Catalyst's sum(BIGINT) -> BIGINT on the native path)
+    return [0, 0, 0, 0, None, None, None, None, None, None, False]
 
 
 def acc_update(acc: list, v) -> None:
@@ -138,15 +142,22 @@ def acc_update(acc: list, v) -> None:
     if isinstance(v, (int, float)):
         acc[2] += v
         acc[3] += v * v
+        # numeric-only extremes: the fallback used when the column turns
+        # out to hold incomparable mixed types (py_aggregate parity)
+        acc[8] = v if acc[8] is None else min(acc[8], v)
+        acc[9] = v if acc[9] is None else max(acc[9], v)
     try:
         acc[4] = v if acc[4] is None else min(acc[4], v)
         acc[5] = v if acc[5] is None else max(acc[5], v)
     except TypeError:
-        pass
+        # incomparable mixed types: flag it so acc_result falls back to
+        # the numeric-only extremes, exactly like py_aggregate's
+        # holistic path — the algebraic and buffered kernels must agree
+        acc[10] = True
 
 
 def acc_result(name: str, acc: list):
-    n_rows, n, s, s2, lo, hi, first, last = acc
+    n_rows, n, s, s2, lo, hi, first, last, lo_num, hi_num, mixed = acc
     name = name.lower()
     if name == "count_star":
         return n_rows
@@ -157,13 +168,15 @@ def acc_result(name: str, acc: list):
     if name == "last_value":
         return last
     if name == "min":
-        return lo
+        return lo_num if mixed else lo
     if name == "max":
-        return hi
+        return hi_num if mixed else hi
     if n == 0:
         return None
     if name == "sum":
-        return float(s)
+        # int stays int (Catalyst sum(BIGINT) -> BIGINT parity); float in
+        # the fold makes the whole sum float
+        return s if isinstance(s, int) else float(s)
     if name == "avg":
         return float(s) / n
     if name in ("stddev", "var", "stddevs", "vars"):

@@ -197,7 +197,8 @@ class StreamingExecutor:
               query_name: str = "streamsql",
               sink_path: str | None = None,
               sink_format: str = "parquet",
-              sink_row_limit: int = 100_000):
+              sink_row_limit: int = 100_000,
+              on_output: Callable[[int], None] | None = None):
         """Wire build() into a writeStream with the reference's sink
         semantics: each emission batch is post-processed then delivered
         to the sink callback as list[dict] (AddSink analog).
@@ -213,6 +214,8 @@ class StreamingExecutor:
         what landed on disk."""
         import uuid as _uuid
 
+        from .progress import ensure_listener
+        ensure_listener(self.spark)  # incremental GetStats accumulation
         # per-batch source row counts via a named observation — the file
         # source's numInputRows reads 0 under AvailableNow, so GetStats
         # (api/facade.py) folds observedMetrics["streamsql_source_*"] in
@@ -220,10 +223,17 @@ class StreamingExecutor:
             "streamsql_source_" + _uuid.uuid4().hex[:8],
             F.count(F.lit(1)).alias("rows"))
         out = self.build(plan, stream_df)
-        # output rows counted the same way — GetStats reports output for
-        # the distributed sink path without any driver-side collect
-        out = out.observe("streamsql_output_" + _uuid.uuid4().hex[:8],
-                          F.count(F.lit(1)).alias("rows"))
+        # driver-collect delivery counts output rows EXACTLY in handle()
+        # (after the DISTINCT/ORDER/LIMIT post stage — on_output); the
+        # distributed sink path keeps the observation, which counts rows
+        # entering the post stage — for plans with a post-stage LIMIT or
+        # DISTINCT it can exceed what lands on disk (documented in
+        # GetStats), but it needs no extra per-batch action at scale
+        collect_delivery = sink_path is None and (sink is not None
+                                                  or on_output is not None)
+        if not collect_delivery:
+            out = out.observe("streamsql_output_" + _uuid.uuid4().hex[:8],
+                              F.count(F.lit(1)).alias("rows"))
         post = self.post_batch_fn(plan)
 
         def handle(batch_df: DataFrame, _batch_id: int):
@@ -247,9 +257,11 @@ class StreamingExecutor:
                 finally:
                     if sink is not None:
                         done.unpersist()
-            elif sink is not None:
+            elif sink is not None or on_output is not None:
                 rows = [r.asDict(recursive=True) for r in done.collect()]
-                if rows:
+                if on_output is not None:
+                    on_output(len(rows))
+                if rows and sink is not None:
                     sink(rows)
 
         writer = out.writeStream.foreachBatch(handle).queryName(query_name)

@@ -21,6 +21,7 @@ are pre-projected JVM-side so kernels never evaluate SQL expressions.
 
 from __future__ import annotations
 
+import math
 import pickle
 
 from pyspark.sql import DataFrame
@@ -118,7 +119,15 @@ def _agg_parts(spec) -> tuple[str, str | None, object]:
 def _agg_out_type(kernel_name: str, arg_type: DataType | None) -> DataType:
     if kernel_name in ("count", "count_star", "nth_value") and kernel_name != "nth_value":
         return LongType()
-    if kernel_name in ("sum", "avg", "stddev", "stddevs", "var", "vars",
+    if kernel_name == "sum":
+        # integer sums stay integer — the ALLOWEDLATENESS=0 path uses
+        # Catalyst's native sum (LongType for integral columns), and the
+        # same query must not flip output types when the option toggles
+        from pyspark.sql.types import ByteType, IntegerType, ShortType
+        if isinstance(arg_type, (LongType, IntegerType, ShortType, ByteType)):
+            return LongType()
+        return DoubleType()
+    if kernel_name in ("avg", "stddev", "stddevs", "var", "vars",
                        "median", "percentile"):
         return DoubleType()
     if kernel_name in ("collect", "deduplicate"):
@@ -127,6 +136,24 @@ def _agg_out_type(kernel_name: str, arg_type: DataType | None) -> DataType:
         return StringType()
     # min/max/first_value/last_value/nth_value keep the arg type
     return arg_type or DoubleType()
+
+
+def _int_out_phs(out_schema: StructType) -> set[str]:
+    """Placeholder columns declared integral in the kernel's output."""
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+    return {f.name for f in out_schema.fields
+            if isinstance(f.dataType, (LongType, IntegerType, ShortType,
+                                       ByteType))}
+
+
+def _coerce_ints(out: dict, int_phs: set[str]) -> None:
+    """pandas materializes nullable integer columns as float64, so an
+    integer-typed aggregate can compute 9.0 — coerce to int so the
+    Arrow cast back to the declared LongType is exact."""
+    for k in int_phs:
+        v = out.get(k)
+        if isinstance(v, float) and not math.isnan(v):
+            out[k] = int(v)
 
 
 def _prep_agg_columns(df: DataFrame, plan):
@@ -303,6 +330,7 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
         at = _field_type(df, arg_col) if arg_col else None
         fields.append(StructField(ph, _agg_out_type(kname, at)))
     out_schema = StructType(fields)
+    int_phs = _int_out_phs(out_schema)
 
     arg_cols = [c for _, _, c, _ in agg_specs if c is not None]
     order = [ts_col] if ts_col and ts_col in df.columns else []
@@ -342,6 +370,7 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
                                 idx = arg_cols.index(arg_col)
                                 out[ph] = py_aggregate(
                                     kname, [t[idx] for t in rows], extra)
+                        _coerce_ints(out, int_phs)
                         rows_out.append(out)
         _save_state(state, buf, ttl_ms)
         if rows_out:
@@ -426,6 +455,7 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
     fields.append(StructField(WINDOW_END_COL, TimestampType()))
     fields.append(StructField("window_id", StringType()))
     out_schema = StructType(fields)
+    int_phs = _int_out_phs(out_schema)
 
     arg_cols = [c for _, _, c, _ in agg_specs if c is not None]
     key_names = list(names)
@@ -506,6 +536,7 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
             out[WINDOW_END_COL] = datetime.fromtimestamp(
                 end / 1000, tz=timezone.utc).replace(tzinfo=None)
             out["window_id"] = f"{slot * 1_000_000}_{end * 1_000_000}"
+            _coerce_ints(out, int_phs)
             rows_out.append(out)
 
         for slot in sorted(slots):
@@ -576,6 +607,7 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
         at = _field_type(df, arg_col) if arg_col else None
         fields.append(StructField(ph, _agg_out_type(kname, at)))
     out_schema = StructType(fields)
+    int_phs = _int_out_phs(out_schema)
 
     arg_cols = [c for _, _, c, _ in agg_specs if c is not None]
     read_cols = sorted({*arg_cols, *[c for _, _, c in trig_cols if c]})
@@ -662,6 +694,7 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                                 out[ph] = py_aggregate(
                                     kname, [t[idx] for t in buf], extra)
                         buf.clear()
+                    _coerce_ints(out, int_phs)
                     rows_out.append(out)
                     tstate.clear()
                     counts.clear()

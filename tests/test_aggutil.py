@@ -188,3 +188,48 @@ def test_cep_alternation_matches_scan(vals):
         else:
             i += 1
     assert got == want, (vals, got, want)
+
+
+def test_acc_min_max_mixed_types_match_py_aggregate():
+    """acc_update used to silently skip incomparable values on
+    TypeError, so the algebraic and buffered paths disagreed on min/max
+    over mixed-type columns — both must now fall back to numeric-only
+    comparison the same way."""
+    from streamsql_spark.streaming.aggutil import (acc_new, acc_result,
+                                                   acc_update, py_aggregate)
+
+    mixed = [3, "zebra", 1.5, None, "apple", 7]
+    for name in ("min", "max"):
+        acc = acc_new()
+        for v in mixed:
+            acc_update(acc, v)
+        assert acc_result(name, acc) == py_aggregate(name, mixed), name
+    # uniform types still compare directly (strings lexicographic)
+    strs = ["pear", "apple", "fig"]
+    for name, want in (("min", "apple"), ("max", "pear")):
+        acc = acc_new()
+        for v in strs:
+            acc_update(acc, v)
+        assert acc_result(name, acc) == want == py_aggregate(name, strs)
+
+
+def test_acc_integer_sum_stays_integer():
+    """Catalyst's native sum(BIGINT) is BIGINT; the kernel path must not
+    flip the same query's output type to double when ALLOWEDLATENESS
+    toggles (ADVICE r2)."""
+    from streamsql_spark.streaming.aggutil import (acc_new, acc_result,
+                                                   acc_update, py_aggregate)
+
+    acc = acc_new()
+    for v in [1, 2, 3]:
+        acc_update(acc, v)
+    r = acc_result("sum", acc)
+    assert r == 6 and isinstance(r, int)
+    r2 = py_aggregate("sum", [1, 2, 3])
+    assert r2 == 6 and isinstance(r2, int)
+    # a float anywhere in the fold makes the sum float on both paths
+    acc2 = acc_new()
+    for v in [1, 2.5]:
+        acc_update(acc2, v)
+    assert isinstance(acc_result("sum", acc2), float)
+    assert isinstance(py_aggregate("sum", [1, 2.5]), float)

@@ -773,3 +773,102 @@ def test_idle_timeout_closes_window_without_new_data(spark):
         replay.cleanup()
     assert got, "idle stream never closed its window"
     assert got[0]["deviceId"] == "d1" and got[0]["avg_t"] == 25.0
+
+
+def test_lateness_kernel_integer_sum_type_matches_native(spark):
+    """The same sum(long) query must produce BIGINT whether it runs on
+    Catalyst's native streaming agg (ALLOWEDLATENESS absent) or the
+    lateness kernel (present) — output schema/type must not flip with
+    the option (ADVICE r2)."""
+    base = ("SELECT deviceId, sum(ts) AS total FROM stream "
+            "GROUP BY deviceId, TumblingWindow('10s') "
+            "WITH (TIMESTAMP='ts', TIMEUNIT='ms', "
+            "MAXOUTOFORDERNESS='0s'{extra})")
+    batches = [
+        _rows(("d1", 1.0, 0.0, 1000, "ok"), ("d1", 1.0, 0.0, 4000, "ok")),
+        _rows(("d1", 1.0, 0.0, 12000, "ok")),  # advances the watermark
+        _rows(("d1", 1.0, 0.0, 25000, "ok")),  # applies it → fires [0,10s)
+    ]
+    native = run_stream(spark, base.format(extra=""), batches)
+    kernel = run_stream(
+        spark, base.format(extra=", ALLOWEDLATENESS='5s'"), batches)
+    nat = {(r["deviceId"], r["total"]) for r in native}
+    ker = {(r["deviceId"], r["total"]) for r in kernel}
+    assert (("d1", 5000) in nat) and (("d1", 5000) in ker)
+    for r in kernel:
+        assert isinstance(r["total"], int), r
+
+
+def test_get_stats_survives_recent_progress_eviction(spark):
+    """GetStats totals accumulate incrementally (session listener +
+    deduped drain), so capping numRecentProgressUpdates no longer
+    undercounts streams with many micro-batches (ADVICE r2)."""
+    old = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2")
+    try:
+        s = StreamSQL(spark)
+        s.execute("SELECT deviceId, temperature FROM stream "
+                  "WHERE temperature > 0")
+        # 8 micro-batches (one file each) >> the 2 retained progresses
+        batches = [_rows(("d%d" % i, float(i + 1), 0.0, 1000 + i, "ok"))
+                   for i in range(8)]
+        from streamsql_spark.streaming.harness import StreamReplay
+        replay = StreamReplay(spark, EVT)
+        try:
+            for b in batches:
+                replay.add_batch(b)
+            got = []
+            q = s.start_stream(replay.stream(),
+                               sink=lambda rows: got.extend(rows),
+                               checkpoint=replay.checkpoint)
+            q.awaitTermination(120)
+            if q.isActive:
+                q.stop()
+            # listener delivery is async — totals are eventually
+            # consistent, so poll briefly before asserting
+            import time as _time
+            deadline = _time.time() + 30
+            stats = s.get_stats()
+            while stats["input_count"] < 8 and _time.time() < deadline:
+                _time.sleep(0.2)
+                stats = s.get_stats()
+            assert stats["input_count"] == 8, stats
+            assert stats["output_count"] == 8, stats
+            assert len(q.recentProgress) <= 3  # the cap really applied
+        finally:
+            replay.cleanup()
+    finally:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", old)
+
+
+def test_emit_sync_analytic_null_first_event_recovers(spark):
+    """A NULL first argument used to freeze a void/placeholder dtype in
+    the cached prep, breaking later non-null events; with a declared
+    schema the dtype comes from the schema, and a void inference (no
+    schema) is no longer pinned (ADVICE r2).  First event null, then a
+    real value — both must flow."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    schema = StructType([StructField("temperature", DoubleType()),
+                         StructField("ts", LongType())])
+    s = StreamSQL(spark, schema=schema)
+    s.execute("SELECT latest(temperature) AS lt FROM stream "
+              "WITH (TIMESTAMP='ts')")
+    r1 = s.emit_sync({"temperature": None, "ts": 1})
+    assert r1["lt"] is None
+    r2 = s.emit_sync({"temperature": 25.0, "ts": 2})
+    assert r2["lt"] == 25.0
+
+
+def test_emit_sync_analytic_star_sees_new_columns(spark):
+    """Schemaless emit_sync rows may widen between events; the cached
+    star expansion must rebuild when the column set changes instead of
+    silently dropping the new keys (ADVICE r2)."""
+    s = StreamSQL(spark)
+    s.execute("SELECT ts, had_changed(true, *) AS c FROM stream "
+              "WITH (TIMESTAMP='ts')")
+    assert s.emit_sync({"ts": 1, "a": 1.0})["c"] is True
+    assert s.emit_sync({"ts": 2, "a": 1.0})["c"] is False
+    # a new column appears: the star now includes it, and its arrival
+    # is itself a change
+    assert s.emit_sync({"ts": 3, "a": 1.0, "b": 9.0})["c"] is True
