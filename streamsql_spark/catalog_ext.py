@@ -243,15 +243,27 @@ CATALOG["dedup_embedding_cosine"] = Entry(
     "extension: embedding-cosine near-dup (cluster-blocked pairwise sim)")
 
 
-def _run_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import cosine_topk
+def _run_ann_bruteforce_and_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k UNION product-quantization top-k, each
+    tagged with its method.  The PQ path (k-means codebooks → ADC
+    lookup-table scan in a vectorized Arrow kernel → exact rerank of
+    k·refine candidates) must reproduce the exact rows — the oracle
+    below lists the exact top-k twice, so any candidate the PQ pruning
+    misses fails the value hash: an executable recall == 1.0 bound on
+    the fixture."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import cosine_topk, pq_topk
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    return cosine_topk(emb, emb.where("vec_id < 3"), k=5)
+    q = emb.where("vec_id < 3")
+    exact = cosine_topk(emb, q, k=5).withColumn("method", F.lit("exact"))
+    pq = pq_topk(emb, q, k=5).withColumn("method", F.lit("pq"))
+    return exact.unionByName(pq)
 
 
 CATALOG["ann_cosine_bruteforce"] = Entry(
-    _run_ann_bruteforce,
+    _run_ann_bruteforce_and_pq,
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
     sims AS (
@@ -263,11 +275,18 @@ CATALOG["ann_cosine_bruteforce"] = Entry(
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
       FROM sims
+    ), topk AS (
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+             round(sim, 6) AS sim
+      FROM ranked WHERE rank <= 5
     )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
-    FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, rank, sim, 'exact' AS method FROM topk
+    UNION ALL
+    SELECT query_id, neighbor_id, rank, sim, 'pq' AS method FROM topk
     """,
-    "extension: brute-force cosine top-k (exact ANN baseline)")
+    "extension: exact brute-force cosine top-k + product-quantization "
+    "ANN (ADC kernel, exact rerank) — PQ hash-checked against the exact "
+    "list, i.e. recall@5 = 1.0 on the fixture")
 
 
 def _run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

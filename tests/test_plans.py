@@ -157,3 +157,38 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_facts_b")
         spark.sql("DROP TABLE IF EXISTS t_dims_b")
+
+
+def test_pq_topk_recall_bound_vs_bruteforce(spark):
+    """PQ ANN recall gate: with the default codebook/refine settings the
+    re-ranked PQ top-k must recover >= 0.9 of the exact brute-force
+    top-k on the fixture (it is exactly 1.0 here — the catalog entry
+    hash-checks that — but the pytest pins the softer production bound
+    so future parameter changes can't silently degrade below it)."""
+    from streamsql_spark.operators.similarity import cosine_topk, pq_topk
+    from streamsql_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    q = emb.where("vec_id < 3")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+    pq = {(r.query_id, r.neighbor_id)
+          for r in pq_topk(emb, q, k=5).collect()}
+    assert exact, "empty exact baseline"
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.9, f"recall@5 {recall:.2f} < 0.9"
+
+
+def test_pq_topk_plan_shape(spark):
+    """The PQ scan stays pruned: ONE Arrow kernel pass over the corpus
+    (ADC scoring), and the exact rerank joins only the k*refine
+    candidate shortlist — the plan must not contain a second full-table
+    cross join (that would be brute force with extra steps)."""
+    from streamsql_spark.operators.similarity import pq_topk
+    from streamsql_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    plan = pq_topk(emb, emb.where("vec_id < 3"), k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
