@@ -133,17 +133,52 @@ def decode_wav(payload: bytes):
 
 def decode_image_stub(payload: bytes, real_decode: bool = False):
     """Codec-format decode seam.  JPEG/PNG/MP4 require PIL/cv2/ffmpeg —
-    not in this container; a production build swaps this function only.
-    Codec-free formats decode for real: see decode_ppm / decode_wav."""
+    not in this container; a production build injects a decoder through
+    ``extract_features(codec_decoder=...)`` (see that docstring and
+    README §codec seam).  Codec-free formats decode for real: see
+    decode_ppm / decode_wav."""
     if real_decode:
         raise NotImplementedError(
             "codec decoding (JPEG/PNG/MP4) requires PIL/cv2/ffmpeg which "
-            "are not installed; PPM/WAV decode for real — swap this stub "
-            "for codec formats only")
+            "are not installed; PPM/WAV decode for real — inject a "
+            "codec_decoder for codec formats only")
     return payload  # passthrough for deterministic feature extraction
 
 
-def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def image_features(img) -> tuple[str, float, float, list[float]]:
+    """(kind, mean luma, luma-histogram entropy, 8-bin luma histogram)
+    from an (h, w, 3) uint8 array — shared by the built-in PPM decode
+    and any injected codec decoder."""
+    import numpy as np
+
+    luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])
+    hist = np.histogram(luma, bins=8, range=(0, 256))[0]
+    total = max(int(hist.sum()), 1)
+    nz = hist[hist > 0]
+    ent = float(-((nz / total) * np.log2(nz / total)).sum())
+    feat = [round(c / total, 6) for c in hist.tolist()]
+    return "image/decoded", float(luma.mean()), ent, feat
+
+
+def audio_features(samples) -> tuple[str, float, float, list[float]]:
+    """(kind, RMS, zero-crossing rate, 8 normalized FFT band energies)
+    from a float sample array in [-1, 1]."""
+    import numpy as np
+
+    if not samples.size:
+        return "audio/decoded", 0.0, 0.0, [0.0] * 8
+    mean = float(np.sqrt((samples ** 2).mean()))
+    ent = float((np.diff(np.signbit(samples)) != 0).mean())
+    spec = np.abs(np.fft.rfft(samples)) ** 2
+    bands = [float(b.sum()) for b in np.array_split(spec, 8)]
+    total = sum(bands) or 1.0
+    return ("audio/decoded", mean, ent,
+            [round(b / total, 6) for b in bands])
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024,
+                     codec_decoder=None) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` keeps the pipeline streaming-shaped (no collect), and
@@ -155,9 +190,20 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     - PCM WAV → real sample decode; ``byte_mean`` = RMS,
       ``byte_entropy`` = zero-crossing rate, ``feature`` = 8 FFT band
       energies (power, normalized), kind → "audio/wav";
-    - anything else (codec formats — no codecs in this container) →
-      byte statistics + an 8-bin byte histogram, the deterministic
-      fallback with the exact output shape of a real decode stage.
+    - otherwise, if ``codec_decoder`` is injected it gets the payload —
+      THE CODEC SEAM: a production build passes a function wrapping
+      PIL/cv2/ffmpeg (not in this container).  Contract:
+      ``codec_decoder(payload: bytes)`` returns an (h, w, 3) uint8
+      numpy array (image), a ``(samples_float_array, sample_rate)``
+      tuple (audio), or None (undecodable → fall through).  The return
+      value feeds the SAME image_features/audio_features kernels as the
+      built-in decoders, so the output schema never changes.  The
+      function is captured in the mapInPandas closure (cloudpickle), so
+      injection works on real executors — no module monkeypatching,
+      which would not propagate to Python workers;
+    - anything else → byte statistics + an 8-bin byte histogram, the
+      deterministic fallback with the exact output shape of a real
+      decode stage.
     """
 
     def kernel(batches: Iterator["object"]) -> Iterator["object"]:
@@ -181,32 +227,22 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     pdf["media_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
                 n = len(payload)
+                decoded = None
                 img = decode_ppm(payload)
                 if img is not None:
-                    # real image features: mean luma + luma histogram
-                    luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
-                            + 0.114 * img[..., 2])
-                    hist = np.histogram(luma, bins=8, range=(0, 256))[0]
-                    total = max(int(hist.sum()), 1)
-                    nz = hist[hist > 0]
-                    kind, mean = "image/ppm", float(luma.mean())
-                    ent = float(-((nz / total) * np.log2(nz / total)).sum())
-                    feat = [round(c / total, 6) for c in hist.tolist()]
+                    _, mean, ent, feat = image_features(img)
+                    kind = "image/ppm"
                 elif (wav := decode_wav(payload)) is not None:
-                    # real audio features: RMS, zero-crossing rate, FFT
-                    # band energies
-                    samples, _rate = wav
+                    _, mean, ent, feat = audio_features(wav[0])
                     kind = "audio/wav"
-                    if samples.size:
-                        mean = float(np.sqrt((samples ** 2).mean()))
-                        ent = float((np.diff(np.signbit(samples)) != 0).mean())
-                        spec = np.abs(np.fft.rfft(samples)) ** 2
-                        bands = [float(b.sum()) for b in
-                                 np.array_split(spec, 8)]
-                        total = sum(bands) or 1.0
-                        feat = [round(b / total, 6) for b in bands]
+                elif codec_decoder is not None and \
+                        (decoded := codec_decoder(payload)) is not None:
+                    # injected codec decode (the seam): same feature
+                    # kernels, same output schema as the built-ins
+                    if isinstance(decoded, tuple):
+                        kind, mean, ent, feat = audio_features(decoded[0])
                     else:
-                        mean, ent, feat = 0.0, 0.0, [0.0] * 8
+                        kind, mean, ent, feat = image_features(decoded)
                 else:
                     mean, ent, feat = byte_stats(decode_image_stub(payload))
                 out_rows.append({

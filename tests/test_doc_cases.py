@@ -149,3 +149,50 @@ def test_custom_functions_demo_port(spark):
                "AS ma FROM stream")
     rows = sorted((r["v"], r["ma"]) for r in s2.query(df).collect())
     assert rows == [(2.0, 2.0), (4.0, 6.0), (8.0, 5.0), (16.0, 10.0)]
+
+
+def test_codec_seam_injected_decoder_flows_through_features(spark):
+    """The codec seam contract (README §codec seam): an injected
+    codec_decoder is cloudpickled into the mapInPandas closure, its
+    decoded output feeds the SAME image/audio feature kernels as the
+    built-in PPM/WAV paths, and None falls through to byte stats —
+    schema identical in all three cases."""
+    import numpy as np
+
+    from streamsql_spark.operators.multimodal import (FEATURE_SCHEMA,
+                                                      extract_features)
+
+    rows = [
+        {"media_id": 1, "kind": "image", "payload": b"\x89PNG-fake",
+         "meta": {"mime": "image/png", "n_bytes": 9, "source": "t"}},
+        {"media_id": 2, "kind": "audio", "payload": b"fLaC-fake",
+         "meta": {"mime": "audio/flac", "n_bytes": 9, "source": "t"}},
+        {"media_id": 3, "kind": "image", "payload": b"not-media",
+         "meta": {"mime": "application/octet-stream", "n_bytes": 9,
+                  "source": "t"}},
+    ]
+    from streamsql_spark.operators.multimodal import MEDIA_SCHEMA
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    def fake_decoder(payload: bytes):
+        if payload.startswith(b"\x89PNG"):
+            # 2x2 mid-gray "image"
+            return np.full((2, 2, 3), 128, dtype=np.uint8)
+        if payload.startswith(b"fLaC"):
+            t = np.arange(64, dtype=np.float64)
+            return np.sin(2 * np.pi * t / 8), 8000
+        return None
+
+    out = {r["media_id"]: r for r in (
+        extract_features(media, codec_decoder=fake_decoder)
+        .collect())}
+    assert out[1]["kind"] == "image/decoded"
+    assert out[1]["byte_mean"] == pytest.approx(127.946, abs=0.2)  # luma(128)
+    assert sum(out[1]["feature"]) == pytest.approx(1.0, abs=1e-4)
+    assert out[2]["kind"] == "audio/decoded"
+    assert 0.6 < out[2]["byte_mean"] < 0.8      # RMS of a sine ≈ 0.707
+    assert sum(out[2]["feature"]) == pytest.approx(1.0, abs=1e-4)
+    assert out[3]["kind"] == "image"            # fell through to byte stats
+    # all three rows share the declared schema
+    got = extract_features(media, codec_decoder=fake_decoder)
+    assert got.schema == FEATURE_SCHEMA
