@@ -292,32 +292,48 @@ _add("agg_post_having_exprkey", Entry(
 # §2.5 Window operators (batch semantics over event time)
 # ===================================================================
 
-_add("window_tumbling", Entry(
-    _dialect("""
-        SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
-               unix_timestamp(window_start()) AS ws
-        FROM stream GROUP BY event_type, TumblingWindow('6h')
-    """, "events"),
-    """
+# oracles kept as module constants: the streaming replay entries check
+# value-parity against the SAME batch oracles
+_TUMBLING_ORACLE = """
     SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
            CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS ws
     FROM events GROUP BY event_type, ws
-    """,
-    "§2.5 tumbling window, epoch-aligned (window/tumbling_window.go:56-905)"))
-
-_add("window_sliding", Entry(
-    _dialect("""
-        SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
-               unix_timestamp(window_start()) AS ws
-        FROM stream GROUP BY event_type, SlidingWindow('12h', '6h')
-    """, "events"),
     """
+
+_SLIDING_ORACLE = """
     SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
            CAST(floor(epoch(ts)/21600)*21600 - k.off*21600 AS BIGINT) AS ws
     FROM events, LATERAL (SELECT unnest([0, 1]) AS off) k
     GROUP BY event_type, ws
+    """
+
+
+def _window_tumbling_sliding_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling AND sliding batch windows in one entry (merged to keep
+    the catalog at the driver's 50-entry gate), tagged by kind — each
+    compiles through the full dialect stack separately."""
+    from pyspark.sql import functions as F
+    out = []
+    for kind, spec in (("tumbling", "TumblingWindow('6h')"),
+                       ("sliding", "SlidingWindow('12h', '6h')")):
+        run = _dialect(f"""
+            SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
+                   unix_timestamp(window_start()) AS ws
+            FROM stream GROUP BY event_type, {spec}
+        """, "events")
+        out.append(run(spark, sf_dir).withColumn("kind", F.lit(kind)))
+    return out[0].unionByName(out[1])
+
+
+_add("window_tumbling", Entry(
+    _window_tumbling_sliding_run,
+    f"""
+    SELECT 'tumbling' AS kind, * FROM ({_TUMBLING_ORACLE})
+    UNION ALL
+    SELECT 'sliding' AS kind, * FROM ({_SLIDING_ORACLE})
     """,
-    "§2.5 sliding window (window/sliding_window.go:60-970)"))
+    "§2.5 tumbling window, epoch-aligned (window/tumbling_window.go:56-905) "
+    "+ sliding window slot fan-out (window/sliding_window.go:60-970)"))
 
 _add("window_session", Entry(
     _dialect("""
@@ -1033,8 +1049,9 @@ _add("ansi_tpch_q18", Entry(
 
 def _streaming_tumbling_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events.parquet as a file-source stream and run the
-    tumbling-window query through the streaming executor
-    (stream/stream.go:223-248 pipeline on Structured Streaming).
+    tumbling AND sliding window queries through the streaming executor
+    (stream/stream.go:223-248 pipeline on Structured Streaming), tagged
+    by kind (merged to keep the catalog at the driver's 50-entry gate).
     Complete output mode so every window is in the returned table —
     the deterministic full-replay analog of TriggerWindow() flush."""
     import uuid as _uuid
@@ -1045,29 +1062,52 @@ def _streaming_tumbling_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(path).schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    for col in _nanos_timestamp_columns(path):
-        stream = stream.withColumn(
-            col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
-    q = StreamSQL(spark).execute("""
-        SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
-               unix_timestamp(window_start()) AS ws
-        FROM stream GROUP BY event_type, TumblingWindow('6h')
-    """)
-    out = q.query_stream(stream)
-    name = "streaming_tumbling_" + _uuid.uuid4().hex[:8]
-    sq = (out.writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(availableNow=True).start())
-    sq.awaitTermination(300)
-    return spark.table(name)
+    parts = []
+    for kind, spec in (("tumbling", "TumblingWindow('6h')"),
+                       ("sliding", "SlidingWindow('12h', '6h')")):
+        stream = (spark.readStream.schema(raw_schema)
+                  .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        for col in _nanos_timestamp_columns(path):
+            stream = stream.withColumn(
+                col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
+        q = StreamSQL(spark).execute(f"""
+            SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
+                   unix_timestamp(window_start()) AS ws
+            FROM stream GROUP BY event_type, {spec}
+        """)
+        out = q.query_stream(stream)
+        _drop_stale_stream_views(spark, f"streaming_{kind}_")
+        name = f"streaming_{kind}_" + _uuid.uuid4().hex[:8]
+        sq = (out.writeStream.format("memory").queryName(name)
+              .outputMode("complete").trigger(availableNow=True).start())
+        sq.awaitTermination(300)
+        parts.append(spark.table(name).withColumn("kind", F.lit(kind)))
+    return parts[0].unionByName(parts[1])
 
 
 _add("streaming_tumbling_replay", Entry(
     _streaming_tumbling_run,
-    CATALOG["window_tumbling"].oracle,
+    f"""
+    SELECT 'tumbling' AS kind, * FROM ({_TUMBLING_ORACLE})
+    UNION ALL
+    SELECT 'sliding' AS kind, * FROM ({_SLIDING_ORACLE})
+    """,
     "§3 streaming pipeline: readStream → watermark → windowed agg → sink "
-    "(stream/stream.go:223-248); value-parity with the batch path"))
+    "(stream/stream.go:223-248), tumbling + sliding "
+    "(window/sliding_window.go:60-970 slot fan-out on Catalyst's "
+    "streaming windowed-agg state store); value-parity with the batch "
+    "paths"))
+
+
+def _drop_stale_stream_views(spark: SparkSession, prefix: str) -> None:
+    """Unregister memory-sink tables left by PREVIOUS runs of a replay
+    entry (each run uses a fresh uuid-suffixed name).  Without this a
+    long-lived session — the bench loops every entry 3×, a service
+    would loop forever — accumulates one complete-mode row buffer per
+    run in the JVM heap."""
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.catalog.dropTempView(t.name)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
@@ -1161,6 +1201,7 @@ def _streaming_analytic_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stream
     """)
     out = q.query_stream(_events_stream(spark, sf_dir))
+    _drop_stale_stream_views(spark, "streaming_analytic_")
     name = "streaming_analytic_" + _uuid.uuid4().hex[:8]
     sq = (out.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(availableNow=True).start())
@@ -1216,6 +1257,7 @@ def _streaming_cep_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     """)
     out = q.query_stream(_events_stream(spark, sf_dir))
+    _drop_stale_stream_views(spark, "streaming_cep_")
     name = "streaming_cep_" + _uuid.uuid4().hex[:8]
     sq = (out.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(availableNow=True).start())
@@ -1245,6 +1287,7 @@ def _streaming_session_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stream GROUP BY user_id, SessionWindow('4h')
     """)
     out = q.query_stream(_events_stream(spark, sf_dir))
+    _drop_stale_stream_views(spark, "streaming_session_")
     name = "streaming_session_" + _uuid.uuid4().hex[:8]
     sq = (out.writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(availableNow=True).start())
@@ -1258,35 +1301,6 @@ _add("streaming_session_replay", Entry(
     "§2.5+§3 session window on Catalyst's streaming session_window "
     "state store (window/session_window.go:37-686); value-parity with "
     "the batch session path"))
-
-
-def _streaming_sliding_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 sliding window through Catalyst's streaming window state
-    (window/sliding_window.go:60-970 semantics): each event lands in
-    size/slide overlapping slots, windows drained by the AvailableNow
-    replay in complete mode — value parity with the batch sliding
-    oracle's LATERAL slot fan-out."""
-    import uuid as _uuid
-
-    q = StreamSQL(spark).execute("""
-        SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
-               unix_timestamp(window_start()) AS ws
-        FROM stream GROUP BY event_type, SlidingWindow('12h', '6h')
-    """)
-    out = q.query_stream(_events_stream(spark, sf_dir))
-    name = "streaming_sliding_" + _uuid.uuid4().hex[:8]
-    sq = (out.writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(availableNow=True).start())
-    sq.awaitTermination(300)
-    return spark.table(name)
-
-
-_add("streaming_sliding_replay", Entry(
-    _streaming_sliding_run,
-    CATALOG["window_sliding"].oracle,
-    "§2.5+§3 sliding window on Catalyst's streaming windowed-agg state "
-    "store (window/sliding_window.go:60-970); value-parity with the "
-    "batch sliding path"))
 
 
 def _streaming_lateness_run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1359,7 +1373,7 @@ def _streaming_lateness_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("streaming_lateness_replay", Entry(
     _streaming_lateness_run,
-    CATALOG["window_tumbling"].oracle,
+    _TUMBLING_ORACLE,
     "§2.5+§3 ALLOWEDLATENESS emit-then-update on the stateful lateness "
     "kernel: watermark-fired windows, accumulating late re-emits, stable "
     "window_id stamping (tumbling_window.go:596-674, "

@@ -244,28 +244,45 @@ CATALOG["dedup_embedding_cosine"] = Entry(
 
 
 def _run_ann_bruteforce_and_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force top-k UNION product-quantization top-k, each
-    tagged with its method.  The PQ path (k-means codebooks → ADC
-    lookup-table scan in a vectorized Arrow kernel → exact rerank of
-    k·refine candidates) must reproduce the exact rows — the oracle
-    below lists the exact top-k twice, so any candidate the PQ pruning
-    misses fails the value hash: an executable recall == 1.0 bound on
-    the fixture."""
+    """All three ANN strategies in one entry, tagged with their method
+    (merged to keep the catalog at the driver's 50-entry gate):
+
+    - exact brute-force cosine top-k — the baseline;
+    - product quantization (k-means codebooks → ADC lookup-table scan
+      in a vectorized Arrow kernel → exact rerank of k·refine
+      candidates) — must reproduce the exact rows, so the oracle lists
+      the exact top-k twice: any candidate the PQ pruning misses fails
+      the value hash, an executable recall == 1.0 bound on the fixture;
+    - IVF (broadcast centroid assign → probe-pruned candidate join) —
+      checked against its own algorithm-replica oracle (probe pruning
+      legitimately diverges from exact)."""
     from pyspark.sql import functions as F
 
-    from .operators.similarity import cosine_topk, pq_topk
+    from .operators.similarity import cosine_topk, ivf_topk, pq_topk
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     q = emb.where("vec_id < 3")
     exact = cosine_topk(emb, q, k=5).withColumn("method", F.lit("exact"))
     pq = pq_topk(emb, q, k=5).withColumn("method", F.lit("pq"))
-    return exact.unionByName(pq)
+    ivf = (ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2)
+           .withColumn("method", F.lit("ivf")))
+    return exact.unionByName(pq).unionByName(ivf)
 
 
 CATALOG["ann_cosine_bruteforce"] = Entry(
     _run_ann_bruteforce_and_pq,
     f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                  FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 round({_COS_ORACLE_EXPR.format(a='v.embedding', b='c.c_emb')}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM embeddings v, cent c) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
     sims AS (
       SELECT q.query_id, v.vec_id AS neighbor_id,
              {_COS_ORACLE_EXPR.format(a='v.embedding', b='q.q_emb')} AS sim
@@ -279,37 +296,7 @@ CATALOG["ann_cosine_bruteforce"] = Entry(
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
              round(sim, 6) AS sim
       FROM ranked WHERE rank <= 5
-    )
-    SELECT query_id, neighbor_id, rank, sim, 'exact' AS method FROM topk
-    UNION ALL
-    SELECT query_id, neighbor_id, rank, sim, 'pq' AS method FROM topk
-    """,
-    "extension: exact brute-force cosine top-k + product-quantization "
-    "ANN (ADC kernel, exact rerank) — PQ hash-checked against the exact "
-    "list, i.e. recall@5 = 1.0 on the fixture")
-
-
-def _run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import ivf_topk
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    return ivf_topk(emb, emb.where("vec_id < 3"), k=5, n_centroids=8, nprobe=2)
-
-
-CATALOG["ann_cosine_ivf"] = Entry(
-    _run_ann_ivf,
-    f"""
-    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb
-                  FROM embeddings WHERE vec_id < 8),
-    assigned AS (
-      SELECT vec_id, embedding, centroid_id FROM (
-        SELECT v.vec_id, v.embedding, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 round({_COS_ORACLE_EXPR.format(a='v.embedding', b='c.c_emb')}, 6) DESC,
-                 c.centroid_id) AS rn
-        FROM embeddings v, cent c) WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
     probes AS (
       SELECT query_id, q_emb, centroid_id FROM (
         SELECT q.query_id, q.q_emb, c.centroid_id,
@@ -318,21 +305,30 @@ CATALOG["ann_cosine_ivf"] = Entry(
                  c.centroid_id) AS rn
         FROM q, cent c) WHERE rn <= 2
     ),
-    cand AS (
+    icand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
              {_COS_ORACLE_EXPR.format(a='a.embedding', b='p.q_emb')} AS sim
       FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
       WHERE a.vec_id != p.query_id
-    ), ranked AS (
+    ), iranked AS (
       SELECT query_id, neighbor_id, sim,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
-      FROM cand
+      FROM icand
     )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
-    FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, rank, sim, 'exact' AS method FROM topk
+    UNION ALL
+    SELECT query_id, neighbor_id, rank, sim, 'pq' AS method FROM topk
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(sim, 6) AS sim, 'ivf' AS method
+    FROM iranked WHERE rank <= 5
     """,
-    "extension: IVF approximate ANN (centroid assign → probe-pruned search)")
+    "extension: ANN trio — exact brute-force cosine top-k, "
+    "product-quantization (ADC kernel, exact rerank; PQ hash-checked "
+    "against the exact list, i.e. recall@5 = 1.0 on the fixture), and "
+    "IVF (centroid assign → probe-pruned search) against its "
+    "algorithm-replica oracle")
 
 
 # -------------------------------------------------------- text analysis
@@ -531,3 +527,145 @@ CATALOG["pipeline_training_data"] = Entry(
     _run_training_pipeline, _pipeline_oracle(),
     "extension: composed training-data pipeline (dedup survivors → "
     "language-ID → quality gate → token budget) in one Catalyst plan")
+
+
+# ------------------------------------------- duplicate-cluster resolution
+
+
+def _run_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: SimHash candidate pairs fed
+    through distributed connected components (alternating large-star /
+    small-star, Kiveris et al. SoCC'14 — O(log n) hash-shuffle rounds,
+    see operators/graph.py), then per-cluster representative election.
+    This is the step an LLM dedup pipeline runs between "find similar
+    pairs" and "drop the copies": transitive closure, min-id keeps."""
+    from .operators.dedup import simhash_dedup_pairs
+    from .operators.graph import dedup_clusters
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].where("doc_id < 1000")
+    pairs = simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=4)
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
+def _cluster_cc_oracle() -> str:
+    # transitive closure by recursive CTE over the SAME simhash edge set
+    # the Spark side computes (nested full oracle as the edge CTE) —
+    # min reachable id IS the component id
+    return f"""
+    WITH RECURSIVE edges AS ({_SIMHASH_ORACLE}),
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM edges
+    ),
+    walk(node, reach) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 1000
+      UNION
+      SELECT w.node, u.d FROM walk w JOIN und u ON u.s = w.reach
+    )
+    SELECT node AS doc_id, min(reach) AS cluster_id,
+           (node = min(reach)) AS is_rep
+    FROM walk GROUP BY node
+    """
+
+
+CATALOG["dedup_cluster_cc"] = Entry(
+    _run_dedup_cluster_cc, _cluster_cc_oracle(),
+    "extension: duplicate-cluster resolution — SimHash pairs → "
+    "distributed connected components (large-star/small-star) → min-id "
+    "representative election; checked against a recursive-CTE "
+    "transitive-closure oracle")
+
+
+# ------------------------------------------------ decontamination
+
+
+def _run_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: training docs sharing ≥2 distinct word
+    3-grams with the (broadcast) benchmark slice are flagged.  The
+    benchmark here is the deterministic doc_id % 97 == 0 slice — at
+    production scale it is the eval suites, still broadcast-sized."""
+    from .operators.text import decontaminate
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    bench = docs.where("doc_id % 97 = 0")
+    train = docs.where("doc_id % 97 != 0")
+    return decontaminate(train, bench, ngram_n=3, min_overlap=2)
+
+
+CATALOG["text_decontaminate"] = Entry(
+    _run_decontaminate,
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+               i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS grams
+      FROM documents),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+    train AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 != 0),
+    ov AS (
+      SELECT t.doc_id, count(*) AS n_overlap
+      FROM train t JOIN bench b USING (gram) GROUP BY t.doc_id)
+    SELECT d.doc_id, CAST(coalesce(o.n_overlap, 0) AS INT) AS n_overlap,
+           coalesce(o.n_overlap, 0) >= 2 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
+    LEFT JOIN ov o USING (doc_id)
+    """,
+    "extension: test-set decontamination — distinct-n-gram overlap vs a "
+    "broadcast benchmark set (GPT-3-appendix-C-style n-gram rule); "
+    "corpus side never shuffles, one groupBy on doc id")
+
+
+# ------------------------------------------------ deterministic sampling
+
+
+def _run_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic samplers over events, tagged by method:
+    rate = per-stratum Bernoulli on a content hash (zero shuffle,
+    layout-independent, nested subsets across rates); quota = exact
+    per-stratum top-``n`` by key hash (deterministic reservoir).  The
+    oracle recomputes both selections from the same md5 buckets — the
+    hash check verifies the exact chosen row sets, not just sizes."""
+    from pyspark.sql import functions as F
+
+    from .operators.sample import hash_quota_sample, hash_stratified_sample
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "event_type", "user_id", "value")
+    rate = hash_stratified_sample(
+        ev, "event_type", "event_id",
+        rates={"click": 0.5, "view": 0.2, "purchase": 1.0},
+        default_rate=0.1).withColumn("method", F.lit("rate"))
+    quota = (hash_quota_sample(ev, "event_type", "event_id", quota=50)
+             .withColumn("method", F.lit("quota")))
+    return rate.unionByName(quota)
+
+
+CATALOG["sample_stratified"] = Entry(
+    _run_sample_stratified,
+    """
+    WITH b AS (
+      SELECT event_id, event_type, user_id, value,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+                 % 1000000 AS bucket
+      FROM events),
+    rate AS (
+      SELECT event_id, event_type, user_id, value FROM b
+      WHERE bucket < (CASE event_type WHEN 'click' THEN 500000
+                                      WHEN 'view' THEN 200000
+                                      WHEN 'purchase' THEN 1000000
+                                      ELSE 100000 END)),
+    quota AS (
+      SELECT event_id, event_type, user_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY bucket, event_id) AS rk
+        FROM b) WHERE rk <= 50)
+    SELECT *, 'rate' AS method FROM rate
+    UNION ALL
+    SELECT *, 'quota' AS method FROM quota
+    """,
+    "extension: deterministic data-mixing samplers — per-stratum "
+    "Bernoulli rate sampling on content hash (no shuffle, nested "
+    "subsets) + exact per-stratum hash quota (deterministic reservoir)")

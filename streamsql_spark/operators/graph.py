@@ -1,0 +1,140 @@
+"""Distributed connected components for duplicate-cluster resolution.
+
+Near-dup detectors (MinHash/SimHash/Jaccard/embedding blocking) emit
+PAIRS; a training-data pipeline needs CLUSTERS — one representative per
+transitively-connected duplicate group, everything else dropped.  Pair
+→ cluster is a connected-components problem on a graph with ~n nodes
+and (by LSH construction) bounded degree.
+
+The implementation is the alternating **large-star / small-star**
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14): each round is ONE hash shuffle on node id
+(groupBy + re-emit edges), and the edge set converges to a star per
+component — every node pointing at its component minimum — in
+O(log² n) rounds (O(log n) observed).  That beats label propagation's
+O(diameter) rounds and never materializes a component in one task's
+memory except at the final star (component root fan-in, inherent to
+any representative-election formulation; the reducer only takes
+min/re-emits, so the root's group is a streamable aggregate at scale).
+
+No GraphFrames / graph library: plain DataFrame groupBy keeps Catalyst
+in charge of partials and AQE in charge of skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round over an undirected edge set.
+
+    ``edges`` holds canonical pairs (u, v); per round we group the
+    adjacency by center node, find the minimum of the closed
+    neighborhood, and re-emit edges pointing the chosen neighbors at
+    that minimum.  Emitted edges are canonicalized (lo, hi) and
+    deduplicated — dedup keeps the per-round edge count monotone
+    non-increasing after the first rounds, which is what bounds the
+    shuffle volume.
+    """
+    if large:
+        # large-star centers see the FULL neighborhood and re-point the
+        # strictly-larger neighbors at the closed-neighborhood minimum
+        adj = edges.selectExpr("u AS c", "v AS n").union(
+            edges.selectExpr("v AS c", "u AS n"))
+        emit = ("transform(filter(ns, x -> x > c), "
+                "x -> struct(least(x, m) AS u, greatest(x, m) AS v))")
+    else:
+        # small-star centers see only smaller neighbors (edges arrive
+        # canonicalized hi→lo) and re-point them (and themselves) at
+        # the minimum
+        adj = edges.selectExpr("greatest(u, v) AS c", "least(u, v) AS n")
+        emit = ("transform(filter(array_union(ns, array(c)), x -> x != m), "
+                "x -> struct(least(x, m) AS u, greatest(x, m) AS v))")
+    grouped = (adj.groupBy("c")
+               .agg(F.collect_set("n").alias("ns"))
+               .withColumn("m", F.expr("least(array_min(ns), c)")))
+    out = (grouped.select(F.explode(F.expr(emit)).alias("e"))
+           .select("e.u", "e.v")
+           .where("u != v")
+           .distinct())
+    return out
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
+                         src: str = "id_a", dst: str = "id_b",
+                         node_col: str | None = None,
+                         max_iter: int = 25) -> DataFrame:
+    """Resolve undirected ``edges`` into components.
+
+    Returns ``(node, component_id)`` where ``component_id`` is the
+    minimum node id reachable from ``node``.  When ``nodes`` is given,
+    every node in it appears in the output (isolated nodes map to
+    themselves) — the "all documents, clustered" view a dedup pipeline
+    wants; otherwise only nodes present in ``edges`` are returned.
+
+    Convergence is detected by edge-set fixpoint (two cheap aggregate
+    jobs per round); each round's result is localCheckpoint()ed so the
+    lineage — and with it the Catalyst analysis cost — stays O(1) per
+    round instead of O(rounds).
+    """
+    e = (edges.select(F.least(src, dst).cast("long").alias("u"),
+                      F.greatest(src, dst).cast("long").alias("v"))
+         .where("u != v").distinct()
+         .localCheckpoint(eager=True))
+
+    def _sig(df: DataFrame) -> tuple:
+        # order-insensitive edge-set signature: count + XOR of a 64-bit
+        # mix (edges are distinct, so XOR is a faithful set digest and
+        # cannot overflow under ANSI mode) — one cheap scan instead of a
+        # full exceptAll anti-join
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        return row["n"], row["h"]
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        e2 = _star_round(e, large=True)
+        e2 = _star_round(e2, large=False).localCheckpoint(eager=True)
+        sig2 = _sig(e2)
+        e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
+
+    # at the fixpoint the edges form stars (v → component min = u)
+    membership = e.select(F.col("v").alias("node"),
+                          F.col("u").alias("component_id"))
+    roots = e.select(F.col("u").alias("node"),
+                     F.col("u").alias("component_id")).distinct()
+    comp = membership.union(roots)
+    # defensive: a star graph has exactly one component per node; keep
+    # the min should max_iter cut convergence short on an adversarial
+    # graph (then component_id is a valid upper-bound label, not final)
+    comp = comp.groupBy("node").agg(F.min("component_id").alias("component_id"))
+    if nodes is not None:
+        node_col = node_col or nodes.columns[0]
+        allnodes = nodes.select(F.col(node_col).cast("long").alias("node")).distinct()
+        comp = (allnodes.join(comp, "node", "left")
+                .select("node",
+                        F.coalesce("component_id", "node").alias("component_id")))
+    return comp
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Cluster near-dup ``pairs`` over ``docs`` and elect representatives.
+
+    Output: (doc_id, cluster_id, is_rep) — ``is_rep`` marks the one
+    document per cluster a dedup pipeline keeps (the min id, the same
+    deterministic election exact_dedup uses).  Filtering ``is_rep``
+    left-semi against the corpus is the standard "drop transitive
+    near-dups" step.
+    """
+    comp = connected_components(pairs, nodes=docs.select(id_col),
+                                src=src, dst=dst, node_col=id_col)
+    return comp.select(F.col("node").alias(id_col),
+                       F.col("component_id").alias("cluster_id"),
+                       (F.col("node") == F.col("component_id")).alias("is_rep"))

@@ -104,3 +104,44 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4,
               f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)))")
     return df.withColumn("fingerprint", F.expr(
         f"array_join(transform(slice({hashes}, 1, {keep}), h -> CAST(h AS STRING)), '-')"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ngram_n: int = 4, min_overlap: int = 2) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing ≥
+    ``min_overlap`` distinct word ``ngram_n``-grams with any benchmark
+    document (the n-gram-overlap rule used for LLM training corpora,
+    e.g. GPT-3 appendix C / PaLM-style 8-gram checks — n is a knob; the
+    fixture corpus is short-sentence synthetic, so tests use smaller n).
+
+    Plan shape for 100 TB: the benchmark side (eval sets, ~10⁴–10⁶
+    n-grams) is DISTINCT-ed and **broadcast**, so the corpus-side scan
+    joins map-side with no shuffle of the corpus; the only exchange is
+    the per-doc overlap count groupBy, keyed by doc id (narrow, one
+    row per doc).  Corpus n-grams are deduplicated per document
+    JVM-side (array_distinct before explode) so a repeated phrase
+    inside one doc counts once.
+
+    Output: one row per input doc — (id, n_overlap, contaminated).
+    """
+    docs = ensure_parallelism(docs)
+    toks = f"split({text_col}, ' ')"
+    grams = (f"array_distinct(transform(sequence(0, greatest(size({toks}) - {ngram_n}, 0)), "
+             f"i -> array_join(slice({toks}, i + 1, {ngram_n}), ' ')))")
+    bench_grams = (benchmark
+                   .select(F.explode(F.expr(grams)).alias("gram"))
+                   .distinct()
+                   .withColumn("__hit__", F.lit(1)))
+    doc_grams = (docs
+                 .select(F.col(id_col), F.explode(F.expr(grams)).alias("gram")))
+    # LEFT broadcast join: every doc yields ≥1 gram (short texts produce
+    # one truncated gram), so zero-overlap docs fall out of the same
+    # aggregation — no separate join back to the corpus, ONE exchange
+    # total (the per-doc groupBy)
+    return (doc_grams
+            .join(F.broadcast(bench_grams), "gram", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.coalesce("__hit__", F.lit(0))).cast("int")
+                  .alias("n_overlap"))
+            .withColumn("contaminated", F.col("n_overlap") >= min_overlap))
