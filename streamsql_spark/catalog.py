@@ -218,16 +218,24 @@ _add("agg_stats", Entry(
     "§2.4 stddev/stddevs/var/vars/median + percentile lower-index "
     "semantics (functions_aggregation.go:399-1239, 518-555)"))
 
-_add("agg_collect", Entry(
-    # array outputs serialized with array_join so every result column is
-    # scalar (the correctness gate canonicalizes rows); merge_agg is
-    # checked in TRUE arrival order against DuckDB's ordered list()
+_add("agg_collect_first_last", Entry(
+    # the full arrival-order buffer-aggregate family in ONE groupBy:
+    # collect/deduplicate/merge_agg (array outputs serialized with
+    # array_join so every result column is scalar — the correctness
+    # gate canonicalizes rows; merge_agg is checked in TRUE arrival
+    # order against DuckDB's ordered list()) + first_value/last_value/
+    # nth_value rendered to min_by/max_by/ordered-collect over the
+    # arrival-order column, deterministic after the groupBy shuffle
     _dialect("""
         SELECT user_id,
                array_join(sort_array(deduplicate(event_type)), ',') AS types,
                array_join(sort_array(collect(event_type)), ',') AS merged,
                merge_agg(event_type) AS seq_types,
-               count(event_type) AS cnt
+               count(event_type) AS cnt,
+               first_value(value) AS first_v,
+               last_value(value) AS last_v,
+               round(last_value(value) - first_value(value), 4) AS delta,
+               nth_value(value, 3) AS v3
         FROM stream WHERE value > 150 GROUP BY user_id
     """, "events"),
     """
@@ -235,34 +243,16 @@ _add("agg_collect", Entry(
            array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
            array_to_string(list_sort(list(event_type)), ',') AS merged,
            array_to_string(list(event_type ORDER BY ts, event_id), ',') AS seq_types,
-           count(event_type) AS cnt
-    FROM events WHERE value > 150 GROUP BY user_id
-    """,
-    "§2.4 collect/deduplicate/merge_agg, arrival-ordered buffers "
-    "(functions_aggregation.go:564-618, 900-931, 737-811)"))
-
-_add("agg_first_last", Entry(
-    # dialect first_value/last_value/nth_value — rendered to
-    # min_by/max_by/ordered-collect over the arrival-order column, so
-    # the result is deterministic after the groupBy shuffle
-    _dialect("""
-        SELECT user_id,
-               first_value(value) AS first_v,
-               last_value(value) AS last_v,
-               round(last_value(value) - first_value(value), 4) AS delta,
-               nth_value(value, 3) AS v3
-        FROM stream GROUP BY user_id
-    """, "events"),
-    """
-    SELECT user_id,
+           count(event_type) AS cnt,
            arg_min(value, ts) AS first_v,
            arg_max(value, ts) AS last_v,
            round(arg_max(value, ts) - arg_min(value, ts), 4) AS delta,
            (list(value ORDER BY ts, event_id))[3] AS v3
-    FROM events GROUP BY user_id
+    FROM events WHERE value > 150 GROUP BY user_id
     """,
-    "§2.4 first_value/last_value/nth_value in arrival (event-time) order "
-    "+ post-agg expr (functions_aggregation.go:620-735, "
+    "§2.4 collect/deduplicate/merge_agg + first_value/last_value/"
+    "nth_value, all in arrival (event-time) order, + post-agg expr "
+    "(functions_aggregation.go:564-618, 900-931, 737-811, 620-735, "
     "functions_window.go:232-350, aggregator/post_aggregation.go:62-829)"))
 
 _add("agg_post_having_exprkey", Entry(
@@ -396,27 +386,46 @@ _ANALYTIC_W = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
 _ANALYTIC_W_RUN = ("OVER (PARTITION BY user_id ORDER BY ts, event_id "
                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
 
-_add("analytic_lag", Entry(
+_add("analytic_lag_changed", Entry(
+    # the lag/latest family AND the CDC change-detection family in ONE
+    # per-key event-time pass: lag with offset/default, latest (most
+    # recent non-null), had_changed boolean, changed_col single-column
+    # value, changed_cols multi-column fan-out
     _dialect("""
-        SELECT event_id, user_id, value,
+        SELECT event_id, user_id, event_type, value,
                lag(value) OVER (PARTITION BY user_id) AS prev_v,
                round(value - lag(value) OVER (PARTITION BY user_id), 4) AS delta,
                lag(value, 2, -1.0) OVER (PARTITION BY user_id) AS prev2,
                latest(CASE WHEN value > 100 THEN value END)
-                   OVER (PARTITION BY user_id) AS last_big
+                   OVER (PARTITION BY user_id) AS last_big,
+               had_changed(true, event_type)
+                   OVER (PARTITION BY user_id) AS type_changed,
+               changed_col(true, event_type)
+                   OVER (PARTITION BY user_id) AS chg,
+               changed_cols('c_', true, event_type, value)
+                   OVER (PARTITION BY user_id)
         FROM stream
     """, "events"),
     f"""
-    SELECT event_id, user_id, value,
+    SELECT event_id, user_id, event_type, value,
            lag(value) {_ANALYTIC_W} AS prev_v,
            round(value - lag(value) {_ANALYTIC_W}, 4) AS delta,
            lag(value, 2, -1.0) {_ANALYTIC_W} AS prev2,
            last_value(CASE WHEN value > 100 THEN value END IGNORE NULLS)
-               {_ANALYTIC_W_RUN} AS last_big
+               {_ANALYTIC_W_RUN} AS last_big,
+           (event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}) AS type_changed,
+           CASE WHEN event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}
+                THEN event_type END AS chg,
+           CASE WHEN event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}
+                THEN event_type END AS c_event_type,
+           CASE WHEN value IS DISTINCT FROM lag(value) {_ANALYTIC_W}
+                THEN value END AS c_value
     FROM events
     """,
     "§2.6 lag with offset/default, expression-wrapped + latest "
-    "(most recent non-null) (functions_analytical.go:14-63)"))
+    "(most recent non-null) + had_changed / changed_col / changed_cols "
+    "CDC family (functions_analytical.go:14-63, 84-103, "
+    "functions/analytic_acc.go:125-205, stream/analytic.go:236-290)"))
 
 _add("analytic_acc", Entry(
     _dialect("""
@@ -446,34 +455,6 @@ _add("analytic_acc", Entry(
     "§2.6 acc_sum/acc_count/acc_avg/acc_max/acc_min + OVER(... WHEN "
     "cond) conditional state update (functions/analytic_acc.go:8-122, "
     "rsql/parser.go:671-757)"))
-
-_add("analytic_changed", Entry(
-    # the full CDC family in one pass: had_changed boolean, changed_col
-    # single-column value, changed_cols multi-column fan-out
-    _dialect("""
-        SELECT event_id, user_id, event_type,
-               had_changed(true, event_type)
-                   OVER (PARTITION BY user_id) AS type_changed,
-               changed_col(true, event_type)
-                   OVER (PARTITION BY user_id) AS chg,
-               changed_cols('c_', true, event_type, value)
-                   OVER (PARTITION BY user_id)
-        FROM stream
-    """, "events"),
-    f"""
-    SELECT event_id, user_id, event_type,
-           (event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}) AS type_changed,
-           CASE WHEN event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}
-                THEN event_type END AS chg,
-           CASE WHEN event_type IS DISTINCT FROM lag(event_type) {_ANALYTIC_W}
-                THEN event_type END AS c_event_type,
-           CASE WHEN value IS DISTINCT FROM lag(value) {_ANALYTIC_W}
-                THEN value END AS c_value
-    FROM events
-    """,
-    "§2.6 had_changed / changed_col / changed_cols CDC family "
-    "(functions_analytical.go:84-103, functions/analytic_acc.go:125-205, "
-    "stream/analytic.go:236-290)"))
 
 def _custom_analytic_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 custom stateful analytic UDFs (functions/analytic_state.go:

@@ -669,3 +669,137 @@ CATALOG["sample_stratified"] = Entry(
     "extension: deterministic data-mixing samplers — per-stratum "
     "Bernoulli rate sampling on content hash (no shuffle, nested "
     "subsets) + exact per-stratum hash quota (deterministic reservoir)")
+
+
+# ------------------------------- repetition filters + PII redaction
+
+# deterministic synthetic PII appended per doc so the redaction paths
+# are actually exercised (the fixture corpus contains none) — the SAME
+# augmentation expression runs on both engines
+_PII_AUG = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com"
+    " at 10.0.', CAST(doc_id % 256 AS STRING), '.',"
+    " CAST((doc_id * 7) % 256 AS STRING), ' or +1-555-',"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))")
+
+
+def _run_quality_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gate + PII scrub in ONE Catalyst
+    plan over documents: word stats, top-2-gram fraction, duplicate-
+    3-gram fraction, composite keep/drop gate, then email/IPv4/phone
+    redaction with per-kind audit counts.  Zero shuffle, zero Python —
+    per-document column expressions only; the redacted text is emitted
+    as an md5 digest so the hash gate verifies byte-exact scrubbing."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import pii_scrub, repetition_features
+    t = load_tables(spark, sf_dir)
+    docs = (t["documents"].select("doc_id", "text")
+            .withColumn("text", F.expr(_PII_AUG)))
+    out = pii_scrub(repetition_features(docs))
+    return out.select(
+        "doc_id", "word_count", "mean_word_len", "frac_alpha_words",
+        "top_2gram_frac", "dup_3gram_frac", "gopher_pass",
+        "n_email", "n_ipv4", "n_phone",
+        F.md5("clean_text").alias("clean_digest"))
+
+
+_QUALITY_PII_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com at 10.0.' ||
+         (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+         ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents),
+w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM aug),
+g AS (SELECT doc_id, text, w,
+        list_transform(range(0, greatest(len(w) - 1, 1)),
+                       i -> array_to_string(w[i+1:i+2], ' ')) AS g2,
+        list_transform(range(0, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i+1:i+3], ' ')) AS g3
+      FROM w),
+f AS (
+  SELECT doc_id, text,
+         CAST(len(w) AS INT) AS word_count,
+         round(list_sum(list_transform(w, x -> length(x))) * 1.0
+               / greatest(len(w), 1), 6) AS mean_word_len,
+         round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+               / greatest(len(w), 1), 6) AS frac_alpha_words,
+         round(CAST(list_max(list_transform(list_distinct(g2), d ->
+               len(list_filter(g2, x -> x = d)))) AS DOUBLE)
+               / greatest(len(g2), 1), 6) AS top_2gram_frac,
+         round(1.0 - CAST(len(list_filter(list_distinct(g3), d ->
+               len(list_filter(g3, x -> x = d)) = 1)) AS DOUBLE)
+               / greatest(len(g3), 1), 6) AS dup_3gram_frac
+  FROM g)
+SELECT doc_id, word_count, mean_word_len, frac_alpha_words,
+       top_2gram_frac, dup_3gram_frac,
+       (word_count >= 30 AND word_count <= 100000
+        AND mean_word_len >= 2 AND mean_word_len <= 10
+        AND frac_alpha_words > 0.8
+        AND top_2gram_frac < 0.2 AND dup_3gram_frac < 0.6) AS gopher_pass,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', 0)) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+            '\+[0-9][0-9()\-\. ]{6,}[0-9]', 0)) AS INT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+            '\+[0-9][0-9()\-\. ]{6,}[0-9]', '<PHONE>', 'g')) AS clean_digest
+FROM f
+"""
+
+
+CATALOG["text_quality_pii"] = Entry(
+    _run_quality_pii, _QUALITY_PII_ORACLE,
+    "extension: Gopher/C4-style repetition + quality gate (top-2-gram "
+    "fraction, duplicate-3-gram fraction, alpha-word fraction, "
+    "composite keep/drop) and PII redaction (email/IPv4/phone -> typed "
+    "tokens, RE2-safe patterns, per-kind audit counts) — one "
+    "shuffle-free Catalyst plan, redacted text verified byte-exact "
+    "via digest")
+
+
+# -------------------------------------------------- sequence packing
+
+
+def _run_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: estimate per-doc token counts
+    (BPE-ish length/4 heuristic), then assign documents to consecutive
+    fixed-budget packs per source in stable doc_id order — the step
+    that turns a filtered corpus into fixed-length training sequences.
+    ONE shuffle (the window partition on source), assignment a pure
+    function of (order, token counts) so reruns and re-layouts agree.
+    The tighter first-fit-decreasing variant (no-overflow bins) is
+    operators/pack.py:greedy_bin_pack, pytest-verified against a pure
+    Python reference (sequential recurrence — not SQL-expressible)."""
+    from .operators.pack import budget_shard_pack
+    from .operators.text import token_counts
+    t = load_tables(spark, sf_dir)
+    docs = token_counts(t["documents"].select("doc_id", "source", "text")) \
+        .select("doc_id", "source", "est_bpe_tokens")
+    return budget_shard_pack(docs, "source", "doc_id",
+                             "est_bpe_tokens", budget=512)
+
+
+CATALOG["pack_sequences"] = Entry(
+    _run_pack_sequences,
+    """
+    WITH tok AS (
+      SELECT doc_id, source, CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+      FROM documents),
+    c AS (
+      SELECT *, sum(est_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - est_bpe_tokens AS prefix
+      FROM tok)
+    SELECT doc_id, source, est_bpe_tokens,
+           CAST(floor(prefix / 512.0) AS BIGINT) AS pack_id,
+           CAST(prefix % 512 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+    "extension: token-budget sequence packing — deterministic "
+    "cumulative-budget shard assignment per source (one window "
+    "shuffle) + FFD greedy bin packing via applyInPandas "
+    "(pytest-verified vs a Python reference)")

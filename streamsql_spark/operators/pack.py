@@ -1,0 +1,112 @@
+"""Sequence packing for LLM training pipelines.
+
+After filtering/dedup, a pretraining pipeline packs variable-length
+documents into fixed-token-budget training sequences.  Two operators:
+
+- :func:`budget_shard_pack` — deterministic streaming pack: documents
+  in a stable order are assigned to consecutive packs by cumulative
+  token count (a document starts the pack its running prefix falls in).
+  One window cumsum = ONE shuffle on the partition key; the assignment
+  is a pure function of (order, token counts) so it is reproducible
+  across runs/cluster layouts and SQL-expressible (the DuckDB oracle
+  runs the same window cumsum).
+
+- :func:`greedy_bin_pack` — first-fit-decreasing bin packing inside
+  each partition (the tighter packing used when sequence slots must
+  not overflow: FFD wastes ≤ ~22% in the worst case, near-zero on
+  natural length distributions).  Sequential by nature, so it runs as
+  an Arrow-batched ``applyInPandas`` per partition key — each group is
+  one Python pass, O(n log n) sort + O(n·bins_open) placement; at
+  100 TB parallelism comes from the partition key (source/shard), not
+  from intra-group threading.
+
+Both keep documents whole (no splitting) — the variant that slices
+overflow documents across packs is a trivial follow-on map and would
+break the SQL oracle's row identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..session import ensure_parallelism
+
+
+def budget_shard_pack(df: DataFrame, part_col: str, order_col: str,
+                      token_col: str, budget: int,
+                      pack_col: str = "pack_id") -> DataFrame:
+    """Assign each document to a pack by cumulative token budget.
+
+    ``pack_id = floor(prefix_tokens / budget)`` where ``prefix_tokens``
+    is the running token total of all PRIOR documents in
+    ``order_col`` order within ``part_col`` — i.e. a document joins
+    the pack its start offset lands in.  Also emits
+    ``pack_offset`` (the document's token start inside its pack).
+
+    Plan shape: one Exchange on ``part_col`` + one window sort — the
+    minimum any order-dependent packing can do.  Packs are only
+    well-defined given an ordering, so the shuffle is inherent, not
+    incidental.
+    """
+    df = ensure_parallelism(df)
+    w = (Window.partitionBy(part_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prefix = (F.sum(F.col(token_col)).over(w) - F.col(token_col))
+    return (df
+            .withColumn("__prefix__", prefix.cast("bigint"))
+            .withColumn(pack_col,
+                        (F.col("__prefix__") / budget).cast("bigint"))
+            .withColumn("pack_offset",
+                        (F.col("__prefix__") % budget).cast("bigint"))
+            .drop("__prefix__"))
+
+
+def greedy_bin_pack(df: DataFrame, part_col: str, token_col: str,
+                    id_col: str, budget: int,
+                    pack_col: str = "pack_id") -> DataFrame:
+    """First-fit-decreasing bin packing per ``part_col`` group.
+
+    Documents are sorted by descending token count (ties broken by
+    ``id_col`` so the result is deterministic) and each is placed in
+    the first open pack with room; a document larger than ``budget``
+    gets a singleton pack.  Output adds ``pack_col`` and
+    ``pack_tokens`` (the filled size of the document's pack).
+
+    Pack ids are local to the group; globally unique ids are
+    ``(part_col, pack_id)`` — deliberate, so no cross-group
+    coordination (and no second shuffle) is needed.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    df = ensure_parallelism(df)
+    # fresh StructType: StructType.add mutates in place, and df.schema
+    # is the DataFrame's cached instance — extending it directly would
+    # corrupt the input plan's resolved schema
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(pack_col, LongType()),
+                           StructField("pack_tokens", LongType())])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = sorted(
+            range(len(pdf)),
+            key=lambda i: (-int(pdf[token_col].iat[i]), pdf[id_col].iat[i]))
+        fills: list[int] = []           # current token fill per open pack
+        assign = [0] * len(pdf)
+        for i in order:
+            t = int(pdf[token_col].iat[i])
+            for b, fill in enumerate(fills):
+                if fill + t <= budget:
+                    assign[i] = b
+                    fills[b] = fill + t
+                    break
+            else:
+                assign[i] = len(fills)
+                fills.append(t)
+        out = pdf.copy()
+        out[pack_col] = assign
+        out["pack_tokens"] = [fills[b] for b in assign]
+        return out
+
+    return df.groupBy(part_col).applyInPandas(pack, schema=schema)

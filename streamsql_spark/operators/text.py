@@ -106,6 +106,133 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4,
         f"array_join(transform(slice({hashes}, 1, {keep}), h -> CAST(h AS STRING)), '-')"))
 
 
+def _gram_exprs(text_col: str, n: int) -> tuple[str, str]:
+    """(grams, distinct) word-``n``-gram array SQL over ``text_col``."""
+    w = f"split({text_col}, ' ')"
+    grams = (f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)), "
+             f"i -> array_join(slice({w}, i, {n}), ' '))")
+    return grams, f"array_distinct({grams})"
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition / quality-gate features (Rae et al. 2021
+    "Scaling Language Models: ... Gopher", table A1; same family as the
+    C4 heuristics) — the filters a pretraining corpus runs between raw
+    crawl and tokenization.  All pure Catalyst higher-order-function
+    expressions: per-document, embarrassingly parallel, zero shuffle,
+    zero Python.
+
+    Word-level features (computed here; the line-level duplicates —
+    ``dup_line_frac`` — are in :func:`line_repetition_features` because
+    they need newline-structured text):
+
+    - ``word_count``, ``mean_word_len``
+    - ``frac_alpha_words``: fraction of words containing an alphabetic
+      character (C4 keeps pages where most "words" are real words)
+    - ``top_2gram_frac``: occurrences of the most frequent word 2-gram
+      over all 2-grams (Gopher drops > 0.20)
+    - ``dup_3gram_frac``: fraction of 3-grams that occur more than once
+      (Gopher's duplicate-n-gram family, count-weighted)
+    - ``gopher_pass``: the composite keep/drop gate
+
+    The per-distinct-gram inner ``filter`` scan is O(distinct·n) per
+    document — bounded by document length, not data volume, so the cost
+    model is identical at 100 TB (scan-bound, no exchange).
+    """
+    df = ensure_parallelism(df)
+    w = f"split({text_col}, ' ')"
+    g2, d2 = _gram_exprs(text_col, 2)
+    g3, d3 = _gram_exprs(text_col, 3)
+    out = (df
+           .withColumn("word_count", F.expr(f"size({w})"))
+           .withColumn("mean_word_len", F.expr(
+               f"round(aggregate({w}, 0D, (a, t) -> a + length(t))"
+               f" / greatest(size({w}), 1), 6)"))
+           .withColumn("frac_alpha_words", F.expr(
+               f"round(CAST(size(filter({w}, t -> t rlike '[a-zA-Z]')) AS DOUBLE)"
+               f" / greatest(size({w}), 1), 6)"))
+           .withColumn("top_2gram_frac", F.expr(
+               f"round(CAST(array_max(transform({d2}, d -> "
+               f"size(filter({g2}, x -> x = d)))) AS DOUBLE)"
+               f" / greatest(size({g2}), 1), 6)"))
+           .withColumn("dup_3gram_frac", F.expr(
+               f"round(1D - CAST(size(filter({d3}, d -> "
+               f"size(filter({g3}, x -> x = d)) = 1)) AS DOUBLE)"
+               f" / greatest(size({g3}), 1), 6)")))
+    return out.withColumn("gopher_pass", F.expr(
+        "word_count >= 30 AND word_count <= 100000"
+        " AND mean_word_len >= 2 AND mean_word_len <= 10"
+        " AND frac_alpha_words > 0.8"
+        " AND top_2gram_frac < 0.2 AND dup_3gram_frac < 0.6"))
+
+
+def line_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Line-level duplicate features over newline-structured text
+    (Gopher's duplicate-line fraction / duplicate-line character
+    fraction).  Separate from :func:`repetition_features` because the
+    parquet fixture corpus is single-line; exercised by pytest on
+    synthetic multi-line documents."""
+    df = ensure_parallelism(df)
+    lines = f"split({text_col}, '\\n')"
+    dl = f"array_distinct({lines})"
+    return (df
+            .withColumn("line_count", F.expr(f"size({lines})"))
+            .withColumn("dup_line_frac", F.expr(
+                f"round(1D - CAST(size({dl}) AS DOUBLE)"
+                f" / greatest(size({lines}), 1), 6)"))
+            .withColumn("dup_line_char_frac", F.expr(
+                f"round(1D - CAST(aggregate({dl}, 0, (a, l) -> a + length(l))"
+                f" AS DOUBLE) / greatest(aggregate({lines}, 0, "
+                f"(a, l) -> a + length(l)), 1), 6)"))
+            .withColumn("bullet_line_frac", F.expr(
+                f"round(CAST(size(filter({lines}, l -> "
+                f"l rlike '^\\\\s*([-*•]|[0-9]+[.)])')) AS DOUBLE)"
+                f" / greatest(size({lines}), 1), 6)"))
+            .withColumn("ellipsis_line_frac", F.expr(
+                f"round(CAST(size(filter({lines}, l -> "
+                f"l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$')) AS DOUBLE)"
+                f" / greatest(size({lines}), 1), 6)")))
+
+
+# PII patterns: RE2-compatible (no backreferences/lookaround) so the
+# SAME pattern string runs in Catalyst (Java regex) and any RE2-based
+# engine (DuckDB oracle, production scrubbers).  Redaction order
+# matters: emails before phones (an email's digit runs must not be
+# eaten by the phone pattern's separator class).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9()\-\. ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str = "clean_text") -> DataFrame:
+    """PII redaction for training corpora: replace emails / IPv4
+    addresses / international-format phone numbers with typed
+    placeholder tokens and count each per document (the audit columns
+    a compliance pass reads).
+
+    Pure Catalyst ``regexp_replace`` / ``regexp_extract_all`` — JVM
+    regex, whole-stage codegen, zero shuffle.  At 100 TB this is a
+    scan-rate-bound map; the pattern list is deliberately small and
+    RE2-safe so a production build can push the same patterns into any
+    scrubbing stage (or swap in an ML NER pass behind the same column
+    contract).
+    """
+    df = ensure_parallelism(df)
+    out = df
+    clean = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        # pattern goes through the typed API, not an F.expr SQL string —
+        # SQL literal unescaping would corrupt \b / \. in the patterns
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))))
+        clean = F.regexp_replace(clean, pat, token)
+    return out.withColumn(out_col, clean)
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   ngram_n: int = 4, min_overlap: int = 2) -> DataFrame:

@@ -192,3 +192,159 @@ def test_quota_sample_takes_all_when_stratum_small(spark):
     df = _events(spark, n=9)  # 3 per type
     out = hash_quota_sample(df, "event_type", "event_id", quota=17)
     assert out.count() == 9
+
+
+# --------------------------- repetition / quality-gate features
+
+
+def _textdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_repetition_top2gram_and_dup3gram(spark):
+    from streamsql_spark.operators.text import repetition_features
+    # "x y x y x y": 2-grams = [x y, y x, x y, y x, x y] -> top frac 3/5;
+    # 3-grams = [x y x, y x y, x y x, y x y] -> all duplicated -> 1.0
+    out = repetition_features(_textdocs(spark, ["x y x y x y",
+                                            "a b c d e f g"]))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["top_2gram_frac"] == 0.6
+    assert rows[0]["dup_3gram_frac"] == 1.0
+    # all-distinct text: top 2-gram occurs once, no duplicate 3-grams
+    assert rows[1]["top_2gram_frac"] == round(1 / 6, 6)
+    assert rows[1]["dup_3gram_frac"] == 0.0
+
+
+def test_repetition_gopher_gate(spark):
+    from streamsql_spark.operators.text import repetition_features
+    long_ok = " ".join(f"tok{i % 97}" for i in range(60))
+    too_short = "just five little words here"
+    loopy = " ".join(["spam ham"] * 40)  # top-2-gram dominated
+    numeric = " ".join(["1234 5678"] * 30)  # no alpha words
+    out = repetition_features(
+        _textdocs(spark, [long_ok, too_short, loopy, numeric]))
+    got = {r["doc_id"]: r["gopher_pass"] for r in out.collect()}
+    assert got == {0: True, 1: False, 2: False, 3: False}
+
+
+def test_line_repetition_features(spark):
+    from streamsql_spark.operators.text import line_repetition_features
+    text = "\n".join(["alpha beta", "alpha beta", "- item one",
+                      "gamma delta epsilon", "to be continued..."])
+    out = line_repetition_features(_textdocs(spark, [text])).collect()[0]
+    assert out["line_count"] == 5
+    assert out["dup_line_frac"] == round(1 / 5, 6)
+    # duplicate line chars: one "alpha beta" (10 chars) of 58 total
+    total = sum(len(l) for l in text.split("\n"))
+    assert out["dup_line_char_frac"] == round(10 / total, 6)
+    assert out["bullet_line_frac"] == round(1 / 5, 6)
+    assert out["ellipsis_line_frac"] == round(1 / 5, 6)
+
+
+def test_repetition_is_shuffle_free(spark):
+    from streamsql_spark.operators.text import repetition_features
+    p = _plan(repetition_features(_textdocs(spark, ["a b c"] * 4)))
+    assert "Exchange" not in p
+
+
+# ----------------------------------------------------- PII scrub
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from streamsql_spark.operators.text import pii_scrub
+    out = pii_scrub(_textdocs(spark, [
+        "mail a.user+tag@sub.example.co.uk or b@x.io now",
+        "host 192.168.0.1 and 10.0.255.254 up",
+        "call +1-555-0100 or +44 (20) 7946 0958 today",
+        "clean text with no identifiers at all",
+    ])).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[0]["n_email"] == 2
+    assert rows[0]["clean_text"] == "mail <EMAIL> or <EMAIL> now"
+    assert rows[1]["n_ipv4"] == 2
+    assert rows[1]["clean_text"] == "host <IP> and <IP> up"
+    assert rows[2]["n_phone"] == 2
+    assert rows[2]["clean_text"] == "call <PHONE> or <PHONE> today"
+    assert rows[3]["clean_text"] == "clean text with no identifiers at all"
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) \
+        == (0, 0, 0)
+
+
+def test_pii_scrub_email_before_phone_ordering(spark):
+    from streamsql_spark.operators.text import pii_scrub
+    # the digits inside an email local part must not be half-eaten by
+    # the phone pattern after partial redaction
+    out = pii_scrub(_textdocs(spark, ["reach +15550100123 via n123@d.com"]))
+    assert out.collect()[0]["clean_text"] == "reach <PHONE> via <EMAIL>"
+
+
+# ----------------------------------------------- sequence packing
+
+
+def test_budget_shard_pack_matches_prefix_rule(spark):
+    from streamsql_spark.operators.pack import budget_shard_pack
+    rows = [(i, "s", 30 + (i * 17) % 50) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, tokens long")
+    out = budget_shard_pack(df, "src", "doc_id", "tokens", budget=100)
+    got = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in out.collect()}
+    prefix = 0
+    for i, _, tok in rows:
+        assert got[i] == (prefix // 100, prefix % 100), i
+        prefix += tok
+
+
+def test_budget_shard_pack_layout_independent(spark):
+    from streamsql_spark.operators.pack import budget_shard_pack
+    rows = [(i, f"s{i % 3}", 10 + i % 7) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, tokens long")
+    a = sorted(map(tuple, budget_shard_pack(
+        df, "src", "doc_id", "tokens", 64).collect()))
+    b = sorted(map(tuple, budget_shard_pack(
+        df.repartition(7), "src", "doc_id", "tokens", 64).collect()))
+    assert a == b
+
+
+def test_greedy_bin_pack_matches_python_reference(spark):
+    from streamsql_spark.operators.pack import greedy_bin_pack
+    rows = [(i, "g", 5 + (i * 13) % 90) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, tokens long")
+    out = greedy_bin_pack(df, "src", "tokens", "doc_id", budget=128)
+    got = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+
+    # pure-python FFD with the same (desc tokens, asc id) order
+    fills, ref = [], {}
+    for i, _, t in sorted(rows, key=lambda r: (-r[2], r[0])):
+        for b, fill in enumerate(fills):
+            if fill + t <= 128:
+                ref[i] = b
+                fills[b] = fill + t
+                break
+        else:
+            ref[i] = len(fills)
+            fills.append(t)
+    assert got == ref
+
+
+def test_greedy_bin_pack_never_overflows_budget(spark):
+    from streamsql_spark.operators.pack import greedy_bin_pack
+    rows = [(i, f"g{i % 2}", 1 + (i * 37) % 120) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, tokens long")
+    out = greedy_bin_pack(df, "src", "tokens", "doc_id", budget=120)
+    agg = out.groupBy("src", "pack_id").sum("tokens").collect()
+    assert all(r["sum(tokens)"] <= 120 for r in agg)
+    # reported pack_tokens equals the pack's actual fill
+    for r in out.collect():
+        assert r["pack_tokens"] <= 120
+
+
+def test_greedy_bin_pack_oversized_doc_gets_singleton(spark):
+    from streamsql_spark.operators.pack import greedy_bin_pack
+    rows = [(0, "g", 500), (1, "g", 40), (2, "g", 50)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, tokens long")
+    out = {r["doc_id"]: (r["pack_id"], r["pack_tokens"])
+           for r in greedy_bin_pack(df, "src", "tokens", "doc_id",
+                                    budget=100).collect()}
+    assert out[0] == (0, 500)          # oversize -> its own pack
+    assert out[1][0] == out[2][0] == 1  # the small two share the next

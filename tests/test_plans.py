@@ -94,14 +94,14 @@ def test_lag_ignorenull_has_no_running_collect(catalog_plan):
     # lag(v, 2) with default-on ignoreNull must compile to the
     # count-keyed range-window construction, never a running
     # collect_list (O(rows²) per partition at scale)
-    p = catalog_plan("analytic_lag")
+    p = catalog_plan("analytic_lag_changed")
     assert "collect_list" not in p
 
 
 def test_first_last_are_order_keyed(catalog_plan):
     # dialect first_value/last_value render to min_by/max_by over the
     # arrival-order column — deterministic after the groupBy shuffle
-    p = catalog_plan("agg_first_last")
+    p = catalog_plan("agg_collect_first_last")
     assert "min_by" in p and "max_by" in p
     assert "first(" not in p and "last(" not in p
 
