@@ -244,21 +244,26 @@ CATALOG["dedup_embedding_cosine"] = Entry(
 
 
 def _run_ann_bruteforce_and_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three ANN strategies in one entry, tagged with their method
+    """All four ANN strategies in one entry, tagged with their method
     (merged to keep the catalog at the driver's 50-entry gate):
 
     - exact brute-force cosine top-k — the baseline;
     - product quantization (k-means codebooks → ADC lookup-table scan
       in a vectorized Arrow kernel → exact rerank of k·refine
       candidates) — must reproduce the exact rows, so the oracle lists
-      the exact top-k twice: any candidate the PQ pruning misses fails
+      the exact top-k again: any candidate the PQ pruning misses fails
       the value hash, an executable recall == 1.0 bound on the fixture;
+    - sharded NSW-graph beam search (per-partition small-world graphs,
+      exact global rerank) — held to the same exact-list oracle: on
+      fixture-sized shards the ef_search=32 beam is near-exhaustive,
+      so any layout-induced candidate miss fails the hash;
     - IVF (broadcast centroid assign → probe-pruned candidate join) —
       checked against its own algorithm-replica oracle (probe pruning
       legitimately diverges from exact)."""
     from pyspark.sql import functions as F
 
-    from .operators.similarity import cosine_topk, ivf_topk, pq_topk
+    from .operators.similarity import (cosine_topk, graph_topk, ivf_topk,
+                                       pq_topk)
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     q = emb.where("vec_id < 3")
@@ -266,7 +271,8 @@ def _run_ann_bruteforce_and_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = pq_topk(emb, q, k=5).withColumn("method", F.lit("pq"))
     ivf = (ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2)
            .withColumn("method", F.lit("ivf")))
-    return exact.unionByName(pq).unionByName(ivf)
+    graph = graph_topk(emb, q, k=5).withColumn("method", F.lit("graph"))
+    return exact.unionByName(pq).unionByName(ivf).unionByName(graph)
 
 
 CATALOG["ann_cosine_bruteforce"] = Entry(
@@ -320,15 +326,19 @@ CATALOG["ann_cosine_bruteforce"] = Entry(
     UNION ALL
     SELECT query_id, neighbor_id, rank, sim, 'pq' AS method FROM topk
     UNION ALL
+    SELECT query_id, neighbor_id, rank, sim, 'graph' AS method FROM topk
+    UNION ALL
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
            round(sim, 6) AS sim, 'ivf' AS method
     FROM iranked WHERE rank <= 5
     """,
-    "extension: ANN trio — exact brute-force cosine top-k, "
-    "product-quantization (ADC kernel, exact rerank; PQ hash-checked "
-    "against the exact list, i.e. recall@5 = 1.0 on the fixture), and "
-    "IVF (centroid assign → probe-pruned search) against its "
-    "algorithm-replica oracle")
+    "extension: ANN quartet — exact brute-force cosine top-k; "
+    "product-quantization (ADC kernel, exact rerank); sharded "
+    "NSW-graph beam search (per-partition small-world graphs, exact "
+    "global rerank) — PQ and graph are hash-checked against the exact "
+    "list, i.e. recall@5 = 1.0 on the fixture; and IVF (centroid "
+    "assign → probe-pruned search) against its algorithm-replica "
+    "oracle")
 
 
 # -------------------------------------------------------- text analysis

@@ -192,3 +192,35 @@ def test_pq_topk_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_graph_topk_recall_bound_vs_bruteforce(spark):
+    """Sharded NSW-graph ANN recall gate: beam search over per-partition
+    small-world graphs + exact global re-rank must recover >= 0.9 of
+    the brute-force top-k on the fixture."""
+    from streamsql_spark.operators.similarity import cosine_topk, graph_topk
+    from streamsql_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    q = emb.where("vec_id < 3")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in graph_topk(emb, q, k=5).collect()}
+    assert exact, "empty exact baseline"
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"recall@5 {recall:.2f} < 0.9"
+
+
+def test_graph_topk_plan_shape(spark):
+    """One Arrow kernel pass builds+searches the shard graphs; the
+    re-rank joins only the candidate shortlist — no second full-corpus
+    cross join."""
+    from streamsql_spark.operators.similarity import graph_topk
+    from streamsql_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    plan = graph_topk(emb, emb.where("vec_id < 3"), k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
