@@ -371,36 +371,59 @@ def _apply_custom_analytics(df: DataFrame, group: list,
     hidden = [c for c in df.columns if c.startswith("__ca")]
     out_schema = StructType(list(df.schema.fields) + fields)
     order = [n for n in order_names if n]
+    out_names = [f.name for f in out_schema.fields]
 
     def _clean(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return None
         return v
 
-    def fn(pdf):
-        if order:
-            pdf = pdf.sort_values(order, kind="mergesort")
+    # Execution shape: repartition on the key + sortWithinPartitions
+    # (key, event-time) + ONE mapInPandas walk.  Within a sorted
+    # partition each key's rows are contiguous and batches arrive in
+    # order, so per-key state lives in a dict carried across Arrow
+    # batches.  This costs the same exchange+sort as
+    # groupBy.applyInPandas but makes Python invocations O(batches)
+    # instead of O(keys) — at 100 TB key cardinality (billions of
+    # per-entity machines), per-group overhead is the scale killer.
+    def walk(batches):
+        states: dict[tuple, list] = {}
         need = {c for _, _, w, acs, _ in tasks
                 for c in ([w] if w else []) + [a for a in acs if a]}
-        vals = {c: pdf[c].tolist() for c in need}
-        n = len(pdf)
-        for ph, factory, when_col, arg_cols, lits in tasks:
-            st = factory()
-            last = None
-            out = []
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            keys = list(zip(*(pdf[c].tolist() for c in key_cols))) \
+                if key_cols else [()] * n
+            vals = {c: pdf[c].tolist() for c in need}
+            outs = [[None] * n for _ in tasks]
             for i in range(n):
-                gate = bool(_clean(vals[when_col][i])) if when_col else True
-                if gate:
-                    argv = [_clean(vals[c][i]) if c else lits[j]
-                            for j, c in enumerate(arg_cols)]
-                    last = st.apply(argv)
-                out.append(last)
-            pdf[ph] = out
-        return pdf[[f.name for f in out_schema.fields]]
+                slot = states.get(keys[i])
+                if slot is None:
+                    # [state, last_emitted] per registered spec
+                    slot = [[factory(), None]
+                            for _, factory, _, _, _ in tasks]
+                    states[keys[i]] = slot
+                for t, (ph, factory, when_col, arg_cols, lits) \
+                        in enumerate(tasks):
+                    gate = bool(_clean(vals[when_col][i])) \
+                        if when_col else True
+                    if gate:
+                        argv = [_clean(vals[c][i]) if c else lits[j]
+                                for j, c in enumerate(arg_cols)]
+                        slot[t][1] = slot[t][0].apply(argv)
+                    outs[t][i] = slot[t][1]
+            for t, (ph, *_rest) in enumerate(tasks):
+                pdf[ph] = outs[t]
+            yield pdf[out_names]
 
-    grouped = df.groupBy(*[F.col(c) for c in key_cols]) if key_cols \
-        else df.groupBy(F.lit(1))
-    return grouped.applyInPandas(fn, out_schema).drop(*hidden)
+    sort_cols = key_cols + order
+    part = (df.repartition(*[F.col(c) for c in key_cols]) if key_cols
+            else df.coalesce(1))
+    if sort_cols:
+        part = part.sortWithinPartitions(*sort_cols)
+    return part.mapInPandas(walk, out_schema).drop(*hidden)
 
 
 # ------------------------------------------------------------- executor

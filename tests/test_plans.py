@@ -108,11 +108,19 @@ def test_first_last_are_order_keyed(catalog_plan):
 
 def test_custom_analytics_single_python_pass(catalog_plan):
     # both registered state machines must share ONE shuffle and ONE
-    # FlatMapGroupsInPandas (a pass per spec doubles both)
+    # Python walk (a pass per spec doubles both); the walk is a
+    # mapInPandas over key-sorted partitions, NOT per-group
+    # applyInPandas — Python invocations scale with Arrow batches,
+    # not with key cardinality
     p = catalog_plan("analytic_custom_udf")
     n = sum(1 for l in p.splitlines()
-            if "FlatMapGroupsInPandas" in l and l.strip().startswith("("))
+            if "MapInPandas" in l and l.strip().startswith("("))
     assert n == 1, p
+    assert "FlatMapGroupsInPandas" not in p
+    n_ex = sum(1 for l in p.splitlines()
+               if l.strip().startswith("(") and "Exchange" in l
+               and "Reused" not in l)
+    assert n_ex == 1, p
 
 
 def test_jaccard_dfcut_bounds_candidate_join(catalog_plan):
