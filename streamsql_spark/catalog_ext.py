@@ -216,14 +216,31 @@ _COS_ORACLE_EXPR = """
 
 
 def _run_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import embedding_neardup_pairs
+    """Embedding-cosine near-dup PAIRS + SemDeDup keep/drop decisions
+    in one entry (kind-tagged): 'pair' rows are the cluster-blocked
+    pairwise similarities; 'sem' rows resolve those pairs through
+    connected components and keep the max-``label`` member per semantic
+    group (label stands in for a quality score — the election topology
+    is what matters), ties broken by min id.  The oracle recomputes the
+    transitive closure with a recursive CTE and the same election."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import embedding_neardup_pairs, semantic_dedup
     t = load_tables(spark, sf_dir)
-    return embedding_neardup_pairs(t["embeddings"], threshold=0.4, n_centroids=8)
+    emb = t["embeddings"]
+    pairs = (embedding_neardup_pairs(emb, threshold=0.4, n_centroids=8)
+             .select(F.lit("pair").alias("kind"),
+                     F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+                     F.col("sim").alias("val")))
+    sem = (semantic_dedup(emb, "label", threshold=0.4, n_centroids=8)
+           .select(F.lit("sem").alias("kind"),
+                   F.col("vec_id").alias("a"),
+                   F.col("cluster_id").alias("b"),
+                   F.col("keep").cast("double").alias("val")))
+    return pairs.unionByName(sem)
 
 
-CATALOG["dedup_embedding_cosine"] = Entry(
-    _run_dedup_embedding,
-    f"""
+_EMB_PAIRS_ORACLE = f"""
     WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb
                   FROM embeddings WHERE vec_id < 8),
     assigned AS (
@@ -239,8 +256,40 @@ CATALOG["dedup_embedding_cosine"] = Entry(
     FROM assigned a JOIN assigned b
       ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
     WHERE round({_COS_ORACLE_EXPR.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
+"""
+
+CATALOG["dedup_embedding_cosine"] = Entry(
+    _run_dedup_embedding,
+    f"""
+    WITH RECURSIVE pairs AS ({_EMB_PAIRS_ORACLE}),
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT w.node, u.d FROM walk w JOIN und u ON u.s = w.reach
+    ),
+    comp AS (
+      SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node
+    ),
+    sem AS (
+      SELECT c.node, c.cluster_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY e.label DESC, c.node) AS rk
+      FROM comp c JOIN embeddings e ON e.vec_id = c.node)
+    SELECT 'pair' AS kind, id_a AS a, id_b AS b, sim AS val FROM pairs
+    UNION ALL
+    SELECT 'sem' AS kind, node AS a, cluster_id AS b,
+           CAST(CAST(rk = 1 AS INT) AS DOUBLE) AS val
+    FROM sem
     """,
-    "extension: embedding-cosine near-dup (cluster-blocked pairwise sim)")
+    "extension: embedding-cosine near-dup (cluster-blocked pairwise "
+    "sim) + SemDeDup semantic dedup — pairs -> connected components -> "
+    "highest-quality keeper per group, vs a recursive-CTE closure + "
+    "same-election oracle")
 
 
 def _run_ann_bruteforce_and_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,7 +21,7 @@ changing the topology.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import ensure_parallelism
@@ -270,6 +270,43 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                 "round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)"))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def semantic_dedup(df: DataFrame, quality_col: str,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   threshold: float = 0.4, n_centroids: int = 8) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): embeddings are cluster-blocked into near-dup PAIRS
+    (:func:`embedding_neardup_pairs`), pairs resolve into transitive
+    duplicate GROUPS (distributed connected components), and each group
+    keeps its highest-``quality_col`` member (ties: min id) — unlike
+    exact/MinHash dedup, the keeper is chosen by VALUE, not by id,
+    which is what an LLM corpus pipeline wants (drop the low-quality
+    copy, not an arbitrary one).
+
+    Output: one row per input vector — (id, cluster_id, keep).
+
+    Scale shape: the pair stage is K·O((n/K)²) BLAS per cluster block;
+    components are O(log n) hash-shuffle star rounds; the election is
+    one window over groups (group cardinality « corpus).  Every stage
+    is keyed — nothing driver-side.
+    """
+    from .graph import connected_components
+
+    pairs = embedding_neardup_pairs(df, id_col, vec_col,
+                                    threshold, n_centroids)
+    comp = connected_components(pairs, nodes=df.select(id_col),
+                                node_col=id_col)
+    q = df.select(F.col(id_col).cast("long").alias("node"),
+                  F.col(quality_col).alias("__q__"))
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("__q__").desc(), F.col("node"))
+    return (comp.join(q, "node")
+            .withColumn("__rk__", F.row_number().over(w))
+            .select(F.col("node").alias(id_col),
+                    F.col("component_id").alias("cluster_id"),
+                    (F.col("__rk__") == 1).alias("keep")))
 
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",

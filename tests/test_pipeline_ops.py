@@ -10,6 +10,9 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def _plan(df) -> str:
@@ -348,3 +351,52 @@ def test_greedy_bin_pack_oversized_doc_gets_singleton(spark):
                                     budget=100).collect()}
     assert out[0] == (0, 500)          # oversize -> its own pack
     assert out[1][0] == out[2][0] == 1  # the small two share the next
+
+
+# ----------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_keeps_highest_quality_per_group(spark):
+    from streamsql_spark.operators.dedup import semantic_dedup
+    # vec_ids 0..7 are the deterministic centroids; 8/9/10 are copies
+    # of centroid 0's direction (one semantic group with the centroid),
+    # 11 is orthogonal (its own group)
+    base = [0.0] * 8
+    rows = []
+    for i in range(8):
+        v = base.copy()
+        v[i] = 1.0
+        rows.append((i, v, 5))
+    for i, q in ((8, 9), (9, 7), (10, 9)):
+        v = base.copy()
+        v[0] = 1.0
+        rows.append((i, v, q))
+    v = base.copy()
+    v[7] = -1.0
+    rows.append((11, v, 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = {r["vec_id"]: (r["cluster_id"], r["keep"])
+           for r in semantic_dedup(df, "label", threshold=0.9,
+                                   n_centroids=8).collect()}
+    # group {0, 8, 9, 10}: highest label is 9, shared by 8 and 10 ->
+    # min id 8 wins; the centroid (label 5) and 9 (label 7) are dropped
+    assert out[8] == (0, True)
+    assert out[0] == (0, False)
+    assert out[9] == (0, False)
+    assert out[10] == (0, False)
+    # singleton groups keep themselves
+    assert out[11][1] is True
+    assert sum(1 for c, k in out.values() if k and c == 0) == 1
+
+
+def test_semantic_dedup_every_input_gets_a_row(spark):
+    from streamsql_spark.operators.dedup import semantic_dedup
+    from streamsql_spark.session import load_tables
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    out = semantic_dedup(emb, "label", threshold=0.4, n_centroids=8)
+    assert out.count() == emb.count()
+    # exactly one keeper per cluster
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep")).collect()
+    assert all(r["n_keep"] == 1 for r in per)
