@@ -825,22 +825,42 @@ CATALOG["text_quality_pii"] = Entry(
 
 
 def _run_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing: estimate per-doc token counts
-    (BPE-ish length/4 heuristic), then assign documents to consecutive
-    fixed-budget packs per source in stable doc_id order — the step
-    that turns a filtered corpus into fixed-length training sequences.
-    ONE shuffle (the window partition on source), assignment a pure
-    function of (order, token counts) so reruns and re-layouts agree.
-    The tighter first-fit-decreasing variant (no-overflow bins) is
-    operators/pack.py:greedy_bin_pack, pytest-verified against a pure
-    Python reference (sequential recurrence — not SQL-expressible)."""
-    from .operators.pack import budget_shard_pack
+    """Sequence packing AND overlapping chunking in one entry
+    (kind-tagged):
+
+    - 'pack' rows: per-doc token counts (BPE-ish length/4 heuristic)
+      assigned to consecutive fixed-budget packs per source in stable
+      doc_id order — ONE window shuffle, assignment a pure function of
+      (order, token counts) so reruns and re-layouts agree.  The
+      tighter first-fit-decreasing variant (no-overflow bins) is
+      operators/pack.py:greedy_bin_pack, pytest-verified against a
+      pure Python reference (sequential recurrence — not
+      SQL-expressible);
+    - 'chunk' rows: sliding-window token chunks (64-token chunks,
+      16-token overlap) with per-chunk digests — zero shuffle,
+      per-document fan-out only."""
+    from pyspark.sql import functions as F
+
+    from .operators.pack import budget_shard_pack, chunk_documents
     from .operators.text import token_counts
     t = load_tables(spark, sf_dir)
     docs = token_counts(t["documents"].select("doc_id", "source", "text")) \
-        .select("doc_id", "source", "est_bpe_tokens")
-    return budget_shard_pack(docs, "source", "doc_id",
-                             "est_bpe_tokens", budget=512)
+        .select("doc_id", "source", "text", "est_bpe_tokens")
+    pack = (budget_shard_pack(docs.drop("text"), "source", "doc_id",
+                              "est_bpe_tokens", budget=512)
+            .select(F.lit("pack").alias("kind"), "doc_id",
+                    F.col("pack_id").alias("seq"),
+                    F.col("pack_offset").alias("off"),
+                    F.col("est_bpe_tokens").alias("n"),
+                    F.lit(None).cast("string").alias("digest")))
+    chunk = (chunk_documents(docs.select("doc_id", "text"),
+                             chunk_tokens=64, overlap_tokens=16)
+             .select(F.lit("chunk").alias("kind"), "doc_id",
+                     F.col("chunk_id").alias("seq"),
+                     F.col("chunk_start").cast("bigint").alias("off"),
+                     F.col("chunk_n_tokens").cast("bigint").alias("n"),
+                     F.col("chunk_digest").alias("digest")))
+    return pack.unionByName(chunk)
 
 
 CATALOG["pack_sequences"] = Entry(
@@ -852,13 +872,28 @@ CATALOG["pack_sequences"] = Entry(
     c AS (
       SELECT *, sum(est_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
                 ROWS UNBOUNDED PRECEDING) - est_bpe_tokens AS prefix
-      FROM tok)
-    SELECT doc_id, source, est_bpe_tokens,
-           CAST(floor(prefix / 512.0) AS BIGINT) AS pack_id,
-           CAST(prefix % 512 AS BIGINT) AS pack_offset
+      FROM tok),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    starts AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 16, 1), 48)) AS s
+      FROM words)
+    SELECT 'pack' AS kind, doc_id,
+           CAST(floor(prefix / 512.0) AS BIGINT) AS seq,
+           CAST(prefix % 512 AS BIGINT) AS off,
+           est_bpe_tokens AS n,
+           CAST(NULL AS VARCHAR) AS digest
     FROM c
+    UNION ALL
+    SELECT 'chunk' AS kind, doc_id,
+           CAST((s - 1) // 48 AS BIGINT) AS seq,
+           CAST(s AS BIGINT) AS off,
+           CAST(len(w[s:s+63]) AS BIGINT) AS n,
+           md5(array_to_string(w[s:s+63], ' ')) AS digest
+    FROM starts
     """,
-    "extension: token-budget sequence packing — deterministic "
-    "cumulative-budget shard assignment per source (one window "
-    "shuffle) + FFD greedy bin packing via applyInPandas "
-    "(pytest-verified vs a Python reference)")
+    "extension: token-budget sequence packing (deterministic "
+    "cumulative-budget shard assignment per source, one window "
+    "shuffle; FFD greedy bin packing via applyInPandas pytest-checked "
+    "vs a Python reference) + overlapping sliding-window chunking "
+    "(64/16, per-chunk digests, zero shuffle)")

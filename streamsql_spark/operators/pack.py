@@ -62,6 +62,41 @@ def budget_shard_pack(df: DataFrame, part_col: str, order_col: str,
             .drop("__prefix__"))
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    chunk_tokens: int = 64,
+                    overlap_tokens: int = 16) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks (the
+    sliding-window chunking step of retrieval indexes and
+    long-document training prep).  Tokens are whitespace words here;
+    a real tokenizer changes the split expression, not the topology.
+
+    Chunk starts stride ``chunk_tokens − overlap_tokens`` through the
+    word array; the final chunk may be short (no padding).  Emits one
+    row per chunk: ``chunk_id``, ``chunk_start`` (1-based token
+    offset), ``chunk_n_tokens``, ``chunk_digest`` (md5 of the chunk
+    text — engine-checkable without hauling the strings).
+
+    Pure Catalyst ``sequence``/``explode``/``slice`` — per-document
+    fan-out, zero shuffle, scan-bound at any corpus size.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap must be smaller than the chunk size")
+    stride = chunk_tokens - overlap_tokens
+    df = ensure_parallelism(df)
+    w = f"split({text_col}, ' ')"
+    starts = (f"sequence(1, greatest(size({w}) - {overlap_tokens}, 1), "
+              f"{stride})")
+    return (df
+            .withColumn("chunk_start", F.explode(F.expr(starts)))
+            .withColumn("chunk_id",
+                        ((F.col("chunk_start") - 1) / stride).cast("bigint"))
+            .withColumn("chunk_n_tokens", F.expr(
+                f"size(slice({w}, chunk_start, {chunk_tokens}))"))
+            .withColumn("chunk_digest", F.expr(
+                f"md5(array_join(slice({w}, chunk_start, {chunk_tokens}),"
+                f" ' '))")))
+
+
 def greedy_bin_pack(df: DataFrame, part_col: str, token_col: str,
                     id_col: str, budget: int,
                     pack_col: str = "pack_id") -> DataFrame:

@@ -400,3 +400,50 @@ def test_semantic_dedup_every_input_gets_a_row(spark):
     per = out.groupBy("cluster_id").agg(
         F.sum(F.col("keep").cast("int")).alias("n_keep")).collect()
     assert all(r["n_keep"] == 1 for r in per)
+
+
+# --------------------------------------------- document chunking
+
+
+def test_chunk_documents_stride_and_tail(spark):
+    from streamsql_spark.operators.pack import chunk_documents
+    words = " ".join(f"w{i}" for i in range(10))
+    out = chunk_documents(_textdocs(spark, [words]),
+                          chunk_tokens=5, overlap_tokens=2).collect()
+    got = sorted((r["chunk_id"], r["chunk_start"], r["chunk_n_tokens"])
+                 for r in out)
+    # stride 3, starts 1/4/7: full, full, 4-token tail
+    assert got == [(0, 1, 5), (1, 4, 5), (2, 7, 4)]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from streamsql_spark.operators.pack import chunk_documents
+    out = chunk_documents(_textdocs(spark, ["only three words"]),
+                          chunk_tokens=64, overlap_tokens=16).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_n_tokens"] == 3
+
+
+def test_chunk_documents_overlap_covers_every_token(spark):
+    from streamsql_spark.operators.pack import chunk_documents
+    words = " ".join(f"w{i}" for i in range(137))
+    rows = chunk_documents(_textdocs(spark, [words]),
+                           chunk_tokens=16, overlap_tokens=4).collect()
+    covered = set()
+    for r in rows:
+        covered.update(range(r["chunk_start"],
+                             r["chunk_start"] + r["chunk_n_tokens"]))
+    assert covered == set(range(1, 138))
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from streamsql_spark.operators.pack import chunk_documents
+    with pytest.raises(ValueError):
+        chunk_documents(_textdocs(spark, ["a b"]), chunk_tokens=8,
+                        overlap_tokens=8)
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from streamsql_spark.operators.pack import chunk_documents
+    p = _plan(chunk_documents(_textdocs(spark, ["a b c d e"] * 3)))
+    assert "Exchange" not in p
