@@ -755,7 +755,10 @@ def _run_quality_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = (t["documents"].select("doc_id", "text")
             .withColumn("text", F.expr(_PII_AUG)))
-    out = pii_scrub(repetition_features(docs))
+    # PII first: the regex columns then ride the ONE repartition
+    # exchange inside repetition_features instead of re-running on the
+    # joined output's lineage
+    out = repetition_features(pii_scrub(docs))
     return out.select(
         "doc_id", "word_count", "mean_word_len", "frac_alpha_words",
         "top_2gram_frac", "dup_3gram_frac", "gopher_pass",

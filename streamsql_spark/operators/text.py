@@ -107,20 +107,32 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4,
 
 
 def _gram_exprs(text_col: str, n: int) -> tuple[str, str]:
-    """(grams, distinct) word-``n``-gram array SQL over ``text_col``."""
+    """(grams, distinct) word-``n``-gram array SQL over ``text_col``.
+
+    Built as ``n−1`` nested ``zip_with`` concats over shifted slices —
+    one string concat per gram — instead of a per-gram
+    ``slice``+``array_join`` lambda, which costs ~4× more in
+    Catalyst's interpreted HOF evaluator.  A document shorter than
+    ``n`` words yields its single truncated gram (same floor the SQL
+    oracles use).
+    """
     w = f"split({text_col}, ' ')"
-    grams = (f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)), "
-             f"i -> array_join(slice({w}, i, {n}), ' '))")
+    m = f"size({w}) - {n - 1}"
+    acc = f"slice({w}, 1, {m})"
+    for k in range(2, n + 1):
+        acc = (f"zip_with({acc}, slice({w}, {k}, {m}), "
+               f"(a, b) -> concat(a, ' ', b))")
+    grams = (f"CASE WHEN size({w}) < {n} THEN array(array_join({w}, ' ')) "
+             f"ELSE {acc} END")
     return grams, f"array_distinct({grams})"
 
 
-def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition / quality-gate features (Rae et al. 2021
     "Scaling Language Models: ... Gopher", table A1; same family as the
     C4 heuristics) — the filters a pretraining corpus runs between raw
-    crawl and tokenization.  All pure Catalyst higher-order-function
-    expressions: per-document, embarrassingly parallel, zero shuffle,
-    zero Python.
+    crawl and tokenization.
 
     Word-level features (computed here; the line-level duplicates —
     ``dup_line_frac`` — are in :func:`line_repetition_features` because
@@ -135,30 +147,44 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
       (Gopher's duplicate-n-gram family, count-weighted)
     - ``gopher_pass``: the composite keep/drop gate
 
-    The per-distinct-gram inner ``filter`` scan is O(distinct·n) per
-    document — bounded by document length, not data volume, so the cost
-    model is identical at 100 TB (scan-bound, no exchange).
+    Plan shape: the linear per-row stats are column expressions; the
+    n-gram frequency stats EXPLODE the grams and count them with
+    whole-stage-codegen hash aggregation — linear in document length,
+    where a per-distinct-gram lambda scan would be quadratic on real
+    (10k-word) documents.  One explicit repartition on ``id_col`` up
+    front lets the gram groupBy, the per-doc rollup, AND the join back
+    to the document rows all reuse that single exchange (hash(id)
+    satisfies every downstream clustering requirement).
     """
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df).repartition(F.col(id_col))
     w = f"split({text_col}, ' ')"
-    g2, d2 = _gram_exprs(text_col, 2)
-    g3, d3 = _gram_exprs(text_col, 3)
-    out = (df
-           .withColumn("word_count", F.expr(f"size({w})"))
-           .withColumn("mean_word_len", F.expr(
-               f"round(aggregate({w}, 0D, (a, t) -> a + length(t))"
-               f" / greatest(size({w}), 1), 6)"))
-           .withColumn("frac_alpha_words", F.expr(
-               f"round(CAST(size(filter({w}, t -> t rlike '[a-zA-Z]')) AS DOUBLE)"
-               f" / greatest(size({w}), 1), 6)"))
-           .withColumn("top_2gram_frac", F.expr(
-               f"round(CAST(array_max(transform({d2}, d -> "
-               f"size(filter({g2}, x -> x = d)))) AS DOUBLE)"
-               f" / greatest(size({g2}), 1), 6)"))
-           .withColumn("dup_3gram_frac", F.expr(
-               f"round(1D - CAST(size(filter({d3}, d -> "
-               f"size(filter({g3}, x -> x = d)) = 1)) AS DOUBLE)"
-               f" / greatest(size({g3}), 1), 6)")))
+    g2, _ = _gram_exprs(text_col, 2)
+    g3, _ = _gram_exprs(text_col, 3)
+    base = (df
+            .withColumn("word_count", F.expr(f"size({w})"))
+            .withColumn("mean_word_len", F.expr(
+                f"round(aggregate({w}, 0D, (a, t) -> a + length(t))"
+                f" / greatest(size({w}), 1), 6)"))
+            .withColumn("frac_alpha_words", F.expr(
+                f"round(CAST(size(filter({w}, t -> t rlike '[a-zA-Z]')) AS DOUBLE)"
+                f" / greatest(size({w}), 1), 6)")))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"concat(transform({g2}, g -> named_struct('n', 2, 'g', g)), "
+            f"transform({g3}, g -> named_struct('n', 3, 'g', g)))")).alias("t")
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    counts = grams.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    feats = counts.groupBy(id_col).agg(
+        F.expr("round(CAST(max(CASE WHEN n = 2 THEN c END) AS DOUBLE)"
+               " / sum(CASE WHEN n = 2 THEN c ELSE 0 END), 6)")
+         .alias("top_2gram_frac"),
+        F.expr("round(1D - CAST(count(CASE WHEN n = 3 AND c = 1 THEN 1 END)"
+               " AS DOUBLE) / sum(CASE WHEN n = 3 THEN c ELSE 0 END), 6)")
+         .alias("dup_3gram_frac"))
+    # every doc yields >= 1 gram of each n (the gram exprs floor at one
+    # truncated gram), so the inner join back is total
+    out = base.join(feats, id_col)
     return out.withColumn("gopher_pass", F.expr(
         "word_count >= 30 AND word_count <= 100000"
         " AND mean_word_len >= 2 AND mean_word_len <= 10"

@@ -245,10 +245,18 @@ def test_line_repetition_features(spark):
     assert out["ellipsis_line_frac"] == round(1 / 5, 6)
 
 
-def test_repetition_is_shuffle_free(spark):
+def test_repetition_exchange_reused_and_hash_aggregated(spark):
+    # the gram-count branch and the document branch fork from the SAME
+    # up-front repartition on the doc id: at runtime one side must be a
+    # ReusedExchange (the postings shuffle is paid once), and the
+    # frequency stats must run in codegen hash aggregation, not
+    # interpreted per-distinct-gram lambda scans
     from streamsql_spark.operators.text import repetition_features
-    p = _plan(repetition_features(_textdocs(spark, ["a b c"] * 4)))
-    assert "Exchange" not in p
+    out = repetition_features(_textdocs(spark, ["a b c"] * 4))
+    out.collect()
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p, p
+    assert "HashAggregate" in p, p
 
 
 # ----------------------------------------------------- PII scrub
