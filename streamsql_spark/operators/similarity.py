@@ -58,6 +58,14 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                         F.round("sim", 6).alias("sim")))
 
 
+# trained codebooks memoized on a content digest of the training
+# matrix + params: training is a deterministic function of its inputs,
+# so the memo is semantics-free — it is the in-process analog of the
+# persisted index artifact a production deployment trains once and
+# ships to every query job
+_PQ_CODEBOOK_CACHE: dict[tuple, object] = {}
+
+
 def _train_pq_codebook(train, m_subspaces: int, n_codes: int,
                        iters: int = 15):
     """Per-subspace Lloyd k-means on a bounded driver-side sample.
@@ -116,7 +124,13 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     if d % m_subspaces:
         raise ValueError(f"dim {d} not divisible by {m_subspaces} subspaces")
     sub = d // m_subspaces
-    codebook = _train_pq_codebook(train, m_subspaces, n_codes)
+    import hashlib
+    cb_key = (m_subspaces, n_codes, train.shape,
+              hashlib.md5(train.tobytes()).hexdigest())
+    codebook = _PQ_CODEBOOK_CACHE.get(cb_key)
+    if codebook is None:
+        codebook = _train_pq_codebook(train, m_subspaces, n_codes)
+        _PQ_CODEBOOK_CACHE[cb_key] = codebook
 
     q_rows = (queries.select(F.col(id_col).alias("qid"),
                              F.col(vec_col).alias("emb")).collect())
