@@ -272,6 +272,27 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .select("id_a", "id_b", "jaccard"))
 
 
+def stream_dedup(stream: DataFrame, keys: list[str],
+                 event_time_col: str = "ts",
+                 within: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival per key, with
+    per-key state evicted once the event-time watermark passes
+    ``within`` — bounded state on an unbounded stream (the streaming
+    face of :func:`exact_dedup`; cf. the reference's ``deduplicate``
+    aggregate, functions_aggregation.go:900-931, which buffers within
+    a window instead).
+
+    Built directly on Spark's watermarked
+    ``dropDuplicatesWithinWatermark``: state lives in the store keyed
+    by ``keys``, scales horizontally with key partitioning, and a
+    duplicate arriving later than ``within`` after the first is
+    (by contract) no longer guaranteed to be dropped — the documented
+    trade that makes memory bounded.
+    """
+    return (stream.withWatermark(event_time_col, within)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def semantic_dedup(df: DataFrame, quality_col: str,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    threshold: float = 0.4, n_centroids: int = 8) -> DataFrame:

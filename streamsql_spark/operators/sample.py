@@ -54,6 +54,45 @@ def hash_stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
             .drop("__bucket__"))
 
 
+def temperature_mixture_rates(df: DataFrame, stratum_col: str,
+                              weight_col: str, alpha: float = 0.5,
+                              budget: float | None = None) -> dict[str, float]:
+    """Temperature-scaled mixture rates per stratum (the multilingual /
+    multi-source re-balancing rule of mBERT/XLM-R-style sampling,
+    Conneau & Lample 2019): stratum ``s`` with weight share ``p_s``
+    (sum of ``weight_col``, e.g. token counts) is sampled with
+    probability ∝ ``p_s^alpha`` — ``alpha=1`` keeps natural
+    proportions, ``alpha→0`` flattens toward uniform, lifting
+    low-resource strata.
+
+    Returns ``{stratum: keep_rate}`` scaled so the expected kept
+    weight equals ``budget`` (a fraction of the corpus total; default
+    = the largest rate hitting 1.0, i.e. the biggest upweighted
+    stratum is taken whole).  Feed the result straight into
+    :func:`hash_stratified_sample` — the rates stay deterministic and
+    the selection layout-independent.
+
+    One tiny aggregation (stratum cardinality « corpus) is collected
+    to the driver — the same "broadcast the mixture table" shape any
+    weighted-mixture trainer uses.
+    """
+    rows = (df.groupBy(stratum_col)
+            .agg(F.sum(weight_col).alias("__w__")).collect())
+    weights = {r[stratum_col]: float(r["__w__"] or 0.0) for r in rows}
+    total = sum(weights.values())
+    if total <= 0:
+        return {s: 0.0 for s in weights}
+    scaled = {s: (w / total) ** alpha if w > 0 else 0.0
+              for s, w in weights.items()}
+    z = sum(scaled.values())
+    # rate_s ∝ scaled share / natural share; normalize to the budget
+    raw = {s: (scaled[s] / z) / (weights[s] / total)
+           for s in weights if weights[s] > 0}
+    cap = max(raw.values())
+    target = budget if budget is not None else 1.0 / cap
+    return {s: min(1.0, r * target) for s, r in raw.items()}
+
+
 def hash_quota_sample(df: DataFrame, stratum_col: str, key_col: str,
                       quota: int) -> DataFrame:
     """Exact per-stratum quota: the ``quota`` rows with the smallest

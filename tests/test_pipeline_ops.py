@@ -455,3 +455,59 @@ def test_chunk_documents_is_shuffle_free(spark):
     from streamsql_spark.operators.pack import chunk_documents
     p = _plan(chunk_documents(_textdocs(spark, ["a b c d e"] * 3)))
     assert "Exchange" not in p
+
+
+# ------------------------------------------- temperature mixture
+
+
+def _weighted(spark):
+    # strata: a = 700 tokens, b = 200, c = 100
+    rows = ([("a", 7.0)] * 100 + [("b", 2.0)] * 100 + [("c", 1.0)] * 100)
+    return spark.createDataFrame(
+        [(i, s, w) for i, (s, w) in enumerate(rows)],
+        "doc_id long, src string, tokens double")
+
+
+def test_mixture_alpha_one_is_natural(spark):
+    from streamsql_spark.operators.sample import temperature_mixture_rates
+    rates = temperature_mixture_rates(_weighted(spark), "src", "tokens",
+                                      alpha=1.0, budget=0.5)
+    # natural proportions: every stratum sampled at the budget rate
+    assert all(abs(r - 0.5) < 1e-9 for r in rates.values()), rates
+
+
+def test_mixture_low_alpha_lifts_small_strata(spark):
+    from streamsql_spark.operators.sample import temperature_mixture_rates
+    rates = temperature_mixture_rates(_weighted(spark), "src", "tokens",
+                                      alpha=0.3)
+    # default budget: the most-upweighted stratum (the smallest) is
+    # taken whole; bigger strata get strictly smaller rates
+    assert abs(rates["c"] - 1.0) < 1e-9
+    assert rates["c"] > rates["b"] > rates["a"] > 0
+
+
+def test_mixture_rates_hit_target_distribution(spark):
+    from streamsql_spark.operators.sample import temperature_mixture_rates
+    df = _weighted(spark)
+    alpha = 0.5
+    rates = temperature_mixture_rates(df, "src", "tokens", alpha=alpha)
+    w = {"a": 700.0, "b": 200.0, "c": 100.0}
+    total = sum(w.values())
+    kept = {s: rates[s] * w[s] for s in w}
+    z = sum(kept.values())
+    q = {s: (w[s] / total) ** alpha for s in w}
+    qz = sum(q.values())
+    for s in w:
+        assert abs(kept[s] / z - q[s] / qz) < 1e-9
+
+
+def test_mixture_feeds_stratified_sampler(spark):
+    from streamsql_spark.operators.sample import (hash_stratified_sample,
+                                                  temperature_mixture_rates)
+    df = _weighted(spark)
+    rates = temperature_mixture_rates(df, "src", "tokens", alpha=0.3)
+    out = hash_stratified_sample(df, "src", "doc_id", rates=rates)
+    got = {r["src"]: r["count"]
+           for r in out.groupBy("src").count().collect()}
+    assert got.get("c") == 100          # rate 1.0 stratum kept whole
+    assert 0 < got.get("a", 0) < 100    # downweighted stratum thinned

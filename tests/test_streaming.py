@@ -872,3 +872,38 @@ def test_emit_sync_analytic_star_sees_new_columns(spark):
     # a new column appears: the star now includes it, and its arrival
     # is itself a change
     assert s.emit_sync({"ts": 3, "a": 1.0, "b": 9.0})["c"] is True
+
+
+# ---------------------------------------------------- streaming dedup
+
+
+def test_stream_dedup_keeps_first_arrival_across_batches(spark):
+    from pyspark.sql import functions as F
+
+    from streamsql_spark.operators.dedup import stream_dedup
+    from streamsql_spark.streaming.harness import StreamReplay
+
+    replay = StreamReplay(spark, EVT)
+    try:
+        # d1 repeats within batch 1 and again in batch 2; d2 is unique
+        replay.add_batch(_rows(("d1", 25.0, 60.0, 1000, "ok"),
+                               ("d1", 99.0, 60.0, 1500, "dup"),
+                               ("d2", 10.0, 50.0, 2000, "ok")))
+        replay.add_batch(_rows(("d1", 77.0, 60.0, 2500, "dup"),
+                               ("d3", 30.0, 70.0, 3000, "ok")))
+        src = replay.stream().withColumn(
+            "evt", F.expr("timestamp_seconds(ts)"))
+        out = stream_dedup(src, ["deviceId"], event_time_col="evt",
+                           within="10 minutes")
+        import uuid
+        name = "sdedup_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = {r["deviceId"]: r for r in spark.table(name).collect()}
+        assert set(rows) == {"d1", "d2", "d3"}
+        # first arrival wins: d1's original temperature, not a dup's
+        assert rows["d1"]["temperature"] == 25.0
+        assert rows["d1"]["status"] == "ok"
+    finally:
+        replay.cleanup()
