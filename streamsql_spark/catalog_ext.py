@@ -802,9 +802,14 @@ SELECT doc_id, word_count, mean_word_len, frac_alpha_words,
         AND top_2gram_frac < 0.2 AND dup_3gram_frac < 0.6) AS gopher_pass,
        CAST(len(regexp_extract_all(text,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS INT) AS n_email,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', 0)) AS INT) AS n_ipv4,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(
+            regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
             '\+[0-9][0-9()\-\. ]{6,}[0-9]', 0)) AS INT) AS n_phone,
        md5(regexp_replace(regexp_replace(regexp_replace(text,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),

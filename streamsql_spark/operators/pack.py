@@ -97,6 +97,29 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
                 f" ' '))")))
 
 
+def ffd_assign(tokens: list[int], ids: list, budget: int) -> tuple[list[int], list[int]]:
+    """First-fit-decreasing core: place items (sorted by descending
+    token count, ties by ascending id) into the first open bin with
+    room; an oversize item opens its own bin.  Returns (assignment per
+    input position, fill per bin).  Pure function — property-tested
+    directly, and the per-group kernel of :func:`greedy_bin_pack`."""
+    order = sorted(range(len(tokens)),
+                   key=lambda i: (-int(tokens[i]), ids[i]))
+    fills: list[int] = []
+    assign = [0] * len(tokens)
+    for i in order:
+        t = int(tokens[i])
+        for b, fill in enumerate(fills):
+            if fill + t <= budget:
+                assign[i] = b
+                fills[b] = fill + t
+                break
+        else:
+            assign[i] = len(fills)
+            fills.append(t)
+    return assign, fills
+
+
 def greedy_bin_pack(df: DataFrame, part_col: str, token_col: str,
                     id_col: str, budget: int,
                     pack_col: str = "pack_id") -> DataFrame:
@@ -124,21 +147,8 @@ def greedy_bin_pack(df: DataFrame, part_col: str, token_col: str,
                            StructField("pack_tokens", LongType())])
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = sorted(
-            range(len(pdf)),
-            key=lambda i: (-int(pdf[token_col].iat[i]), pdf[id_col].iat[i]))
-        fills: list[int] = []           # current token fill per open pack
-        assign = [0] * len(pdf)
-        for i in order:
-            t = int(pdf[token_col].iat[i])
-            for b, fill in enumerate(fills):
-                if fill + t <= budget:
-                    assign[i] = b
-                    fills[b] = fill + t
-                    break
-            else:
-                assign[i] = len(fills)
-                fills.append(t)
+        assign, fills = ffd_assign(pdf[token_col].tolist(),
+                                   pdf[id_col].tolist(), budget)
         out = pdf.copy()
         out[pack_col] = assign
         out["pack_tokens"] = [fills[b] for b in assign]

@@ -250,11 +250,15 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     out = df
     clean = F.col(text_col)
     for name, pat, token in PII_PATTERNS:
-        # pattern goes through the typed API, not an F.expr SQL string —
-        # SQL literal unescaping would corrupt \b / \. in the patterns
+        # each kind is counted on the text as redacted SO FAR (not the
+        # original): the counts then agree with what the sequential
+        # redaction actually replaced — an email whose host looks like
+        # an IP is one email, not an email plus an IP.  Patterns go
+        # through the typed API, not an F.expr SQL string — SQL literal
+        # unescaping would corrupt \b / \. in the patterns.
         out = out.withColumn(
             f"n_{name}",
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))))
+            F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0))))
         clean = F.regexp_replace(clean, pat, token)
     return out.withColumn(out_col, clean)
 

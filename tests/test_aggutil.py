@@ -233,3 +233,59 @@ def test_acc_integer_sum_stays_integer():
         acc_update(acc2, v)
     assert isinstance(acc_result("sum", acc2), float)
     assert isinstance(py_aggregate("sum", [1, 2.5]), float)
+
+
+# ------------------------------------- FFD bin-packing core (pack.py)
+
+
+@settings(max_examples=300, deadline=None)
+@given(tokens=st.lists(st.integers(min_value=1, max_value=200),
+                       min_size=1, max_size=60),
+       budget=st.integers(min_value=50, max_value=150))
+def test_ffd_no_bin_overflows_unless_singleton(tokens, budget):
+    from streamsql_spark.operators.pack import ffd_assign
+    assign, fills = ffd_assign(tokens, list(range(len(tokens))), budget)
+    per_bin: dict[int, list[int]] = {}
+    for i, b in enumerate(assign):
+        per_bin.setdefault(b, []).append(tokens[i])
+    for b, items in per_bin.items():
+        assert sum(items) == fills[b]
+        # a bin over budget is only legal as an oversize singleton
+        if sum(items) > budget:
+            assert len(items) == 1 and items[0] > budget
+
+
+@settings(max_examples=300, deadline=None)
+@given(tokens=st.lists(st.integers(min_value=1, max_value=100),
+                       min_size=1, max_size=60))
+def test_ffd_deterministic_under_permutation(tokens):
+    from streamsql_spark.operators.pack import ffd_assign
+    ids = list(range(len(tokens)))
+    a1, f1 = ffd_assign(tokens, ids, 128)
+    perm = list(reversed(range(len(tokens))))
+    a2, f2 = ffd_assign([tokens[i] for i in perm],
+                        [ids[i] for i in perm], 128)
+    # same (id -> bin) mapping regardless of input arrival order: the
+    # kernel re-sorts by (-tokens, id), so processing order — and with
+    # it bin numbering — is a pure function of the item set
+    m1 = {ids[i]: a1[i] for i in range(len(ids))}
+    m2 = {ids[perm[j]]: a2[j] for j in range(len(ids))}
+    assert m1 == m2
+    assert f1 == f2
+
+
+@settings(max_examples=200, deadline=None)
+@given(tokens=st.lists(st.integers(min_value=1, max_value=60),
+                       min_size=1, max_size=50),
+       budget=st.integers(min_value=60, max_value=120))
+def test_ffd_bin_count_within_ffd_bound(tokens, budget):
+    # FFD uses at most (11/9)·OPT + 1 bins; check against the trivial
+    # lower bound ceil(total/budget) when no item is oversize
+    import math
+
+    from streamsql_spark.operators.pack import ffd_assign
+    if any(t > budget for t in tokens):
+        return
+    _, fills = ffd_assign(tokens, list(range(len(tokens))), budget)
+    opt_lb = math.ceil(sum(tokens) / budget)
+    assert len(fills) <= math.ceil(11 / 9 * opt_lb) + 1

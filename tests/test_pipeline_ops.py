@@ -511,3 +511,65 @@ def test_mixture_feeds_stratified_sampler(spark):
            for r in out.groupBy("src").count().collect()}
     assert got.get("c") == 100          # rate 1.0 stratum kept whole
     assert 0 < got.get("a", 0) < 100    # downweighted stratum thinned
+
+
+# --------------------- randomized differential checks (vs Python refs)
+
+
+def test_repetition_features_match_python_reference_on_random_corpus(spark):
+    """150 seeded random word-soup docs through the Catalyst plan vs a
+    collections.Counter reference — one Spark job, many documents (the
+    repo's differential-fuzz pattern for vectorized kernels)."""
+    import random
+    from collections import Counter
+
+    from streamsql_spark.operators.text import repetition_features
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)] + ["42", "#!"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randint(1, 80)))
+             for _ in range(150)]
+    got = {r["doc_id"]: r
+           for r in repetition_features(_textdocs(spark, texts)).collect()}
+    assert len(got) == 150
+    for i, text in enumerate(texts):
+        w = text.split(" ")
+        g2 = [" ".join(w[j:j + 2]) for j in range(len(w) - 1)] \
+            or [" ".join(w)]
+        g3 = [" ".join(w[j:j + 3]) for j in range(len(w) - 2)] \
+            or [" ".join(w)]
+        c2, c3 = Counter(g2), Counter(g3)
+        r = got[i]
+        assert r["word_count"] == len(w), i
+        assert r["mean_word_len"] == round(
+            sum(map(len, w)) / len(w), 6), i
+        assert r["frac_alpha_words"] == round(
+            sum(1 for t in w if any(ch.isalpha() and ch.isascii()
+                                    for ch in t)) / len(w), 6), i
+        assert r["top_2gram_frac"] == round(
+            max(c2.values()) / len(g2), 6), i
+        assert r["dup_3gram_frac"] == round(
+            1 - sum(1 for v in c3.values() if v == 1) / len(g3), 6), i
+
+
+def test_pii_scrub_matches_python_re_on_random_corpus(spark):
+    import random
+    import re
+
+    from streamsql_spark.operators.text import PII_PATTERNS, pii_scrub
+
+    rng = random.Random(99)
+    bits = ["plain", "words", "a.b@x.io", "no@where.org", "1.2.3.4",
+            "10.0.0.255", "+1-555-0000", "+44 20 7946 0958", "not@an",
+            "300.300.300.300", "w+1x", "@", "dot.", "5551234"]
+    texts = [" ".join(rng.choice(bits) for _ in range(rng.randint(1, 25)))
+             for _ in range(120)]
+    got = {r["doc_id"]: r for r in pii_scrub(_textdocs(spark, texts)).collect()}
+    for i, text in enumerate(texts):
+        clean = text
+        for name, pat, token in PII_PATTERNS:
+            assert got[i][f"n_{name}"] == len(re.findall(pat, clean)), \
+                (i, name, clean)
+            clean = re.sub(pat, token, clean)
+        assert got[i]["clean_text"] == clean, i
