@@ -228,11 +228,16 @@ def _run_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_neardup_pairs, semantic_dedup
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    pairs = (embedding_neardup_pairs(emb, threshold=0.4, n_centroids=8)
-             .select(F.lit("pair").alias("kind"),
-                     F.col("id_a").alias("a"), F.col("id_b").alias("b"),
-                     F.col("sim").alias("val")))
-    sem = (semantic_dedup(emb, "label", threshold=0.4, n_centroids=8)
+    # ONE pair computation feeds both outputs (the BLAS pair kernel is
+    # the expensive stage; the election reuses it via the pairs param)
+    raw_pairs = embedding_neardup_pairs(emb, threshold=0.4, n_centroids=8) \
+        .localCheckpoint(eager=False)
+    pairs = raw_pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+        F.col("sim").alias("val"))
+    sem = (semantic_dedup(emb, "label", threshold=0.4, n_centroids=8,
+                          pairs=raw_pairs)
            .select(F.lit("sem").alias("kind"),
                    F.col("vec_id").alias("a"),
                    F.col("cluster_id").alias("b"),

@@ -295,7 +295,8 @@ def stream_dedup(stream: DataFrame, keys: list[str],
 
 def semantic_dedup(df: DataFrame, quality_col: str,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   threshold: float = 0.4, n_centroids: int = 8) -> DataFrame:
+                   threshold: float = 0.4, n_centroids: int = 8,
+                   pairs: DataFrame | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication"): embeddings are cluster-blocked into near-dup PAIRS
@@ -315,8 +316,9 @@ def semantic_dedup(df: DataFrame, quality_col: str,
     """
     from .graph import connected_components
 
-    pairs = embedding_neardup_pairs(df, id_col, vec_col,
-                                    threshold, n_centroids)
+    if pairs is None:
+        pairs = embedding_neardup_pairs(df, id_col, vec_col,
+                                        threshold, n_centroids)
     comp = connected_components(pairs, nodes=df.select(id_col),
                                 node_col=id_col)
     q = df.select(F.col(id_col).cast("long").alias("node"),
