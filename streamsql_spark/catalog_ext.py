@@ -403,15 +403,38 @@ def _run_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stopword profiles), quality features + composite score, token
     counting (whitespace + BPE-ish regex), winnowing-style rolling-hash
     fingerprint — all pure column expressions, no Python in the loop."""
-    from .operators.text import (fingerprint, language_id, quality_features,
+    from .operators.text import (fingerprint, language_id,
+                                 linear_quality_score, quality_features,
                                  token_counts)
     t = load_tables(spark, sf_dir)
     feat = fingerprint(token_counts(quality_features(language_id(t["documents"]))))
+    feat = linear_quality_score(feat, _CLF_WEIGHTS, bias=_CLF_BIAS)
     return feat.select(
         "doc_id", "lang_pred", "lang_score",
         "n_chars_m", "n_tokens", "mean_tok_len", "punct_ratio",
-        "digit_ratio", "uniq_token_ratio", "quality_score",
+        "digit_ratio", "uniq_token_ratio", "quality_score", "clf_score",
         "ws_tokens", "subword_tokens", "est_bpe_tokens", "fingerprint")
+
+
+# demo weight table for the fastText/CCNet-style linear quality
+# classifier — at production scale this is the trained model's
+# token->weight map (hashed buckets), loaded not hand-written; the
+# fixture table spans the synthetic vocabulary so scores vary
+_CLF_WEIGHTS: dict[str, float] = {
+    "the": 0.9, "a": 0.5, "data": 1.2, "query": 1.0, "table": 0.8,
+    "value": 0.4, "fast": 0.7, "slow": -1.5, "big": -0.6, "spark": 1.1,
+}
+_CLF_BIAS = -0.4
+
+
+def _clf_score_oracle() -> str:
+    cases = " ".join(f"WHEN '{t}' THEN {w!r}"
+                     for t, w in sorted(_CLF_WEIGHTS.items()))
+    w = "string_split(text, ' ')"
+    total = (f"list_sum(list_transform({w}, t -> "
+             f"CASE t {cases} ELSE 0.0 END))")
+    logit = f"({total}) / greatest(len({w}), 1) + ({_CLF_BIAS!r})"
+    return f"round(1.0 / (1.0 + exp(-({logit}))), 6)"
 
 
 def _lang_score_oracle(lang_words: tuple[str, ...]) -> str:
@@ -467,7 +490,8 @@ def _text_analysis_oracle() -> str:
              CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0)) AS INT)
                  AS subword_tokens,
-             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+             {_clf_score_oracle()} AS clf_score
       FROM documents)
     SELECT f.*,
            round(least(n_tokens / 50.0, 1.0) * uniq_token_ratio
@@ -482,9 +506,11 @@ def _text_analysis_oracle() -> str:
 CATALOG["text_analysis"] = Entry(
     _run_text_analysis, _text_analysis_oracle(),
     "extension: text-analysis family — language-ID (stopword profiles), "
-    "quality features + composite score, token counting (whitespace + "
-    "BPE-ish regex), winnowing-style rolling-hash fingerprint — one "
-    "Catalyst plan, pure column expressions")
+    "quality features + composite score, fastText/CCNet-style linear "
+    "quality classifier (plan-literal weight map, sigmoid over mean "
+    "token weight), token counting (whitespace + BPE-ish regex), "
+    "winnowing-style rolling-hash fingerprint — one Catalyst plan, "
+    "pure column expressions")
 
 
 # ----------------------------------------------------------- multimodal

@@ -220,6 +220,41 @@ def line_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame
                 f" / greatest(size({lines}), 1), 6)")))
 
 
+def linear_quality_score(df: DataFrame, weights: dict[str, float],
+                         bias: float = 0.0, text_col: str = "text",
+                         out_col: str = "clf_score") -> DataFrame:
+    """Model-based quality scoring with a linear bag-of-words
+    classifier — the fastText/CCNet-style "does this look like good
+    text" filter (Wenzek et al. 2020, CCNet; Joulin et al. 2016,
+    fastText).  ``weights`` is the trained token→weight table (here
+    supplied by the caller; training happens offline), ``bias`` the
+    intercept; the score is ``sigmoid(mean(w[token]) + bias)`` over the
+    document's tokens.
+
+    Execution: the weight table becomes a Catalyst ``map`` LITERAL
+    folded into the plan and looked up inside one ``aggregate`` pass
+    over the token array — zero shuffle, zero Python, no join.  That
+    is the right shape while the vocabulary is model-sized (fastText
+    quality classifiers use hashed buckets, 10⁵–10⁶ entries — a plan
+    literal or a broadcast join both work; swap to a broadcast join by
+    materializing ``weights`` as a DataFrame if the literal grows past
+    the plan-size comfort zone).
+
+    Unknown tokens contribute 0 — the conventional OOV treatment.
+    """
+    df = ensure_parallelism(df)
+    if not weights:
+        raise ValueError("weights must be a non-empty token->weight map")
+    items = ", ".join(
+        f"'{tok}', CAST({w!r} AS DOUBLE)" for tok, w in sorted(weights.items()))
+    toks = f"split({text_col}, ' ')"
+    total = (f"aggregate({toks}, 0D, (a, t) -> "
+             f"a + coalesce(element_at(map({items}), t), 0D))")
+    logit = f"({total}) / greatest(size({toks}), 1) + CAST({bias!r} AS DOUBLE)"
+    return df.withColumn(
+        out_col, F.expr(f"round(1D / (1D + exp(-({logit}))), 6)"))
+
+
 # PII patterns: RE2-compatible (no backreferences/lookaround) so the
 # SAME pattern string runs in Catalyst (Java regex) and any RE2-based
 # engine (DuckDB oracle, production scrubbers).  Redaction order

@@ -573,3 +573,35 @@ def test_pii_scrub_matches_python_re_on_random_corpus(spark):
                 (i, name, clean)
             clean = re.sub(pat, token, clean)
         assert got[i]["clean_text"] == clean, i
+
+
+# ------------------------------------ linear quality classifier
+
+
+def test_linear_quality_score_matches_python(spark):
+    import math
+
+    from streamsql_spark.operators.text import linear_quality_score
+    weights = {"good": 1.5, "the": 0.5, "bad": -2.0}
+    texts = ["good good the", "bad bad bad", "unseen tokens only",
+             "good bad"]
+    out = {r["doc_id"]: r["clf_score"]
+           for r in linear_quality_score(
+               _textdocs(spark, texts), weights, bias=-0.25).collect()}
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        logit = sum(weights.get(t, 0.0) for t in toks) / len(toks) - 0.25
+        assert out[i] == round(1 / (1 + math.exp(-logit)), 6), i
+
+
+def test_linear_quality_score_rejects_empty_weights(spark):
+    from streamsql_spark.operators.text import linear_quality_score
+    with pytest.raises(ValueError):
+        linear_quality_score(_textdocs(spark, ["x"]), {})
+
+
+def test_linear_quality_score_is_shuffle_free(spark):
+    from streamsql_spark.operators.text import linear_quality_score
+    p = _plan(linear_quality_score(_textdocs(spark, ["a b"] * 4),
+                                   {"a": 1.0}))
+    assert "Exchange" not in p
