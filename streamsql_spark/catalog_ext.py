@@ -16,20 +16,81 @@ from .session import load_tables
 # ---------------------------------------------------------------- dedup
 
 
+# deterministic synthetic URLs (the fixture has none): three surface
+# forms per canonical target — mixed-case host + default port +
+# tracking param, the bare form, and a fragment variant — so the
+# canonicalizer's collapses are what the dedup actually exercises
+_URL_SYNTH = (
+    "CASE CAST(doc_id % 3 AS INT)"
+    " WHEN 0 THEN concat('HTTP://Site', CAST(doc_id % 50 AS STRING),"
+    "   '.COM:80/p/', CAST(doc_id % 100 AS STRING), '/?utm_source=x')"
+    " WHEN 1 THEN concat('http://site', CAST(doc_id % 50 AS STRING),"
+    "   '.com/p/', CAST(doc_id % 100 AS STRING))"
+    " ELSE concat('http://site', CAST(doc_id % 50 AS STRING),"
+    "   '.com/p/', CAST(doc_id % 100 AS STRING), '#sec') END")
+
+
 def _run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-key dedup family, kind-tagged: content dedup (md5 of the
+    text) and URL dedup (md5 of the C4-style CANONICAL url — lowercased
+    scheme/host, fragment and tracking params stripped, default port
+    and trailing slash removed), both one hash-groupBy with min-id
+    representative.  The three synthesized surface forms per target
+    collapse to one digest only if the canonicalizer does its job —
+    which the value hash verifies against the same chain in DuckDB."""
+    from pyspark.sql import functions as F
+
     from .operators.dedup import exact_dedup
+    from .operators.text import url_dedup
     t = load_tables(spark, sf_dir)
-    return exact_dedup(t["documents"], ["text"], "doc_id")
+    docs = t["documents"]
+    exact = exact_dedup(docs, ["text"], "doc_id") \
+        .withColumn("kind", F.lit("text"))
+    urls = docs.select("doc_id", F.expr(_URL_SYNTH).alias("url"))
+    u = url_dedup(urls).withColumn("kind", F.lit("url"))
+    return exact.unionByName(u).select("kind", "digest",
+                                       "keep_id", "n_copies")
 
 
 CATALOG["dedup_exact"] = Entry(
     _run_dedup_exact,
-    """
-    SELECT md5(CAST(text AS VARCHAR)) AS digest,
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'HTTP://Site' || (doc_id % 50) || '.COM:80/p/' ||
+                           (doc_id % 100) || '/?utm_source=x'
+               WHEN 1 THEN 'http://site' || (doc_id % 50) || '.com/p/' || (doc_id % 100)
+               ELSE 'http://site' || (doc_id % 50) || '.com/p/' || (doc_id % 100) || '#sec'
+             END AS url
+      FROM documents),
+    c0 AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+               || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u
+      FROM urls),
+    c1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM c0),
+    c2 AS (SELECT doc_id, regexp_replace(u,
+             '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '\1', 'g') AS u FROM c1),
+    c3 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '') AS u FROM c2),
+    c4 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '&{2,}', '&', 'g'),
+             '\?&', '?', 'g') AS u FROM c3),
+    c5 AS (SELECT doc_id, regexp_replace(u,
+             '^([A-Za-z]+://[^/?#]+):(?:80|443)([/?#]|$)', '\1\2') AS u FROM c4),
+    c6 AS (SELECT doc_id, regexp_replace(u,
+             '^([A-Za-z]+://[^?#]*[^?#/])/+(\?|$)', '\1\2') AS u FROM c5)
+    SELECT 'text' AS kind, md5(CAST(text AS VARCHAR)) AS digest,
            min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM documents GROUP BY 1
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'url' AS kind, md5(u) AS digest, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM c6 GROUP BY 2
     """,
-    "extension: exact dedup (hash-groupBy, min-id representative)")
+    "extension: exact-key dedup family — content dedup (text md5) + "
+    "URL dedup on the C4-style canonical form (case/fragment/tracking-"
+    "param/port/slash normalization, RE2-safe chain shared with the "
+    "oracle); hash-groupBy, min-id representative")
 
 
 def _run_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -220,6 +220,61 @@ def line_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame
                 f" / greatest(size({lines}), 1), 6)")))
 
 
+def canonicalize_url(df: DataFrame, url_col: str = "url",
+                     out_col: str = "canon_url") -> DataFrame:
+    """C4/CommonCrawl-style URL canonicalization for crawl dedup:
+    lowercase scheme+host, drop the fragment, strip tracking query
+    parameters (utm_*, fbclid, gclid, ref), drop an emptied query
+    string, strip default ports and a trailing slash, and emit the
+    registrable-ish ``domain`` (last two host labels — a public-suffix
+    list drops in here at production).  Two URLs that differ only in
+    tracking noise then hash identically, which is what makes
+    URL-level dedup catch re-crawls.
+
+    Pure Catalyst ``regexp_replace`` chain — zero shuffle, RE2-safe
+    patterns (the same chain runs in the DuckDB oracle).
+    """
+    steps = (
+        # lowercase scheme://host (leave path/query case alone)
+        (r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)",
+         "__LOWER__"),                      # handled specially below
+        (r"#.*$", ""),                      # fragment
+        (r"([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", r"$1"),
+        (r"[?&]+$", ""),                    # emptied query
+        (r"&{2,}", "&"), (r"\?&", "?"),     # collapse separators
+        # no lookahead (RE2 oracle parity): capture the following char
+        (r"^([A-Za-z]+://[^/?#]+):(?:80|443)([/?#]|$)", r"$1$2"),
+        (r"^([A-Za-z]+://[^?#]*[^?#/])/+(\?|$)", r"$1$2"),  # trailing /
+    )
+    df = ensure_parallelism(df)
+    c = F.col(url_col)
+    for pat, repl in steps:
+        if repl == "__LOWER__":
+            c = F.concat(F.lower(F.regexp_extract(c, pat, 1)),
+                         F.regexp_replace(c, pat, ""))
+        else:
+            c = F.regexp_replace(c, pat, repl)
+    out = df.withColumn(out_col, c)
+    return out.withColumn("domain", F.regexp_extract(
+        F.col(out_col), r"^[A-Za-z]+://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+    ).withColumn("domain", F.regexp_extract(
+        F.col("domain"), r"([^.]+\.[^.]+)$", 1))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the CANONICAL url: one hash-groupBy on the md5 of
+    the canonicalized form, min-id representative — :func:`exact_dedup`
+    with URL normalization as the key function.  Output matches
+    exact_dedup's (digest, keep_id, n_copies) contract.
+    """
+    canon = canonicalize_url(df, url_col)
+    return (canon
+            .groupBy(F.md5(F.col("canon_url")).alias("digest"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
 def linear_quality_score(df: DataFrame, weights: dict[str, float],
                          bias: float = 0.0, text_col: str = "text",
                          out_col: str = "clf_score") -> DataFrame:

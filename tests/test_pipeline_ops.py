@@ -605,3 +605,51 @@ def test_linear_quality_score_is_shuffle_free(spark):
     p = _plan(linear_quality_score(_textdocs(spark, ["a b"] * 4),
                                    {"a": 1.0}))
     assert "Exchange" not in p
+
+
+# --------------------------------------------- URL canonicalization
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+
+
+def test_canonicalize_url_collapses_surface_forms(spark):
+    from streamsql_spark.operators.text import canonicalize_url
+    out = {r["doc_id"]: r["canon_url"] for r in canonicalize_url(_urls(spark, [
+        "HTTP://Example.COM:80/path/?utm_source=x&q=1#frag",
+        "http://example.com/path?q=1",
+        "https://Sub.Example.org:443/a/",
+        "https://sub.example.org/a",
+        "http://example.com/p?utm_campaign=a&fbclid=z",
+        "http://example.com/p",
+    ])).collect()}
+    assert out[0] == out[1] == "http://example.com/path?q=1"
+    assert out[2] == out[3] == "https://sub.example.org/a"
+    assert out[4] == out[5] == "http://example.com/p"
+
+
+def test_canonicalize_url_keeps_meaningful_parts(spark):
+    from streamsql_spark.operators.text import canonicalize_url
+    rows = {r["doc_id"]: r for r in canonicalize_url(_urls(spark, [
+        "http://example.com:8080/x",        # non-default port stays
+        "http://example.com/a/b/c?keep=1&ref=h&also=2",
+        "http://a.b.example.co/x",
+    ])).collect()}
+    assert rows[0]["canon_url"] == "http://example.com:8080/x"
+    assert rows[1]["canon_url"] == "http://example.com/a/b/c?keep=1&also=2"
+    assert rows[0]["domain"] == "example.com"
+    assert rows[2]["domain"] == "example.co"
+
+
+def test_url_dedup_counts_canonical_groups(spark):
+    from streamsql_spark.operators.text import url_dedup
+    out = url_dedup(_urls(spark, [
+        "HTTP://A.com/x?utm_source=1",
+        "http://a.com/x",
+        "http://a.com/x#top",
+        "http://b.com/y",
+    ])).collect()
+    got = {r["keep_id"]: r["n_copies"] for r in out}
+    assert got == {0: 3, 3: 1}
