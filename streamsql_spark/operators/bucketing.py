@@ -43,3 +43,26 @@ def bucketed_join(spark: SparkSession, left: str, right: str,
     on either side; AQE leaves the bucketed distribution alone.
     """
     return spark.table(left).join(spark.table(right), on=on, how=how)
+
+
+def write_shards(df: DataFrame, path: str, rows_per_shard: int,
+                 fmt: str = "parquet",
+                 partition_by: list[str] | None = None,
+                 mode: str = "overwrite") -> None:
+    """Write ``df`` as size-bounded output shards — the fixed-row-count
+    files a training dataloader wants (predictable shard sizes, stable
+    worker assignment).
+
+    Uses the writer's ``maxRecordsPerFile`` to cap rows per file —
+    enforced task-locally during the write with NO extra shuffle or
+    global sort, so every task splits its partition into ≤ cap files
+    (a global exact-row-count sharding would need a total ordering —
+    one full sort of the corpus — for no dataloader benefit).
+    ``partition_by`` adds Hive-style directory partitioning on top
+    (e.g. by source/language) for pushdown-friendly layout.
+    """
+    w = (df.write.mode(mode).format(fmt)
+         .option("maxRecordsPerFile", rows_per_shard))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

@@ -653,3 +653,35 @@ def test_url_dedup_counts_canonical_groups(spark):
     ])).collect()
     got = {r["keep_id"]: r["n_copies"] for r in out}
     assert got == {0: 3, 3: 1}
+
+
+# ----------------------------------------------- sharded output
+
+
+def test_write_shards_caps_rows_per_file(spark, tmp_path):
+    import glob
+
+    from streamsql_spark.operators.bucketing import write_shards
+    df = spark.range(1000).selectExpr("id", "id % 4 AS src").coalesce(2)
+    out = str(tmp_path / "shards")
+    write_shards(df, out, rows_per_shard=100)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 10
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= 100, f
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_write_shards_partitioned_layout(spark, tmp_path):
+    import glob
+
+    from streamsql_spark.operators.bucketing import write_shards
+    df = spark.range(400).selectExpr("id", "CAST(id % 2 AS STRING) AS src")
+    out = str(tmp_path / "pshards")
+    write_shards(df, out, rows_per_shard=50, partition_by=["src"])
+    assert glob.glob(out + "/src=0/*.parquet")
+    assert glob.glob(out + "/src=1/*.parquet")
+    back = spark.read.parquet(out)
+    assert back.count() == 400
+    assert back.where("src = '1'").count() == 200
