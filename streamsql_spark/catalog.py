@@ -1348,21 +1348,26 @@ def _streaming_lateness_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else F.lit(max_v) + F.expr("INTERVAL 30 DAYS"))
         root = tempfile.mkdtemp(prefix="ssql_lateness_")
         in_dir = f"{root}/in"
-        os.makedirs(in_dir)
-        # batch 1 IS the source file (symlinked, not rewritten); the two
-        # flush batches carry one far-future row each to advance the
-        # watermark so every window fires
-        os.symlink(path, f"{in_dir}/b0.parquet")
-        flush = raw.limit(1).select(
-            F.lit(-1).cast("long").alias("event_id"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("__flush__").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            flush_ts.alias("ts"),
-            F.lit(None).cast("string").alias("props"))
-        flush = flush.select(*raw.columns)
-        for i in (1, 2):
-            flush.coalesce(1).write.parquet(f"{in_dir}/b{i}")
+        try:
+            os.makedirs(in_dir)
+            # batch 1 IS the source file (symlinked, not rewritten); the
+            # two flush batches carry one far-future row each to advance
+            # the watermark so every window fires
+            os.symlink(path, f"{in_dir}/b0.parquet")
+            flush = raw.limit(1).select(
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("__flush__").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                flush_ts.alias("ts"),
+                F.lit(None).cast("string").alias("props"))
+            flush = flush.select(*raw.columns)
+            for i in (1, 2):
+                flush.coalesce(1).write.parquet(f"{in_dir}/b{i}")
+        except BaseException:
+            import shutil
+            shutil.rmtree(root, ignore_errors=True)
+            raise
         _LATENESS_STAGED[sf_dir] = in_dir
     try:
         stream = (spark.readStream.schema(raw.schema)
@@ -1387,9 +1392,13 @@ def _streaming_lateness_run(spark: SparkSession, sf_dir: str) -> DataFrame:
              if r["event_type"] != "__flush__"],
             schema="event_type string, cnt bigint, total double, ws bigint")
     except BaseException:
-        # drop the cached staging dir on failure so the next run
-        # rebuilds from scratch (atexit sweeps the survivors)
-        _LATENESS_STAGED.pop(sf_dir, None)
+        # on failure remove the staging dir NOW (popping it from the
+        # cache would orphan it — the atexit sweep only sees surviving
+        # entries) so the next run rebuilds from scratch
+        import shutil
+        staged = _LATENESS_STAGED.pop(sf_dir, None)
+        if staged is not None:
+            shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
         raise
 
 

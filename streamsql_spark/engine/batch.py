@@ -380,31 +380,37 @@ def _apply_custom_analytics(df: DataFrame, group: list,
 
     # Execution shape: repartition on the key + sortWithinPartitions
     # (key, event-time) + ONE mapInPandas walk.  Within a sorted
-    # partition each key's rows are contiguous and batches arrive in
-    # order, so per-key state lives in a dict carried across Arrow
-    # batches.  This costs the same exchange+sort as
-    # groupBy.applyInPandas but makes Python invocations O(batches)
-    # instead of O(keys) — at 100 TB key cardinality (billions of
-    # per-entity machines), per-group overhead is the scale killer.
+    # partition each key's rows are CONTIGUOUS and batches arrive in
+    # order, so exactly one (current key, state) pair is live at a
+    # time — carried across Arrow batches, replaced on key change.
+    # That is O(1) resident state per task regardless of key
+    # cardinality (a per-key dict would hold billions of dead state
+    # machines at scale), and it makes Python invocations O(batches)
+    # instead of O(keys) — the per-group overhead that kills
+    # groupBy.applyInPandas at high key cardinality.  Key components
+    # are normalized through _clean: Arrow hands NULL numeric keys to
+    # pandas as float NaN, and NaN != NaN would otherwise split every
+    # NULL-keyed row into its own "group".
     def walk(batches):
-        states: dict[tuple, list] = {}
+        prev_key = None
+        slot = None
         need = {c for _, _, w, acs, _ in tasks
                 for c in ([w] if w else []) + [a for a in acs if a]}
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            keys = list(zip(*(pdf[c].tolist() for c in key_cols))) \
+            keys = [tuple(_clean(v) for v in row) for row in
+                    zip(*(pdf[c].tolist() for c in key_cols))] \
                 if key_cols else [()] * n
             vals = {c: pdf[c].tolist() for c in need}
             outs = [[None] * n for _ in tasks]
             for i in range(n):
-                slot = states.get(keys[i])
-                if slot is None:
+                if slot is None or keys[i] != prev_key:
                     # [state, last_emitted] per registered spec
                     slot = [[factory(), None]
                             for _, factory, _, _, _ in tasks]
-                    states[keys[i]] = slot
+                    prev_key = keys[i]
                 for t, (ph, factory, when_col, arg_cols, lits) \
                         in enumerate(tasks):
                     gate = bool(_clean(vals[when_col][i])) \

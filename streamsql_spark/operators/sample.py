@@ -75,22 +75,54 @@ def temperature_mixture_rates(df: DataFrame, stratum_col: str,
     One tiny aggregation (stratum cardinality « corpus) is collected
     to the driver — the same "broadcast the mixture table" shape any
     weighted-mixture trainer uses.
+
+    Rows with a NULL stratum are excluded (they fall to the sampler's
+    ``default_rate``); zero-weight strata get rate 0.0.  When an
+    explicit ``budget`` would push a stratum past rate 1.0, the
+    surplus is water-filled into the remaining strata (clipped strata
+    are taken whole, the rest re-normalized toward the ``p^alpha``
+    target) so the expected kept weight still hits the budget whenever
+    it is feasible.
     """
-    rows = (df.groupBy(stratum_col)
+    rows = (df.where(F.col(stratum_col).isNotNull())
+            .groupBy(stratum_col)
             .agg(F.sum(weight_col).alias("__w__")).collect())
     weights = {r[stratum_col]: float(r["__w__"] or 0.0) for r in rows}
     total = sum(weights.values())
     if total <= 0:
         return {s: 0.0 for s in weights}
-    scaled = {s: (w / total) ** alpha if w > 0 else 0.0
-              for s, w in weights.items()}
-    z = sum(scaled.values())
-    # rate_s ∝ scaled share / natural share; normalize to the budget
-    raw = {s: (scaled[s] / z) / (weights[s] / total)
-           for s in weights if weights[s] > 0}
-    cap = max(raw.values())
-    target = budget if budget is not None else 1.0 / cap
-    return {s: min(1.0, r * target) for s, r in raw.items()}
+    pos = {s: w for s, w in weights.items() if w > 0}
+    q = {s: (w / total) ** alpha for s, w in pos.items()}
+
+    if budget is None:
+        # scale so the most-upweighted stratum is taken whole
+        z = sum(q.values())
+        raw = {s: (q[s] / z) / (pos[s] / total) for s in pos}
+        target = 1.0 / max(raw.values())
+        rates = {s: min(1.0, r * target) for s, r in raw.items()}
+    else:
+        # water-filling: kept_s tracks q proportions; a stratum whose
+        # share exceeds its size is clipped to 1.0 and the remaining
+        # kept-weight target is redistributed over the rest
+        remaining_T = min(budget, 1.0) * total
+        open_set = dict(q)
+        rates = {}
+        while open_set:
+            qz = sum(open_set.values())
+            clipped = False
+            for s in list(open_set):
+                if open_set[s] / qz * remaining_T >= pos[s]:
+                    rates[s] = 1.0
+                    remaining_T -= pos[s]
+                    del open_set[s]
+                    clipped = True
+            if not clipped:
+                for s in open_set:
+                    rates[s] = max(0.0, open_set[s] / qz * remaining_T
+                                   / pos[s])
+                break
+    rates.update({s: 0.0 for s in weights if s not in rates})
+    return rates
 
 
 def hash_quota_sample(df: DataFrame, stratum_col: str, key_col: str,

@@ -40,6 +40,52 @@ def cosine_sim_expr(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
+def _topk_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k contract: rank by rounded sim desc, tie-break by
+    neighbor id — every ANN path must match cosine_topk's ordering."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("sim", 6).alias("sim")))
+
+
+def _exact_rerank(cand: DataFrame, vectors: DataFrame, queries: DataFrame,
+                  k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Re-rank a (query_id, neighbor_id) candidate shortlist with the
+    exact cosine, joining vectors back and broadcasting the queries —
+    the shared tail of every approximate path."""
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("v_emb"))
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("q_emb")))
+    exact = (cand.join(v, "neighbor_id").join(q, "query_id")
+             .withColumn("sim", F.expr(cosine_sim_expr("v_emb", "q_emb"))))
+    return _topk_rank(exact, k)
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, L2-normalized matrix) of the query set; the
+    query side of an ANN search is small by contract."""
+    import numpy as np
+
+    rows = (queries.select(F.col(id_col).alias("qid"),
+                           F.col(vec_col).alias("emb")).collect())
+    q_ids = np.array([r["qid"] for r in rows])
+    if not rows:
+        return q_ids, np.zeros((0, 0))
+    q_mat = np.array([list(r["emb"]) for r in rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    return q_ids, q_mat
+
+
+def _empty_topk(vectors: DataFrame, id_col: str) -> DataFrame:
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    return vectors.sparkSession.createDataFrame(
+        [], f"query_id {id_t}, neighbor_id {id_t}, rank int, sim double")
+
+
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, neighbor_id, rank, sim)."""
@@ -50,20 +96,17 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     sims = (v.crossJoin(q)
              .where(F.col("neighbor_id") != F.col("query_id"))
              .withColumn("sim", F.expr(cosine_sim_expr("v_emb", "q_emb"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("sim"), 6).desc(), F.col("neighbor_id"))
-    return (sims.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)
-                .select("query_id", "neighbor_id", "rank",
-                        F.round("sim", 6).alias("sim")))
+    return _topk_rank(sims, k)
 
 
 # trained codebooks memoized on a content digest of the training
 # matrix + params: training is a deterministic function of its inputs,
 # so the memo is semantics-free — it is the in-process analog of the
 # persisted index artifact a production deployment trains once and
-# ships to every query job
+# ships to every query job.  Bounded FIFO (a long-lived driver touching
+# many corpora must not grow the cache monotonically).
 _PQ_CODEBOOK_CACHE: dict[tuple, object] = {}
+_PQ_CODEBOOK_CACHE_MAX = 8
 
 
 def _train_pq_codebook(train, m_subspaces: int, n_codes: int,
@@ -130,13 +173,13 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     codebook = _PQ_CODEBOOK_CACHE.get(cb_key)
     if codebook is None:
         codebook = _train_pq_codebook(train, m_subspaces, n_codes)
+        while len(_PQ_CODEBOOK_CACHE) >= _PQ_CODEBOOK_CACHE_MAX:
+            _PQ_CODEBOOK_CACHE.pop(next(iter(_PQ_CODEBOOK_CACHE)))
         _PQ_CODEBOOK_CACHE[cb_key] = codebook
 
-    q_rows = (queries.select(F.col(id_col).alias("qid"),
-                             F.col(vec_col).alias("emb")).collect())
-    q_ids = np.array([r["qid"] for r in q_rows])
-    q_mat = np.array([list(r["emb"]) for r in q_rows], dtype=np.float64)
-    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    if not len(q_ids):
+        return _empty_topk(vectors, id_col)
     # LUT[q, m, c] = ||q_sub − codeword||² ; per-pair cost becomes M reads
     lut = ((q_mat.reshape(len(q_ids), m_subspaces, 1, sub)
             - codebook[None]) ** 2).sum(-1)
@@ -173,20 +216,8 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("crn", F.row_number().over(wc))
             .where(F.col("crn") <= k * refine)
             .drop("crn", "approx"))
-
     # exact re-rank of the candidate shortlist (broadcast-size join back)
-    v = vectors.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("v_emb"))
-    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("q_emb")))
-    exact = (cand.join(v, "neighbor_id").join(q, "query_id")
-             .withColumn("sim", F.expr(cosine_sim_expr("v_emb", "q_emb"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("sim"), 6).desc(), F.col("neighbor_id"))
-    return (exact.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("sim", 6).alias("sim")))
+    return _exact_rerank(cand, vectors, queries, k, id_col, vec_col)
 
 
 def graph_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
@@ -220,11 +251,9 @@ def graph_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     import numpy as np
     import pandas as pd
 
-    q_rows = (queries.select(F.col(id_col).alias("qid"),
-                             F.col(vec_col).alias("emb")).collect())
-    q_ids = np.array([r["qid"] for r in q_rows])
-    q_mat = np.array([list(r["emb"]) for r in q_rows], dtype=np.float64)
-    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    if not len(q_ids):
+        return _empty_topk(vectors, id_col)
     n_cand = k * refine
 
     def shard_kernel(batches):
@@ -286,20 +315,8 @@ def graph_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                          f"query_id {id_t}, neighbor_id {id_t}, approx double")
             .where(F.col("neighbor_id") != F.col("query_id"))
             .drop("approx"))
-
     # global merge: exact re-rank of the union of shard candidates
-    v = vectors.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("v_emb"))
-    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("q_emb")))
-    exact = (cand.join(v, "neighbor_id").join(q, "query_id")
-             .withColumn("sim", F.expr(cosine_sim_expr("v_emb", "q_emb"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("sim"), 6).desc(), F.col("neighbor_id"))
-    return (exact.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("sim", 6).alias("sim")))
+    return _exact_rerank(cand, vectors, queries, k, id_col, vec_col)
 
 
 def assign_clusters(vectors: DataFrame, centroids: DataFrame,

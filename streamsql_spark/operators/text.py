@@ -157,9 +157,13 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     satisfies every downstream clustering requirement).
     """
     df = ensure_parallelism(df).repartition(F.col(id_col))
-    w = f"split({text_col}, ' ')"
-    g2, _ = _gram_exprs(text_col, 2)
-    g3, _ = _gram_exprs(text_col, 3)
+    # NULL text behaves as the empty document (one empty token, gate
+    # false) — without the coalesce, explode of a NULL gram array would
+    # emit zero rows and the join back would silently DROP the doc
+    txt = f"coalesce({text_col}, '')"
+    w = f"split({txt}, ' ')"
+    g2, _ = _gram_exprs(txt, 2)
+    g3, _ = _gram_exprs(txt, 3)
     base = (df
             .withColumn("word_count", F.expr(f"size({w})"))
             .withColumn("mean_word_len", F.expr(

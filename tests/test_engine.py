@@ -1263,3 +1263,26 @@ def test_emit_sync_analytic_runs_zero_spark_jobs(spark):
     assert r["prev"] == 23.0
     after = set(spark.sparkContext.statusTracker().getJobIdsForGroup() or [])
     assert after == before, f"analytic emit_sync scheduled jobs: {after - before}"
+
+
+def test_custom_analytic_null_partition_key_shares_one_state(spark):
+    """NULL-keyed rows form ONE group (Arrow hands NULL numeric keys to
+    pandas as NaN; NaN != NaN must not split them into per-row
+    states), matching the groupBy semantics of the analytic window."""
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.functions.examples import PrevValueState
+    from streamsql_spark.functions.registry import register_analytic_function
+
+    register_analytic_function("nk_my_prev", PrevValueState, "double")
+    s = StreamSQL(spark)
+    s.execute("SELECT event_id, value, "
+              "nk_my_prev(value) OVER (PARTITION BY user_id) AS prev "
+              "FROM stream")
+    df = spark.createDataFrame(
+        [(1, None, 10.0, 1000), (2, None, 20.0, 2000),
+         (3, 7, 30.0, 1500), (4, None, 40.0, 3000)],
+        "event_id long, user_id int, value double, ts long"
+    ).selectExpr("event_id", "user_id", "value", "timestamp_millis(ts) AS ts")
+    got = {r["event_id"]: r["prev"] for r in s.query(df).collect()}
+    # the three NULL-keyed rows chain one state in event-time order
+    assert got == {1: None, 2: 10.0, 3: None, 4: 20.0}

@@ -685,3 +685,40 @@ def test_write_shards_partitioned_layout(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 400
     assert back.where("src = '1'").count() == 200
+
+
+def test_repetition_features_total_over_null_text(spark):
+    from streamsql_spark.operators.text import repetition_features
+    df = spark.createDataFrame([(0, "real words here now"), (1, None)],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert set(rows) == {0, 1}          # NULL-text doc is NOT dropped
+    assert rows[1]["word_count"] == 1   # the empty token
+    assert rows[1]["gopher_pass"] is False
+
+
+def test_mixture_budget_waterfills_past_clipped_strata(spark):
+    from streamsql_spark.operators.sample import temperature_mixture_rates
+    df = _weighted(spark)
+    rates = temperature_mixture_rates(df, "src", "tokens", alpha=0.3,
+                                      budget=0.9)
+    w = {"a": 700.0, "b": 200.0, "c": 100.0}
+    kept = sum(rates[s] * w[s] for s in w)
+    # clipped strata are taken whole and the surplus is redistributed,
+    # so the expected kept weight still hits the (feasible) budget
+    assert abs(kept - 0.9 * 1000.0) < 1e-6, rates
+    assert rates["c"] == 1.0
+    assert all(0.0 <= r <= 1.0 for r in rates.values())
+
+
+def test_mixture_ignores_null_stratum_and_keeps_zero_weight(spark):
+    from streamsql_spark.operators.sample import (hash_stratified_sample,
+                                                  temperature_mixture_rates)
+    df = spark.createDataFrame(
+        [(0, "a", 5.0), (1, "a", 5.0), (2, None, 9.0), (3, "z", 0.0)],
+        "doc_id long, src string, tokens double")
+    rates = temperature_mixture_rates(df, "src", "tokens", alpha=0.5)
+    assert None not in rates            # NULL stratum -> sampler default
+    assert rates["z"] == 0.0            # zero weight -> rate 0, present
+    # the advertised consumer must accept the dict without crashing
+    hash_stratified_sample(df, "src", "doc_id", rates=rates).collect()

@@ -232,3 +232,15 @@ def test_graph_topk_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_ann_paths_handle_empty_query_set(spark):
+    from streamsql_spark.operators.similarity import graph_topk, pq_topk
+    from streamsql_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    none = emb.where("vec_id < 0")
+    for fn in (pq_topk, graph_topk):
+        out = fn(emb, none, k=5)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "rank", "sim"]
