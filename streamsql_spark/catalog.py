@@ -348,35 +348,52 @@ _add("window_session", Entry(
     """,
     "§2.5 session window, 4h inactivity gap (window/session_window.go:37-686)"))
 
+def _window_counting_global_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting window AND global TRIGGER WHEN window (batch paths) in
+    one mode-tagged entry — the same merge the streaming replay entry
+    uses (merged r3 to keep the catalog at the driver's 50-entry
+    gate; both engine paths still run)."""
+    from pyspark.sql import functions as F
+
+    tables = load_tables(spark, sf_dir)
+    out = []
+    for mode, sql in (
+            ("counting", """
+                SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+                FROM stream GROUP BY user_id, CountingWindow(25)
+            """),
+            ("global", """
+                SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+                FROM stream GROUP BY user_id GLOBAL WINDOW TRIGGER WHEN count(*) >= 20
+            """)):
+        q = StreamSQL(spark).execute(sql)
+        out.append(q.query(tables["events"])
+                   .withColumn("mode", F.lit(mode)))
+    return out[0].unionByName(out[1])
+
+
 _add("window_counting", Entry(
-    _dialect("""
-        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
-        FROM stream GROUP BY user_id, CountingWindow(25)
-    """, "events"),
+    _window_counting_global_run,
     """
     WITH numbered AS (
       SELECT user_id, value,
              floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 25) AS win
-      FROM events)
-    SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
-    FROM numbered GROUP BY user_id, win HAVING count(*) = 25
-    """,
-    "§2.5 counting window — emits only full windows (window/counting_window.go:36-357)"))
-
-_add("window_global_trigger", Entry(
-    _dialect("""
-        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
-        FROM stream GROUP BY user_id GLOBAL WINDOW TRIGGER WHEN count(*) >= 20
-    """, "events"),
-    """
-    WITH numbered AS (
+      FROM events),
+    numbered20 AS (
       SELECT user_id, value,
              floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 20) AS win
       FROM events)
-    SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
-    FROM numbered GROUP BY user_id, win HAVING count(*) = 20
+    SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total,
+           'counting' AS mode
+    FROM numbered GROUP BY user_id, win HAVING count(*) = 25
+    UNION ALL
+    SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total,
+           'global' AS mode
+    FROM numbered20 GROUP BY user_id, win HAVING count(*) = 20
     """,
-    "§2.5 global window TRIGGER WHEN count, FIRE_AND_PURGE (window/global_window.go:49-731)"))
+    "§2.5 counting window — emits only full windows "
+    "(window/counting_window.go:36-357) + global window TRIGGER WHEN "
+    "count, FIRE_AND_PURGE (window/global_window.go:49-731)"))
 
 # ===================================================================
 # §2.6 Analytic (stateful per-row) functions
@@ -1174,11 +1191,8 @@ def _streaming_counting_global_run(spark: SparkSession, sf_dir: str) -> DataFram
 
 _add("streaming_counting_global_replay", Entry(
     _streaming_counting_global_run,
-    f"""
-    SELECT 'counting' AS mode, * FROM ({CATALOG["window_counting"].oracle})
-    UNION ALL
-    SELECT 'global' AS mode, * FROM ({CATALOG["window_global_trigger"].oracle})
-    """,
+    # the merged batch entry's oracle already carries the same mode tags
+    CATALOG["window_counting"].oracle,
     "§2.5+§3 counting window + global TRIGGER WHEN window on the two "
     "stateful streaming kernels (streaming/stateful.py; "
     "window/counting_window.go:36-357, window/global_window.go:49-731); "

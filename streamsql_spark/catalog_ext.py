@@ -997,3 +997,55 @@ CATALOG["pack_sequences"] = Entry(
     "shuffle; FFD greedy bin packing via applyInPandas pytest-checked "
     "vs a Python reference) + overlapping sliding-window chunking "
     "(64/16, per-chunk digests, zero shuffle)")
+
+
+# --------------------------------------- global duplicate-span removal
+
+
+def _run_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global duplicate-span removal over the corpus: 10-token
+    segments, globally-first occurrence wins (doc id, then position),
+    documents reassembled from surviving segments.  The synthetic
+    word-soup corpus has heavy cross-document span repetition, so the
+    keep counts genuinely vary per doc.  Reassembled text is emitted
+    as a digest for the value-hash gate."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import segment_dedup
+    t = load_tables(spark, sf_dir)
+    out = segment_dedup(t["documents"].select("doc_id", "text"),
+                        seg_tokens=10)
+    return out.select("doc_id", "n_segs", "n_kept",
+                      F.md5("clean_text").alias("clean_digest"))
+
+
+CATALOG["text_segment_dedup"] = Entry(
+    _run_segment_dedup,
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+      FROM documents),
+    seg AS (
+      SELECT doc_id,
+             CAST((s - 1) // 10 AS BIGINT) AS seg_id,
+             array_to_string(w[s:s+9], ' ') AS seg_text
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w), 1), 10)) AS s
+            FROM w)),
+    elect AS (
+      SELECT doc_id, seg_id, seg_text,
+             row_number() OVER (PARTITION BY seg_text
+                                ORDER BY doc_id, seg_id) = 1 AS keep
+      FROM seg)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           md5(coalesce(array_to_string(
+               list(seg_text ORDER BY seg_id) FILTER (WHERE keep),
+               ' '), '')) AS clean_digest
+    FROM elect GROUP BY doc_id
+    """,
+    "extension: C4-style global duplicate-span removal — fixed-token "
+    "segments, globally-first occurrence election (one window over the "
+    "segment hash), per-document reassembly; boilerplate repeated "
+    "across documents survives once")

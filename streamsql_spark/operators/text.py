@@ -8,7 +8,7 @@ SQL-oracle-reproducible definition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import ensure_parallelism
@@ -222,6 +222,51 @@ def line_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame
                 f"round(CAST(size(filter({lines}, l -> "
                 f"l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$')) AS DOUBLE)"
                 f" / greatest(size({lines}), 1), 6)")))
+
+
+def segment_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", seg_tokens: int = 10) -> DataFrame:
+    """C4-style GLOBAL duplicate-span removal: split every document
+    into fixed-token segments, keep only the globally-first occurrence
+    of each distinct segment (ordered by doc id, then segment
+    position — C4 removes any three-sentence span seen before,
+    Raffel et al. 2020 §2.2; the unit here is a token window so the
+    rule is corpus-agnostic), and reassemble each document from its
+    surviving segments in order.
+
+    Output: one row per input doc — (id, n_segs, n_kept, clean_text).
+    Boilerplate repeated across documents (headers, footers,
+    navigation) survives exactly once, in the earliest document.
+
+    Plan shape: segment fan-out is a per-doc explode (no shuffle); the
+    first-occurrence election is ONE window over the segment hash (the
+    inherent global shuffle — dedup across documents cannot be
+    narrower); reassembly is one groupBy on the doc id.  Both keys are
+    high-cardinality and skew-free (hashes / doc ids) at any corpus
+    size.
+    """
+    df = ensure_parallelism(df)
+    txt = f"coalesce({text_col}, '')"
+    w = f"split({txt}, ' ')"
+    seg = (df
+           .withColumn("__s__", F.explode(F.expr(
+               f"sequence(1, greatest(size({w}), 1), {seg_tokens})")))
+           .withColumn("__seg_id__",
+                       ((F.col("__s__") - 1) / seg_tokens).cast("bigint"))
+           .withColumn("__seg__", F.expr(
+               f"array_join(slice({w}, __s__, {seg_tokens}), ' ')")))
+    win = Window.partitionBy("__seg__").orderBy(id_col, "__seg_id__")
+    kept = seg.withColumn(
+        "__keep__", F.row_number().over(win) == 1)
+    return (kept.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_segs"),
+                 F.sum(F.col("__keep__").cast("int")).cast("int")
+                  .alias("n_kept"),
+                 F.expr(
+                     "array_join(transform(array_sort(collect_list("
+                     "CASE WHEN __keep__ THEN named_struct("
+                     "'i', __seg_id__, 't', __seg__) END)), x -> x.t), ' ')")
+                  .alias("clean_text")))
 
 
 def canonicalize_url(df: DataFrame, url_col: str = "url",

@@ -722,3 +722,41 @@ def test_mixture_ignores_null_stratum_and_keeps_zero_weight(spark):
     assert rates["z"] == 0.0            # zero weight -> rate 0, present
     # the advertised consumer must accept the dict without crashing
     hash_stratified_sample(df, "src", "doc_id", rates=rates).collect()
+
+
+# --------------------------------------- global duplicate-span removal
+
+
+def test_segment_dedup_first_occurrence_wins_globally(spark):
+    from streamsql_spark.operators.text import segment_dedup
+    docs = spark.createDataFrame([
+        (0, "a b c d e f"),
+        (1, "a b c x y z"),   # 'a b c' already seen in doc 0
+        (2, "x y z q r s"),   # 'x y z' already seen in doc 1
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in segment_dedup(docs, seg_tokens=3).collect()}
+    assert got[0]["clean_text"] == "a b c d e f"
+    assert got[1]["clean_text"] == "x y z"
+    assert got[2]["clean_text"] == "q r s"
+    assert (got[1]["n_segs"], got[1]["n_kept"]) == (2, 1)
+
+
+def test_segment_dedup_within_doc_repeat_kept_once(spark):
+    from streamsql_spark.operators.text import segment_dedup
+    docs = spark.createDataFrame([(5, "p q p q")],
+                                 "doc_id long, text string")
+    row = segment_dedup(docs, seg_tokens=2).collect()[0]
+    assert row["clean_text"] == "p q"
+    assert (row["n_segs"], row["n_kept"]) == (2, 1)
+
+
+def test_segment_dedup_total_over_null_and_all_dup_docs(spark):
+    from streamsql_spark.operators.text import segment_dedup
+    docs = spark.createDataFrame([
+        (0, "dup dup"), (1, "dup dup"), (2, None),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           segment_dedup(docs, seg_tokens=2).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[1]["n_kept"] == 0 and got[1]["clean_text"] == ""
