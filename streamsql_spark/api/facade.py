@@ -297,7 +297,14 @@ class StreamSQL:
         for name, sqlt in fields:
             lit = self._sql_literal(row[name], sqlt)
             if lit is None:
-                return _NOT_APPLICABLE
+                if row[name] is None:
+                    # no declared type: a bare NULL literal — the value
+                    # PROPAGATES as SQL NULL through arithmetic /
+                    # comparisons (evaluator_semantics_test.go:15-51),
+                    # rather than failing schema inference
+                    lit = "NULL"
+                else:
+                    return _NOT_APPLICABLE
             lits.append(lit)
         sel = []
         for o in plan.outputs:

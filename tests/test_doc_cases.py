@@ -196,3 +196,53 @@ def test_codec_seam_injected_decoder_flows_through_features(spark):
     # all three rows share the declared schema
     got = extract_features(media, codec_decoder=fake_decoder)
     assert got.schema == FEATURE_SCHEMA
+
+
+def test_evaluator_semantics_null_propagation(spark):
+    """Port of test/e2e/evaluator_semantics_test.go: SQL three-valued
+    logic on the per-event sync path — NULL propagates through
+    arithmetic (not treated as 0), NULL comparisons are UNKNOWN (row
+    filtered), CASE with no match and no ELSE yields NULL, and a
+    string in arithmetic is never evaluated as its length."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    e = StreamSQL(spark)
+    e.execute("SELECT temperature + 10 AS x FROM stream")
+    assert e.emit_sync({"temperature": 5.0}) == {"x": 15.0}
+    assert e.emit_sync({"temperature": None}) == {"x": None}
+
+    e2 = StreamSQL(spark)
+    e2.execute("SELECT temperature FROM stream WHERE temperature > 20")
+    assert e2.emit_sync({"temperature": 25.0}) == {"temperature": 25.0}
+    assert e2.emit_sync({"temperature": None}) is None
+
+    e3 = StreamSQL(spark)
+    e3.execute("SELECT CASE WHEN temperature > 100 THEN 'hot' END AS c "
+               "FROM stream")
+    assert e3.emit_sync({"temperature": 5.0}) == {"c": None}
+
+    # string * 2 must not be "length 3 * 2 = 6" (the reference's
+    # float64 trap, evaluator_semantics_test.go:53-66)
+    e4 = StreamSQL(spark)
+    e4.execute("SELECT name * 2 AS x FROM stream")
+    try:
+        r = e4.emit_sync({"name": "abc"})
+        assert r is None or r.get("x") != 6.0
+    except Exception:
+        pass  # a type error is also SQL-correct
+
+
+def test_window_orderby_on_agg_alias(spark):
+    """Port of test/e2e/window_orderby_test.go: ORDER BY an aggregate's
+    alias (DESC) after a windowed GROUP BY."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    df = spark.createDataFrame(
+        [("d1", 30.0, 1000), ("d2", 50.0, 1100), ("d3", 40.0, 1200)],
+        "deviceId string, temperature double, ts long"
+    ).selectExpr("deviceId", "temperature", "timestamp_millis(ts) AS ts")
+    q = StreamSQL(spark).execute(
+        "SELECT deviceId, avg(temperature) AS m FROM stream "
+        "GROUP BY deviceId, TumblingWindow('1s') ORDER BY m DESC")
+    assert [r["deviceId"] for r in q.query(df).collect()] == \
+        ["d2", "d3", "d1"]
