@@ -186,13 +186,21 @@ class Planner:
             check_nesting(f.expr, False, False)
             if f.alias:
                 name = f.alias
-            elif isinstance(f.expr, N.Col) and len(f.expr.parts) == 1:
-                name = str(f.expr.parts[0])
+            elif isinstance(f.expr, N.Col):
+                # qualified refs strip to their last part in the output
+                # row, so `a.location, b.location` both become
+                # `location` — a map-shaped result cannot hold both
+                # (join_column_naming_test.go:48-87 "ambiguous output
+                # column"); aliases resolve the collision
+                name = str(f.expr.parts[-1])
             else:
                 name = None
             if name is not None:
                 if name in names_seen:
-                    raise PlanError(f"duplicate output column: {name!r}")
+                    raise PlanError(
+                        f"ambiguous output column: {name!r} — two "
+                        f"selected columns strip to the same name; "
+                        f"disambiguate with AS")
                 names_seen.add(name)
         if stmt.having is not None:
             check_nesting(stmt.having, False, False)

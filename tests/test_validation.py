@@ -209,3 +209,32 @@ def test_arrival_order_aggregate_without_event_time_rejected(spark):
         s2.emit(r)
     out = s2.trigger_window()
     assert out == [{"k": "a", "fv": 1.0}]
+
+
+def test_qualified_refs_stripping_to_same_name_rejected(spark):
+    """join_column_naming_test.go:48-87 — two joined columns that strip
+    to the same output name cannot coexist in a map-shaped row; the
+    plan must fail fast, and AS aliases must resolve it."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    for sql in (
+        "SELECT a.location, b.location FROM stream "
+        "JOIN t1 a ON id = a.id JOIN t2 b ON id = b.id",
+        "SELECT a.location, b.location, COUNT(*) AS cnt FROM stream "
+        "JOIN t1 a ON id = a.id JOIN t2 b ON id = b.id "
+        "GROUP BY a.location, b.location, CountingWindow(2)",
+        "SELECT a.location, b.location, COUNT(*) AS cnt FROM stream "
+        "JOIN t1 a ON id = a.id JOIN t2 b ON id = b.id "
+        "GROUP BY a.location, b.location, "
+        "GLOBAL WINDOW TRIGGER WHEN COUNT(*) >= 2",
+    ):
+        with pytest.raises(Exception, match="ambiguous output column"):
+            StreamSQL(spark).execute(sql)
+
+    # aliases let the two columns coexist (the resolved form)
+    e = StreamSQL(spark)
+    e.execute("SELECT a.location AS loc_a, b.location AS loc_b "
+              "FROM stream JOIN t1 a ON id = a.id JOIN t2 b ON id = b.id")
+    e.register_table("t1", [{"id": "1", "location": "AAA"}])
+    e.register_table("t2", [{"id": "1", "location": "BBB"}])
+    assert e.emit_sync({"id": "1"}) == {"loc_a": "AAA", "loc_b": "BBB"}
