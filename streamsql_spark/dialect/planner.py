@@ -153,6 +153,9 @@ class Planner:
 
         def check_nesting(e: N.Expr, in_analytic: bool, in_agg: bool) -> None:
             if isinstance(e, N.Func):
+                removed = registry.per_row_window_rejection(e.name)
+                if removed is not None:
+                    raise PlanError(removed)
                 close = registry.unknown_function_suggestions(e.name)
                 if close:
                     # near-miss of a registered function: fail fast with

@@ -550,6 +550,30 @@ def known_function_names() -> set[str]:
             | set(_CUSTOM_ANALYTICS) | set(_CUSTOM_SCALARS))
 
 
+# per-row OVER window functions with no home in the aggregation model:
+# the reference removed them from its registry outright
+# (window_func_support_test.go:74-97 — "registered but not wired" must
+# fail at Execute, not crash the data path); the dialect's stateful
+# analytics (lag/latest/acc_*) and MATCH_RECOGNIZE cover their use
+# cases.  expr() remains the escape hatch into raw Spark SQL.
+PER_ROW_WINDOW_FNS = frozenset(
+    {"row_number", "lead", "rank", "dense_rank", "ntile", "percent_rank",
+     "cume_dist"})
+
+
+def per_row_window_rejection(name: str) -> str | None:
+    """Typed plan-time error for the removed per-row window functions
+    (None when ``name`` is fine)."""
+    lname = name.lower()
+    if lname in PER_ROW_WINDOW_FNS and lname not in _CUSTOM_SCALARS \
+            and lname not in _CUSTOM_ANALYTICS:
+        return (f"{lname}() is not supported: per-row window functions "
+                f"have no per-event/window-aggregation model here — use "
+                f"the stateful analytics (lag/latest/acc_*), "
+                f"MATCH_RECOGNIZE, or expr() for raw Spark SQL")
+    return None
+
+
 def unknown_function_suggestions(name: str) -> list[str] | None:
     """Parse/plan-time function-name validation with typo suggestions —
     the reference's function validator (rsql/function_validator.go,

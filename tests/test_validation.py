@@ -238,3 +238,20 @@ def test_qualified_refs_stripping_to_same_name_rejected(spark):
     e.register_table("t1", [{"id": "1", "location": "AAA"}])
     e.register_table("t2", [{"id": "1", "location": "BBB"}])
     assert e.emit_sync({"id": "1"}) == {"loc_a": "AAA", "loc_b": "BBB"}
+
+
+def test_per_row_window_functions_rejected_at_execute(spark):
+    """window_func_support_test.go:74-97 — row_number()/lead() have no
+    per-row OVER model; they must fail at execute with an error naming
+    the function, never compile and crash the data path."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    for fn, sql in [
+        ("row_number", "SELECT row_number() AS rn FROM stream "
+                       "GROUP BY TumblingWindow('1s')"),
+        ("lead", "SELECT lead(temperature) AS ld FROM stream "
+                 "GROUP BY TumblingWindow('1s')"),
+        ("rank", "SELECT rank() AS r FROM stream"),
+    ]:
+        with pytest.raises(Exception, match=fn):
+            StreamSQL(spark).execute(sql)
