@@ -246,3 +246,53 @@ def test_window_orderby_on_agg_alias(spark):
         "GROUP BY deviceId, TumblingWindow('1s') ORDER BY m DESC")
     assert [r["deviceId"] for r in q.query(df).collect()] == \
         ["d2", "d3", "d1"]
+
+
+def test_quoted_identifiers_and_mixed_literals(spark):
+    """Port of test/e2e/quoted_test.go: backtick identifiers, single-
+    and double-quoted string literals, and mixing both in one query."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    rows = [{"deviceId": "sensor001", "deviceType": "temperature"},
+            {"deviceId": "device002", "deviceType": "humidity"},
+            {"deviceId": "sensor003", "deviceType": "pressure"}]
+
+    e = StreamSQL(spark)
+    e.execute("SELECT `deviceId`, `deviceType` FROM stream "
+              "WHERE `deviceId` LIKE 'sensor%'")
+    got = [e.emit_sync(r) for r in rows]
+    assert [g["deviceId"] for g in got if g] == ["sensor001", "sensor003"]
+
+    e2 = StreamSQL(spark)
+    e2.execute('SELECT deviceId, "another_constant" as test FROM stream '
+               'WHERE deviceType = "temperature"')
+    assert e2.emit_sync(rows[0]) == {"deviceId": "sensor001",
+                                     "test": "another_constant"}
+
+    e3 = StreamSQL(spark)
+    e3.execute("SELECT 'single_quote' as t1, \"double_quote\" as t2 "
+               "FROM stream")
+    assert e3.emit_sync(rows[0]) == {"t1": "single_quote",
+                                     "t2": "double_quote"}
+
+
+def test_double_equals_and_boolean_literal_conditions(spark):
+    """Port of test/e2e/condition_complex_test.go: `==` equality and
+    boolean literals inside compound WHERE conditions."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    e = StreamSQL(spark)
+    e.execute("SELECT * FROM stream WHERE (temperature > 20 AND "
+              "humidity < 80) OR status == 'active'")
+    assert e.emit_sync({"temperature": 25.0, "humidity": 70.0,
+                        "status": "x"}) is not None
+    assert e.emit_sync({"temperature": 5.0, "humidity": 95.0,
+                        "status": "active"}) is not None
+    assert e.emit_sync({"temperature": 5.0, "humidity": 95.0,
+                        "status": "x"}) is None
+
+    e2 = StreamSQL(spark)
+    e2.execute("SELECT * FROM stream WHERE temperature > 20 "
+               "AND active == true")
+    assert e2.emit_sync({"temperature": 25.0, "active": True}) is not None
+    assert e2.emit_sync({"temperature": 25.0, "active": False}) is None
