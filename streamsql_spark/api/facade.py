@@ -36,13 +36,19 @@ class StreamSQL:
     """One SQL statement per instance (streamsql.go:141-143)."""
 
     def __init__(self, spark: SparkSession | None = None, schema=None,
-                 max_buffer_rows: int = 100_000):
+                 max_buffer_rows: int = 100_000,
+                 analytic_max_partitions: int | None = None):
         if spark is None:
             from ..session import get_spark
             spark = get_spark()
         self.spark = spark
         self.schema = schema
         self.max_buffer_rows = max_buffer_rows
+        # LRU cap on per-partition analytic state in the sync path
+        # (WithAnalyticMaxPartitions, analytic_runtime_test.go:94-131):
+        # an evicted partition's state resets on its next event — the
+        # bounded-memory trade for unbounded key spaces; None = keep all
+        self.analytic_max_partitions = analytic_max_partitions
         self._plan = None
         self._stmt = None
         self._tables: dict[str, DataFrame] = {}
@@ -410,6 +416,28 @@ class StreamSQL:
             return None
         return self._deliver_sync(out[0].asDict(recursive=True))
 
+    def _touch_analytic_partition(self, key: tuple) -> None:
+        """LRU bookkeeping for ``analytic_max_partitions``: mark ``key``
+        most-recent; when a NEW key pushes the live set past the cap,
+        evict the least-recent partition's state across every analytic
+        spec (its next event starts fresh —
+        analytic_runtime_test.go:94-112)."""
+        cap = self.analytic_max_partitions
+        if cap is None:
+            return
+        from collections import OrderedDict
+        if not hasattr(self, "_an_lru"):
+            self._an_lru: OrderedDict = OrderedDict()
+        lru = self._an_lru
+        if key in lru:
+            lru.move_to_end(key)
+            return
+        lru[key] = True
+        while len(lru) > cap:
+            old, _ = lru.popitem(last=False)
+            for k in [k for k in self._an_states if k[1] == old]:
+                del self._an_states[k]
+
     def _emit_sync_analytic(self, row: dict) -> dict | None:
         """Per-event analytic evaluation in O(1) state (the reference's
         streamTransform direct path, stream/analytic.go:125-234): the
@@ -530,6 +558,7 @@ class StreamSQL:
             d = r.asDict(recursive=True)
             for p in self._an_prep:
                 key = tuple(d[a] for a in p["parts"])
+                self._touch_analytic_partition(key)
                 st = self._an_states.setdefault((p["ph"], key), {})
                 gate = bool(d[p["when"]]) if p["when"] is not None else True
                 argv = [d[a] if a else p["lits"][j]

@@ -1286,3 +1286,29 @@ def test_custom_analytic_null_partition_key_shares_one_state(spark):
     got = {r["event_id"]: r["prev"] for r in s.query(df).collect()}
     # the three NULL-keyed rows chain one state in event-time order
     assert got == {1: None, 2: 10.0, 3: None, 4: 20.0}
+
+
+def test_analytic_max_partitions_eviction_resets(spark):
+    """Port of analytic_runtime_test.go:94-131 WithAnalyticMaxPartitions:
+    with cap=2 the oldest partition's state is evicted and resets on
+    return; with no cap every partition's state survives."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    def emit(e, dev):
+        return e.emit_sync({"deviceId": dev, "v": 1})["c"]
+
+    capped = StreamSQL(spark, analytic_max_partitions=2)
+    capped.execute("SELECT acc_count(v) OVER (PARTITION BY deviceId) AS c "
+                   "FROM stream")
+    assert emit(capped, "dev1") == 1
+    assert emit(capped, "dev2") == 1
+    assert emit(capped, "dev3") == 1          # cap=2 -> dev1 evicted
+    assert emit(capped, "dev1") == 1          # reset, not 2
+
+    unbounded = StreamSQL(spark)
+    unbounded.execute("SELECT acc_count(v) OVER (PARTITION BY deviceId) AS c "
+                      "FROM stream")
+    assert emit(unbounded, "dev1") == 1
+    assert emit(unbounded, "dev2") == 1
+    assert emit(unbounded, "dev3") == 1
+    assert emit(unbounded, "dev1") == 2       # state kept
