@@ -416,27 +416,29 @@ class StreamSQL:
             return None
         return self._deliver_sync(out[0].asDict(recursive=True))
 
-    def _touch_analytic_partition(self, key: tuple) -> None:
-        """LRU bookkeeping for ``analytic_max_partitions``: mark ``key``
-        most-recent; when a NEW key pushes the live set past the cap,
-        evict the least-recent partition's state across every analytic
-        spec (its next event starts fresh —
-        analytic_runtime_test.go:94-112)."""
+    def _touch_analytic_partition(self, ph: str, key: tuple) -> None:
+        """LRU bookkeeping for ``analytic_max_partitions``: mark spec
+        ``ph``'s partition ``key`` most-recent; when a NEW key pushes
+        that spec's live set past the cap, evict its least-recent
+        partition (the next event for it starts fresh —
+        analytic_runtime_test.go:94-112).  The cap is PER SPEC: two
+        analytics partitioned by different columns each keep up to
+        ``cap`` partitions — a shared pool would let one spec's key
+        churn evict another's live state."""
         cap = self.analytic_max_partitions
         if cap is None:
             return
         from collections import OrderedDict
         if not hasattr(self, "_an_lru"):
-            self._an_lru: OrderedDict = OrderedDict()
-        lru = self._an_lru
+            self._an_lru: dict[str, OrderedDict] = {}
+        lru = self._an_lru.setdefault(ph, OrderedDict())
         if key in lru:
             lru.move_to_end(key)
             return
         lru[key] = True
         while len(lru) > cap:
             old, _ = lru.popitem(last=False)
-            for k in [k for k in self._an_states if k[1] == old]:
-                del self._an_states[k]
+            self._an_states.pop((ph, old), None)
 
     def _emit_sync_analytic(self, row: dict) -> dict | None:
         """Per-event analytic evaluation in O(1) state (the reference's
@@ -558,7 +560,7 @@ class StreamSQL:
             d = r.asDict(recursive=True)
             for p in self._an_prep:
                 key = tuple(d[a] for a in p["parts"])
-                self._touch_analytic_partition(key)
+                self._touch_analytic_partition(p["ph"], key)
                 st = self._an_states.setdefault((p["ph"], key), {})
                 gate = bool(d[p["when"]]) if p["when"] is not None else True
                 argv = [d[a] if a else p["lits"][j]

@@ -194,8 +194,11 @@ class Planner:
                 # row, so `a.location, b.location` both become
                 # `location` — a map-shaped result cannot hold both
                 # (join_column_naming_test.go:48-87 "ambiguous output
-                # column"); aliases resolve the collision
-                name = str(f.expr.parts[-1])
+                # column"); aliases resolve the collision.  Use the
+                # SAME naming rule the output builder uses
+                # (_default_name) so map-key refs compare by their real
+                # output name, not the AST node repr
+                name = _default_name(f.expr, i)
             else:
                 name = None
             if name is not None:
@@ -207,6 +210,17 @@ class Planner:
                 names_seen.add(name)
         if stmt.having is not None:
             check_nesting(stmt.having, False, False)
+        # WHERE / ORDER BY / expression group keys get the same
+        # function validation (typo suggestions + removed per-row
+        # window functions) — a rejection that only covers SELECT
+        # fields lets `WHERE row_number() > 1` crash the data path
+        if stmt.where is not None:
+            check_nesting(stmt.where, False, False)
+        for e, _asc in (stmt.order_by or []):
+            check_nesting(e, False, False)
+        for g in (stmt.group_by or []):
+            if isinstance(g, N.Expr):
+                check_nesting(g, False, False)
 
         w = stmt.window
         if w is not None:

@@ -158,6 +158,12 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     import numpy as np
     import pandas as pd
 
+    # empty query set: nothing to search — skip the (driver-side)
+    # codebook training entirely
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    if not len(q_ids):
+        return _empty_topk(vectors, id_col)
+
     # ---- codebook training + query LUTs (driver-side, bounded sample)
     cb_rows = (vectors.where(F.col(id_col) < train_rows).orderBy(id_col)
                .select(vec_col).collect())
@@ -177,9 +183,6 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             _PQ_CODEBOOK_CACHE.pop(next(iter(_PQ_CODEBOOK_CACHE)))
         _PQ_CODEBOOK_CACHE[cb_key] = codebook
 
-    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
-    if not len(q_ids):
-        return _empty_topk(vectors, id_col)
     # LUT[q, m, c] = ||q_sub − codeword||² ; per-pair cost becomes M reads
     lut = ((q_mat.reshape(len(q_ids), m_subspaces, 1, sub)
             - codebook[None]) ** 2).sum(-1)
@@ -367,10 +370,6 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     # search only probed clusters: join on cluster id (the prune key)
     cand = (assigned.join(probes, on="centroid_id", how="inner")
             .where(F.col("vec_id") != F.col("query_id"))
+            .withColumnRenamed("vec_id", "neighbor_id")
             .withColumn("sim", F.expr(cosine_sim_expr("embedding", "q_emb"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("sim"), 6).desc(), F.col("vec_id"))
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
-                    F.round("sim", 6).alias("sim")))
+    return _topk_rank(cand, k)

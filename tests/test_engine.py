@@ -1312,3 +1312,20 @@ def test_analytic_max_partitions_eviction_resets(spark):
     assert emit(unbounded, "dev2") == 1
     assert emit(unbounded, "dev3") == 1
     assert emit(unbounded, "dev1") == 2       # state kept
+
+
+def test_analytic_max_partitions_cap_is_per_spec(spark):
+    """Two analytic specs partitioned by different columns must not
+    share one LRU pool: each keeps up to cap partitions, and one
+    spec's key churn cannot evict the other's live state."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    e = StreamSQL(spark, analytic_max_partitions=1)
+    e.execute("SELECT acc_count(a) OVER (PARTITION BY u) AS c1, "
+              "acc_count(b) OVER (PARTITION BY d) AS c2 FROM stream")
+    r1 = e.emit_sync({"u": "x", "d": "y", "a": 1, "b": 1})
+    r2 = e.emit_sync({"u": "x", "d": "y", "a": 1, "b": 1})
+    r3 = e.emit_sync({"u": "x", "d": "y", "a": 1, "b": 1})
+    assert (r1["c1"], r1["c2"]) == (1, 1)
+    assert (r2["c1"], r2["c2"]) == (2, 2)
+    assert (r3["c1"], r3["c2"]) == (3, 3)

@@ -255,3 +255,24 @@ def test_per_row_window_functions_rejected_at_execute(spark):
     ]:
         with pytest.raises(Exception, match=fn):
             StreamSQL(spark).execute(sql)
+
+
+def test_per_row_window_rejected_in_where_and_orderby(spark):
+    from streamsql_spark.api.facade import StreamSQL
+
+    for fn, sql in [
+        ("row_number", "SELECT temperature FROM stream "
+                       "WHERE row_number() > 1"),
+        ("rank", "SELECT user_id, count(*) AS c FROM stream "
+                 "GROUP BY user_id, TumblingWindow('1s') ORDER BY rank()"),
+    ]:
+        with pytest.raises(Exception, match=fn):
+            StreamSQL(spark).execute(sql)
+
+
+def test_map_key_ref_collision_rejected(spark):
+    """A map-key ref outputs its key name — `props['k'], k` collide."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    with pytest.raises(Exception, match="ambiguous output column"):
+        StreamSQL(spark).execute("SELECT props['k'], k FROM stream")
