@@ -375,6 +375,12 @@ class StreamSQL:
         (streamsql.go:227-235)."""
         if self._stopped:
             return
+        if row is None:
+            # nil event: counted and dropped, never a crash
+            # (error_handling_test.go:249-258 "emit nil map")
+            self._metrics["input"] += 1
+            self._metrics["input_dropped"] += 1
+            return
         self._metrics["input"] += 1
         if self._schema_violation(row) is not None:
             self._metrics["input_dropped"] += 1
@@ -395,6 +401,10 @@ class StreamSQL:
             raise RuntimeError("call execute(sql) first")
         if self._plan.mode != "direct":
             raise RuntimeError("EmitSync requires a direct (non-window) query")
+        if row is None:
+            # typed error, not a schema-inference crash
+            # (error_handling_test.go:273-283 "EmitSync with nil data")
+            raise ValueError("emit_sync expects a dict event, got None")
         self._metrics["input"] += 1
         viol = self._schema_violation(row)
         if viol is not None:

@@ -1329,3 +1329,20 @@ def test_analytic_max_partitions_cap_is_per_spec(spark):
     assert (r1["c1"], r1["c2"]) == (1, 1)
     assert (r2["c1"], r2["c2"]) == (2, 2)
     assert (r3["c1"], r3["c2"]) == (3, 3)
+
+
+def test_nil_event_handling(spark):
+    """error_handling_test.go:247-283: emit(None) is a counted no-op,
+    emit_sync(None) is a typed error — neither crashes."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    e = StreamSQL(spark)
+    e.execute("SELECT id FROM stream")
+    e.emit(None)
+    stats = e.get_stats()
+    assert stats["input_count"] == 1
+    assert stats["input_dropped_count"] == 1
+    with pytest.raises(ValueError, match="None"):
+        e.emit_sync(None)
+    # a None-valued field still flows through fine
+    assert e.emit_sync({"id": None}) == {"id": None}
