@@ -244,3 +244,27 @@ def test_ann_paths_handle_empty_query_set(spark):
         out = fn(emb, none, k=5)
         assert out.count() == 0
         assert out.columns == ["query_id", "neighbor_id", "rank", "sim"]
+
+
+def test_segment_dedup_two_inherent_exchanges(catalog_plan):
+    # the election window shuffles on the segment hash and the
+    # reassembly groupBy shuffles on the doc id — both inherent to a
+    # GLOBAL cross-document dedup; anything beyond those plus the
+    # narrow-scan spread means a stage is shuffling twice
+    p = catalog_plan("text_segment_dedup")
+    n = sum(1 for l in p.splitlines()
+            if l.strip().startswith("(") and "Exchange" in l
+            and "Reused" not in l)
+    assert n <= 3, p
+    assert "SortAggregate" not in p
+
+
+def test_pack_sequences_single_window_shuffle_per_branch(catalog_plan):
+    # the pack branch shuffles once on the partition key (the window);
+    # the chunk branch is a per-doc explode with no aggregation — only
+    # the narrow-scan spreads may add exchanges beyond the one window
+    p = catalog_plan("pack_sequences")
+    n = sum(1 for l in p.splitlines()
+            if l.strip().startswith("(") and "Exchange" in l
+            and "Reused" not in l)
+    assert n <= 3, p
