@@ -404,7 +404,8 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  ngram_n: int = 4, min_overlap: int = 2) -> DataFrame:
+                  ngram_n: int = 4, min_overlap: int = 2,
+                  bench_text_col: str | None = None) -> DataFrame:
     """Test-set decontamination: flag training documents sharing ≥
     ``min_overlap`` distinct word ``ngram_n``-grams with any benchmark
     document (the n-gram-overlap rule used for LLM training corpora,
@@ -422,11 +423,20 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     Output: one row per input doc — (id, n_overlap, contaminated).
     """
     docs = ensure_parallelism(docs)
-    toks = f"split({text_col}, ' ')"
-    grams = (f"array_distinct(transform(sequence(0, greatest(size({toks}) - {ngram_n}, 0)), "
-             f"i -> array_join(slice({toks}, i + 1, {ngram_n}), ' ')))")
+
+    def gram_expr(col: str) -> str:
+        toks = f"split({col}, ' ')"
+        return (f"array_distinct(transform("
+                f"sequence(0, greatest(size({toks}) - {ngram_n}, 0)), "
+                f"i -> array_join(slice({toks}, i + 1, {ngram_n}), ' ')))")
+
+    grams = gram_expr(text_col)
+    # the benchmark side may carry its text under a different column
+    # name (e.g. raw eval sets vs a cleaned corpus)
     bench_grams = (benchmark
-                   .select(F.explode(F.expr(grams)).alias("gram"))
+                   .select(F.explode(
+                       F.expr(gram_expr(bench_text_col or text_col)))
+                       .alias("gram"))
                    .distinct()
                    .withColumn("__hit__", F.lit(1)))
     doc_grams = (docs
