@@ -275,6 +275,35 @@ class StreamSQL:
         return self.spark.sql(
             f"SELECT * FROM VALUES {', '.join(tuples)} AS t({names})")
 
+    def _emit_sync_python(self, row: dict):
+        """In-process Python evaluation of the plain direct path — the
+        reference's per-event expression-engine latency class
+        (micro-seconds, zero JVM round trips).  Compiled once from the
+        typed AST for a strict subset with proven Spark semantics
+        (dialect/pyeval.py); _NOT_APPLICABLE when the query shape or
+        this event's value types fall outside it (the Spark paths
+        remain the semantics oracle and take over)."""
+        plan = self._plan
+        if (plan.joins or plan.analytics or plan.distinct or plan.order_by
+                or plan.limit is not None or not plan.outputs
+                or any(getattr(o, "unnest_sql", None) is not None
+                       for o in plan.outputs)):
+            return _NOT_APPLICABLE
+        if not row or self.schema is not None:
+            # declared-schema path: typed CASTs belong to the Spark path
+            return _NOT_APPLICABLE
+        if not hasattr(self, "_pyeval_fn"):
+            from ..dialect.pyeval import compile_direct
+            self._pyeval_fn = (compile_direct(self._stmt)
+                               if self._stmt is not None else None)
+        if self._pyeval_fn is None:
+            return _NOT_APPLICABLE
+        from ..dialect.pyeval import Fallback
+        try:
+            return self._pyeval_fn(row)
+        except Fallback:
+            return _NOT_APPLICABLE
+
     def _emit_sync_fast(self, row: dict):
         """One-shot templated evaluation of the plain direct path:
         ``SELECT <rendered outputs> FROM (VALUES <literals>) WHERE
@@ -413,6 +442,11 @@ class StreamSQL:
             raise ValueError(f"schema validation failed: {viol}")
         if self._plan.analytics:
             return self._emit_sync_analytic(row)
+        py = self._emit_sync_python(row)
+        if py is not _NOT_APPLICABLE:
+            if py is None:
+                return None
+            return self._deliver_sync(py)
         fast = self._emit_sync_fast(row)
         if fast is not _NOT_APPLICABLE:
             if fast is None:

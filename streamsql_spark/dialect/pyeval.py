@@ -1,0 +1,391 @@
+"""Pure-Python evaluation of the direct (per-event) path.
+
+The reference evaluates each event in-process (its own expression
+engine, ~micro-seconds per event).  The Spark-side fast path
+(`facade._emit_sync_fast`) already avoids Spark JOBS, but still pays a
+full `spark.sql` parse+analyze+fold round trip per event (~5-10 ms) —
+three orders of magnitude off the per-event gateway latency class.
+
+This module compiles the typed dialect AST of a plain
+filter/projection query into Python closures evaluated directly on the
+event dict — tens of microseconds per event — for a STRICT subset of
+the dialect with byte-identical Spark semantics:
+
+- literals, bare single-part columns, arithmetic (+ - * / % ^), string
+  concat (||), comparisons with SQL three-valued logic, AND/OR/NOT,
+  LIKE, IS [NOT] NULL, [NOT] IN, BETWEEN, CASE (simple + searched);
+- a small scalar-function whitelist where Python can reproduce Spark's
+  exact behavior (abs/upper/lower/length/trim/coalesce/concat/
+  startswith/endswith/floor/ceil/sqrt/round half-up).
+
+ANYTHING uncertain bails out: unsupported node kinds fail at COMPILE
+time (the query permanently uses the Spark path) and surprising value
+type combinations raise :class:`Fallback` at RUNTIME (that one event
+re-runs through the Spark path, which remains the semantics oracle).
+A differential fuzz test pins python-path == spark-path on the
+supported grammar.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+from . import nodes as N
+
+
+class Fallback(Exception):
+    """Value combination outside the proven subset — re-evaluate this
+    event through the Spark path."""
+
+
+_NUM = (int, float)
+
+
+def _num(v):
+    if isinstance(v, bool) or not isinstance(v, _NUM):
+        raise Fallback()
+    return v
+
+
+def _arith(op: str, a, b):
+    if a is None or b is None:
+        return None
+    a, b = _num(a), _num(b)
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        # Spark `/` is double division; x/0 handling is mode-dependent
+        if b == 0:
+            raise Fallback()
+        return a / b
+    if op == "%":
+        # Spark mod takes the DIVIDEND's sign (Java %), unlike Python %
+        if b == 0:
+            raise Fallback()
+        r = math.fmod(a, b)
+        if isinstance(a, int) and isinstance(b, int):
+            return int(r)
+        return r
+    if op == "^":
+        # exponentiation in the reference dialect (render.py:115)
+        return float(a) ** float(b)
+    raise Fallback()
+
+
+def _cmp(op: str, a, b):
+    if a is None or b is None:
+        return None
+    bools = isinstance(a, bool), isinstance(b, bool)
+    if any(bools):
+        if not all(bools) or op not in ("=", "==", "!=", "<>"):
+            raise Fallback()
+    elif isinstance(a, _NUM) != isinstance(b, _NUM):
+        # mixed numeric/string comparison: Spark's implicit-cast rules
+        # are subtle — not our problem to reimplement
+        raise Fallback()
+    elif isinstance(a, str) != isinstance(b, str):
+        raise Fallback()
+    if op in ("=", "=="):
+        return a == b
+    if op in ("!=", "<>"):
+        return a != b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    raise Fallback()
+
+
+def _and(a, b):
+    if a is False or b is False:
+        return False
+    if a is None or b is None:
+        return None
+    return True
+
+
+def _or(a, b):
+    if a is True or b is True:
+        return True
+    if a is None or b is None:
+        return None
+    return False
+
+
+def _truthy(v) -> bool:
+    # WHERE semantics: NULL/UNKNOWN filters the row
+    return v is True
+
+
+def _like_regex(pattern: str) -> "re.Pattern":
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+
+
+def _round_half_up(x, d=0):
+    if x is None:
+        return None
+    x = _num(x)
+    q = Decimal(1).scaleb(-int(d))
+    r = float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+    if isinstance(x, int) and d <= 0:
+        return int(r)
+    return r
+
+
+def _str_arg(v):
+    if v is None:
+        return None
+    if not isinstance(v, str):
+        raise Fallback()
+    return v
+
+
+def _fn_concat(*vs):
+    if any(v is None for v in vs):
+        return None
+    return "".join(_str_arg(v) for v in vs)
+
+
+def _fn_coalesce(*vs):
+    for v in vs:
+        if v is not None:
+            return v
+    return None
+
+
+_FNS: dict[str, object] = {
+    "abs": lambda v: None if v is None else abs(_num(v)),
+    "upper": lambda v: None if v is None else _str_arg(v).upper(),
+    "lower": lambda v: None if v is None else _str_arg(v).lower(),
+    "length": lambda v: None if v is None else len(_str_arg(v)),
+    "trim": lambda v: None if v is None else _str_arg(v).strip(" "),
+    "sqrt": lambda v: None if v is None
+    else (math.sqrt(_num(v)) if _num(v) >= 0 else None),
+    "floor": lambda v: None if v is None else int(math.floor(_num(v))),
+    "ceil": lambda v: None if v is None else int(math.ceil(_num(v))),
+    "ceiling": lambda v: None if v is None else int(math.ceil(_num(v))),
+    "round": _round_half_up,
+    "concat": _fn_concat,
+    "coalesce": _fn_coalesce,
+    "startswith": lambda s, p: None if s is None or p is None
+    else _str_arg(s).startswith(_str_arg(p)),
+    "endswith": lambda s, p: None if s is None or p is None
+    else _str_arg(s).endswith(_str_arg(p)),
+}
+
+# arity guards (None = variadic)
+_FN_ARITY: dict[str, tuple[int, int] | None] = {
+    "abs": (1, 1), "upper": (1, 1), "lower": (1, 1), "length": (1, 1),
+    "trim": (1, 1), "sqrt": (1, 1), "floor": (1, 1), "ceil": (1, 1),
+    "ceiling": (1, 1), "round": (1, 2), "concat": None, "coalesce": None,
+    "startswith": (2, 2), "endswith": (2, 2),
+}
+
+
+def compile_expr(e: N.Expr):
+    """AST → ``fn(row) -> value``; None when the node kind (or any
+    child) is outside the supported subset."""
+    if isinstance(e, N.Lit):
+        v = e.value
+        return lambda row: v
+    if isinstance(e, N.Col):
+        if len(e.parts) != 1 or not isinstance(e.parts[0], str):
+            return None
+        name = e.parts[0]
+
+        def col(row, name=name):
+            v = row.get(name)
+            if v is not None and not isinstance(v, (int, float, str, bool)):
+                raise Fallback()  # nested/array value: Spark path
+            return v
+        return col
+    if isinstance(e, N.Bin):
+        lf, rf = compile_expr(e.left), compile_expr(e.right)
+        if lf is None or rf is None:
+            return None
+        op = e.op.upper()
+        if op in ("+", "-", "*", "/", "%", "^"):
+            return lambda row: _arith(op, lf(row), rf(row))
+        if op in ("=", "==", "!=", "<>", "<", "<=", ">", ">="):
+            return lambda row: _cmp(op, lf(row), rf(row))
+        if op == "AND":
+            return lambda row: _and(_bool3(lf(row)), _bool3(rf(row)))
+        if op == "OR":
+            return lambda row: _or(_bool3(lf(row)), _bool3(rf(row)))
+        if op == "||":
+            return lambda row: _fn_concat(lf(row), rf(row))
+        return None
+    if isinstance(e, N.Un):
+        f = compile_expr(e.operand)
+        if f is None:
+            return None
+        if e.op.upper() == "NOT":
+            def notf(row):
+                v = _bool3(f(row))
+                return None if v is None else (not v)
+            return notf
+        if e.op == "-":
+            return lambda row: None if f(row) is None else -_num(f(row))
+        return None
+    if isinstance(e, N.Like):
+        f = compile_expr(e.operand)
+        if f is None or not isinstance(e.pattern, N.Lit) \
+                or not isinstance(e.pattern.value, str):
+            return None
+        rx = _like_regex(e.pattern.value)
+        neg = e.negated
+
+        def like(row):
+            v = f(row)
+            if v is None:
+                return None
+            hit = bool(rx.match(_str_arg(v)))
+            return (not hit) if neg else hit
+        return like
+    if isinstance(e, N.IsNull):
+        f = compile_expr(e.operand)
+        if f is None:
+            return None
+        neg = e.negated
+        return lambda row: (f(row) is not None) if neg else (f(row) is None)
+    if isinstance(e, N.InList):
+        f = compile_expr(e.operand)
+        items = [compile_expr(i) for i in e.items]
+        if f is None or any(i is None for i in items):
+            return None
+        neg = e.negated
+
+        def inlist(row):
+            v = f(row)
+            if v is None:
+                return None
+            vals = [i(row) for i in items]
+            hit = any(v is not None and _cmp("=", v, w) is True
+                      for w in vals if w is not None)
+            if not hit and any(w is None for w in vals):
+                return None  # SQL: x IN (..., NULL) is UNKNOWN unless hit
+            return (not hit) if neg else hit
+        return inlist
+    if isinstance(e, N.Between):
+        f, lo, hi = (compile_expr(e.operand), compile_expr(e.low),
+                     compile_expr(e.high))
+        if f is None or lo is None or hi is None:
+            return None
+        neg = e.negated
+
+        def between(row):
+            v = _and(_bool3(_cmp(">=", f(row), lo(row))),
+                     _bool3(_cmp("<=", f(row), hi(row))))
+            if v is None:
+                return None
+            return (not v) if neg else v
+        return between
+    if isinstance(e, N.Case):
+        op_f = compile_expr(e.operand) if e.operand is not None else None
+        if e.operand is not None and op_f is None:
+            return None
+        whens = []
+        for c, v in e.whens:
+            cf, vf = compile_expr(c), compile_expr(v)
+            if cf is None or vf is None:
+                return None
+            whens.append((cf, vf))
+        else_f = compile_expr(e.else_) if e.else_ is not None else None
+        if e.else_ is not None and else_f is None:
+            return None
+
+        def case(row):
+            if op_f is not None:
+                base = op_f(row)
+                for cf, vf in whens:
+                    if base is not None and _cmp("=", base, cf(row)) is True:
+                        return vf(row)
+            else:
+                for cf, vf in whens:
+                    if _truthy(_bool3(cf(row))):
+                        return vf(row)
+            return else_f(row) if else_f is not None else None
+        return case
+    if isinstance(e, N.Func):
+        if e.over is not None or e.distinct:
+            return None
+        fn = _FNS.get(e.name.lower())
+        if fn is None:
+            return None
+        arity = _FN_ARITY.get(e.name.lower())
+        if arity is not None and not (arity[0] <= len(e.args) <= arity[1]):
+            return None
+        args = [compile_expr(a) for a in e.args]
+        if any(a is None for a in args):
+            return None
+        return lambda row: fn(*[a(row) for a in args])
+    return None
+
+
+def _bool3(v):
+    if v is None or isinstance(v, bool):
+        return v
+    raise Fallback()
+
+
+def compile_direct(stmt: "N.SelectStmt"):
+    """Compile a direct-path statement into
+    ``fn(row) -> dict | None | Fallback-raise``; returns None when the
+    statement shape is outside the subset (joins/analytics/windows/
+    unnest/DISTINCT/ORDER/LIMIT are gated by the caller)."""
+    where_f = None
+    if stmt.where is not None:
+        where_f = compile_expr(stmt.where)
+        if where_f is None:
+            return None
+    outs = []  # (name | None-for-star, fn | None)
+    for i, f in enumerate(stmt.fields):
+        if isinstance(f.expr, N.Star):
+            if f.expr.qualifier:
+                return None
+            outs.append((None, None))
+            continue
+        fn = compile_expr(f.expr)
+        if fn is None:
+            return None
+        name = f.alias
+        if name is None:
+            from .planner import _default_name
+            name = _default_name(f.expr, i)
+        outs.append((name, fn))
+
+    def run(row: dict):
+        if where_f is not None and not _truthy(_bool3(where_f(row))):
+            return None
+        out: dict = {}
+        for name, fn in outs:
+            if name is None:  # star: all event fields, sorted-key order
+                for k in sorted(row):
+                    v = row[k]
+                    if v is not None and not isinstance(
+                            v, (int, float, str, bool)):
+                        raise Fallback()
+                    out[k] = v
+            else:
+                out[name] = fn(row)
+        return out
+
+    return run

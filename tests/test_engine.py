@@ -1346,3 +1346,88 @@ def test_nil_event_handling(spark):
         e.emit_sync(None)
     # a None-valued field still flows through fine
     assert e.emit_sync({"id": None}) == {"id": None}
+
+
+def test_pyeval_differential_vs_spark_fast_path(spark):
+    """The in-process Python evaluator must agree with the Spark fast
+    path (the semantics oracle) on every event it does NOT fall back
+    on — a seeded randomized sweep over the supported grammar."""
+    import random
+
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+
+    queries = [
+        "SELECT t * 1.8 + 32 AS f, h FROM stream WHERE t > 20",
+        "SELECT t, h, t * h / 100 AS x FROM stream WHERE t >= 10 AND h < 90",
+        "SELECT coalesce(t, -1) AS ct, abs(t - 50) AS d FROM stream",
+        "SELECT upper(s) AS u, length(s) AS n FROM stream WHERE s LIKE 'se%'",
+        "SELECT CASE WHEN t > 30 THEN 'hot' WHEN t > 10 THEN 'warm' "
+        "ELSE 'cold' END AS lvl FROM stream",
+        "SELECT t FROM stream WHERE t BETWEEN 10 AND 30 OR s = 'keep'",
+        "SELECT t % 7 AS m, -t AS neg, t ^ 2 AS sq FROM stream "
+        "WHERE NOT (t < 0) AND t IN (5, 15, 25, 35)",
+        "SELECT round(t / 3, 2) AS r, floor(t) AS fl, "
+        "concat(s, '_', 'x') AS tag FROM stream WHERE s IS NOT NULL",
+        "SELECT * FROM stream WHERE h != 50",
+        "SELECT startswith(s, 'se') AS sw, trim(s) AS tr FROM stream",
+    ]
+    rng = random.Random(20260814)
+
+    def event():
+        t = rng.choice([None, rng.randint(-40, 60),
+                        round(rng.uniform(-40.0, 60.0), 3)])
+        h = rng.choice([None, rng.randint(0, 100)])
+        s = rng.choice([None, "sensor", " se pad ", "keep", "", "Xy"])
+        return {"t": t, "h": h, "s": s}
+
+    n_py = n_fb = 0
+    for sql in queries:
+        e = StreamSQL(spark)
+        e.execute(sql)
+        for _ in range(40):
+            row = event()
+            py = e._emit_sync_python(dict(row))
+            sp = e._emit_sync_fast(dict(row))
+            assert sp is not _NOT_APPLICABLE, (sql, row)
+            if py is _NOT_APPLICABLE:
+                n_fb += 1
+                continue
+            n_py += 1
+
+            def norm(d):
+                # the Spark fast path can surface DECIMAL where the
+                # dialect's dynamic typing (and the batch path) carry
+                # doubles — numerically-equal values must compare equal
+                import decimal
+                out = {}
+                for k, v in d.items():
+                    if isinstance(v, decimal.Decimal):
+                        v = float(v)
+                    if isinstance(v, float):
+                        v = round(v, 9)
+                    out[k] = v
+                return out
+            assert py is not None or sp is None, (sql, row)
+            assert sp is not None or py is None, (sql, row)
+            if py is not None:
+                assert norm(py) == norm(sp), (sql, row, py, sp)
+    # the python path must actually cover the bulk of the grammar —
+    # a silent always-fallback would make this test vacuous
+    assert n_py > n_fb, (n_py, n_fb)
+
+
+def test_pyeval_latency_is_in_process(spark):
+    """The compiled python path must evaluate well above the per-event
+    Spark round-trip rate (~100/s) — i.e. genuinely in-process."""
+    import time
+
+    from streamsql_spark.api.facade import StreamSQL
+
+    e = StreamSQL(spark)
+    e.execute("SELECT t * 2 AS d FROM stream WHERE t > 0")
+    e.emit_sync({"t": 1.0})
+    t0 = time.perf_counter()
+    for i in range(2000):
+        e.emit_sync({"t": float(i % 50)})
+    rate = 2000 / (time.perf_counter() - t0)
+    assert rate > 5000, f"{rate:.0f} events/s — python path not engaged?"
