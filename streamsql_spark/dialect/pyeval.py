@@ -171,7 +171,88 @@ def _fn_coalesce(*vs):
     return None
 
 
+def _fn_replace(s, find, repl=""):
+    if s is None or find is None or repl is None:
+        return None
+    s, find, repl = _str_arg(s), _str_arg(find), _str_arg(repl)
+    if find == "":
+        return s  # Spark: empty search leaves the input unchanged
+    return s.replace(find, repl)
+
+
+def _fn_pad(left: bool, s, n, pad):
+    if s is None or n is None or pad is None:
+        return None
+    s, pad = _str_arg(s), _str_arg(pad)
+    n = _num(n)
+    if isinstance(n, float) or pad == "":
+        raise Fallback()
+    n = int(n)
+    if n <= len(s):
+        return s[:max(n, 0)]
+    fill = (pad * ((n - len(s)) // len(pad) + 1))[: n - len(s)]
+    return fill + s if left else s + fill
+
+
+def _fn_substring(s, start, length=None):
+    # dialect substring is 0-based (registry._render_substring)
+    if s is None or start is None:
+        return None
+    s = _str_arg(s)
+    start = _num(start)
+    if isinstance(start, float) or start < 0:
+        raise Fallback()  # negative = count-from-end; Spark path owns it
+    if length is None:
+        return s[int(start):]
+    length = _num(length)
+    if isinstance(length, float):
+        raise Fallback()
+    if length <= 0:
+        return ""
+    return s[int(start):int(start) + int(length)]
+
+
+def _fn_extreme(biggest: bool, *vs):
+    # Spark greatest/least SKIP null arguments; null only when all null
+    vals = [v for v in vs if v is not None]
+    if not vals:
+        return None
+    if all(isinstance(v, _NUM) and not isinstance(v, bool) for v in vals):
+        return max(vals) if biggest else min(vals)
+    if all(isinstance(v, str) for v in vals):
+        return max(vals) if biggest else min(vals)
+    raise Fallback()
+
+
+def _fn_if(c, a, b):
+    # Spark If: NULL condition takes the else branch
+    return a if _bool3(c) is True else b
+
+
 _FNS: dict[str, object] = {
+    "ltrim": lambda v: None if v is None else _str_arg(v).lstrip(" "),
+    "rtrim": lambda v: None if v is None else _str_arg(v).rstrip(" "),
+    "reverse": lambda v: None if v is None else _str_arg(v)[::-1],
+    "repeat": lambda s, n: None if s is None or n is None
+    else _str_arg(s) * max(int(_num(n)), 0),
+    "replace": _fn_replace,
+    "lpad": lambda s, n, p=" ": _fn_pad(True, s, n, p),
+    "rpad": lambda s, n, p=" ": _fn_pad(False, s, n, p),
+    "substring": _fn_substring,
+    # dialect indexof = 0-based first occurrence, -1 when absent
+    # (registry: instr - 1) — exactly Python str.find
+    "indexof": lambda s, sub: None if s is None or sub is None
+    else _str_arg(s).find(_str_arg(sub)),
+    "sign": lambda v: None if v is None
+    else (0.0 if _num(v) == 0 else (1.0 if _num(v) > 0 else -1.0)),
+    "nullif": lambda a, b: None
+    if (a is not None and b is not None and _cmp("=", a, b) is True)
+    else a,
+    "ifnull": lambda a, b: b if a is None else a,
+    "nvl": lambda a, b: b if a is None else a,
+    "greatest": lambda *vs: _fn_extreme(True, *vs),
+    "least": lambda *vs: _fn_extreme(False, *vs),
+    "if": _fn_if,
     "abs": lambda v: None if v is None else abs(_num(v)),
     "upper": lambda v: None if v is None else _str_arg(v).upper(),
     "lower": lambda v: None if v is None else _str_arg(v).lower(),
@@ -197,6 +278,11 @@ _FN_ARITY: dict[str, tuple[int, int] | None] = {
     "trim": (1, 1), "sqrt": (1, 1), "floor": (1, 1), "ceil": (1, 1),
     "ceiling": (1, 1), "round": (1, 2), "concat": None, "coalesce": None,
     "startswith": (2, 2), "endswith": (2, 2),
+    "ltrim": (1, 1), "rtrim": (1, 1), "reverse": (1, 1), "repeat": (2, 2),
+    "replace": (2, 3), "lpad": (2, 3), "rpad": (2, 3),
+    "substring": (2, 3), "indexof": (2, 2), "sign": (1, 1),
+    "nullif": (2, 2), "ifnull": (2, 2), "nvl": (2, 2),
+    "greatest": (1, 64), "least": (1, 64), "if": (3, 3),
 }
 
 
@@ -327,7 +413,12 @@ def compile_expr(e: N.Expr):
     if isinstance(e, N.Func):
         if e.over is not None or e.distinct:
             return None
-        fn = _FNS.get(e.name.lower())
+        lname = e.name.lower()
+        from ..functions import registry as _registry
+        if lname in _registry._CUSTOM_SCALARS \
+                or lname in _registry._CUSTOM_ANALYTICS:
+            return None  # runtime-registered custom function wins
+        fn = _FNS.get(lname)
         if fn is None:
             return None
         arity = _FN_ARITY.get(e.name.lower())

@@ -1370,6 +1370,15 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         "concat(s, '_', 'x') AS tag FROM stream WHERE s IS NOT NULL",
         "SELECT * FROM stream WHERE h != 50",
         "SELECT startswith(s, 'se') AS sw, trim(s) AS tr FROM stream",
+        "SELECT ltrim(s) AS l, rtrim(s) AS r, reverse(s) AS rv, "
+        "repeat(s, 2) AS rp FROM stream",
+        "SELECT replace(s, 'e', '3') AS rep, lpad(s, 8, '*') AS lp, "
+        "rpad(s, 8, '-') AS rp2 FROM stream",
+        "SELECT substring(s, 1, 3) AS sub, indexof(s, 'e') AS ix, "
+        "sign(t) AS sg FROM stream",
+        "SELECT nullif(s, 'keep') AS nn, ifnull(t, -1) AS nv, "
+        "greatest(t, h, 10) AS g, least(t, h) AS ls FROM stream",
+        "SELECT if(t > 25, 'big', 'small') AS sz FROM stream",
     ]
     rng = random.Random(20260814)
 
