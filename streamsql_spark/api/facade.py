@@ -227,7 +227,10 @@ class StreamSQL:
 
         if v is None:
             if sqlt is None or sqlt.lower() in ("void", "null"):
-                return None
+                # untyped NULL literal: PROPAGATES as SQL NULL through
+                # arithmetic/comparisons instead of failing dataframe
+                # schema inference (evaluator_semantics_test.go:15-51)
+                return "NULL"
             return f"CAST(NULL AS {sqlt})"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
@@ -332,14 +335,7 @@ class StreamSQL:
         for name, sqlt in fields:
             lit = self._sql_literal(row[name], sqlt)
             if lit is None:
-                if row[name] is None:
-                    # no declared type: a bare NULL literal — the value
-                    # PROPAGATES as SQL NULL through arithmetic /
-                    # comparisons (evaluator_semantics_test.go:15-51),
-                    # rather than failing schema inference
-                    lit = "NULL"
-                else:
-                    return _NOT_APPLICABLE
+                return _NOT_APPLICABLE
             lits.append(lit)
         sel = []
         for o in plan.outputs:
@@ -484,6 +480,155 @@ class StreamSQL:
             old, _ = lru.popitem(last=False)
             self._an_states.pop((ph, old), None)
 
+    def _compile_analytic_python(self):
+        """One-time compilation of the analytic direct path into Python
+        closures (dialect/pyeval.py): per-spec partition keys, WHEN
+        gates, and argument expressions, plus the final projection with
+        analytic calls substituted by placeholder lookups.  Returns
+        None when anything falls outside the proven subset — the Spark
+        route then stays in charge."""
+        from ..dialect import nodes as N
+        from ..dialect import pyeval
+        from ..dialect.planner import _default_name
+        from ..dialect.render import render
+
+        plan = self._plan
+        if (plan.joins or self.schema is not None or plan.distinct
+                or plan.order_by or plan.limit is not None
+                or self._stmt is None
+                or any(s.window_output for s in plan.analytics)):
+            return None
+        # map analytic call sites to their placeholders: by node
+        # IDENTITY first (the planner stores the original stmt node on
+        # the spec in direct mode), structural repr as the fallback —
+        # render() deliberately refuses analytic nodes
+        ph_by_id = {id(s.func): s.placeholder for s in plan.analytics}
+        ph_by_repr: dict[str, str] = {}
+        for s in plan.analytics:
+            ph_by_repr.setdefault(repr(s.func), s.placeholder)
+
+        bad = False
+
+        def subst(node):
+            nonlocal bad
+            if isinstance(node, N.Func) and node.over is not None:
+                ph = ph_by_id.get(id(node)) or ph_by_repr.get(repr(node))
+                if ph is None:
+                    bad = True
+                    return node
+                return N.Col((ph,))
+            return node
+
+        outs = []
+        for i, f in enumerate(self._stmt.fields):
+            if isinstance(f.expr, N.Star):
+                return None  # star + analytics: Spark path
+            fn = pyeval.compile_expr(N.transform(f.expr, subst))
+            if bad or fn is None:
+                return None
+            outs.append((f.alias or _default_name(f.expr, i), fn))
+        where_f = None
+        if self._stmt.where is not None:
+            where_f = pyeval.compile_expr(self._stmt.where)
+            if where_f is None:
+                return None
+
+        from ..functions.registry import custom_analytic
+        specs = []
+        for s in plan.analytics:
+            over = s.func.over
+            parts = [pyeval.compile_expr(p)
+                     for p in (over.partition_by if over else [])]
+            if any(p is None for p in parts):
+                return None
+            when_f = None
+            if over is not None and over.when is not None:
+                when_f = pyeval.compile_expr(over.when)
+                if when_f is None:
+                    return None
+            args = []   # ('lit', v) | ('fn', closure)
+            arg_marks = []  # analytic_step's has_start probe shape
+            for a in s.func.args:
+                if isinstance(a, N.Star) or \
+                        (isinstance(a, N.Lit) and a.value == "*"):
+                    return None
+                if isinstance(a, N.Lit):
+                    args.append(("lit", a.value))
+                    arg_marks.append(None)
+                else:
+                    af = pyeval.compile_expr(a)
+                    if af is None:
+                        return None
+                    args.append(("fn", af))
+                    arg_marks.append("x")
+            p = {"name": s.func.name.lower(), "ph": s.placeholder,
+                 "args": arg_marks, "custom": custom_analytic(s.func.name)}
+            if p["custom"] is None and p["name"] not in (
+                    "lag", "latest", "had_changed", "changed_col",
+                    "acc_sum", "acc_count", "acc_min", "acc_max",
+                    "acc_avg"):
+                return None  # fan-out/renderer-special fns: Spark path
+            specs.append((p, parts, when_f, args))
+        return {"outs": outs, "where": where_f, "specs": specs}
+
+    def _emit_sync_analytic_python(self, row: dict):
+        """In-process analytic per-event path: the SAME analytic_step
+        kernel over python-evaluated keys/gates/args — zero JVM round
+        trips.  _NOT_APPLICABLE when the query or this event's value
+        types are outside the subset; state lives in the SAME
+        ``_an_states`` store the Spark route uses, so a per-event
+        fallback keeps one continuous history."""
+        from ..dialect.pyeval import Fallback
+        from ..streaming.stateful import analytic_step
+
+        if not hasattr(self, "_an_py"):
+            self._an_py = self._compile_analytic_python()
+        if self._an_py is None or not row:
+            return _NOT_APPLICABLE
+        if any(v is not None and not isinstance(v, (int, float, str, bool))
+               for v in row.values()):
+            return _NOT_APPLICABLE
+        if not hasattr(self, "_an_states"):
+            self._an_states = {}
+        cp = self._an_py
+        import copy
+
+        from ..dialect.pyeval import _bool3, _truthy
+        try:
+            # step state on COPIES, commit only after the whole event
+            # evaluates: a Fallback anywhere hands the UNTOUCHED state
+            # to the Spark route, which then performs the one true step
+            staged = []
+            ext = dict(row)
+            for p, parts, when_f, args in cp["specs"]:
+                key = tuple(pf(row) for pf in parts)
+                gate = True
+                if when_f is not None:
+                    gate = _bool3(when_f(row)) is True
+                argv = [x(row) if k == "fn" else x for k, x in args]
+                st = copy.deepcopy(
+                    self._an_states.get((p["ph"], key)) or {})
+                ext[p["ph"]] = analytic_step(p, st, argv, gate)
+                staged.append(((p["ph"], key), st))
+            if cp["where"] is not None:
+                if not _truthy(_bool3(cp["where"](ext))):
+                    for slot, st in staged:
+                        self._touch_analytic_partition(*slot)
+                        self._an_states[slot] = st
+                    return None
+            out = {name: fn(ext) for name, fn in cp["outs"]}
+        except Fallback:
+            return _NOT_APPLICABLE
+        except Exception:
+            # deepcopy of an exotic custom state (or a kernel surprise):
+            # stay on the Spark route for this query's events
+            self._an_py = None
+            return _NOT_APPLICABLE
+        for slot, st in staged:
+            self._touch_analytic_partition(*slot)
+            self._an_states[slot] = st
+        return out
+
     def _emit_sync_analytic(self, row: dict) -> dict | None:
         """Per-event analytic evaluation in O(1) state (the reference's
         streamTransform direct path, stream/analytic.go:125-234): the
@@ -491,6 +636,11 @@ class StreamSQL:
         locally, keyed by the OVER(PARTITION BY ...) values; Spark
         evaluates only the single-row expressions.  (Replaces a full
         history replay per event — O(n²) over the stream.)"""
+        py = self._emit_sync_analytic_python(row)
+        if py is not _NOT_APPLICABLE:
+            if py is None:
+                return None
+            return self._deliver_sync(py)
         from dataclasses import replace
 
         from pyspark.sql import functions as F
@@ -575,6 +725,12 @@ class StreamSQL:
                     dt = (df.select(F.expr(exprs[first]).alias("x"))
                           .schema[0].dataType.simpleString()
                           if first else "double")
+                    if dt in ("tinyint", "smallint", "int", "bigint"):
+                        # schemaless streams mix int and float freely
+                        # (the reference's rows are float64-typed); a
+                        # placeholder pinned integral from the first
+                        # event would fail to encode later float state
+                        dt = "double"
                 info["dtype"] = dt
                 prep.append(info)
             self._an_prep = prep

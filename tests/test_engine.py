@@ -1440,3 +1440,57 @@ def test_pyeval_latency_is_in_process(spark):
         e.emit_sync({"t": float(i % 50)})
     rate = 2000 / (time.perf_counter() - t0)
     assert rate > 5000, f"{rate:.0f} events/s — python path not engaged?"
+
+
+def test_pyeval_analytic_differential_vs_spark_route(spark):
+    """The in-process analytic path must produce the same per-event
+    outputs AND the same state evolution as the Spark route: two
+    engines consume identical event sequences, one with the python
+    route disabled."""
+    import random
+
+    from streamsql_spark.api.facade import StreamSQL
+
+    queries = [
+        "SELECT k, v, lag(v) OVER (PARTITION BY k) AS prev FROM stream",
+        "SELECT k, acc_sum(v) OVER (PARTITION BY k) AS s, "
+        "acc_count(v) OVER (PARTITION BY k) AS c FROM stream",
+        "SELECT latest(v) OVER (PARTITION BY k) AS lv, "
+        "acc_max(v) OVER (PARTITION BY k) AS mx FROM stream WHERE v != 13",
+        "SELECT k, had_changed(true, k) OVER (PARTITION BY g) AS ch "
+        "FROM stream",
+        "SELECT acc_sum(v) OVER (PARTITION BY k WHEN v > 10) AS gated "
+        "FROM stream",
+        "SELECT v - lag(v, 2, 0.0) OVER (PARTITION BY k) AS d2 FROM stream",
+    ]
+    rng = random.Random(7)
+    for sql in queries:
+        py_e = StreamSQL(spark)
+        py_e.execute(sql)
+        sp_e = StreamSQL(spark)
+        sp_e.execute(sql)
+        sp_e._an_py = None  # force the Spark route
+        assert py_e._compile_analytic_python() is not None, sql
+        for i in range(25):
+            row = {"k": rng.choice(["a", "b"]),
+                   "g": rng.choice(["x", "y"]),
+                   "v": rng.choice([None, float(rng.randint(0, 30)),
+                                    rng.randint(0, 30)])}
+            got = py_e.emit_sync(dict(row))
+            want = sp_e.emit_sync(dict(row))
+            assert got == want, (sql, i, row, got, want)
+
+
+def test_pyeval_analytic_latency_is_in_process(spark):
+    import time
+
+    from streamsql_spark.api.facade import StreamSQL
+
+    e = StreamSQL(spark)
+    e.execute("SELECT acc_sum(v) OVER (PARTITION BY k) AS s FROM stream")
+    e.emit_sync({"k": "x", "v": 1.0})
+    t0 = time.perf_counter()
+    for i in range(2000):
+        e.emit_sync({"k": "x", "v": float(i)})
+    rate = 2000 / (time.perf_counter() - t0)
+    assert rate > 5000, f"{rate:.0f} events/s — python analytic path off?"
