@@ -490,7 +490,6 @@ class StreamSQL:
         from ..dialect import nodes as N
         from ..dialect import pyeval
         from ..dialect.planner import _default_name
-        from ..dialect.render import render
 
         plan = self._plan
         if (plan.joins or self.schema is not None or plan.distinct
@@ -498,11 +497,10 @@ class StreamSQL:
                 or self._stmt is None
                 or any(s.window_output for s in plan.analytics)):
             return None
-        # map analytic call sites to their placeholders: by node
-        # IDENTITY first (the planner stores the original stmt node on
-        # the spec in direct mode), structural repr as the fallback —
-        # render() deliberately refuses analytic nodes
-        ph_by_id = {id(s.func): s.placeholder for s in plan.analytics}
+        # map analytic call sites to their placeholders by structural
+        # repr (dataclass reprs are deterministic and recursive;
+        # N.transform rebuilds every node, so object identity cannot
+        # be used, and render() deliberately refuses analytic nodes)
         ph_by_repr: dict[str, str] = {}
         for s in plan.analytics:
             ph_by_repr.setdefault(repr(s.func), s.placeholder)
@@ -512,7 +510,7 @@ class StreamSQL:
         def subst(node):
             nonlocal bad
             if isinstance(node, N.Func) and node.over is not None:
-                ph = ph_by_id.get(id(node)) or ph_by_repr.get(repr(node))
+                ph = ph_by_repr.get(repr(node))
                 if ph is None:
                     bad = True
                     return node

@@ -49,6 +49,16 @@ def _num(v):
     return v
 
 
+def _finite(v):
+    """Numeric AND finite — NaN/Infinity semantics (ordering, equality,
+    floor/round behavior) differ between Python and Spark, so
+    non-finite values always take the Spark path."""
+    v = _num(v)
+    if isinstance(v, float) and not math.isfinite(v):
+        raise Fallback()
+    return v
+
+
 def _arith(op: str, a, b):
     if a is None or b is None:
         return None
@@ -68,13 +78,26 @@ def _arith(op: str, a, b):
         # Spark mod takes the DIVIDEND's sign (Java %), unlike Python %
         if b == 0:
             raise Fallback()
-        r = math.fmod(a, b)
         if isinstance(a, int) and isinstance(b, int):
-            return int(r)
-        return r
+            # exact integer truncated-division remainder — fmod would
+            # lose precision past 2^53
+            q = a // b
+            if a % b != 0 and (a < 0) != (b < 0):
+                q += 1
+            return a - q * b
+        a, b = _finite(a), _finite(b)
+        return math.fmod(a, b)
     if op == "^":
-        # exponentiation in the reference dialect (render.py:115)
-        return float(a) ** float(b)
+        # exponentiation in the reference dialect (render.py:115);
+        # 0^negative and negative^fractional have Java-specific
+        # Infinity/NaN results — Spark path owns them
+        try:
+            r = float(_finite(a)) ** float(_finite(b))
+        except (ZeroDivisionError, OverflowError):
+            raise Fallback()
+        if isinstance(r, complex) or not math.isfinite(r):
+            raise Fallback()
+        return r
     raise Fallback()
 
 
@@ -85,11 +108,15 @@ def _cmp(op: str, a, b):
     if any(bools):
         if not all(bools) or op not in ("=", "==", "!=", "<>"):
             raise Fallback()
-    elif isinstance(a, _NUM) != isinstance(b, _NUM):
+    elif isinstance(a, _NUM) and isinstance(b, _NUM):
+        # Spark orders NaN above everything and NaN = NaN is true —
+        # IEEE Python disagrees, so NaN comparisons take the Spark path
+        _finite(a), _finite(b)
+    elif isinstance(a, str) and isinstance(b, str):
+        pass
+    else:
         # mixed numeric/string comparison: Spark's implicit-cast rules
         # are subtle — not our problem to reimplement
-        raise Fallback()
-    elif isinstance(a, str) != isinstance(b, str):
         raise Fallback()
     if op in ("=", "=="):
         return a == b
@@ -127,7 +154,9 @@ def _truthy(v) -> bool:
     return v is True
 
 
-def _like_regex(pattern: str) -> "re.Pattern":
+def _like_regex(pattern: str) -> "re.Pattern | None":
+    if "\\" in pattern:
+        return None  # SQL LIKE escape sequences: Spark path owns them
     out = []
     for ch in pattern:
         if ch == "%":
@@ -142,7 +171,7 @@ def _like_regex(pattern: str) -> "re.Pattern":
 def _round_half_up(x, d=0):
     if x is None:
         return None
-    x = _num(x)
+    x = _finite(x)
     q = Decimal(1).scaleb(-int(d))
     r = float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
     if isinstance(x, int) and d <= 0:
@@ -164,7 +193,26 @@ def _fn_concat(*vs):
     return "".join(_str_arg(v) for v in vs)
 
 
+def _same_class(vs):
+    """Branch values must share a type class: Spark coerces mixed-type
+    branches (coalesce/if/CASE) to a least common type at ANALYSIS
+    time — e.g. an int branch beside a string branch yields strings —
+    which a runtime evaluator cannot reproduce.  Homogeneous branches
+    need no coercion; anything else falls back."""
+    vals = [v for v in vs if v is not None]
+    if not vals:
+        return
+    if all(isinstance(v, bool) for v in vals):
+        return
+    if all(isinstance(v, _NUM) and not isinstance(v, bool) for v in vals):
+        return
+    if all(isinstance(v, str) for v in vals):
+        return
+    raise Fallback()
+
+
 def _fn_coalesce(*vs):
+    _same_class(vs)
     for v in vs:
         if v is not None:
             return v
@@ -218,6 +266,10 @@ def _fn_extreme(biggest: bool, *vs):
     if not vals:
         return None
     if all(isinstance(v, _NUM) and not isinstance(v, bool) for v in vals):
+        # NaN sorts above everything in Spark; Python's max/min is
+        # argument-order-dependent with NaN — Spark path owns it
+        for v in vals:
+            _finite(v)
         return max(vals) if biggest else min(vals)
     if all(isinstance(v, str) for v in vals):
         return max(vals) if biggest else min(vals)
@@ -225,7 +277,9 @@ def _fn_extreme(biggest: bool, *vs):
 
 
 def _fn_if(c, a, b):
-    # Spark If: NULL condition takes the else branch
+    # Spark If: NULL condition takes the else branch; mixed branch
+    # types would have been coerced at analysis time — fall back
+    _same_class((a, b))
     return a if _bool3(c) is True else b
 
 
@@ -244,12 +298,12 @@ _FNS: dict[str, object] = {
     "indexof": lambda s, sub: None if s is None or sub is None
     else _str_arg(s).find(_str_arg(sub)),
     "sign": lambda v: None if v is None
-    else (0.0 if _num(v) == 0 else (1.0 if _num(v) > 0 else -1.0)),
+    else (0.0 if _finite(v) == 0 else (1.0 if _finite(v) > 0 else -1.0)),
     "nullif": lambda a, b: None
     if (a is not None and b is not None and _cmp("=", a, b) is True)
     else a,
-    "ifnull": lambda a, b: b if a is None else a,
-    "nvl": lambda a, b: b if a is None else a,
+    "ifnull": lambda a, b: _fn_coalesce(a, b),
+    "nvl": lambda a, b: _fn_coalesce(a, b),
     "greatest": lambda *vs: _fn_extreme(True, *vs),
     "least": lambda *vs: _fn_extreme(False, *vs),
     "if": _fn_if,
@@ -258,11 +312,12 @@ _FNS: dict[str, object] = {
     "lower": lambda v: None if v is None else _str_arg(v).lower(),
     "length": lambda v: None if v is None else len(_str_arg(v)),
     "trim": lambda v: None if v is None else _str_arg(v).strip(" "),
+    # Spark sqrt(-x) is NaN (Java Math.sqrt), not NULL
     "sqrt": lambda v: None if v is None
-    else (math.sqrt(_num(v)) if _num(v) >= 0 else None),
-    "floor": lambda v: None if v is None else int(math.floor(_num(v))),
-    "ceil": lambda v: None if v is None else int(math.ceil(_num(v))),
-    "ceiling": lambda v: None if v is None else int(math.ceil(_num(v))),
+    else (math.sqrt(_finite(v)) if _finite(v) >= 0 else float("nan")),
+    "floor": lambda v: None if v is None else int(math.floor(_finite(v))),
+    "ceil": lambda v: None if v is None else int(math.ceil(_finite(v))),
+    "ceiling": lambda v: None if v is None else int(math.ceil(_finite(v))),
     "round": _round_half_up,
     "concat": _fn_concat,
     "coalesce": _fn_coalesce,
@@ -298,7 +353,11 @@ def compile_expr(e: N.Expr):
         name = e.parts[0]
 
         def col(row, name=name):
-            v = row.get(name)
+            if name not in row:
+                # Spark raises unresolved-column for a missing event
+                # field; a silent NULL would flip behavior vs fallback
+                raise Fallback()
+            v = row[name]
             if v is not None and not isinstance(v, (int, float, str, bool)):
                 raise Fallback()  # nested/array value: Spark path
             return v
@@ -337,6 +396,8 @@ def compile_expr(e: N.Expr):
                 or not isinstance(e.pattern.value, str):
             return None
         rx = _like_regex(e.pattern.value)
+        if rx is None:
+            return None
         neg = e.negated
 
         def like(row):
@@ -399,16 +460,21 @@ def compile_expr(e: N.Expr):
             return None
 
         def case(row):
+            # evaluate EVERY branch (closures are pure) to apply the
+            # same mixed-type coercion guard Spark resolves statically
+            branch_vals = [vf(row) for _, vf in whens]
+            else_val = else_f(row) if else_f is not None else None
+            _same_class(branch_vals + [else_val])
             if op_f is not None:
                 base = op_f(row)
-                for cf, vf in whens:
+                for (cf, _), bv in zip(whens, branch_vals):
                     if base is not None and _cmp("=", base, cf(row)) is True:
-                        return vf(row)
+                        return bv
             else:
-                for cf, vf in whens:
+                for (cf, _), bv in zip(whens, branch_vals):
                     if _truthy(_bool3(cf(row))):
-                        return vf(row)
-            return else_f(row) if else_f is not None else None
+                        return bv
+            return else_val
         return case
     if isinstance(e, N.Func):
         if e.over is not None or e.distinct:

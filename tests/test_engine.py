@@ -4,6 +4,8 @@ post_aggregation, join, function tests) onto the deterministic
 emit + trigger_window / emit_sync harness (SURVEY §5 pattern).
 """
 
+import math
+
 import pytest
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
@@ -1494,3 +1496,47 @@ def test_pyeval_analytic_latency_is_in_process(spark):
         e.emit_sync({"k": "x", "v": float(i)})
     rate = 2000 / (time.perf_counter() - t0)
     assert rate > 5000, f"{rate:.0f} events/s — python analytic path off?"
+
+
+def test_pyeval_edge_values_fall_back_not_crash(spark):
+    """Non-finite values, 0^negative, large-int modulo, mixed-type
+    branches, and LIKE escapes must either match the Spark path or
+    fall back to it — never crash or silently diverge."""
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+
+    # 0 ^ -1 (Spark: Infinity) and inf inputs: no crash
+    e = StreamSQL(spark)
+    e.execute("SELECT t ^ -1 AS inv, floor(t) AS fl FROM stream")
+    r = e.emit_sync({"t": 2.0})
+    assert r["inv"] == 0.5 and r["fl"] == 2
+    assert e.emit_sync({"t": 0}) is not None          # falls back, no crash
+    assert e.emit_sync({"t": float("inf")}) is not None
+
+    # exact big-int modulo (fmod would lose precision past 2^53)
+    e2 = StreamSQL(spark)
+    e2.execute("SELECT id % 7 AS m FROM stream")
+    assert e2.emit_sync({"id": 2 ** 60 + 1})["m"] == (2 ** 60 + 1) % 7
+
+    # NaN comparison: Spark says NaN = NaN — python path must not
+    # silently filter the row with IEEE semantics
+    e3 = StreamSQL(spark)
+    e3.execute("SELECT t FROM stream WHERE t = t")
+    r3 = e3.emit_sync({"t": float("nan")})
+    assert r3 is not None and math.isnan(r3["t"])
+
+    # mixed-type coalesce branches: Spark coerces to string
+    e4 = StreamSQL(spark)
+    e4.execute("SELECT coalesce(t, s) AS c FROM stream")
+    assert e4.emit_sync({"t": 5, "s": "x"})["c"] in (5, "5")
+    got = e4.emit_sync({"t": None, "s": "x"})["c"]
+    assert got == "x"
+
+    # LIKE with an escape sequence defers to Spark's semantics: the
+    # python path must refuse to compile it (whatever the engine's
+    # escape behavior, both routes must agree)
+    e5 = StreamSQL(spark)
+    e5.execute("SELECT s FROM stream WHERE s LIKE '100\\\\%'")
+    assert e5._emit_sync_python({"s": "100%"}) is _NOT_APPLICABLE
+    sp = StreamSQL(spark)
+    sp.execute("SELECT s FROM stream WHERE s LIKE '100\\\\%'")
+    assert e5.emit_sync({"s": "100%"}) == sp._emit_sync_fast({"s": "100%"})
