@@ -923,7 +923,12 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
         st = _load_state(state) or {}
         outs = {p["ph"]: [] for p in prep}
         if len(pdf):
-            vals = {c: pdf[c].tolist() for c in pdf.columns}
+            # only the columns the step functions read — converting the
+            # whole frame costs one list per column PER KEY GROUP
+            need = {c for p in prep
+                    for c in ([p["when"]] if p["when"] else [])
+                    + [a for a in p["args"] if a]}
+            vals = {c: pdf[c].tolist() for c in need}
             for i in range(len(pdf)):
                 for p in prep:
                     nm, ph = p["name"], p["ph"]
