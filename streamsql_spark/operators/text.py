@@ -269,6 +269,61 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
                   .alias("clean_text")))
 
 
+def train_quality_classifier(df: DataFrame, label_col: str,
+                             text_col: str = "text",
+                             max_vocab: int = 4096, epochs: int = 300,
+                             lr: float = 0.5,
+                             l2: float = 1e-3) -> tuple[dict[str, float], float]:
+    """Train the linear bag-of-words quality classifier that
+    :func:`linear_quality_score` applies — the "fit fastText on
+    good-vs-bad examples" step of a CCNet-style filtering pipeline.
+
+    Features are mean-pooled token indicators over a document-frequency-
+    capped vocabulary; training is full-batch logistic regression with
+    L2, run driver-side in numpy over the labeled sample (labeled
+    quality sets are small by construction — the CORPUS never leaves
+    the cluster; only the sample is collected).  Deterministic: zero
+    init, fixed epochs, vocabulary ordered by (df desc, token).
+
+    Returns ``(weights, bias)`` ready for
+    ``linear_quality_score(corpus, weights, bias)``.
+    """
+    import numpy as np
+
+    rows = df.select(F.col(text_col), F.col(label_col).cast("double")) \
+        .collect()
+    if not rows:
+        raise ValueError("no labeled rows to train on")
+    texts = [(r[0] or "").split(" ") for r in rows]
+    y = np.array([float(r[1]) for r in rows])
+    dfreq: dict[str, int] = {}
+    for toks in texts:
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    vocab = [t for t, _ in sorted(dfreq.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:max_vocab]]
+    ix = {t: i for i, t in enumerate(vocab)}
+    X = np.zeros((len(texts), len(vocab)))
+    for r, toks in enumerate(texts):
+        if not toks:
+            continue
+        for t in toks:
+            j = ix.get(t)
+            if j is not None:
+                X[r, j] += 1.0
+        X[r] /= len(toks)
+    w = np.zeros(len(vocab))
+    b = 0.0
+    for _ in range(epochs):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        g = p - y
+        w -= lr * (X.T @ g / len(y) + l2 * w)
+        b -= lr * float(g.mean())
+    return ({t: round(float(w[ix[t]]), 6) for t in vocab
+             if abs(w[ix[t]]) > 1e-9}, round(float(b), 6))
+
+
 def canonicalize_url(df: DataFrame, url_col: str = "url",
                      out_col: str = "canon_url") -> DataFrame:
     """C4/CommonCrawl-style URL canonicalization for crawl dedup:

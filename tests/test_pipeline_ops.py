@@ -760,3 +760,45 @@ def test_segment_dedup_total_over_null_and_all_dup_docs(spark):
            segment_dedup(docs, seg_tokens=2).collect()}
     assert set(got) == {0, 1, 2}
     assert got[1]["n_kept"] == 0 and got[1]["clean_text"] == ""
+
+
+# -------------------------------------- quality classifier training
+
+
+def test_train_quality_classifier_separates_and_scores(spark):
+    """Train on a synthetic good-vs-spam labeled set, then score a held
+    -out corpus with linear_quality_score: good docs must score above
+    spam docs, and training must be deterministic."""
+    import random
+
+    from streamsql_spark.operators.text import (linear_quality_score,
+                                                train_quality_classifier)
+    rng = random.Random(3)
+    good_vocab = ["data", "query", "table", "join", "window", "spark"]
+    spam_vocab = ["click", "winner", "free", "prize", "now", "claim"]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab) for _ in range(20))
+
+    labeled = [(i, doc(good_vocab), 1) for i in range(40)] + \
+              [(100 + i, doc(spam_vocab), 0) for i in range(40)]
+    train_df = spark.createDataFrame(
+        labeled, "doc_id long, text string, label int")
+    w, b = train_quality_classifier(train_df, "label")
+    w2, b2 = train_quality_classifier(train_df, "label")
+    assert (w, b) == (w2, b2)           # deterministic fit
+
+    held = [(0, doc(good_vocab)), (1, doc(spam_vocab)),
+            (2, doc(good_vocab)), (3, doc(spam_vocab))]
+    held_df = spark.createDataFrame(held, "doc_id long, text string")
+    scores = {r["doc_id"]: r["clf_score"]
+              for r in linear_quality_score(held_df, w, bias=b).collect()}
+    assert scores[0] > 0.75 and scores[2] > 0.75
+    assert scores[1] < 0.25 and scores[3] < 0.25
+
+
+def test_train_quality_classifier_rejects_empty(spark):
+    from streamsql_spark.operators.text import train_quality_classifier
+    df = spark.createDataFrame([], "doc_id long, text string, label int")
+    with pytest.raises(ValueError):
+        train_quality_classifier(df, "label")
