@@ -74,6 +74,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # per-entry timing = best of N warm runs (first run pays
+        # one-time Catalyst analysis + codegen JIT)
+        "repeats": 3,
     }))
 
 

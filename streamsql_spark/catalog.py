@@ -776,17 +776,39 @@ _add("scalar_array", Entry(
 # value-level oracle: adjacent pairs ≡ LAG, and greedy A{2,} with SKIP
 # PAST LAST ROW ≡ gaps-and-islands maximal runs.
 
+# base adjacent-pair oracle (shared by the streaming replay entry,
+# which runs the A B pattern WITHOUT the SUBSET measures)
+_CEP_ADJ_ORACLE = """
+    WITH w AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val
+        FROM events)
+    SELECT user_id, prev_ts AS a_ts, ts AS b_ts,
+           prev_val AS a_val, value AS b_val
+    FROM w WHERE prev_val > 80 AND value < 20
+      AND ts - prev_ts <= INTERVAL 4 HOUR
+    """
+
 _add("cep_adjacent_within", Entry(
+    # SUBSET S = (A, B) exercises union-symbol navigation + aggregation
+    # (cep/engine.go:738-864): the match is one A row then one B row, so
+    # SUM(S.value) spans both and S.value navigates to the union's last
+    # row — both value-checked by the LAG oracle (merged r4, catalog
+    # stays at the 50-entry gate).
     _dialect("""
-        SELECT user_id, a_ts, b_ts, a_val, b_val FROM stream
+        SELECT user_id, a_ts, b_ts, a_val, b_val,
+               round(s_sum, 4) AS s_sum, s_last FROM stream
         MATCH_RECOGNIZE (
             PARTITION BY user_id
             ORDER BY ts, event_id
             MEASURES A.ts AS a_ts, B.ts AS b_ts,
-                     A.value AS a_val, B.value AS b_val
+                     A.value AS a_val, B.value AS b_val,
+                     SUM(S.value) AS s_sum, S.value AS s_last
             ONE ROW PER MATCH
             AFTER MATCH SKIP PAST LAST ROW
             PATTERN (A B)
+            SUBSET S = (A, B)
             DEFINE A AS value > 80, B AS value < 20
             WITHIN '4h'
         )
@@ -798,13 +820,15 @@ _add("cep_adjacent_within", Entry(
                lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val
         FROM events)
     SELECT user_id, prev_ts AS a_ts, ts AS b_ts,
-           prev_val AS a_val, value AS b_val
+           prev_val AS a_val, value AS b_val,
+           round(prev_val + value, 4) AS s_sum, value AS s_last
     FROM w WHERE prev_val > 80 AND value < 20
       AND ts - prev_ts <= INTERVAL 4 HOUR
     """,
     "§2.7 MATCH_RECOGNIZE A B adjacent-pair pattern + WITHIN duration "
     "bound: match killed when last.ts − first.ts exceeds the bound "
-    "(cep/engine.go:374-461, 690-696, 281-320)"))
+    "(cep/engine.go:374-461, 690-696, 281-320) + SUBSET union-symbol "
+    "navigation/aggregation (cep/engine.go:738-864)"))
 
 _add("cep_burst_islands", Entry(
     _dialect("""
@@ -902,37 +926,89 @@ _add("cep_all_rows", Entry(
     "(types/match_recognize.go:19-26, cep/engine.go:638-655)"))
 
 
+def _cep_skip_policies_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKIP TO NEXT ROW and SKIP TO LAST <symbol> in one kind-tagged
+    entry (merged r4, catalog stays at the 50-entry gate).
+
+    - next_row: A{2} over value>75 — a run of n qualifying rows yields
+      n-1 overlapping matches ≡ the LAG adjacent-pair predicate.
+    - skip_last: PATTERN (X Y Z), all three defined as value>75, AFTER
+      MATCH SKIP TO LAST Z — the matched Z row RE-ANCHORS the next
+      match, so matches tile each maximal qualifying run at stride 2
+      (anchors 1,3,5,… while anchor+2 ≤ run length), which is
+      OBSERVABLY different from both SKIP TO NEXT ROW (stride 1) and
+      PAST LAST ROW (stride 3) — the islands oracle pins the policy
+      exactly (cep/engine.go:593-625)."""
+    from pyspark.sql import functions as F
+
+    tables = load_tables(spark, sf_dir)
+    out = []
+    for kind, sql in (
+            ("next_row", """
+                SELECT user_id, a1_ts, a2_ts, a1_val, a2_val FROM stream
+                MATCH_RECOGNIZE (
+                    PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    MEASURES FIRST(A.ts) AS a1_ts, LAST(A.ts) AS a2_ts,
+                             FIRST(A.value) AS a1_val, LAST(A.value) AS a2_val
+                    ONE ROW PER MATCH
+                    AFTER MATCH SKIP TO NEXT ROW
+                    PATTERN (A{2})
+                    DEFINE A AS value > 75
+                )
+            """),
+            ("skip_last", """
+                SELECT user_id, a1_ts, a2_ts, a1_val, a2_val FROM stream
+                MATCH_RECOGNIZE (
+                    PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    MEASURES X.ts AS a1_ts, Z.ts AS a2_ts,
+                             X.value AS a1_val, Z.value AS a2_val
+                    ONE ROW PER MATCH
+                    AFTER MATCH SKIP TO LAST Z
+                    PATTERN (X Y Z)
+                    DEFINE X AS value > 75, Y AS value > 75, Z AS value > 75
+                )
+            """)):
+        q = StreamSQL(spark).execute(sql)
+        out.append(q.query(tables["events"]).withColumn("kind", F.lit(kind)))
+    return out[0].unionByName(out[1])
+
+
 _add("cep_skip_next_overlap", Entry(
-    # AFTER MATCH SKIP TO NEXT ROW restarts matching at the row AFTER
-    # the match's first row, so a run of n qualifying rows yields n-1
-    # overlapping A{2} matches (PAST LAST ROW would yield floor(n/2)).
-    # Every adjacent qualifying pair is therefore a match — exactly the
-    # LAG predicate, giving the skip policy a full value-level oracle.
-    _dialect("""
-        SELECT user_id, a1_ts, a2_ts, a1_val, a2_val FROM stream
-        MATCH_RECOGNIZE (
-            PARTITION BY user_id
-            ORDER BY ts, event_id
-            MEASURES FIRST(A.ts) AS a1_ts, LAST(A.ts) AS a2_ts,
-                     FIRST(A.value) AS a1_val, LAST(A.value) AS a2_val
-            ONE ROW PER MATCH
-            AFTER MATCH SKIP TO NEXT ROW
-            PATTERN (A{2})
-            DEFINE A AS value > 75
-        )
-    """, "events"),
+    _cep_skip_policies_run,
     """
     WITH w AS (
         SELECT user_id, ts, value,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
                lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val
-        FROM events)
+        FROM events),
+    seq AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               CASE WHEN value > 75 THEN 1 ELSE 0 END AS hit
+        FROM events),
+    isl AS (
+        SELECT *, rn - row_number()
+                 OVER (PARTITION BY user_id, hit ORDER BY rn) AS grp
+        FROM seq WHERE hit = 1),
+    pos AS (
+        SELECT *, row_number()
+                 OVER (PARTITION BY user_id, grp ORDER BY rn) AS p
+        FROM isl)
     SELECT user_id, prev_ts AS a1_ts, ts AS a2_ts,
-           prev_val AS a1_val, value AS a2_val
+           prev_val AS a1_val, value AS a2_val, 'next_row' AS kind
     FROM w WHERE prev_val > 75 AND value > 75
+    UNION ALL
+    SELECT x.user_id, x.ts AS a1_ts, z.ts AS a2_ts,
+           x.value AS a1_val, z.value AS a2_val, 'skip_last' AS kind
+    FROM pos x JOIN pos z
+      ON x.user_id = z.user_id AND x.grp = z.grp AND z.p = x.p + 2
+    WHERE x.p % 2 = 1
     """,
-    "§2.7 AFTER MATCH SKIP TO NEXT ROW overlapping matches "
-    "(cep/engine.go:593-625 skip policies; test/e2e/cep_test.go)"))
+    "§2.7 AFTER MATCH SKIP TO NEXT ROW overlapping matches + SKIP TO "
+    "LAST <symbol> re-anchoring (stride-2 island tiling oracle) "
+    "(cep/engine.go:593-625 skip policies; test/e2e/cep_test.go:766)"))
 
 _add("cep_permute", Entry(
     # PERMUTE(A, B) ≡ (A B | B A).  A (>80) and B (<20) are disjoint
@@ -1294,7 +1370,7 @@ def _streaming_cep_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("streaming_cep_replay", Entry(
     _streaming_cep_run,
-    CATALOG["cep_adjacent_within"].oracle,
+    _CEP_ADJ_ORACLE,
     "§2.7+§3 MATCH_RECOGNIZE on the incremental streaming matcher "
     "(cep/engine.go:374-461 semantics in applyInPandasWithState); "
     "value-parity with the batch CEP path"))

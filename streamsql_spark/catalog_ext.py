@@ -488,8 +488,15 @@ _CLF_WEIGHTS: dict[str, float] = {
 _CLF_BIAS = -0.4
 
 
+def _sq(s: str) -> str:
+    """Standard-SQL single-quote escaping for a string literal body —
+    vocabulary tokens come from raw corpus text ("don't"), so they must
+    never be interpolated unescaped."""
+    return s.replace("'", "''")
+
+
 def _clf_score_oracle() -> str:
-    cases = " ".join(f"WHEN '{t}' THEN {w!r}"
+    cases = " ".join(f"WHEN '{_sq(t)}' THEN {w!r}"
                      for t, w in sorted(_CLF_WEIGHTS.items()))
     w = "string_split(text, ' ')"
     total = (f"list_sum(list_transform({w}, t -> "
@@ -499,7 +506,7 @@ def _clf_score_oracle() -> str:
 
 
 def _lang_score_oracle(lang_words: tuple[str, ...]) -> str:
-    sw = ", ".join(f"'{w}'" for w in lang_words)
+    sw = ", ".join(f"'{_sq(w)}'" for w in lang_words)
     return (f"round(CAST(len(list_filter(string_split(lower(text), ' '), "
             f"t -> list_contains([{sw}], t))) AS DOUBLE)"
             f" / greatest(len(string_split(lower(text), ' ')), 1), 6)")

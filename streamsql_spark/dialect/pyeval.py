@@ -41,12 +41,28 @@ class Fallback(Exception):
 
 
 _NUM = (int, float)
+_I64_MIN, _I64_MAX = -(2 ** 63), 2 ** 63 - 1
 
 
 def _num(v):
     if isinstance(v, bool) or not isinstance(v, _NUM):
         raise Fallback()
+    if isinstance(v, int) and not _I64_MIN <= v <= _I64_MAX:
+        # beyond BIGINT: Spark would have wrapped/errored long before —
+        # Python's arbitrary precision must not silently diverge
+        raise Fallback()
     return v
+
+
+def _i64(r):
+    """Guard an int RESULT to BIGINT range: Python's arbitrary-precision
+    ints happily return 2^63, where Spark's BIGINT wraps or raises under
+    ANSI — a silent semantic divergence.  Out-of-range ints re-route the
+    event through the Spark semantics oracle."""
+    if isinstance(r, int) and not isinstance(r, bool) \
+            and not _I64_MIN <= r <= _I64_MAX:
+        raise Fallback()
+    return r
 
 
 def _finite(v):
@@ -64,11 +80,11 @@ def _arith(op: str, a, b):
         return None
     a, b = _num(a), _num(b)
     if op == "+":
-        return a + b
+        return _i64(a + b)
     if op == "-":
-        return a - b
+        return _i64(a - b)
     if op == "*":
-        return a * b
+        return _i64(a * b)
     if op == "/":
         # Spark `/` is double division; x/0 handling is mode-dependent
         if b == 0:
@@ -165,12 +181,20 @@ def _like_regex(pattern: str) -> "re.Pattern | None":
             out.append(".")
         else:
             out.append(re.escape(ch))
-    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+    # \Z, not $: Python's $ also matches just before a trailing
+    # newline, so 'hello\n' would pass LIKE 'hel%o' where Spark
+    # filters it — end-of-string must be exact
+    return re.compile("^" + "".join(out) + r"\Z", re.DOTALL)
 
 
 def _round_half_up(x, d=0):
-    if x is None:
+    # compile_expr only admits round when the scale is an int LITERAL
+    # (Spark rejects a non-foldable scale at analysis time), so d is
+    # always a Python int here; x is the only runtime value.
+    if x is None or d is None:
         return None
+    if isinstance(d, bool) or not isinstance(d, int):
+        raise Fallback()
     x = _finite(x)
     q = Decimal(1).scaleb(-int(d))
     r = float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
@@ -242,7 +266,10 @@ def _fn_pad(left: bool, s, n, pad):
     return fill + s if left else s + fill
 
 
-def _fn_substring(s, start, length=None):
+_ABSENT = object()  # distinguishes "no 3rd argument" from "3rd arg is NULL"
+
+
+def _fn_substring(s, start, length=_ABSENT):
     # dialect substring is 0-based (registry._render_substring)
     if s is None or start is None:
         return None
@@ -250,8 +277,10 @@ def _fn_substring(s, start, length=None):
     start = _num(start)
     if isinstance(start, float) or start < 0:
         raise Fallback()  # negative = count-from-end; Spark path owns it
-    if length is None:
+    if length is _ABSENT:
         return s[int(start):]
+    if length is None:
+        return None  # Spark null-propagates a provided-but-NULL length
     length = _num(length)
     if isinstance(length, float):
         raise Fallback()
@@ -307,7 +336,7 @@ _FNS: dict[str, object] = {
     "greatest": lambda *vs: _fn_extreme(True, *vs),
     "least": lambda *vs: _fn_extreme(False, *vs),
     "if": _fn_if,
-    "abs": lambda v: None if v is None else abs(_num(v)),
+    "abs": lambda v: None if v is None else _i64(abs(_num(v))),
     "upper": lambda v: None if v is None else _str_arg(v).upper(),
     "lower": lambda v: None if v is None else _str_arg(v).lower(),
     "length": lambda v: None if v is None else len(_str_arg(v)),
@@ -388,7 +417,7 @@ def compile_expr(e: N.Expr):
                 return None if v is None else (not v)
             return notf
         if e.op == "-":
-            return lambda row: None if f(row) is None else -_num(f(row))
+            return lambda row: None if f(row) is None else _i64(-_num(f(row)))
         return None
     if isinstance(e, N.Like):
         f = compile_expr(e.operand)
@@ -490,6 +519,15 @@ def compile_expr(e: N.Expr):
         arity = _FN_ARITY.get(e.name.lower())
         if arity is not None and not (arity[0] <= len(e.args) <= arity[1]):
             return None
+        if lname == "round" and len(e.args) == 2:
+            # Spark's Round requires a foldable int scale and rejects a
+            # column scale at ANALYSIS time; pyeval must not answer
+            # queries the semantics oracle would error on — admit only
+            # an int literal (NULL/float/column scales → Spark path)
+            d = e.args[1]
+            if not (isinstance(d, N.Lit) and isinstance(d.value, int)
+                    and not isinstance(d.value, bool)):
+                return None
         args = [compile_expr(a) for a in e.args]
         if any(a is None for a in args):
             return None

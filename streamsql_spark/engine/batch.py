@@ -693,7 +693,17 @@ class BatchExecutor:
         (counting-window flat-lookup parity); since it IS a subset, the
         downstream groupBy — which includes every group expr — can never
         collide win_ids across chunk-key partitions."""
-        order = F.col(_TS) if _TS in df.columns else F.monotonically_increasing_id()
+        if _TS not in df.columns:
+            # same typed refusal as arrival-order aggregates above:
+            # ordering by monotonically_increasing_id() binds chunk
+            # membership to physical partition layout — deterministic on
+            # one parquet scan, arbitrary after any repartition
+            raise ExecError(
+                "counting/global-trigger window needs an event-time "
+                "column: declare one with TIMESTAMP(col) or ensure "
+                f"'{_TS}' is in scope — without it chunk membership "
+                "would depend on physical partition layout")
+        order = F.col(_TS)
         part = [F.expr(s) for s in key_sqls] or [F.lit(1)]
         rn = F.row_number().over(Window.partitionBy(*part).orderBy(order))
         total = F.count(F.lit(1)).over(Window.partitionBy(*part))

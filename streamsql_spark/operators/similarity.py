@@ -248,6 +248,13 @@ def graph_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     Output schema/tie-breaks match :func:`cosine_topk`; whenever the
     union of shard candidates contains the true top-k the result is
     exactly the brute-force answer (pytest pins recall ≥ 0.9).
+
+    Shard layout is DETERMINISTIC (ADVICE r3): vectors are hash-
+    partitioned by id and sorted within each shard, and each partition
+    builds exactly ONE graph (Arrow batches are concatenated), so the
+    candidate union — and with it the merged result — is a pure
+    function of the vector set, not of scan order, round-robin
+    placement, or arrow batch sizing.
     """
     import heapq
 
@@ -260,9 +267,10 @@ def graph_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     n_cand = k * refine
 
     def shard_kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        for pdf in (pd.concat(chunks, ignore_index=True),):
             emb = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
                               1e-12)
@@ -313,7 +321,15 @@ def graph_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                                 "approx": out_s})
 
     id_t = vectors.schema[id_col].dataType.simpleString()
-    cand = (ensure_parallelism(vectors).select(id_col, vec_col)
+    # deterministic shard layout: hash-partition by id (stable for a
+    # given vector set + partition count), id-sorted within the shard
+    # so the entry node and build order never depend on scan order
+    spark = vectors.sparkSession
+    n_shards = max(int(spark.sparkContext.defaultParallelism), 1)
+    sharded = (vectors.select(id_col, vec_col)
+               .repartition(n_shards, F.col(id_col))
+               .sortWithinPartitions(id_col))
+    cand = (sharded
             .mapInPandas(shard_kernel,
                          f"query_id {id_t}, neighbor_id {id_t}, approx double")
             .where(F.col("neighbor_id") != F.col("query_id"))

@@ -272,8 +272,9 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
 def train_quality_classifier(df: DataFrame, label_col: str,
                              text_col: str = "text",
                              max_vocab: int = 4096, epochs: int = 300,
-                             lr: float = 0.5,
-                             l2: float = 1e-3) -> tuple[dict[str, float], float]:
+                             lr: float = 0.5, l2: float = 1e-3,
+                             max_rows: int = 200_000
+                             ) -> tuple[dict[str, float], float]:
     """Train the linear bag-of-words quality classifier that
     :func:`linear_quality_score` applies — the "fit fastText on
     good-vs-bad examples" step of a CCNet-style filtering pipeline.
@@ -290,6 +291,16 @@ def train_quality_classifier(df: DataFrame, label_col: str,
     """
     import numpy as np
 
+    # enforce the "labeled sets are small by construction" contract
+    # BEFORE collecting: a mistakenly-passed full corpus must fail
+    # typed, not OOM the driver (bounded probe: limit(cap+1).count())
+    probe = df.limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"labeled sample exceeds max_rows={max_rows}: "
+            "train_quality_classifier collects the labeled set to the "
+            "driver — pass a sample (df.sample/limit) or raise max_rows "
+            "explicitly if the driver can hold it")
     rows = df.select(F.col(text_col), F.col(label_col).cast("double")) \
         .collect()
     if not rows:
@@ -404,14 +415,21 @@ def linear_quality_score(df: DataFrame, weights: dict[str, float],
     df = ensure_parallelism(df)
     if not weights:
         raise ValueError("weights must be a non-empty token->weight map")
-    items = ", ".join(
-        f"'{tok}', CAST({w!r} AS DOUBLE)" for tok, w in sorted(weights.items()))
-    toks = f"split({text_col}, ' ')"
-    total = (f"aggregate({toks}, 0D, (a, t) -> "
-             f"a + coalesce(element_at(map({items}), t), 0D))")
-    logit = f"({total}) / greatest(size({toks}), 1) + CAST({bias!r} AS DOUBLE)"
+    # the weight table is built with the COLUMN API, never interpolated
+    # into a SQL string: vocabulary tokens come from raw corpus text, so
+    # quotes/backslashes ("don't", "C:\\") must be data, not syntax
+    wmap = F.create_map(*[x for tok, w in sorted(weights.items())
+                          for x in (F.lit(tok),
+                                    F.lit(float(w)).cast("double"))])
+    toks = F.split(F.col(text_col), " ")
+    total = F.aggregate(
+        toks, F.lit(0.0).cast("double"),
+        lambda a, t: a + F.coalesce(F.element_at(wmap, t),
+                                    F.lit(0.0).cast("double")))
+    logit = (total / F.greatest(F.size(toks), F.lit(1))
+             + F.lit(float(bias)).cast("double"))
     return df.withColumn(
-        out_col, F.expr(f"round(1D / (1D + exp(-({logit}))), 6)"))
+        out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6))
 
 
 # PII patterns: RE2-compatible (no backreferences/lookaround) so the

@@ -116,11 +116,16 @@ ALGEBRAIC_AGGS = {"count", "count_star", "sum", "avg", "min", "max",
 
 
 def acc_new() -> list:
-    # [n_rows, n_nonnull, sum, sumsq, min, max, first, last,
+    # [n_rows, n_nonnull, n_num, sum, mean, M2, min, max, first, last,
     #  min_num, max_num, mixed_types]
-    # sum/sumsq start as int 0 so integer inputs keep an integer sum
-    # (matching Catalyst's sum(BIGINT) -> BIGINT on the native path)
-    return [0, 0, 0, 0, None, None, None, None, None, None, False]
+    # sum starts as int 0 so integer inputs keep an integer sum
+    # (matching Catalyst's sum(BIGINT) -> BIGINT on the native path).
+    # Variance state is Welford's (n, mean, M2) — NOT sum-of-squares,
+    # which catastrophically cancels on large-magnitude low-variance
+    # data (unix-ms timestamps, money in cents); this matches Spark's
+    # own CentralMomentAgg state.
+    return [0, 0, 0, 0, 0.0, 0.0, None, None, None, None, None, None,
+            False]
 
 
 def acc_update(acc: list, v) -> None:
@@ -131,8 +136,8 @@ def acc_update(acc: list, v) -> None:
     (functions_aggregation.go:650-662), and Spark's min_by/max_by over
     the arrival-order column behave identically."""
     if acc[0] == 0:
-        acc[6] = v
-    acc[7] = v
+        acc[8] = v
+    acc[9] = v
     acc[0] += 1
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return
@@ -140,24 +145,65 @@ def acc_update(acc: list, v) -> None:
     if isinstance(v, bool):
         v = int(v)
     if isinstance(v, (int, float)):
-        acc[2] += v
-        acc[3] += v * v
+        acc[2] += 1
+        acc[3] += v
+        # Welford online update: numerically stable O(1) variance state
+        d = v - acc[4]
+        acc[4] += d / acc[2]
+        acc[5] += d * (v - acc[4])
         # numeric-only extremes: the fallback used when the column turns
         # out to hold incomparable mixed types (py_aggregate parity)
-        acc[8] = v if acc[8] is None else min(acc[8], v)
-        acc[9] = v if acc[9] is None else max(acc[9], v)
+        acc[10] = v if acc[10] is None else min(acc[10], v)
+        acc[11] = v if acc[11] is None else max(acc[11], v)
     try:
-        acc[4] = v if acc[4] is None else min(acc[4], v)
-        acc[5] = v if acc[5] is None else max(acc[5], v)
+        acc[6] = v if acc[6] is None else min(acc[6], v)
+        acc[7] = v if acc[7] is None else max(acc[7], v)
     except TypeError:
         # incomparable mixed types: flag it so acc_result falls back to
         # the numeric-only extremes, exactly like py_aggregate's
         # holistic path — the algebraic and buffered kernels must agree
-        acc[10] = True
+        acc[12] = True
+
+
+def acc_merge(a: list, b: list) -> list:
+    """Chan's parallel combine of two partials (a then b, arrival order).
+
+    Not used by the sequential kernels today, but keeps the state
+    mergeable for map-side partial aggregation at scale; same O(1)
+    state, same numerical stability as the Welford update."""
+    out = acc_new()
+    out[0] = a[0] + b[0]
+    out[1] = a[1] + b[1]
+    out[2] = a[2] + b[2]
+    out[3] = a[3] + b[3]
+    na, nb = a[2], b[2]
+    if out[2]:
+        d = b[4] - a[4]
+        out[4] = a[4] + d * nb / out[2]
+        out[5] = a[5] + b[5] + d * d * na * nb / out[2]
+    for i in (6, 10):  # mins
+        xs = [x for x in (a[i], b[i]) if x is not None]
+        if xs:
+            try:
+                out[i] = min(xs)
+            except TypeError:
+                out[12] = True
+    for i in (7, 11):  # maxes
+        xs = [x for x in (a[i], b[i]) if x is not None]
+        if xs:
+            try:
+                out[i] = max(xs)
+            except TypeError:
+                out[12] = True
+    out[8] = a[8] if a[0] else b[8]
+    out[9] = b[9] if b[0] else a[9]
+    out[12] = out[12] or a[12] or b[12]
+    return out
 
 
 def acc_result(name: str, acc: list):
-    n_rows, n, s, s2, lo, hi, first, last, lo_num, hi_num, mixed = acc
+    (n_rows, n, n_num, s, mean, m2, lo, hi, first, last,
+     lo_num, hi_num, mixed) = acc
     name = name.lower()
     if name == "count_star":
         return n_rows
@@ -171,20 +217,20 @@ def acc_result(name: str, acc: list):
         return lo_num if mixed else lo
     if name == "max":
         return hi_num if mixed else hi
-    if n == 0:
+    if n_num == 0:
         return None
     if name == "sum":
         # int stays int (Catalyst sum(BIGINT) -> BIGINT parity); float in
         # the fold makes the whole sum float
         return s if isinstance(s, int) else float(s)
     if name == "avg":
-        return float(s) / n
+        return float(s) / n_num
     if name in ("stddev", "var", "stddevs", "vars"):
         if name in ("stddevs", "vars"):
-            if n < 2:
+            if n_num < 2:
                 return None
-            var = max(0.0, (s2 - s * s / n) / (n - 1))
+            var = max(0.0, m2 / (n_num - 1))
         else:
-            var = max(0.0, s2 / n - (s / n) ** 2)
+            var = max(0.0, m2 / n_num)
         return math.sqrt(var) if name.startswith("stddev") else var
     raise ValueError(f"not an algebraic aggregate: {name}")

@@ -5,7 +5,7 @@ every algebraic aggregate, for any value sequence (None/NaN included).
 
 import math
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from streamsql_spark.streaming.aggutil import (ALGEBRAIC_AGGS, acc_new,
@@ -22,6 +22,11 @@ values = st.lists(
 
 @settings(max_examples=200, deadline=None)
 @given(vals=values, name=st.sampled_from(sorted(ALGEBRAIC_AGGS)))
+# pinned r3 counterexample: naive sum-of-squares partials cancelled
+# catastrophically on large-magnitude low-variance data
+@example(vals=[707721.27, None, 707706.0], name="stddevs")
+@example(vals=[707721.27, None, 707706.0], name="stddev")
+@example(vals=[1e6, 1e6 - 0.25, 1e6 - 0.5], name="vars")
 def test_partials_match_buffered_evaluation(vals, name):
     acc = acc_new()
     for v in vals:
@@ -274,18 +279,90 @@ def test_ffd_deterministic_under_permutation(tokens):
     assert f1 == f2
 
 
+def _exact_opt_bins(tokens, budget):
+    """Exact bin-packing optimum by branch-and-bound (small n only).
+
+    Places items largest-first into existing bins or a new bin, pruning
+    branches that cannot beat the incumbent; symmetric bins (equal
+    remaining capacity) are tried once."""
+    items = sorted(tokens, reverse=True)
+    n = len(items)
+    best = [n]  # n singleton bins is always feasible
+
+    def rec(i, fills):
+        if len(fills) >= best[0]:
+            return
+        if i == n:
+            best[0] = len(fills)
+            return
+        t = items[i]
+        tried = set()
+        for b, f in enumerate(fills):
+            if f + t <= budget and f not in tried:
+                tried.add(f)
+                fills[b] = f + t
+                rec(i + 1, fills)
+                fills[b] = f
+        if len(fills) + 1 < best[0]:
+            fills.append(t)
+            rec(i + 1, fills)
+            fills.pop()
+
+    rec(0, [])
+    return best[0]
+
+
 @settings(max_examples=200, deadline=None)
 @given(tokens=st.lists(st.integers(min_value=1, max_value=60),
                        min_size=1, max_size=50),
        budget=st.integers(min_value=60, max_value=120))
+# pinned r3 counterexample: true OPT here IS 7 bins (no two items fit
+# together), while the sum lower bound says 4 — the 11/9 guarantee only
+# applies to true OPT, never to the lower bound
+@example(tokens=[27, 34, 34, 34, 34, 34, 34], budget=60)
 def test_ffd_bin_count_within_ffd_bound(tokens, budget):
-    # FFD uses at most (11/9)·OPT + 1 bins; check against the trivial
-    # lower bound ceil(total/budget) when no item is oversize
+    # FFD guarantees bins <= (11/9)·OPT + 1 against the TRUE optimum.
+    # Check: (a) the no-two-bins-mergeable invariant of any first-fit
+    # result, for every input; (b) the 11/9 bound against exact OPT by
+    # branch-and-bound, for inputs small enough to solve exactly.
     import math
 
     from streamsql_spark.operators.pack import ffd_assign
     if any(t > budget for t in tokens):
         return
     _, fills = ffd_assign(tokens, list(range(len(tokens))), budget)
-    opt_lb = math.ceil(sum(tokens) / budget)
-    assert len(fills) <= math.ceil(11 / 9 * opt_lb) + 1
+    fvals = sorted(fills.values() if isinstance(fills, dict) else fills)
+    # (a) no two bins could be merged: the two emptiest together overflow
+    if len(fvals) >= 2:
+        assert fvals[0] + fvals[1] > budget, (tokens, budget, fvals)
+    # (b) exact-OPT bound on small instances
+    if len(tokens) <= 12:
+        opt = _exact_opt_bins(tokens, budget)
+        assert len(fvals) <= math.ceil(11 / 9 * opt) + 1, \
+            (tokens, budget, len(fvals), opt)
+
+
+@settings(max_examples=200, deadline=None)
+@given(vals=values, name=st.sampled_from(sorted(ALGEBRAIC_AGGS)),
+       cut=st.integers(min_value=0, max_value=60))
+def test_acc_merge_matches_sequential(vals, name, cut):
+    """Chan's parallel combine of two partials must agree with the
+    single sequential fold at any split point."""
+    from streamsql_spark.streaming.aggutil import acc_merge
+
+    cut = min(cut, len(vals))
+    a, b, seq = acc_new(), acc_new(), acc_new()
+    for v in vals[:cut]:
+        acc_update(a, v)
+    for v in vals[cut:]:
+        acc_update(b, v)
+    for v in vals:
+        acc_update(seq, v)
+    merged = acc_merge(a, b)
+    for agg in (name,):
+        got, want = acc_result(agg, merged), acc_result(agg, seq)
+        if isinstance(want, float) and want is not None and got is not None:
+            assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-6), \
+                (agg, got, want)
+        else:
+            assert got == want, (agg, got, want)

@@ -412,9 +412,12 @@ def test_join_counting_window_group_by_table_field(spark):
     # and the fired chunk sub-groups by location in the aggregator.
     sql = ("SELECT m.location, AVG(temp) AS avg_t FROM stream "
            "JOIN meta m ON deviceId = m.deviceId "
-           "GROUP BY m.location, CountingWindow(4)")
-    rows = [{"deviceId": "d1", "temp": 30.0}, {"deviceId": "d1", "temp": 40.0},
-            {"deviceId": "d2", "temp": 20.0}, {"deviceId": "d2", "temp": 60.0}]
+           "GROUP BY m.location, CountingWindow(4) "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [{"deviceId": "d1", "temp": 30.0, "ts": 1000},
+            {"deviceId": "d1", "temp": 40.0, "ts": 2000},
+            {"deviceId": "d2", "temp": 20.0, "ts": 3000},
+            {"deviceId": "d2", "temp": 60.0, "ts": 4000}]
     meta = [{"deviceId": "d1", "location": "plantA"},
             {"deviceId": "d2", "location": "plantB"}]
     out = run_query(spark, sql, rows, tables={"meta": meta})
@@ -428,8 +431,10 @@ def test_join_left_counting_window_null_group(spark):
     # fires on 2 total rows (flat-lookup keying, as above).
     sql = ("SELECT m.location, AVG(temp) AS avg_t FROM stream "
            "LEFT JOIN meta m ON deviceId = m.deviceId "
-           "GROUP BY m.location, CountingWindow(2)")
-    rows = [{"deviceId": "d1", "temp": 10.0}, {"deviceId": "d9", "temp": 20.0}]
+           "GROUP BY m.location, CountingWindow(2) "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [{"deviceId": "d1", "temp": 10.0, "ts": 1000},
+            {"deviceId": "d9", "temp": 20.0, "ts": 2000}]
     meta = [{"deviceId": "d1", "location": "plantA"}]
     out = run_query(spark, sql, rows, tables={"meta": meta})
     got = {r["location"]: r["avg_t"] for r in out}
@@ -440,8 +445,10 @@ def test_counting_window_plain_key_still_per_key(spark):
     # plain stream columns DO key the counting window (flat lookup
     # hits): d1 completes a window of 2, d2's single row stays pending
     sql = ("SELECT deviceId, count(*) AS n FROM stream "
-           "GROUP BY deviceId, CountingWindow(2)")
-    rows = [{"deviceId": "d1"}, {"deviceId": "d1"}, {"deviceId": "d2"}]
+           "GROUP BY deviceId, CountingWindow(2) "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [{"deviceId": "d1", "ts": 1000}, {"deviceId": "d1", "ts": 2000},
+            {"deviceId": "d2", "ts": 3000}]
     out = run_query(spark, sql, rows)
     assert out == [{"deviceId": "d1", "n": 2}]
 
@@ -1381,6 +1388,19 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         "SELECT nullif(s, 'keep') AS nn, ifnull(t, -1) AS nv, "
         "greatest(t, h, 10) AS g, least(t, h) AS ls FROM stream",
         "SELECT if(t > 25, 'big', 'small') AS sz FROM stream",
+        # trailing-newline LIKE: Python's $ matches before a final \n,
+        # Spark's LIKE does not — exact end-of-string anchoring pinned
+        "SELECT s FROM stream WHERE s LIKE '%or'",
+        "SELECT s FROM stream WHERE s LIKE 'sens_r'",
+        # provided-but-NULL substring length must null-propagate, not
+        # fall back to the 2-arg suffix form
+        "SELECT substring(s, 0, h) AS sub3 FROM stream",
+        # 2^62-magnitude BIGINTs: in-range arithmetic must agree
+        # exactly; out-of-range results are covered by
+        # test_pyeval_int64_overflow_falls_back (ANSI Spark would raise)
+        "SELECT b + h AS bh, b - 25 AS bm, -b AS nb FROM stream "
+        "WHERE b IS NOT NULL",
+        "SELECT b % 1000 AS bmod, abs(b) AS babs FROM stream",
     ]
     rng = random.Random(20260814)
 
@@ -1388,8 +1408,11 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         t = rng.choice([None, rng.randint(-40, 60),
                         round(rng.uniform(-40.0, 60.0), 3)])
         h = rng.choice([None, rng.randint(0, 100)])
-        s = rng.choice([None, "sensor", " se pad ", "keep", "", "Xy"])
-        return {"t": t, "h": h, "s": s}
+        s = rng.choice([None, "sensor", " se pad ", "keep", "", "Xy",
+                        "sensor\n", "tudor", "se\n"])
+        b = rng.choice([None, 2 ** 62, -(2 ** 62),
+                        2 ** 62 + rng.randint(0, 1000)])
+        return {"t": t, "h": h, "s": s, "b": b}
 
     n_py = n_fb = 0
     for sql in queries:
@@ -1425,6 +1448,37 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
     # the python path must actually cover the bulk of the grammar —
     # a silent always-fallback would make this test vacuous
     assert n_py > n_fb, (n_py, n_fb)
+
+
+def test_pyeval_int64_overflow_falls_back(spark):
+    """Python's arbitrary-precision ints must not silently exceed
+    BIGINT range on the in-process path: Spark (ANSI) raises on
+    overflow, so pyeval must hand the event back to the Spark path
+    rather than answer 2^63 (ADVICE r3 / VERDICT r3 #3)."""
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+    from streamsql_spark.dialect.pyeval import Fallback, _arith, _i64
+
+    big = 2 ** 62
+    e = StreamSQL(spark)
+    e.execute("SELECT a + b AS s FROM stream")
+    assert e._emit_sync_python({"a": big, "b": big}) is _NOT_APPLICABLE
+    # in-range big ints still take the python path, exactly
+    assert e._emit_sync_python({"a": big, "b": 5}) == {"s": big + 5}
+
+    for op, a, b in [("+", big, big), ("-", -big, big + 1),
+                     ("*", big, 2), ("*", 2 ** 32, 2 ** 32)]:
+        import pytest as _pytest
+        with _pytest.raises(Fallback):
+            _arith(op, a, b)
+    # boundary values are legal BIGINTs
+    assert _arith("+", 2 ** 63 - 2, 1) == 2 ** 63 - 1
+    assert _arith("-", -(2 ** 63) + 1, 1) == -(2 ** 63)
+    assert _i64(2 ** 63 - 1) == 2 ** 63 - 1
+    # an out-of-range OPERAND (e.g. an event field already past int64,
+    # which Spark would have rejected at ingest) also falls back
+    import pytest as _pytest
+    with _pytest.raises(Fallback):
+        _arith("+", 2 ** 63, 1)
 
 
 def test_pyeval_latency_is_in_process(spark):

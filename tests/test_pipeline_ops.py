@@ -607,6 +607,40 @@ def test_linear_quality_score_is_shuffle_free(spark):
     assert "Exchange" not in p
 
 
+def test_linear_quality_score_handles_quote_and_backslash_tokens(spark):
+    """Vocabulary tokens come from raw corpus text: quotes and
+    backslashes must be data, not SQL syntax (ADVICE r3 — the old
+    f-string map literal was injectable via "don't")."""
+    import math
+
+    from streamsql_spark.operators.text import linear_quality_score
+    weights = {"don't": 2.0, "C:\\tmp": -1.0, "a'); --": 0.5, "ok": 1.0}
+    texts = ["don't stop", "C:\\tmp path", "a'); -- ok", "plain text"]
+    out = {r["doc_id"]: r["clf_score"]
+           for r in linear_quality_score(
+               _textdocs(spark, texts), weights, bias=0.1).collect()}
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        logit = sum(weights.get(t, 0.0) for t in toks) / len(toks) + 0.1
+        assert out[i] == round(1 / (1 + math.exp(-logit)), 6), i
+
+
+def test_train_quality_classifier_row_cap_enforced(spark):
+    """The trainer collects the labeled sample to the driver; a
+    mistakenly-passed full corpus must fail typed before the collect
+    (VERDICT r3 #7), and a quoted token must survive train-then-score."""
+    from streamsql_spark.operators.text import (linear_quality_score,
+                                                train_quality_classifier)
+    df = _textdocs(spark, ["don't bad text", "good clean text"] * 3) \
+        .withColumn("label", (F.col("doc_id") % 2 == 1).cast("int"))
+    with pytest.raises(ValueError, match="max_rows"):
+        train_quality_classifier(df, "label", max_rows=5)
+    w, b = train_quality_classifier(df, "label", max_rows=6, epochs=50)
+    assert any("'" in t for t in w), "quoted corpus token missing from vocab"
+    scored = linear_quality_score(df, w, bias=b).collect()
+    assert len(scored) == 6 and all(0 <= r["clf_score"] <= 1 for r in scored)
+
+
 # --------------------------------------------- URL canonicalization
 
 

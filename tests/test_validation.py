@@ -198,8 +198,17 @@ def test_arrival_order_aggregate_without_event_time_rejected(spark):
               "GROUP BY k, CountingWindow(2)")
     for r in [{"k": "a", "v": 1.0}, {"k": "a", "v": 2.0}]:
         s.emit(r)
-    with pytest.raises(ExecError, match="arrival-order aggregate"):
+    # the chunker's own refusal fires first (it partitions the rows
+    # before aggregates run) — same typed error, same remedy
+    with pytest.raises(ExecError, match="needs an event-time"):
         s.trigger_window()
+    # a non-counting shape reaches the arrival-order aggregate check
+    s1 = StreamSQL(spark)
+    s1.execute("SELECT k, first_value(v) AS fv FROM stream GROUP BY k")
+    for r in [{"k": "a", "v": 1.0}, {"k": "a", "v": 2.0}]:
+        s1.emit(r)
+    with pytest.raises(ExecError, match="arrival-order aggregate"):
+        s1.trigger_window()
     # with an event-time column declared, the same query is fine
     s2 = StreamSQL(spark)
     s2.execute("SELECT k, first_value(v) AS fv FROM stream "
