@@ -193,6 +193,10 @@ _add("agg_tpch_q1", Entry(
     "(functions_aggregation.go:21-397)"))
 
 _add("agg_stats", Entry(
+    # n_supp (exact DISTINCT) is value-checked; acd_ok pins the approx
+    # aggregate path under the hash gate the only way an estimator can
+    # be: the HLL++ estimate must land within ±10% of the exact count
+    # on BOTH engines (merged r4 — §2.10 approx aggregates row).
     _dialect("""
         SELECT l_returnflag,
                round(stddev(l_quantity), 6) AS sd_pop,
@@ -201,7 +205,10 @@ _add("agg_stats", Entry(
                round(vars(l_quantity), 6) AS var_samp,
                round(median(l_quantity), 4) AS med,
                percentile(0.5, l_extendedprice) AS p50,
-               percentile(0.9, l_extendedprice) AS p90
+               percentile(0.9, l_extendedprice) AS p90,
+               count_distinct(l_suppkey) AS n_supp,
+               approx_count_distinct(l_suppkey) * 1.0
+                   / count_distinct(l_suppkey) BETWEEN 0.9 AND 1.1 AS acd_ok
         FROM stream GROUP BY l_returnflag
     """, "lineitem"),
     """
@@ -212,11 +219,15 @@ _add("agg_stats", Entry(
            round(var_samp(l_quantity), 6) AS var_samp,
            round(median(l_quantity), 4) AS med,
            (list_sort(list(l_extendedprice)))[1 + CAST(floor(0.5*(count(l_extendedprice)-1)) AS INT)] AS p50,
-           (list_sort(list(l_extendedprice)))[1 + CAST(floor(0.9*(count(l_extendedprice)-1)) AS INT)] AS p90
+           (list_sort(list(l_extendedprice)))[1 + CAST(floor(0.9*(count(l_extendedprice)-1)) AS INT)] AS p90,
+           count(DISTINCT l_suppkey) AS n_supp,
+           approx_count_distinct(l_suppkey) * 1.0
+               / count(DISTINCT l_suppkey) BETWEEN 0.9 AND 1.1 AS acd_ok
     FROM lineitem GROUP BY l_returnflag
     """,
     "§2.4 stddev/stddevs/var/vars/median + percentile lower-index "
-    "semantics (functions_aggregation.go:399-1239, 518-555)"))
+    "semantics (functions_aggregation.go:399-1239, 518-555) + §2.10 "
+    "approx_count_distinct bounds-checked vs exact DISTINCT"))
 
 _add("agg_collect_first_last", Entry(
     # the full arrival-order buffer-aggregate family in ONE groupBy:

@@ -14,9 +14,13 @@ the dialect with byte-identical Spark semantics:
 - literals, bare single-part columns, arithmetic (+ - * / % ^), string
   concat (||), comparisons with SQL three-valued logic, AND/OR/NOT,
   LIKE, IS [NOT] NULL, [NOT] IN, BETWEEN, CASE (simple + searched);
-- a small scalar-function whitelist where Python can reproduce Spark's
-  exact behavior (abs/upper/lower/length/trim/coalesce/concat/
-  startswith/endswith/floor/ceil/sqrt/round half-up).
+- a scalar-function whitelist where Python can reproduce Spark's
+  exact behavior: abs/upper/lower/length/len/trim/coalesce/concat/
+  startswith/endswith/floor/ceil/sqrt/round half-up, the string family
+  (substring/replace/pad/repeat/reverse/indexof), md5/sha256/sha512
+  (hashes are exactly specified — transcendentals like exp/ln are NOT,
+  so they stay on the Spark path), mod/power, int64 bit ops, and the
+  null-handling aliases (nullif/ifnull/is_null/...).
 
 ANYTHING uncertain bails out: unsupported node kinds fail at COMPILE
 time (the query permanently uses the Spark path) and surprising value
@@ -312,6 +316,44 @@ def _fn_if(c, a, b):
     return a if _bool3(c) is True else b
 
 
+def _fn_hash(algo: str, v):
+    # md5/sha2 over the utf8 bytes, lowercase hex — hashlib and Spark
+    # are bit-identical here (hash functions are exactly specified,
+    # unlike transcendentals, which is why exp/ln are NOT whitelisted)
+    import hashlib
+
+    if v is None:
+        return None
+    return hashlib.new(algo, _str_arg(v).encode("utf-8")).hexdigest()
+
+
+def _int_arg(v):
+    """Integral-only operand for bit ops: Spark's & | ^ ~ reject
+    fractional types at analysis — a float here means the Spark path
+    owns the (per-event) error."""
+    if isinstance(v, bool) or not isinstance(v, int):
+        raise Fallback()
+    if not _I64_MIN <= v <= _I64_MAX:
+        raise Fallback()
+    return v
+
+
+def _fn_bit(op: str, a, b=None):
+    # Python ints behave as infinite two's complement, so & | ^ ~ on
+    # in-range int64 operands produce exactly Java's int64 results
+    if a is None or (op != "~" and b is None):
+        return None
+    a = _int_arg(a)
+    if op == "~":
+        return _i64(~a)
+    b = _int_arg(b)
+    if op == "&":
+        return _i64(a & b)
+    if op == "|":
+        return _i64(a | b)
+    return _i64(a ^ b)
+
+
 _FNS: dict[str, object] = {
     "ltrim": lambda v: None if v is None else _str_arg(v).lstrip(" "),
     "rtrim": lambda v: None if v is None else _str_arg(v).rstrip(" "),
@@ -354,6 +396,26 @@ _FNS: dict[str, object] = {
     else _str_arg(s).startswith(_str_arg(p)),
     "endswith": lambda s, p: None if s is None or p is None
     else _str_arg(s).endswith(_str_arg(p)),
+    # exactly-specified hash functions (functions_hash.go parity)
+    "md5": lambda v: _fn_hash("md5", v),
+    "sha256": lambda v: _fn_hash("sha256", v),
+    "sha512": lambda v: _fn_hash("sha512", v),
+    # mod/power render to the same Spark ops as % / ^ (registry.py)
+    "mod": lambda a, b: _arith("%", a, b),
+    "power": lambda a, b: _arith("^", a, b),
+    "pow": lambda a, b: _arith("^", a, b),
+    # bit ops (int64 two's-complement exact)
+    "bitand": lambda a, b: _fn_bit("&", a, b),
+    "bitor": lambda a, b: _fn_bit("|", a, b),
+    "bitxor": lambda a, b: _fn_bit("^", a, b),
+    "bitnot": lambda a: _fn_bit("~", a),
+    # type-check / conditional aliases (functions_type.go,
+    # functions_conditional.go)
+    "is_null": lambda v: v is None,
+    "is_not_null": lambda v: v is not None,
+    "if_null": lambda a, b: _fn_coalesce(a, b),
+    "null_if": lambda a, b: _FNS["nullif"](a, b),
+    "len": lambda v: None if v is None else len(_str_arg(v)),
 }
 
 # arity guards (None = variadic)
@@ -367,6 +429,11 @@ _FN_ARITY: dict[str, tuple[int, int] | None] = {
     "substring": (2, 3), "indexof": (2, 2), "sign": (1, 1),
     "nullif": (2, 2), "ifnull": (2, 2), "nvl": (2, 2),
     "greatest": (1, 64), "least": (1, 64), "if": (3, 3),
+    "md5": (1, 1), "sha256": (1, 1), "sha512": (1, 1),
+    "mod": (2, 2), "power": (2, 2), "pow": (2, 2),
+    "bitand": (2, 2), "bitor": (2, 2), "bitxor": (2, 2), "bitnot": (1, 1),
+    "is_null": (1, 1), "is_not_null": (1, 1),
+    "if_null": (2, 2), "null_if": (2, 2), "len": (1, 1),
 }
 
 

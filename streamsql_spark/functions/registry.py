@@ -419,6 +419,7 @@ AGG_RENDERERS: dict[str, Renderer] = {
     # Spark-native extras (beyond the reference — free on Catalyst).
     # min_by/max_by give deterministic first/last-by-event-time.
     "approx_count_distinct": _simple("approx_count_distinct({0})"),
+    "count_distinct": _simple("count(DISTINCT {0})"),
     "min_by": _simple("min_by({0}, {1})"),
     "max_by": _simple("max_by({0}, {1})"),
     "any_value": _simple("any_value({0})"),

@@ -335,22 +335,29 @@ def semantic_dedup(df: DataFrame, quality_col: str,
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.4,
-                            n_centroids: int = 8) -> DataFrame:
+                            n_centroids: int = 8,
+                            centroids: DataFrame | None = None) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine(emb_a, emb_b) ≥ t.
 
     Cluster blocking bounds the quadratic self-join: each vector is
     assigned to its nearest centroid (one broadcast pass, same topology
     as IVF search) and only within-cluster pairs are compared — the
     shuffle key is the cluster id, so at 100 TB the O(n²) becomes
-    K · O((n/K)²) with K tunable to the cluster's pair budget.  The
-    deterministic min-id centroids drop out for a KMeans fit at
-    production scale without changing the plan shape.
+    K · O((n/K)²) with K tunable to the cluster's pair budget.  Default
+    blocking centroids are the deterministic min-id vectors; pass
+    ``centroids=similarity.kmeans_fit(df, K)`` for trained blocks
+    (balanced cells → balanced pair budgets) — the plan shape is
+    identical either way.
     """
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
     from .similarity import assign_clusters
-    centroids = df.where(F.col(id_col) < n_centroids)
+    if centroids is None:
+        centroids = df.where(F.col(id_col) < n_centroids)
+    else:
+        centroids = centroids.select(
+            F.col("centroid_id").alias(id_col), F.col(vec_col))
     assigned = assign_clusters(df, centroids, id_col, vec_col)
 
     out_schema = StructType([StructField("id_a", LongType()),

@@ -359,16 +359,93 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
                     "centroid_id"))
 
 
+def kmeans_fit(vectors: DataFrame, k: int, max_iter: int = 10,
+               tol: float = 1e-4, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the
+    centroid trainer for IVF probing and SemDeDup-style cluster
+    blocking at corpus scale (the driver-side numpy codebook trainers
+    cover model-sized inputs; THIS is the path when the training set is
+    the corpus itself).
+
+    Per iteration (driver-orchestrated, each a single Spark job):
+
+    - assign: broadcast the k centroids, nearest-by-cosine argmin per
+      vector (:func:`assign_clusters` — one narrow pass, no shuffle of
+      the corpus);
+    - update: ``posexplode`` the assigned embeddings and hash-aggregate
+      elementwise means per (cluster, dim).  The shuffle carries only
+      k·d rows after map-side partial aggregation — the corpus itself
+      never reshuffles;
+    - the k·d mean values (a few KB) come back to the driver to form
+      the next broadcast — the standard scalable k-means topology.
+
+    DETERMINISTIC: init = the k smallest-id vectors; centroids are
+    rounded to 6 dp each iteration so float summation order across
+    partitions cannot leak into the result; fixed ``max_iter`` with an
+    early stop when no centroid moves more than ``tol`` (L∞ on the
+    rounded coordinates).  Empty clusters keep their previous centroid.
+
+    Returns a ``(centroid_id BIGINT, <vec_col>)`` DataFrame accepted by
+    :func:`assign_clusters` / :func:`ivf_topk` / ``semantic_dedup``.
+    """
+    spark = vectors.sparkSession
+    d = None
+    init = (vectors.select(F.col(id_col).alias("cid"),
+                           F.col(vec_col).alias("emb"))
+            .orderBy("cid").limit(k).collect())
+    if not init:
+        raise ValueError("kmeans_fit: empty input")
+    cents = [[round(float(x), 6) for x in r["emb"]] for r in init]
+    d = len(cents[0])
+
+    def centroid_df(cs):
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cs)],
+            f"{id_col} bigint, {vec_col} array<double>")
+
+    for _ in range(max_iter):
+        assigned = assign_clusters(vectors, centroid_df(cents),
+                                   id_col, vec_col)
+        means = (assigned  # assign_clusters outputs (vec_id, embedding,
+                 # centroid_id) regardless of the input column names
+                 .select("centroid_id",
+                         F.posexplode(F.col("embedding")).alias("pos", "x"))
+                 .groupBy("centroid_id", "pos")
+                 .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                 .collect())
+        nxt = [list(c) for c in cents]
+        by_c: dict[int, list] = {}
+        for r in means:
+            by_c.setdefault(int(r["centroid_id"]), [None] * d)[
+                int(r["pos"])] = round(float(r["m"]), 6)
+        for cid, vec in by_c.items():
+            if all(v is not None for v in vec):
+                nxt[cid] = vec
+        shift = max((abs(a - b) for c0, c1 in zip(cents, nxt)
+                     for a, b in zip(c0, c1)), default=0.0)
+        cents = nxt
+        if shift <= tol:
+            break
+    return centroid_df(cents).withColumnRenamed(id_col, "centroid_id")
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 8, nprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k.
 
-    Centroids are the vectors with the ``n_centroids`` smallest ids —
-    deterministic and engine-reproducible (a KMeans fit would drop in
-    here unchanged; the search topology is what matters).
+    Default centroids are the vectors with the ``n_centroids`` smallest
+    ids — deterministic and engine-reproducible; pass
+    ``centroids=kmeans_fit(vectors, k)`` for trained cells (the search
+    topology is identical — only the cell quality changes).
     """
-    centroids = vectors.where(F.col(id_col) < n_centroids)
+    if centroids is None:
+        centroids = vectors.where(F.col(id_col) < n_centroids)
+    else:
+        centroids = centroids.select(
+            F.col("centroid_id").alias(id_col), F.col(vec_col))
     assigned = assign_clusters(vectors, centroids, id_col, vec_col)
 
     # probe lists: nprobe nearest centroids per query

@@ -1401,6 +1401,15 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         "SELECT b + h AS bh, b - 25 AS bm, -b AS nb FROM stream "
         "WHERE b IS NOT NULL",
         "SELECT b % 1000 AS bmod, abs(b) AS babs FROM stream",
+        # r4 whitelist additions: hashes, mod/power, bit ops, aliases
+        "SELECT md5(s) AS m5, sha256(s) AS s2, sha512(s) AS s5 "
+        "FROM stream WHERE s IS NOT NULL",
+        "SELECT mod(h, 7) AS m7, power(h, 2) AS pw, len(s) AS ln FROM stream",
+        "SELECT bitand(h, 12) AS ba, bitor(h, 5) AS bo, "
+        "bitxor(h, 255) AS bx, bitnot(h) AS bn FROM stream "
+        "WHERE h IS NOT NULL",
+        "SELECT is_null(s) AS inl, is_not_null(h) AS inn, "
+        "if_null(h, -1) AS ifn, null_if(h, 50) AS nif FROM stream",
     ]
     rng = random.Random(20260814)
 
@@ -1479,6 +1488,35 @@ def test_pyeval_int64_overflow_falls_back(spark):
     import pytest as _pytest
     with _pytest.raises(Fallback):
         _arith("+", 2 ** 63, 1)
+
+
+def test_pyeval_bitops_match_spark_twos_complement(spark):
+    """Bit ops on negative ints must reproduce Java's int64
+    two's-complement results exactly — pinned against Spark itself on
+    literal queries (the differential fuzz only generates h >= 0)."""
+    from streamsql_spark.dialect.pyeval import _FNS, _fn_bit
+
+    cases = [("bitand", -7, 12), ("bitor", -7, 12), ("bitxor", -7, 12),
+             ("bitand", -(2 ** 62), 255), ("bitxor", 2 ** 62, -1)]
+    for name, a, b in cases:
+        op = {"bitand": "&", "bitor": "|", "bitxor": "^"}[name]
+        want = spark.sql(f"SELECT CAST({a} AS BIGINT) {op} "
+                         f"CAST({b} AS BIGINT) AS r").collect()[0]["r"]
+        assert _FNS[name](a, b) == want, (name, a, b)
+    for a in (-5, 0, 2 ** 62, -(2 ** 63)):
+        want = spark.sql(f"SELECT ~CAST({a} AS BIGINT) AS r").collect()[0]["r"]
+        assert _FNS["bitnot"](a) == want, a
+    # hash parity on a non-ascii string (utf8 byte-level agreement)
+    for fn, sql in (("md5", "md5"), ("sha256", "sha2"),):
+        arg = "'héllo✓'" if sql == "md5" else "'héllo✓', 256"
+        want = spark.sql(f"SELECT {sql}({arg}) AS r").collect()[0]["r"]
+        assert _FNS[fn]("héllo✓") == want, fn
+    # fractional operand: Spark rejects at analysis — pyeval must
+    # Fallback (route to the Spark path), never compute
+    import pytest as _pytest
+    from streamsql_spark.dialect.pyeval import Fallback
+    with _pytest.raises(Fallback):
+        _fn_bit("&", 1.5, 2)
 
 
 def test_pyeval_latency_is_in_process(spark):

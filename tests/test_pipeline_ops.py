@@ -410,6 +410,99 @@ def test_semantic_dedup_every_input_gets_a_row(spark):
     assert all(r["n_keep"] == 1 for r in per)
 
 
+# ----------------------------------------------- distributed k-means
+
+
+def _np_kmeans_replica(X, ids, k, max_iter=10, tol=1e-4):
+    """Driver-side replica of kmeans_fit's exact contract: min-id init,
+    cosine argmin with 6dp rounding + min-centroid-id tie-break,
+    elementwise means rounded to 6dp, L∞ early stop."""
+    import numpy as np
+
+    order = np.argsort(ids)
+    cents = np.round(X[order[:k]].astype(float), 6)
+    for _ in range(max_iter):
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        Cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+        sim = np.round(Xn @ Cn.T, 6)
+        assign = sim.argmax(1)  # argmax takes the first (min id) on ties
+        nxt = cents.copy()
+        for c in range(k):
+            sel = X[assign == c]
+            if len(sel):
+                nxt[c] = np.round(sel.mean(0), 6)
+        shift = float(np.abs(nxt - cents).max())
+        cents = nxt
+        if shift <= tol:
+            break
+    return cents
+
+
+def test_kmeans_fit_matches_driver_replica(spark):
+    """The distributed Lloyd loop (broadcast assign → posexplode
+    hash-agg means) must be bit-equal (at the 6dp rounding contract) to
+    a sequential numpy replica — determinism across partitionings is
+    the point of the rounding."""
+    import numpy as np
+
+    from streamsql_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    X = np.round(rng.normal(size=(60, 8)), 3)
+    ids = np.arange(60)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>").repartition(5)
+    got = {r["centroid_id"]: list(r["embedding"])
+           for r in kmeans_fit(df, k=4, max_iter=5).collect()}
+    want = _np_kmeans_replica(X, ids, k=4, max_iter=5)
+    assert sorted(got) == [0, 1, 2, 3]
+    for c in range(4):
+        assert got[c] == [round(float(v), 6) for v in want[c]], c
+
+
+def test_kmeans_fit_separates_obvious_clusters(spark):
+    from streamsql_spark.operators.similarity import (assign_clusters,
+                                                      kmeans_fit)
+    rows = []
+    for i in range(30):
+        axis = i % 3
+        v = [0.01 * (i % 7)] * 6
+        v[axis] += 10.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=3, max_iter=8)
+    assigned = assign_clusters(df, cents.withColumnRenamed(
+        "centroid_id", "vec_id"))
+    out = assigned.groupBy("centroid_id").count().collect()
+    assert sorted(r["count"] for r in out) == [10, 10, 10]
+    # every member of an axis group lands in the same cell
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in assigned.select("vec_id", "centroid_id").collect()}
+    for i in range(30):
+        assert got[i] == got[i % 3], i
+
+
+def test_kmeans_centroids_feed_ivf_and_blocking(spark):
+    """kmeans_fit output plugs into ivf_topk and
+    embedding_neardup_pairs unchanged (the trained-cells path)."""
+    from streamsql_spark.operators.dedup import embedding_neardup_pairs
+    from streamsql_spark.operators.similarity import (cosine_topk,
+                                                      ivf_topk, kmeans_fit)
+    from streamsql_spark.session import load_tables
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    cents = kmeans_fit(emb, k=4, max_iter=3)
+    q = emb.where(F.col("vec_id") < 3)
+    out = ivf_topk(emb, q, k=3, nprobe=4, centroids=cents)
+    exact = cosine_topk(emb, q, k=3)
+    # probing ALL 4 cells ≡ exhaustive search ⇒ must equal brute force
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, exact.collect()))
+    pairs = embedding_neardup_pairs(emb, threshold=0.5, centroids=cents)
+    assert pairs.count() >= 0 and pairs.columns == ["id_a", "id_b", "sim"]
+
+
 # --------------------------------------------- document chunking
 
 
