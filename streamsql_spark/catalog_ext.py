@@ -465,16 +465,23 @@ def _run_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting (whitespace + BPE-ish regex), winnowing-style rolling-hash
     fingerprint — all pure column expressions, no Python in the loop."""
     from .operators.text import (fingerprint, language_id,
-                                 linear_quality_score, quality_features,
+                                 linear_quality_score, ngram_lm_fit,
+                                 perplexity_score, quality_features,
                                  token_counts)
     t = load_tables(spark, sf_dir)
     feat = fingerprint(token_counts(quality_features(language_id(t["documents"]))))
     feat = linear_quality_score(feat, _CLF_WEIGHTS, bias=_CLF_BIAS)
+    # CCNet-style perplexity under a bigram LM self-trained on the
+    # corpus (merged r4): every gram is in-model, so the score is a
+    # deterministic function of the counts on both engines
+    uni, big, v = ngram_lm_fit(t["documents"])
+    feat = perplexity_score(feat, uni, big, v)
     return feat.select(
         "doc_id", "lang_pred", "lang_score",
         "n_chars_m", "n_tokens", "mean_tok_len", "punct_ratio",
         "digit_ratio", "uniq_token_ratio", "quality_score", "clf_score",
-        "ws_tokens", "subword_tokens", "est_bpe_tokens", "fingerprint")
+        "ws_tokens", "subword_tokens", "est_bpe_tokens", "fingerprint",
+        "ppl")
 
 
 # demo weight table for the fastText/CCNet-style linear quality
@@ -561,13 +568,31 @@ def _text_analysis_oracle() -> str:
              CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
              {_clf_score_oracle()} AS clf_score
       FROM documents)
+    , tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+    vv AS (SELECT count(*) AS vs FROM uni),
+    bp AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM bp GROUP BY w1, w2),
+    pp AS (
+      SELECT bp.doc_id,
+             round(exp(-sum(ln((bg.c12 + 0.1) / (uni.c1 + 0.1 * vv.vs)))
+                       / count(*)), 4) AS ppl
+      FROM bp JOIN bg USING (w1, w2) JOIN uni ON bp.w1 = uni.w
+      CROSS JOIN vv
+      GROUP BY bp.doc_id)
     SELECT f.*,
            round(least(n_tokens / 50.0, 1.0) * uniq_token_ratio
                  * (1.0 - least(digit_ratio * 5.0, 1.0))
                  * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score,
            array_to_string(list_transform(fp.h[1:4], x -> CAST(x AS VARCHAR)), '-')
-               AS fingerprint
-    FROM f JOIN fp USING (doc_id)
+               AS fingerprint,
+           pp.ppl AS ppl
+    FROM f JOIN fp USING (doc_id) LEFT JOIN pp USING (doc_id)
     """
 
 
@@ -576,9 +601,10 @@ CATALOG["text_analysis"] = Entry(
     "extension: text-analysis family — language-ID (stopword profiles), "
     "quality features + composite score, fastText/CCNet-style linear "
     "quality classifier (plan-literal weight map, sigmoid over mean "
-    "token weight), token counting (whitespace + BPE-ish regex), "
-    "winnowing-style rolling-hash fingerprint — one Catalyst plan, "
-    "pure column expressions")
+    "token weight), CCNet perplexity filtering (add-k smoothed bigram "
+    "LM fit distributedly, merged r4), token counting (whitespace + "
+    "BPE-ish regex), winnowing-style rolling-hash fingerprint — one "
+    "Catalyst plan, pure column expressions")
 
 
 # ----------------------------------------------------------- multimodal

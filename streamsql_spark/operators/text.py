@@ -335,6 +335,77 @@ def train_quality_classifier(df: DataFrame, label_col: str,
              if abs(w[ix[t]]) > 1e-9}, round(float(b), 6))
 
 
+def ngram_lm_fit(df: DataFrame, text_col: str = "text"
+                 ) -> tuple[DataFrame, DataFrame, int]:
+    """Fit the bigram language model that :func:`perplexity_score`
+    applies — the "train a LM on the clean reference corpus, keep
+    low-perplexity documents" step of CCNet-style filtering (Wenzek et
+    al. 2020; classically a KenLM 5-gram — a smoothed bigram keeps the
+    topology identical and oracle-checkable).
+
+    Entirely distributed: unigram and bigram counts are two exploded
+    hash-aggregations over the corpus (map-side combine makes the
+    shuffle carry one row per DISTINCT gram, not per token); only the
+    vocabulary SIZE (one scalar) comes back to the driver.
+
+    Returns ``(unigrams(w, c1), bigrams(w1, w2, c12), vocab_size)``.
+    """
+    toks = ensure_parallelism(df).select(
+        F.split(F.col(text_col), " ").alias("t"))
+    uni = (toks.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    # NB sequence(1, 0) DESCENDS in Spark — empty-array guard required
+    big = (toks.select(F.explode(F.expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+        "i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+        "ELSE array() END")).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    return uni, big, uni.count()
+
+
+def perplexity_score(df: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
+                     vocab_size: int, add_k: float = 0.1,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     out_col: str = "ppl") -> DataFrame:
+    """Per-document bigram perplexity under an add-k smoothed LM:
+    ``exp(-mean(ln((c12 + k) / (c1 + k·V))))`` over the document's
+    bigrams — low = looks like the reference corpus (keep), high =
+    gibberish/boilerplate (drop).  CCNet's head/middle/tail buckets are
+    a quantile cut over this column.
+
+    Execution: explode bigrams once, LEFT join the count tables (unseen
+    grams coalesce to 0, the smoothing floor), one hash re-aggregation
+    per document.  The LM sides broadcast while model-sized; at corpus
+    scale they become ordinary shuffle joins keyed on the gram — no
+    driver involvement either way.  Documents with fewer than two
+    tokens get a NULL score.
+    """
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    toks = f"split({text_col}, ' ')"
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"CASE WHEN size({toks}) >= 2 THEN "
+            f"transform(sequence(1, size({toks}) - 1), "
+            f"i -> struct({toks}[i-1] AS w1, {toks}[i] AS w2)) "
+            f"ELSE array() END")).alias("p")) \
+        .select(id_col, "p.w1", "p.w2")
+    joined = (pairs
+              .join(F.broadcast(bigrams), ["w1", "w2"], "left")
+              .join(F.broadcast(unigrams.select(F.col("w").alias("w1"),
+                                                "c1")), ["w1"], "left")
+              .withColumn("lp", F.log(
+                  (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(add_k)))
+                  / (F.coalesce(F.col("c1"), F.lit(0))
+                     + F.lit(float(add_k) * vocab_size)))))
+    per_doc = (joined.groupBy(id_col)
+               .agg(F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), 4)
+                    .alias(out_col)))
+    return df.join(per_doc, id_col, "left")
+
+
 def canonicalize_url(df: DataFrame, url_col: str = "url",
                      out_col: str = "canon_url") -> DataFrame:
     """C4/CommonCrawl-style URL canonicalization for crawl dedup:

@@ -734,6 +734,72 @@ def test_train_quality_classifier_row_cap_enforced(spark):
     assert len(scored) == 6 and all(0 <= r["clf_score"] <= 1 for r in scored)
 
 
+# ------------------------------------ bigram LM / perplexity filtering
+
+
+def test_perplexity_score_matches_hand_computation(spark):
+    """Add-k smoothed bigram perplexity — checked against a from-scratch
+    python computation of the same model on a 3-doc corpus (CCNet-style
+    perplexity filtering)."""
+    import math
+    from collections import Counter
+
+    from streamsql_spark.operators.text import ngram_lm_fit, perplexity_score
+
+    texts = ["the cat sat", "the cat ran", "dog"]
+    df = _textdocs(spark, texts)
+    uni, big, v = ngram_lm_fit(df)
+    out = {r["doc_id"]: r["ppl"]
+           for r in perplexity_score(df, uni, big, v).collect()}
+
+    toks = [t.split(" ") for t in texts]
+    c1 = Counter(w for ts in toks for w in ts)
+    c12 = Counter((ts[i], ts[i + 1]) for ts in toks
+                  for i in range(len(ts) - 1))
+    assert v == len(c1)
+    k = 0.1
+    for i, ts in enumerate(toks):
+        pairs = [(ts[j], ts[j + 1]) for j in range(len(ts) - 1)]
+        if not pairs:
+            assert out[i] is None, i
+            continue
+        lps = [math.log((c12[p] + k) / (c1[p[0]] + k * v)) for p in pairs]
+        assert out[i] == round(math.exp(-sum(lps) / len(lps)), 4), i
+    # single-token doc gets NULL, and every input row survives
+    assert len(out) == 3 and out[2] is None
+
+
+def test_perplexity_score_oov_is_smoothing_floor(spark):
+    """Scoring UNSEEN text against a fitted LM: unknown grams coalesce
+    to the add-k floor (c12=0; c1=0 for an unknown left word) — low-ppl
+    in-domain text separates from gibberish."""
+    import math
+
+    from streamsql_spark.operators.text import ngram_lm_fit, perplexity_score
+
+    train = _textdocs(spark, ["a b a b a b", "a b a b"])
+    uni, big, v = ngram_lm_fit(train)
+    test = _textdocs(spark, ["a b a b", "zz qq zz"])
+    out = {r["doc_id"]: r["ppl"]
+           for r in perplexity_score(test, uni, big, v).collect()}
+    k = 0.1
+    # all-unknown bigrams: every pair scores k/(0 + k*V) = 1/V
+    assert out[1] == round(math.exp(-math.log(k / (k * v))), 4) == float(v)
+    assert out[0] < out[1]  # in-domain text is lower-perplexity
+
+
+def test_perplexity_lm_fit_is_distributed(spark):
+    """The LM fit must be two exploded hash-aggregations — no window
+    over the whole corpus, no driver collect of counts (only the vocab
+    SIZE scalar)."""
+    from streamsql_spark.operators.text import ngram_lm_fit
+    uni, big, v = ngram_lm_fit(_textdocs(spark, ["a b c"] * 8))
+    for df in (uni, big):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in p and "Window" not in p
+    assert v == 3
+
+
 # --------------------------------------------- URL canonicalization
 
 
