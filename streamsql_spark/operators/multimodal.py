@@ -65,19 +65,21 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def decode_ppm(payload: bytes):
-    """Binary PPM (P6) → (h, w, 3) uint8 array, or None if not P6.
-
-    Pure numpy — PPM is the codec-free image container, so this is REAL
-    image decoding, not a stub."""
+def _parse_ppm_at(payload: bytes, pos: int):
+    """One P6 image starting at ``pos`` → ((h, w, 3) uint8 array,
+    next_pos), or None if no valid P6 starts there.  The netpbm spec
+    allows MULTIPLE images concatenated in one file — this offset form
+    is what lets :func:`sample_frames` treat such a stream as raw
+    video frames."""
     import numpy as np
 
-    if not payload.startswith(b"P6"):
+    if payload[pos:pos + 2] != b"P6":
         return None
     try:
         # header: magic, width, height, maxval — whitespace/comment
         # separated
-        fields, pos = [], 2
+        fields = []
+        pos += 2
         while len(fields) < 3 and pos < len(payload):
             while pos < len(payload) and payload[pos : pos + 1].isspace():
                 pos += 1
@@ -92,11 +94,42 @@ def decode_ppm(payload: bytes):
         w, h, maxval = fields[0], fields[1], fields[2]
         if maxval > 255:
             return None  # 16-bit PPM out of scope
-        pix = np.frombuffer(payload, dtype=np.uint8,
-                            count=w * h * 3, offset=pos)
-        return pix.reshape(h, w, 3)
+        n = w * h * 3
+        if pos + n > len(payload):
+            return None  # truncated pixel data
+        pix = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+        return pix.reshape(h, w, 3), pos + n
     except (ValueError, IndexError):
         return None  # malformed header/pixels — not a decodable P6
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) → (h, w, 3) uint8 array, or None if not P6.
+
+    Pure numpy — PPM is the codec-free image container, so this is REAL
+    image decoding, not a stub."""
+    r = _parse_ppm_at(payload, 0)
+    return None if r is None else r[0]
+
+
+def iter_ppm_frames(payload: bytes):
+    """Yield every image of a (possibly multi-image) P6 stream in
+    order — the netpbm-spec concatenated form, i.e. codec-free raw
+    video."""
+    pos = 0
+    while pos < len(payload):
+        r = _parse_ppm_at(payload, pos)
+        if r is None:
+            return
+        img, pos = r
+        yield img
+
+
+def encode_ppm(img) -> bytes:
+    """(h, w, 3) uint8 array → binary P6 bytes (the inverse of
+    :func:`decode_ppm`)."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
 
 
 def decode_wav(payload: bytes):
@@ -258,27 +291,91 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
     return ensure_parallelism(media).mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage stub: real implementation decodes+resizes in the
-    kernel; here the metadata is updated and payload passed through so
-    pipeline wiring (schema evolution, partition preservation) is real."""
-    return media.withColumn(
-        "meta",
-        F.struct(
+def resize_images(media: DataFrame, width: int, height: int,
+                  codec_decoder=None) -> DataFrame:
+    """Resize the image payloads to ``width × height`` (nearest
+    neighbor) — REAL for the codec-free P6/PPM container (decode →
+    numpy index-gather → re-encode); codec formats (JPEG/PNG) go
+    through the injected ``codec_decoder`` seam or pass through
+    untouched with an unmodified payload and a ``resized=false`` flag
+    (same seam contract as :func:`extract_features`).
+
+    One ``mapInPandas`` Arrow pass; partitioning untouched (narrow) —
+    at 100 TB this is a scan-rate-bound map over the binary column.
+    """
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            outs, ok = [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                img = decode_ppm(raw)
+                if img is None and codec_decoder is not None:
+                    img = codec_decoder(raw)
+                if img is None:
+                    outs.append(raw)
+                    ok.append(False)
+                    continue
+                import numpy as np
+
+                h, w = img.shape[0], img.shape[1]
+                ri = (np.arange(height) * h) // height
+                ci = (np.arange(width) * w) // width
+                outs.append(encode_ppm(img[ri][:, ci]))
+                ok.append(True)
+            out = pdf.copy()
+            out["payload"] = pd.Series(outs, index=pdf.index, dtype=object)
+            out["resized"] = pd.Series(ok, index=pdf.index)
+            yield out
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(list(media.schema.fields)
+                            + [StructField("resized", BooleanType())])
+    return media.mapInPandas(kernel, schema=out_schema) \
+        .withColumn("meta", F.struct(
             F.col("meta.mime").alias("mime"),
-            F.col("meta.n_bytes").alias("n_bytes"),
-            F.concat(F.col("meta.source"), F.lit(f"|resized:{width}x{height}"))
-             .alias("source"),
-        ))
+            F.when(F.col("resized"), F.length("payload").cast("long"))
+             .otherwise(F.col("meta.n_bytes")).alias("n_bytes"),
+            F.when(F.col("resized"),
+                   F.concat(F.col("meta.source"),
+                            F.lit(f"|resized:{width}x{height}")))
+             .otherwise(F.col("meta.source")).alias("source")))
 
 
-def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling stub: emits frame-index rows per video via
-    posexplode over a computed frame count (deterministic: bytes/1k)."""
+def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Sample every ``every_n``-th frame from video payloads — REAL for
+    the codec-free concatenated-P6 stream (the netpbm spec's
+    multi-image form ≡ raw video, one P6 per frame): each sampled frame
+    is re-emitted as a standalone single-image P6 payload with its
+    dimensions.  Non-P6 payloads (MP4 etc.) yield no rows here — the
+    codec seam (README) owns them.
+
+    One ``mapInPandas`` pass, one output row per sampled frame — the
+    standard video→frames fan-out a multimodal training pipeline feeds
+    into the image path (resize → features)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                for idx, img in enumerate(iter_ppm_frames(raw)):
+                    if idx % every_n == 0:
+                        rows.append({
+                            "media_id": mid, "frame_index": idx,
+                            "frame_w": img.shape[1],
+                            "frame_h": img.shape[0],
+                            "payload": encode_ppm(img)})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "frame_w",
+                               "frame_h", "payload"])
+
+    id_t = media.schema["media_id"].dataType.simpleString()
     return (media.where(F.col("kind") == "video")
-            .withColumn("n_frames", (F.col("meta.n_bytes") / 1024 + 1).cast("int"))
-            .select("media_id",
-                    F.posexplode(F.expr(
-                        f"filter(sequence(0, n_frames - 1), i -> i % {every_n} = 0)"))
-                    .alias("frame_pos", "frame_index"),
-                    "payload"))
+            .select("media_id", "payload")
+            .mapInPandas(kernel,
+                         schema=f"media_id {id_t}, frame_index int, "
+                                "frame_w int, frame_h int, payload binary"))

@@ -1130,6 +1130,59 @@ def test_multimodal_real_ppm_and_wav_decode(spark):
     assert other["n_bytes"] == 9 and len(other["feature"]) == 8
 
 
+def test_multimodal_resize_and_frame_sample_real(spark):
+    """resize_images really resizes P6 payloads (nearest neighbor,
+    value-checked) and sample_frames really splits a concatenated-P6
+    stream (the netpbm multi-image form ≡ codec-free raw video) into
+    standalone frame payloads — neither is a metadata-only stub."""
+    from streamsql_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_ppm,
+                                                      encode_ppm,
+                                                      resize_images,
+                                                      sample_frames)
+
+    # 4x4 image: quadrant colors — nearest-neighbor 2x2 = one px per
+    # quadrant
+    import numpy as np
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:2, :2] = (10, 10, 10)
+    img[:2, 2:] = (20, 20, 20)
+    img[2:, :2] = (30, 30, 30)
+    img[2:, 2:] = (40, 40, 40)
+    ppm = encode_ppm(img)
+    rows = [(1, "image", bytearray(ppm),
+             ("image/x-portable-pixmap", len(ppm), "t")),
+            (2, "image", bytearray(b"JFIF..."),
+             ("image/jpeg", 7, "t"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in resize_images(media, 2, 2).collect()}
+    small = decode_ppm(bytes(got[1]["payload"]))
+    assert small.shape == (2, 2, 3)
+    assert [small[0, 0, 0], small[0, 1, 0],
+            small[1, 0, 0], small[1, 1, 0]] == [10, 20, 30, 40]
+    assert got[1]["resized"] is True
+    assert got[1]["meta"]["source"].endswith("|resized:2x2")
+    # codec payload passes through byte-identical (the seam owns it)
+    assert bytes(got[2]["payload"]) == b"JFIF..." and got[2]["resized"] is False
+    assert got[2]["meta"]["source"] == "t"
+
+    # "video" = 5 concatenated P6 frames, distinguishable by pixel value
+    frames = []
+    for i in range(5):
+        f = np.full((2, 3, 3), i * 10, np.uint8)
+        frames.append(encode_ppm(f))
+    vid = b"".join(frames)
+    vmedia = spark.createDataFrame(
+        [(7, "video", bytearray(vid), ("video/x-ppm-stream", len(vid), "t")),
+         (8, "video", bytearray(b"mp4.."), ("video/mp4", 5, "t"))],
+        MEDIA_SCHEMA)
+    out = sorted((r["frame_index"], r["frame_w"], r["frame_h"],
+                  decode_ppm(bytes(r["payload"]))[0, 0, 0])
+                 for r in sample_frames(vmedia, every_n=2).collect())
+    # frames 0, 2, 4 sampled; each re-emitted as a standalone 3x2 P6
+    assert out == [(0, 3, 2, 0), (2, 3, 2, 20), (4, 3, 2, 40)]
+
+
 def test_source_format_zoo(spark, tmp_path):
     """read_source / read_stream_source: the same dialect SQL runs over
     CSV, JSON, ORC, and parquet files (the reference's any-connector
