@@ -577,7 +577,7 @@ class StreamSQL:
         ``_an_states`` store the Spark route uses, so a per-event
         fallback keeps one continuous history."""
         from ..dialect.pyeval import Fallback
-        from ..streaming.stateful import analytic_step
+        from ..streaming.stateful import analytic_step, copy_state
 
         if not hasattr(self, "_an_py"):
             self._an_py = self._compile_analytic_python()
@@ -589,7 +589,6 @@ class StreamSQL:
         if not hasattr(self, "_an_states"):
             self._an_states = {}
         cp = self._an_py
-        import copy
 
         from ..dialect.pyeval import _bool3, _truthy
         try:
@@ -604,7 +603,7 @@ class StreamSQL:
                 if when_f is not None:
                     gate = _bool3(when_f(row)) is True
                 argv = [x(row) if k == "fn" else x for k, x in args]
-                st = copy.deepcopy(
+                st = copy_state(
                     self._an_states.get((p["ph"], key)) or {})
                 ext[p["ph"]] = analytic_step(p, st, argv, gate)
                 staged.append(((p["ph"], key), st))

@@ -719,6 +719,34 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
 
 _LAG_CAP = 64  # ring buffer bound per lag() call
 
+_SCALARS = frozenset((int, float, str, bool, bytes, type(None)))
+
+
+def copy_state(v):
+    """Fast deep copy for analytic state snapshots.
+
+    Built-in analytic states are small dicts/lists of scalars;
+    ``copy.deepcopy``'s generic dispatch + memo dominated the per-event
+    direct path (~70% of its time).  This specialized copier handles
+    the container shapes directly — scalar elements are copied without
+    a recursive call (the lag ring buffer is a 64-scalar list) — and
+    defers to deepcopy only for exotic values a custom
+    ``AnalyticState`` might hold."""
+    t = type(v)
+    if t in _SCALARS:
+        return v
+    if t is dict:
+        return {k: (x if type(x) in _SCALARS else copy_state(x))
+                for k, x in v.items()}
+    if t is list:
+        return [x if type(x) in _SCALARS else copy_state(x) for x in v]
+    if t is tuple:
+        return tuple(x if type(x) in _SCALARS else copy_state(x)
+                     for x in v)
+    import copy
+
+    return copy.deepcopy(v)
+
 
 def analytic_step(p, s, argv, gate):
     nm = p["name"]
