@@ -24,6 +24,116 @@ def run_query(spark, sql, rows, tables=None, schema=None):
     return s.trigger_window()
 
 
+# ------------------------------- CASE-in-aggregation (case_test.go)
+
+
+def test_case_expression_in_aggregation(spark):
+    # case_test.go:65-130 — CASE (searched AND simple forms) as the
+    # aggregate argument
+    sql = ("SELECT deviceId, COUNT(*) AS total_count, "
+           "SUM(CASE WHEN temperature > 30 THEN 1 ELSE 0 END) AS hot_count, "
+           "AVG(CASE status WHEN 'active' THEN temperature ELSE 0 END) "
+           "AS avg_active_temp "
+           "FROM stream GROUP BY deviceId, TumblingWindow('1h') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [
+        {"deviceId": "device1", "temperature": 35.0, "status": "active", "ts": 1000},
+        {"deviceId": "device1", "temperature": 25.0, "status": "inactive", "ts": 1001},
+        {"deviceId": "device1", "temperature": 32.0, "status": "active", "ts": 1002},
+        {"deviceId": "device2", "temperature": 28.0, "status": "active", "ts": 1003},
+        {"deviceId": "device2", "temperature": 22.0, "status": "inactive", "ts": 1004},
+    ]
+    out = {r["deviceId"]: r for r in run_query(spark, sql, rows)}
+    assert out["device1"]["total_count"] == 3
+    assert out["device1"]["hot_count"] == 2
+    assert out["device1"]["avg_active_temp"] == pytest.approx((35 + 0 + 32) / 3)
+    assert out["device2"]["hot_count"] == 0
+    assert out["device2"]["avg_active_temp"] == pytest.approx(28 / 2)
+
+
+def test_case_null_handling_in_aggregation(spark):
+    # case_test.go:615-700 — NULL-returning CASE branches are ignored
+    # by SUM/COUNT/AVG; an all-NULL group sums/avgs to NULL, counts 0
+    sql = ("SELECT deviceType, "
+           "SUM(CASE WHEN temperature > 30 THEN temperature ELSE NULL END) AS hi_sum, "
+           "COUNT(CASE WHEN temperature > 30 THEN 1 ELSE NULL END) AS hi_cnt, "
+           "AVG(CASE WHEN temperature > 30 THEN temperature ELSE NULL END) AS hi_avg, "
+           "COUNT(*) AS total_count "
+           "FROM stream GROUP BY deviceType, TumblingWindow('1h') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [
+        {"deviceType": "sensor", "temperature": 35.0, "ts": 1000},
+        {"deviceType": "sensor", "temperature": 25.0, "ts": 1001},
+        {"deviceType": "sensor", "temperature": 32.0, "ts": 1002},
+        {"deviceType": "monitor", "temperature": 28.0, "ts": 1003},
+        {"deviceType": "monitor", "temperature": 33.0, "ts": 1004},
+        {"deviceType": "cold", "temperature": 20.0, "ts": 1005},
+        {"deviceType": "cold", "temperature": 25.0, "ts": 1006},
+    ]
+    out = {r["deviceType"]: r for r in run_query(spark, sql, rows)}
+    assert out["sensor"]["hi_sum"] == 67.0 and out["sensor"]["hi_cnt"] == 2
+    assert out["sensor"]["hi_avg"] == pytest.approx(33.5)
+    assert out["sensor"]["total_count"] == 3
+    assert out["monitor"]["hi_sum"] == 33.0 and out["monitor"]["hi_avg"] == 33.0
+    # the all-NULL group: SUM/AVG NULL, COUNT 0, COUNT(*) still 2
+    assert out["cold"]["hi_sum"] is None and out["cold"]["hi_avg"] is None
+    assert out["cold"]["hi_cnt"] == 0 and out["cold"]["total_count"] == 2
+
+
+def test_having_with_case_expression_values(spark):
+    # case_test.go:754-817 — CASE-fed aggregate aliases usable in
+    # HAVING (the reference only parse-checks; we pin the VALUES)
+    sql = ("SELECT deviceId, COUNT(*) AS total_count, "
+           "SUM(CASE WHEN temperature > 35 THEN 2 "
+           "WHEN temperature > 25 THEN 1 ELSE 0 END) AS weighted_score "
+           "FROM stream GROUP BY deviceId, TumblingWindow('1h') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms') "
+           "HAVING weighted_score > 3")
+    rows = [{"deviceId": "hot", "temperature": t, "ts": 1000 + i}
+            for i, t in enumerate([40.0, 40.0, 30.0])]  # 2+2+1 = 5
+    rows += [{"deviceId": "mild", "temperature": t, "ts": 2000 + i}
+             for i, t in enumerate([30.0, 30.0, 20.0])]  # 1+1+0 = 2
+    out = run_query(spark, sql, rows)
+    assert [r["deviceId"] for r in out] == ["hot"]
+    assert out[0]["weighted_score"] == 5 and out[0]["total_count"] == 3
+
+
+def test_post_agg_arithmetic_two_aggregates(spark):
+    # window_aggregate_combo_test.go:59-84 — max(v)-min(v) arithmetic
+    # over two aggregates in the projection
+    sql = ("SELECT max(v) - min(v) AS rng, sum(v) AS total FROM stream "
+           "GROUP BY TumblingWindow('1s') WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [{"ts": 1000, "v": 10.0}, {"ts": 1001, "v": 40.0},
+            {"ts": 1002, "v": 25.0}, {"ts": 3000, "v": 1.0}]
+    out = sorted(run_query(spark, sql, rows), key=lambda r: r["total"])
+    assert out[1]["rng"] == 30.0 and out[1]["total"] == 75.0
+    assert out[0]["rng"] == 0.0 and out[0]["total"] == 1.0
+
+
+def test_function_expression_arguments_emit_sync(spark):
+    # function_expr_args_test.go:17-50 — multi-argument functions whose
+    # arguments are arithmetic expressions must evaluate against the
+    # row (the reference's silent-nil regression), on the per-event
+    # sync path
+    cases = [
+        ("SELECT round(v/3, 2) AS r FROM stream", 25.0, 8.33),
+        ("SELECT round(v*2, 2) AS r FROM stream", 25.0, 50.0),
+        ("SELECT round(v+1, 2) AS r FROM stream", 25.0, 26.0),
+        ("SELECT round(v-1, 2) AS r FROM stream", 25.0, 24.0),
+        ("SELECT round(v, 2) AS r FROM stream", 25.0, 25.0),
+        ("SELECT round((v+1), 2) AS r FROM stream", 25.0, 26.0),
+        ("SELECT abs(v-30) AS a FROM stream", 25.0, 5.0),
+        ("SELECT power(v, 2) AS p FROM stream", 3.0, 9.0),
+    ]
+    for sql, emit, want in cases:
+        s = StreamSQL(spark)
+        s.execute(sql)
+        out = s.emit_sync({"v": emit})
+        assert out is not None, sql
+        (got,) = out.values()
+        assert got == pytest.approx(want), (sql, got, want)
+
+
 # ------------------------------------------------------------ direct mode
 
 def test_select_arithmetic_case(spark):
