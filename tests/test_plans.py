@@ -268,3 +268,46 @@ def test_pack_sequences_single_window_shuffle_per_branch(catalog_plan):
             if l.strip().startswith("(") and "Exchange" in l
             and "Reused" not in l)
     assert n <= 3, p
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_kmeans_assign_broadcasts_centroids_no_corpus_shuffle(spark):
+    """The k-means assign stage must broadcast the (tiny) centroid side
+    and never shuffle the corpus — that invariant is what makes the
+    Lloyd loop linear passes over 100 TB instead of iterated joins."""
+    from streamsql_spark.operators.similarity import assign_clusters
+    from streamsql_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [0.5] * 8)],
+        "vec_id long, embedding array<double>")
+    p = _plan_of(assign_clusters(emb, cents))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    # the only non-broadcast exchange is the per-vector top-1 window
+    # (hash by vid) — corpus-wide, key-partitioned, inherent
+    n = sum(1 for l in p.splitlines()
+            if l.strip().startswith("(") and "Exchange hashpartitioning" in l
+            and "Reused" not in l)
+    assert n <= 1, p
+
+
+def test_perplexity_score_broadcasts_lm_sides(spark):
+    """Scoring joins the (model-sized) gram tables as broadcasts; the
+    document side stays un-shuffled until the one per-doc
+    re-aggregation."""
+    from streamsql_spark.operators.text import ngram_lm_fit, perplexity_score
+    from streamsql_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    uni, big, v = ngram_lm_fit(docs)
+    p = _plan_of(perplexity_score(docs, uni, big, v))
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "SortMergeJoin" not in p
