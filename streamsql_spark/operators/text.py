@@ -336,19 +336,21 @@ def train_quality_classifier(df: DataFrame, label_col: str,
 
 
 def ngram_lm_fit(df: DataFrame, text_col: str = "text"
-                 ) -> tuple[DataFrame, DataFrame, int]:
+                 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fit the bigram language model that :func:`perplexity_score`
     applies — the "train a LM on the clean reference corpus, keep
     low-perplexity documents" step of CCNet-style filtering (Wenzek et
     al. 2020; classically a KenLM 5-gram — a smoothed bigram keeps the
     topology identical and oracle-checkable).
 
-    Entirely distributed: unigram and bigram counts are two exploded
-    hash-aggregations over the corpus (map-side combine makes the
-    shuffle carry one row per DISTINCT gram, not per token); only the
-    vocabulary SIZE (one scalar) comes back to the driver.
+    Entirely distributed AND entirely lazy: unigram and bigram counts
+    are two exploded hash-aggregations over the corpus (map-side
+    combine makes the shuffle carry one row per DISTINCT gram, not per
+    token); the vocabulary size is a one-row DataFrame that
+    :func:`perplexity_score` cross-joins as a broadcast, so fit +
+    score is ONE Spark job, no driver action.
 
-    Returns ``(unigrams(w, c1), bigrams(w1, w2, c12), vocab_size)``.
+    Returns ``(unigrams(w, c1), bigrams(w1, w2, c12), vocab(vs))``.
     """
     toks = ensure_parallelism(df).select(
         F.split(F.col(text_col), " ").alias("t"))
@@ -361,11 +363,12 @@ def ngram_lm_fit(df: DataFrame, text_col: str = "text"
         "ELSE array() END")).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
-    return uni, big, uni.count()
+    vocab = uni.agg(F.count(F.lit(1)).alias("vs"))
+    return uni, big, vocab
 
 
 def perplexity_score(df: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
-                     vocab_size: int, add_k: float = 0.1,
+                     vocab_size, add_k: float = 0.1,
                      text_col: str = "text", id_col: str = "doc_id",
                      out_col: str = "ppl") -> DataFrame:
     """Per-document bigram perplexity under an add-k smoothed LM:
@@ -378,11 +381,18 @@ def perplexity_score(df: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
     grams coalesce to 0, the smoothing floor), one hash re-aggregation
     per document.  The LM sides broadcast while model-sized; at corpus
     scale they become ordinary shuffle joins keyed on the gram — no
-    driver involvement either way.  Documents with fewer than two
-    tokens get a NULL score.
+    driver involvement either way.  ``vocab_size`` may be an int or
+    the one-row vocab DataFrame from :func:`ngram_lm_fit` (joined as a
+    broadcast — keeps fit + score one fully-lazy plan).  Documents
+    with fewer than two tokens get a NULL score.
     """
-    if vocab_size <= 0:
-        raise ValueError("vocab_size must be positive")
+    if isinstance(vocab_size, int):
+        if vocab_size <= 0:
+            raise ValueError("vocab_size must be positive")
+        vocab_df = df.sparkSession.range(1).select(
+            F.lit(vocab_size).alias("vs"))
+    else:
+        vocab_df = vocab_size.select(F.col("vs"))
     toks = f"split({text_col}, ' ')"
     pairs = df.select(
         F.col(id_col),
@@ -396,10 +406,11 @@ def perplexity_score(df: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
               .join(F.broadcast(bigrams), ["w1", "w2"], "left")
               .join(F.broadcast(unigrams.select(F.col("w").alias("w1"),
                                                 "c1")), ["w1"], "left")
+              .crossJoin(F.broadcast(vocab_df))
               .withColumn("lp", F.log(
                   (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(add_k)))
                   / (F.coalesce(F.col("c1"), F.lit(0))
-                     + F.lit(float(add_k) * vocab_size)))))
+                     + F.lit(float(add_k)) * F.col("vs")))))
     per_doc = (joined.groupBy(id_col)
                .agg(F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), 4)
                     .alias(out_col)))

@@ -748,14 +748,15 @@ def test_perplexity_score_matches_hand_computation(spark):
 
     texts = ["the cat sat", "the cat ran", "dog"]
     df = _textdocs(spark, texts)
-    uni, big, v = ngram_lm_fit(df)
+    uni, big, vocab = ngram_lm_fit(df)
     out = {r["doc_id"]: r["ppl"]
-           for r in perplexity_score(df, uni, big, v).collect()}
+           for r in perplexity_score(df, uni, big, vocab).collect()}
 
     toks = [t.split(" ") for t in texts]
     c1 = Counter(w for ts in toks for w in ts)
     c12 = Counter((ts[i], ts[i + 1]) for ts in toks
                   for i in range(len(ts) - 1))
+    v = vocab.collect()[0]["vs"]
     assert v == len(c1)
     k = 0.1
     for i, ts in enumerate(toks):
@@ -778,10 +779,12 @@ def test_perplexity_score_oov_is_smoothing_floor(spark):
     from streamsql_spark.operators.text import ngram_lm_fit, perplexity_score
 
     train = _textdocs(spark, ["a b a b a b", "a b a b"])
-    uni, big, v = ngram_lm_fit(train)
+    uni, big, vocab = ngram_lm_fit(train)
+    v = vocab.collect()[0]["vs"]
     test = _textdocs(spark, ["a b a b", "zz qq zz"])
+    # int vocab_size accepted too (scoring against a shipped model)
     out = {r["doc_id"]: r["ppl"]
-           for r in perplexity_score(test, uni, big, v).collect()}
+           for r in perplexity_score(test, uni, big, int(v)).collect()}
     k = 0.1
     # all-unknown bigrams: every pair scores k/(0 + k*V) = 1/V
     assert out[1] == round(math.exp(-math.log(k / (k * v))), 4) == float(v)
@@ -793,11 +796,11 @@ def test_perplexity_lm_fit_is_distributed(spark):
     over the whole corpus, no driver collect of counts (only the vocab
     SIZE scalar)."""
     from streamsql_spark.operators.text import ngram_lm_fit
-    uni, big, v = ngram_lm_fit(_textdocs(spark, ["a b c"] * 8))
+    uni, big, vocab = ngram_lm_fit(_textdocs(spark, ["a b c"] * 8))
     for df in (uni, big):
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "HashAggregate" in p and "Window" not in p
-    assert v == 3
+    assert vocab.collect()[0]["vs"] == 3
 
 
 # --------------------------------------------- URL canonicalization
