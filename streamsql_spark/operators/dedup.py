@@ -51,6 +51,35 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
               .withColumnRenamed("__digest__", "digest"))
 
 
+def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
+                      content_cols: list[str],
+                      id_col: str = "doc_id") -> DataFrame:
+    """Cross-run incremental exact dedup: keep only the ``new_df`` rows
+    whose content digest does not appear in ``seen_df`` (the already-
+    ingested corpus) NOR earlier within the new batch itself — the
+    "dedup tonight's crawl against everything we ever ingested" step of
+    a continuously-fed training corpus.
+
+    Plan: digest both sides (one md5 per row), LEFT ANTI join on the
+    digest (Spark's exact set-difference — hash-partitioned on the
+    digest, map-side semi-pruned, never materializing the match), then
+    one groupBy for intra-batch copies.  At 100 TB the seen side is a
+    digest-only column (store the digests, not the documents); with
+    both sides bucketed by digest the anti join is shuffle-free.
+    """
+    def dig(df):
+        return df.withColumn("__digest__", F.md5(F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in content_cols])))
+
+    seen = dig(seen_df).select("__digest__")
+    return (dig(new_df)
+            .join(seen, "__digest__", "left_anti")
+            .groupBy("__digest__")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .withColumnRenamed("__digest__", "digest"))
+
+
 def shingles(text_col: str, k: int = 3) -> str:
     """SQL fragment: array of word k-shingles of ``text_col``."""
     toks = f"split({text_col}, ' ')"

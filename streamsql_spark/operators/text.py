@@ -417,6 +417,31 @@ def perplexity_score(df: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
     return df.join(per_doc, id_col, "left")
 
 
+def ppl_buckets(df: DataFrame, ppl_col: str = "ppl",
+                out_col: str = "ppl_bucket",
+                cuts: tuple[float, float] = (1 / 3, 2 / 3)) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by perplexity
+    percentile — head = the lowest-perplexity (most in-domain) third,
+    tail = the highest.  Wenzek et al. 2020 train on head+middle and
+    drop or down-weight tail.
+
+    The two thresholds are EXACT percentiles computed in one global
+    aggregation (a scalar pair — broadcast back via cross join, no
+    collect); the bucket assignment is then a narrow map.  Documents
+    with NULL perplexity (sub-2-token) land in 'tail'.
+    """
+    pcts = df.agg(
+        F.expr(f"percentile({ppl_col}, {cuts[0]!r})").alias("__p_lo__"),
+        F.expr(f"percentile({ppl_col}, {cuts[1]!r})").alias("__p_hi__"))
+    return (df.crossJoin(F.broadcast(pcts))
+            .withColumn(out_col,
+                        F.when(F.col(ppl_col).isNull(), "tail")
+                        .when(F.col(ppl_col) <= F.col("__p_lo__"), "head")
+                        .when(F.col(ppl_col) <= F.col("__p_hi__"), "middle")
+                        .otherwise("tail"))
+            .drop("__p_lo__", "__p_hi__"))
+
+
 def canonicalize_url(df: DataFrame, url_col: str = "url",
                      out_col: str = "canon_url") -> DataFrame:
     """C4/CommonCrawl-style URL canonicalization for crawl dedup:

@@ -803,6 +803,81 @@ def test_perplexity_lm_fit_is_distributed(spark):
     assert vocab.collect()[0]["vs"] == 3
 
 
+def test_ppl_buckets_head_middle_tail(spark):
+    """CCNet head/middle/tail: exact-percentile thresholds, NULL ppl →
+    tail, and the thresholds computed in-plan (no collect)."""
+    from streamsql_spark.operators.text import ppl_buckets
+
+    rows = [(i, float(p)) for i, p in enumerate([10, 20, 30, 40, 50, 60])]
+    df = spark.createDataFrame(rows + [(6, None)],
+                               "doc_id long, ppl double")
+    out = {r["doc_id"]: r["ppl_bucket"] for r in ppl_buckets(df).collect()}
+    # exact percentile over [10..60]: p(1/3)≈26.67, p(2/3)≈43.33
+    assert out[0] == out[1] == "head"          # 10, 20
+    assert out[2] == out[3] == "middle"        # 30, 40
+    assert out[4] == out[5] == "tail"          # 50, 60
+    assert out[6] == "tail"                    # NULL ppl
+
+
+def test_incremental_dedup_vs_seen_corpus(spark):
+    """Only digests unseen by the historical corpus survive; copies
+    within the new batch collapse to the min-id representative."""
+    from streamsql_spark.operators.dedup import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(100, "old doc"), (101, "shared doc")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "shared doc"),        # already ingested -> dropped
+         (2, "fresh doc"), (5, "fresh doc"),  # intra-batch copies
+         (3, "another fresh")], "doc_id long, text string")
+    out = {r["keep_id"]: r["n_copies"]
+           for r in incremental_dedup(new, seen, ["text"]).collect()}
+    assert out == {2: 2, 3: 1}
+    # anti join must stay a broadcast/hash join, never a sort-merge
+    p = _plan(incremental_dedup(new, seen, ["text"]))
+    assert "LeftAnti" in p
+
+
+def test_perplexity_differential_vs_python_replica(spark):
+    """Hypothesis sweep: the distributed fit+score must equal a
+    from-scratch python replica on arbitrary small corpora (token
+    multiplicities, repeated docs, singleton docs)."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from streamsql_spark.operators.text import ngram_lm_fit, perplexity_score
+
+    word = st.sampled_from(["a", "b", "cc", "d"])
+
+    @settings(max_examples=12, deadline=None)
+    @given(docs=st.lists(st.lists(word, min_size=1, max_size=6),
+                         min_size=1, max_size=5))
+    def run(docs):
+        texts = [" ".join(d) for d in docs]
+        df = _textdocs(spark, texts)
+        uni, big, vocab = ngram_lm_fit(df)
+        got = {r["doc_id"]: r["ppl"]
+               for r in perplexity_score(df, uni, big, vocab).collect()}
+        c1 = Counter(w for d in docs for w in d)
+        c12 = Counter((d[i], d[i + 1]) for d in docs
+                      for i in range(len(d) - 1))
+        v, k = len(c1), 0.1
+        for i, d in enumerate(docs):
+            pairs = [(d[j], d[j + 1]) for j in range(len(d) - 1)]
+            if not pairs:
+                assert got[i] is None, (i, docs)
+                continue
+            lps = [math.log((c12[p] + k) / (c1[p[0]] + k * v))
+                   for p in pairs]
+            want = round(math.exp(-sum(lps) / len(lps)), 4)
+            assert got[i] == pytest.approx(want, abs=2e-4), (i, docs)
+
+    run()
+
+
 # --------------------------------------------- URL canonicalization
 
 
