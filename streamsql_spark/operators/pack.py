@@ -62,6 +62,79 @@ def budget_shard_pack(df: DataFrame, part_col: str, order_col: str,
             .drop("__prefix__"))
 
 
+def materialize_packs(df: DataFrame, part_col: str, order_col: str,
+                      text_col: str = "text",
+                      pack_col: str = "pack_id",
+                      id_col: str = "doc_id",
+                      sep: str = "\n\n") -> DataFrame:
+    """Materialize :func:`budget_shard_pack` assignments into training
+    sequences: one row per pack with the concatenated text (documents
+    joined by ``sep`` in ``order_col`` order) and the document
+    BOUNDARY metadata a loss-masking/attention-reset trainer needs —
+    ``doc_ids`` and ``doc_offsets`` (each document's token start within
+    the pack, from ``pack_offset``).
+
+    One groupBy on (part, pack) — the pack id was assigned by a window
+    over the same partition key, so with the window's ordering intact
+    this aggregation reuses the exchange (no second corpus shuffle).
+    Arrays are built with ``sort_array`` over (order, value) structs,
+    so the concatenation order is the PACKING order, deterministic
+    under any physical layout.
+    """
+    return (df.groupBy(part_col, pack_col)
+            .agg(F.expr(
+                f"array_join(transform(sort_array(collect_list("
+                f"struct({order_col} AS o, {text_col} AS t))), "
+                f"x -> x.t), '{sep}')").alias("pack_text"),
+                F.expr(
+                f"transform(sort_array(collect_list(struct("
+                f"{order_col} AS o, {id_col} AS d))), x -> x.d)")
+                .alias("doc_ids"),
+                F.expr(
+                f"transform(sort_array(collect_list(struct("
+                f"{order_col} AS o, pack_offset AS po))), x -> x.po)")
+                .alias("doc_offsets"),
+                F.count(F.lit(1)).alias("n_docs")))
+
+
+def hash_split(df: DataFrame, key_col: str,
+               weights: dict[str, float],
+               out_col: str = "split",
+               salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a
+    pure function of ``md5(salt || key)`` against cumulative weight
+    thresholds — layout-independent, reproducible across runs and
+    engines, zero shuffle (the same hash-rate machinery as the
+    samplers in ``operators/sample.py``).
+
+    ``weights``: e.g. ``{"train": 0.98, "val": 0.01, "test": 0.01}``
+    (must sum to ~1).  A document's assignment never changes when the
+    corpus grows — the property that keeps eval sets stable across
+    dataset versions.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    # uniform u in [0, 1) from the top 28 bits of md5 (engine-exact,
+    # no 64-bit signedness pitfalls)
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.lit("\x1f"),
+                                           F.col(key_col).cast("string"))),
+                            1, 7), 16, 10).cast("double")
+         / F.lit(float(16 ** 7)))
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, wgt in items[:-1]:
+        acc += wgt
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    # thresholds walk the SORTED names so assignment is independent of
+    # dict insertion order
+    return df.withColumn(out_col, expr)
+
+
 def chunk_documents(df: DataFrame, text_col: str = "text",
                     chunk_tokens: int = 64,
                     overlap_tokens: int = 16) -> DataFrame:

@@ -503,6 +503,50 @@ def test_kmeans_centroids_feed_ivf_and_blocking(spark):
     assert pairs.count() >= 0 and pairs.columns == ["id_a", "id_b", "sim"]
 
 
+def test_materialize_packs_boundaries_and_order(spark):
+    """Pack materialization: concatenation follows PACKING order under
+    any physical layout; doc_ids/doc_offsets line up for loss masking."""
+    from streamsql_spark.operators.pack import (budget_shard_pack,
+                                                materialize_packs)
+    rows = [(i, "s", f"doc{i}", 10) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n long") \
+        .repartition(4)  # scramble layout: order must come from order_col
+    packed = budget_shard_pack(df, "source", "doc_id", "n", budget=25)
+    out = {(r["source"], r["pack_id"]): r
+           for r in materialize_packs(packed, "source", "doc_id").collect()}
+    # docs 0,1,2 start at offsets 0,10,20 < 25 -> pack 0; 3,4 -> pack 1
+    p0, p1 = out[("s", 0)], out[("s", 1)]
+    assert p0["pack_text"] == "doc0\n\ndoc1\n\ndoc2"
+    assert p0["doc_ids"] == [0, 1, 2] and p0["doc_offsets"] == [0, 10, 20]
+    assert p1["pack_text"] == "doc3\n\ndoc4"
+    assert p1["doc_ids"] == [3, 4] and p1["doc_offsets"] == [5, 15]
+    assert p0["n_docs"] == 3 and p1["n_docs"] == 2
+
+
+def test_hash_split_deterministic_and_stable_under_growth(spark):
+    """hash_split: assignment is a pure function of the key — identical
+    across runs AND unchanged when the corpus grows (eval-set
+    stability); proportions approximate the weights; zero shuffle."""
+    from streamsql_spark.operators.pack import hash_split
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", w).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(df.limit(1000), "doc_id", w).collect()}
+    assert all(a[k] == v for k, v in b.items())  # growth-stable
+    from collections import Counter
+    frac = Counter(a.values())
+    assert 0.76 < frac["train"] / 4000 < 0.84
+    assert 0.07 < frac["val"] / 4000 < 0.13
+    assert 0.07 < frac["test"] / 4000 < 0.13
+    p = _plan(hash_split(df, "doc_id", w))
+    assert "Exchange" not in p
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", {"train": 0.5})
+
+
 # --------------------------------------------- document chunking
 
 
