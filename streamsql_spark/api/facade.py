@@ -28,6 +28,28 @@ from ..dialect.planner import plan as make_plan
 from ..engine.batch import BatchExecutor
 from ..functions.registry import register_function as _register_function
 
+
+def _norm_value(v):
+    """VariantVal (Spark 4 VARIANT, produced by from_json → parse_json)
+    → plain Python containers, recursively — the reference's from_json
+    delivers map/list/scalar values (functions_json.go:40-62), so the
+    facade's dict rows must too."""
+    if type(v).__name__ == "VariantVal":
+        return v.toPython()
+    if isinstance(v, dict):
+        return {k: _norm_value(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_norm_value(x) for x in v]
+    return v
+
+
+def row_to_dict(r) -> dict:
+    """Row → dict with engine-normalized values (shared by every
+    delivery path: sync, buffered trigger, streaming sinks)."""
+    return {k: _norm_value(v)
+            for k, v in r.asDict(recursive=True).items()}
+
+
 # sentinel: "this row can't take the templated sync fast path"
 _NOT_APPLICABLE = object()
 
@@ -355,7 +377,7 @@ class StreamSQL:
         out = self.spark.sql(sql).collect()
         if not out:
             return None
-        return out[0].asDict(recursive=True)
+        return row_to_dict(out[0])
 
     def _local_row_df(self, row: dict) -> DataFrame | None:
         """Single-event VALUES literal honoring the declared schema
@@ -454,7 +476,7 @@ class StreamSQL:
         out = self.query(df).collect()
         if not out:
             return None
-        return self._deliver_sync(out[0].asDict(recursive=True))
+        return self._deliver_sync(row_to_dict(out[0]))
 
     def _touch_analytic_partition(self, ph: str, key: tuple) -> None:
         """LRU bookkeeping for ``analytic_max_partitions``: mark spec
@@ -754,7 +776,7 @@ class StreamSQL:
         ev_aliases = set(self._an_exprs)
         rows2 = []
         for r in collected:
-            d = r.asDict(recursive=True)
+            d = row_to_dict(r)
             for p in self._an_prep:
                 key = tuple(d[a] for a in p["parts"])
                 self._touch_analytic_partition(p["ph"], key)
@@ -784,7 +806,7 @@ class StreamSQL:
         out = ex.execute(plan2, df2).collect()
         if not out:
             return None
-        return self._deliver_sync(out[-1].asDict(recursive=True))
+        return self._deliver_sync(row_to_dict(out[-1]))
 
     def _deliver_sync(self, row: dict) -> dict:
         """EmitSync results also reach registered sinks — one single-row
@@ -817,7 +839,7 @@ class StreamSQL:
         if not self._buffer:
             return []
         df = self._rows_df(self._buffer)
-        batch = [r.asDict(recursive=True) for r in self.query(df).collect()]
+        batch = [row_to_dict(r) for r in self.query(df).collect()]
         self._results.append(batch)
         self._metrics["output"] += len(batch)
         for sink in self._sinks:

@@ -282,6 +282,10 @@ SCALAR_RENDERERS: dict[str, Renderer] = {
     "dayofweek": _simple("dayofweek({0})"),
     "convert_tz": _render_convert_tz,
     # json (functions_json.go)
+    # from_json parses arbitrary JSON dynamically (functions_json.go:
+    # 40-62 json.Unmarshal to any) — Spark 4's VARIANT is exactly that;
+    # the facade delivery layer converts VariantVal → python containers
+    "from_json": _simple("parse_json({0})"),
     "json_extract": _render_json_extract,
     "json_valid": _simple("(try_parse_json({0}) IS NOT NULL)"),
     "json_type": _simple(

@@ -250,7 +250,8 @@ class StreamingExecutor:
                     (done.write.format(sink_format)
                          .mode("append").save(sink_path))
                     if sink is not None:
-                        rows = [r.asDict(recursive=True)
+                        from ..api.facade import row_to_dict
+                        rows = [row_to_dict(r)
                                 for r in done.limit(sink_row_limit).collect()]
                         if rows:
                             sink(rows)
@@ -258,7 +259,8 @@ class StreamingExecutor:
                     if sink is not None:
                         done.unpersist()
             elif sink is not None or on_output is not None:
-                rows = [r.asDict(recursive=True) for r in done.collect()]
+                from ..api.facade import row_to_dict
+                rows = [row_to_dict(r) for r in done.collect()]
                 if on_output is not None:
                     on_output(len(rows))
                 if rows and sink is not None:

@@ -110,6 +110,24 @@ def test_post_agg_arithmetic_two_aggregates(spark):
     assert out[0]["rng"] == 0.0 and out[0]["total"] == 1.0
 
 
+def test_from_json_dynamic_parse(spark):
+    # function_scenarios_test.go:241-249 — from_json(j) parses
+    # arbitrary JSON to a real map/list/scalar value in the result dict
+    # (functions_json.go:40-62; Spark 4 VARIANT + delivery conversion)
+    s = StreamSQL(spark)
+    s.execute("SELECT from_json(j) AS parsed FROM stream")
+    out = s.emit_sync({"j": '{"x":5}'})
+    assert isinstance(out["parsed"], dict) and out["parsed"]["x"] == 5
+    # nested containers and scalars round-trip too
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT from_json(j) AS p FROM stream")
+    out2 = s2.emit_sync({"j": '{"a":[1,2,{"b":true}],"c":null}'})
+    assert out2["p"] == {"a": [1, 2, {"b": True}], "c": None}
+    s3 = StreamSQL(spark)
+    s3.execute("SELECT from_json(j) AS p FROM stream")
+    assert s3.emit_sync({"j": "[1,2,3]"})["p"] == [1, 2, 3]
+
+
 def test_function_expression_arguments_emit_sync(spark):
     # function_expr_args_test.go:17-50 — multi-argument functions whose
     # arguments are arithmetic expressions must evaluate against the
