@@ -110,6 +110,25 @@ def test_post_agg_arithmetic_two_aggregates(spark):
     assert out[0]["rng"] == 0.0 and out[0]["total"] == 1.0
 
 
+def test_negative_number_literals_in_case(spark):
+    # case_test.go:907-965 — negative literals in CASE predicates and
+    # branch values (the reference's lexer regression); we pin VALUES
+    for row, cat, adj in [({"deviceId": "s1", "temperature": -15.0}, "FREEZING", -1.0),
+                          ({"deviceId": "s2", "temperature": -5.0}, "COLD", -1.0),
+                          ({"deviceId": "s3", "temperature": 0.0}, "ZERO", -1.0),
+                          ({"deviceId": "s4", "temperature": 10.0}, "POSITIVE", 10.0)]:
+        s = StreamSQL(spark)
+        s.execute(
+            "SELECT deviceId, temperature, "
+            "CASE WHEN temperature < -10.0 THEN 'FREEZING' "
+            "WHEN temperature < 0 THEN 'COLD' "
+            "WHEN temperature = 0 THEN 'ZERO' ELSE 'POSITIVE' END AS temp_category, "
+            "CASE WHEN temperature > 0 THEN temperature ELSE -1.0 END AS adjusted_temp "
+            "FROM stream")
+        out = s.emit_sync(row)
+        assert out["temp_category"] == cat and out["adjusted_temp"] == adj, row
+
+
 def test_from_json_dynamic_parse(spark):
     # function_scenarios_test.go:241-249 — from_json(j) parses
     # arbitrary JSON to a real map/list/scalar value in the result dict
