@@ -648,26 +648,36 @@ CATALOG["multimodal_features"] = Entry(
 
 def _run_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep in ONE Catalyst plan: exact-dedup
-    survivors → language-ID → quality filter → token budgeting, rolled
-    up per predicted language.  The point is composition: every stage
-    is a column-level transform or one aggregation — no Python in the
-    loop, no driver round-trips between stages."""
+    survivors → language-ID → quality filter → bigram-LM perplexity
+    gate (LM fit on the full corpus, CCNet-style) → deterministic
+    train/val/test hash split → token budgeting, rolled up per
+    (language, split).  The point is composition: every stage is a
+    column-level transform, broadcast join, or one aggregation — no
+    Python in the loop, no driver round-trips between stages."""
     from pyspark.sql import functions as F
 
     from .operators.dedup import exact_dedup
-    from .operators.text import language_id, quality_features, token_counts
+    from .operators.pack import hash_split
+    from .operators.text import (language_id, ngram_lm_fit,
+                                 perplexity_score, quality_features,
+                                 token_counts)
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     reps = exact_dedup(docs, ["text"], "doc_id") \
         .select(F.col("keep_id").alias("doc_id"))
     keep = docs.join(reps, "doc_id", "left_semi")
+    uni, big, vocab = ngram_lm_fit(docs)
     feat = token_counts(quality_features(language_id(keep)))
-    return (feat.filter("quality_score >= 0.05")
-                .groupBy("lang_pred")
+    feat = perplexity_score(feat, uni, big, vocab)
+    feat = hash_split(feat, "doc_id",
+                      {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (feat.filter("quality_score >= 0.05 AND ppl <= 31.0")
+                .groupBy("lang_pred", "split")
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum("est_bpe_tokens").alias("corpus_tokens"),
-                     F.round(F.avg("quality_score"), 6).alias("avg_quality")))
+                     F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+                     F.round(F.avg("ppl"), 6).alias("avg_ppl")))
 
 
 def _pipeline_oracle() -> str:
@@ -699,18 +709,44 @@ def _pipeline_oracle() -> str:
       SELECT *, round(least(n_tokens / 50.0, 1.0) * uniq_token_ratio
                       * (1.0 - least(digit_ratio * 5.0, 1.0))
                       * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score
-      FROM f)
-    SELECT lang_pred, count(*) AS n_docs,
+      FROM f),
+    tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT w, count(*) AS c1
+            FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+    vv AS (SELECT count(*) AS vs FROM uni),
+    bp AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM bp GROUP BY w1, w2),
+    pp AS (SELECT bp.doc_id,
+                  round(exp(-sum(ln((bg.c12 + 0.1) / (uni.c1 + 0.1 * vv.vs)))
+                            / count(*)), 4) AS ppl
+           FROM bp JOIN bg USING (w1, w2) JOIN uni ON bp.w1 = uni.w
+           CROSS JOIN vv GROUP BY bp.doc_id),
+    sp AS (
+      SELECT q.*, pp.ppl,
+             ('0x' || substr(md5('split' || chr(31)
+                                 || CAST(q.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                 / 268435456.0 AS u
+      FROM q JOIN pp USING (doc_id))
+    SELECT lang_pred,
+           CASE WHEN u < 0.05 THEN 'test'
+                WHEN u < 0.95 THEN 'train' ELSE 'val' END AS split,
+           count(*) AS n_docs,
            CAST(sum(est_bpe_tokens) AS BIGINT) AS corpus_tokens,
-           round(avg(quality_score), 6) AS avg_quality
-    FROM q WHERE quality_score >= 0.05 GROUP BY lang_pred
+           round(avg(quality_score), 6) AS avg_quality,
+           round(avg(ppl), 6) AS avg_ppl
+    FROM sp WHERE quality_score >= 0.05 AND ppl <= 31.0
+    GROUP BY lang_pred, CASE WHEN u < 0.05 THEN 'test'
+                             WHEN u < 0.95 THEN 'train' ELSE 'val' END
     """
 
 
 CATALOG["pipeline_training_data"] = Entry(
     _run_training_pipeline, _pipeline_oracle(),
     "extension: composed training-data pipeline (dedup survivors → "
-    "language-ID → quality gate → token budget) in one Catalyst plan")
+    "language-ID → quality gate → CCNet bigram-LM perplexity gate → "
+    "deterministic hash train/val/test split → token budget) in one "
+    "Catalyst plan (perplexity + split merged r4)")
 
 
 # ------------------------------------------- duplicate-cluster resolution
