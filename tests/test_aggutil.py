@@ -108,6 +108,44 @@ def test_cep_greedy_runs_match_islands(vals):
     assert got == want, (vals, got, want)
 
 
+@settings(max_examples=150, deadline=None)
+@given(steps=st.lists(st.tuples(st.sampled_from("abx"),
+                                st.integers(min_value=0, max_value=5)),
+                      max_size=30))
+def test_cep_within_bound_matches_scan(steps):
+    """PATTERN (A B) WITHIN bound: a match requires the pair's time
+    span ≤ bound — greedy scan oracle over random symbol/gap sequences
+    (cep/engine.go:690-696 expiry)."""
+    from streamsql_spark.cep.engine import run_partition
+
+    spec = _parse_spec("""
+        SELECT * FROM stream MATCH_RECOGNIZE (
+            MEASURES A.i AS a_i, B.i AS b_i
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS s = 'a', B AS s = 'b'
+            WITHIN '2s')
+    """)
+    ts, t = [], 0.0
+    for _, gap in steps:
+        t += gap
+        ts.append(t)
+    rows = [{"i": i, "s": s} for i, (s, _) in enumerate(steps)]
+    # run_partition takes the bound explicitly (the executor parses the
+    # spec's WITHIN into seconds and passes it through, cep/executor.py)
+    got = [(m["a_i"], m["b_i"])
+           for m in run_partition(spec, rows, ts, 2.0)]
+    want, i = [], 0
+    while i + 1 < len(steps):
+        if steps[i][0] == "a" and steps[i + 1][0] == "b" \
+                and ts[i + 1] - ts[i] <= 2.0:
+            want.append((i, i + 1))
+            i += 2
+        else:
+            i += 1
+    assert got == want, (steps, got, want)
+
+
 # ------------------------------------------------------- front-end fuzz
 
 _cols = st.sampled_from(["deviceId", "temperature", "humidity", "ts", "k"])
