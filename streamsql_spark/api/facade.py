@@ -549,7 +549,19 @@ class StreamSQL:
             outs.append((f.alias or _default_name(f.expr, i), fn))
         where_f = None
         if self._stmt.where is not None:
-            where_f = pyeval.compile_expr(self._stmt.where)
+            w = self._stmt.where
+            from ..functions.registry import is_analytic as _is_an
+            # same bare-analytic WHERE semantics the planner applies
+            # (analytic_parity_test.go:356-368): a bare value-typed
+            # analytic predicate means "returned non-nil"
+            bare_value = (isinstance(w, N.Func) and _is_an(w.name)
+                          and w.name.lower() != "had_changed")
+            w = N.transform(w, subst)
+            if bad:
+                return None
+            if bare_value:
+                w = N.IsNull(operand=w, negated=True)
+            where_f = pyeval.compile_expr(w)
             if where_f is None:
                 return None
 

@@ -319,7 +319,18 @@ class Planner:
         if stmt.where is not None:
             w = stmt.where
             if _has_analytic(w):
+                # A BARE value-typed analytic as the whole predicate
+                # selects rows where it returned non-nil — changes to
+                # 0/'' still pass (analytic_parity_test.go:356-368,
+                # "值型分析函数走 nil 判定"); boolean analytics
+                # (had_changed) filter on their own value.  Without the
+                # wrap Spark rejects the non-boolean filter at analysis.
+                bare_value = (isinstance(w, N.Func)
+                              and registry.is_analytic(w.name)
+                              and w.name.lower() != "had_changed")
                 w = self._lift_analytics(w)
+                if bare_value:
+                    w = N.IsNull(operand=w, negated=True)
             plan.where_sql = render(w, agg_mode="forbid")
 
         if mode == "window":

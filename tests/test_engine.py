@@ -110,6 +110,46 @@ def test_post_agg_arithmetic_two_aggregates(spark):
     assert out[0]["rng"] == 0.0 and out[0]["total"] == 1.0
 
 
+def test_arithmetic_around_analytic(spark):
+    # analytic_parity_test.go:340-354 (B1) — expressions WRAPPING an
+    # analytic: ts - lag(ts) and literal - lag(ts), per key
+    d = [{"k": "d1", "ts": 1}, {"k": "d1", "ts": 2},
+         {"k": "d1", "ts": 3}, {"k": "d2", "ts": 10}]
+    out = run_query(spark, "SELECT ts - lag(ts) OVER (PARTITION BY k) AS d "
+                           "FROM stream", d)
+    assert [r["d"] for r in out] == [None, 1, 1, None]
+    out = run_query(spark, "SELECT 100 - lag(ts) OVER (PARTITION BY k) AS d "
+                           "FROM stream", d)
+    assert [r["d"] for r in out] == [None, 99, 98, None]
+    out = run_query(spark, "SELECT lag(ts) OVER (PARTITION BY k) AS p "
+                           "FROM stream", d)
+    assert [r["p"] for r in out] == [None, 1, 2, None]
+
+
+def test_bare_analytic_in_where(spark):
+    # analytic_parity_test.go:356-368 (B2) — a BARE value-typed
+    # analytic as the WHERE predicate means "returned non-nil": a
+    # change to 0 still selects; explicit > 0 keeps the old behavior;
+    # had_changed (boolean) filters on its own value
+    d = [{"temp": 5.0, "ts": 1}, {"temp": 5.0, "ts": 2},
+         {"temp": 0.0, "ts": 3}, {"temp": 3.0, "ts": 4}]
+    out = run_query(spark, "SELECT temp FROM stream "
+                           "WHERE changed_col(true, temp)", d)
+    assert [r["temp"] for r in out] == [5.0, 0.0, 3.0]
+    out = run_query(spark, "SELECT temp FROM stream "
+                           "WHERE changed_col(true, temp) > 0", d)
+    assert [r["temp"] for r in out] == [5.0, 3.0]
+    out = run_query(spark, "SELECT temp FROM stream "
+                           "WHERE had_changed(true, temp)", d)
+    assert [r["temp"] for r in out] == [5.0, 0.0, 3.0]
+    # the per-event sync path agrees, event by event
+    s = StreamSQL(spark)
+    s.execute("SELECT temp FROM stream WHERE changed_col(true, temp)")
+    got = [s.emit_sync({"temp": t, "ts": i})
+           for i, t in enumerate([5.0, 5.0, 0.0, 3.0])]
+    assert [g["temp"] if g else None for g in got] == [5.0, None, 0.0, 3.0]
+
+
 def test_negative_number_literals_in_case(spark):
     # case_test.go:907-965 — negative literals in CASE predicates and
     # branch values (the reference's lexer regression); we pin VALUES
