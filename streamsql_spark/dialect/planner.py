@@ -125,6 +125,23 @@ class Planner:
                     # (test/e2e/function_advanced_test.go:762-766 skip)
                     group_texts = {render(g) for g in self.stmt.group_by}
                     group_texts |= {WINDOW_START_COL, WINDOW_END_COL}
+
+                    def resolve_key(nref: N.Expr) -> N.Expr:
+                        # a QUALIFIED ref to a group key (stream.k with
+                        # GROUP BY k) strips its prefix and resolves to
+                        # the key value per window emission — the
+                        # reference's B4 runtime fix
+                        # (analytic_parity_test.go:385-398)
+                        if isinstance(nref, N.Col) and len(nref.parts) > 1:
+                            bare = N.Col((nref.parts[-1],))
+                            if render(bare) in group_texts:
+                                return bare
+                        return nref
+
+                    func = N.Func(name=func.name,
+                                  args=[N.transform(a, resolve_key)
+                                        for a in func.args],
+                                  over=func.over)
                     for a in func.args:
                         for nref in N.walk(a):
                             if isinstance(nref, N.Col) \

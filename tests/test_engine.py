@@ -150,6 +150,28 @@ def test_bare_analytic_in_where(spark):
     assert [g["temp"] if g else None for g in got] == [5.0, None, 0.0, 3.0]
 
 
+def test_windowed_analytic_qualified_group_key_arg(spark):
+    # analytic_parity_test.go:385-398 (B4) — a QUALIFIED ref to a
+    # group key (stream.k with GROUP BY k) strips its prefix and
+    # resolves to the key value per window emission; a non-key raw
+    # column still rejects with the typed error
+    sql = ("SELECT changed_col(true, stream.k) AS c, k FROM stream "
+           "GROUP BY k, CountingWindow(2) WITH (TIMESTAMP='ts')")
+    rows = [{"k": "d1", "ts": 1}, {"k": "d1", "ts": 2},
+            {"k": "d2", "ts": 3}, {"k": "d2", "ts": 4}]
+    out = run_query(spark, sql, rows)
+    assert sorted((r["c"], r["k"]) for r in out) == \
+        [("d1", "d1"), ("d2", "d2")]
+    for r in out:
+        assert r["c"] == r["k"]
+
+    from streamsql_spark.dialect.planner import PlanError
+    s = StreamSQL(spark)
+    with pytest.raises(PlanError, match="raw"):
+        s.execute("SELECT changed_col(true, stream.v) AS c FROM stream "
+                  "GROUP BY k, CountingWindow(2) WITH (TIMESTAMP='ts')")
+
+
 def test_negative_number_literals_in_case(spark):
     # case_test.go:907-965 — negative literals in CASE predicates and
     # branch values (the reference's lexer regression); we pin VALUES
