@@ -601,7 +601,15 @@ class StreamSQL:
                     "acc_avg"):
                 return None  # fan-out/renderer-special fns: Spark path
             specs.append((p, parts, when_f, args))
-        return {"outs": outs, "where": where_f, "specs": specs}
+        # reference omitEmpty (stream/stream.go:698-703): a SELECT of
+        # solely bare change-detection fields suppresses the row when
+        # none changed (state still advances, like a WHERE filter)
+        omit_empty = bool(self._stmt.fields) and all(
+            isinstance(f.expr, N.Func)
+            and f.expr.name.lower() == "changed_col"
+            for f in self._stmt.fields)
+        return {"outs": outs, "where": where_f, "specs": specs,
+                "omit_empty": omit_empty}
 
     def _emit_sync_analytic_python(self, row: dict):
         """In-process analytic per-event path: the SAME analytic_step
@@ -658,6 +666,8 @@ class StreamSQL:
         for slot, st in staged:
             self._touch_analytic_partition(*slot)
             self._an_states[slot] = st
+        if cp.get("omit_empty") and all(v is None for v in out.values()):
+            return None  # omitEmpty suppression — state already advanced
         return out
 
     def _emit_sync_analytic(self, row: dict) -> dict | None:

@@ -434,6 +434,38 @@ def _apply_custom_analytics(df: DataFrame, group: list,
 
 # ------------------------------------------------------------- executor
 
+# analytic function names whose nil output marks "no change" — the
+# omit-empty family (changed_col and changed_cols fan-out members)
+_CHANGE_FNS = ("changed_col", "__changed_value__")
+
+
+def _omit_empty_filter(df: DataFrame, plan, window_mode: bool) -> DataFrame:
+    """Reference omitEmpty row suppression (stream/stream.go:610-612,
+    :698-703): when change detection fired nothing, the row is dropped —
+
+    - direct mode: only when the SELECT consists solely of BARE
+      change-detection fields (any other selected field keeps the row,
+      with the unchanged column rendered NULL);
+    - window mode: whenever the query's analytic fields are all
+      change-detection and none produced a value (``changedAny``) —
+      other selected aggregates do not keep the row.
+    """
+    if not plan.analytics:
+        return df
+    specs = [a for a in plan.analytics
+             if a.window_output == window_mode] if window_mode else plan.analytics
+    if not specs or any(a.func.name.lower() not in _CHANGE_FNS
+                        for a in specs):
+        return df
+    if not window_mode:
+        phs = {a.placeholder for a in specs}
+        if any((o.sql not in phs) and not o.star for o in plan.outputs):
+            return df
+        if any(o.star for o in plan.outputs):
+            return df
+    cond = " OR ".join(f"`{a.placeholder}` IS NOT NULL" for a in specs)
+    return df.filter(F.expr(cond))
+
 
 class BatchExecutor:
     """Compile a QueryPlan against batch DataFrames."""
@@ -664,6 +696,7 @@ class BatchExecutor:
                     spec.when_sql, True)
                 grouped = grouped.withColumn(
                     spec.placeholder, _analytic_column(eff, order_cols))
+            grouped = _omit_empty_filter(grouped, plan, window_mode=True)
 
         if plan.having_sql:
             grouped = grouped.filter(
@@ -728,6 +761,7 @@ class BatchExecutor:
 
     # ------------------------------------------------------------ direct
     def _project_direct(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
+        df = _omit_empty_filter(df, plan, window_mode=False)
         hidden = {_TS, _ROWID} | {a.placeholder for a in plan.analytics} \
             | {"__win_id__", "__chunk_n__"}
         out_cols: list[Column] = []

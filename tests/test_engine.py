@@ -150,6 +150,38 @@ def test_bare_analytic_in_where(spark):
     assert [g["temp"] if g else None for g in got] == [5.0, None, 0.0, 3.0]
 
 
+def test_omit_empty_change_detection_suppression(spark):
+    # stream/stream.go:610-612, :698-703 omitEmpty — change detection
+    # that fired nothing drops the ROW: in direct mode only when the
+    # SELECT is solely bare change-detection fields; in window mode
+    # whenever the analytic fields are all change-detection
+    # (analytic_parity_test.go:245-256 E4)
+    demo = [{"temperature": float(t), "ts": i + 1}
+            for i, t in enumerate((23, 23, 23, 25, 25, 25, 25, 25))]
+    out = run_query(spark, 'SELECT changed_cols("t", true, avg(temperature)) '
+                           "FROM stream GROUP BY CountingWindow(2) "
+                           "WITH (TIMESTAMP='ts')", demo)
+    assert sorted(r["tavg"] for r in out) == [23.0, 24.0, 25.0]
+
+    d3 = [{"temp": 5.0, "ts": 1}, {"temp": 5.0, "ts": 2},
+          {"temp": 3.0, "ts": 3}]
+    out = run_query(spark, "SELECT changed_col(true, temp) AS c FROM stream",
+                    [dict(r) for r in d3])
+    assert [r["c"] for r in out] == [5.0, 3.0]  # unchanged row dropped
+    # mixed select: row kept, unchanged column renders NULL (the
+    # fixed-schema rendering of the reference's key omission)
+    out = run_query(spark, "SELECT temp, changed_col(true, temp) AS c "
+                           "FROM stream", [dict(r) for r in d3])
+    assert [(r["temp"], r["c"]) for r in out] == \
+        [(5.0, 5.0), (5.0, None), (3.0, 3.0)]
+    # per-event sync path agrees (suppressed event returns None, state
+    # still advances)
+    s = StreamSQL(spark)
+    s.execute("SELECT changed_col(true, temp) AS c FROM stream")
+    got = [s.emit_sync({"temp": r["temp"], "ts": r["ts"]}) for r in d3]
+    assert got == [{"c": 5.0}, None, {"c": 3.0}]
+
+
 def test_windowed_analytic_qualified_group_key_arg(spark):
     # analytic_parity_test.go:385-398 (B4) — a QUALIFIED ref to a
     # group key (stream.k with GROUP BY k) strips its prefix and
@@ -908,7 +940,9 @@ def test_changed_cols_ignore_null_keeps_baseline(spark):
     rows = [{"v": 5.0, "ts": 1}, {"v": None, "ts": 2},
             {"v": 5.0, "ts": 3}, {"v": 7.0, "ts": 4}]
     out = run_query(spark, sql, rows, schema=schema)
-    assert [r["c_v"] for r in out] == [5.0, None, None, 7.0]
+    # rows 2/3 emit nothing (nil skipped, baseline kept → 5 unchanged)
+    # and the SELECT is solely change detection → omitEmpty drops them
+    assert [r["c_v"] for r in out] == [5.0, 7.0]
 
 
 def test_had_changed_star_whole_row(spark):
@@ -965,7 +999,10 @@ def test_changed_col_returns_new_value(spark):
     rows = [{"temperature": 23.0, "ts": 1}, {"temperature": 23.0, "ts": 2},
             {"temperature": 25.0, "ts": 3}]
     out = run_query(spark, sql, rows)
-    assert [r["chg"] for r in out] == [23.0, None, 25.0]
+    # the unchanged row is omitEmpty-suppressed (SELECT is solely
+    # change detection); the nil-when-unchanged rendering stays visible
+    # in mixed selects (test_omit_empty_change_detection_suppression)
+    assert [r["chg"] for r in out] == [23.0, 25.0]
 
 
 def test_changed_col_composite_agg_arg(spark):
@@ -1089,7 +1126,11 @@ def test_changed_cols_over_window_aggregates(spark):
     for r in rows:
         s.emit(r)
     out = s.trigger_window()
-    assert len(out) == 3
+    # window avgs/maxes: (15,20), (25,30), (25,30) — the third window
+    # changes nothing → omitEmpty suppresses it (reference changedAny)
+    assert len(out) == 2
+    assert sorted((r["c_avg"], r["c_max"]) for r in out) == \
+        [(15.0, 20.0), (25.0, 30.0)]
 
 
 def test_schema_validation_gate(spark):
