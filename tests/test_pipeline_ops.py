@@ -484,6 +484,28 @@ def test_kmeans_fit_separates_obvious_clusters(spark):
         assert got[i] == got[i % 3], i
 
 
+def test_kmeans_fit_edge_cases(spark):
+    """k > n yields n centroids (no crash, no padding); all-identical
+    vectors leave every cluster at the shared point (empty clusters
+    keep their previous centroid); empty input raises typed."""
+    from streamsql_spark.operators.similarity import kmeans_fit
+
+    df = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+                               "vec_id long, embedding array<double>")
+    got = sorted((r["centroid_id"], list(r["embedding"]))
+                 for r in kmeans_fit(df, k=5, max_iter=2).collect())
+    assert got == [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+    same = spark.createDataFrame([(i, [1.0, 1.0]) for i in range(6)],
+                                 "vec_id long, embedding array<double>")
+    got = [list(r["embedding"])
+           for r in kmeans_fit(same, k=3, max_iter=3).collect()]
+    assert got == [[1.0, 1.0]] * 3
+
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_fit(df.where("vec_id < 0"), k=2)
+
+
 def test_kmeans_centroids_feed_ivf_and_blocking(spark):
     """kmeans_fit output plugs into ivf_topk and
     embedding_neardup_pairs unchanged (the trained-cells path)."""
