@@ -299,6 +299,43 @@ def test_kmeans_assign_broadcasts_centroids_no_corpus_shuffle(spark):
     assert n <= 1, p
 
 
+def test_materialize_packs_reuses_pack_exchange(spark):
+    """Pack materialization groups on the same partition key the pack
+    window shuffled on — one corpus exchange total (plus at most the
+    aggregation's own re-distribution), never a second full shuffle."""
+    from pyspark.sql import functions as F
+
+    from streamsql_spark.operators.pack import (budget_shard_pack,
+                                                materialize_packs)
+    df = spark.createDataFrame(
+        [(i, "s", f"d{i}", 10) for i in range(40)],
+        "doc_id long, source string, text string, n long")
+    p = _plan_of(materialize_packs(
+        budget_shard_pack(df, "source", "doc_id", "n", budget=50),
+        "source", "doc_id"))
+    n = sum(1 for l in p.splitlines()
+            if l.strip().startswith("(") and "Exchange" in l
+            and "Reused" not in l)
+    assert n <= 2, p
+
+
+def test_multimodal_resize_and_frames_are_narrow(spark):
+    """resize_images and sample_frames are single mapInPandas passes —
+    no shuffle of the media payloads (scan-rate-bound at scale)."""
+    import numpy as np
+
+    from streamsql_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      encode_ppm,
+                                                      resize_images,
+                                                      sample_frames)
+    ppm = encode_ppm(np.zeros((2, 2, 3), np.uint8))
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(ppm), ("image/x-portable-pixmap",
+                                       len(ppm), "t"))], MEDIA_SCHEMA)
+    for df in (resize_images(media, 1, 1), sample_frames(media, 1)):
+        assert "Exchange" not in _plan_of(df), df
+
+
 def test_perplexity_score_broadcasts_lm_sides(spark):
     """Scoring joins the (model-sized) gram tables as broadcasts; the
     document side stays un-shuffled until the one per-doc
