@@ -528,10 +528,14 @@ class StreamSQL:
             ph_by_repr.setdefault(repr(s.func), s.placeholder)
 
         bad = False
+        from ..functions.registry import is_analytic as _is_analytic
 
         def subst(node):
             nonlocal bad
-            if isinstance(node, N.Func) and node.over is not None:
+            # analytics appear with OR without an OVER clause (the CDC
+            # family is bare: changed_col(true, v)) — both substitute
+            if isinstance(node, N.Func) and (node.over is not None
+                                             or _is_analytic(node.name)):
                 ph = ph_by_repr.get(repr(node))
                 if ph is None:
                     bad = True

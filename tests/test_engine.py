@@ -1883,6 +1883,12 @@ def test_pyeval_analytic_differential_vs_spark_route(spark):
         "SELECT acc_sum(v) OVER (PARTITION BY k WHEN v > 10) AS gated "
         "FROM stream",
         "SELECT v - lag(v, 2, 0.0) OVER (PARTITION BY k) AS d2 FROM stream",
+        # r4: omitEmpty suppression (solely change-detection select) and
+        # analytic-referencing WHERE predicates must agree per event
+        "SELECT changed_col(true, v) AS c FROM stream",
+        "SELECT k, v FROM stream WHERE changed_col(true, v)",
+        "SELECT k, v FROM stream WHERE had_changed(true, v)",
+        "SELECT v FROM stream WHERE changed_col(true, v) > 10",
     ]
     rng = random.Random(7)
     for sql in queries:
