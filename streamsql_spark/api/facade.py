@@ -57,15 +57,34 @@ _NOT_APPLICABLE = object()
 class StreamSQL:
     """One SQL statement per instance (streamsql.go:141-143)."""
 
+    #: emit-buffer overflow strategies (stream/strategy.go:28-33)
+    OVERFLOW_STRATEGIES = ("drop", "block", "expand")
+
     def __init__(self, spark: SparkSession | None = None, schema=None,
                  max_buffer_rows: int = 100_000,
-                 analytic_max_partitions: int | None = None):
+                 analytic_max_partitions: int | None = None,
+                 overflow_strategy: str = "drop",
+                 blocking_timeout: float | None = None):
         if spark is None:
             from ..session import get_spark
             spark = get_spark()
+        if overflow_strategy not in self.OVERFLOW_STRATEGIES:
+            raise ValueError(
+                f"unknown overflow_strategy {overflow_strategy!r}: "
+                f"expected one of {self.OVERFLOW_STRATEGIES}")
         self.spark = spark
         self.schema = schema
         self.max_buffer_rows = max_buffer_rows
+        # emit overflow strategy (stream/strategy.go:57-233): "drop"
+        # rejects the INCOMING row when full; "block" waits for a
+        # consumer to free space (forever when blocking_timeout is
+        # None/<=0, else up to the timeout then drops — the reference's
+        # bounded-block contract); "expand" grows capacity and never
+        # drops
+        self.overflow_strategy = overflow_strategy
+        self.blocking_timeout = blocking_timeout
+        import threading
+        self._buffer_cond = threading.Condition()
         # LRU cap on per-partition analytic state in the sync path
         # (WithAnalyticMaxPartitions, analytic_runtime_test.go:94-131):
         # an evicted partition's state resets on its next event — the
@@ -434,9 +453,46 @@ class StreamSQL:
             self._metrics["schema_dropped"] += 1
             return  # validate-and-drop
         if len(self._buffer) >= self.max_buffer_rows:
-            self._buffer.pop(0)  # overflow strategy: drop oldest
-            self._metrics["input_dropped"] += 1
+            if self.overflow_strategy == "expand":
+                # expansion strategy: grow capacity, keep the row —
+                # never blocks, never drops (strategy.go:118-160)
+                self.max_buffer_rows = max(self.max_buffer_rows * 2, 1)
+            elif self.overflow_strategy == "block":
+                # blocking strategy: wait for a consumer (another
+                # thread's stop/clear) to free space; timeout <= 0 or
+                # None blocks until space or shutdown, else drops after
+                # the bounded wait (strategy.go:66-97)
+                if not self._block_until_space():
+                    if not self._stopped:
+                        self._metrics["input_dropped"] += 1
+                    return
+            else:
+                # drop strategy: reject the INCOMING row
+                # (strategy.go:190-216)
+                self._metrics["input_dropped"] += 1
+                return
         self._buffer.append(row)
+
+    def _block_until_space(self) -> bool:
+        """Wait until the emit buffer has room, the stream stops, or
+        ``blocking_timeout`` elapses.  True = room freed (append);
+        False = timed out or stopped (caller drops)."""
+        import time as _time
+
+        timeout = self.blocking_timeout
+        deadline = (None if timeout is None or timeout <= 0
+                    else _time.monotonic() + timeout)
+        with self._buffer_cond:
+            while (len(self._buffer) >= self.max_buffer_rows
+                   and not self._stopped):
+                if deadline is None:
+                    self._buffer_cond.wait(0.05)
+                else:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        return False
+                    self._buffer_cond.wait(min(remaining, 0.05))
+            return not self._stopped
 
     def emit_sync(self, row: dict) -> dict | None:
         """Synchronous direct-path execution (streamsql.go:262-282).
@@ -997,3 +1053,5 @@ class StreamSQL:
         self._stopped = True
         self._buffer.clear()
         self._history.clear()
+        with self._buffer_cond:
+            self._buffer_cond.notify_all()  # release blocked emitters

@@ -938,18 +938,24 @@ _add("cep_all_rows", Entry(
 
 
 def _cep_skip_policies_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SKIP TO NEXT ROW and SKIP TO LAST <symbol> in one kind-tagged
-    entry (merged r4, catalog stays at the 50-entry gate).
+    """SKIP TO NEXT ROW, SKIP TO LAST <symbol>, and SKIP TO FIRST
+    <symbol> in one kind-tagged entry (merged r4/r5, catalog stays at
+    the 50-entry gate).
 
     - next_row: A{2} over value>75 — a run of n qualifying rows yields
       n-1 overlapping matches ≡ the LAG adjacent-pair predicate.
     - skip_last: PATTERN (X Y Z), all three defined as value>75, AFTER
       MATCH SKIP TO LAST Z — the matched Z row RE-ANCHORS the next
       match, so matches tile each maximal qualifying run at stride 2
-      (anchors 1,3,5,… while anchor+2 ≤ run length), which is
-      OBSERVABLY different from both SKIP TO NEXT ROW (stride 1) and
-      PAST LAST ROW (stride 3) — the islands oracle pins the policy
-      exactly (cep/engine.go:593-625)."""
+      (anchors 1,3,5,… while anchor+2 ≤ run length).
+    - skip_first (r5): same pattern, AFTER MATCH SKIP TO FIRST Y — the
+      re-anchor is the SECOND row of the previous match, so the run
+      tiles at stride 1 (every consecutive triple).
+
+    Stride 1 vs 2 vs 3 (PAST LAST ROW) on the same islands makes the
+    three policies pairwise OBSERVABLE — the oracle pins each exactly
+    (cep/engine.go:593-625; inclusive re-anchor per the SQL standard,
+    see cep/engine.py _skip_to)."""
     from pyspark.sql import functions as F
 
     tables = load_tables(spark, sf_dir)
@@ -980,10 +986,26 @@ def _cep_skip_policies_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                     PATTERN (X Y Z)
                     DEFINE X AS value > 75, Y AS value > 75, Z AS value > 75
                 )
+            """),
+            ("skip_first", """
+                SELECT user_id, a1_ts, a2_ts, a1_val, a2_val FROM stream
+                MATCH_RECOGNIZE (
+                    PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    MEASURES X.ts AS a1_ts, Z.ts AS a2_ts,
+                             X.value AS a1_val, Z.value AS a2_val
+                    ONE ROW PER MATCH
+                    AFTER MATCH SKIP TO FIRST Y
+                    PATTERN (X Y Z)
+                    DEFINE X AS value > 75, Y AS value > 75, Z AS value > 75
+                )
             """)):
         q = StreamSQL(spark).execute(sql)
         out.append(q.query(tables["events"]).withColumn("kind", F.lit(kind)))
-    return out[0].unionByName(out[1])
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 _add("cep_skip_next_overlap", Entry(
@@ -1016,9 +1038,15 @@ _add("cep_skip_next_overlap", Entry(
     FROM pos x JOIN pos z
       ON x.user_id = z.user_id AND x.grp = z.grp AND z.p = x.p + 2
     WHERE x.p % 2 = 1
+    UNION ALL
+    SELECT x.user_id, x.ts AS a1_ts, z.ts AS a2_ts,
+           x.value AS a1_val, z.value AS a2_val, 'skip_first' AS kind
+    FROM pos x JOIN pos z
+      ON x.user_id = z.user_id AND x.grp = z.grp AND z.p = x.p + 2
     """,
     "§2.7 AFTER MATCH SKIP TO NEXT ROW overlapping matches + SKIP TO "
-    "LAST <symbol> re-anchoring (stride-2 island tiling oracle) "
+    "LAST <symbol> (stride-2 island tiling) + SKIP TO FIRST <symbol> "
+    "(stride-1) — the three policies pairwise observable on one oracle "
     "(cep/engine.go:593-625 skip policies; test/e2e/cep_test.go:766)"))
 
 _add("cep_permute", Entry(

@@ -372,19 +372,26 @@ def _run_ann_bruteforce_and_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact global rerank) — held to the same exact-list oracle: on
       fixture-sized shards the ef_search=32 beam is near-exhaustive,
       so any layout-induced candidate miss fails the hash;
-    - IVF (broadcast centroid assign → probe-pruned candidate join) —
-      checked against its own algorithm-replica oracle (probe pruning
-      legitimately diverges from exact)."""
+    - IVF over KMEANS-TRAINED cells (merged r5): ``kmeans_fit(emb,
+      k=8, max_iter=1)`` — min-id init, one full Lloyd iteration
+      (row-local assign → distributed elementwise means) — supplies
+      the centroids; the oracle replicates the ENTIRE iteration in
+      DuckDB (init → argmin assign → per-dimension avg, all at the 6dp
+      rounding contract) and then the probe-pruned search against the
+      trained cells, so the distributed trainer itself is
+      value-hash-checked (probe pruning legitimately diverges from
+      exact)."""
     from pyspark.sql import functions as F
 
     from .operators.similarity import (cosine_topk, graph_topk, ivf_topk,
-                                       pq_topk)
+                                       kmeans_fit, pq_topk)
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     q = emb.where("vec_id < 3")
     exact = cosine_topk(emb, q, k=5).withColumn("method", F.lit("exact"))
     pq = pq_topk(emb, q, k=5).withColumn("method", F.lit("pq"))
-    ivf = (ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2)
+    cents = kmeans_fit(emb, k=8, max_iter=1)
+    ivf = (ivf_topk(emb, q, k=5, nprobe=2, centroids=cents)
            .withColumn("method", F.lit("ivf")))
     graph = graph_topk(emb, q, k=5).withColumn("method", F.lit("graph"))
     return exact.unionByName(pq).unionByName(ivf).unionByName(graph)
@@ -393,8 +400,31 @@ def _run_ann_bruteforce_and_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG["ann_cosine_bruteforce"] = Entry(
     _run_ann_bruteforce_and_pq,
     f"""
-    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb
-                  FROM embeddings WHERE vec_id < 8),
+    WITH init AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS ce
+      FROM embeddings WHERE vec_id < 8
+    ),
+    a0 AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT v.vec_id, v.embedding, i.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 round({_COS_ORACLE_EXPR.format(a='v.embedding', b='i.ce')}, 6) DESC,
+                 i.cid) AS rn
+        FROM embeddings v, init i) WHERE rn = 1
+    ),
+    upd AS (
+      SELECT a.cid, p.pos,
+             round(avg(CAST(a.embedding[p.pos] AS DOUBLE)), 6) AS m
+      FROM a0 a, (SELECT unnest(generate_series(1, 64)) AS pos) p
+      GROUP BY a.cid, p.pos
+    ),
+    cent AS (
+      SELECT i.cid AS centroid_id, coalesce(u.vec, i.ce) AS c_emb
+      FROM init i LEFT JOIN (
+        SELECT cid, list(m ORDER BY pos) AS vec FROM upd GROUP BY cid) u
+      ON i.cid = u.cid
+    ),
     assigned AS (
       SELECT vec_id, embedding, centroid_id FROM (
         SELECT v.vec_id, v.embedding, c.centroid_id,

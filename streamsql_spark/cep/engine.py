@@ -243,7 +243,18 @@ class Matcher:
 
     # ------------------------------------------------------------- drive
     def _skip_to(self, bindings: list) -> int:
-        """Next search position per AFTER MATCH SKIP (engine.go:593-625)."""
+        """Next search position per AFTER MATCH SKIP (engine.go:593-625).
+
+        TO FIRST/LAST <sym> re-anchors ON the target row (SQL-standard /
+        Flink inclusive semantics; the would-be-infinite-loop case —
+        target == match start — advances by one instead).  NOTE: the
+        reference's skipTo returns occurrence+1 (engine.go:600), a
+        divergence its own e2e suite never observes (every reference
+        case has no further match either way); for TO LAST <last
+        pattern symbol> that +1 degenerates to PAST LAST ROW, so the
+        standard's re-anchor is the behavior a MATCH_RECOGNIZE user
+        actually expects — pinned by test_cep.py skip-policy tests and
+        the cep_skip_next_overlap stride oracles."""
         skip = self.spec.after_match_skip
         first_idx = bindings[0][0]
         last_idx = bindings[-1][0]

@@ -369,8 +369,9 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     """Embedding-cosine near-dup: pairs with cosine(emb_a, emb_b) ≥ t.
 
     Cluster blocking bounds the quadratic self-join: each vector is
-    assigned to its nearest centroid (one broadcast pass, same topology
-    as IVF search) and only within-cluster pairs are compared — the
+    assigned to its nearest centroid (a zero-exchange row-local argmin,
+    same topology as IVF assignment) and only within-cluster pairs are
+    compared — the
     shuffle key is the cluster id, so at 100 TB the O(n²) becomes
     K · O((n/K)²) with K tunable to the cluster's pair budget.  Default
     blocking centroids are the deterministic min-id vectors; pass
@@ -387,7 +388,8 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     else:
         centroids = centroids.select(
             F.col("centroid_id").alias(id_col), F.col(vec_col))
-    assigned = assign_clusters(df, centroids, id_col, vec_col)
+    assigned = assign_clusters(ensure_parallelism(df), centroids,
+                               id_col, vec_col)
 
     out_schema = StructType([StructField("id_a", LongType()),
                              StructField("id_b", LongType()),

@@ -24,6 +24,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -338,25 +339,105 @@ def graph_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     return _exact_rerank(cand, vectors, queries, k, id_col, vec_col)
 
 
+def _cos_col(a, b):
+    """Column-level cosine between two array columns, zero-norm-guarded
+    (a zero vector scores 0.0 against everything instead of NaN) — the
+    row-local twin of :func:`cosine_sim_expr` for higher-order lambdas."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda v: F.sqrt(F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / F.greatest(norm(a) * norm(b), F.lit(1e-300))
+
+
+def _collect_centroids(centroids: DataFrame, id_col: str,
+                       vec_col: str) -> list[tuple[int, list[float]]]:
+    """Driver-side (cid, vector) list, cid-ascending.  A centroid set is
+    a MODEL (k·d values), not data — by contract it fits the driver,
+    exactly like the k-means init/means round-trips."""
+    rows = (centroids.select(F.col(id_col).cast("bigint").alias("cid"),
+                             F.col(vec_col).alias("ce"))
+            .orderBy("cid").collect())
+    return [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in rows]
+
+
+def _nearest_centroids_col(emb, cents: list[tuple[int, list[float]]],
+                           n: int = 1, max_expr_cells: int = 20000):
+    """Array of the ``n`` nearest centroid ids for embedding column
+    ``emb`` — cosine, 6dp rounding, min-cid tie-break (the shared ANN
+    ordering contract) — computed ROW-LOCALLY, so the corpus never
+    enters an Exchange.  That invariant is what makes Lloyd iterations
+    and IVF assignment linear passes at 100 TB instead of corpus×k
+    shuffles.
+
+    Two zero-exchange physical forms:
+
+    - k·d <= ``max_expr_cells``: the centroids fold into the plan as a
+      literal array<struct<cid, ce>>; argmin via JVM higher-order
+      transform → array_sort → slice.  No Python in the loop.
+    - larger models: an Arrow-batched pandas UDF over a
+      TorrentBroadcast of the (k, d) matrix — one numpy matmul per
+      batch.  A 1024×768 codebook as a plan literal would blow up
+      codegen and re-ship with every task binary; the broadcast ships
+      once per executor.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    k = len(cents)
+    d = len(cents[0][1]) if k else 0
+    if k * d <= max_expr_cells:
+        lit = F.array(*[
+            F.struct(F.lit(int(cid)).cast("bigint").alias("cid"),
+                     F.array(*[F.lit(float(x)) for x in ce]).alias("ce"))
+            for cid, ce in cents])
+        scored = F.transform(lit, lambda c: F.struct(
+            (-F.round(_cos_col(emb, c["ce"]), 6)).alias("ns"),
+            c["cid"].alias("cid")))
+        top = F.slice(F.array_sort(scored), 1, n)
+        return F.transform(top, lambda s: s["cid"])
+
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    M = np.array([ce for _, ce in cents], dtype=np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bc = SparkSession.getActiveSession().sparkContext.broadcast((cids, Mn))
+
+    @F.pandas_udf("array<bigint>")
+    def nearest(col: pd.Series) -> pd.Series:
+        ids, Cn = bc.value
+        X = np.array([np.asarray(v, dtype=np.float64) for v in col])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        sims = np.round(Xn @ Cn.T, 6)
+        # stable sort on -sim: ties keep ascending-cid order (cents
+        # arrive cid-sorted) — same tie-break as the expression path
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series([ids[row].tolist() for row in order])
+
+    return nearest(emb)
+
+
 def assign_clusters(vectors: DataFrame, centroids: DataFrame,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid (cosine).
+    """Assign each vector to its nearest centroid (cosine) — a
+    ZERO-EXCHANGE narrow map.
 
-    Centroids broadcast; one narrow pass over the corpus.  Determinism:
-    ties broken by centroid id.
+    The k centroids are collected to the driver (a model — k·d values)
+    and the argmin is evaluated row-locally per vector via
+    :func:`_nearest_centroids_col`; the corpus is never joined,
+    windowed, or shuffled.  Determinism: sims rounded to 6dp, ties
+    broken by smallest centroid id.
     """
-    c = F.broadcast(centroids.select(F.col(id_col).alias("centroid_id"),
-                                     F.col(vec_col).alias("c_emb")))
-    scored = (ensure_parallelism(vectors)
-              .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"))
-              .crossJoin(c)
-              .withColumn("c_sim", F.expr(cosine_sim_expr("emb", "c_emb"))))
-    w = Window.partitionBy("vid").orderBy(
-        F.round(F.col("c_sim"), 6).desc(), F.col("centroid_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("vid").alias("vec_id"), F.col("emb").alias("embedding"),
-                    "centroid_id"))
+    cents = _collect_centroids(centroids, id_col, vec_col)
+    base = vectors.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("embedding"))
+    if not cents:
+        return (base.withColumn("centroid_id", F.lit(None).cast("bigint"))
+                .where(F.lit(False)))
+    near = _nearest_centroids_col(F.col("embedding"), cents, 1)
+    return base.withColumn("centroid_id", F.element_at(near, 1))
 
 
 def kmeans_fit(vectors: DataFrame, k: int, max_iter: int = 10,
@@ -370,9 +451,11 @@ def kmeans_fit(vectors: DataFrame, k: int, max_iter: int = 10,
 
     Per iteration (driver-orchestrated, each a single Spark job):
 
-    - assign: broadcast the k centroids, nearest-by-cosine argmin per
-      vector (:func:`assign_clusters` — one narrow pass, no shuffle of
-      the corpus);
+    - assign: nearest-by-cosine argmin per vector, evaluated
+      ROW-LOCALLY against the driver-held centroids
+      (:func:`_nearest_centroids_col` — zero exchanges: no join, no
+      window, no shuffle of the corpus, verified by
+      ``test_plans.py::test_kmeans_assign_is_zero_exchange``);
     - update: ``posexplode`` the assigned embeddings and hash-aggregate
       elementwise means per (cluster, dim).  The shuffle carries only
       k·d rows after map-side partial aggregation — the corpus itself
@@ -398,6 +481,11 @@ def kmeans_fit(vectors: DataFrame, k: int, max_iter: int = 10,
         raise ValueError("kmeans_fit: empty input")
     cents = [[round(float(x), 6) for x in r["emb"]] for r in init]
     d = len(cents[0])
+    # widen ONCE before the loop (local small-file fixtures plan as one
+    # split); at scale the scan already has thousands — no-op
+    corpus = (ensure_parallelism(vectors)
+              .select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("embedding")))
 
     def centroid_df(cs):
         return spark.createDataFrame(
@@ -405,10 +493,10 @@ def kmeans_fit(vectors: DataFrame, k: int, max_iter: int = 10,
             f"{id_col} bigint, {vec_col} array<double>")
 
     for _ in range(max_iter):
-        assigned = assign_clusters(vectors, centroid_df(cents),
-                                   id_col, vec_col)
-        means = (assigned  # assign_clusters outputs (vec_id, embedding,
-                 # centroid_id) regardless of the input column names
+        near = _nearest_centroids_col(
+            F.col("embedding"), list(enumerate(cents)), 1)
+        assigned = corpus.withColumn("centroid_id", F.element_at(near, 1))
+        means = (assigned
                  .select("centroid_id",
                          F.posexplode(F.col("embedding")).alias("pos", "x"))
                  .groupBy("centroid_id", "pos")
@@ -446,22 +534,24 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     else:
         centroids = centroids.select(
             F.col("centroid_id").alias(id_col), F.col(vec_col))
-    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    assigned = assign_clusters(ensure_parallelism(vectors), centroids,
+                               id_col, vec_col)
 
-    # probe lists: nprobe nearest centroids per query
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
-    c = F.broadcast(centroids.select(F.col(id_col).alias("centroid_id"),
-                                     F.col(vec_col).alias("c_emb")))
-    qprobe = (q.crossJoin(c)
-              .withColumn("c_sim", F.expr(cosine_sim_expr("q_emb", "c_emb"))))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("c_sim"), 6).desc(), F.col("centroid_id"))
-    probes = (qprobe.withColumn("rn", F.row_number().over(wq))
-              .where(F.col("rn") <= nprobe)
-              .select("query_id", "q_emb", "centroid_id"))
+    # probe lists: nprobe nearest centroids per query, row-local (the
+    # same zero-exchange argmin the assign stage uses — no query×k
+    # window shuffle)
+    cents = _collect_centroids(centroids, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_emb"))
+    probes = (q.withColumn(
+        "centroid_id",
+        F.explode(_nearest_centroids_col(F.col("q_emb"), cents, nprobe)))
+        .select("query_id", "q_emb", "centroid_id"))
 
-    # search only probed clusters: join on cluster id (the prune key)
-    cand = (assigned.join(probes, on="centroid_id", how="inner")
+    # search only probed clusters: join on cluster id (the prune key);
+    # the probe side is queries×nprobe — broadcast it so the corpus
+    # side never shuffles
+    cand = (assigned.join(F.broadcast(probes), on="centroid_id", how="inner")
             .where(F.col("vec_id") != F.col("query_id"))
             .withColumnRenamed("vec_id", "neighbor_id")
             .withColumn("sim", F.expr(cosine_sim_expr("embedding", "q_emb"))))

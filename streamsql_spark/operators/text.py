@@ -370,7 +370,8 @@ def ngram_lm_fit(df: DataFrame, text_col: str = "text"
 def perplexity_score(df: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
                      vocab_size, add_k: float = 0.1,
                      text_col: str = "text", id_col: str = "doc_id",
-                     out_col: str = "ppl") -> DataFrame:
+                     out_col: str = "ppl",
+                     broadcast_lm: bool | str = "auto") -> DataFrame:
     """Per-document bigram perplexity under an add-k smoothed LM:
     ``exp(-mean(ln((c12 + k) / (c1 + k·V))))`` over the document's
     bigrams — low = looks like the reference corpus (keep), high =
@@ -379,13 +380,24 @@ def perplexity_score(df: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
 
     Execution: explode bigrams once, LEFT join the count tables (unseen
     grams coalesce to 0, the smoothing floor), one hash re-aggregation
-    per document.  The LM sides broadcast while model-sized; at corpus
-    scale they become ordinary shuffle joins keyed on the gram — no
-    driver involvement either way.  ``vocab_size`` may be an int or
-    the one-row vocab DataFrame from :func:`ngram_lm_fit` (joined as a
-    broadcast — keeps fit + score one fully-lazy plan).  Documents
-    with fewer than two tokens get a NULL score.
+    per document.  ``broadcast_lm`` gates the gram-table join strategy:
+
+    - ``"auto"`` (default): no forced hint — Catalyst's cost model and
+      AQE's runtime row counts pick broadcast-hash while the LM is
+      model-sized and fall back to a shuffle join keyed on the gram
+      when it isn't (a web-scale bigram table is 10^9+ rows; a forced
+      broadcast there would OOM every executor);
+    - ``True``: force the broadcast hint (pinned-plan/benchmark runs on
+      known-small LMs);
+    - ``False``: forbid it (regression-test the shuffle path).
+
+    ``vocab_size`` may be an int or the one-row vocab DataFrame from
+    :func:`ngram_lm_fit` (always broadcast — one row; keeps fit +
+    score one fully-lazy plan).  Documents with fewer than two tokens
+    get a NULL score.
     """
+    if broadcast_lm not in (True, False, "auto"):
+        raise ValueError("broadcast_lm must be True, False, or 'auto'")
     if isinstance(vocab_size, int):
         if vocab_size <= 0:
             raise ValueError("vocab_size must be positive")
@@ -402,10 +414,16 @@ def perplexity_score(df: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
             f"i -> struct({toks}[i-1] AS w1, {toks}[i] AS w2)) "
             f"ELSE array() END")).alias("p")) \
         .select(id_col, "p.w1", "p.w2")
+    hint = F.broadcast if broadcast_lm is True else (lambda d: d)
+    uni_side = unigrams.select(F.col("w").alias("w1"), "c1")
+    if broadcast_lm is False:
+        # an explicit merge hint outranks broadcast in Catalyst's
+        # strategy order, so AQE cannot re-introduce the broadcast
+        bigrams = bigrams.hint("merge")
+        uni_side = uni_side.hint("merge")
     joined = (pairs
-              .join(F.broadcast(bigrams), ["w1", "w2"], "left")
-              .join(F.broadcast(unigrams.select(F.col("w").alias("w1"),
-                                                "c1")), ["w1"], "left")
+              .join(hint(bigrams), ["w1", "w2"], "left")
+              .join(hint(uni_side), ["w1"], "left")
               .crossJoin(F.broadcast(vocab_df))
               .withColumn("lp", F.log(
                   (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(add_k)))
@@ -419,20 +437,45 @@ def perplexity_score(df: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
 
 def ppl_buckets(df: DataFrame, ppl_col: str = "ppl",
                 out_col: str = "ppl_bucket",
-                cuts: tuple[float, float] = (1 / 3, 2 / 3)) -> DataFrame:
+                cuts: tuple[float, float] = (1 / 3, 2 / 3),
+                exact: bool = False, accuracy: int = 10000,
+                max_exact_rows: int = 2_000_000) -> DataFrame:
     """CCNet's head/middle/tail split: bucket documents by perplexity
     percentile — head = the lowest-perplexity (most in-domain) third,
     tail = the highest.  Wenzek et al. 2020 train on head+middle and
     drop or down-weight tail.
 
-    The two thresholds are EXACT percentiles computed in one global
-    aggregation (a scalar pair — broadcast back via cross join, no
-    collect); the bucket assignment is then a narrow map.  Documents
-    with NULL perplexity (sub-2-token) land in 'tail'.
+    The two thresholds come from ONE global aggregation whose result (a
+    scalar pair) is broadcast back via cross join — no collect; the
+    bucket assignment is then a narrow map.  By default the thresholds
+    are ``approx_percentile`` (Greenwald-Khanna sketch: mergeable
+    O(accuracy) partials, so the cut job never concentrates the corpus'
+    scores in one reducer — CCNet itself computes these cuts on a
+    sample).  ``exact=True`` switches to exact interpolating
+    percentiles for oracle-checkable runs; exact percentile is a
+    holistic aggregate that buffers every score in the final task, so
+    it is guarded by a bounded row probe (same contract as
+    :func:`train_quality_classifier`) and refuses corpora above
+    ``max_exact_rows``.  Documents with NULL perplexity (sub-2-token)
+    land in 'tail'.
     """
-    pcts = df.agg(
-        F.expr(f"percentile({ppl_col}, {cuts[0]!r})").alias("__p_lo__"),
-        F.expr(f"percentile({ppl_col}, {cuts[1]!r})").alias("__p_hi__"))
+    if exact:
+        probe = df.limit(max_exact_rows + 1).count()
+        if probe > max_exact_rows:
+            raise ValueError(
+                f"corpus exceeds max_exact_rows={max_exact_rows}: exact "
+                "percentile buffers every score in one task — use the "
+                "default approx path (exact=False) at corpus scale, or "
+                "raise max_exact_rows explicitly")
+        pcts = df.agg(
+            F.expr(f"percentile({ppl_col}, {cuts[0]!r})").alias("__p_lo__"),
+            F.expr(f"percentile({ppl_col}, {cuts[1]!r})").alias("__p_hi__"))
+    else:
+        pcts = df.agg(
+            F.expr(f"approx_percentile({ppl_col}, {cuts[0]!r}, "
+                   f"{int(accuracy)})").alias("__p_lo__"),
+            F.expr(f"approx_percentile({ppl_col}, {cuts[1]!r}, "
+                   f"{int(accuracy)})").alias("__p_hi__"))
     return (df.crossJoin(F.broadcast(pcts))
             .withColumn(out_col,
                         F.when(F.col(ppl_col).isNull(), "tail")

@@ -840,3 +840,84 @@ def test_cep_chunked_flush_matches_unchunked(spark, monkeypatch):
     assert len(full) > 700  # matches exist in both base and skewed keys
     monkeypatch.setattr(cep_executor, "_TASK_CHUNK_ROWS", 512)
     assert run() == full
+
+
+# --- cep/engine.go:593-625 SkipToFirst (reference-shaped case: the
+# skip lands past the match tail either way, so the engine's inclusive
+# re-anchor and the reference's occurrence+1 agree on the count)
+def test_skip_to_first_symbol(spark):
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, FIRST(A.ts) AS a_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO FIRST B
+        PATTERN (A B+ C)
+        WITHIN '1h'
+        DEFINE A AS k == 1, B AS k == 2, C AS k == 3
+    )"""
+    rows = [{"ts": 1, "k": 1}, {"ts": 2, "k": 2}, {"ts": 3, "k": 2},
+            {"ts": 4, "k": 3}, {"ts": 5, "k": 2}, {"ts": 6, "k": 3}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1 and out[0]["mn"] == 1 and out[0]["a_ts"] == 1
+
+
+def test_skip_to_first_reanchors_stride_1(spark):
+    """SKIP TO FIRST Y on PATTERN (X Y Z) over a qualifying run: the
+    next match re-anchors ON the matched Y row (SQL-standard inclusive
+    semantics — the reference's skipTo returns occurrence+1,
+    engine.go:600, which its own e2e suite never distinguishes; we
+    keep the Flink/Oracle re-anchor and pin it here), so a run of L
+    rows tiles at stride 1: L-2 matches.  Observably different from
+    TO LAST Z (stride 2) and PAST LAST ROW (stride 3) on the same
+    input."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES X.ts AS x_ts, Z.ts AS z_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO FIRST Y
+        PATTERN (X Y Z)
+        WITHIN '1h'
+        DEFINE X AS v > 0, Y AS v > 0, Z AS v > 0
+    )"""
+    rows = [{"ts": t, "v": 1} for t in range(1, 8)]  # run of 7
+    out = run_cep(spark, sql, rows)
+    assert [(r["x_ts"], r["z_ts"]) for r in out] == \
+        [(1, 3), (2, 4), (3, 5), (4, 6), (5, 7)]
+
+
+def test_skip_to_first_absent_symbol_past_last(spark):
+    """Skip symbol never bound (B* matched empty): fall through to
+    past-last-row (engine.go:598-603 s<0 branch)."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES FIRST(A.ts) AS a_ts, MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO FIRST B
+        PATTERN (A B* C)
+        WITHIN '1h'
+        DEFINE A AS k == 1, B AS k == 2, C AS k == 3
+    )"""
+    rows = [{"ts": 1, "k": 1}, {"ts": 2, "k": 3},
+            {"ts": 3, "k": 1}, {"ts": 4, "k": 3}]
+    out = run_cep(spark, sql, rows)
+    assert [r["a_ts"] for r in out] == [1, 3]
+
+
+def test_skip_to_first_subset_symbol(spark):
+    """SKIP TO FIRST over a SUBSET union symbol resolves to the first
+    row bound to ANY member (seqOfLabel walks subset members,
+    engine.go:607-625)."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES X.ts AS x_ts, Z.ts AS z_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO FIRST M
+        PATTERN (X Y Z)
+        SUBSET M = (Y, Z)
+        WITHIN '1h'
+        DEFINE X AS v > 0, Y AS v > 0, Z AS v > 0
+    )"""
+    rows = [{"ts": t, "v": 1} for t in range(1, 6)]  # run of 5
+    out = run_cep(spark, sql, rows)
+    # first M-member row is Y = anchor+1 -> stride 1
+    assert [(r["x_ts"], r["z_ts"]) for r in out] == [(1, 3), (2, 4), (3, 5)]

@@ -1965,3 +1965,66 @@ def test_pyeval_edge_values_fall_back_not_crash(spark):
     sp = StreamSQL(spark)
     sp.execute("SELECT s FROM stream WHERE s LIKE '100\\\\%'")
     assert e5.emit_sync({"s": "100%"}) == sp._emit_sync_fast({"s": "100%"})
+
+
+def test_emit_overflow_strategy_drop(spark):
+    """Default "drop": a full buffer rejects the INCOMING row and
+    counts it (stream/strategy.go:190-216) — earlier rows survive."""
+    s = StreamSQL(spark, max_buffer_rows=3)
+    s.execute("SELECT v FROM stream")
+    for v in range(5):
+        s.emit({"v": v})
+    assert [r["v"] for r in s._buffer] == [0, 1, 2]
+    assert s.get_stats()["input_dropped_count"] == 2
+    assert s.get_stats()["input_count"] == 5
+
+
+def test_emit_overflow_strategy_expand(spark):
+    """"expand": capacity grows on overflow — nothing blocks, nothing
+    drops (stream/strategy.go:118-160)."""
+    s = StreamSQL(spark, max_buffer_rows=2, overflow_strategy="expand")
+    s.execute("SELECT v FROM stream")
+    for v in range(7):
+        s.emit({"v": v})
+    assert [r["v"] for r in s._buffer] == list(range(7))
+    assert s.get_stats()["input_dropped_count"] == 0
+    assert s.max_buffer_rows >= 7
+
+    with pytest.raises(ValueError, match="overflow_strategy"):
+        StreamSQL(spark, overflow_strategy="jettison")
+
+
+def test_emit_overflow_strategy_block_timeout_drops(spark):
+    """"block" with a bounded timeout: the producer waits up to the
+    timeout for space, then drops the incoming row — a slow consumer
+    cannot hang the producer (strategy.go:66-97)."""
+    import time
+
+    s = StreamSQL(spark, max_buffer_rows=2, overflow_strategy="block",
+                  blocking_timeout=0.2)
+    s.execute("SELECT v FROM stream")
+    s.emit({"v": 0})
+    s.emit({"v": 1})
+    t0 = time.monotonic()
+    s.emit({"v": 2})
+    waited = time.monotonic() - t0
+    assert 0.15 <= waited < 2.0
+    assert [r["v"] for r in s._buffer] == [0, 1]
+    assert s.get_stats()["input_dropped_count"] == 1
+
+
+def test_emit_overflow_strategy_block_releases_on_stop(spark):
+    """"block" with no timeout parks the producer until shutdown (the
+    reference blocks on the channel until done) — stop() from another
+    thread must release it without appending."""
+    import threading
+
+    s = StreamSQL(spark, max_buffer_rows=1, overflow_strategy="block")
+    s.execute("SELECT v FROM stream")
+    s.emit({"v": 0})
+    release = threading.Timer(0.3, s.stop)
+    release.start()
+    s.emit({"v": 1})  # parks until stop() fires
+    release.join()
+    assert s._buffer == [] and s._stopped
+    assert s.get_stats()["input_dropped_count"] == 0

@@ -506,6 +506,36 @@ def test_kmeans_fit_edge_cases(spark):
         kmeans_fit(df.where("vec_id < 0"), k=2)
 
 
+def test_nearest_centroids_expr_and_arrow_paths_agree(spark):
+    """Above max_expr_cells the row-local argmin switches from a
+    plan-literal higher-order expression to an Arrow kernel over a
+    broadcast (k, d) matrix; both physical forms must produce identical
+    (rounded, tie-broken) neighbor lists."""
+    import numpy as np
+
+    from streamsql_spark.operators.similarity import _nearest_centroids_col
+
+    rng = np.random.default_rng(11)
+    X = np.round(rng.normal(size=(50, 6)), 3)
+    cents = [(i, [float(v) for v in np.round(rng.normal(size=6), 3)])
+             for i in range(5)]
+    # a duplicated centroid forces a genuine tie -> min-cid break
+    cents.append((5, list(cents[2][1])))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+
+    def run(cells):
+        col = _nearest_centroids_col(F.col("embedding"), cents, 3,
+                                     max_expr_cells=cells)
+        return {r["vec_id"]: list(r["n"])
+                for r in df.select("vec_id", col.alias("n")).collect()}
+
+    expr, arrow = run(10**9), run(0)
+    assert expr == arrow
+    assert all(len(v) == 3 for v in expr.values())
+
+
 def test_kmeans_centroids_feed_ivf_and_blocking(spark):
     """kmeans_fit output plugs into ivf_topk and
     embedding_neardup_pairs unchanged (the trained-cells path)."""

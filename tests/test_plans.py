@@ -277,10 +277,11 @@ def _plan_of(df) -> str:
     return buf.getvalue()
 
 
-def test_kmeans_assign_broadcasts_centroids_no_corpus_shuffle(spark):
-    """The k-means assign stage must broadcast the (tiny) centroid side
-    and never shuffle the corpus — that invariant is what makes the
-    Lloyd loop linear passes over 100 TB instead of iterated joins."""
+def test_kmeans_assign_is_zero_exchange(spark):
+    """The k-means assign stage is a row-local argmin against
+    driver-held centroids: NO exchange of any kind, no join, no window
+    — that invariant is what makes the Lloyd loop linear passes over
+    100 TB instead of corpus×k shuffles per iteration."""
     from streamsql_spark.operators.similarity import assign_clusters
     from streamsql_spark.session import load_tables
 
@@ -289,14 +290,8 @@ def test_kmeans_assign_broadcasts_centroids_no_corpus_shuffle(spark):
         [(0, [1.0] * 8), (1, [0.5] * 8)],
         "vec_id long, embedding array<double>")
     p = _plan_of(assign_clusters(emb, cents))
-    assert "BroadcastExchange" in p
-    assert "SortMergeJoin" not in p
-    # the only non-broadcast exchange is the per-vector top-1 window
-    # (hash by vid) — corpus-wide, key-partitioned, inherent
-    n = sum(1 for l in p.splitlines()
-            if l.strip().startswith("(") and "Exchange hashpartitioning" in l
-            and "Reused" not in l)
-    assert n <= 1, p
+    assert "Exchange" not in p, p
+    assert "Join" not in p and "Window" not in p, p
 
 
 def test_materialize_packs_reuses_pack_exchange(spark):
@@ -336,15 +331,23 @@ def test_multimodal_resize_and_frames_are_narrow(spark):
         assert "Exchange" not in _plan_of(df), df
 
 
-def test_perplexity_score_broadcasts_lm_sides(spark):
-    """Scoring joins the (model-sized) gram tables as broadcasts; the
-    document side stays un-shuffled until the one per-doc
-    re-aggregation."""
+def test_perplexity_score_broadcast_gate(spark):
+    """broadcast_lm=True pins the broadcast plan (model-sized LM);
+    broadcast_lm=False must keep the hint OUT of the gram joins — the
+    escape hatch for web-scale bigram tables where a forced broadcast
+    OOMs every executor (the vocab side is one row and always
+    broadcasts)."""
     from streamsql_spark.operators.text import ngram_lm_fit, perplexity_score
     from streamsql_spark.session import load_tables
 
     docs = load_tables(spark, SF_DIR)["documents"]
     uni, big, v = ngram_lm_fit(docs)
-    p = _plan_of(perplexity_score(docs, uni, big, v))
+    p = _plan_of(perplexity_score(docs, uni, big, v, broadcast_lm=True))
     assert p.count("BroadcastExchange") >= 2, p
     assert "SortMergeJoin" not in p
+
+    p = _plan_of(perplexity_score(docs, uni, big, v, broadcast_lm=False))
+    # both gram joins (bigram + unigram) must be merge joins — the
+    # forced hint is gone (remaining broadcasts are Catalyst's own
+    # stats-based picks for the one-row vocab and the join-back)
+    assert p.count("SortMergeJoin") >= 2, p

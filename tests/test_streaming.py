@@ -907,3 +907,44 @@ def test_stream_dedup_keeps_first_arrival_across_batches(spark):
         assert rows["d1"]["status"] == "ok"
     finally:
         replay.cleanup()
+
+
+def test_variant_containers_identical_on_every_delivery_path(spark):
+    """from_json's VARIANT results must arrive as IDENTICAL plain
+    Python containers on every delivery path — sync return, buffered
+    trigger batch, to_channel pull, and the streaming sink.  The
+    conversion lives in one helper (facade.row_to_dict); this pins it
+    against per-path regressions (functions_json.go:40-62 delivers
+    map/list/scalar on every route)."""
+    schema = StructType([StructField("j", StringType()),
+                         StructField("v", LongType())])
+    sql = "SELECT from_json(j) AS p, v FROM stream"
+    rows = [{"j": '{"a":[1,2,{"b":true}],"c":null,"d":"x"}', "v": 1},
+            {"j": "[1,2,3]", "v": 2},
+            {"j": "7", "v": 3}]
+    expect = [{"a": [1, 2, {"b": True}], "c": None, "d": "x"},
+              [1, 2, 3], 7]
+
+    s1 = StreamSQL(spark, schema=schema)
+    s1.execute(sql)
+    sync_out = [s1.emit_sync(dict(r)) for r in rows]
+
+    s2 = StreamSQL(spark, schema=schema)
+    s2.execute(sql)
+    for r in rows:
+        s2.emit(dict(r))
+    trig_out = sorted(s2.trigger_window(), key=lambda r: r["v"])
+    chan_out = sorted(list(s2.to_channel())[0], key=lambda r: r["v"])
+
+    s3 = StreamSQL(spark)
+    s3.execute(sql)
+    stream_out = sorted(
+        run_streaming_collect(spark, s3, [rows], schema,
+                              tables=s3._tables),
+        key=lambda r: r["v"])
+
+    for path, out in [("sync", sync_out), ("trigger", trig_out),
+                      ("to_channel", chan_out), ("stream", stream_out)]:
+        assert [r["p"] for r in out] == expect, path
+        assert all(type(r["p"]) is type(e)
+                   for r, e in zip(out, expect)), path
