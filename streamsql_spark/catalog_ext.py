@@ -40,7 +40,7 @@ def _run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the value hash verifies against the same chain in DuckDB."""
     from pyspark.sql import functions as F
 
-    from .operators.dedup import exact_dedup
+    from .operators.dedup import exact_dedup, incremental_dedup
     from .operators.text import url_dedup
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
@@ -48,8 +48,15 @@ def _run_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kind", F.lit("text"))
     urls = docs.select("doc_id", F.expr(_URL_SYNTH).alias("url"))
     u = url_dedup(urls).withColumn("kind", F.lit("url"))
-    return exact.unionByName(u).select("kind", "digest",
-                                       "keep_id", "n_copies")
+    # cross-run incremental dedup (merged r5): treat doc_id % 4 == 0 as
+    # tonight's batch against the rest as the already-ingested corpus —
+    # only digests unseen by history survive (digest LEFT ANTI)
+    incr = incremental_dedup(docs.where("doc_id % 4 = 0"),
+                             docs.where("doc_id % 4 != 0"),
+                             ["text"], "doc_id") \
+        .withColumn("kind", F.lit("incr"))
+    return (exact.unionByName(u).unionByName(incr)
+            .select("kind", "digest", "keep_id", "n_copies"))
 
 
 CATALOG["dedup_exact"] = Entry(
@@ -86,11 +93,21 @@ CATALOG["dedup_exact"] = Entry(
     SELECT 'url' AS kind, md5(u) AS digest, min(doc_id) AS keep_id,
            count(*) AS n_copies
     FROM c6 GROUP BY 2
+    UNION ALL
+    SELECT 'incr' AS kind, md5(CAST(text AS VARCHAR)) AS digest,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    WHERE doc_id % 4 = 0
+      AND md5(CAST(text AS VARCHAR)) NOT IN (
+          SELECT md5(CAST(text AS VARCHAR)) FROM documents
+          WHERE doc_id % 4 != 0)
+    GROUP BY 2
     """,
     "extension: exact-key dedup family — content dedup (text md5) + "
     "URL dedup on the C4-style canonical form (case/fragment/tracking-"
     "param/port/slash normalization, RE2-safe chain shared with the "
-    "oracle); hash-groupBy, min-id representative")
+    "oracle) + cross-run incremental dedup (merged r5: new batch LEFT "
+    "ANTI history on the digest); hash-groupBy, min-id representative")
 
 
 def _run_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,12 +523,17 @@ def _run_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic function of the counts on both engines
     uni, big, v = ngram_lm_fit(t["documents"])
     feat = perplexity_score(feat, uni, big, v)
+    # head/middle/tail cut (merged r5): exact percentiles here so the
+    # DuckDB quantile_cont replica hash-matches — the row-guard bounds
+    # the holistic aggregate; at corpus scale the approx default applies
+    from .operators.text import ppl_buckets
+    feat = ppl_buckets(feat, exact=True)
     return feat.select(
         "doc_id", "lang_pred", "lang_score",
         "n_chars_m", "n_tokens", "mean_tok_len", "punct_ratio",
         "digit_ratio", "uniq_token_ratio", "quality_score", "clf_score",
         "ws_tokens", "subword_tokens", "est_bpe_tokens", "fingerprint",
-        "ppl")
+        "ppl", "ppl_bucket")
 
 
 # demo weight table for the fastText/CCNet-style linear quality
@@ -614,15 +636,24 @@ def _text_analysis_oracle() -> str:
                        / count(*)), 4) AS ppl
       FROM bp JOIN bg USING (w1, w2) JOIN uni ON bp.w1 = uni.w
       CROSS JOIN vv
-      GROUP BY bp.doc_id)
+      GROUP BY bp.doc_id),
+    cuts AS (
+      SELECT round(quantile_cont(ppl, 0.3333333333333333), 6) AS p_lo,
+             round(quantile_cont(ppl, 0.6666666666666666), 6) AS p_hi
+      FROM pp)
     SELECT f.*,
            round(least(n_tokens / 50.0, 1.0) * uniq_token_ratio
                  * (1.0 - least(digit_ratio * 5.0, 1.0))
                  * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality_score,
            array_to_string(list_transform(fp.h[1:4], x -> CAST(x AS VARCHAR)), '-')
                AS fingerprint,
-           pp.ppl AS ppl
+           pp.ppl AS ppl,
+           CASE WHEN pp.ppl IS NULL THEN 'tail'
+                WHEN pp.ppl <= cuts.p_lo THEN 'head'
+                WHEN pp.ppl <= cuts.p_hi THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
     FROM f JOIN fp USING (doc_id) LEFT JOIN pp USING (doc_id)
+    CROSS JOIN cuts
     """
 
 
@@ -632,9 +663,11 @@ CATALOG["text_analysis"] = Entry(
     "quality features + composite score, fastText/CCNet-style linear "
     "quality classifier (plan-literal weight map, sigmoid over mean "
     "token weight), CCNet perplexity filtering (add-k smoothed bigram "
-    "LM fit distributedly, merged r4), token counting (whitespace + "
-    "BPE-ish regex), winnowing-style rolling-hash fingerprint — one "
-    "Catalyst plan, pure column expressions")
+    "LM fit distributedly, merged r4) with head/middle/tail "
+    "percentile buckets (merged r5, quantile_cont replica oracle), "
+    "token counting (whitespace + BPE-ish regex), winnowing-style "
+    "rolling-hash fingerprint — one Catalyst plan, pure column "
+    "expressions")
 
 
 # ----------------------------------------------------------- multimodal
@@ -1037,21 +1070,41 @@ def _run_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       SQL-expressible);
     - 'chunk' rows: sliding-window token chunks (64-token chunks,
       16-token overlap) with per-chunk digests — zero shuffle,
-      per-document fan-out only."""
+      per-document fan-out only;
+    - 'mat' rows (merged r5): :func:`materialize_packs` — one row per
+      materialized pack whose digest covers the concatenated text AND
+      the doc_ids/doc_offsets boundary arrays, so the oracle
+      value-hashes the exact training sequences (concatenation order,
+      separator placement, loss-mask offsets) the trainer would read."""
     from pyspark.sql import functions as F
 
-    from .operators.pack import budget_shard_pack, chunk_documents
+    from .operators.pack import (budget_shard_pack, chunk_documents,
+                                 materialize_packs)
     from .operators.text import token_counts
     t = load_tables(spark, sf_dir)
     docs = token_counts(t["documents"].select("doc_id", "source", "text")) \
         .select("doc_id", "source", "text", "est_bpe_tokens")
-    pack = (budget_shard_pack(docs.drop("text"), "source", "doc_id",
-                              "est_bpe_tokens", budget=512)
+    packed = budget_shard_pack(docs, "source", "doc_id",
+                               "est_bpe_tokens", budget=512)
+    pack = (packed.drop("text")
             .select(F.lit("pack").alias("kind"), "doc_id",
                     F.col("pack_id").alias("seq"),
                     F.col("pack_offset").alias("off"),
                     F.col("est_bpe_tokens").alias("n"),
                     F.lit(None).cast("string").alias("digest")))
+    mat = (materialize_packs(packed, "source", "doc_id")
+           .select(
+               F.lit("mat").alias("kind"),
+               F.element_at("doc_ids", 1).alias("doc_id"),
+               F.col("pack_id").alias("seq"),
+               F.col("n_docs").cast("bigint").alias("off"),
+               F.length("pack_text").cast("bigint").alias("n"),
+               F.md5(F.concat_ws(
+                   "|", F.col("pack_text"),
+                   F.expr("array_join(transform(doc_ids, "
+                          "x -> cast(x AS string)), ',')"),
+                   F.expr("array_join(transform(doc_offsets, "
+                          "x -> cast(x AS string)), ',')"))).alias("digest")))
     chunk = (chunk_documents(docs.select("doc_id", "text"),
                              chunk_tokens=64, overlap_tokens=16)
              .select(F.lit("chunk").alias("kind"), "doc_id",
@@ -1059,7 +1112,7 @@ def _run_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("chunk_start").cast("bigint").alias("off"),
                      F.col("chunk_n_tokens").cast("bigint").alias("n"),
                      F.col("chunk_digest").alias("digest")))
-    return pack.unionByName(chunk)
+    return pack.unionByName(chunk).unionByName(mat)
 
 
 CATALOG["pack_sequences"] = Entry(
@@ -1090,12 +1143,28 @@ CATALOG["pack_sequences"] = Entry(
            CAST(len(w[s:s+63]) AS BIGINT) AS n,
            md5(array_to_string(w[s:s+63], ' ')) AS digest
     FROM starts
+    UNION ALL
+    SELECT 'mat' AS kind,
+           min(c.doc_id) AS doc_id,
+           CAST(floor(prefix / 512.0) AS BIGINT) AS seq,
+           CAST(count(*) AS BIGINT) AS off,
+           CAST(length(string_agg(d.text, e'\n\n' ORDER BY c.doc_id))
+                AS BIGINT) AS n,
+           md5(string_agg(d.text, e'\n\n' ORDER BY c.doc_id) || '|' ||
+               string_agg(CAST(c.doc_id AS VARCHAR), ',' ORDER BY c.doc_id)
+               || '|' ||
+               string_agg(CAST(prefix % 512 AS VARCHAR), ','
+                          ORDER BY c.doc_id)) AS digest
+    FROM c JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY c.source, CAST(floor(prefix / 512.0) AS BIGINT)
     """,
     "extension: token-budget sequence packing (deterministic "
     "cumulative-budget shard assignment per source, one window "
     "shuffle; FFD greedy bin packing via applyInPandas pytest-checked "
     "vs a Python reference) + overlapping sliding-window chunking "
-    "(64/16, per-chunk digests, zero shuffle)")
+    "(64/16, per-chunk digests, zero shuffle) + pack materialization "
+    "(merged r5: per-pack concatenated-text + boundary-array digests, "
+    "exchange-reused groupBy)")
 
 
 # --------------------------------------- global duplicate-span removal

@@ -467,15 +467,21 @@ def ppl_buckets(df: DataFrame, ppl_col: str = "ppl",
                 "percentile buffers every score in one task — use the "
                 "default approx path (exact=False) at corpus scale, or "
                 "raise max_exact_rows explicitly")
+        # thresholds rounded to 6dp: interpolated percentiles differ in
+        # the last ulp across engines when the cut lands on duplicated
+        # values (lower+(hi-lo)*f vs lo*(1-f)+hi*f) — the rounding makes
+        # the bucket boundary engine-portable
         pcts = df.agg(
-            F.expr(f"percentile({ppl_col}, {cuts[0]!r})").alias("__p_lo__"),
-            F.expr(f"percentile({ppl_col}, {cuts[1]!r})").alias("__p_hi__"))
+            F.round(F.expr(f"percentile({ppl_col}, {cuts[0]!r})"), 6)
+            .alias("__p_lo__"),
+            F.round(F.expr(f"percentile({ppl_col}, {cuts[1]!r})"), 6)
+            .alias("__p_hi__"))
     else:
         pcts = df.agg(
-            F.expr(f"approx_percentile({ppl_col}, {cuts[0]!r}, "
-                   f"{int(accuracy)})").alias("__p_lo__"),
-            F.expr(f"approx_percentile({ppl_col}, {cuts[1]!r}, "
-                   f"{int(accuracy)})").alias("__p_hi__"))
+            F.round(F.expr(f"approx_percentile({ppl_col}, {cuts[0]!r}, "
+                           f"{int(accuracy)})"), 6).alias("__p_lo__"),
+            F.round(F.expr(f"approx_percentile({ppl_col}, {cuts[1]!r}, "
+                           f"{int(accuracy)})"), 6).alias("__p_hi__"))
     return (df.crossJoin(F.broadcast(pcts))
             .withColumn(out_col,
                         F.when(F.col(ppl_col).isNull(), "tail")

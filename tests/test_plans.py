@@ -261,13 +261,17 @@ def test_segment_dedup_two_inherent_exchanges(catalog_plan):
 
 def test_pack_sequences_single_window_shuffle_per_branch(catalog_plan):
     # the pack branch shuffles once on the partition key (the window);
-    # the chunk branch is a per-doc explode with no aggregation — only
-    # the narrow-scan spreads may add exchanges beyond the one window
+    # the chunk branch is a per-doc explode with no aggregation; the
+    # mat branch (r5) re-runs the window WITH text (no cross-branch
+    # reuse — the pack branch prunes text away) plus its (part, pack)
+    # groupBy re-distribution — so: pack window + mat window + mat agg
+    # + narrow-scan spreads, never a second full-corpus shuffle per
+    # branch beyond those
     p = catalog_plan("pack_sequences")
     n = sum(1 for l in p.splitlines()
             if l.strip().startswith("(") and "Exchange" in l
             and "Reused" not in l)
-    assert n <= 3, p
+    assert n <= 5, p
 
 
 def _plan_of(df) -> str:
