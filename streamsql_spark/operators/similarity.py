@@ -431,6 +431,14 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
     broken by smallest centroid id.
     """
     cents = _collect_centroids(centroids, id_col, vec_col)
+    return _assign_with(vectors, cents, id_col, vec_col)
+
+
+def _assign_with(vectors: DataFrame, cents: list[tuple[int, list[float]]],
+                 id_col: str, vec_col: str) -> DataFrame:
+    """assign_clusters against an already-collected centroid list —
+    lets one driver collect feed both the assign stage and the probe
+    stage (ivf_topk) or the whole Lloyd loop (kmeans_fit)."""
     base = vectors.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("embedding"))
     if not cents:
@@ -534,13 +542,15 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     else:
         centroids = centroids.select(
             F.col("centroid_id").alias(id_col), F.col(vec_col))
-    assigned = assign_clusters(ensure_parallelism(vectors), centroids,
-                               id_col, vec_col)
+    # ONE driver collect of the centroid model feeds both the corpus
+    # assign and the query probe lists
+    cents = _collect_centroids(centroids, id_col, vec_col)
+    assigned = _assign_with(ensure_parallelism(vectors), cents,
+                            id_col, vec_col)
 
     # probe lists: nprobe nearest centroids per query, row-local (the
     # same zero-exchange argmin the assign stage uses — no query×k
     # window shuffle)
-    cents = _collect_centroids(centroids, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_emb"))
     probes = (q.withColumn(

@@ -17,12 +17,23 @@ import time
 from pyspark.sql import SparkSession
 
 
+def _fast_tmp_root() -> str | None:
+    """Prefer a RAM-backed tmpfs for replay inputs + checkpoints: the
+    streaming metadata log fsyncs offsets/commits every micro-batch, so
+    on spinning/virtual disks the replay is I/O-latency-bound, not
+    compute-bound.  Purely a harness concern — production checkpoints
+    belong on durable storage."""
+    p = "/dev/shm"
+    return p if os.path.isdir(p) and os.access(p, os.W_OK) else None
+
+
 class StreamReplay:
     """Write batches to a temp dir and expose them as a readStream."""
 
     def __init__(self, spark: SparkSession, schema, subdir: str = "input"):
         self.spark = spark
-        self.root = tempfile.mkdtemp(prefix="streamsql_replay_")
+        self.root = tempfile.mkdtemp(prefix="streamsql_replay_",
+                                     dir=_fast_tmp_root())
         self.input_dir = os.path.join(self.root, subdir)
         os.makedirs(self.input_dir)
         self.checkpoint = os.path.join(self.root, "ckpt")
