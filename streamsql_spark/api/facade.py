@@ -653,8 +653,14 @@ class StreamSQL:
                         return None
                     args.append(("fn", af))
                     arg_marks.append("x")
+            from ..streaming.stateful import copy_builtin_state, copy_state
             p = {"name": s.func.name.lower(), "ph": s.placeholder,
-                 "args": arg_marks, "custom": custom_analytic(s.func.name)}
+                 "args": arg_marks, "custom": custom_analytic(s.func.name),
+                 # per-spec state copier: C-speed one-level copy for the
+                 # flat built-in shapes, generic deep copy for custom
+                 # state objects
+                 "copy": (copy_state if custom_analytic(s.func.name)
+                          else copy_builtin_state)}
             if p["custom"] is None and p["name"] not in (
                     "lag", "latest", "had_changed", "changed_col",
                     "acc_sum", "acc_count", "acc_min", "acc_max",
@@ -668,8 +674,13 @@ class StreamSQL:
             isinstance(f.expr, N.Func)
             and f.expr.name.lower() == "changed_col"
             for f in self._stmt.fields)
+        # cache the hot-loop runtime references at compile time — four
+        # `from x import y` statements per event cost ~2-3 µs
+        from ..dialect.pyeval import Fallback, _bool3, _truthy
+        from ..streaming.stateful import analytic_step
         return {"outs": outs, "where": where_f, "specs": specs,
-                "omit_empty": omit_empty}
+                "omit_empty": omit_empty,
+                "rt": (Fallback, _bool3, _truthy, analytic_step)}
 
     def _emit_sync_analytic_python(self, row: dict):
         """In-process analytic per-event path: the SAME analytic_step
@@ -678,9 +689,6 @@ class StreamSQL:
         types are outside the subset; state lives in the SAME
         ``_an_states`` store the Spark route uses, so a per-event
         fallback keeps one continuous history."""
-        from ..dialect.pyeval import Fallback
-        from ..streaming.stateful import analytic_step, copy_state
-
         if not hasattr(self, "_an_py"):
             self._an_py = self._compile_analytic_python()
         if self._an_py is None or not row:
@@ -691,8 +699,8 @@ class StreamSQL:
         if not hasattr(self, "_an_states"):
             self._an_states = {}
         cp = self._an_py
+        Fallback, _bool3, _truthy, analytic_step = cp["rt"]
 
-        from ..dialect.pyeval import _bool3, _truthy
         try:
             # step state on COPIES, commit only after the whole event
             # evaluates: a Fallback anywhere hands the UNTOUCHED state
@@ -705,7 +713,7 @@ class StreamSQL:
                 if when_f is not None:
                     gate = _bool3(when_f(row)) is True
                 argv = [x(row) if k == "fn" else x for k, x in args]
-                st = copy_state(
+                st = p["copy"](
                     self._an_states.get((p["ph"], key)) or {})
                 ext[p["ph"]] = analytic_step(p, st, argv, gate)
                 staged.append(((p["ph"], key), st))

@@ -748,6 +748,21 @@ def copy_state(v):
     return copy.deepcopy(v)
 
 
+def copy_builtin_state(st: dict) -> dict:
+    """One-level copy for BUILT-IN analytic state snapshots — valid
+    because the built-in steps (lag/latest/had_changed/changed_col/
+    acc_*) only ever store scalars, flat lists of scalars (the lag
+    ring, the had_changed baseline), or the acc_avg (total, count)
+    tuple: ``list.copy()`` is a C-speed deep copy for those shapes,
+    where :func:`copy_state`'s per-element dispatch cost ~5 µs/event
+    on the direct path.  Custom ``AnalyticState`` objects must go
+    through :func:`copy_state` instead."""
+    out = {}
+    for k, x in st.items():
+        out[k] = x.copy() if type(x) is list else x
+    return out
+
+
 def analytic_step(p, s, argv, gate):
     nm = p["name"]
     if nm == "lag":
