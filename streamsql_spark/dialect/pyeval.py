@@ -354,6 +354,113 @@ def _fn_bit(op: str, a, b=None):
     return _i64(a ^ b)
 
 
+# ---- cast subset (ANSI semantics; anything outside raises Fallback
+# so the Spark path — which RAISES on malformed ANSI casts — stays the
+# semantics oracle for that event)
+
+# Spark trims chars <= 0x20 off both ends before numeric/bool casts
+# (UTF8String.trimAll) — wider than Python's default strip()
+_ANSI_TRIM = "".join(map(chr, range(0x21)))
+_CAST_INT_RE = re.compile(r"[+-]?\d+")
+_CAST_NUM_RE = re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
+_I32_MIN, _I32_MAX = -(2 ** 31), 2 ** 31 - 1
+
+
+def _cast_int_factory(lo: int, hi: int):
+    def cast_i(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return 1 if v else 0
+        if isinstance(v, int):
+            if not lo <= v <= hi:
+                raise Fallback()  # ANSI overflow raises on the Spark path
+            return v
+        if isinstance(v, float):
+            if not math.isfinite(v):
+                raise Fallback()
+            r = math.trunc(v)  # ANSI double->int truncates toward zero
+            if not lo <= r <= hi:
+                raise Fallback()
+            return r
+        if isinstance(v, str):
+            s = v.strip(_ANSI_TRIM)
+            if not _CAST_INT_RE.fullmatch(s):
+                raise Fallback()  # malformed: ANSI raises
+            r = int(s)
+            if not lo <= r <= hi:
+                raise Fallback()
+            return r
+        raise Fallback()
+    return cast_i
+
+
+def _cast_double(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)  # long->double rounds to nearest, same as JVM
+    if isinstance(v, str):
+        s = v.strip(_ANSI_TRIM)
+        if not _CAST_NUM_RE.fullmatch(s):
+            raise Fallback()  # incl. 'Infinity'/'NaN' spellings
+        r = float(s)
+        if not math.isfinite(r):
+            raise Fallback()
+        return r
+    raise Fallback()
+
+
+def _cast_string(v):
+    if v is None or isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    # float formatting is Double.toString — JVM-version-specific digit
+    # generation: Spark path owns it
+    raise Fallback()
+
+
+_BOOL_TRUE = frozenset(("t", "true", "y", "yes", "1"))
+_BOOL_FALSE = frozenset(("f", "false", "n", "no", "0"))
+
+
+def _cast_bool(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return v != 0
+    if isinstance(v, str):
+        s = v.strip(_ANSI_TRIM).lower()
+        if s in _BOOL_TRUE:
+            return True
+        if s in _BOOL_FALSE:
+            return False
+        raise Fallback()  # ANSI raises on anything else
+    raise Fallback()  # double->boolean: Spark rejects at analysis
+
+
+_CASTERS = {
+    "int": _cast_int_factory(_I32_MIN, _I32_MAX),
+    "int32": _cast_int_factory(_I32_MIN, _I32_MAX),
+    "integer": _cast_int_factory(_I32_MIN, _I32_MAX),
+    "int64": _cast_int_factory(_I64_MIN, _I64_MAX),
+    "bigint": _cast_int_factory(_I64_MIN, _I64_MAX),
+    "long": _cast_int_factory(_I64_MIN, _I64_MAX),
+    "float": _cast_double, "float64": _cast_double, "double": _cast_double,
+    "string": _cast_string, "varchar": _cast_string, "text": _cast_string,
+    "bool": _cast_bool, "boolean": _cast_bool,
+    # float32/timestamp/date/decimal: Spark path (rounding/format
+    # behavior we can't reproduce bit-exactly)
+}
+
+
 _FNS: dict[str, object] = {
     "ltrim": lambda v: None if v is None else _str_arg(v).lstrip(" "),
     "rtrim": lambda v: None if v is None else _str_arg(v).rstrip(" "),
@@ -580,6 +687,24 @@ def compile_expr(e: N.Expr):
         if lname in _registry._CUSTOM_SCALARS \
                 or lname in _registry._CUSTOM_ANALYTICS:
             return None  # runtime-registered custom function wins
+        if lname == "cast":
+            # the renderer (registry._render_cast) reads the TYPE from
+            # the AST literal and falls back to 'string' otherwise —
+            # mirror that exactly; unsupported target types stay on the
+            # Spark path
+            if len(e.args) != 2:
+                return None
+            ta = e.args[1]
+            tname = (ta.value.lower()
+                     if isinstance(ta, N.Lit) and isinstance(ta.value, str)
+                     else "string")
+            caster = _CASTERS.get(tname)
+            if caster is None:
+                return None
+            vf = compile_expr(e.args[0])
+            if vf is None:
+                return None
+            return lambda row: caster(vf(row))
         fn = _FNS.get(lname)
         if fn is None:
             return None

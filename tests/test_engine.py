@@ -1713,6 +1713,13 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         "WHERE h IS NOT NULL",
         "SELECT is_null(s) AS inl, is_not_null(h) AS inn, "
         "if_null(h, -1) AS ifn, null_if(h, 50) AS nif FROM stream",
+        # r5 whitelist addition: ANSI-exact cast subset (values kept in
+        # never-raising ranges here; raise/overflow parity is pinned in
+        # test_pyeval_cast_subset)
+        "SELECT cast(t, 'bigint') AS cb, cast(t, 'double') AS cd "
+        "FROM stream",
+        "SELECT cast(h, 'string') AS hs, cast(h, 'boolean') AS hb, "
+        "cast(t, 'int') AS ti FROM stream",
     ]
     rng = random.Random(20260814)
 
@@ -2028,3 +2035,56 @@ def test_emit_overflow_strategy_block_releases_on_stop(spark):
     release.join()
     assert s._buffer == [] and s._stopped
     assert s.get_stats()["input_dropped_count"] == 0
+
+
+def test_pyeval_cast_subset(spark):
+    """r5 whitelist: ANSI-exact cast subset on the in-process path —
+    values agree with the Spark fast path bit-for-bit; malformed /
+    overflowing inputs make the python path refuse (Fallback) so the
+    Spark route raises exactly as ANSI demands, never a silently
+    different answer."""
+    from streamsql_spark.api.facade import _NOT_APPLICABLE
+
+    good = [
+        ("int", -12.7, -12), ("bigint", 9.5, 9), ("int", " 42 ", 42),
+        ("int", True, 1), ("double", "1e3", 1000.0),
+        ("double", " -2.5 ", -2.5), ("double", " +0008 ", 8.0),
+        ("string", 123, "123"), ("string", True, "true"),
+        ("bool", "YES", True), ("bool", " t ", True),
+        ("boolean", 0, False), ("int64", 2 ** 62, 2 ** 62),
+        ("double", 2 ** 62, float(2 ** 62)),
+    ]
+    for ty, v, want in good:
+        e = StreamSQL(spark)
+        e.execute(f"SELECT cast(v, '{ty}') AS c FROM stream")
+        py = e._emit_sync_python({"v": v})
+        sp = e._emit_sync_fast({"v": v})
+        assert py is not _NOT_APPLICABLE, (ty, v)
+        assert py["c"] == want, (ty, v, py)
+        assert py["c"] == sp["c"] and type(py["c"]) is type(sp["c"]), \
+            (ty, v, py, sp)
+
+    # outside the proven subset: python path refuses, Spark raises (ANSI)
+    for ty, v in [("int", "12.5"), ("int", 2 ** 40), ("int", "abc"),
+                  ("boolean", "maybe"), ("double", "abc"),
+                  ("bigint", "9" * 25)]:
+        e = StreamSQL(spark)
+        e.execute(f"SELECT cast(v, '{ty}') AS c FROM stream")
+        assert e._emit_sync_python({"v": v}) is _NOT_APPLICABLE, (ty, v)
+        with pytest.raises(Exception):
+            e.emit_sync({"v": v})
+
+    # float formatting is JVM-specific: python path must refuse and let
+    # Spark produce the canonical Double.toString form
+    e = StreamSQL(spark)
+    e.execute("SELECT cast(v, 'string') AS c FROM stream")
+    assert e._emit_sync_python({"v": 1e16}) is _NOT_APPLICABLE
+    assert e.emit_sync({"v": 1e16})["c"] == "1.0E16"
+
+    # 'Infinity' IS a valid ANSI double spelling (→ inf) — the python
+    # path refuses (non-finite results stay Spark-side) and the Spark
+    # route answers
+    e = StreamSQL(spark)
+    e.execute("SELECT cast(v, 'double') AS c FROM stream")
+    assert e._emit_sync_python({"v": "Infinity"}) is _NOT_APPLICABLE
+    assert e.emit_sync({"v": "Infinity"})["c"] == float("inf")

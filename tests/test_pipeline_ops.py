@@ -519,11 +519,15 @@ def test_nearest_centroids_expr_and_arrow_paths_agree(spark):
     X = np.round(rng.normal(size=(50, 6)), 3)
     cents = [(i, [float(v) for v in np.round(rng.normal(size=6), 3)])
              for i in range(5)]
-    # a duplicated centroid forces a genuine tie -> min-cid break
+    # a duplicated centroid forces a genuine tie -> min-cid break;
+    # a zero centroid pins the zero-norm guard (sim 0.0, not NaN) on
+    # both physical paths
     cents.append((5, list(cents[2][1])))
+    cents.append((6, [0.0] * 6))
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(50)]
+    rows.append((50, [0.0] * 6))  # zero VECTOR: all sims 0 -> cid 0
     df = spark.createDataFrame(
-        [(int(i), [float(x) for x in X[i]]) for i in range(50)],
-        "vec_id long, embedding array<double>")
+        rows, "vec_id long, embedding array<double>")
 
     def run(cells):
         col = _nearest_centroids_col(F.col("embedding"), cents, 3,
