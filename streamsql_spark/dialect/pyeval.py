@@ -461,7 +461,48 @@ _CASTERS = {
 }
 
 
+def _fn_trunc(x, n=0):
+    """Numeric truncate — mirrors the rendered Spark formula
+    (registry._render_trunc) operation-for-operation: same IEEE
+    multiply, BIGINT floor/ceil, divide."""
+    if x is None or n is None:
+        return None
+    x = _finite(x)
+    n = _num(n)
+    p = 10.0 ** float(n)
+    v = x * p
+    if not math.isfinite(v) or p == 0:
+        raise Fallback()
+    r = math.floor(v) if x >= 0 else math.ceil(v)
+    _i64(r)  # Spark floor/ceil(double) yields BIGINT — overflow raises
+    return r / p
+
+
+def _fn_hex2dec(v):
+    """conv(s, 16, 10) for the PROVEN shape only: 1-15 plain hex digits
+    (≤ 2^60 — no unsigned wrap, no BIGINT overflow, no conv leniency
+    edge cases)."""
+    if v is None:
+        return None
+    if isinstance(v, int) and not isinstance(v, bool):
+        v = str(v)  # conv casts its arg to string first
+    s = _str_arg(v)
+    if not re.fullmatch(r"[0-9a-fA-F]{1,15}", s):
+        raise Fallback()
+    return int(s, 16)
+
+
+def _fn_dec2hex(v):
+    """lower(hex(CAST(x AS BIGINT))): two's-complement 64-bit hex."""
+    if v is None:
+        return None
+    return format(_CASTERS["bigint"](v) % (2 ** 64), "x")
+
+
 _FNS: dict[str, object] = {
+    "trunc": _fn_trunc,
+    "hex2dec": _fn_hex2dec,
+    "dec2hex": _fn_dec2hex,
     "ltrim": lambda v: None if v is None else _str_arg(v).lstrip(" "),
     "rtrim": lambda v: None if v is None else _str_arg(v).rstrip(" "),
     "reverse": lambda v: None if v is None else _str_arg(v)[::-1],
@@ -541,6 +582,7 @@ _FN_ARITY: dict[str, tuple[int, int] | None] = {
     "bitand": (2, 2), "bitor": (2, 2), "bitxor": (2, 2), "bitnot": (1, 1),
     "is_null": (1, 1), "is_not_null": (1, 1),
     "if_null": (2, 2), "null_if": (2, 2), "len": (1, 1),
+    "trunc": (1, 2), "hex2dec": (1, 1), "dec2hex": (1, 1),
 }
 
 
@@ -687,6 +729,16 @@ def compile_expr(e: N.Expr):
         if lname in _registry._CUSTOM_SCALARS \
                 or lname in _registry._CUSTOM_ANALYTICS:
             return None  # runtime-registered custom function wins
+        if lname == "case_when":
+            # the renderer pairs args WHEN/THEN with a trailing ELSE
+            # (registry._render_case_when) — build the equivalent
+            # searched-CASE node and reuse its compiled semantics
+            if len(e.args) < 2:
+                return None
+            pairs = list(zip(e.args[0::2], e.args[1::2]))
+            else_ = e.args[-1] if len(e.args) % 2 == 1 else None
+            return compile_expr(
+                N.Case(operand=None, whens=pairs, else_=else_))
         if lname == "cast":
             # the renderer (registry._render_cast) reads the TYPE from
             # the AST literal and falls back to 'string' otherwise —

@@ -1720,6 +1720,13 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         "FROM stream",
         "SELECT cast(h, 'string') AS hs, cast(h, 'boolean') AS hb, "
         "cast(t, 'int') AS ti FROM stream",
+        # r5: trunc mirrors the rendered floor/ceil formula; dec2hex is
+        # two's-complement 64-bit; case_when pairs WHEN/THEN + ELSE
+        "SELECT trunc(t, 2) AS t2, trunc(t) AS t0, trunc(t, -1) AS tm "
+        "FROM stream",
+        "SELECT dec2hex(h) AS dh, dec2hex(t) AS dt FROM stream",
+        "SELECT case_when(t > 25, 'hot', t > 0, 'warm', 'cold') AS cw "
+        "FROM stream",
     ]
     rng = random.Random(20260814)
 
@@ -2088,3 +2095,43 @@ def test_pyeval_cast_subset(spark):
     e.execute("SELECT cast(v, 'double') AS c FROM stream")
     assert e._emit_sync_python({"v": "Infinity"}) is _NOT_APPLICABLE
     assert e.emit_sync({"v": "Infinity"})["c"] == float("inf")
+
+
+def test_pyeval_hex_trunc_casewhen(spark):
+    """r5 whitelist: hex2dec (proven 1-15-hex-digit shape), dec2hex
+    (two's-complement 64-bit), trunc (rendered-formula mirror), and the
+    case_when function form — python path answers and agrees with the
+    Spark fast path."""
+    from streamsql_spark.api.facade import _NOT_APPLICABLE
+
+    cases = [
+        ("SELECT hex2dec(v) AS c FROM stream", {"v": "1f"}, 31),
+        ("SELECT hex2dec(v) AS c FROM stream", {"v": "FF"}, 255),
+        ("SELECT hex2dec(v) AS c FROM stream", {"v": 123}, 291),
+        ("SELECT dec2hex(v) AS c FROM stream", {"v": 255}, "ff"),
+        ("SELECT dec2hex(v) AS c FROM stream", {"v": -1},
+         "ffffffffffffffff"),
+        ("SELECT dec2hex(v) AS c FROM stream", {"v": 0}, "0"),
+        ("SELECT trunc(v, 1) AS c FROM stream", {"v": -12.77}, -12.7),
+        ("SELECT trunc(v) AS c FROM stream", {"v": 9.99}, 9.0),
+        ("SELECT trunc(v, -1) AS c FROM stream", {"v": 127.0}, 120.0),
+        ("SELECT case_when(v > 5, 'big', v > 0, 'small', 'neg') AS c "
+         "FROM stream", {"v": 3}, "small"),
+        ("SELECT case_when(v > 5, 'big', v > 0, 'small', 'neg') AS c "
+         "FROM stream", {"v": None}, "neg"),
+    ]
+    for sql, row, want in cases:
+        e = StreamSQL(spark)
+        e.execute(sql)
+        py = e._emit_sync_python(dict(row))
+        sp = e._emit_sync_fast(dict(row))
+        assert py is not _NOT_APPLICABLE, (sql, row)
+        assert py["c"] == want, (sql, row, py)
+        assert py["c"] == sp["c"], (sql, row, py, sp)
+
+    # outside the proven hex shape: python refuses, Spark (conv
+    # leniency / unsigned wrap) stays the oracle
+    e = StreamSQL(spark)
+    e.execute("SELECT hex2dec(v) AS c FROM stream")
+    assert e._emit_sync_python({"v": "zz9"}) is _NOT_APPLICABLE
+    assert e._emit_sync_python({"v": "f" * 16}) is _NOT_APPLICABLE
