@@ -327,24 +327,28 @@ class StreamSQL:
         (dialect/pyeval.py); _NOT_APPLICABLE when the query shape or
         this event's value types fall outside it (the Spark paths
         remain the semantics oracle and take over)."""
-        plan = self._plan
-        if (plan.joins or plan.analytics or plan.distinct or plan.order_by
-                or plan.limit is not None or not plan.outputs
-                or any(getattr(o, "unnest_sql", None) is not None
-                       for o in plan.outputs)):
+        cached = getattr(self, "_pyeval_ready", None)
+        if cached is None:
+            # the gate is a pure function of the compiled plan + the
+            # declared schema — decide ONCE, not per event
+            from ..dialect.pyeval import Fallback, compile_direct
+            plan = self._plan
+            fn = None
+            if not (plan.joins or plan.analytics or plan.distinct
+                    or plan.order_by or plan.limit is not None
+                    or not plan.outputs
+                    or any(getattr(o, "unnest_sql", None) is not None
+                           for o in plan.outputs)
+                    # declared-schema path: typed CASTs belong to Spark
+                    or self.schema is not None):
+                fn = (compile_direct(self._stmt)
+                      if self._stmt is not None else None)
+            cached = self._pyeval_ready = (fn, Fallback)
+        fn, Fallback = cached
+        if fn is None or not row:
             return _NOT_APPLICABLE
-        if not row or self.schema is not None:
-            # declared-schema path: typed CASTs belong to the Spark path
-            return _NOT_APPLICABLE
-        if not hasattr(self, "_pyeval_fn"):
-            from ..dialect.pyeval import compile_direct
-            self._pyeval_fn = (compile_direct(self._stmt)
-                               if self._stmt is not None else None)
-        if self._pyeval_fn is None:
-            return _NOT_APPLICABLE
-        from ..dialect.pyeval import Fallback
         try:
-            return self._pyeval_fn(row)
+            return fn(row)
         except Fallback:
             return _NOT_APPLICABLE
 

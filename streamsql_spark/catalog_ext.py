@@ -527,7 +527,7 @@ def _run_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB quantile_cont replica hash-matches — the row-guard bounds
     # the holistic aggregate; at corpus scale the approx default applies
     from .operators.text import ppl_buckets
-    feat = ppl_buckets(feat, exact=True)
+    feat = ppl_buckets(feat, exact=True, probe_df=t["documents"])
     return feat.select(
         "doc_id", "lang_pred", "lang_score",
         "n_chars_m", "n_tokens", "mean_tok_len", "punct_ratio",

@@ -439,7 +439,8 @@ def ppl_buckets(df: DataFrame, ppl_col: str = "ppl",
                 out_col: str = "ppl_bucket",
                 cuts: tuple[float, float] = (1 / 3, 2 / 3),
                 exact: bool = False, accuracy: int = 10000,
-                max_exact_rows: int = 2_000_000) -> DataFrame:
+                max_exact_rows: int = 2_000_000,
+                probe_df: DataFrame | None = None) -> DataFrame:
     """CCNet's head/middle/tail split: bucket documents by perplexity
     percentile — head = the lowest-perplexity (most in-domain) third,
     tail = the highest.  Wenzek et al. 2020 train on head+middle and
@@ -456,11 +457,15 @@ def ppl_buckets(df: DataFrame, ppl_col: str = "ppl",
     holistic aggregate that buffers every score in the final task, so
     it is guarded by a bounded row probe (same contract as
     :func:`train_quality_classifier`) and refuses corpora above
-    ``max_exact_rows``.  Documents with NULL perplexity (sub-2-token)
-    land in 'tail'.
+    ``max_exact_rows``.  The probe counts ``probe_df`` when given — a
+    frame the CALLER asserts has the same row count but a cheaper scan
+    (e.g. the raw corpus before the per-doc LM scoring joins, which
+    Catalyst cannot prove row-preserving) — else ``df`` itself.
+    Documents with NULL perplexity (sub-2-token) land in 'tail'.
     """
     if exact:
-        probe = df.limit(max_exact_rows + 1).count()
+        probe = (probe_df if probe_df is not None else df) \
+            .limit(max_exact_rows + 1).count()
         if probe > max_exact_rows:
             raise ValueError(
                 f"corpus exceeds max_exact_rows={max_exact_rows}: exact "
