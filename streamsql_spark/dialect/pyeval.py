@@ -499,7 +499,38 @@ def _fn_dec2hex(v):
     return format(_CASTERS["bigint"](v) % (2 ** 64), "x")
 
 
+_NUMERIC_SPECIAL = re.compile(r"(?i)inf|nan")
+
+
+def _fn_is_numeric(v):
+    """(try_cast(CAST(x AS STRING) AS DOUBLE) IS NOT NULL) — Spark's
+    string-to-double parse is LENIENT ('inf', '1.0d', 'Infinity' all
+    parse), so only the proven outcomes answer: canonical numerics →
+    True, clearly-non-numeric (no digits, no inf/nan spelling) → False,
+    the lenient middle ground → Spark path."""
+    if v is None or isinstance(v, bool):
+        return False
+    if isinstance(v, _NUM):
+        return True  # numeric→string→double round-trips (incl inf/nan)
+    s = _str_arg(v).strip(_ANSI_TRIM)
+    if _CAST_NUM_RE.fullmatch(s):
+        return True
+    if not s:
+        return False
+    if _NUMERIC_SPECIAL.search(s) or any(c.isdigit() for c in s):
+        raise Fallback()
+    return False
+
+
 _FNS: dict[str, object] = {
+    # type checks: on the per-event path every admitted value is a
+    # scalar (col() refuses containers), and an untyped NULL literal's
+    # typeof is 'void' — so these are pure Python-type tests
+    "is_numeric": _fn_is_numeric,
+    "is_string": lambda v: isinstance(v, str),
+    "is_bool": lambda v: isinstance(v, bool),
+    "is_array": lambda v: False,
+    "is_object": lambda v: False,
     "trunc": _fn_trunc,
     "hex2dec": _fn_hex2dec,
     "dec2hex": _fn_dec2hex,
@@ -583,6 +614,8 @@ _FN_ARITY: dict[str, tuple[int, int] | None] = {
     "is_null": (1, 1), "is_not_null": (1, 1),
     "if_null": (2, 2), "null_if": (2, 2), "len": (1, 1),
     "trunc": (1, 2), "hex2dec": (1, 1), "dec2hex": (1, 1),
+    "is_numeric": (1, 1), "is_string": (1, 1), "is_bool": (1, 1),
+    "is_array": (1, 1), "is_object": (1, 1),
 }
 
 

@@ -1727,6 +1727,11 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         "SELECT dec2hex(h) AS dh, dec2hex(t) AS dt FROM stream",
         "SELECT case_when(t > 25, 'hot', t > 0, 'warm', 'cold') AS cw "
         "FROM stream",
+        # r5: type-check family (scalar rows: pure Python-type tests;
+        # is_numeric's lenient string middle ground falls back)
+        "SELECT is_numeric(t) AS nt, is_numeric(s) AS ns, "
+        "is_string(s) AS ss, is_bool(t) AS bt, is_array(s) AS ar, "
+        "is_object(h) AS ob FROM stream",
     ]
     rng = random.Random(20260814)
 
@@ -1735,6 +1740,7 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
                         round(rng.uniform(-40.0, 60.0), 3)])
         h = rng.choice([None, rng.randint(0, 100)])
         s = rng.choice([None, "sensor", " se pad ", "keep", "", "Xy",
+                        "12.5", " -7 ", "inf",
                         "sensor\n", "tudor", "se\n"])
         b = rng.choice([None, 2 ** 62, -(2 ** 62),
                         2 ** 62 + rng.randint(0, 1000)])
