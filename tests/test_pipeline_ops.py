@@ -1173,3 +1173,30 @@ def test_train_quality_classifier_rejects_empty(spark):
     df = spark.createDataFrame([], "doc_id long, text string, label int")
     with pytest.raises(ValueError):
         train_quality_classifier(df, "label")
+
+
+def test_ppl_buckets_exact_guard_and_probe_df(spark):
+    """exact=True refuses corpora above max_exact_rows (bounded probe),
+    honors a caller-supplied cheaper probe frame, and produces the same
+    buckets either way."""
+    from streamsql_spark.operators.text import ppl_buckets
+
+    rows = [(i, float(p)) for i, p in enumerate([10, 20, 30, 40, 50, 60])]
+    df = spark.createDataFrame(rows, "doc_id long, ppl double")
+
+    def buckets(out):
+        return {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+
+    exact = buckets(ppl_buckets(df, exact=True))
+    assert exact == {0: "head", 1: "head", 2: "middle", 3: "middle",
+                     4: "tail", 5: "tail"}
+    via_probe = buckets(ppl_buckets(df, exact=True,
+                                    probe_df=spark.range(6)))
+    assert via_probe == exact
+
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        ppl_buckets(df, exact=True, max_exact_rows=3)
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        # the guard must count the PROBE frame when given
+        ppl_buckets(df, exact=True, max_exact_rows=3,
+                    probe_df=spark.range(100))
