@@ -674,16 +674,79 @@ CATALOG["text_analysis"] = Entry(
 
 
 def _run_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import documents_as_media, extract_features
-    t = load_tables(spark, sf_dir)
-    media = documents_as_media(t["documents"].where("doc_id < 100"))
-    return extract_features(media).select(
-        "media_id", "kind", "n_bytes", "byte_mean", "byte_entropy")
+    """Multimodal family, kind-tagged (merged r5):
 
+    - 'image': byte-statistics features over the raw payloads;
+    - 'resize': REAL nearest-neighbor resize of synthetic 8×6 P6
+      images whose pixel bytes are the document's text bytes (repeated
+      to fill) — the oracle replicates the index-gather arithmetic
+      byte-for-byte and value-hashes the md5 of the resized payload;
+    - 'frame': REAL frame sampling (every 2nd) of a synthetic 3-frame
+      concatenated-P6 "video" built the same way — each sampled frame
+      re-encoded standalone and digested.
+
+    The P6 construction lives in the QUERY (both engines build the
+    same bytes from the same fixture text), so the mapInPandas resize
+    and frame-parse kernels themselves are what the hash checks."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import (documents_as_media,
+                                       extract_features, resize_images,
+                                       sample_frames)
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].where("doc_id < 100 AND length(text) >= 1")
+    media = documents_as_media(t["documents"].where("doc_id < 100"))
+    nul = lambda ty: F.lit(None).cast(ty)  # noqa: E731
+    feats = extract_features(media).select(
+        "media_id", "kind", nul("bigint").alias("seq"),
+        "n_bytes", "byte_mean", "byte_entropy",
+        nul("string").alias("digest"))
+
+    px = ("substring(repeat(text, CAST(ceil(144.0/length(text)) AS INT)"
+          " + 1), 1, 144)")
+    img = docs.select(
+        F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
+        F.concat(F.lit("P6\n8 6\n255\n"), F.expr(px))
+        .cast("binary").alias("payload"),
+        F.struct(F.lit("image/x-portable-pixmap").alias("mime"),
+                 F.lit(155).cast("long").alias("n_bytes"),
+                 F.lit("synthetic-ppm").alias("source")).alias("meta"))
+    rz = resize_images(img, 4, 3).select(
+        "media_id", F.lit("resize").alias("kind"),
+        nul("bigint").alias("seq"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        nul("double").alias("byte_mean"),
+        nul("double").alias("byte_entropy"),
+        F.md5(F.lower(F.hex("payload"))).alias("digest"))
+
+    p36 = ("substring(repeat(text, CAST(ceil(36.0/length(text)) AS INT)"
+           " + 1), 1, 36)")
+    seg = (lambda off: F.concat(
+        F.lit("P6\n2 2\n255\n"),
+        F.expr(f"substring({p36}, {off} + 1, 12)")))
+    vid = docs.select(
+        F.col("doc_id").alias("media_id"), F.lit("video").alias("kind"),
+        F.concat(seg(0), seg(12), seg(24)).cast("binary").alias("payload"),
+        F.struct(F.lit("video/x-raw-ppm").alias("mime"),
+                 F.lit(69).cast("long").alias("n_bytes"),
+                 F.lit("synthetic-ppm").alias("source")).alias("meta"))
+    fr = sample_frames(vid, every_n=2).select(
+        "media_id", F.lit("frame").alias("kind"),
+        F.col("frame_index").cast("bigint").alias("seq"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        nul("double").alias("byte_mean"),
+        nul("double").alias("byte_entropy"),
+        F.md5(F.lower(F.hex("payload"))).alias("digest"))
+    return feats.unionByName(rz).unionByName(fr)
+
+
+# hex of the P6 headers both engines must agree on byte-for-byte
+_PPM_HDR_4x3 = b"P6\n4 3\n255\n".hex()
+_PPM_HDR_2x2 = b"P6\n2 2\n255\n".hex()
 
 CATALOG["multimodal_features"] = Entry(
     _run_multimodal,
-    """
+    f"""
     WITH bytes AS (
       SELECT doc_id AS media_id, 'image' AS kind,
              CAST(length(text) AS BIGINT) AS n_bytes,
@@ -694,16 +757,54 @@ CATALOG["multimodal_features"] = Entry(
       SELECT media_id, kind, n_bytes, codes,
              list_transform(range(0, 8), b ->
                len(list_filter(codes, c -> (c // 32) = b))) AS bins
-      FROM bytes)
-    SELECT media_id, kind, n_bytes,
+      FROM bytes),
+    px AS (
+      SELECT doc_id AS media_id,
+             substr(repeat(text, CAST(ceil(144.0/length(text)) AS INT) + 1),
+                    1, 144) AS p,
+             substr(repeat(text, CAST(ceil(36.0/length(text)) AS INT) + 1),
+                    1, 36) AS p36
+      FROM documents WHERE doc_id < 100 AND length(text) >= 1),
+    rz AS (
+      SELECT media_id,
+             list_transform(range(0, 36), k ->
+               ascii(substr(p,
+                 ((k // 12) * 2) * 24 + (((k % 12) // 3) * 2) * 3
+                 + (k % 3) + 1, 1))) AS oc
+      FROM px)
+    SELECT media_id, kind, CAST(NULL AS BIGINT) AS seq, n_bytes,
            round(CAST(list_sum(codes) AS DOUBLE) / n_bytes, 6) AS byte_mean,
            round(-list_sum(list_transform(bins, c ->
                CASE WHEN c > 0 THEN (CAST(c AS DOUBLE)/n_bytes) * log2(CAST(c AS DOUBLE)/n_bytes)
-                    ELSE 0 END)), 6) AS byte_entropy
+                    ELSE 0 END)), 6) AS byte_entropy,
+           CAST(NULL AS VARCHAR) AS digest
     FROM binned
+    UNION ALL
+    SELECT media_id, 'resize' AS kind, CAST(NULL AS BIGINT) AS seq,
+           CAST(47 AS BIGINT) AS n_bytes,
+           CAST(NULL AS DOUBLE) AS byte_mean,
+           CAST(NULL AS DOUBLE) AS byte_entropy,
+           md5('{_PPM_HDR_4x3}' || lower(list_aggregate(
+               list_transform(oc, c -> lpad(to_hex(c), 2, '0')),
+               'string_agg', ''))) AS digest
+    FROM rz
+    UNION ALL
+    SELECT media_id, 'frame' AS kind, CAST(f AS BIGINT) AS seq,
+           CAST(23 AS BIGINT) AS n_bytes,
+           CAST(NULL AS DOUBLE) AS byte_mean,
+           CAST(NULL AS DOUBLE) AS byte_entropy,
+           md5('{_PPM_HDR_2x2}' || lower(list_aggregate(
+               list_transform(range(1, 13), i ->
+                 lpad(to_hex(ascii(substr(p36, f * 12 + i, 1))), 2, '0')),
+               'string_agg', ''))) AS digest
+    FROM px, (SELECT unnest([0, 2]) AS f) ff
     """,
-    "extension: multimodal binary columns + Arrow-batched feature kernel "
-    "(decode stubbed — codecs not in container)")
+    "extension: multimodal family — byte-statistics feature kernel "
+    "(codec decode is the documented injection seam) + REAL "
+    "nearest-neighbor P6 resize and every-nth frame sampling (merged "
+    "r5: synthetic text-byte P6 payloads built identically in both "
+    "engines; the oracle replicates the gather arithmetic and "
+    "value-hashes each output payload)")
 
 
 # ------------------------------------------------- composed pipeline
