@@ -81,10 +81,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         # per-entry timing = best of N warm runs (first run pays
-        # one-time Catalyst analysis + codegen JIT); N adapts: 3 for
-        # pipeline-bound entries, 7 when the floor is under 0.5 s
-        # (startup-jitter-bound at this sf)
-        "repeats": 3,
+        # one-time Catalyst analysis + codegen JIT); N adapts per entry
+        # — 3 for pipeline-bound entries, up to 7 when the floor is
+        # under 0.5 s (startup-jitter-bound at this sf); the exact N
+        # for each entry is in repeats_per_entry
+        "repeats_min": 3,
+        "repeats_max": 7,
         "repeats_per_entry": repeats,
     }))
 

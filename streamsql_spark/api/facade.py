@@ -465,11 +465,14 @@ class StreamSQL:
                 # blocking strategy: wait for a consumer (another
                 # thread's stop/clear) to free space; timeout <= 0 or
                 # None blocks until space or shutdown, else drops after
-                # the bounded wait (strategy.go:66-97)
-                if not self._block_until_space():
+                # the bounded wait (strategy.go:66-97).  The append
+                # happens INSIDE the wait's lock — a second blocked
+                # producer must not observe the freed slot before this
+                # one claims it (the bounded-channel capacity contract)
+                if not self._block_append(row):
                     if not self._stopped:
                         self._metrics["input_dropped"] += 1
-                    return
+                return
             else:
                 # drop strategy: reject the INCOMING row
                 # (strategy.go:190-216)
@@ -477,10 +480,11 @@ class StreamSQL:
                 return
         self._buffer.append(row)
 
-    def _block_until_space(self) -> bool:
-        """Wait until the emit buffer has room, the stream stops, or
-        ``blocking_timeout`` elapses.  True = room freed (append);
-        False = timed out or stopped (caller drops)."""
+    def _block_append(self, row: dict) -> bool:
+        """Wait until the emit buffer has room, then append WHILE STILL
+        HOLDING the condition lock (check-and-claim is atomic across
+        concurrent producers).  True = appended; False = timed out or
+        stopped (caller counts the drop)."""
         import time as _time
 
         timeout = self.blocking_timeout
@@ -496,7 +500,10 @@ class StreamSQL:
                     if remaining <= 0:
                         return False
                     self._buffer_cond.wait(min(remaining, 0.05))
-            return not self._stopped
+            if self._stopped:
+                return False
+            self._buffer.append(row)
+            return True
 
     def emit_sync(self, row: dict) -> dict | None:
         """Synchronous direct-path execution (streamsql.go:262-282).

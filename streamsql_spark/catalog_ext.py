@@ -86,7 +86,7 @@ CATALOG["dedup_exact"] = Entry(
              '^([A-Za-z]+://[^/?#]+):(?:80|443)([/?#]|$)', '\1\2') AS u FROM c4),
     c6 AS (SELECT doc_id, regexp_replace(u,
              '^([A-Za-z]+://[^?#]*[^?#/])/+(\?|$)', '\1\2') AS u FROM c5)
-    SELECT 'text' AS kind, md5(CAST(text AS VARCHAR)) AS digest,
+    SELECT 'text' AS kind, md5(coalesce(CAST(text AS VARCHAR), '')) AS digest,
            min(doc_id) AS keep_id, count(*) AS n_copies
     FROM documents GROUP BY 2
     UNION ALL
@@ -94,13 +94,15 @@ CATALOG["dedup_exact"] = Entry(
            count(*) AS n_copies
     FROM c6 GROUP BY 2
     UNION ALL
-    SELECT 'incr' AS kind, md5(CAST(text AS VARCHAR)) AS digest,
+    SELECT 'incr' AS kind, md5(coalesce(CAST(text AS VARCHAR), '')) AS digest,
            min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM documents
+    FROM documents d
     WHERE doc_id % 4 = 0
-      AND md5(CAST(text AS VARCHAR)) NOT IN (
-          SELECT md5(CAST(text AS VARCHAR)) FROM documents
-          WHERE doc_id % 4 != 0)
+      AND NOT EXISTS (
+          SELECT 1 FROM documents h
+          WHERE h.doc_id % 4 != 0
+            AND md5(coalesce(CAST(h.text AS VARCHAR), '')) =
+                md5(coalesce(CAST(d.text AS VARCHAR), '')))
     GROUP BY 2
     """,
     "extension: exact-key dedup family — content dedup (text md5) + "
@@ -694,8 +696,15 @@ def _run_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        extract_features, resize_images,
                                        sample_frames)
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].where("doc_id < 100 AND length(text) >= 1")
-    media = documents_as_media(t["documents"].where("doc_id < 100"))
+    # ASCII-only guard on BOTH engines (Spark: octet_length; DuckDB:
+    # strlen): the byte-level replicas equate characters with bytes —
+    # a multi-byte document would break the P6 pixel math and the
+    # ascii() feature codes identically on neither side
+    docs = t["documents"].where(
+        "doc_id < 100 AND length(text) >= 1 "
+        "AND octet_length(text) = length(text)")
+    media = documents_as_media(t["documents"].where(
+        "doc_id < 100 AND octet_length(text) = length(text)"))
     nul = lambda ty: F.lit(None).cast(ty)  # noqa: E731
     feats = extract_features(media).select(
         "media_id", "kind", nul("bigint").alias("seq"),
@@ -752,7 +761,8 @@ CATALOG["multimodal_features"] = Entry(
              CAST(length(text) AS BIGINT) AS n_bytes,
              list_transform(range(1, length(text) + 1),
                             i -> ascii(substr(text, i, 1))) AS codes
-      FROM documents WHERE doc_id < 100),
+      FROM documents
+      WHERE doc_id < 100 AND strlen(text) = length(text)),
     binned AS (
       SELECT media_id, kind, n_bytes, codes,
              list_transform(range(0, 8), b ->
@@ -764,7 +774,9 @@ CATALOG["multimodal_features"] = Entry(
                     1, 144) AS p,
              substr(repeat(text, CAST(ceil(36.0/length(text)) AS INT) + 1),
                     1, 36) AS p36
-      FROM documents WHERE doc_id < 100 AND length(text) >= 1),
+      FROM documents
+      WHERE doc_id < 100 AND length(text) >= 1
+        AND strlen(text) = length(text)),
     rz AS (
       SELECT media_id,
              list_transform(range(0, 36), k ->

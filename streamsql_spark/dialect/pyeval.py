@@ -361,8 +361,13 @@ def _fn_bit(op: str, a, b=None):
 # Spark trims chars <= 0x20 off both ends before numeric/bool casts
 # (UTF8String.trimAll) — wider than Python's default strip()
 _ANSI_TRIM = "".join(map(chr, range(0x21)))
-_CAST_INT_RE = re.compile(r"[+-]?\d+")
-_CAST_NUM_RE = re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
+# re.ASCII is LOAD-BEARING: \d in unicode mode matches e.g. Arabic-
+# Indic digits, which Python's int()/float() ACCEPT but Spark's ANSI
+# cast rejects — without it the python path would return a value where
+# the semantics oracle raises
+_CAST_INT_RE = re.compile(r"[+-]?\d+", re.ASCII)
+_CAST_NUM_RE = re.compile(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?",
+                          re.ASCII)
 _I32_MIN, _I32_MAX = -(2 ** 31), 2 ** 31 - 1
 
 

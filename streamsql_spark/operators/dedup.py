@@ -66,6 +66,11 @@ def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
     one groupBy for intra-batch copies.  At 100 TB the seen side is a
     digest-only column (store the digests, not the documents); with
     both sides bucketed by digest the anti join is shuffle-free.
+
+    NULL content contract (same as :func:`exact_dedup`): ``concat_ws``
+    skips NULLs, so a NULL content column digests identically to the
+    empty string — NULL-text and empty-text rows dedup together.
+    Pre-filter NULL content upstream if they must be kept distinct.
     """
     def dig(df):
         return df.withColumn("__digest__", F.md5(F.concat_ws(
@@ -388,8 +393,7 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     else:
         centroids = centroids.select(
             F.col("centroid_id").alias(id_col), F.col(vec_col))
-    assigned = assign_clusters(ensure_parallelism(df), centroids,
-                               id_col, vec_col)
+    assigned = assign_clusters(df, centroids, id_col, vec_col)
 
     out_schema = StructType([StructField("id_a", LongType()),
                              StructField("id_b", LongType()),

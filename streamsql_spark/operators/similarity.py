@@ -363,7 +363,8 @@ def _collect_centroids(centroids: DataFrame, id_col: str,
 
 
 def _nearest_centroids_col(emb, cents: list[tuple[int, list[float]]],
-                           n: int = 1, max_expr_cells: int = 20000):
+                           n: int = 1, max_expr_cells: int = 20000,
+                           bc_registry: list | None = None):
     """Array of the ``n`` nearest centroid ids for embedding column
     ``emb`` — cosine, 6dp rounding, min-cid tie-break (the shared ANN
     ordering contract) — computed ROW-LOCALLY, so the corpus never
@@ -404,13 +405,27 @@ def _nearest_centroids_col(emb, cents: list[tuple[int, list[float]]],
     M = np.array([ce for _, ce in cents], dtype=np.float64)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
     bc = SparkSession.getActiveSession().sparkContext.broadcast((cids, Mn))
+    if bc_registry is not None:
+        # hand the broadcast's lifetime to the caller: an iterative
+        # trainer creates one per Lloyd round and must unpersist after
+        # its action, or a long session leaks a centroid matrix per
+        # iteration
+        bc_registry.append(bc)
 
     @F.pandas_udf("array<bigint>")
     def nearest(col: pd.Series) -> pd.Series:
         ids, Cn = bc.value
         X = np.array([np.asarray(v, dtype=np.float64) for v in col])
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-        sims = np.round(Xn @ Cn.T, 6)
+        raw = Xn @ Cn.T
+        # HALF_UP (away from zero) to 6dp, matching the expression
+        # path's Spark round() — np.round is HALF_EVEN and would flip
+        # ties exactly on a .5e-6 boundary.  (Residual delta vs Spark:
+        # round() quantizes the Double.toString decimal form; this
+        # quantizes the scaled value — they differ only when the two
+        # representations disagree in the 7th decimal's half-ulp,
+        # measure-zero for real cosines.)
+        sims = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
         # stable sort on -sim: ties keep ascending-cid order (cents
         # arrive cid-sorted) — same tie-break as the expression path
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
@@ -420,18 +435,25 @@ def _nearest_centroids_col(emb, cents: list[tuple[int, list[float]]],
 
 
 def assign_clusters(vectors: DataFrame, centroids: DataFrame,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid (cosine) — a
-    ZERO-EXCHANGE narrow map.
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    widen: bool = True) -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine) — the argmin
+    itself is a ZERO-EXCHANGE narrow map.
 
     The k centroids are collected to the driver (a model — k·d values)
     and the argmin is evaluated row-locally per vector via
     :func:`_nearest_centroids_col`; the corpus is never joined,
-    windowed, or shuffled.  Determinism: sims rounded to 6dp, ties
-    broken by smallest centroid id.
+    windowed, or key-shuffled.  ``widen`` (default) keeps the shared
+    narrow-scan guard: a one-split local scan round-robins to cluster
+    width so the CPU-bound argmin parallelizes (a no-op at real scale
+    — thousands of splits already); callers that pre-widen (the Lloyd
+    loop, ivf_topk) pass ``widen=False`` for a literally exchange-free
+    plan.  Determinism: sims rounded to 6dp, ties broken by smallest
+    centroid id.
     """
     cents = _collect_centroids(centroids, id_col, vec_col)
-    return _assign_with(vectors, cents, id_col, vec_col)
+    src = ensure_parallelism(vectors) if widen else vectors
+    return _assign_with(src, cents, id_col, vec_col)
 
 
 def _assign_with(vectors: DataFrame, cents: list[tuple[int, list[float]]],
@@ -501,8 +523,10 @@ def kmeans_fit(vectors: DataFrame, k: int, max_iter: int = 10,
             f"{id_col} bigint, {vec_col} array<double>")
 
     for _ in range(max_iter):
+        bcs: list = []
         near = _nearest_centroids_col(
-            F.col("embedding"), list(enumerate(cents)), 1)
+            F.col("embedding"), list(enumerate(cents)), 1,
+            bc_registry=bcs)
         assigned = corpus.withColumn("centroid_id", F.element_at(near, 1))
         means = (assigned
                  .select("centroid_id",
@@ -510,6 +534,10 @@ def kmeans_fit(vectors: DataFrame, k: int, max_iter: int = 10,
                  .groupBy("centroid_id", "pos")
                  .agg(F.avg(F.col("x").cast("double")).alias("m"))
                  .collect())
+        for bc in bcs:
+            # the assign job is fully consumed by the means collect —
+            # release this round's centroid broadcast (executor+driver)
+            bc.unpersist()
         nxt = [list(c) for c in cents]
         by_c: dict[int, list] = {}
         for r in means:

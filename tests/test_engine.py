@@ -2077,10 +2077,14 @@ def test_pyeval_cast_subset(spark):
         assert py["c"] == sp["c"] and type(py["c"]) is type(sp["c"]), \
             (ty, v, py, sp)
 
-    # outside the proven subset: python path refuses, Spark raises (ANSI)
+    # outside the proven subset: python path refuses, Spark raises
+    # (ANSI).  '١٢٣' (Arabic-Indic digits) is the nasty one: Python's
+    # int() ACCEPTS it — without re.ASCII in the cast regexes the
+    # python path would answer 123 where Spark raises
     for ty, v in [("int", "12.5"), ("int", 2 ** 40), ("int", "abc"),
                   ("boolean", "maybe"), ("double", "abc"),
-                  ("bigint", "9" * 25)]:
+                  ("bigint", "9" * 25), ("int", "١٢٣"),
+                  ("double", "١٢")]:
         e = StreamSQL(spark)
         e.execute(f"SELECT cast(v, '{ty}') AS c FROM stream")
         assert e._emit_sync_python({"v": v}) is _NOT_APPLICABLE, (ty, v)
@@ -2141,3 +2145,36 @@ def test_pyeval_hex_trunc_casewhen(spark):
     e.execute("SELECT hex2dec(v) AS c FROM stream")
     assert e._emit_sync_python({"v": "zz9"}) is _NOT_APPLICABLE
     assert e._emit_sync_python({"v": "f" * 16}) is _NOT_APPLICABLE
+
+
+def test_emit_overflow_block_capacity_atomic(spark):
+    """Two producers parked on a full "block" buffer + ONE freed slot:
+    exactly one may claim it — the check-and-append is atomic under the
+    condition lock (the bounded-channel capacity contract)."""
+    import threading
+    import time
+
+    s = StreamSQL(spark, max_buffer_rows=2, overflow_strategy="block",
+                  blocking_timeout=10)
+    s.execute("SELECT v FROM stream")
+    s.emit({"v": 0})
+    s.emit({"v": 1})
+    done = []
+    ts = [threading.Thread(target=lambda v=v: (s.emit({"v": v}),
+                                               done.append(v)))
+          for v in (2, 3)]
+    for t in ts:
+        t.start()
+    time.sleep(0.2)
+    with s._buffer_cond:
+        s._buffer.pop(0)  # consumer frees exactly one slot
+        s._buffer_cond.notify_all()
+    time.sleep(0.4)
+    assert len(s._buffer) == 2, s._buffer   # never over capacity
+    assert len(done) == 1
+    with s._buffer_cond:
+        s._buffer.pop(0)
+        s._buffer_cond.notify_all()
+    for t in ts:
+        t.join()
+    assert len(done) == 2 and len(s._buffer) == 2

@@ -1200,3 +1200,17 @@ def test_ppl_buckets_exact_guard_and_probe_df(spark):
         # the guard must count the PROBE frame when given
         ppl_buckets(df, exact=True, max_exact_rows=3,
                     probe_df=spark.range(100))
+
+
+def test_incremental_dedup_null_content_contract(spark):
+    """Documented concat_ws digest contract: NULL content digests as
+    the empty string, so NULL-text dedups against empty-text history —
+    callers pre-filter NULLs if they must stay distinct."""
+    from streamsql_spark.operators.dedup import incremental_dedup
+
+    new = spark.createDataFrame([(1, None), (2, ""), (3, "x")],
+                                "doc_id long, text string")
+    seen = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    out = {r["keep_id"] for r in
+           incremental_dedup(new, seen, ["text"]).collect()}
+    assert out == {3}

@@ -283,9 +283,12 @@ def _plan_of(df) -> str:
 
 def test_kmeans_assign_is_zero_exchange(spark):
     """The k-means assign stage is a row-local argmin against
-    driver-held centroids: NO exchange of any kind, no join, no window
-    — that invariant is what makes the Lloyd loop linear passes over
-    100 TB instead of corpus×k shuffles per iteration."""
+    driver-held centroids: no join, no window, no key shuffle — that
+    invariant is what makes the Lloyd loop linear passes over 100 TB
+    instead of corpus×k shuffles per iteration.  widen=False (the
+    pre-widened internal path) is literally exchange-free; the default
+    adds at most the shared narrow-scan round-robin spread (a no-op at
+    real scale)."""
     from streamsql_spark.operators.similarity import assign_clusters
     from streamsql_spark.session import load_tables
 
@@ -293,8 +296,12 @@ def test_kmeans_assign_is_zero_exchange(spark):
     cents = spark.createDataFrame(
         [(0, [1.0] * 8), (1, [0.5] * 8)],
         "vec_id long, embedding array<double>")
-    p = _plan_of(assign_clusters(emb, cents))
+    p = _plan_of(assign_clusters(emb, cents, widen=False))
     assert "Exchange" not in p, p
+    assert "Join" not in p and "Window" not in p, p
+
+    p = _plan_of(assign_clusters(emb, cents))
+    assert "Exchange hashpartitioning" not in p, p
     assert "Join" not in p and "Window" not in p, p
 
 
