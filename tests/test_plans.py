@@ -362,3 +362,18 @@ def test_perplexity_score_broadcast_gate(spark):
     # forced hint is gone (remaining broadcasts are Catalyst's own
     # stats-based picks for the one-row vocab and the join-back)
     assert p.count("SortMergeJoin") >= 2, p
+
+
+def test_topk_rank_pushes_partial_window_group_limit(spark):
+    """The shared ANN top-k contract (row_number over query_id, rank <=
+    k filter) must trigger Catalyst's WindowGroupLimit BOTH below and
+    above the exchange: only <= k rows per query per input partition
+    cross the shuffle — the map-side top-k that keeps brute-force
+    ranking linear in partitions at 100 TB instead of shuffling every
+    scored pair."""
+    from streamsql_spark.operators.similarity import cosine_topk
+    from streamsql_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    p = _plan_of(cosine_topk(emb, emb.where("vec_id < 3"), k=5))
+    assert p.count("WindowGroupLimit") >= 2, p
