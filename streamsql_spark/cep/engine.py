@@ -110,6 +110,36 @@ def _len_bounds(pat) -> tuple[int, int | None]:
     return (0, None)  # unknown node: conservative
 
 
+def _max_next_offset(spec: N.MatchSpec) -> int:
+    """Largest literal NEXT() offset any DEFINE uses (default 1 per
+    call; non-literal offsets conservatively count as 1)."""
+    import dataclasses
+
+    best = 1
+
+    def walk(x):
+        nonlocal best
+        if isinstance(x, N.Func) and str(x.name).lower() == "next":
+            n = 1
+            if len(x.args) > 1 and isinstance(x.args[1], N.Lit) \
+                    and isinstance(x.args[1].value, int):
+                n = max(1, int(x.args[1].value))
+            best = max(best, n)
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            for f in dataclasses.fields(x):
+                walk(getattr(x, f.name))
+        elif isinstance(x, (list, tuple)):
+            for v in x:
+                walk(v)
+        elif isinstance(x, dict):
+            for v in x.values():
+                walk(v)
+
+    for e in spec.defines.values():
+        walk(e)
+    return best
+
+
 def _uses_future_nav(spec: N.MatchSpec) -> bool:
     """True if any DEFINE references NEXT() — row classification then
     depends on rows after the current one, so even a fixed-length match
@@ -156,6 +186,31 @@ class Matcher:
         lo, hi = _len_bounds(self.pattern)
         self.fixed_final = (hi is not None and lo == hi
                             and not _uses_future_nav(spec))
+        # the pattern's full symbol alphabet — X.col in MEASURES/DEFINE
+        # resolves against it even when X bound zero rows
+        syms: set = set(self.defines or ())
+        for k, members in (self.subsets or {}).items():
+            syms.add(k)
+            syms.update(members)
+
+        def walk(p):
+            if p is None:
+                return
+            if isinstance(p, N.PSym):
+                syms.add(p.name)
+            for c in getattr(p, "items", []) or []:
+                walk(c)
+            item = getattr(p, "item", None)
+            if item is not None:
+                walk(item)
+        walk(self.pattern)
+        self.symbols = frozenset(syms)
+        # NEXT() in DEFINE reads rows AFTER the one being classified: a
+        # failed classification within this many rows of the buffer
+        # tail is INCONCLUSIVE for streaming (a future row could flip
+        # it), so it must hold the position, not consume it
+        self._next_span = (_max_next_offset(spec)
+                           if _uses_future_nav(spec) else 0)
 
     # ------------------------------------------------------ classification
     def classify(self, pos: int, sym: str, bindings: list) -> bool:
@@ -173,11 +228,20 @@ class Matcher:
             return True  # undefined symbol ≡ TRUE (engine.go:463-478)
         ctx = MatchContext(self.rows, bindings, pos=pos, current_symbol=sym,
                            match_number=self.match_number + 1,
-                           subsets=self.subsets)
+                           subsets=self.subsets, symbols=self.symbols)
         try:
-            return bool(evaluate(cond, ctx))
+            ok = bool(evaluate(cond, ctx))
         except Exception:
-            return False
+            ok = False
+        if not ok and self._next_span \
+                and pos + self._next_span >= len(self.rows):
+            # the DEFINE uses NEXT() and this row is within its span of
+            # the buffer tail: the False may come from reading past the
+            # end — signal the streaming drive to HOLD, not consume
+            # (conservative: also set on genuine in-buffer failures
+            # near the tail; that only delays emission one batch)
+            self._hit_end = True
+        return ok
 
     # ---------------------------------------------------------- matching
     def _match(self, pat: N.Pattern, pos: int, bindings: list):
@@ -474,14 +538,17 @@ class Matcher:
             positions = [i for i, _ in bindings]
             for p in positions:
                 ctx = MatchContext(self.rows, bindings, pos=p,
-                                   match_number=match_no, subsets=self.subsets)
+                                   match_number=match_no,
+                                   subsets=self.subsets,
+                                   symbols=self.symbols)
                 out = dict(self.rows[p])
                 out.update({m.alias or f"m{j}": evaluate(m.expr, ctx)
                             for j, m in enumerate(spec.measures)})
                 outs.append(out)
         else:
             ctx = MatchContext(self.rows, bindings, pos=None,
-                               match_number=match_no, subsets=self.subsets)
+                               match_number=match_no, subsets=self.subsets,
+                               symbols=self.symbols)
             outs.append({m.alias or f"m{j}": evaluate(m.expr, ctx)
                          for j, m in enumerate(spec.measures)})
         return outs

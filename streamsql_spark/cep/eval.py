@@ -56,18 +56,38 @@ class MatchContext:
     """
 
     def __init__(self, rows, bindings, pos=None, current_symbol=None,
-                 match_number=1, subsets=None):
+                 match_number=1, subsets=None, symbols=None):
         self.rows = rows
         self.bindings = bindings
         self.pos = pos
         self.current_symbol = current_symbol
         self.match_number = match_number
         self.subsets = {k: set(v) for k, v in (subsets or {}).items()}
+        # the pattern's symbol alphabet: lets X.col resolve to "symbol
+        # X's rows" even when X bound nothing (empty aggregate), instead
+        # of silently falling back to ALL match rows
+        self.symbols = frozenset(symbols or ())
 
     # -------- helpers
+    def known_symbol(self, sym: str) -> bool:
+        """Is ``sym`` a pattern symbol / SUBSET name (vs a stray
+        qualifier)?  Bound symbols count even without an alphabet."""
+        return (sym in self.subsets or sym in self.symbols
+                or sym == self.current_symbol
+                or any(s == sym for _, s in self.bindings))
+
     def symbol_rows(self, sym: str) -> list[int]:
+        """Row indices bound to ``sym`` (or any SUBSET member) —
+        INCLUDING the candidate row under classification, which the
+        reference treats as already carrying its tentative label
+        (cep/eval.go rowsLabels appends ctx.candidate)."""
         members = self.subsets.get(sym, {sym})
-        return [i for i, s in self.bindings if s in members]
+        rows = [i for i, s in self.bindings if s in members]
+        if (self.current_symbol is not None and self.pos is not None
+                and self.current_symbol in members
+                and (not rows or rows[-1] != self.pos)):
+            rows.append(self.pos)
+        return rows
 
     def all_rows(self) -> list[int]:
         return [i for i, _ in self.bindings]
@@ -86,7 +106,11 @@ def _num(v):
 
 def _cmp(op: str, a, b):
     if a is None or b is None:
-        return False  # NULL comparisons are not matches (reference semantics)
+        # UNKNOWN, not False: a bare NULL comparison still fails to
+        # classify (bool(None) is False), but NOT(x = NULL) must stay
+        # UNKNOWN — matching the Catalyst-vectorized DEFINE path and
+        # the DuckDB measure oracles (SQL three-valued logic)
+        return None
     try:
         if op == "=":
             return a == b
@@ -119,20 +143,29 @@ def evaluate(e: N.Expr, ctx: MatchContext):
     if isinstance(e, N.Un):
         v = evaluate(e.operand, ctx)
         if e.op == "NOT":
-            return not bool(v)
+            # SQL three-valued: NOT NULL is NULL (no classify) — the
+            # vectorized path computes the same via Catalyst + fillna
+            # False, so interpreted and pre-classified DEFINEs agree
+            return None if v is None else (not bool(v))
         return -v if v is not None else None
     if isinstance(e, N.IsNull):
         v = evaluate(e.operand, ctx)
         return (v is not None) if e.negated else (v is None)
     if isinstance(e, N.InList):
         v = evaluate(e.operand, ctx)
+        if v is None:
+            return None  # NULL [NOT] IN (...) is NULL, like Catalyst
         vals = [evaluate(i, ctx) for i in e.items]
-        return (v not in vals) if e.negated else (v in vals)
+        hit = any(x is not None and x == v for x in vals)
+        if not hit and any(x is None for x in vals):
+            return None  # x IN (..., NULL) without a hit is UNKNOWN
+        return (not hit) if e.negated else hit
     if isinstance(e, N.Between):
         v = evaluate(e.operand, ctx)
         lo, hi = evaluate(e.low, ctx), evaluate(e.high, ctx)
         if v is None or lo is None or hi is None:
-            return False
+            return None  # NULL bound -> UNKNOWN (survives NOT, like
+            # Catalyst; classify coerces to no-match)
         inside = lo <= v <= hi
         return (not inside) if e.negated else inside
     if isinstance(e, N.Case):
@@ -199,7 +232,7 @@ def _eval_func(e: N.Func, ctx: MatchContext):
         # FINAL semantics: evaluate over the whole match (pos=None)
         final_ctx = MatchContext(ctx.rows, ctx.bindings, pos=None,
                                  match_number=ctx.match_number,
-                                 subsets=ctx.subsets)
+                                 subsets=ctx.subsets, symbols=ctx.symbols)
         return evaluate(e.args[0], final_ctx)
     if name == "__running__":
         return evaluate(e.args[0], ctx)
@@ -226,28 +259,25 @@ def _eval_func(e: N.Func, ctx: MatchContext):
         if base is None:
             return None
         idx = base - n if name == "prev" else base + n
-        # symbol-qualified PREV(X.col): navigate but read the path
-        return _field(ctx.row_at(idx), path if sym is None or True else path)
+        # symbol-qualified PREV(X.col): navigate physically, read the
+        # path (reference positionalField ignores the qualifier)
+        return _field(ctx.row_at(idx), path)
 
     if name in ("first", "last"):
         sym, path = _sym_arg(e.args[0]) if e.args else (None, None)
         if path is None:
             raise CepEvalError(f"{name}() needs a column argument")
         n = int(evaluate(e.args[1], ctx)) if len(e.args) > 1 else 0
-        rows = ctx.symbol_rows(sym) if sym and (
-            sym in ctx.subsets or any(s == sym for _, s in ctx.bindings)
-            or sym == ctx.current_symbol) else ctx.all_rows()
-        if sym and not rows and sym != ctx.current_symbol:
-            # qualified but unbound symbol
-            return None
+        rows = (ctx.symbol_rows(sym)
+                if sym and ctx.known_symbol(sym) else ctx.all_rows())
         if ctx.pos is not None:  # RUNNING: restrict to rows ≤ pos
             rows = [i for i in rows if i <= ctx.pos]
-        if not rows:
+        # bounds BEFORE indexing: an offset past the bound rows is a
+        # NULL, never an IndexError (e.g. LAST(A.x, 3) with 2 A rows)
+        k = n if name == "first" else len(rows) - 1 - n
+        if not (0 <= k < len(rows)):
             return None
-        idx = rows[n] if name == "first" else rows[-1 - n]
-        if not (0 <= (n if name == "first" else len(rows) - 1 - n) < len(rows)):
-            return None
-        return _field(ctx.row_at(idx), path)
+        return _field(ctx.row_at(rows[k]), path)
 
     if name in _AGG_FUNCS:
         if name == "count" and (not e.args or isinstance(e.args[0], N.Star)):
@@ -258,9 +288,13 @@ def _eval_func(e: N.Func, ctx: MatchContext):
                 rows = [i for i in rows if i <= ctx.pos]
             return len(rows)
         sym, path = _sym_arg(e.args[0])
-        rows = ctx.symbol_rows(sym) if sym and (
-            sym in ctx.subsets or any(s == sym for _, s in ctx.bindings)) \
-            else ctx.all_rows()
+        # symbol-qualified: ALWAYS restrict to that symbol's rows —
+        # including the row under classification (reference aggregate
+        # filters rowsLabels by labelMatches, candidate included), and
+        # including the empty case for a valid-but-unbound symbol
+        # (never a silent fallback to every match row)
+        rows = (ctx.symbol_rows(sym)
+                if sym and ctx.known_symbol(sym) else ctx.all_rows())
         if ctx.pos is not None:
             rows = [i for i in rows if i <= ctx.pos]
         vals = [_field(ctx.row_at(i), path) for i in rows]
@@ -284,12 +318,33 @@ def _eval_func(e: N.Func, ctx: MatchContext):
     raise CepEvalError(f"unsupported function in CEP context: {name}")
 
 
+def _b3(v):
+    """NULL-preserving boolean coercion (SQL three-valued leaves)."""
+    return None if v is None else bool(v)
+
+
 def _eval_bin(e: N.Bin, ctx: MatchContext):
     op = e.op
+    # SQL three-valued AND/OR: NULL must PROPAGATE (NOT(NULL AND TRUE)
+    # is NULL, not TRUE) so interpreted DEFINEs agree with the
+    # Catalyst-vectorized pre-classification; the final classify()
+    # coerces NULL to no-match
     if op == "AND":
-        return bool(evaluate(e.left, ctx)) and bool(evaluate(e.right, ctx))
+        left = _b3(evaluate(e.left, ctx))
+        if left is False:
+            return False
+        right = _b3(evaluate(e.right, ctx))
+        if right is False:
+            return False
+        return None if (left is None or right is None) else True
     if op == "OR":
-        return bool(evaluate(e.left, ctx)) or bool(evaluate(e.right, ctx))
+        left = _b3(evaluate(e.left, ctx))
+        if left is True:
+            return True
+        right = _b3(evaluate(e.right, ctx))
+        if right is True:
+            return True
+        return None if (left is None or right is None) else False
     l, r = evaluate(e.left, ctx), evaluate(e.right, ctx)
     if op in ("=", "!=", "<", "<=", ">", ">="):
         return _cmp(op, _num(l), _num(r))

@@ -203,19 +203,8 @@ def _flatten_join_refs_cep(df: DataFrame, plan, spec: N.MatchSpec):
     )
     for tok, name in added.items():
         df = df.withColumn(name, F.expr(tok))
-    seen: set[str] = set()
-    names, drops = [], []
-    for c in df.columns:
-        if c in seen:
-            alt = f"__dupdrop_{len(drops)}__"
-            names.append(alt)
-            drops.append(alt)
-        else:
-            seen.add(c)
-            names.append(c)
-    if drops:
-        df = df.toDF(*names).drop(*drops)
-    return df, spec
+    from ..streaming.stateful import _dedupe_columns
+    return _dedupe_columns(df), spec
 
 
 def build_cep_parts(df: DataFrame, plan) -> dict:

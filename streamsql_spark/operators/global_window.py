@@ -120,7 +120,8 @@ def segment_by_trigger(df: DataFrame, plan, ts_col: str) -> DataFrame:
             pending.append(i)
             try:
                 fired = bool(eval(code, {"__builtins__": {}}, env))
-            except TypeError:  # None in comparison → not fired
+            except (TypeError, ZeroDivisionError):
+                # None in comparison / div-by-zero → not fired
                 fired = False
             if fired:
                 for j in pending:

@@ -117,7 +117,7 @@ def _agg_parts(spec) -> tuple[str, str | None, object]:
 
 
 def _agg_out_type(kernel_name: str, arg_type: DataType | None) -> DataType:
-    if kernel_name in ("count", "count_star", "nth_value") and kernel_name != "nth_value":
+    if kernel_name in ("count", "count_star"):
         return LongType()
     if kernel_name == "sum":
         # integer sums stay integer — the ALLOWEDLATENESS=0 path uses
@@ -431,8 +431,14 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
     df, names = _key_columns(df, plan)
     df, agg_specs = _prep_agg_columns(df, plan)
     ts_ms_col = "__ts_ms__"
-    df = df.withColumn(ts_ms_col,
-                       (F.col(ts_col).cast("double") * 1000).cast("long"))
+    # unix_millis is EXACT for timestamps; the double route loses the
+    # true millisecond for many values (2.3s -> 2299.999..ms -> slot
+    # 2200 instead of 2300 — a boundary row in the wrong window)
+    if isinstance(df.schema[ts_col].dataType, TimestampType):
+        ms = F.unix_millis(F.col(ts_col))
+    else:
+        ms = F.round(F.col(ts_col).cast("double") * 1000).cast("long")
+    df = df.withColumn(ts_ms_col, ms)
     if w.kind == "tumbling":
         df = df.withColumn(
             "__slot__", F.floor(F.col(ts_ms_col) / slide_ms) * slide_ms)
@@ -674,7 +680,10 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                         env[var] = tstate.get(var)
                 try:
                     fired = bool(eval(code, {"__builtins__": {}}, env))
-                except TypeError:
+                except (TypeError, ZeroDivisionError):
+                    # None in comparison / div-by-zero aggregate state:
+                    # the trigger is simply not fired — a predicate
+                    # arithmetic error must never kill the query
                     fired = False
                 if fired:
                     out = dict(zip(key_names, key))
@@ -1034,8 +1043,24 @@ def cep_stream(spark, plan, df: DataFrame):
         st = _load_state(state) or {"rows": [], "mn": 0}
         rows, mn = st["rows"], st["mn"]
         if len(pdf):
+            n_pending = len(rows)
             for r in pdf.to_dict("records"):
                 rows.append({k: _clean(v) for k, v in r.items()})
+            # cross-batch ORDER BY: a late row (MAXOUTOFORDERNESS
+            # source) must interleave into the PENDING tail by event
+            # time, not append after newer rows — the matcher and the
+            # WITHIN expiry both assume ts order.  (Rows already
+            # consumed by an emitted match are gone — that is the
+            # lateness bound, same as the reference's arrival-order
+            # NFA.)  Stable, and only when every ts is present.
+            if n_pending and ts_col in (rows[0] if rows else {}):
+                ts_seq = [r.get(ts_col) for r in rows]
+                if all(t is not None for t in ts_seq) and \
+                        any(ts_seq[i] > ts_seq[i + 1]
+                            for i in range(len(ts_seq) - 1)):
+                    order = sorted(range(len(rows)),
+                                   key=lambda i: ts_seq[i])
+                    rows = [rows[i] for i in order]
         if len(rows) > _CEP_MAX_BUFFER:
             rows = rows[-_CEP_MAX_BUFFER:]
         if ts_is_time:

@@ -921,3 +921,66 @@ def test_skip_to_first_subset_symbol(spark):
     out = run_cep(spark, sql, rows)
     # first M-member row is Y = anchor+1 -> stride 1
     assert [(r["x_ts"], r["z_ts"]) for r in out] == [(1, 3), (2, 4), (3, 5)]
+
+
+# --- r5 review fixes: navigation bounds + DEFINE aggregate scoping
+
+
+def test_first_last_offset_beyond_bound_rows_is_null(spark):
+    """FIRST/LAST(X.col, n) with n >= the symbol's bound rows is NULL —
+    never an IndexError (the bounds guard must run BEFORE indexing)."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES LAST(A.v, 3) AS l3, FIRST(A.v, 5) AS f5,
+                 LAST(A.v) AS l0
+        ONE ROW PER MATCH
+        PATTERN (A{2} B)
+        WITHIN '1h'
+        DEFINE A AS v < 10, B AS v >= 10
+    )"""
+    rows = [{"ts": 1, "v": 1}, {"ts": 2, "v": 2}, {"ts": 3, "v": 99}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["l3"] is None and out[0]["f5"] is None
+    assert out[0]["l0"] == 2
+
+
+def test_define_aggregate_scopes_to_symbol_with_candidate(spark):
+    """SUM(B.amt) inside DEFINE B aggregates ONLY B rows INCLUDING the
+    row under classification (reference cep/eval.go rowsLabels appends
+    the candidate) — never the other symbols' rows.  With the old
+    all-rows fallback the A row's 9 would poison every B candidate and
+    the pattern could not match at all."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES COUNT(*) AS n, SUM(B.amt) AS bsum
+        ONE ROW PER MATCH
+        PATTERN (A B+)
+        WITHIN '1h'
+        DEFINE A AS amt = 9, B AS SUM(B.amt) <= 10
+    )"""
+    rows = [{"ts": 1, "amt": 9}, {"ts": 2, "amt": 4},
+            {"ts": 3, "amt": 5}, {"ts": 4, "amt": 3}]
+    out = run_cep(spark, sql, rows)
+    # B+ takes amt=4 (sum 4) and amt=5 (sum 9); amt=3 would reach 12
+    assert len(out) == 1
+    assert out[0]["n"] == 3 and out[0]["bsum"] == 9.0
+
+
+def test_measure_aggregate_over_unbound_symbol_is_empty(spark):
+    """SUM/COUNT over a pattern symbol that bound ZERO rows (optional
+    branch) aggregates over the empty set — not over every match row
+    (the old silent all-rows fallback)."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES COUNT(B.v) AS nb, SUM(B.v) AS sb, SUM(A.v) AS sa
+        ONE ROW PER MATCH
+        PATTERN (A B? C)
+        WITHIN '1h'
+        DEFINE A AS v = 1, B AS v = 50, C AS v = 3
+    )"""
+    rows = [{"ts": 1, "v": 1}, {"ts": 2, "v": 3}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["nb"] == 0 and out[0]["sb"] is None
+    assert out[0]["sa"] == 1.0

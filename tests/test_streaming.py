@@ -948,3 +948,85 @@ def test_variant_containers_identical_on_every_delivery_path(spark):
         assert [r["p"] for r in out] == expect, path
         assert all(type(r["p"]) is type(e)
                    for r, e in zip(out, expect)), path
+
+
+def test_cep_stream_next_nav_holds_at_buffer_tail(spark):
+    """DEFINE with NEXT(): a classification that fails within NEXT's
+    span of the buffer tail is INCONCLUSIVE — the position must be held
+    for the next micro-batch, not consumed.  Here the (A B) match is
+    only provable once batch 2 delivers the row NEXT() reads."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES FIRST(A.ts) AS a_ts, LAST(B.ts) AS b_ts
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        DEFINE A AS temperature < 20,
+               B AS NEXT(temperature) > 5
+    )"""
+    batches = [
+        # batch 1: A at ts1000, B-candidate at ts2000 — NEXT reads past
+        # the tail, so nothing may be consumed yet
+        _rows(("d1", 10.0, 0.0, 1000, "ok"),
+              ("d1", 30.0, 0.0, 2000, "ok")),
+        # batch 2: the row NEXT() needed — match (1000, 2000) now proves
+        _rows(("d1", 50.0, 0.0, 3000, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    assert [(r["a_ts"], r["b_ts"]) for r in got] == [(1000, 2000)]
+
+
+def test_cep_stream_out_of_order_across_batches(spark):
+    """A late row (event time BEFORE the pending tail) delivered in a
+    later micro-batch must interleave into the buffer by ORDER BY ts —
+    the match is (5, 7, 9) by event time even though ts=7 arrived
+    last."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES FIRST(A.ts) AS a1, LAST(A.ts) AS a3, COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (A{3} Z)
+        DEFINE A AS temperature > 20, Z AS temperature < 0
+    )"""
+    batches = [
+        _rows(("d1", 30.0, 0.0, 5000, "ok"), ("d1", 31.0, 0.0, 9000, "ok")),
+        _rows(("d1", 32.0, 0.0, 7000, "ok")),   # LATE: belongs between
+        _rows(("d1", -5.0, 0.0, 11000, "ok")),  # closes the match
+    ]
+    got = run_stream(spark, sql, batches)
+    assert [(r["a1"], r["a3"], r["n"]) for r in got] == [(5000, 9000, 4)]
+
+
+def test_cep_null_define_semantics_batch_stream_parity(spark):
+    """DEFINEs over NULL values: the Catalyst-vectorized batch
+    pre-classification (NULL -> no classify) and the interpreted
+    streaming evaluator must agree — NOT flag, NOT IN, and NOT BETWEEN
+    with NULLs are all UNKNOWN, never True (SQL three-valued logic)."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES FIRST(A.ts) AS a_ts, LAST(B.ts) AS b_ts
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        DEFINE A AS NOT (temperature > 50),
+               B AS temperature NOT IN (1.0, 2.0)
+    )"""
+    rows = [
+        {"deviceId": "d1", "temperature": None, "humidity": 0.0,
+         "ts": 1000, "status": "x"},   # NULL: classifies as NEITHER
+        {"deviceId": "d1", "temperature": 10.0, "humidity": 0.0,
+         "ts": 2000, "status": "x"},   # A
+        {"deviceId": "d1", "temperature": 30.0, "humidity": 0.0,
+         "ts": 3000, "status": "x"},   # B
+    ]
+    s = StreamSQL(spark)
+    s.execute(sql)
+    batch = sorted((r["a_ts"], r["b_ts"]) for r in
+                   s.query(spark.createDataFrame(rows, EVT)).collect())
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    stream = sorted((r["a_ts"], r["b_ts"]) for r in
+                    run_streaming_collect(spark, s2, [rows], EVT,
+                                          tables=s2._tables))
+    assert batch == stream == [(2000, 3000)]
