@@ -226,7 +226,7 @@ WITH toks AS (
            CASE WHEN acc[b + 1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS simhash
   FROM bitsum
 ), chunks AS (
-  SELECT doc_id, simhash, c.chunk, (simhash >> (c.chunk * 16)) & 65535 AS val
+  SELECT doc_id, simhash, c.chunk, (simhash >> (c.chunk * 15)) & 32767 AS val
   FROM fp, LATERAL (SELECT unnest(range(0, 4)) AS chunk) c
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -238,7 +238,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
 
 CATALOG["dedup_simhash"] = Entry(
     _run_dedup_simhash, _SIMHASH_ORACLE,
-    "extension: SimHash near-dup (64-bit fingerprint, 16-bit chunk LSH)")
+    "extension: SimHash near-dup (60-bit fingerprint, 15-bit chunk LSH)")
 
 
 def _run_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,7 +141,11 @@ def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
         if unit == "us":
             return F.timestamp_micros(c.cast("long"))
         if unit == "ns":
-            return F.timestamp_micros((c / 1000).cast("long"))
+            # EXACT division via decimal: epoch nanos (~1.7e18) exceed a
+            # double's 2^53 exact range, so a double c/1000 wobbles by
+            # ±1 µs and can flip the ordering of closely spaced events
+            return F.timestamp_micros(
+                (c.cast("decimal(38,0)") / F.lit(1000)).cast("long"))
         return F.timestamp_millis(c.cast("long"))
     if dt in ("timestamp", "timestamp_ntz", "date"):
         return c.cast("timestamp")
@@ -497,7 +501,14 @@ class BatchExecutor:
             df = self._project_direct(df, plan)
 
         if plan.distinct:
-            df = df.dropDuplicates()
+            # dedupe on the VISIBLE output columns only: hidden ORDER BY
+            # helper placeholders (kept alive by _apply_window_agg) would
+            # otherwise make distinct groups out of identical result rows
+            # (the reference serializes the result row — output fields —
+            # stream/processor_data.go:496-515)
+            extras = set(getattr(self, "_order_extras", []))
+            vis = [c for c in df.columns if c not in extras]
+            df = df.dropDuplicates(vis)
         df = self._apply_order_limit(df, plan)
         return df
 

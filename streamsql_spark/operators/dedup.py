@@ -8,8 +8,9 @@ never O(n²) across the corpus):
              Candidate pairs only within equal band buckets, the classic
              LSH bound (Broder '97; cf. Spark MinHashLSH, which we don't
              use so the hash family stays reproducible in any engine).
-- SimHash:   64-bit sign-of-weighted-sums fingerprint (Charikar '02);
-             near-dups = small hamming distance, banded by 16-bit chunks.
+- SimHash:   60-bit sign-of-weighted-sums fingerprint (Charikar '02;
+             60 = the md5-prefix token hash width); near-dups = small
+             hamming distance, banded by four 15-bit chunks.
 - n-gram Jaccard: exact set overlap verification via token-postings
              self-join (shared-token candidates only).
 
@@ -185,11 +186,16 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                  .dropDuplicates(["id_a", "id_b"]))
 
 
-def simhash_expr(text_col: str, bits: int = 64) -> str:
+def simhash_expr(text_col: str, bits: int = 60) -> str:
     """SQL fragment: SimHash fingerprint of whitespace tokens.
 
     sign-of-sum per bit over token hashes; emitted as BIGINT.  Pure
-    Catalyst expressions (aggregate over the token array).
+    Catalyst expressions (aggregate over the token array).  The token
+    hash is a 60-bit md5 prefix, so the fingerprint is 60 BITS wide —
+    computing sign-sums for the four permanently-zero top bits would
+    waste 1/16 of the per-token work (and produce the identical
+    BIGINT, since an all-zero hash bit sums negative and never sets
+    its output bit).
     """
     toks = f"array_distinct(split({text_col}, ' '))"
     # hash each token ONCE, outside the per-bit lambda — an inlined md5
@@ -215,9 +221,13 @@ def simhash_expr(text_col: str, bits: int = 64) -> str:
 def simhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                         max_hamming: int = 8,
                         max_bucket: int = 100_000) -> DataFrame:
-    """SimHash near-duplicate pairs: fingerprint, band by 16-bit chunks
-    (a pair within hamming distance ≤ 3 shares at least one exact chunk;
-    wider distances need more chunks/tables), verify with bit_count.
+    """SimHash near-duplicate pairs: fingerprint, band by FOUR 15-bit
+    chunks covering the full 60-bit fingerprint (a pair within hamming
+    distance ≤ 3 shares at least one exact chunk — pigeonhole; wider
+    distances need more chunks/tables), verify with bit_count.  15-bit
+    chunks, not 16: a 16-bit banding of a 60-bit hash leaves the top
+    chunk with only 12 varying bits — 8× fewer distinct buckets in
+    that band, inflating candidate-pair counts on large corpora.
 
     Like :func:`minhash_dedup_pairs`, candidates come from ONE shuffle
     (groupBy chunk bucket → in-bucket pair combinations as a JVM array
@@ -232,7 +242,7 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
         "doc_id", "simhash",
         F.explode(F.expr(
             "transform(sequence(0, 3), c -> named_struct("
-            "'chunk', c, 'val', (simhash >> (c * 16)) & 65535))")).alias("cc"),
+            "'chunk', c, 'val', (simhash >> (c * 15)) & 32767))")).alias("cc"),
     ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
     members = (chunks.groupBy("chunk", "val")
                .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
@@ -389,14 +399,19 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
 
     from .similarity import assign_clusters
     if centroids is None:
-        centroids = df.where(F.col(id_col) < n_centroids)
+        # min-id selection, not an id-range filter (sparse/hash ids
+        # would yield an empty blocking set -> zero pairs, silently)
+        centroids = df.orderBy(id_col).limit(n_centroids)
     else:
         centroids = centroids.select(
             F.col("centroid_id").alias(id_col), F.col(vec_col))
     assigned = assign_clusters(df, centroids, id_col, vec_col)
 
-    out_schema = StructType([StructField("id_a", LongType()),
-                             StructField("id_b", LongType()),
+    # id columns keep the INPUT id type — hardcoding LongType breaks
+    # string/UUID ids at the Arrow conversion boundary
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType([StructField("id_a", id_type),
+                             StructField("id_b", id_type),
                              StructField("sim", DoubleType())])
 
     def cluster_pairs(pdf):

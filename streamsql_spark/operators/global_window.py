@@ -77,6 +77,15 @@ def segment_by_trigger(df: DataFrame, plan, ts_col: str) -> DataFrame:
     src, agg_specs = _compile_trigger(trig)
     code = compile(src, "<trigger_when>", "eval")
     order_col = ts_col if ts_col in df.columns else None
+    if order_col is None:
+        # same typed refusal as the count-only fast path
+        # (engine/batch.py _chunk_rows): without an event-time column
+        # the running aggregates walk rows in physical/Arrow-batch
+        # order, so window membership would change across repartitions
+        raise ValueError(
+            "global-trigger window needs an event-time column: declare "
+            "one with TIMESTAMP(col) — without it trigger segmentation "
+            "would depend on physical partition layout")
     key_sqls = list(plan.group_sqls)
 
     out_schema = StructType(df.schema.fields + [StructField("__win_id__", LongType())])
@@ -97,8 +106,12 @@ def segment_by_trigger(df: DataFrame, plan, ts_col: str) -> DataFrame:
             env = {}
             for var, fname, argc in agg_specs:
                 if fname == "count":
-                    counts[var] = counts.get(var, 0) + (
-                        1 if argc is None or cols[argc][i] is not None else 0)
+                    # SQL count(col) skips NULLs — which pandas delivers
+                    # as float NaN for numeric columns, not None
+                    cv = cols[argc][i] if argc is not None else None
+                    counted = (argc is None
+                               or (cv is not None and not pd.isna(cv)))
+                    counts[var] = counts.get(var, 0) + (1 if counted else 0)
                     env[var] = counts[var]
                     continue
                 v = cols[argc][i] if argc else None

@@ -94,6 +94,11 @@ def _parse_ppm_at(payload: bytes, pos: int):
         w, h, maxval = fields[0], fields[1], fields[2]
         if maxval > 255:
             return None  # 16-bit PPM out of scope
+        if w <= 0 or h <= 0:
+            # degenerate-but-parseable "P6\\n0 5\\n255\\n": a zero axis
+            # crashes the resize gather (IndexError on a size-0 axis)
+            # — treat as undecodable like every other malformed payload
+            return None
         n = w * h * 3
         if pos + n > len(payload):
             return None  # truncated pixel data

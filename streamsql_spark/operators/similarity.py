@@ -166,7 +166,9 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         return _empty_topk(vectors, id_col)
 
     # ---- codebook training + query LUTs (driver-side, bounded sample)
-    cb_rows = (vectors.where(F.col(id_col) < train_rows).orderBy(id_col)
+    # the train_rows SMALLEST-ID vectors (per the docstring) — an
+    # id-range filter would be empty for hash/UUID-style ids
+    cb_rows = (vectors.orderBy(id_col).limit(train_rows)
                .select(vec_col).collect())
     train = np.array([list(r[0]) for r in cb_rows], dtype=np.float64)
     train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
@@ -351,20 +353,22 @@ def _cos_col(a, b):
     return dot / F.greatest(norm(a) * norm(b), F.lit(1e-300))
 
 
-def _collect_centroids(centroids: DataFrame, id_col: str,
-                       vec_col: str) -> list[tuple[int, list[float]]]:
-    """Driver-side (cid, vector) list, cid-ascending.  A centroid set is
-    a MODEL (k·d values), not data — by contract it fits the driver,
-    exactly like the k-means init/means round-trips."""
-    rows = (centroids.select(F.col(id_col).cast("bigint").alias("cid"),
+def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str):
+    """Driver-side ((cid, vector) list cid-ascending, id-type string).
+    A centroid set is a MODEL (k·d values), not data — by contract it
+    fits the driver, exactly like the k-means init/means round-trips.
+    Ids keep their input type (string/UUID blocking keys work too)."""
+    id_t = centroids.schema[id_col].dataType.simpleString()
+    rows = (centroids.select(F.col(id_col).alias("cid"),
                              F.col(vec_col).alias("ce"))
             .orderBy("cid").collect())
-    return [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in rows]
+    return ([(r["cid"], [float(x) for x in r["ce"]]) for r in rows], id_t)
 
 
-def _nearest_centroids_col(emb, cents: list[tuple[int, list[float]]],
-                           n: int = 1, max_expr_cells: int = 20000,
-                           bc_registry: list | None = None):
+def _nearest_centroids_col(emb, cents, n: int = 1,
+                           max_expr_cells: int = 20000,
+                           bc_registry: list | None = None,
+                           id_type: str = "bigint"):
     """Array of the ``n`` nearest centroid ids for embedding column
     ``emb`` — cosine, 6dp rounding, min-cid tie-break (the shared ANN
     ordering contract) — computed ROW-LOCALLY, so the corpus never
@@ -389,7 +393,7 @@ def _nearest_centroids_col(emb, cents: list[tuple[int, list[float]]],
     d = len(cents[0][1]) if k else 0
     if k * d <= max_expr_cells:
         lit = F.array(*[
-            F.struct(F.lit(int(cid)).cast("bigint").alias("cid"),
+            F.struct(F.lit(cid).cast(id_type).alias("cid"),
                      F.array(*[F.lit(float(x)) for x in ce]).alias("ce"))
             for cid, ce in cents])
         scored = F.transform(lit, lambda c: F.struct(
@@ -401,7 +405,10 @@ def _nearest_centroids_col(emb, cents: list[tuple[int, list[float]]],
     import numpy as np
     from pyspark.sql import SparkSession
 
-    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cids = np.array([cid for cid, _ in cents],
+                    dtype=(np.int64 if id_type in
+                           ("bigint", "int", "smallint", "tinyint")
+                           else object))
     M = np.array([ce for _, ce in cents], dtype=np.float64)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
     bc = SparkSession.getActiveSession().sparkContext.broadcast((cids, Mn))
@@ -412,7 +419,7 @@ def _nearest_centroids_col(emb, cents: list[tuple[int, list[float]]],
         # iteration
         bc_registry.append(bc)
 
-    @F.pandas_udf("array<bigint>")
+    @F.pandas_udf(f"array<{id_type}>")
     def nearest(col: pd.Series) -> pd.Series:
         ids, Cn = bc.value
         X = np.array([np.asarray(v, dtype=np.float64) for v in col])
@@ -451,22 +458,23 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
     plan.  Determinism: sims rounded to 6dp, ties broken by smallest
     centroid id.
     """
-    cents = _collect_centroids(centroids, id_col, vec_col)
+    cents, id_t = _collect_centroids(centroids, id_col, vec_col)
     src = ensure_parallelism(vectors) if widen else vectors
-    return _assign_with(src, cents, id_col, vec_col)
+    return _assign_with(src, cents, id_col, vec_col, id_t)
 
 
-def _assign_with(vectors: DataFrame, cents: list[tuple[int, list[float]]],
-                 id_col: str, vec_col: str) -> DataFrame:
+def _assign_with(vectors: DataFrame, cents, id_col: str, vec_col: str,
+                 id_type: str = "bigint") -> DataFrame:
     """assign_clusters against an already-collected centroid list —
     lets one driver collect feed both the assign stage and the probe
     stage (ivf_topk) or the whole Lloyd loop (kmeans_fit)."""
     base = vectors.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("embedding"))
     if not cents:
-        return (base.withColumn("centroid_id", F.lit(None).cast("bigint"))
+        return (base.withColumn("centroid_id", F.lit(None).cast(id_type))
                 .where(F.lit(False)))
-    near = _nearest_centroids_col(F.col("embedding"), cents, 1)
+    near = _nearest_centroids_col(F.col("embedding"), cents, 1,
+                                  id_type=id_type)
     return base.withColumn("centroid_id", F.element_at(near, 1))
 
 
@@ -566,15 +574,18 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     topology is identical — only the cell quality changes).
     """
     if centroids is None:
-        centroids = vectors.where(F.col(id_col) < n_centroids)
+        # min-id selection, not an id-range filter: sparse/hash ids
+        # would otherwise yield an EMPTY centroid set and silently
+        # empty results
+        centroids = vectors.orderBy(id_col).limit(n_centroids)
     else:
         centroids = centroids.select(
             F.col("centroid_id").alias(id_col), F.col(vec_col))
     # ONE driver collect of the centroid model feeds both the corpus
     # assign and the query probe lists
-    cents = _collect_centroids(centroids, id_col, vec_col)
+    cents, id_t = _collect_centroids(centroids, id_col, vec_col)
     assigned = _assign_with(ensure_parallelism(vectors), cents,
-                            id_col, vec_col)
+                            id_col, vec_col, id_t)
 
     # probe lists: nprobe nearest centroids per query, row-local (the
     # same zero-exchange argmin the assign stage uses — no query×k
@@ -583,7 +594,8 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                        F.col(vec_col).alias("q_emb"))
     probes = (q.withColumn(
         "centroid_id",
-        F.explode(_nearest_centroids_col(F.col("q_emb"), cents, nprobe)))
+        F.explode(_nearest_centroids_col(F.col("q_emb"), cents, nprobe,
+                                         id_type=id_t)))
         .select("query_id", "q_emb", "centroid_id"))
 
     # search only probed clusters: join on cluster id (the prune key);

@@ -659,7 +659,10 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     docs = ensure_parallelism(docs)
 
     def gram_expr(col: str) -> str:
-        toks = f"split({col}, ' ')"
+        # coalesce BEFORE splitting: split(NULL) propagates NULL and
+        # explode would silently drop the whole document from the
+        # output, breaking the "one row per input doc" contract
+        toks = f"split(coalesce({col}, ''), ' ')"
         return (f"array_distinct(transform("
                 f"sequence(0, greatest(size({toks}) - {ngram_n}, 0)), "
                 f"i -> array_join(slice({toks}, i + 1, {ngram_n}), ' ')))")

@@ -1214,3 +1214,75 @@ def test_incremental_dedup_null_content_contract(spark):
     out = {r["keep_id"] for r in
            incremental_dedup(new, seen, ["text"]).collect()}
     assert out == {3}
+
+
+def test_ann_default_centroids_work_with_sparse_ids(spark):
+    """Default centroids/codebooks are the N SMALLEST-ID vectors — an
+    id-range filter would be silently EMPTY for hash/UUID-style ids
+    (ivf: zero rows for every query; pq: a crash on an empty training
+    matrix)."""
+    import numpy as np
+
+    from streamsql_spark.operators.dedup import embedding_neardup_pairs
+    from streamsql_spark.operators.similarity import (cosine_topk,
+                                                      ivf_topk, pq_topk)
+
+    rng = np.random.default_rng(3)
+    X = np.round(rng.normal(size=(40, 8)), 3)
+    base = 10_000_000_000  # every id far above any n_centroids cutoff
+    df = spark.createDataFrame(
+        [(base + i * 7, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    q = df.where(f"vec_id <= {base + 14}")
+    exact = sorted(map(tuple, cosine_topk(df, q, k=3).collect()))
+    ivf = ivf_topk(df, q, k=3, n_centroids=4, nprobe=4)
+    # probing all cells ≡ exhaustive: must equal brute force
+    assert sorted(map(tuple, ivf.collect())) == exact
+    pq = pq_topk(df, q, k=3, m_subspaces=4)
+    assert pq.count() > 0  # no empty-training crash
+    pairs = embedding_neardup_pairs(df, threshold=0.99)
+    assert pairs.columns == ["id_a", "id_b", "sim"]  # no silent empty path
+
+
+def test_embedding_neardup_keeps_input_id_type(spark):
+    """id_a/id_b carry the INPUT id type (string ids must not hit a
+    hardcoded LongType at the Arrow boundary)."""
+    from streamsql_spark.operators.dedup import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.001]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>")
+    out = embedding_neardup_pairs(df, threshold=0.9, n_centroids=1)
+    rows = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert rows == {("a", "b")}
+    assert dict(out.dtypes)["id_a"] == "string"
+
+
+def test_decontaminate_keeps_null_text_docs(spark):
+    """A NULL-text training doc still gets its (0, False) verdict row —
+    split(NULL) must not silently drop it from the output."""
+    from streamsql_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame([(100, "a b c d")],
+                                  "doc_id long, text string")
+    train = spark.createDataFrame([(1, "a b c e"), (2, None)],
+                                  "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+           for r in decontaminate(train, bench).collect()}
+    assert set(out) == {1, 2}
+    assert out[2] == (0, False)
+
+
+def test_resize_zero_dimension_ppm_is_passthrough(spark):
+    """'P6\\n0 5\\n255\\n' is parseable but degenerate — it must take the
+    undecodable-passthrough path, never crash the task."""
+    from streamsql_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      resize_images)
+
+    bad = b"P6\n0 5\n255\n"
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bad),
+          ("image/x-portable-pixmap", len(bad), "t"))], MEDIA_SCHEMA)
+    row = resize_images(media, 2, 2).collect()[0]
+    assert row["resized"] is False
+    assert bytes(row["payload"]) == bad
