@@ -69,25 +69,22 @@ def main() -> None:
                 n += 1
         except Exception:  # noqa: BLE001 — a failing query counts as missing
             dt, n = -1.0, 0
-        timings[name] = round(dt, 4)
+        timings[name] = round(dt, 3)
         repeats[name] = n
         if dt > 0:
             total += dt
 
+    # Repeat counts go to stderr: the driver parses the single stdout
+    # JSON line from a bounded tail buffer, so that line must stay
+    # compact (r5's repeats_per_entry map pushed it past the buffer and
+    # the round's bench went unparsed).
+    print(json.dumps({"repeats_per_entry": repeats}), file=sys.stderr)
     print(json.dumps({
         "metric": "catalog_total_wall",
-        "value": round(total, 4),
+        "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # per-entry timing = best of N warm runs (first run pays
-        # one-time Catalyst analysis + codegen JIT); N adapts per entry
-        # — 3 for pipeline-bound entries, up to 7 when the floor is
-        # under 0.5 s (startup-jitter-bound at this sf); the exact N
-        # for each entry is in repeats_per_entry
-        "repeats_min": 3,
-        "repeats_max": 7,
-        "repeats_per_entry": repeats,
     }))
 
 

@@ -64,7 +64,8 @@ class StreamSQL:
                  max_buffer_rows: int = 100_000,
                  analytic_max_partitions: int | None = None,
                  overflow_strategy: str = "drop",
-                 blocking_timeout: float | None = None):
+                 blocking_timeout: float | None = None,
+                 cep_skip_anchor: str = "inclusive"):
         if spark is None:
             from ..session import get_spark
             spark = get_spark()
@@ -83,6 +84,15 @@ class StreamSQL:
         # drops
         self.overflow_strategy = overflow_strategy
         self.blocking_timeout = blocking_timeout
+        # AFTER MATCH SKIP TO FIRST/LAST anchor: "inclusive" =
+        # SQL-standard/Flink re-anchor ON the target row (default);
+        # "exclusive" = reference-parity resume at target row + 1
+        # (cep/engine.go:600).  README "CEP AFTER MATCH SKIP semantics".
+        if cep_skip_anchor not in ("inclusive", "exclusive"):
+            raise ValueError(
+                f"unknown cep_skip_anchor {cep_skip_anchor!r}: "
+                "expected 'inclusive' or 'exclusive'")
+        self.cep_skip_anchor = cep_skip_anchor
         import threading
         self._buffer_cond = threading.Condition()
         # LRU cap on per-partition analytic state in the sync path
@@ -109,6 +119,8 @@ class StreamSQL:
         if self._plan is not None:
             raise RuntimeError("Execute may be called once per StreamSQL instance")
         self._stmt = parse(sql)
+        if getattr(self._stmt, "match", None) is not None:
+            self._stmt.match.skip_anchor = self.cep_skip_anchor
         self._plan = make_plan(self._stmt)
         return self
 
@@ -456,23 +468,23 @@ class StreamSQL:
             self._metrics["input_dropped"] += 1
             self._metrics["schema_dropped"] += 1
             return  # validate-and-drop
+        if self.overflow_strategy == "block":
+            # blocking strategy (strategy.go:66-97): the capacity check
+            # and the append must share one lock on EVERY emit, not only
+            # once the buffer is observed full — otherwise two producers
+            # can both pass an unlocked len-check and push the buffer
+            # past max_buffer_rows (the bounded-channel capacity
+            # contract).  timeout <= 0 or None blocks until space or
+            # shutdown, else drops after the bounded wait.
+            if not self._block_append(row):
+                if not self._stopped:
+                    self._metrics["input_dropped"] += 1
+            return
         if len(self._buffer) >= self.max_buffer_rows:
             if self.overflow_strategy == "expand":
                 # expansion strategy: grow capacity, keep the row —
                 # never blocks, never drops (strategy.go:118-160)
                 self.max_buffer_rows = max(self.max_buffer_rows * 2, 1)
-            elif self.overflow_strategy == "block":
-                # blocking strategy: wait for a consumer (another
-                # thread's stop/clear) to free space; timeout <= 0 or
-                # None blocks until space or shutdown, else drops after
-                # the bounded wait (strategy.go:66-97).  The append
-                # happens INSIDE the wait's lock — a second blocked
-                # producer must not observe the freed slot before this
-                # one claims it (the bounded-channel capacity contract)
-                if not self._block_append(row):
-                    if not self._stopped:
-                        self._metrics["input_dropped"] += 1
-                return
             else:
                 # drop strategy: reject the INCOMING row
                 # (strategy.go:190-216)

@@ -309,16 +309,23 @@ class Matcher:
     def _skip_to(self, bindings: list) -> int:
         """Next search position per AFTER MATCH SKIP (engine.go:593-625).
 
-        TO FIRST/LAST <sym> re-anchors ON the target row (SQL-standard /
-        Flink inclusive semantics; the would-be-infinite-loop case —
-        target == match start — advances by one instead).  NOTE: the
-        reference's skipTo returns occurrence+1 (engine.go:600), a
-        divergence its own e2e suite never observes (every reference
-        case has no further match either way); for TO LAST <last
-        pattern symbol> that +1 degenerates to PAST LAST ROW, so the
-        standard's re-anchor is the behavior a MATCH_RECOGNIZE user
-        actually expects — pinned by test_cep.py skip-policy tests and
-        the cep_skip_next_overlap stride oracles."""
+        TO FIRST/LAST <sym> anchor is governed by ``spec.skip_anchor``
+        (README "CEP AFTER MATCH SKIP semantics"):
+
+        - ``"inclusive"`` (default): re-anchor ON the target row —
+          SQL-standard / Flink semantics; the would-be-infinite-loop
+          case (target == match start) advances by one instead.
+        - ``"exclusive"``: reference parity — resume at target row + 1,
+          exactly skipTo's occurrence+1 (engine.go:600).  The
+          reference's own e2e suite never observes the difference
+          (every reference case has no further match either way); for
+          TO LAST <last pattern symbol> the +1 degenerates to PAST
+          LAST ROW, which is why the standard's re-anchor is the
+          default here.
+
+        Both modes are pinned by test_cep.py skip-policy tests; the
+        inclusive strides additionally by the cep_skip_next_overlap
+        oracles."""
         skip = self.spec.after_match_skip
         first_idx = bindings[0][0]
         last_idx = bindings[-1][0]
@@ -331,7 +338,9 @@ class Matcher:
             if not sym_rows:
                 return last_idx + 1
             target = sym_rows[0] if skip[0] == "to_first" else sym_rows[-1]
-            # must advance to avoid infinite loops
+            if getattr(self.spec, "skip_anchor", "inclusive") == "exclusive":
+                return target + 1  # reference skipTo: occurrence + 1
+            # inclusive: must still advance to avoid infinite loops
             return target if target > first_idx else first_idx + 1
         return last_idx + 1  # past_last_row (default)
 

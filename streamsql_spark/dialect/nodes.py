@@ -226,6 +226,13 @@ class MatchSpec:
     within: str | None = None
     defines: dict = field(default_factory=dict)  # symbol -> Expr
     subsets: dict = field(default_factory=dict)  # name -> [symbols]
+    # AFTER MATCH SKIP TO FIRST/LAST re-anchor compat switch:
+    # "inclusive" (default) = SQL-standard/Flink — the next match may
+    # START on the target row; "exclusive" = reference parity — resume
+    # at target row + 1 (cep/engine.go:593-605 skipTo returns
+    # occurrence+1).  Observable only for patterns that re-match from
+    # the target row; see README "CEP AFTER MATCH SKIP semantics".
+    skip_anchor: str = "inclusive"  # inclusive | exclusive
 
 
 @dataclass

@@ -406,7 +406,10 @@ def _cast_double(v):
     if isinstance(v, bool):
         return 1.0 if v else 0.0
     if isinstance(v, (int, float)):
-        return float(v)  # long->double rounds to nearest, same as JVM
+        # _num range-checks raw ints: beyond BIGINT the oracle path
+        # (CAST(v AS BIGINT) literal encoding) raises, so the python
+        # path must not silently answer
+        return float(_num(v))  # long->double rounds to nearest, same as JVM
     if isinstance(v, str):
         s = v.strip(_ANSI_TRIM)
         if not _CAST_NUM_RE.fullmatch(s):
@@ -424,7 +427,7 @@ def _cast_string(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, int):
-        return str(v)
+        return str(_num(v))  # _num: ints beyond BIGINT → Fallback
     # float formatting is Double.toString — JVM-version-specific digit
     # generation: Spark path owns it
     raise Fallback()
@@ -440,7 +443,7 @@ def _cast_bool(v):
     if isinstance(v, bool):
         return v
     if isinstance(v, int):
-        return v != 0
+        return _num(v) != 0  # _num: ints beyond BIGINT → Fallback
     if isinstance(v, str):
         s = v.strip(_ANSI_TRIM).lower()
         if s in _BOOL_TRUE:
@@ -516,6 +519,7 @@ def _fn_is_numeric(v):
     if v is None or isinstance(v, bool):
         return False
     if isinstance(v, _NUM):
+        _num(v)  # ints beyond BIGINT: the oracle literal raises → Fallback
         return True  # numeric→string→double round-trips (incl inf/nan)
     s = _str_arg(v).strip(_ANSI_TRIM)
     if _CAST_NUM_RE.fullmatch(s):
@@ -643,6 +647,12 @@ def compile_expr(e: N.Expr):
             v = row[name]
             if v is not None and not isinstance(v, (int, float, str, bool)):
                 raise Fallback()  # nested/array value: Spark path
+            if isinstance(v, int) and not isinstance(v, bool) \
+                    and not _I64_MIN <= v <= _I64_MAX:
+                # the Spark oracle encodes this value as
+                # CAST(v AS BIGINT), which RAISES beyond int64 — any
+                # python-path answer here would diverge from the oracle
+                raise Fallback()
             return v
         return col
     if isinstance(e, N.Bin):

@@ -479,6 +479,10 @@ class BatchExecutor:
         self.tables = tables or {}
 
     def execute(self, plan: QueryPlan, source_df: DataFrame) -> DataFrame:
+        # per-execution state: a reused executor must not carry the
+        # previous plan's hidden ORDER BY placeholders into this plan's
+        # distinct/order logic
+        self._order_extras = []
         if plan.mode == "cep":
             # processCEP order: JOIN enrichment precedes the NFA
             # (stream/processor_data.go:112-141)
@@ -506,9 +510,19 @@ class BatchExecutor:
             # otherwise make distinct groups out of identical result rows
             # (the reference serializes the result row — output fields —
             # stream/processor_data.go:496-515)
-            extras = set(getattr(self, "_order_extras", []))
+            extras = [c for c in getattr(self, "_order_extras", [])
+                      if c in df.columns]
             vis = [c for c in df.columns if c not in extras]
-            df = df.dropDuplicates(vis)
+            if extras:
+                # deterministic survivor: dropDuplicates(vis) keeps an
+                # ARBITRARY row per visible group, so a hidden ORDER BY
+                # placeholder that differs across duplicates would make
+                # DISTINCT + ORDER BY nondeterministic — elect min() of
+                # each helper instead (hash-agg, same shuffle shape)
+                df = df.groupBy(*[F.col(c) for c in vis]).agg(
+                    *[F.min(c).alias(c) for c in extras])
+            else:
+                df = df.dropDuplicates(vis)
         df = self._apply_order_limit(df, plan)
         return df
 

@@ -358,10 +358,17 @@ def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str):
     A centroid set is a MODEL (k·d values), not data — by contract it
     fits the driver, exactly like the k-means init/means round-trips.
     Ids keep their input type (string/UUID blocking keys work too)."""
+    local = getattr(centroids, "_streamsql_local_centroids", None)
+    if local is not None:
+        # model trained this session (kmeans_fit): already driver-side
+        return local
     id_t = centroids.schema[id_col].dataType.simpleString()
+    # driver-side sort, NOT .orderBy: a k-row frame doesn't need the
+    # range-partitioning sampling job Spark schedules for a sort
     rows = (centroids.select(F.col(id_col).alias("cid"),
                              F.col(vec_col).alias("ce"))
-            .orderBy("cid").collect())
+            .collect())
+    rows.sort(key=lambda r: r["cid"])
     return ([(r["cid"], [float(x) for x in r["ce"]]) for r in rows], id_t)
 
 
@@ -559,7 +566,14 @@ def kmeans_fit(vectors: DataFrame, k: int, max_iter: int = 10,
         cents = nxt
         if shift <= tol:
             break
-    return centroid_df(cents).withColumnRenamed(id_col, "centroid_id")
+    out = centroid_df(cents).withColumnRenamed(id_col, "centroid_id")
+    # the trained model already lives on the driver — pin it on the
+    # returned frame so _collect_centroids consumers (ivf_topk,
+    # semantic_dedup) skip the createDataFrame->collect round-trip
+    # (~0.7 s of pure job overhead for a k·d-value model)
+    out._streamsql_local_centroids = (
+        [(i, list(c)) for i, c in enumerate(cents)], "bigint")
+    return out
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
@@ -579,8 +593,11 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         # empty results
         centroids = vectors.orderBy(id_col).limit(n_centroids)
     else:
+        local = getattr(centroids, "_streamsql_local_centroids", None)
         centroids = centroids.select(
             F.col("centroid_id").alias(id_col), F.col(vec_col))
+        if local is not None:  # survive the rename projection
+            centroids._streamsql_local_centroids = local
     # ONE driver collect of the centroid model feeds both the corpus
     # assign and the query probe lists
     cents, id_t = _collect_centroids(centroids, id_col, vec_col)

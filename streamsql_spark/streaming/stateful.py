@@ -1029,6 +1029,7 @@ def cep_stream(spark, plan, df: DataFrame):
     within = parts["within"]
     df = parts["df"]
     measure_names = parts["measure_names"]
+    order_cols = parts["order_cols"]
     all_rows_mode = spec.rows_per_match == "all"
 
     from ..cep.engine import Matcher
@@ -1039,7 +1040,7 @@ def cep_stream(spark, plan, df: DataFrame):
         if state.hasTimedOut:
             state.remove()  # STATETTL / WITHIN idle-key reap
             return
-        pdf = _sorted_batch(pdf_iter, [ts_col])
+        pdf = _sorted_batch(pdf_iter, order_cols)
         st = _load_state(state) or {"rows": [], "mn": 0}
         rows, mn = st["rows"], st["mn"]
         if len(pdf):
@@ -1047,19 +1048,24 @@ def cep_stream(spark, plan, df: DataFrame):
             for r in pdf.to_dict("records"):
                 rows.append({k: _clean(v) for k, v in r.items()})
             # cross-batch ORDER BY: a late row (MAXOUTOFORDERNESS
-            # source) must interleave into the PENDING tail by event
-            # time, not append after newer rows — the matcher and the
-            # WITHIN expiry both assume ts order.  (Rows already
+            # source) must interleave into the PENDING tail by the FULL
+            # ORDER BY key (ts plus secondary tie-breakers — sorting by
+            # ts alone would let an equal-ts late row land after
+            # previously-buffered rows regardless of the secondary key,
+            # diverging from the batch path) — the matcher and the
+            # WITHIN expiry both assume this order.  (Rows already
             # consumed by an emitted match are gone — that is the
             # lateness bound, same as the reference's arrival-order
-            # NFA.)  Stable, and only when every ts is present.
+            # NFA.)  Stable, and only when every key value is present.
+            keys = [c for c in order_cols if rows and c in rows[0]] \
+                or [ts_col]
             if n_pending and ts_col in (rows[0] if rows else {}):
-                ts_seq = [r.get(ts_col) for r in rows]
-                if all(t is not None for t in ts_seq) and \
-                        any(ts_seq[i] > ts_seq[i + 1]
-                            for i in range(len(ts_seq) - 1)):
+                key_seq = [tuple(r.get(c) for c in keys) for r in rows]
+                if all(all(v is not None for v in k) for k in key_seq) \
+                        and any(key_seq[i] > key_seq[i + 1]
+                                for i in range(len(key_seq) - 1)):
                     order = sorted(range(len(rows)),
-                                   key=lambda i: ts_seq[i])
+                                   key=lambda i: key_seq[i])
                     rows = [rows[i] for i in order]
         if len(rows) > _CEP_MAX_BUFFER:
             rows = rows[-_CEP_MAX_BUFFER:]

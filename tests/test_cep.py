@@ -885,6 +885,63 @@ def test_skip_to_first_reanchors_stride_1(spark):
         [(1, 3), (2, 4), (3, 5), (4, 6), (5, 7)]
 
 
+def run_cep_exclusive(spark, sql, rows):
+    s = StreamSQL(spark, cep_skip_anchor="exclusive")
+    s.execute(sql)
+    for r in rows:
+        s.emit(r)
+    return s.trigger_window()
+
+
+def test_skip_to_first_exclusive_reference_stride_2(spark):
+    """cep_skip_anchor='exclusive' follows the reference's skipTo
+    (engine.go:600: occurrence+1): SKIP TO FIRST Y on PATTERN (X Y Z)
+    resumes one PAST the matched Y, so a run of 7 tiles at stride 2 —
+    vs stride 1 under the default inclusive re-anchor (pinned by
+    test_skip_to_first_reanchors_stride_1 on the same input)."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES X.ts AS x_ts, Z.ts AS z_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO FIRST Y
+        PATTERN (X Y Z)
+        WITHIN '1h'
+        DEFINE X AS v > 0, Y AS v > 0, Z AS v > 0
+    )"""
+    rows = [{"ts": t, "v": 1} for t in range(1, 8)]  # run of 7
+    out = run_cep_exclusive(spark, sql, rows)
+    assert [(r["x_ts"], r["z_ts"]) for r in out] == [(1, 3), (3, 5), (5, 7)]
+
+
+def test_skip_to_last_exclusive_degenerates_to_past_last(spark):
+    """Exclusive SKIP TO LAST Z, where Z is the final pattern symbol,
+    is occurrence+1 = match end + 1 = PAST LAST ROW (the degenerate
+    case the docstring and README call out): stride 3 on a run of 9 —
+    vs the inclusive default's stride-2 re-anchor ON the last Z."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES X.ts AS x_ts, Z.ts AS z_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO LAST Z
+        PATTERN (X Y Z)
+        WITHIN '1h'
+        DEFINE X AS v > 0, Y AS v > 0, Z AS v > 0
+    )"""
+    rows = [{"ts": t, "v": 1} for t in range(1, 10)]  # run of 9
+    out = run_cep_exclusive(spark, sql, rows)
+    assert [(r["x_ts"], r["z_ts"]) for r in out] == [(1, 3), (4, 6), (7, 9)]
+    # inclusive default on the identical input: stride 2
+    out_inc = run_cep(spark, sql, rows)
+    assert [(r["x_ts"], r["z_ts"]) for r in out_inc] == \
+        [(1, 3), (3, 5), (5, 7), (7, 9)]
+
+
+def test_cep_skip_anchor_rejects_unknown(spark):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        StreamSQL(spark, cep_skip_anchor="sideways")
+
+
 def test_skip_to_first_absent_symbol_past_last(spark):
     """Skip symbol never bound (B* matched empty): fall through to
     past-last-row (engine.go:598-603 s<0 branch)."""

@@ -360,6 +360,49 @@ def test_distinct_order_limit(spark):
     assert [r["status"] for r in out2] == ["a", "b"]
 
 
+def test_distinct_with_hidden_order_key_is_deterministic(spark):
+    """ADVICE r5 (engine/batch.py): DISTINCT over the visible columns
+    while ORDER BY references a hidden aggregate placeholder must elect
+    a DETERMINISTIC survivor — dropDuplicates keeps an arbitrary row
+    per group, so the hidden sort key (and hence the output order)
+    could differ run to run.  The fix groups on the visible columns and
+    takes min() of each helper: 'a' windows max 5/3 -> survivor 3, 'b'
+    windows max 6/4 -> survivor 4, so ORDER BY max(n) is always
+    [a, b]."""
+    sql = ("SELECT DISTINCT status FROM stream "
+           "GROUP BY status, TumblingWindow('10s') WITH (TIMESTAMP='ts') "
+           "ORDER BY max(n)")
+    rows = [{"status": "a", "n": 5, "ts": 1000},
+            {"status": "b", "n": 6, "ts": 2000},
+            {"status": "a", "n": 3, "ts": 11000},
+            {"status": "b", "n": 4, "ts": 12000}]
+    for _ in range(3):  # nondeterminism shows up across repeats
+        out = run_query(spark, sql, rows)
+        assert [r["status"] for r in out] == ["a", "b"]
+        assert all(set(r) == {"status"} for r in out)
+
+
+def test_executor_order_extras_reset_between_plans(spark):
+    """A reused BatchExecutor must not carry one plan's hidden ORDER BY
+    placeholders into the next plan's distinct logic (ADVICE r5: stale
+    _order_extras)."""
+    from streamsql_spark.engine.batch import BatchExecutor
+
+    s1 = StreamSQL(spark)
+    s1.execute("SELECT status FROM stream "
+               "GROUP BY status, TumblingWindow('10s') WITH (TIMESTAMP='ts') "
+               "ORDER BY max(n)")
+    ex = BatchExecutor(spark)
+    df1 = spark.createDataFrame([("a", 1, 1000)], "status string, n int, ts long")
+    ex.execute(s1.plan, df1)
+    assert ex._order_extras  # plan 1 left helpers behind
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT DISTINCT status FROM stream")
+    out = ex.execute(s2.plan, df1.union(df1))
+    assert ex._order_extras == []  # reset at entry — no stale carryover
+    assert [r["status"] for r in out.collect()] == ["a"]
+
+
 # -------------------------------------------------------------- emit_sync
 
 def test_order_by_null_ordering(spark):
@@ -1813,6 +1856,38 @@ def test_pyeval_int64_overflow_falls_back(spark):
         _arith("+", 2 ** 63, 1)
 
 
+def test_pyeval_bigint_guard_on_huge_int_inputs(spark):
+    """ADVICE r5: raw Python ints beyond ±2^63 must Fallback in EVERY
+    python-path entry point — the Spark oracle encodes such values as
+    CAST(v AS BIGINT) literals, which RAISE, so any python-path answer
+    would break the byte-identical-or-Fallback contract.  Guards:
+    column admission (col()), is_numeric, and the string/double/bool
+    casters (the arithmetic _num path was already covered)."""
+    import pytest as _pytest
+
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+    from streamsql_spark.dialect.pyeval import (
+        Fallback, _cast_bool, _cast_double, _cast_string, _fn_is_numeric)
+
+    huge = 2 ** 63
+    for fn in (_fn_is_numeric, _cast_string, _cast_double, _cast_bool):
+        with _pytest.raises(Fallback):
+            fn(huge)
+        with _pytest.raises(Fallback):
+            fn(-huge - 1)
+    # boundary values are legal BIGINTs and still answer in-process
+    assert _fn_is_numeric(huge - 1) is True
+    assert _cast_string(-huge) == str(-huge)
+    assert _cast_double(huge - 1) == float(huge - 1)
+    assert _cast_bool(huge - 1) is True
+    # column admission: an event field already past int64 re-routes the
+    # whole event, even through functions with no numeric semantics
+    e = StreamSQL(spark)
+    e.execute("SELECT is_numeric(a) AS n FROM stream")
+    assert e._emit_sync_python({"a": huge}) is _NOT_APPLICABLE
+    assert e._emit_sync_python({"a": huge - 1}) == {"n": True}
+
+
 def test_copy_state_isolates_all_shapes():
     """copy_state (the deepcopy replacement on the per-event analytic
     hot path) must fully isolate every state shape the kernels store:
@@ -2048,6 +2123,43 @@ def test_emit_overflow_strategy_block_releases_on_stop(spark):
     release.join()
     assert s._buffer == [] and s._stopped
     assert s.get_stats()["input_dropped_count"] == 0
+
+
+def test_emit_overflow_strategy_block_capacity_under_contention(spark):
+    """"block" is a bounded channel: the capacity check and the append
+    share one lock on EVERY emit, so concurrent producers can never
+    push the buffer past max_buffer_rows — the race the unlocked
+    len-check had (both producers pass the check, both append)."""
+    import threading
+
+    cap = 4
+    s = StreamSQL(spark, max_buffer_rows=cap, overflow_strategy="block",
+                  blocking_timeout=0.05)
+    s.execute("SELECT v FROM stream")
+    peak = 0
+    peak_lock = threading.Lock()
+    start = threading.Barrier(8)
+
+    def producer(base):
+        nonlocal peak
+        start.wait()
+        for i in range(40):
+            s.emit({"v": base * 1000 + i})
+            n = len(s._buffer)
+            with peak_lock:
+                peak = max(peak, n)
+
+    threads = [threading.Thread(target=producer, args=(t,))
+               for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert peak <= cap, f"buffer reached {peak} > capacity {cap}"
+    assert len(s._buffer) == cap
+    stats = s.get_stats()
+    assert stats["input_count"] == 8 * 40
+    assert stats["input_dropped_count"] == 8 * 40 - cap
 
 
 def test_pyeval_cast_subset(spark):

@@ -998,6 +998,31 @@ def test_cep_stream_out_of_order_across_batches(spark):
     assert [(r["a1"], r["a3"], r["n"]) for r in got] == [(5000, 9000, 4)]
 
 
+def test_cep_stream_equal_ts_secondary_order_key_across_batches(spark):
+    """ADVICE r5 (stateful.py cross-batch reorder): the pending-tail
+    sort must use the FULL ORDER BY key list, not ts alone.  Under
+    ORDER BY ts, humidity a late row with an EQUAL ts but smaller
+    humidity must interleave BEFORE the already-buffered equal-ts row —
+    a ts-only sort (stable) would leave it after, flipping FIRST/LAST
+    within the match vs the batch path."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts, humidity
+        MEASURES FIRST(A.temperature) AS t1, LAST(A.temperature) AS t2
+        ONE ROW PER MATCH
+        PATTERN (A{2} Z)
+        DEFINE A AS temperature > 0, Z AS temperature < 0
+    )"""
+    batches = [
+        _rows(("d1", 10.0, 2.0, 1000, "ok")),
+        # equal-ts late row, smaller secondary key: sorts FIRST
+        _rows(("d1", 20.0, 1.0, 1000, "ok")),
+        _rows(("d1", -5.0, 0.0, 2000, "ok")),  # closes the match
+    ]
+    got = run_stream(spark, sql, batches)
+    assert [(r["t1"], r["t2"]) for r in got] == [(20.0, 10.0)]
+
+
 def test_cep_null_define_semantics_batch_stream_parity(spark):
     """DEFINEs over NULL values: the Catalyst-vectorized batch
     pre-classification (NULL -> no classify) and the interpreted
