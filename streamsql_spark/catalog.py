@@ -764,19 +764,29 @@ _add("scalar_array", Entry(
                array_length(split(text, ' ')) AS n_words,
                array_contains(split(text, ' '), 'spark') AS has_spark,
                array_join(sort_array(array_distinct(split(text, ' '))), ',') AS uniq,
-               array_position(split(text, ' '), 'the') AS pos_the
-        FROM stream WHERE doc_id < 30
-    """, "documents"),
+               array_position(split(text, ' '), 'the') AS pos_the,
+               round(CAST(e.embedding[0] AS DOUBLE), 4) AS emb_first,
+               round(CAST(e.embedding[-1] AS DOUBLE), 4) AS emb_last,
+               CAST(e.embedding[999] AS DOUBLE) AS emb_oob
+        FROM stream JOIN embeddings e ON doc_id = e.vec_id
+        WHERE doc_id < 30
+    """, "documents", dims=("embeddings",)),
     """
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_words,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
            array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS uniq,
-           CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS pos_the
-    FROM documents WHERE doc_id < 30
+           CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS pos_the,
+           round(CAST(e.embedding[1] AS DOUBLE), 4) AS emb_first,
+           round(CAST(e.embedding[-1] AS DOUBLE), 4) AS emb_last,
+           CAST(e.embedding[1000] AS DOUBLE) AS emb_oob
+    FROM documents JOIN embeddings e ON doc_id = e.vec_id
+    WHERE doc_id < 30
     """,
-    "§2.8 array functions, array outputs serialized for the gate "
-    "(functions_array.go)"))
+    "§2.8 array functions + bracket-path indexing: positive 0-based, "
+    "negative from-end (fieldpath.go:242), out-of-range -> NULL "
+    "(fieldpath.go:246, rendered as try_element_at so ANSI Spark "
+    "matches the reference's nil-on-miss) (functions_array.go)"))
 
 
 # ===================================================================

@@ -486,10 +486,13 @@ class Parser:
                 break
             if self.peek().kind == OP and self.peek().text == "[":
                 self.next()
+                neg = self.accept_op("-") is not None
                 idx = self.next()
                 if idx.kind == NUMBER:
-                    parts.append(int(idx.text))
-                elif idx.kind == STRING:
+                    # negative index counts from the end, reference
+                    # fieldpath.go:242 (alerts[-1] = last element)
+                    parts.append(-int(idx.text) if neg else int(idx.text))
+                elif idx.kind == STRING and not neg:
                     parts.append(N.MapKey(idx.text))
                 else:
                     raise ParseError(f"bad index {idx.text!r}")
@@ -506,6 +509,16 @@ class Parser:
             distinct = True
         if not (self.peek().kind == OP and self.peek().text == ")"):
             args.append(self.parse_expr())
+            if name.lower() == "cast" and self.peek().is_kw("AS"):
+                # ANSI sugar CAST(expr AS TYPE) — the reference parser
+                # keeps `AS` inside parens in the raw field text
+                # (rsql/parser.go:369 breaks on AS only at paren level
+                # 0) and its runtime function is the two-arg
+                # cast(value, type) (functions_conversion.go:22), so
+                # the type name becomes a string-literal second arg
+                self.next()
+                args.append(N.Lit(self.parse_identifier().lower(),
+                                  is_string=True))
             while self.accept_op(","):
                 args.append(self.parse_expr())
         self.expect_op(")")

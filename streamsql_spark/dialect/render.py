@@ -27,15 +27,22 @@ def sql_string(value: str) -> str:
 
 
 def render_col(c: N.Col) -> str:
-    parts = []
+    # Bracket access renders as try_element_at, not Spark's arr[i] /
+    # map[k]: the reference's fieldpath returns nil for out-of-range
+    # indices and missing keys (utils/fieldpath/fieldpath.go:236-276)
+    # where ANSI-mode Spark raises, and negative indices count from the
+    # end (fieldpath.go:242) which bracket syntax doesn't support.
+    # Index mapping: reference is 0-based ([0] = first, [-1] = last);
+    # try_element_at is 1-based from the front, -1-based from the end.
+    out = ""
     for i, p in enumerate(c.parts):
         if isinstance(p, int):
-            parts.append(f"[{p}]")
+            out = f"try_element_at({out}, {p + 1 if p >= 0 else p})"
         elif isinstance(p, N.MapKey):
-            parts.append(f"[{sql_string(p.key)}]")
+            out = f"try_element_at({out}, {sql_string(p.key)})"
         else:
-            parts.append(("." if i else "") + quote_ident(str(p)))
-    return "".join(parts)
+            out = out + ("." if i else "") + quote_ident(str(p))
+    return out
 
 
 class Renderer:

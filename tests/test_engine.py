@@ -337,6 +337,45 @@ def test_nested_struct_field_access(spark):
                     "temperature": 25.0}]
 
 
+def test_bracket_path_negative_index_and_null_on_miss(spark):
+    """Reference fieldpath array/map access parity (fieldpath.go:236-276):
+    [-n] counts from the end, out-of-range indices and missing map keys
+    yield NULL (the reference returns nil) — rendered as try_element_at
+    because ANSI-mode Spark raises on both."""
+    from pyspark.sql.types import (ArrayType, DoubleType, MapType,
+                                   StringType, StructField, StructType)
+    schema = StructType([
+        StructField("name", StringType()),
+        StructField("readings", ArrayType(DoubleType())),
+        StructField("meta", MapType(StringType(), StringType())),
+        StructField("sensors", ArrayType(StructType(
+            [StructField("value", DoubleType())]))),
+    ])
+    rows = [{"name": "a", "readings": [1.0, 2.0, 3.0], "meta": {"k": "v"},
+             "sensors": [{"value": 9.5}]},
+            {"name": "b", "readings": [], "meta": {}, "sensors": []}]
+    sql = ("SELECT name, readings[-1] AS last_r, readings[0] AS first_r, "
+           "readings[7] AS oob, meta['k'] AS mk, meta['missing'] AS mm, "
+           "sensors[0].value AS sv FROM stream")
+    out = run_query(spark, sql, rows, schema=schema)
+    out.sort(key=lambda r: r["name"])
+    assert out[0] == {"name": "a", "last_r": 3.0, "first_r": 1.0,
+                      "oob": None, "mk": "v", "mm": None, "sv": 9.5}
+    assert out[1] == {"name": "b", "last_r": None, "first_r": None,
+                      "oob": None, "mk": None, "mm": None, "sv": None}
+
+
+def test_cast_as_type_syntax(spark):
+    """ANSI CAST(expr AS TYPE) sugar — the reference keeps `AS` inside
+    parens in the raw field text (rsql/parser.go:369) and evaluates via
+    the two-arg cast (functions_conversion.go:22); used throughout its
+    examples (examples/non-aggregation/main.go)."""
+    sql = ("SELECT CAST(v AS STRING) AS s, CAST(t AS bigint) AS b, "
+           "concat('x=', CAST(v * 2 AS STRING)) AS c FROM stream")
+    out = run_query(spark, sql, [{"v": 3, "t": "42"}])
+    assert out == [{"s": "3", "b": 42, "c": "x=6"}]
+
+
 def test_unnest_explode(spark):
     # functions_multirow.go unnest fan-out
     sql = "SELECT deviceId, unnest(readings) AS r FROM stream"
