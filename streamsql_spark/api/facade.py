@@ -50,6 +50,21 @@ def row_to_dict(r) -> dict:
             for k, v in r.asDict(recursive=True).items()}
 
 
+def _freeze_row(r) -> tuple:
+    """Recursively hashable form of a result row, for the multiset diff
+    that keeps repeated triggers from re-delivering replayed results.
+    NaN is normalized so a recomputed NaN matches its prior delivery."""
+    if isinstance(r, dict):
+        return tuple(sorted((k, _freeze_row(v)) for k, v in r.items()))
+    if isinstance(r, (list, tuple)):
+        return tuple(_freeze_row(v) for v in r)
+    if isinstance(r, float) and r != r:
+        return "__nan__"
+    if isinstance(r, (bytes, bytearray)):
+        return bytes(r)
+    return r
+
+
 # sentinel: "this row can't take the templated sync fast path"
 _NOT_APPLICABLE = object()
 
@@ -107,7 +122,10 @@ class StreamSQL:
         self._table_keys: dict[str, tuple] = {}
         self._sinks: list[Callable[[list[dict]], None]] = []
         self._buffer: list[dict] = []
-        self._history: list[dict] = []  # analytic state continuity for emit_sync
+        self._history: list[dict] = []  # replay rows for cross-trigger state
+        # direct/CEP results delivered by earlier triggers (the replay
+        # recomputes them for state continuity; they must not re-deliver)
+        self._delivered_replay: list[dict] = []
         self._results: list[list[dict]] = []
         self._stopped = False
         self._metrics = {"input": 0, "input_dropped": 0, "output": 0,
@@ -162,8 +180,23 @@ class StreamSQL:
                                 keys.append(str(side.parts[1]))
         return tuple(keys)
 
+    def _materialize_table_rows(self, name: str) -> None:
+        """A table registered as a DataFrame has no row-level store; an
+        incremental mutation first snapshots it driver-side (the
+        reference table IS an in-memory keyed snapshot,
+        stream/table_store.go:28-96, so dim-sized by contract) —
+        without this, upsert would silently REPLACE the whole table
+        with the single upserted row."""
+        if name in self._table_rows or name not in self._tables:
+            return
+        self._table_rows[name] = [row_to_dict(r)
+                                  for r in self._tables[name].collect()]
+        if name not in self._table_keys:
+            self._table_keys[name] = self._derive_join_keys(name)
+
     def upsert_table(self, name: str, row: dict) -> None:
         """Incremental dim-table upsert (stream/table_store.go:71-85)."""
+        self._materialize_table_rows(name)
         rows = self._table_rows.setdefault(name, [])
         keys = self._table_keys.get(name, ())
         if keys:
@@ -173,6 +206,7 @@ class StreamSQL:
         self._tables[name] = self.spark.createDataFrame(rows)
 
     def delete_table(self, name: str, row: dict) -> None:
+        self._materialize_table_rows(name)
         rows = self._table_rows.get(name, [])
         keys = self._table_keys.get(name, ())
         if keys:
@@ -946,13 +980,48 @@ class StreamSQL:
 
     def trigger_window(self) -> list[dict]:
         """Flush buffered rows through the full pipeline and deliver one
-        result batch to sinks (streamsql.go:339-343 TriggerWindow)."""
+        result batch to sinks (streamsql.go:339-343 TriggerWindow).
+
+        The trigger DRAINS: each emitted row is delivered at most once
+        across repeated triggers, and a blocked 'block'-strategy
+        producer wakes when the flush frees buffer space.
+
+        - window mode: the fired windows' rows drop from the buffer,
+          exactly the reference Trigger (tumbling_window.go:777-782
+          "dropping the just-emitted window"); a late row emitted after
+          the flush lands in a fresh window instance, as there.
+        - direct/CEP mode: the reference processes per-event with
+          CONTINUOUS analytic/NFA state (TriggerWindow is a no-op there
+          — stream.Window is nil), so the flushed rows are retained as
+          replay history: the next trigger recomputes over
+          history+new for state continuity (lag/acc/match spans cross
+          the trigger boundary) but delivers only the results the
+          previous triggers haven't."""
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
         if not self._buffer:
             return []
-        df = self._rows_df(self._buffer)
-        batch = [row_to_dict(r) for r in self.query(df).collect()]
+        new_rows, self._buffer = self._buffer, []
+        if self._plan.mode == "window":
+            df = self._rows_df(new_rows)
+            batch = [row_to_dict(r) for r in self.query(df).collect()]
+        else:
+            from collections import Counter
+            replayed = self._history
+            df = self._rows_df(replayed + new_rows)
+            full = [row_to_dict(r) for r in self.query(df).collect()]
+            seen = Counter(_freeze_row(r) for r in self._delivered_replay)
+            batch = []
+            for r in full:
+                k = _freeze_row(r)
+                if seen.get(k, 0) > 0:
+                    seen[k] -= 1  # delivered by an earlier trigger
+                else:
+                    batch.append(r)
+            self._delivered_replay = full
+            self._history = replayed + new_rows
+        with self._buffer_cond:
+            self._buffer_cond.notify_all()  # flush freed space
         self._results.append(batch)
         self._metrics["output"] += len(batch)
         for sink in self._sinks:
@@ -1084,5 +1153,6 @@ class StreamSQL:
         self._stopped = True
         self._buffer.clear()
         self._history.clear()
+        self._delivered_replay = []
         with self._buffer_cond:
             self._buffer_cond.notify_all()  # release blocked emitters

@@ -192,7 +192,10 @@ def _field(row: dict | None, path) -> object:
         if isinstance(cur, dict):
             cur = cur.get(p)
         elif isinstance(cur, (list, tuple)) and isinstance(p, int):
-            cur = cur[p] if 0 <= p < len(cur) else None
+            # negative index counts from the end, same as the rendered
+            # try_element_at path (reference fieldpath.go:242);
+            # out-of-range either way -> None (nil-on-miss)
+            cur = cur[p] if -len(cur) <= p < len(cur) else None
         else:
             return None
     return cur

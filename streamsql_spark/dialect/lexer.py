@@ -108,9 +108,16 @@ def tokenize(sql: str) -> list[Token]:
                     # don't eat `1..2` or method-ish; fine for SQL numbers
                     seen_dot = True
                     j += 1
-                elif ch in "eE" and j + 1 < n and (sql[j + 1].isdigit() or sql[j + 1] in "+-"):
+                elif ch in "eE" and not seen_exp and (
+                        (j + 1 < n and sql[j + 1].isdigit())
+                        or (j + 2 < n and sql[j + 1] in "+-"
+                            and sql[j + 2].isdigit())):
+                    # a sign must be FOLLOWED by a digit: '1e+' / '1E-'
+                    # (and a second exponent '1e2e3') would otherwise
+                    # tokenize as one NUMBER whose float() conversion
+                    # crashes with a contextless ValueError downstream
                     seen_exp = True
-                    j += 2
+                    j += 2 if sql[j + 1] in "+-" else 1
                 else:
                     break
             toks.append(Token(NUMBER, sql[i:j], i))

@@ -78,8 +78,14 @@ class Planner:
                     args_sql = [arg_renderer.render(a) for a in node.args]
                     if node.distinct:
                         # DISTINCT-in-aggregate: Spark-native extension
-                        # (absent in the reference, SURVEY §2.10)
-                        sql = f"{lname}(DISTINCT {', '.join(args_sql)})"
+                        # (absent in the reference, SURVEY §2.10); goes
+                        # through the registry so the dialect name
+                        # mapping (stddev -> stddev_pop, ...) applies
+                        try:
+                            sql = registry.render_aggregate_distinct(
+                                lname, args_sql, node.args)
+                        except ValueError as e:
+                            raise PlanError(str(e)) from None
                     else:
                         sql = registry.render_aggregate(lname, args_sql, node.args)
                     ph = self._agg_by_sql.get(sql)

@@ -202,8 +202,12 @@ def _round_half_up(x, d=0):
     x = _finite(x)
     q = Decimal(1).scaleb(-int(d))
     r = float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
-    if isinstance(x, int) and d <= 0:
-        return int(r)
+    if isinstance(x, int):
+        # Spark's Round keeps the integral type for ANY scale: a
+        # positive scale is a no-op on an int (round(5, 2) -> 5, an
+        # int, not 5.0) — returning float here would diverge from the
+        # oracle path's type
+        return _i64(int(r))
     return r
 
 

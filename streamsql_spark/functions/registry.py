@@ -41,6 +41,13 @@ def _lit_str(e: N.Expr) -> str | None:
     return None
 
 
+def _sql_str(value: str) -> str:
+    """Escape an arbitrary string into a Spark SQL string literal (same
+    contract as dialect.render.sql_string — kept local to avoid the
+    circular import)."""
+    return "'" + str(value).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _lit_num(e: N.Expr):
     if isinstance(e, N.Lit) and isinstance(e.value, (int, float)) and not isinstance(e.value, bool):
         return e.value
@@ -155,14 +162,17 @@ def _render_format(args: list[str], ast: list[N.Expr]) -> str:
 def _render_date_format(args: list[str], ast: list[N.Expr]) -> str:
     pat = _lit_str(ast[1])
     if pat is not None:
-        return f"date_format({args[0]}, '{go_format_to_java(pat)}')"
+        # sql_string, not bare quotes: go_format_to_java single-quotes
+        # literal letters ('T' in ISO-8601 patterns), which would
+        # otherwise terminate the SQL string literal mid-pattern
+        return f"date_format({args[0]}, {_sql_str(go_format_to_java(pat))})"
     return f"date_format({args[0]}, {args[1]})"
 
 
 def _render_date_parse(args: list[str], ast: list[N.Expr]) -> str:
     pat = _lit_str(ast[1])
     if pat is not None:
-        return f"to_timestamp({args[0]}, '{go_format_to_java(pat)}')"
+        return f"to_timestamp({args[0]}, {_sql_str(go_format_to_java(pat))})"
     return f"to_timestamp({args[0]}, {args[1]})"
 
 
@@ -170,7 +180,7 @@ def _render_json_extract(args: list[str], ast: list[N.Expr]) -> str:
     path = _lit_str(ast[1])
     if path is not None:
         jpath = path if path.startswith("$") else "$." + path
-        return f"get_json_object({args[0]}, '{jpath}')"
+        return f"get_json_object({args[0]}, {_sql_str(jpath)})"
     return f"get_json_object({args[0]}, concat('$.', {args[1]}))"
 
 
@@ -226,7 +236,20 @@ def _render_convert_tz(args: list[str], ast: list[N.Expr]) -> str:
 
 
 def _simple(template: str) -> Renderer:
+    # exact arity = highest placeholder index + 1: surplus arguments
+    # must REJECT, not silently vanish (sum(price, 1) rendering as
+    # sum(price) returns plausible-but-wrong results for a typo'd
+    # query), and missing ones get a named error instead of a raw
+    # IndexError out of str.format
+    import re as _re
+    n_args = max((int(m) + 1
+                  for m in _re.findall(r"\{(\d+)\}", template)), default=0)
+
     def r(args: list[str], ast: list[N.Expr]) -> str:
+        if len(args) != n_args:
+            raise ValueError(
+                f"wrong argument count for {template.split('(')[0]}: "
+                f"expected {n_args}, got {len(args)}")
         return template.format(*args)
     return r
 
@@ -612,3 +635,32 @@ def render_aggregate(name: str, args: list[str], ast: list[N.Expr]) -> str:
     if r is None:
         raise ValueError(f"unknown aggregate function: {name}")
     return r(args, ast)
+
+
+# dialect aggregate -> Spark function usable under DISTINCT.  The
+# dialect NAME MAPPING must apply here too (stddev -> stddev_pop etc.)
+# — emitting the dialect name verbatim would silently flip pop/samp
+# semantics.  Arrival-order aggregates (collect/first_value/last_value/
+# nth_value/merge_agg/deduplicate) and the floor-index percentile have
+# no meaningful distinct form and are rejected.
+_DISTINCT_AGG_SQL = {
+    "sum": "sum", "avg": "avg", "min": "min", "max": "max",
+    "count": "count", "stddev": "stddev_pop", "stddevs": "stddev_samp",
+    "var": "var_pop", "vars": "var_samp", "median": "median",
+    "approx_count_distinct": "approx_count_distinct",
+    "count_distinct": "count",
+}
+
+
+def render_aggregate_distinct(name: str, args: list[str],
+                              ast: list[N.Expr]) -> str:
+    lname = name.lower()
+    spark_name = _DISTINCT_AGG_SQL.get(lname)
+    if spark_name is None:
+        raise ValueError(
+            f"DISTINCT is not supported with {name}(): arrival-order "
+            "and positional aggregates have no distinct form")
+    if not args or (ast and isinstance(ast[0], N.Star)):
+        raise ValueError(f"{name}(DISTINCT *) is not supported — "
+                         "name the column")
+    return f"{spark_name}(DISTINCT {', '.join(args)})"

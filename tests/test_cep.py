@@ -885,6 +885,19 @@ def test_skip_to_first_reanchors_stride_1(spark):
         [(1, 3), (2, 4), (3, 5), (4, 6), (5, 7)]
 
 
+def test_cep_field_negative_index_matches_render_path():
+    """The CEP evaluator's _field must honor negative from-end indices
+    exactly like the rendered try_element_at path (fieldpath.go:242) —
+    before the fix a DEFINE on alerts[-1] silently read NULL every row
+    (review r6 #3)."""
+    from streamsql_spark.cep.eval import _field
+    row = {"a": [1, 2, 3], "m": {"k": "v"}}
+    assert _field(row, ("a", -1)) == 3
+    assert _field(row, ("a", -3)) == 1
+    assert _field(row, ("a", -4)) is None  # oob either sign -> None
+    assert _field(row, ("a", 3)) is None
+
+
 def run_cep_exclusive(spark, sql, rows):
     s = StreamSQL(spark, cep_skip_anchor="exclusive")
     s.execute(sql)

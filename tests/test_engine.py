@@ -337,6 +337,105 @@ def test_nested_struct_field_access(spark):
                     "temperature": 25.0}]
 
 
+def test_date_format_pattern_with_literal_letters(spark):
+    """go_format_to_java single-quotes literal letters ('T' in ISO-8601
+    patterns); the renderer must escape those quotes into the SQL
+    string literal or the statement is malformed (review r6 #1)."""
+    import datetime
+
+    from pyspark.sql.types import StructField, StructType, TimestampType
+    schema = StructType([StructField("t", TimestampType())])
+    rows = [{"t": datetime.datetime(2024, 3, 5, 7, 9, 11)}]
+    out = run_query(spark, "SELECT date_format(t, 'YYYY-MM-DDTHH:MI:SS') "
+                           "AS s FROM stream", rows, schema=schema)
+    assert out == [{"s": "2024-03-05T07:09:11"}]
+
+
+def test_distinct_aggregate_uses_dialect_name_mapping(spark):
+    """stddev(DISTINCT v) must apply the dialect mapping (stddev ->
+    stddev_pop) — emitting the name verbatim would silently compute
+    stddev_samp (review r6 #2); arrival-order aggregates have no
+    distinct form and refuse with a typed error."""
+    rows = [{"k": "a", "v": 1.0}, {"k": "a", "v": 1.0},
+            {"k": "a", "v": 3.0}, {"k": "a", "v": 5.0}]
+    out = run_query(spark, "SELECT k, stddev(DISTINCT v) AS sd, "
+                           "count(DISTINCT v) AS c FROM stream GROUP BY k",
+                    rows)
+    # pop-stddev over distinct {1,3,5}: sqrt(8/3); samp would be 2.0
+    assert abs(out[0]["sd"] - (8.0 / 3.0) ** 0.5) < 1e-9
+    assert out[0]["c"] == 3
+    from streamsql_spark.dialect.planner import PlanError
+    s = StreamSQL(spark)
+    with pytest.raises(PlanError, match="DISTINCT"):
+        s.execute("SELECT collect(DISTINCT v) AS c FROM stream GROUP BY k")
+
+
+def test_scalar_function_arity_is_enforced(spark):
+    """Surplus arguments must reject, not silently vanish: sum(price, 1)
+    rendering as sum(price) would return plausible-but-wrong results
+    for a typo'd query (review r6 #7)."""
+    for sql in ("SELECT k, sum(v, 1) AS s FROM stream GROUP BY k",
+                "SELECT mod(a) AS m FROM stream",
+                "SELECT power(a, b, c) AS p FROM stream"):
+        s = StreamSQL(spark)
+        with pytest.raises(Exception, match="argument count|arguments"):
+            s.execute(sql)
+            s.emit({"k": "a", "v": 1.0, "a": 1, "b": 2, "c": 3})
+            s.trigger_window()
+
+
+def test_lexer_dangling_exponent_is_parse_error(spark):
+    """'1e+' / '1e2e3' must fail as a typed parse error at lex/parse
+    time, not a raw ValueError from float() (review r6 #8)."""
+    from streamsql_spark.dialect.parser import ParseError, parse
+    with pytest.raises(ParseError):
+        parse("SELECT 1e+ FROM s")
+    with pytest.raises(ParseError):
+        parse("SELECT 1E- FROM s")
+    # a second exponent is no longer swallowed into one malformed
+    # NUMBER: '1e2e3' lexes as 1e2 + identifier e3 (an implicit alias)
+    stmt = parse("SELECT 1e2e3 FROM s")
+    assert stmt.fields[0].expr.value == 100.0
+    assert stmt.fields[0].alias == "e3"
+    stmt = parse("SELECT 1e+5 AS x, 1E-2 AS y, 2e3 AS z FROM s")
+    vals = [f.expr.value for f in stmt.fields]
+    assert vals == [1e5, 1e-2, 2e3]
+
+
+def test_upsert_table_on_dataframe_registered_table(spark):
+    """upsert/delete on a table registered as a DataFrame must
+    materialize the snapshot first — before the fix the whole dim
+    table was silently replaced by the single upserted row
+    (review r6 #5)."""
+    dim = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, name string")
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, d.name AS name FROM stream "
+              "JOIN dim d ON deviceId = d.id")
+    s.register_table("dim", dim)
+    s.upsert_table("dim", {"id": 2, "name": "BETA"})
+    s.upsert_table("dim", {"id": 3, "name": "gamma"})
+    got = {(r["id"], r["name"]) for r in s._tables["dim"].collect()}
+    assert got == {(1, "alpha"), (2, "BETA"), (3, "gamma")}
+    s.delete_table("dim", {"id": 1})
+    got = {(r["id"], r["name"]) for r in s._tables["dim"].collect()}
+    assert got == {(2, "BETA"), (3, "gamma")}
+
+
+def test_pyeval_round_int_positive_scale_stays_int(spark):
+    """Spark's Round keeps the integral type for any scale
+    (round(5, 2) -> 5, an int); the python path returned 5.0
+    (review r6 #6)."""
+    from streamsql_spark.dialect.pyeval import _round_half_up
+    r = _round_half_up(5, 2)
+    assert r == 5 and isinstance(r, int)
+    assert _round_half_up(5.4, 0) == 5.0
+    s = StreamSQL(spark)
+    s.execute("SELECT round(n, 2) AS r FROM stream")
+    out = s.emit_sync({"n": 7})
+    assert out == {"r": 7} and isinstance(out["r"], int)
+
+
 def test_bracket_path_negative_index_and_null_on_miss(spark):
     """Reference fieldpath array/map access parity (fieldpath.go:236-276):
     [-n] counts from the end, out-of-range indices and missing map keys
@@ -2161,6 +2260,52 @@ def test_emit_overflow_strategy_block_releases_on_stop(spark):
     s.emit({"v": 1})  # parks until stop() fires
     release.join()
     assert s._buffer == [] and s._stopped
+    assert s.get_stats()["input_dropped_count"] == 0
+
+
+def test_trigger_window_drains_window_mode(spark):
+    """Reference Trigger semantics (tumbling_window.go:777-782): the
+    fired window's rows DROP from the buffer — a second trigger after
+    new emits aggregates only the new rows (fresh window instance),
+    never re-delivering the first batch's contribution."""
+    s = StreamSQL(spark)
+    s.execute("SELECT k, sum(v) AS s FROM stream GROUP BY k")
+    s.emit({"k": "a", "v": 1.0})
+    assert s.trigger_window() == [{"k": "a", "s": 1.0}]
+    s.emit({"k": "a", "v": 2.0})
+    assert s.trigger_window() == [{"k": "a", "s": 2.0}]  # not 3.0
+    assert s.get_stats()["output_count"] == 2
+    assert [len(b) for b in s.to_channel()] == [1, 1]
+
+
+def test_trigger_direct_mode_delivers_once_with_state_continuity(spark):
+    """Direct-mode repeated triggers: each emitted row's result delivers
+    exactly once, while analytic state (lag) crosses the trigger
+    boundary — the reference processes per-event with continuous state
+    and no re-delivery (TriggerWindow is a window-mode no-op there)."""
+    s = StreamSQL(spark)
+    s.execute("SELECT v, lag(v) AS p FROM stream")
+    s.emit({"v": 1.0, "ts": 1})
+    assert s.trigger_window() == [{"v": 1.0, "p": None}]
+    s.emit({"v": 2.0, "ts": 2})
+    # lag sees the pre-trigger row (continuity), r1 not re-delivered
+    assert s.trigger_window() == [{"v": 2.0, "p": 1.0}]
+
+
+def test_trigger_window_wakes_blocked_producer(spark):
+    """A 'block'-strategy producer parked on a full buffer must wake
+    when trigger_window flushes (the flush frees capacity — the
+    bounded-channel consumer side)."""
+    import threading
+
+    s = StreamSQL(spark, max_buffer_rows=1, overflow_strategy="block")
+    s.execute("SELECT v FROM stream")
+    s.emit({"v": 0})
+    flusher = threading.Timer(0.3, s.trigger_window)
+    flusher.start()
+    s.emit({"v": 1})  # parks until the flush frees the slot
+    flusher.join()
+    assert [r["v"] for r in s._buffer] == [1]
     assert s.get_stats()["input_dropped_count"] == 0
 
 
