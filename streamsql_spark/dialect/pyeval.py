@@ -219,10 +219,19 @@ def _str_arg(v):
     return v
 
 
-def _fn_concat(*vs):
-    if any(v is None for v in vs):
+def _concat_op(a, b):
+    """`x || y` — Spark concat: NULL if either side is NULL."""
+    if a is None or b is None:
         return None
-    return "".join(_str_arg(v) for v in vs)
+    return _str_arg(a) + _str_arg(b)
+
+
+def _fn_concat(*vs):
+    # reference ToStringE-and-join semantics (functions_string.go:27-37),
+    # rendered Spark-side as concat_ws('', CAST(... AS STRING)...):
+    # nil contributes "", ints/bools stringify; float formatting is
+    # JVM-owned -> Fallback (same rule as _cast_string)
+    return "".join("" if v is None else _CASTERS["string"](v) for v in vs)
 
 
 def _same_class(vs):
@@ -547,8 +556,9 @@ _FNS: dict[str, object] = {
     "trunc": _fn_trunc,
     "hex2dec": _fn_hex2dec,
     "dec2hex": _fn_dec2hex,
-    "ltrim": lambda v: None if v is None else _str_arg(v).lstrip(" "),
-    "rtrim": lambda v: None if v is None else _str_arg(v).rstrip(" "),
+    # whitespace set matches the rendered trim(BOTH ' \t\n\r' FROM x)
+    "ltrim": lambda v: None if v is None else _str_arg(v).lstrip(" \t\n\r"),
+    "rtrim": lambda v: None if v is None else _str_arg(v).rstrip(" \t\n\r"),
     "reverse": lambda v: None if v is None else _str_arg(v)[::-1],
     "repeat": lambda s, n: None if s is None or n is None
     else _str_arg(s) * max(int(_num(n)), 0),
@@ -574,7 +584,7 @@ _FNS: dict[str, object] = {
     "upper": lambda v: None if v is None else _str_arg(v).upper(),
     "lower": lambda v: None if v is None else _str_arg(v).lower(),
     "length": lambda v: None if v is None else len(_str_arg(v)),
-    "trim": lambda v: None if v is None else _str_arg(v).strip(" "),
+    "trim": lambda v: None if v is None else _str_arg(v).strip(" \t\n\r"),
     # Spark sqrt(-x) is NaN (Java Math.sqrt), not NULL
     "sqrt": lambda v: None if v is None
     else (math.sqrt(_finite(v)) if _finite(v) >= 0 else float("nan")),
@@ -673,7 +683,10 @@ def compile_expr(e: N.Expr):
         if op == "OR":
             return lambda row: _or(_bool3(lf(row)), _bool3(rf(row)))
         if op == "||":
-            return lambda row: _fn_concat(lf(row), rf(row))
+            # the || OPERATOR renders as bare Spark concat (render.py
+            # render_bin): NULL-propagating, strings only — distinct
+            # from the concat() FUNCTION's nil-skip ToString semantics
+            return lambda row: _concat_op(lf(row), rf(row))
         return None
     if isinstance(e, N.Un):
         f = compile_expr(e.operand)

@@ -235,6 +235,16 @@ def _render_convert_tz(args: list[str], ast: list[N.Expr]) -> str:
     return f"convert_timezone({args[1]}, {args[2]}, CAST({args[0]} AS TIMESTAMP))"
 
 
+def _render_concat(args: list[str], ast: list[N.Expr]) -> str:
+    """concat = join of ToStringE(arg) with nil -> "" (functions_string.
+    go:27-37): concat('a', NULL) is 'a', and numeric args stringify.
+    concat_ws('') gives the nil-skip; the CASTs give the stringify."""
+    if not args:
+        return "''"
+    parts = ", ".join(f"CAST({a} AS STRING)" for a in args)
+    return f"concat_ws('', {parts})"
+
+
 def _simple(template: str) -> Renderer:
     # exact arity = highest placeholder index + 1: surplus arguments
     # must REJECT, not silently vanish (sum(price, 1) rendering as
@@ -271,6 +281,17 @@ SCALAR_RENDERERS: dict[str, Renderer] = {
     # string (functions_string.go)
     # len/length below (polymorphic: strings AND arrays,
     # functions_string.go:46)
+    # concat is the reference's ToStringE-and-join (functions_string.
+    # go:27-37): every arg casts to string and nil contributes "" —
+    # bare Spark concat would instead NULL the whole result on any
+    # NULL arg
+    "concat": _render_concat,
+    # trim family strips WHITESPACE (space/tab/newline/CR —
+    # functions_string.go:141-146 TrimSpace, :527-560 TrimLeftFunc) —
+    # Spark's bare trim strips spaces only
+    "trim": _simple(r"trim(BOTH ' \t\n\r' FROM {0})"),
+    "ltrim": _simple(r"trim(LEADING ' \t\n\r' FROM {0})"),
+    "rtrim": _simple(r"trim(TRAILING ' \t\n\r' FROM {0})"),
     "indexof": _simple("(instr({0}, {1}) - 1)"),
     "substring": _render_substring,
     "format": _render_format,
@@ -360,6 +381,25 @@ def _render_case_when(args: list[str], ast: list[N.Expr]) -> str:
 SCALAR_RENDERERS["case_when"] = _render_case_when
 
 
+_REGEX_META = set("\\^$.|?*+()[]{}")
+
+
+def _render_split(args: list[str], ast: list[N.Expr]) -> str:
+    """Reference split is strings.Split — a LITERAL delimiter
+    (functions_string.go:408-418) — while Spark's split takes a regex:
+    split(s, '.') or split(s, '|') would silently explode per-char.
+    Literal delimiters get their metacharacters escaped; a runtime
+    delimiter expression is wrapped in \\Q...\\E (Pattern.quote)."""
+    d = _lit_str(ast[1]) if len(ast) > 1 else None
+    if d is not None:
+        esc = "".join(("\\" + c) if c in _REGEX_META else c for c in d)
+        return f"split({args[0]}, {_sql_str(esc)})"
+    return f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+
+
+SCALAR_RENDERERS["split"] = _render_split
+
+
 _ARRAY_FUNCS = {
     "split", "string_split", "array", "sequence", "slice", "transform",
     "filter", "regexp_extract_all", "array_distinct", "array_union",
@@ -383,6 +423,19 @@ SCALAR_RENDERERS["len"] = _render_len
 SCALAR_RENDERERS["length"] = _render_len
 
 
+def _render_to_json(args: list[str], ast: list[N.Expr]) -> str:
+    """Reference to_json is json.Marshal of ANY value — scalars and
+    NULL included (functions_json.go:26-33: to_json('x') -> '\"x\"',
+    to_json(nil) -> 'null') — while Spark's to_json only accepts
+    struct/map/array.  Wrapping in named_struct('v', x) makes every
+    type marshalable; stripping the 5-char '{\"v\":' prefix and '}'
+    suffix leaves exactly the value's JSON.  ignoreNullFields=false
+    matches Marshal emitting nulls."""
+    inner = (f"to_json(named_struct('v', {args[0]}), "
+             f"map('ignoreNullFields', 'false'))")
+    return f"substring({inner}, 6, length({inner}) - 6)"
+
+
 def _render_expr_escape(args: list[str], ast: list[N.Expr]) -> str:
     """``expr('value * 2 + 1')`` — the reference's runtime expression
     escape hatch (functions_expr.go:16-100).  The literal string is
@@ -400,6 +453,10 @@ def _render_expr_escape(args: list[str], ast: list[N.Expr]) -> str:
 
 
 SCALAR_RENDERERS["expr"] = _render_expr_escape
+# "expression" is the reference's long-name alias for the same escape
+# hatch (functions_expr.go NewBaseFunction("expression", ...))
+SCALAR_RENDERERS["expression"] = _render_expr_escape
+SCALAR_RENDERERS["to_json"] = _render_to_json
 
 
 # ---------------------------------------------------- aggregate registry

@@ -995,6 +995,61 @@ def test_scalar_passthrough_trig_bits_json(spark):
                     "a_bnot": -6, "a_hour": 10, "a_json": '{"k":5}'}]
 
 
+def test_split_literal_delimiter(spark):
+    """Reference split is strings.Split — LITERAL delimiter
+    (functions_string.go:408-418); Spark's regex split would explode
+    'a.b.c' per-char on '.' and 'x|y|z' per-char on '|'.  Runtime
+    delimiter expressions are Pattern.quote-wrapped."""
+    out = run_query(spark, "SELECT split(s, '.') AS a, split(s, d) AS b, "
+                           "array_join(split(p, '|'), '/') AS c FROM stream",
+                    [{"s": "a.b.c", "d": ".", "p": "x|y|z"}])
+    assert out == [{"a": ["a", "b", "c"], "b": ["a", "b", "c"],
+                    "c": "x/y/z"}]
+
+
+def test_concat_nil_skip_and_trim_whitespace(spark):
+    """Reference string semantics (functions_string.go): concat() is
+    ToStringE-and-join — a NULL arg contributes '' and numbers
+    stringify (concat('a', NULL, 7) = 'a7'), unlike the || operator
+    which keeps Spark's NULL-propagation; trim/ltrim/rtrim strip
+    whitespace (space/tab/newline/CR), not just spaces."""
+    schema = StructType([StructField("s", StringType()),
+                         StructField("x", StringType()),
+                         StructField("n", LongType()),
+                         StructField("t", StringType())])
+    rows = [{"s": "a", "x": None, "n": 7, "t": "\t hi \n"}]
+    sql = ("SELECT concat(s, x, n) AS c, trim(t) AS tr, ltrim(t) AS lt, "
+           "rtrim(t) AS rt, s || x AS op FROM stream")
+    out = run_query(spark, sql, rows, schema=schema)
+    assert out == [{"c": "a7", "tr": "hi", "lt": "hi \n",
+                    "rt": "\t hi", "op": None}]
+    # per-event python path agrees bit-for-bit
+    s3 = StreamSQL(spark)
+    s3.execute("SELECT concat(s, x, n) AS c, trim(t) AS tr FROM stream")
+    assert s3.emit_sync({"s": "a", "x": None, "n": 7, "t": "\t hi \n"}) \
+        == {"c": "a7", "tr": "hi"}
+
+
+def test_to_json_any_value_and_expression_alias(spark):
+    """Reference to_json is json.Marshal of ANY value
+    (functions_json.go:26-33): scalars marshal ('\"plain\"', '42'),
+    NULL -> 'null', arrays/maps to their JSON — Spark's bare to_json
+    only takes struct/map/array, so the renderer wraps and strips.
+    Also: 'expression' is the long-name alias of the expr() escape
+    hatch (functions_expr.go)."""
+    schema = StructType([StructField("s", StringType()),
+                         StructField("n", LongType()),
+                         StructField("x", LongType()),
+                         StructField("d", DoubleType())])
+    rows = [{"s": "plain", "n": 42, "x": None, "d": 1.5}]
+    out = run_query(spark, "SELECT to_json(s) AS js, to_json(n) AS jn, "
+                           "to_json(x) AS jx, to_json(d) AS jd, "
+                           "expression('n * 2') AS e FROM stream",
+                    rows, schema=schema)
+    assert out == [{"js": '"plain"', "jn": "42", "jx": "null",
+                    "jd": "1.5", "e": 84}]
+
+
 def test_scalar_datetime_now_sign_sha512_merge(spark):
     # remaining reference builtins never executed elsewhere
     # (functions_math.go sign, functions_hash.go sha512,
