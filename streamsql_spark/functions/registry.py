@@ -323,7 +323,10 @@ SCALAR_RENDERERS: dict[str, Renderer] = {
     "unix_timestamp": lambda a, t: "unix_timestamp()" if not a else f"unix_timestamp(CAST({a[0]} AS TIMESTAMP))",
     "from_unixtime": _simple("from_unixtime({0})"),
     "day": _simple("dayofmonth({0})"),
-    "dayofweek": _simple("dayofweek({0})"),
+    # Go Weekday(): Sunday=0..Saturday=6 (functions_datetime.go:742) —
+    # Spark's dayofweek is Sunday=1, so shift (same mapping as
+    # extract('weekday', ...) above)
+    "dayofweek": _simple("(dayofweek({0}) - 1)"),
     "convert_tz": _render_convert_tz,
     # json (functions_json.go)
     # from_json parses arbitrary JSON dynamically (functions_json.go:
@@ -332,19 +335,26 @@ SCALAR_RENDERERS: dict[str, Renderer] = {
     "from_json": _simple("parse_json({0})"),
     "json_extract": _render_json_extract,
     "json_valid": _simple("(try_parse_json({0}) IS NOT NULL)"),
+    # whitespace-robust prefix checks (JSON allows leading \t\n\r, which
+    # Spark's bare trim doesn't strip); unparseable input -> 'invalid'
+    # exactly like the reference's Unmarshal-error branch
+    # (functions_json.go:176-178)
     "json_type": _simple(
         "(CASE WHEN {0} IS NULL THEN NULL"
-        " WHEN trim({0}) = 'null' THEN 'null'"
-        " WHEN startswith(trim({0}), '{{') THEN 'object'"
-        " WHEN startswith(trim({0}), '[') THEN 'array'"
-        " WHEN startswith(trim({0}), '\"') THEN 'string'"
-        " WHEN trim({0}) IN ('true','false') THEN 'boolean'"
-        " WHEN try_cast(trim({0}) AS DOUBLE) IS NOT NULL THEN 'number'"
-        " ELSE NULL END)"
+        " WHEN try_parse_json({0}) IS NULL THEN 'invalid'"
+        " WHEN trim(BOTH ' \\t\\n\\r' FROM {0}) = 'null' THEN 'null'"
+        " WHEN startswith(trim(BOTH ' \\t\\n\\r' FROM {0}), '{{') THEN 'object'"
+        " WHEN startswith(trim(BOTH ' \\t\\n\\r' FROM {0}), '[') THEN 'array'"
+        " WHEN startswith(trim(BOTH ' \\t\\n\\r' FROM {0}), '\"') THEN 'string'"
+        " WHEN trim(BOTH ' \\t\\n\\r' FROM {0}) IN ('true','false') THEN 'boolean'"
+        " WHEN try_cast(trim(BOTH ' \\t\\n\\r' FROM {0}) AS DOUBLE) IS NOT NULL THEN 'number'"
+        " ELSE 'invalid' END)"
     ),
     "json_length": _simple(
-        "(CASE WHEN startswith(trim({0}), '[') THEN json_array_length({0})"
-        " WHEN startswith(trim({0}), '{{') THEN size(json_object_keys({0}))"
+        "(CASE WHEN startswith(trim(BOTH ' \\t\\n\\r' FROM {0}), '[')"
+        " THEN json_array_length({0})"
+        " WHEN startswith(trim(BOTH ' \\t\\n\\r' FROM {0}), '{{')"
+        " THEN size(json_object_keys({0}))"
         " ELSE NULL END)"
     ),
     # hash (functions_hash.go)

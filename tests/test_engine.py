@@ -995,6 +995,19 @@ def test_scalar_passthrough_trig_bits_json(spark):
                     "a_bnot": -6, "a_hour": 10, "a_json": '{"k":5}'}]
 
 
+def test_dayofweek_go_numbering_and_json_type_invalid(spark):
+    """dayofweek follows Go's Weekday(): Sunday=0..Saturday=6
+    (functions_datetime.go:742; Spark's builtin is Sunday=1), matching
+    extract('weekday').  json_type returns 'invalid' for unparseable
+    input (functions_json.go:176-178), not NULL."""
+    rows = [{"d": "2024-03-03", "j": "not json"}]   # 2024-03-03 = Sunday
+    out = run_query(spark, "SELECT dayofweek(d) AS wd, "
+                           "extract('weekday', d) AS wd2, "
+                           "json_type(j) AS jt, "
+                           "json_type('\t[1]') AS ja FROM stream", rows)
+    assert out == [{"wd": 0, "wd2": 0, "jt": "invalid", "ja": "array"}]
+
+
 def test_split_literal_delimiter(spark):
     """Reference split is strings.Split — LITERAL delimiter
     (functions_string.go:408-418); Spark's regex split would explode
