@@ -996,7 +996,11 @@ class StreamSQL:
           replay history: the next trigger recomputes over
           history+new for state continuity (lag/acc/match spans cross
           the trigger boundary) but delivers only the results the
-          previous triggers haven't."""
+          previous triggers haven't.  Replay history grows with total
+          emitted rows — this is the TEST-HARNESS path; continuous
+          direct/CEP execution at scale belongs on emit_sync (O(1)
+          incremental state) or start_stream (Structured Streaming
+          state store)."""
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
         if not self._buffer:

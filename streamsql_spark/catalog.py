@@ -1181,21 +1181,13 @@ def _streaming_tumbling_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from .session import _nanos_timestamp_columns
-
-    path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema
     running = []
     # both queries START before either is awaited: they share the
     # session's scheduler pools, so startup + micro-batch execution
     # overlap instead of paying two full startups back-to-back
     for kind, spec in (("tumbling", "TumblingWindow('6h')"),
                        ("sliding", "SlidingWindow('12h', '6h')")):
-        stream = (spark.readStream.schema(raw_schema)
-                  .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-        for col in _nanos_timestamp_columns(path):
-            stream = stream.withColumn(
-                col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
+        stream = _events_stream(spark, sf_dir)  # shared ns->µs builder
         q = StreamSQL(spark).execute(f"""
             SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
                    unix_timestamp(window_start()) AS ws
@@ -1209,7 +1201,7 @@ def _streaming_tumbling_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         running.append((kind, name, sq))
     parts = []
     for kind, name, sq in running:
-        sq.awaitTermination(300)
+        _await_replay(sq)
         parts.append(spark.table(name).withColumn("kind", F.lit(kind)))
     return parts[0].unionByName(parts[1])
 
@@ -1244,6 +1236,17 @@ def _sweep_lateness_staging() -> None:
 import atexit as _atexit  # noqa: E402
 
 _atexit.register(_sweep_lateness_staging)
+
+
+def _await_replay(sq, seconds: int = 300) -> None:
+    """awaitTermination with the timeout ENFORCED: a replay that
+    overruns must fail loudly (and stop its query), not hand a
+    partially-filled memory sink to the correctness driver while the
+    query keeps writing during the comparison."""
+    if not sq.awaitTermination(seconds):
+        sq.stop()
+        raise RuntimeError(
+            f"streaming replay did not finish within {seconds}s")
 
 
 def _drop_stale_stream_views(spark: SparkSession, prefix: str) -> None:
@@ -1308,7 +1311,7 @@ def _streaming_counting_global_run(spark: SparkSession, sf_dir: str) -> DataFram
         running.append((mode, acc, sq))
     out = []
     for mode, acc, sq in running:
-        sq.awaitTermination(300)
+        _await_replay(sq)
         out.extend((mode, r["user_id"], r["cnt"], r["total"]) for r in acc)
     return spark.createDataFrame(
         out, schema="mode string, user_id bigint, cnt bigint, total double")
@@ -1357,7 +1360,7 @@ def _streaming_analytic_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "streaming_analytic_" + _uuid.uuid4().hex[:8]
     sq = (out.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(availableNow=True).start())
-    sq.awaitTermination(300)
+    _await_replay(sq)
     return spark.table(name)
 
 
@@ -1413,7 +1416,7 @@ def _streaming_cep_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "streaming_cep_" + _uuid.uuid4().hex[:8]
     sq = (out.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(availableNow=True).start())
-    sq.awaitTermination(300)
+    _await_replay(sq)
     return spark.table(name)
 
 
@@ -1443,7 +1446,7 @@ def _streaming_session_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "streaming_session_" + _uuid.uuid4().hex[:8]
     sq = (out.writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(availableNow=True).start())
-    sq.awaitTermination(300)
+    _await_replay(sq)
     return spark.table(name)
 
 
@@ -1525,7 +1528,7 @@ def _streaming_lateness_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc: list[dict] = []
         sq = q.start_stream(stream, sink=lambda rows: acc.extend(rows),
                             query_name="lateness_" + _uuid.uuid4().hex[:8])
-        sq.awaitTermination(300)
+        _await_replay(sq)
         return spark.createDataFrame(
             [(r["event_type"], r["cnt"], r["total"], r["ws"]) for r in acc
              if r["event_type"] != "__flush__"],

@@ -187,7 +187,13 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
         return default
 
     if name == "lag":
-        n = int(lit_arg(1, 1) or 1)
+        n_lit = lit_arg(1, 1)
+        n = 1 if n_lit is None else int(n_lit)
+        if n <= 0:
+            # reference validation: offset must be a positive integer
+            # (functions_analytical.go:27-28) — the old `or 1` coercion
+            # silently turned an explicit 0 into lag-by-1
+            raise ExecError("lag offset must be a positive integer")
         default = lit_arg(2, None)
         # 4th arg ignoreNull DEFAULTS TRUE: nil values never enter the
         # history (functions_analytical.go lagState, doc A3 semantics)
@@ -611,10 +617,15 @@ class BatchExecutor:
         injected: dict[str, str] = {}  # group expr sql -> injected col name
         simple_keys: list[str] = []
         for i, gsql in enumerate(plan.group_sqls):
-            if gsql in df.columns or (gsql.split(".")[0] in df.columns):
+            if gsql in df.columns:
                 group_cols.append(F.expr(gsql))
                 simple_keys.append(gsql)
             else:
+                # EVERY non-top-level key injects — including dotted
+                # paths (struct fields `meta.k`, join-qualified
+                # `m.location`): passing `meta.k` through groupBy would
+                # name the output column `k`, and the final projection's
+                # raw-text `meta.k` reference then fails UNRESOLVED
                 name = f"__gk_{i}__"
                 df = df.withColumn(name, F.expr(gsql))
                 injected[gsql] = name

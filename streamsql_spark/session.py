@@ -70,7 +70,7 @@ def get_spark(app_name: str = "streamsql-spark", shuffle_partitions: int | None 
 # catalog calls load_tables once per query.  DataFrames are immutable
 # lazy plans, so sharing the handles across queries is safe; the data
 # itself is never cached — every query still scans parquet.
-_TABLE_MEMO: dict[tuple[int, str, tuple[str, ...]], dict] = {}
+_TABLE_MEMO: dict[tuple, dict] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
@@ -85,7 +85,13 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
     """
     from pyspark.sql import functions as F
 
-    key = (id(spark), os.path.abspath(sf_dir), tuple(names))
+    # session identity: applicationId + startTime, NOT id(spark) — a
+    # stopped session's freed address can be reused by a NEW session
+    # object (CPython allocator), which would hand back DataFrames bound
+    # to the dead JVM plans and silently skip re-registering temp views
+    sc = spark.sparkContext
+    session_key = (sc.applicationId, sc.startTime)
+    key = (session_key, os.path.abspath(sf_dir), tuple(names))
     hit = _TABLE_MEMO.get(key)
     if hit is not None:
         return hit

@@ -995,6 +995,41 @@ def test_scalar_passthrough_trig_bits_json(spark):
                     "a_bnot": -6, "a_hour": 10, "a_json": '{"k":5}'}]
 
 
+def test_nested_struct_group_key(spark):
+    """GROUP BY on a struct path (meta.k) must aggregate correctly:
+    passing the dotted text through groupBy names the output column
+    'k', and the final projection's raw 'meta.k' then failed
+    UNRESOLVED_COLUMN — dotted keys now inject like expression keys
+    (review r6 pass 2 #1)."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    schema = StructType([
+        StructField("meta", StructType([StructField("k", StringType())])),
+        StructField("v", DoubleType()), StructField("ts", LongType())])
+    rows = [{"meta": {"k": "a"}, "v": 1.0, "ts": 1000},
+            {"meta": {"k": "a"}, "v": 2.0, "ts": 2000},
+            {"meta": {"k": "b"}, "v": 5.0, "ts": 2500}]
+    sql = ("SELECT meta.k AS kk, count(*) AS n, sum(v) AS s FROM stream "
+           "GROUP BY meta.k, TumblingWindow('1h') WITH (TIMESTAMP='ts') "
+           "HAVING sum(v) > 1")
+    out = run_query(spark, sql, rows, schema=schema)
+    out.sort(key=lambda r: r["kk"])
+    assert out == [{"kk": "a", "n": 2, "s": 3.0},
+                   {"kk": "b", "n": 1, "s": 5.0}]
+
+
+def test_lag_zero_offset_rejected(spark):
+    """Reference validation (functions_analytical.go:27-28): lag offset
+    must be a positive integer — the old falsy-guard silently coerced
+    an explicit 0 to lag-by-1 (review r6 pass 2 #4)."""
+    from streamsql_spark.dialect.planner import PlanError
+    for bad in ("SELECT lag(v, 0) AS p FROM stream",
+                "SELECT lag(v, -2) AS p FROM stream"):
+        s = StreamSQL(spark)
+        with pytest.raises(PlanError, match="positive integer"):
+            s.execute(bad)
+
+
 def test_dayofweek_go_numbering_and_json_type_invalid(spark):
     """dayofweek follows Go's Weekday(): Sunday=0..Saturday=6
     (functions_datetime.go:742; Spark's builtin is Sunday=1), matching
