@@ -885,6 +885,39 @@ def test_skip_to_first_reanchors_stride_1(spark):
         [(1, 3), (2, 4), (3, 5), (4, 6), (5, 7)]
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cep_trigger_interleaving_equals_single_replay(spark, seed):
+    """CEP-mode repeated triggers: across all batches combined, exactly
+    the matches one full replay yields — NFA spans cross trigger
+    boundaries, no match delivers twice."""
+    import random
+    rng = random.Random(seed)
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES FIRST(A.ts) AS a_ts, B.ts AS b_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        DEFINE A AS v > 5, B AS v < 3
+    )"""
+    rows = [{"ts": i, "v": float(rng.randint(0, 9))} for i in range(30)]
+    ref = StreamSQL(spark)
+    ref.execute(sql)
+    for r in rows:
+        ref.emit(r)
+    expected = ref.trigger_window()
+    s = StreamSQL(spark)
+    s.execute(sql)
+    got: list[dict] = []
+    for r in rows:
+        s.emit(r)
+        if rng.random() < 0.2:
+            got.extend(s.trigger_window())
+    got.extend(s.trigger_window())
+    key = lambda r: (r["a_ts"], r["b_ts"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(expected, key=key)
+
+
 def test_cep_field_negative_index_matches_render_path():
     """The CEP evaluator's _field must honor negative from-end indices
     exactly like the rendered try_element_at path (fieldpath.go:242) —

@@ -2395,6 +2395,38 @@ def test_trigger_direct_mode_delivers_once_with_state_continuity(spark):
     assert s.trigger_window() == [{"v": 2.0, "p": 1.0}]
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_trigger_interleaving_equals_single_replay(spark, seed):
+    """Invariant: for a direct-mode analytic query, ANY interleaving of
+    emits and triggers delivers — across all batches combined — exactly
+    the rows one full emit-then-single-trigger replay yields, in order.
+    (State crosses trigger boundaries; results never duplicate.)"""
+    import random
+    rng = random.Random(seed)
+    rows = [{"k": "ab"[i % 2], "v": float(rng.randint(0, 9)), "ts": i}
+            for i in range(24)]
+    sql = ("SELECT k, v, ts, lag(v) OVER (PARTITION BY k) AS p, "
+           "acc_sum(v) OVER (PARTITION BY k) AS a FROM stream "
+           "WHERE v != 7")
+    ref = StreamSQL(spark)
+    ref.execute(sql)
+    for r in rows:
+        ref.emit(r)
+    expected = ref.trigger_window()
+    s = StreamSQL(spark)
+    s.execute(sql)
+    got: list[dict] = []
+    for r in rows:
+        s.emit(r)
+        if rng.random() < 0.25:
+            got.extend(s.trigger_window())
+    got.extend(s.trigger_window())
+    # row order across partitions is not a batch-path contract — ts is
+    # the deterministic identity key
+    key = lambda r: r["ts"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(expected, key=key)
+
+
 def test_trigger_window_wakes_blocked_producer(spark):
     """A 'block'-strategy producer parked on a full buffer must wake
     when trigger_window flushes (the flush frees capacity — the
