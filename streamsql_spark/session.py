@@ -40,11 +40,35 @@ SCALE_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+#: Scale knob for the stateful streaming kernels (windows, CEP,
+#: analytics via applyInPandasWithState): the default HDFS-backed state
+#: store keeps EVERY key's state on the executor JVM heap — fine for the
+#: local fixtures, an OOM ceiling at 10^8+ live keys.  RocksDB spills
+#: state to local disk with incremental checkpointing, the provider a
+#: 1000-executor deployment should run.  Enable via
+#: ``SPARK_GRAFT_ROCKSDB_STATE=1`` (or pass
+#: ``rocksdb_state=True`` to :func:`get_spark`) — off by default only
+#: because the per-query store setup costs a constant ~100 ms that the
+#: startup-bound local replay benches would pay 6×.
+ROCKSDB_STATE_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    # bound RocksDB memory usage across all state store instances
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+}
 
-def get_spark(app_name: str = "streamsql-spark", shuffle_partitions: int | None = None) -> SparkSession:
+
+def get_spark(app_name: str = "streamsql-spark",
+              shuffle_partitions: int | None = None,
+              rocksdb_state: bool | None = None) -> SparkSession:
     """Return the active session or build a local one for tests/bench.
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract).
+    ``rocksdb_state`` (or ``SPARK_GRAFT_ROCKSDB_STATE=1``) switches the
+    stateful-streaming kernels onto the RocksDB state store — the
+    disk-backed provider a large deployment should run; see
+    ``ROCKSDB_STATE_CONFS``.
     """
     active = SparkSession.getActiveSession()
     if active is not None:
@@ -52,6 +76,9 @@ def get_spark(app_name: str = "streamsql-spark", shuffle_partitions: int | None 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    if rocksdb_state is None:
+        rocksdb_state = os.environ.get(
+            "SPARK_GRAFT_ROCKSDB_STATE", "") in ("1", "true", "yes")
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -62,6 +89,9 @@ def get_spark(app_name: str = "streamsql-spark", shuffle_partitions: int | None 
     )
     for k, v in SCALE_CONFS.items():
         b = b.config(k, v)
+    if rocksdb_state:
+        for k, v in ROCKSDB_STATE_CONFS.items():
+            b = b.config(k, v)
     return b.getOrCreate()
 
 
