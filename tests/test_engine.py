@@ -2016,6 +2016,11 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         "SELECT is_numeric(t) AS nt, is_numeric(s) AS ns, "
         "is_string(s) AS ss, is_bool(t) AS bt, is_array(s) AS ar, "
         "is_object(h) AS ob FROM stream",
+        # r6: concat nil-skip + int stringify; whitespace trim family;
+        # round keeps the integral type for positive scales
+        "SELECT concat(s, '_', h) AS cnh, concat(s, s) AS css FROM stream",
+        "SELECT round(h, 2) AS rh2, round(h, 0) AS rh0, "
+        "round(h, -1) AS rhm FROM stream WHERE h IS NOT NULL",
     ]
     rng = random.Random(20260814)
 
@@ -2025,7 +2030,8 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         h = rng.choice([None, rng.randint(0, 100)])
         s = rng.choice([None, "sensor", " se pad ", "keep", "", "Xy",
                         "12.5", " -7 ", "inf",
-                        "sensor\n", "tudor", "se\n"])
+                        "sensor\n", "tudor", "se\n",
+                        "\t tab lead", "tail \r\n", "\n\nse mid\t"])
         b = rng.choice([None, 2 ** 62, -(2 ** 62),
                         2 ** 62 + rng.randint(0, 1000)])
         return {"t": t, "h": h, "s": s, "b": b}
