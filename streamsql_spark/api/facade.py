@@ -187,11 +187,16 @@ class StreamSQL:
         stream/table_store.go:28-96, so dim-sized by contract) —
         without this, upsert would silently REPLACE the whole table
         with the single upserted row."""
-        if name in self._table_rows or name not in self._tables:
+        if name not in self._tables:
             return
-        self._table_rows[name] = [row_to_dict(r)
-                                  for r in self._tables[name].collect()]
-        if name not in self._table_keys:
+        if name not in self._table_rows:
+            self._table_rows[name] = [row_to_dict(r)
+                                      for r in self._tables[name].collect()]
+        # (re)derive join keys when none are known yet: a mutation BEFORE
+        # execute() caches an empty tuple (no JOIN to derive from), and a
+        # later upsert would then APPEND same-key rows instead of
+        # replacing — once a statement exists, fill the gap
+        if not self._table_keys.get(name):
             self._table_keys[name] = self._derive_join_keys(name)
 
     def upsert_table(self, name: str, row: dict) -> None:
@@ -1003,9 +1008,15 @@ class StreamSQL:
           state store)."""
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
-        if not self._buffer:
-            return []
-        new_rows, self._buffer = self._buffer, []
+        # swap UNDER the lock: a 'block'-strategy producer holding
+        # _buffer_cond may be mid append — an unlocked swap could let
+        # its row land in the orphaned list, lost to both the new
+        # buffer and every result batch
+        with self._buffer_cond:
+            if not self._buffer:
+                return []
+            new_rows, self._buffer = self._buffer, []
+            self._buffer_cond.notify_all()  # flush freed space
         if self._plan.mode == "window":
             df = self._rows_df(new_rows)
             batch = [row_to_dict(r) for r in self.query(df).collect()]
@@ -1022,10 +1033,12 @@ class StreamSQL:
                     seen[k] -= 1  # delivered by an earlier trigger
                 else:
                     batch.append(r)
-            self._delivered_replay = full
+            # ACCUMULATE every delivery — resetting to just the last
+            # recomputation would let a non-monotone plan (direct-mode
+            # LIMIT picks different rows as the replay grows) deliver
+            # the same row twice once it reappears in a later full set
+            self._delivered_replay = self._delivered_replay + batch
             self._history = replayed + new_rows
-        with self._buffer_cond:
-            self._buffer_cond.notify_all()  # flush freed space
         self._results.append(batch)
         self._metrics["output"] += len(batch)
         for sink in self._sinks:
@@ -1155,8 +1168,8 @@ class StreamSQL:
         if self._buffer and self._plan is not None and self._plan.mode == "window":
             self.trigger_window()
         self._stopped = True
-        self._buffer.clear()
-        self._history.clear()
-        self._delivered_replay = []
-        with self._buffer_cond:
+        with self._buffer_cond:  # same lock discipline as the trigger swap
+            self._buffer.clear()
+            self._history.clear()
+            self._delivered_replay = []
             self._buffer_cond.notify_all()  # release blocked emitters

@@ -114,15 +114,16 @@ class Planner:
                     raise PlanError("changed_cols must be a standalone "
                                     "SELECT field")
                 if node.name.lower() == "lag" and len(node.args) > 1 \
-                        and isinstance(node.args[1], N.Lit) \
-                        and isinstance(node.args[1].value, (int, float)) \
-                        and not isinstance(node.args[1].value, bool) \
-                        and node.args[1].value <= 0:
-                    # reference validation (functions_analytical.go:27-28)
-                    # — a 0/negative offset must error at Execute time,
-                    # never silently coerce to lag-by-1
-                    raise PlanError(
-                        "lag offset must be a positive integer")
+                        and isinstance(node.args[1], N.Lit):
+                    # reference validation (functions_analytical.go:23-28)
+                    # — a 0/negative/non-integer offset must error at
+                    # Execute time: the old falsy guard coerced 0 to
+                    # lag-by-1 and int() would truncate 1.5 to 1
+                    v = node.args[1].value
+                    if isinstance(v, bool) or not isinstance(v, int) \
+                            or v <= 0:
+                        raise PlanError(
+                            "lag offset must be a positive integer")
                 ph = f"__analytic_{len(self.analytics)}__"
                 over = node.over or N.OverSpec()
                 part_sql = [render(p) for p in over.partition_by]

@@ -584,7 +584,9 @@ _FNS: dict[str, object] = {
     "upper": lambda v: None if v is None else _str_arg(v).upper(),
     "lower": lambda v: None if v is None else _str_arg(v).lower(),
     "length": lambda v: None if v is None else len(_str_arg(v)),
-    "trim": lambda v: None if v is None else _str_arg(v).strip(" \t\n\r"),
+    # Go TrimSpace's Latin-1 set — matches the rendered trim charset
+    "trim": lambda v: None if v is None
+    else _str_arg(v).strip(" \t\n\r\x0b\x0c\x85\xa0"),
     # Spark sqrt(-x) is NaN (Java Math.sqrt), not NULL
     "sqrt": lambda v: None if v is None
     else (math.sqrt(_finite(v)) if _finite(v) >= 0 else float("nan")),

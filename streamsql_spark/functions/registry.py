@@ -257,9 +257,12 @@ def _simple(template: str) -> Renderer:
 
     def r(args: list[str], ast: list[N.Expr]) -> str:
         if len(args) != n_args:
+            # the DIALECT name is prefixed by render_scalar /
+            # render_aggregate — the template's leading text may be a
+            # paren or the Spark-side name, useless in a user message
             raise ValueError(
-                f"wrong argument count for {template.split('(')[0]}: "
-                f"expected {n_args}, got {len(args)}")
+                f"wrong argument count: expected {n_args}, "
+                f"got {len(args)}")
         return template.format(*args)
     return r
 
@@ -286,10 +289,14 @@ SCALAR_RENDERERS: dict[str, Renderer] = {
     # bare Spark concat would instead NULL the whole result on any
     # NULL arg
     "concat": _render_concat,
-    # trim family strips WHITESPACE (space/tab/newline/CR —
-    # functions_string.go:141-146 TrimSpace, :527-560 TrimLeftFunc) —
-    # Spark's bare trim strips spaces only
-    "trim": _simple(r"trim(BOTH ' \t\n\r' FROM {0})"),
+    # trim family strips WHITESPACE — Spark's bare trim strips spaces
+    # only.  trim = Go strings.TrimSpace (functions_string.go:141-146):
+    # unicode.IsSpace's Latin-1 set (space \t \n \v \f \r U+0085
+    # U+00A0; exotic U+2000-series spaces are the one divergence).
+    # ltrim/rtrim use the reference's EXPLICIT 4-char predicate
+    # (functions_string.go:527-560).
+    "trim": _simple("trim(BOTH ' \\t\\n\\r ' "
+                    "FROM {0})"),
     "ltrim": _simple(r"trim(LEADING ' \t\n\r' FROM {0})"),
     "rtrim": _simple(r"trim(TRAILING ' \t\n\r' FROM {0})"),
     "indexof": _simple("(instr({0}, {1}) - 1)"),
@@ -443,7 +450,11 @@ def _render_to_json(args: list[str], ast: list[N.Expr]) -> str:
     matches Marshal emitting nulls."""
     inner = (f"to_json(named_struct('v', {args[0]}), "
              f"map('ignoreNullFields', 'false'))")
-    return f"substring({inner}, 6, length({inner}) - 6)"
+    # bind the serialization ONCE via a lambda — repeating {inner} in
+    # both substring args would serialize the value twice per row (CSE
+    # is not guaranteed outside whole-stage codegen)
+    return (f"element_at(transform(array({inner}), "
+            f"s -> substring(s, 6, length(s) - 6)), 1)")
 
 
 def _render_expr_escape(args: list[str], ast: list[N.Expr]) -> str:
@@ -692,7 +703,10 @@ def unknown_function_suggestions(name: str) -> list[str] | None:
 def render_scalar(name: str, args: list[str], ast: list[N.Expr]) -> str:
     r = SCALAR_RENDERERS.get(name.lower())
     if r is not None:
-        return r(args, ast)
+        try:
+            return r(args, ast)
+        except ValueError as e:
+            raise ValueError(f"{name}(): {e}") from None
     # pass through: Spark-native or custom-registered function
     return f"{name}({', '.join(args)})"
 
@@ -701,7 +715,10 @@ def render_aggregate(name: str, args: list[str], ast: list[N.Expr]) -> str:
     r = AGG_RENDERERS.get(name.lower())
     if r is None:
         raise ValueError(f"unknown aggregate function: {name}")
-    return r(args, ast)
+    try:
+        return r(args, ast)
+    except ValueError as e:
+        raise ValueError(f"{name}(): {e}") from None
 
 
 # dialect aggregate -> Spark function usable under DISTINCT.  The

@@ -359,8 +359,12 @@ def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str):
     fits the driver, exactly like the k-means init/means round-trips.
     Ids keep their input type (string/UUID blocking keys work too)."""
     local = getattr(centroids, "_streamsql_local_centroids", None)
-    if local is not None:
-        # model trained this session (kmeans_fit): already driver-side
+    if local is not None and id_col in centroids.columns \
+            and vec_col in centroids.columns:
+        # model trained this session (kmeans_fit): already driver-side.
+        # The column check keeps a caller's WRONG id_col/vec_col loud
+        # (falls through to schema[id_col] below) instead of silently
+        # returning the pinned model.
         return local
     id_t = centroids.schema[id_col].dataType.simpleString()
     # driver-side sort, NOT .orderBy: a k-row frame doesn't need the

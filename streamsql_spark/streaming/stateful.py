@@ -1060,7 +1060,15 @@ def cep_stream(spark, plan, df: DataFrame):
             keys = [c for c in order_cols if rows and c in rows[0]] \
                 or [ts_col]
             if n_pending and ts_col in (rows[0] if rows else {}):
+                # full ORDER BY key when every value is present; a None
+                # in a SECONDARY key must not disable reordering
+                # entirely — fall back to the ts-only sort (the old
+                # guarantee) so a late row still interleaves by time
                 key_seq = [tuple(r.get(c) for c in keys) for r in rows]
+                if not all(all(v is not None for v in k)
+                           for k in key_seq):
+                    keys = [ts_col]
+                    key_seq = [(r.get(ts_col),) for r in rows]
                 if all(all(v is not None for v in k) for k in key_seq) \
                         and any(key_seq[i] > key_seq[i + 1]
                                 for i in range(len(key_seq) - 1)):

@@ -2401,6 +2401,47 @@ def test_trigger_direct_mode_delivers_once_with_state_continuity(spark):
     assert s.trigger_window() == [{"v": 2.0, "p": 1.0}]
 
 
+def test_trigger_direct_limit_never_redelivers(spark):
+    """Non-monotone direct plan (LIMIT): a row delivered by an earlier
+    trigger must never deliver again even if a later replay's LIMIT
+    picks it again (review r6 pass 3 #2 — delivered-set accumulation)."""
+    s = StreamSQL(spark)
+    s.execute("SELECT v FROM stream LIMIT 2")
+    for v in (1.0, 2.0, 3.0):
+        s.emit({"v": v})
+    batches = [s.trigger_window()]
+    s.emit({"v": 4.0})
+    batches.append(s.trigger_window())
+    s.emit({"v": 5.0})
+    batches.append(s.trigger_window())
+    flat = [r["v"] for b in batches for r in b]
+    assert len(flat) == len(set(flat)), f"duplicate delivery: {flat}"
+
+
+def test_lag_non_integer_offset_rejected(spark):
+    """functions_analytical.go:23-26: a non-integer offset errors —
+    int() truncation would silently run lag(v, 1.5) as lag-by-1."""
+    from streamsql_spark.dialect.planner import PlanError
+    s = StreamSQL(spark)
+    with pytest.raises(PlanError, match="positive integer"):
+        s.execute("SELECT lag(v, 1.5) AS p FROM stream")
+
+
+def test_upsert_before_execute_then_join(spark):
+    """Mutating a dim table BEFORE execute() must not pin an empty
+    join-key tuple: keys re-derive once the statement exists, so later
+    upserts REPLACE by key instead of appending duplicates (review r6
+    pass 3 #7)."""
+    s = StreamSQL(spark)
+    s.register_table("dim", [{"id": 1, "name": "alpha"}])
+    s.upsert_table("dim", {"id": 2, "name": "beta"})   # pre-execute
+    s.execute("SELECT deviceId, d.name AS name FROM stream "
+              "JOIN dim d ON deviceId = d.id")
+    s.upsert_table("dim", {"id": 2, "name": "BETA"})   # must replace
+    got = {(r["id"], r["name"]) for r in s._tables["dim"].collect()}
+    assert got == {(1, "alpha"), (2, "BETA")}
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_trigger_interleaving_equals_single_replay(spark, seed):
     """Invariant: for a direct-mode analytic query, ANY interleaving of

@@ -1023,6 +1023,27 @@ def test_cep_stream_equal_ts_secondary_order_key_across_batches(spark):
     assert [(r["t1"], r["t2"]) for r in got] == [(20.0, 10.0)]
 
 
+def test_cep_stream_late_row_with_null_secondary_key_still_reorders(spark):
+    """A None in a SECONDARY order key must not disable the cross-batch
+    reorder entirely — the ts-only sort (the original guarantee) still
+    interleaves a late row by event time (review r6 pass 3 #3)."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts, humidity
+        MEASURES FIRST(A.ts) AS a1, LAST(A.ts) AS a2
+        ONE ROW PER MATCH
+        PATTERN (A{2} Z)
+        DEFINE A AS temperature > 20, Z AS temperature < 0
+    )"""
+    batches = [
+        _rows(("d1", 30.0, None, 9000, "ok")),   # humidity None: pending
+        _rows(("d1", 31.0, 1.0, 5000, "ok")),    # LATE: belongs first
+        _rows(("d1", -5.0, 0.0, 11000, "ok")),   # closes the match
+    ]
+    got = run_stream(spark, sql, batches)
+    assert [(r["a1"], r["a2"]) for r in got] == [(5000, 9000)]
+
+
 def test_cep_null_define_semantics_batch_stream_parity(spark):
     """DEFINEs over NULL values: the Catalyst-vectorized batch
     pre-classification (NULL -> no classify) and the interpreted
