@@ -697,7 +697,13 @@ class StreamSQL:
                 return None
             when_f = None
             if over is not None and over.when is not None:
-                when_f = pyeval.compile_expr(over.when)
+                # when_ast has nested analytic calls pre-lifted to
+                # placeholder refs (planner); over.when still holds the
+                # raw call, which compile_expr can't evaluate.  The gate
+                # runs against ``ext`` (row + already-stepped
+                # placeholders), so an inner analytic's value is visible
+                when_f = pyeval.compile_expr(
+                    s.when_ast if s.when_ast is not None else over.when)
                 if when_f is None:
                     return None
             args = []   # ('lit', v) | ('fn', closure)
@@ -773,7 +779,9 @@ class StreamSQL:
                 key = tuple(pf(row) for pf in parts)
                 gate = True
                 if when_f is not None:
-                    gate = _bool3(when_f(row)) is True
+                    # ext, not row: the gate may reference an earlier
+                    # spec's placeholder (lifted WHEN had_changed(...))
+                    gate = _bool3(when_f(ext)) is True
                 argv = [x(row) if k == "fn" else x for k, x in args]
                 st = p["copy"](
                     self._an_states.get((p["ph"], key)) or {})
@@ -854,13 +862,23 @@ class StreamSQL:
                 exprs[alias] = sql
                 return alias
 
+            earlier_phs: set[str] = set()
             for spec in plan_flat.analytics:
                 f = spec.func
+                # a gate that IS an earlier spec's placeholder (lifted
+                # WHEN had_changed(...)) reads the value stepped this
+                # event, not a Spark expression over the input row
+                when_ph = (spec.when_sql
+                           if spec.when_sql in earlier_phs else None)
                 info = {"name": f.name.lower(), "ph": spec.placeholder,
                         "args": [], "lits": [],
                         "custom": custom_analytic(f.name),
-                        "when": want(spec.when_sql) if spec.when_sql else None,
+                        "when": (want(spec.when_sql)
+                                 if spec.when_sql and when_ph is None
+                                 else None),
+                        "when_ph": when_ph,
                         "parts": [want(p) for p in spec.partition_by]}
+                earlier_phs.add(spec.placeholder)
                 for a in f.args:
                     if isinstance(a, N.Star) or \
                             (isinstance(a, N.Lit) and a.value == "*"):
@@ -933,7 +951,12 @@ class StreamSQL:
                 key = tuple(d[a] for a in p["parts"])
                 self._touch_analytic_partition(p["ph"], key)
                 st = self._an_states.setdefault((p["ph"], key), {})
-                gate = bool(d[p["when"]]) if p["when"] is not None else True
+                if p["when"] is not None:
+                    gate = bool(d[p["when"]])
+                elif p.get("when_ph") is not None:
+                    gate = bool(d[p["when_ph"]])  # earlier spec, this event
+                else:
+                    gate = True
                 argv = [d[a] if a else p["lits"][j]
                         for j, a in enumerate(p["args"])]
                 d[p["ph"]] = analytic_step(p, st, argv, gate)

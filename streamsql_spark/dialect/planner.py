@@ -124,10 +124,23 @@ class Planner:
                             or v <= 0:
                         raise PlanError(
                             "lag offset must be a positive integer")
-                ph = f"__analytic_{len(self.analytics)}__"
                 over = node.over or N.OverSpec()
                 part_sql = [render(p) for p in over.partition_by]
-                when_sql = render(over.when) if over.when is not None else None
+                when_ast = over.when
+                if when_ast is not None and any(
+                        isinstance(x, N.Func)
+                        and registry.is_analytic(x.name)
+                        for x in N.walk(when_ast)):
+                    # CDC idiom: an analytic call INSIDE the gate
+                    # (`lag(x) OVER (WHEN had_changed(true, col))`,
+                    # test/e2e/analytic_cdc_test.go:238,
+                    # analytic_parity_test.go:168) — lift the inner
+                    # analytic into its OWN spec first (appended before
+                    # this one, so every execution path computes it
+                    # first) and gate on its placeholder
+                    when_ast = self._lift_analytics(when_ast, window_mode)
+                when_sql = render(when_ast) if when_ast is not None else None
+                ph = f"__analytic_{len(self.analytics)}__"
                 func = node
                 if window_mode:
                     func = N.Func(name=node.name,
@@ -172,7 +185,8 @@ class Planner:
                                     f"OVER (PARTITION BY ...) in a "
                                     f"non-windowed query")
                 self.analytics.append(AnalyticSpec(
-                    ph, func, part_sql, when_sql, window_output=window_mode))
+                    ph, func, part_sql, when_sql, window_output=window_mode,
+                    when_ast=when_ast))
                 return N.Col((ph,))
             return node
 

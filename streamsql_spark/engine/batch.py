@@ -194,13 +194,24 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
             # (functions_analytical.go:27-28) — the old `or 1` coercion
             # silently turned an explicit 0 into lag-by-1
             raise ExecError("lag offset must be a positive integer")
-        default = lit_arg(2, None)
+        # the default may be an EXPRESSION, not only a literal —
+        # lag(ts, 1, ts, true) defaults to the CURRENT row's ts
+        # (analytic_parity_test.go:168); arg() evaluates either form
+        has_default = len(f.args) > 2
+        default_col = arg(2) if has_default else None
         # 4th arg ignoreNull DEFAULTS TRUE: nil values never enter the
         # history (functions_analytical.go lagState, doc A3 semantics)
         ignore_null = bool(lit_arg(3, True))
         if when_sql is None:
             if not ignore_null:
-                return F.lag(arg(0), n, default).over(w)
+                # default covers MISSING history only (lagState): a
+                # null HISTORY value stays null — so gate on the
+                # row count, not coalesce over the lagged value
+                res = F.lag(arg(0), n).over(w)
+                if not has_default:
+                    return res
+                enough = F.count(F.lit(1)).over(w_prev) >= n
+                return F.when(enough, res).otherwise(default_col)
             if n == 1:
                 # previous non-null value — O(1) incremental frame
                 res = F.last(arg(0), ignorenulls=True).over(w_prev)
@@ -221,7 +232,7 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
                 # window-emission rows (few per group): buffered history
                 hist = F.collect_list(arg(0)).over(w_prev)
                 res = F.when(F.size(hist) >= n, F.element_at(hist, -n))
-            return F.coalesce(res, F.lit(default)) if default is not None else res
+            return F.coalesce(res, default_col) if has_default else res
         if n != 1:
             raise ExecError("lag with WHEN gating supports offset 1 in batch mode")
         gated = F.when(F.expr(when_sql), arg(0))
@@ -229,7 +240,7 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
         # last gated value (stream/analytic.go WHEN semantics)
         res = F.when(F.expr(when_sql), F.last(gated, ignorenulls=True).over(w_prev)) \
                .otherwise(F.last(gated, ignorenulls=True).over(w_run))
-        return F.coalesce(res, F.lit(default)) if default is not None else res
+        return F.coalesce(res, default_col) if has_default else res
 
     if name == "latest":
         default = lit_arg(1, None)

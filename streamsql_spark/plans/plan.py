@@ -31,6 +31,13 @@ class AnalyticSpec:
     # across windows (stream/processor_data.go:443-453); func args then
     # reference aggregate placeholders
     window_output: bool = False
+    # the OVER (WHEN ...) condition as an AST with any NESTED analytic
+    # calls already lifted to placeholder refs (CDC idiom
+    # `lag(x) OVER (WHEN had_changed(true, col))`,
+    # test/e2e/analytic_cdc_test.go:238) — when_sql is its rendering;
+    # the per-event python path compiles THIS instead of func.over.when
+    # (which still holds the raw nested call)
+    when_ast: object | None = None
 
 
 @dataclass

@@ -921,7 +921,13 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                 # inside the pickled kernel closure to the workers
                 "custom": registry.custom_analytic(name)}
         when_col = None
-        if s.when_sql:
+        earlier = {p.placeholder for p in specs[:i]}
+        if s.when_sql and s.when_sql in earlier:
+            # lifted WHEN had_changed(...): the gate IS an earlier
+            # spec's placeholder, stepped per-row inside the kernel —
+            # not a pre-computable column expression
+            info["when_ph"] = s.when_sql
+        elif s.when_sql:
             when_col = f"__aw_{i}__"
             df = df.withColumn(when_col, F.expr(s.when_sql))
         info["when"] = when_col
@@ -988,6 +994,10 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                     gate = True
                     if p["when"] is not None:
                         gate = bool(_clean(vals[p["when"]][i]))
+                    elif p.get("when_ph") is not None:
+                        # earlier spec's value for THIS row (prep order
+                        # puts the lifted inner analytic first)
+                        gate = bool(_clean(outs[p["when_ph"]][i]))
                     argv = [_clean(vals[c][i]) if c else p["lits"][j]
                             for j, c in enumerate(p["args"])]
                     outs[ph].append(analytic_step(p, s, argv, gate))

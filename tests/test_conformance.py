@@ -77,6 +77,11 @@ REFERENCE_QUERIES = [
     "SELECT device.type, AVG(sensor.temperature) as avg_temp, COUNT(*) as cnt FROM stream GROUP BY device.type, TumblingWindow('1s')",
     "SELECT deviceId, SUM(value) as total, AVG(value) as average, COUNT(*) as count, MAX(value) as maxVal, MIN(value) as minVal, ROUND(AVG(ABS(value)), 2) as avgAbs, MAX(ROUND(value, 1)) as maxRounded, MIN(CEIL(value / 10)) as minCeiled, AVG(SQRT(value)) as avgSqrt, SUM(POWER(value, 2)) as sumSquares, CEIL(AVG(FLOOR(SQRT(value)))) as tripleNested2, ABS(MIN(ROUND(value / 5, 2))) as tripleNested3 FROM stream GROUP BY deviceId, TumblingWindow('5s')",
     "SELECT deviceId, SUM(value) as total, COUNT(*) as count, AVG(value) as average, MAX(value) as maxVal, (COUNT(*) * AVG(value)) as countTimesAvg, (SUM(value) / MAX(value)) as sumDivideMax, ((COUNT(*) + SUM(value)) * AVG(value)) as complexNested, FLOOR((SUM(value) / MAX(value))) as floorResult, CEIL((AVG(value) / COUNT(*))) as ceilResult, ROUND((SUM(value) * AVG(value) / 1000), 2) as roundResult FROM stream GROUP BY deviceId, TumblingWindow('5s')",
+    # CDC idiom: analytic call inside another's OVER WHEN gate
+    # (test/e2e/analytic_cdc_test.go:238, analytic_parity_test.go:168 —
+    # both require.NoError; r6 planner lift)
+    "SELECT lag(status) OVER (WHEN had_changed(true, status)) AS prev_status FROM stream",
+    "SELECT ts, lag(Status) AS prevStatus, ts - lag(ts, 1, ts, true) OVER (WHEN had_changed(true, statusCode)) AS duration FROM stream",
 ]
 
 

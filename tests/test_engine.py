@@ -2401,6 +2401,41 @@ def test_trigger_direct_mode_delivers_once_with_state_continuity(spark):
     assert s.trigger_window() == [{"v": 2.0, "p": 1.0}]
 
 
+def test_lag_over_when_nested_analytic_cdc(spark):
+    """CDC state-duration idiom: `lag(ts,1,ts,true) OVER (WHEN
+    had_changed(true, statusCode))` — an analytic call INSIDE another's
+    OVER WHEN gate (test/e2e/analytic_cdc_test.go:238,
+    analytic_parity_test.go:160-174).  The planner lifts the inner
+    analytic into its own spec; batch and per-event paths must agree:
+    duration 0 on the first row (default = current ts), held baseline
+    across unchanged rows, reset on each status-code change."""
+    sql = ("SELECT ts, lag(Status) AS prevStatus, "
+           "ts - lag(ts, 1, ts, true) "
+           "OVER (WHEN had_changed(true, statusCode)) AS duration "
+           "FROM stream")
+    rows = [{"ts": 1, "Status": "A", "statusCode": 100},
+            {"ts": 5, "Status": "A", "statusCode": 100},
+            {"ts": 8, "Status": "B", "statusCode": 200},
+            {"ts": 12, "Status": "B", "statusCode": 300}]
+    expected = [(1, None, 0), (5, "A", 4), (8, "A", 7), (12, "B", 4)]
+    out = run_query(spark, sql, rows)
+    out.sort(key=lambda r: r["ts"])
+    assert [(r["ts"], r["prevStatus"], r["duration"]) for r in out] \
+        == expected
+    s = StreamSQL(spark)
+    s.execute(sql)
+    got = [s.emit_sync(dict(r)) for r in rows]
+    assert [(r["ts"], r["prevStatus"], r["duration"]) for r in got] \
+        == expected
+    # the simple CDC shape parses standalone too (analytic_cdc A1)
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT lag(status) OVER (WHEN had_changed(true, status)) "
+               "AS prev_status FROM stream")
+    assert s2.emit_sync({"status": 1}) == {"prev_status": None}
+    assert s2.emit_sync({"status": 1}) == {"prev_status": 1}
+    assert s2.emit_sync({"status": 2}) == {"prev_status": 1}
+
+
 def test_trigger_direct_limit_never_redelivers(spark):
     """Non-monotone direct plan (LIMIT): a row delivered by an earlier
     trigger must never deliver again even if a later replay's LIMIT

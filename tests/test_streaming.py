@@ -998,6 +998,24 @@ def test_cep_stream_out_of_order_across_batches(spark):
     assert [(r["a1"], r["a3"], r["n"]) for r in got] == [(5000, 9000, 4)]
 
 
+def test_analytic_lag_over_when_nested_stream(spark):
+    """Streaming kernel parity for the lifted OVER-WHEN CDC idiom: the
+    inner had_changed's per-row value gates the outer lag INSIDE the
+    kernel (no pre-computable gate column exists), across micro-batch
+    boundaries."""
+    sql = ("SELECT ts, temperature - lag(temperature, 1, temperature, true) "
+           "OVER (WHEN had_changed(true, status)) AS delta FROM stream")
+    batches = [
+        _rows(("d1", 10.0, 0.0, 1000, "a"), ("d1", 15.0, 0.0, 2000, "a")),
+        _rows(("d1", 30.0, 0.0, 3000, "b"), ("d1", 34.0, 0.0, 4000, "b")),
+    ]
+    got = sorted(run_stream(spark, sql, batches), key=lambda r: r["ts"])
+    # gate fires on rows 1 (first) and 3 (a->b): baseline updates there
+    # (10 then 30); rows 2 and 4 read the held baseline
+    assert [(r["ts"], r["delta"]) for r in got] == \
+        [(1000, 0.0), (2000, 5.0), (3000, 20.0), (4000, 4.0)]
+
+
 def test_cep_stream_equal_ts_secondary_order_key_across_batches(spark):
     """ADVICE r5 (stateful.py cross-batch reorder): the pending-tail
     sort must use the FULL ORDER BY key list, not ts alone.  Under
