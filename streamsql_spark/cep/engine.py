@@ -141,9 +141,9 @@ def _max_next_offset(spec: N.MatchSpec) -> int:
 
 
 def _uses_future_nav(spec: N.MatchSpec) -> bool:
-    """True if any DEFINE references NEXT() — row classification then
-    depends on rows after the current one, so even a fixed-length match
-    touching the buffer tail is not final."""
+    """True if any DEFINE or MEASURE references NEXT() — the result
+    then depends on rows after the current one, so even a fixed-length
+    match touching the buffer tail is not final."""
     import dataclasses
 
     def walk(x) -> bool:
@@ -158,7 +158,11 @@ def _uses_future_nav(spec: N.MatchSpec) -> bool:
             return any(walk(v) for v in x.values())
         return False
 
-    return any(walk(e) for e in spec.defines.values())
+    # MEASURES NEXT(...) also reads past the match tail: a streaming
+    # release at the buffer edge would emit NULL where the batch kernel
+    # (which has the following row) fills the real value
+    return any(walk(e) for e in spec.defines.values()) \
+        or any(walk(m) for m in spec.measures)
 
 
 class Matcher:
@@ -283,8 +287,12 @@ class Matcher:
         if pat.greedy:
             if can_more:
                 for p2, b2 in self._match(pat.item, pos, bindings):
-                    if p2 == pos:  # zero-width guard
-                        break
+                    if p2 == pos:
+                        # zero-width guard: skip THIS alternative only —
+                        # `break` would abandon later CONSUMING
+                        # alternatives of the same item (e.g. the B
+                        # branch of (A? | B)+ when A? matched empty)
+                        continue
                     yield from self._match_quant(pat, p2, b2, reps + 1)
             if done_ok:
                 yield pos, bindings
@@ -294,7 +302,7 @@ class Matcher:
             if can_more:
                 for p2, b2 in self._match(pat.item, pos, bindings):
                     if p2 == pos:
-                        break
+                        continue  # zero-width guard (see greedy branch)
                     yield from self._match_quant(pat, p2, b2, reps + 1)
 
     def first_match(self, start: int):

@@ -23,17 +23,29 @@ from ..dialect import nodes as N
 _NAV_FUNCS = {"prev", "next", "first", "last"}
 _AGG_FUNCS = {"sum", "avg", "count", "min", "max"}
 
+def _null_prop(fn):
+    """SQL NULL propagation: any None argument → None (Catalyst
+    round(NULL)=NULL; without this a MEASURES expression over an
+    all-NULL match would raise TypeError out of the Spark task)."""
+    def g(*a):
+        if any(x is None for x in a):
+            return None
+        return fn(*a)
+    return g
+
+
 _SCALARS = {
-    "abs": abs,
-    "round": lambda x, n=0: round(x, int(n)),
-    "floor": math.floor,
-    "ceil": math.ceil,
-    "ceiling": math.ceil,
-    "sqrt": math.sqrt,
-    "power": lambda a, b: a ** b,
-    "pow": lambda a, b: a ** b,
+    "abs": _null_prop(abs),
+    "round": _null_prop(lambda x, n=0: round(x, int(n))),
+    "floor": _null_prop(math.floor),
+    "ceil": _null_prop(math.ceil),
+    "ceiling": _null_prop(math.ceil),
+    "sqrt": _null_prop(math.sqrt),
+    "power": _null_prop(lambda a, b: a ** b),
+    "pow": _null_prop(lambda a, b: a ** b),
     "coalesce": lambda *a: next((x for x in a if x is not None), None),
-    "concat": lambda *a: "".join(str(x) for x in a),
+    # Spark concat: NULL arg → NULL result (never the string 'None')
+    "concat": _null_prop(lambda *a: "".join(str(x) for x in a)),
     "upper": lambda s: s.upper() if s is not None else None,
     "lower": lambda s: s.lower() if s is not None else None,
     "length": lambda s: len(s) if s is not None else None,
@@ -172,7 +184,10 @@ def evaluate(e: N.Expr, ctx: MatchContext):
         if e.operand is not None:
             opv = evaluate(e.operand, ctx)
             for c, val in e.whens:
-                if evaluate(c, ctx) == opv:
+                cv = evaluate(c, ctx)
+                # SQL three-valued equality: NULL matches NOTHING —
+                # Python's None == None would wrongly take the branch
+                if opv is not None and cv is not None and cv == opv:
                     return evaluate(val, ctx)
         else:
             for c, val in e.whens:

@@ -331,6 +331,18 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
             # numeric event time: reference default unit is ms
             within = within_s * 1000 if within_s is not None else None
         rows = pdf.to_dict("records")
+        # NaN/NaT → None, matching the streaming kernel's _clean: raw
+        # pandas NaN breaks SQL NULL semantics in the interpreted
+        # evaluator (nan > 5 is False where SQL says UNKNOWN; nan
+        # passes `is not None` and poisons SUM/AVG measures).  Only
+        # rows that actually contain NaNs pay the fix-up loop.
+        na = pdf.isna().to_numpy()
+        if na.any():
+            cols = list(pdf.columns)
+            for i in np.flatnonzero(na.any(axis=1)):
+                r = rows[i]
+                for j in np.flatnonzero(na[i]):
+                    r[cols[j]] = None
 
         if not part_names or n == 0:
             bounds = [(0, n)] if n else []

@@ -79,6 +79,20 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     lineage — and with it the Catalyst analysis cost — stays O(1) per
     round instead of O(rounds).
     """
+    checks = [(edges, src), (edges, dst)]
+    if nodes is not None and node_col is not None:
+        checks.append((nodes, node_col))
+    for df_, c in checks:
+        t = df_.schema[c].dataType.simpleString()
+        if t not in ("tinyint", "smallint", "int", "bigint"):
+            # a blind cast would raise (ANSI) or NULL-out every id
+            # (non-ANSI) and silently empty the component output —
+            # refuse with the remedy instead
+            raise ValueError(
+                f"connected_components needs integral node ids; "
+                f"column {c!r} is {t}. Map ids to longs first "
+                f"(e.g. a dense id join, or xxhash64({c}) if a "
+                f"1-in-2^64 collision is acceptable)")
     e = (edges.select(F.least(src, dst).cast("long").alias("u"),
                       F.greatest(src, dst).cast("long").alias("v"))
          .where("u != v").distinct()

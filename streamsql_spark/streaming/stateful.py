@@ -191,6 +191,10 @@ def _field_type(df: DataFrame, col: str) -> DataType:
 
 _QREF = __import__("re").compile(
     r"\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\b")
+# string-literal spans (with '' and \' escapes): the qualified-ref
+# rewrite must never touch text INSIDE a literal — 'see t.note here'
+# would otherwise be corrupted into 'see __q_t_note__ here'
+_SQL_LIT = __import__("re").compile(r"('(?:[^'\\]|\\.|'')*')")
 
 
 def flatten_join_refs(df: DataFrame, plan):
@@ -231,7 +235,10 @@ def flatten_join_refs(df: DataFrame, plan):
                 added[tok] = f"__q_{q}_{c}__"
             return added[tok]
 
-        return _QREF.sub(sub, sql)
+        # rewrite only OUTSIDE string literals (odd split indices are
+        # the captured literal spans)
+        return "".join(p if i % 2 else _QREF.sub(sub, p)
+                       for i, p in enumerate(_SQL_LIT.split(sql)))
 
     analytics2 = [replace(a, partition_by=[rw(p) for p in a.partition_by],
                           when_sql=rw(a.when_sql)) for a in plan.analytics]
@@ -265,7 +272,8 @@ def apply_qref_map(sql: str, plan) -> str:
             return c
         return m.get(f"{q}.{c}", mt.group(0))
 
-    return _QREF.sub(sub, sql)
+    return "".join(p if i % 2 else _QREF.sub(sub, p)
+                   for i, p in enumerate(_SQL_LIT.split(sql)))
 
 
 def _dedupe_columns(df: DataFrame) -> DataFrame:
@@ -506,7 +514,13 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
             vals = {c: pdf[c].tolist()
                     for c in arg_cols + ["__slot__", ts_ms_col]}
             for i in range(len(pdf)):
-                if wm > 0 and int(vals[ts_ms_col][i]) < wm:
+                ts_v = _clean(vals[ts_ms_col][i])
+                if ts_v is None:
+                    # NULL event time can't be windowed: drop, never
+                    # int(NaN)-crash the query (the same null-row drop
+                    # every time-window path applies)
+                    continue
+                if wm > 0 and int(ts_v) < wm:
                     # beyond the lateness horizon (IsEventTimeLate,
                     # window/watermark.go:199-213): dropped, no
                     # re-emission — arbitrary stateful ops don't get
@@ -643,7 +657,13 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
             st = _load_state(state) or {"buf": [], "trig": {}, "counts": {}}
             buf = st["buf"]
         tstate, counts = st["trig"], st["counts"]
-        code = compile(code_src, "<trigger_when>", "eval")
+        code = _trigger_code_cache.get(code_src)
+        if code is None:
+            # compile ONCE per worker process, not once per key group
+            # per micro-batch (code objects don't pickle, hence the
+            # in-kernel compile; the module-level cache pays it once)
+            code = compile(code_src, "<trigger_when>", "eval")
+            _trigger_code_cache[code_src] = code
         rows_out = []
         if len(pdf):
             vals = {c: pdf[c].tolist() for c in read_cols}
@@ -787,7 +807,9 @@ def analytic_step(p, s, argv, gate):
         out = buf[-n] if len(buf) >= n else default
         if gate and not (ignore_null and argv[0] is None):
             buf.append(argv[0])
-            del buf[:-_LAG_CAP]
+            # ring sized to the REQUESTED offset: trimming to a fixed
+            # cap below n would silently answer the default forever
+            del buf[:-max(_LAG_CAP, n)]
         return out  # default covers missing history only (lagState)
     if nm == "latest":
         default = argv[1] if len(argv) > 1 else None
@@ -1021,6 +1043,10 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
 # -------------------------------------------------------------------- CEP
 
 _CEP_MAX_BUFFER = 10_000  # reference maxRunRows default (cep/engine.go:17-23)
+
+# per-worker memo for TRIGGER WHEN eval code (global_window_stream):
+# keyed by source text; lives in the Python worker process
+_trigger_code_cache: dict[str, object] = {}
 
 
 def cep_stream(spark, plan, df: DataFrame):

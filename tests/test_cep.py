@@ -918,6 +918,54 @@ def test_cep_trigger_interleaving_equals_single_replay(spark, seed):
     assert sorted(got, key=key) == sorted(expected, key=key)
 
 
+def test_cep_null_rows_sql_semantics_batch(spark):
+    """Batch kernel NULL parity (review r6 pass 4 #1/#2/#4): NaN from
+    pandas must behave as SQL NULL — `NOT(v > 5)` on NULL stays
+    UNKNOWN (no match), measures skip NULLs, round(NULL) is NULL, and
+    simple CASE never matches on NULL=NULL."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    schema = StructType([StructField("ts", LongType()),
+                         StructField("v", DoubleType()),
+                         StructField("w", DoubleType())])
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES round(avg(A.v), 2) AS av, sum(A.w) AS sw,
+                 CASE A.w WHEN A.w THEN 'eq' ELSE 'ne' END AS c
+        ONE ROW PER MATCH
+        PATTERN (A{2})
+        DEFINE A AS NOT(v > 5)
+    )"""
+    s = StreamSQL(spark, schema=schema)
+    s.execute(sql)
+    # v NULL: NOT(NULL > 5) is UNKNOWN -> row must NOT classify as A
+    for r in [{"ts": 1, "v": 1.0, "w": None},
+              {"ts": 2, "v": None, "w": 2.0},   # breaks the run
+              {"ts": 3, "v": 2.0, "w": None},
+              {"ts": 4, "v": 3.0, "w": None}]:
+        s.emit(r)
+    out = s.trigger_window()
+    # only rows 3+4 form A{2}; their w are all NULL -> sum NULL,
+    # round(avg) real, CASE NULL WHEN NULL -> 'ne' (SQL 3VL)
+    assert len(out) == 1
+    assert out[0]["av"] == 2.5 and out[0]["sw"] is None
+    assert out[0]["c"] == "ne"
+
+
+def test_cep_zero_width_alternative_keeps_consuming_branch(spark):
+    """Quantified alternation (A? | B)+: a zero-width A? yield must not
+    abandon the consuming B alternative (review r6 pass 4 #7)."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES count(B.*) AS nb
+        ONE ROW PER MATCH
+        PATTERN ((A? | B)+ C)
+        DEFINE A AS v = 99, B AS v = 1, C AS v = 2
+    )"""
+    out = run_cep(spark, sql, [{"ts": 1, "v": 1}, {"ts": 2, "v": 2}])
+    assert [r["nb"] for r in out] == [1]
+
+
 def test_cep_field_negative_index_matches_render_path():
     """The CEP evaluator's _field must honor negative from-end indices
     exactly like the rendered try_element_at path (fieldpath.go:242) —

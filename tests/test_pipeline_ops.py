@@ -1286,3 +1286,14 @@ def test_resize_zero_dimension_ppm_is_passthrough(spark):
     row = resize_images(media, 2, 2).collect()[0]
     assert row["resized"] is False
     assert bytes(row["payload"]) == bad
+
+
+def test_connected_components_refuses_string_ids(spark):
+    """Non-integral node ids must refuse LOUDLY: a blind long cast
+    raises under ANSI or NULLs every id otherwise, silently emptying
+    the component output (review r6 pass 4 #6)."""
+    from streamsql_spark.operators.graph import connected_components
+    edges = spark.createDataFrame(
+        [("a", "b")], "id_a string, id_b string")
+    with pytest.raises(ValueError, match="integral node ids"):
+        connected_components(edges)
