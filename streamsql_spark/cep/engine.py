@@ -110,12 +110,15 @@ def _len_bounds(pat) -> tuple[int, int | None]:
     return (0, None)  # unknown node: conservative
 
 
-def _max_next_offset(spec: N.MatchSpec) -> int:
-    """Largest literal NEXT() offset any DEFINE uses (default 1 per
-    call; non-literal offsets conservatively count as 1)."""
+def _max_next_offset(exprs, floor: int = 1) -> int:
+    """Largest literal NEXT() offset in ``exprs`` (each call defaults
+    to 1; non-literal offsets conservatively count as 1).  ``floor``
+    is the result when no NEXT appears — 1 for the DEFINE span (a span
+    of at least one is assumed by callers gated on _uses_future_nav),
+    0 for the MEASURES probe."""
     import dataclasses
 
-    best = 1
+    best = floor
 
     def walk(x):
         nonlocal best
@@ -135,7 +138,7 @@ def _max_next_offset(spec: N.MatchSpec) -> int:
             for v in x.values():
                 walk(v)
 
-    for e in spec.defines.values():
+    for e in exprs:
         walk(e)
     return best
 
@@ -213,8 +216,12 @@ class Matcher:
         # failed classification within this many rows of the buffer
         # tail is INCONCLUSIVE for streaming (a future row could flip
         # it), so it must hold the position, not consume it
-        self._next_span = (_max_next_offset(spec)
+        self._next_span = (_max_next_offset(spec.defines.values())
                            if _uses_future_nav(spec) else 0)
+        # NEXT() in MEASURES reads rows after the MATCH: a completed
+        # match whose measures may reach past the buffer tail must hold
+        # for the next micro-batch (0 = no NEXT in any measure)
+        self._measures_next = _max_next_offset(spec.measures, floor=0)
 
     # ------------------------------------------------------ classification
     def classify(self, pos: int, sym: str, bindings: list) -> bool:
@@ -532,9 +539,15 @@ class Matcher:
                 start += 1
                 continue
             end, bindings = m
-            if end >= n and not flush and not self._expired(start) \
+            # rows the emission may read: the match itself (through
+            # end-1) plus any MEASURES NEXT() reach past its last row
+            tail_need = end + self._measures_next - 1 \
+                if self._measures_next else end
+            tail_need = max(tail_need, end)
+            if tail_need >= n and not flush and not self._expired(start) \
                     and not self.fixed_final:
-                # touches the buffer tail: a future row may extend it
+                # touches the buffer tail (or its measures read past
+                # it): a future row may change the emission
                 return out, start
             if end >= n and not flush:
                 # WITHIN expired: no future row can extend it — emit now

@@ -79,15 +79,20 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     lineage — and with it the Catalyst analysis cost — stays O(1) per
     round instead of O(rounds).
     """
+    if nodes is not None:
+        node_col = node_col or nodes.columns[0]  # same default as below
     checks = [(edges, src), (edges, dst)]
-    if nodes is not None and node_col is not None:
+    if nodes is not None:
         checks.append((nodes, node_col))
+    import re as _re
     for df_, c in checks:
         t = df_.schema[c].dataType.simpleString()
-        if t not in ("tinyint", "smallint", "int", "bigint"):
+        if t not in ("tinyint", "smallint", "int", "bigint") \
+                and not _re.fullmatch(r"decimal\(\d+,0\)", t):
             # a blind cast would raise (ANSI) or NULL-out every id
             # (non-ANSI) and silently empty the component output —
-            # refuse with the remedy instead
+            # refuse with the remedy instead.  Scale-0 decimals pass:
+            # parquet UINT64 reads as decimal(20,0) and casts fine.
             raise ValueError(
                 f"connected_components needs integral node ids; "
                 f"column {c!r} is {t}. Map ids to longs first "

@@ -191,10 +191,20 @@ def _field_type(df: DataFrame, col: str) -> DataType:
 
 _QREF = __import__("re").compile(
     r"\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\b")
-# string-literal spans (with '' and \' escapes): the qualified-ref
-# rewrite must never touch text INSIDE a literal — 'see t.note here'
-# would otherwise be corrupted into 'see __q_t_note__ here'
-_SQL_LIT = __import__("re").compile(r"('(?:[^'\\]|\\.|'')*')")
+# string-literal spans (single OR double quoted, with ''/""/backslash
+# escapes — Spark treats double-quoted text as a string literal by
+# default): the qualified-ref rewrite must never touch text INSIDE a
+# literal — 'see t.note here' would otherwise be corrupted into
+# 'see __q_t_note__ here'
+_SQL_LIT = __import__("re").compile(
+    "('(?:[^'\\\\]|\\\\.|'')*'|\"(?:[^\"\\\\]|\\\\.|\"\")*\")")
+
+
+def _sub_outside_literals(pattern, sub, sql: str) -> str:
+    """Apply ``pattern.sub(sub, ...)`` only OUTSIDE string literals
+    (odd split indices are the captured literal spans)."""
+    return "".join(p if i % 2 else pattern.sub(sub, p)
+                   for i, p in enumerate(_SQL_LIT.split(sql)))
 
 
 def flatten_join_refs(df: DataFrame, plan):
@@ -235,10 +245,7 @@ def flatten_join_refs(df: DataFrame, plan):
                 added[tok] = f"__q_{q}_{c}__"
             return added[tok]
 
-        # rewrite only OUTSIDE string literals (odd split indices are
-        # the captured literal spans)
-        return "".join(p if i % 2 else _QREF.sub(sub, p)
-                       for i, p in enumerate(_SQL_LIT.split(sql)))
+        return _sub_outside_literals(_QREF, sub, sql)
 
     analytics2 = [replace(a, partition_by=[rw(p) for p in a.partition_by],
                           when_sql=rw(a.when_sql)) for a in plan.analytics]
@@ -272,8 +279,7 @@ def apply_qref_map(sql: str, plan) -> str:
             return c
         return m.get(f"{q}.{c}", mt.group(0))
 
-    return "".join(p if i % 2 else _QREF.sub(sub, p)
-                   for i, p in enumerate(_SQL_LIT.split(sql)))
+    return _sub_outside_literals(_QREF, sub, sql)
 
 
 def _dedupe_columns(df: DataFrame) -> DataFrame:
@@ -807,9 +813,14 @@ def analytic_step(p, s, argv, gate):
         out = buf[-n] if len(buf) >= n else default
         if gate and not (ignore_null and argv[0] is None):
             buf.append(argv[0])
-            # ring sized to the REQUESTED offset: trimming to a fixed
-            # cap below n would silently answer the default forever
-            del buf[:-max(_LAG_CAP, n)]
+            # ring sized to the LARGEST offset this state has ever
+            # been asked for: a fixed cap below n would answer the
+            # default forever, and trimming to the CURRENT row's n
+            # would let a small-offset row starve a larger one when
+            # the offset is a per-row expression
+            cap = max(_LAG_CAP, n, s.get("cap", 0))
+            s["cap"] = cap
+            del buf[:-cap]
         return out  # default covers missing history only (lagState)
     if nm == "latest":
         default = argv[1] if len(argv) > 1 else None

@@ -998,6 +998,28 @@ def test_cep_stream_out_of_order_across_batches(spark):
     assert [(r["a1"], r["a3"], r["n"]) for r in got] == [(5000, 9000, 4)]
 
 
+def test_cep_stream_measures_next_offset2_waits_for_row(spark):
+    """MEASURES NEXT(v, 2) reads past the match tail: a match whose
+    measures reach beyond the buffer must hold for the next micro-batch
+    so streaming emits the same value batch does (review r6 pass 5 #2)."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES LAST(A.ts) AS a2, NEXT(A.temperature, 2) AS nx2
+        ONE ROW PER MATCH
+        PATTERN (A{2})
+        DEFINE A AS temperature > 20
+    )"""
+    batches = [
+        _rows(("d1", 30.0, 0.0, 1000, "ok"), ("d1", 31.0, 0.0, 2000, "ok"),
+              ("d1", 5.0, 0.0, 3000, "ok")),
+        _rows(("d1", 7.0, 0.0, 4000, "ok")),  # the row NEXT(...,2) reads
+    ]
+    got = run_stream(spark, sql, batches)
+    # match (1000,2000); NEXT(A.temperature,2) from last A row -> ts=4000
+    assert [(r["a2"], r["nx2"]) for r in got] == [(2000, 7.0)]
+
+
 def test_analytic_lag_over_when_nested_stream(spark):
     """Streaming kernel parity for the lifted OVER-WHEN CDC idiom: the
     inner had_changed's per-row value gates the outer lag INSIDE the
