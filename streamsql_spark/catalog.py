@@ -471,7 +471,7 @@ _add("analytic_acc", Entry(
     f"""
     SELECT event_id, user_id,
            round(sum(value) {_ANALYTIC_W_RUN}, 4) AS run_sum,
-           count(value) {_ANALYTIC_W_RUN} AS run_cnt,
+           nullif(count(value) {_ANALYTIC_W_RUN}, 0) AS run_cnt,
            round(sum(value) {_ANALYTIC_W_RUN}, 4)
                / count(value) {_ANALYTIC_W_RUN} AS run_avg,
            max(value) {_ANALYTIC_W_RUN} AS run_max,
@@ -1374,7 +1374,7 @@ _add("streaming_analytic_replay", Entry(
            last_value(CASE WHEN value > 100 THEN value END IGNORE NULLS)
                {_ANALYTIC_W_RUN} AS last_big,
            round(sum(value) {_ANALYTIC_W_RUN}, 4) AS run_sum,
-           count(value) {_ANALYTIC_W_RUN} AS run_cnt,
+           nullif(count(value) {_ANALYTIC_W_RUN}, 0) AS run_cnt,
            round(sum(value) {_ANALYTIC_W_RUN}, 4)
                / count(value) {_ANALYTIC_W_RUN} AS run_avg,
            max(value) {_ANALYTIC_W_RUN} AS run_max,

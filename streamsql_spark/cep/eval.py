@@ -34,6 +34,15 @@ def _null_prop(fn):
     return g
 
 
+def _concat_str(x):
+    """ToStringE for concat args (pyeval._cast_string in lockstep):
+    bools are 'true'/'false', ints bare; floats use Python str() —
+    matches JVM Double.toString for the common cases ('3.0')."""
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    return str(x)
+
+
 _SCALARS = {
     "abs": _null_prop(abs),
     "round": _null_prop(lambda x, n=0: round(x, int(n))),
@@ -44,8 +53,15 @@ _SCALARS = {
     "power": _null_prop(lambda a, b: a ** b),
     "pow": _null_prop(lambda a, b: a ** b),
     "coalesce": lambda *a: next((x for x in a if x is not None), None),
-    # Spark concat: NULL arg → NULL result (never the string 'None')
-    "concat": _null_prop(lambda *a: "".join(str(x) for x in a)),
+    # concat is the reference's ToStringE-and-join (functions_string.
+    # go:27-37): nil contributes "" (nil-skip), never NULL-propagates —
+    # MEASURES go through the same expr bridge as SELECT there
+    # (functions/expr_bridge.go), so this must match registry.py's
+    # concat_ws('', CAST..) rendering and pyeval._fn_concat, not
+    # Spark's NULL-propagating concat.  Stringification mirrors
+    # pyeval._cast_string (bool → 'true'/'false', int → str).
+    "concat": lambda *a: "".join(_concat_str(x) for x in a
+                                 if x is not None),
     "upper": lambda s: s.upper() if s is not None else None,
     "lower": lambda s: s.lower() if s is not None else None,
     "length": lambda s: len(s) if s is not None else None,

@@ -233,14 +233,44 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
                 hist = F.collect_list(arg(0)).over(w_prev)
                 res = F.when(F.size(hist) >= n, F.element_at(hist, -n))
             return F.coalesce(res, default_col) if has_default else res
-        if n != 1:
-            raise ExecError("lag with WHEN gating supports offset 1 in batch mode")
-        gated = F.when(F.expr(when_sql), arg(0))
-        # gated row: previous gated value; non-gated row: state unchanged →
-        # last gated value (stream/analytic.go WHEN semantics)
-        res = F.when(F.expr(when_sql), F.last(gated, ignorenulls=True).over(w_prev)) \
-               .otherwise(F.last(gated, ignorenulls=True).over(w_run))
-        return F.coalesce(res, default_col) if has_default else res
+        # lagState stores iff gate is true AND (ignoreNull=false OR the
+        # value is non-null) — mirrored by the streaming kernel
+        # (streaming/stateful.py analytic_step).  The stored value is
+        # wrapped in a struct so a NULL stored under a true gate
+        # (ignoreNull=false) stays distinguishable from "no history":
+        # last/max/collect_list skip only the null STRUCTS of
+        # non-storing rows, never a null payload.  Every row — gated or
+        # not — reads the n-th most recent value stored by STRICTLY
+        # PREVIOUS rows (the kernel reads buf[-n] before appending).
+        store = F.expr(when_sql)
+        if ignore_null:
+            store = store & arg(0).isNotNull()
+        stored = F.when(store, F.struct(arg(0).alias("v")))
+        if n == 1:
+            s = F.last(stored, ignorenulls=True).over(w_prev)
+        elif prep is not None:
+            # n-th previous STORED value, exact and linear — the same
+            # constant-offset RANGE frame over a materialized running
+            # count the ungated n>1 path uses: count(stored) increments
+            # only on storing rows, so exactly one storing row exists
+            # per count value.
+            cnt_run = prep(F.count(stored).over(w_run))
+            w_nn = Window.partitionBy(*parts).orderBy(F.col(cnt_run))
+            hit_store = F.max(stored).over(w_nn.rangeBetween(-n, -n))
+            hit_skip = F.max(stored).over(w_nn.rangeBetween(-(n - 1),
+                                                            -(n - 1)))
+            s = F.when(stored.isNotNull(), hit_store).otherwise(hit_skip)
+        else:
+            # window-emission rows (few per group): buffered history —
+            # collect_list drops the null structs of non-storing rows
+            hist = F.collect_list(stored).over(w_prev)
+            s = F.when(F.size(hist) >= n, F.element_at(hist, -n))
+        res = s.getField("v")
+        if not has_default:
+            return res
+        # default covers MISSING history only (lagState): a null value
+        # stored under a true gate is returned as null, not default
+        return F.when(s.isNull(), default_col).otherwise(res)
 
     if name == "latest":
         default = lit_arg(1, None)
@@ -337,7 +367,14 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
             x = F.when(started == 1, x)
         agg = {"acc_sum": F.sum, "acc_max": F.max, "acc_min": F.min,
                "acc_count": F.count, "acc_avg": F.avg}[name]
-        return agg(x).over(wseg)
+        res = agg(x).over(wseg)
+        if name == "acc_count":
+            # empty state reads NULL like every other acc_* (the NULL
+            # policy above; kernel returns None until first
+            # accumulation) — count() alone would read 0.  The running
+            # count is monotone, so count=0 ⇔ nothing accumulated yet.
+            res = F.when(res > 0, res)
+        return res
 
     raise ExecError(f"unsupported analytic function: {name}")
 

@@ -312,6 +312,34 @@ def test_measures_scalar_functions(spark):
     assert abs(out[0]["vp1"] - 4.4) < 1e-9
 
 
+# --- r7: MEASURES concat must nil-skip like the expr bridge
+def test_measures_concat_nil_skips(spark):
+    """MEASURES evaluate through the same expr bridge as SELECT in the
+    reference (functions/expr_bridge.go), so concat is ToStringE-and-
+    join: nil contributes '' (functions_string.go:27-37) — never a
+    NULL-propagated NULL, never the string 'None'.  Must match the
+    SELECT-path concat (registry.py concat_ws rendering, pyeval
+    _fn_concat) on identical values."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES concat(A.tag, '-', B.tag) AS lbl,
+                 concat(A.n, true, 'x') AS mixed
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        WITHIN '1h'
+        DEFINE A AS n > 0, B AS n > 0
+    )"""
+    rows = [{"ts": 1, "tag": "a", "n": 1}, {"ts": 2, "tag": None, "n": 2}]
+    out = run_cep(spark, sql, rows)
+    assert len(out) == 1
+    assert out[0]["lbl"] == "a-"        # NULL B.tag contributes ""
+    assert out[0]["mixed"] == "1truex"  # int/bool stringify like CAST
+    # differential vs the SELECT-path concat on the same shape
+    s = StreamSQL(spark)
+    s.execute("SELECT concat(tag, '-', NULL, 'x') AS lbl FROM stream")
+    assert s.emit_sync({"tag": "a", "ts": 1})["lbl"] == "a-x"
+
+
 # --- cep_test.go:510 AllRows_FirstLastRunning
 def test_all_rows_first_last_running(spark):
     sql = """SELECT * FROM stream MATCH_RECOGNIZE (

@@ -1,0 +1,222 @@
+"""Cross-path differential harness for the stateful-analytic grid.
+
+The dialect's analytics execute on THREE independent paths:
+
+1. **batch**  — ``engine/batch.py`` compiles each call to Catalyst
+   window functions over the full DataFrame;
+2. **stream** — ``streaming/stateful.py``'s ``analytic_step`` kernel,
+   replayed through Structured Streaming micro-batches;
+3. **pyeval** — the per-event ``emit_sync`` in-process path
+   (``api/facade.py _emit_sync_analytic_python`` — same kernel, but
+   args/gates evaluated by ``dialect/pyeval``).
+
+Both r6 defects lived exactly where only one path was audited (the
+batch WHEN-gated ``lag`` ignored ``ignoreNull=false``; the CEP measure
+``concat`` NULL-propagated).  This suite runs the full gated-analytic
+argument grid — lag offset 1..3 × literal/expression default ×
+ignoreNull × WHEN gate (incl. a NULL-valued gate) × partitioning —
+over seeded random event streams WITH NULLS through all three paths
+and asserts identical outputs row-for-row.
+
+Reference semantics: ``functions_analytical.go`` lagState /
+hadChangedState / changedColState / accState; WHEN gating
+``stream/analytic.go``.
+"""
+
+import random
+
+import pytest
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+from streamsql_spark.api.facade import StreamSQL
+from streamsql_spark.streaming.harness import run_streaming_collect
+
+EVT = StructType([
+    StructField("deviceId", StringType()),
+    StructField("temperature", DoubleType()),
+    StructField("humidity", DoubleType()),
+    StructField("ts", LongType()),
+    StructField("status", StringType()),
+])
+
+# the full analytic argument grid, one aliased column per cell:
+# lag offsets 1..3, literal + EXPRESSION defaults, both ignoreNull
+# modes (incl. explicit true), latest with/without default, both
+# had_changed ignoreNull modes + multi-column, changed_col both modes,
+# every acc_* kind
+ANALYTIC_GRID = [
+    ("lag1", "lag(temperature)"),
+    ("lag2", "lag(temperature, 2)"),
+    ("lag3", "lag(temperature, 3)"),
+    ("lag1d", "lag(temperature, 1, -1.0)"),
+    ("lag2d", "lag(temperature, 2, -1.0)"),
+    ("lag1de", "lag(temperature, 1, temperature)"),
+    ("lag1nn", "lag(temperature, 1, -1.0, false)"),
+    ("lag2nn", "lag(temperature, 2, -1.0, false)"),
+    ("lag3nn", "lag(temperature, 3, -9.0, false)"),
+    ("lag1in", "lag(temperature, 1, -1.0, true)"),
+    ("lat", "latest(temperature)"),
+    ("latd", "latest(temperature, -1.0)"),
+    ("hc", "had_changed(true, status)"),
+    ("hcn", "had_changed(false, temperature)"),
+    ("hc2", "had_changed(true, temperature, status)"),
+    ("cc", "changed_col(false, status)"),
+    ("ccn", "changed_col(true, temperature)"),
+    ("asum", "acc_sum(temperature)"),
+    ("amax", "acc_max(temperature)"),
+    ("amin", "acc_min(temperature)"),
+    ("acnt", "acc_count(temperature)"),
+    ("aavg", "acc_avg(temperature)"),
+]
+
+# gate axis: ungated, always-boolean gate, and a gate that is NULL on
+# NULL temperature (three-valued logic: NULL gate must behave as false
+# on every path)
+GATES = {"nogate": "", "strgate": "WHEN status = 'ok'",
+         "nullgate": "WHEN temperature > 10"}
+PARTS = {"part": "PARTITION BY deviceId", "nopart": ""}
+
+
+def _mk_sql(gate: str, part: str) -> str:
+    over = " ".join(x for x in (part, gate) if x)
+    over = f" OVER ({over})" if over else ""
+    cols = ", ".join(f"{expr}{over} AS {alias}"
+                     for alias, expr in ANALYTIC_GRID)
+    return (f"SELECT deviceId, ts, {cols} FROM stream "
+            "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+
+
+def _mk_rows(seed: int, n: int = 36):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append({
+            "deviceId": rng.choice(["d1", "d2", "d3"]),
+            # nulls are the whole point: ignoreNull × gate × default
+            "temperature": None if rng.random() < 0.25
+            else float(rng.choice([5, 12, 12, 18, 25])),
+            "humidity": 0.0,
+            "ts": 1000 * (i + 1),
+            "status": rng.choice(["ok", "ok", "warn", "err"]),
+        })
+    return rows, rng
+
+
+def _norm(r: dict) -> dict:
+    return {k: (round(v, 6) if isinstance(v, float) else v)
+            for k, v in r.items()}
+
+
+def _keyed(rows):
+    return {(r["deviceId"], r["ts"]): _norm(r) for r in rows}
+
+
+def _run_batch(spark, sql, rows):
+    s = StreamSQL(spark)
+    s.execute(sql)
+    df = spark.createDataFrame(rows, schema=EVT)
+    return [r.asDict() for r in s.query(df).collect()]
+
+
+def _run_stream(spark, sql, rows, rng):
+    batches, i = [], 0
+    while i < len(rows):
+        k = rng.randint(1, 7)
+        batches.append(rows[i:i + k])
+        i += k
+    s = StreamSQL(spark)
+    s.execute(sql)
+    return run_streaming_collect(spark, s, batches, EVT, tables=s._tables)
+
+
+def _run_pyeval(spark, sql, rows):
+    s = StreamSQL(spark)
+    s.execute(sql)
+    out = [s.emit_sync(dict(r)) for r in rows]
+    # the in-process path must have ENGAGED (a silent permanent
+    # fallback to the Spark route would make this test vacuous)
+    assert getattr(s, "_an_py", None) is not None, \
+        "pyeval analytic path fell back — grid no longer covered"
+    return [o for o in out if o is not None]
+
+
+@pytest.mark.parametrize("gate", sorted(GATES))
+@pytest.mark.parametrize("part", sorted(PARTS))
+def test_analytic_grid_three_path_parity(spark, gate, part):
+    sql = _mk_sql(GATES[gate], PARTS[part])
+    seed = hash((gate, part)) % 1000
+    rows, rng = _mk_rows(seed)
+
+    got_batch = _keyed(_run_batch(spark, sql, rows))
+    got_py = _keyed(_run_pyeval(spark, sql, rows))
+    assert got_py == got_batch, f"pyeval vs batch diverged ({gate},{part})"
+
+    got_stream = _keyed(_run_stream(spark, sql, rows, rng))
+    assert got_stream == got_batch, \
+        f"stream vs batch diverged ({gate},{part})"
+
+
+def test_gated_lag_ignorenull_false_stores_null(spark):
+    """The r6 defect, pinned directly: ``lag(x, 1, d, false) OVER
+    (WHEN gate)`` must STORE a NULL x arriving under a true gate
+    (lagState stores unconditionally when ignoreNull=false) — the next
+    read returns NULL, not the skipped-over older value, and not the
+    default (default covers MISSING history only)."""
+    sql = ("SELECT deviceId, ts, "
+           "lag(temperature, 1, -1.0, false) OVER (WHEN status = 'ok') "
+           "AS prev FROM stream WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [
+        {"deviceId": "d1", "temperature": 10.0, "humidity": 0.0,
+         "ts": 1000, "status": "ok"},    # stores 10.0; reads default
+        {"deviceId": "d1", "temperature": None, "humidity": 0.0,
+         "ts": 2000, "status": "ok"},    # stores NULL; reads 10.0
+        {"deviceId": "d1", "temperature": 30.0, "humidity": 0.0,
+         "ts": 3000, "status": "ok"},    # reads the STORED NULL
+        {"deviceId": "d1", "temperature": 40.0, "humidity": 0.0,
+         "ts": 4000, "status": "err"},   # gated out: reads last = 30.0
+        {"deviceId": "d1", "temperature": 50.0, "humidity": 0.0,
+         "ts": 5000, "status": "ok"},    # reads 30.0 (40 never stored)
+    ]
+    want = {1000: -1.0, 2000: 10.0, 3000: None, 4000: 30.0, 5000: 30.0}
+    got = {r["ts"]: r["prev"] for r in _run_batch(spark, sql, rows)}
+    assert got == want
+    s = StreamSQL(spark)
+    s.execute(sql)
+    got_py = {o["ts"]: o["prev"] for o in map(s.emit_sync, rows) if o}
+    assert got_py == want
+
+
+def test_gated_lag_offset2_matches_kernel(spark):
+    """Gated lag with offset > 1 (newly supported in batch, r7): the
+    count-frame construction must match the kernel's buf[-n] read."""
+    sql = ("SELECT ts, lag(temperature, 2, -1.0) OVER (WHEN status='ok')"
+           " AS p2 FROM stream WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    temps = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    stats = ["ok", "err", "ok", "ok", "err", "ok"]
+    rows = [{"deviceId": "d", "temperature": t, "humidity": 0.0,
+             "ts": 1000 * (i + 1), "status": st}
+            for i, (t, st) in enumerate(zip(temps, stats))]
+    # stored sequence: 10 (ts1), 30 (ts3), 40 (ts4), 60 (ts6)
+    want = {1000: -1.0, 2000: -1.0, 3000: -1.0,
+            4000: 10.0, 5000: 30.0, 6000: 30.0}
+    got = {r["ts"]: r["p2"] for r in _run_batch(spark, sql, rows)}
+    assert got == want
+    s = StreamSQL(spark)
+    s.execute(sql)
+    got_py = {o["ts"]: o["p2"] for o in map(s.emit_sync, rows) if o}
+    assert got_py == want
+
+
+def test_cdc_state_duration_idiom_three_paths(spark):
+    """The lifted OVER (WHEN had_changed(...)) CDC idiom — an analytic
+    call INSIDE the gate — must agree across batch / stream / pyeval."""
+    sql = ("SELECT deviceId, ts, "
+           "ts - lag(ts, 1, ts, true) OVER (WHEN had_changed(true, status)) "
+           "AS dur FROM stream WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows, rng = _mk_rows(seed=7, n=30)
+    got_batch = _keyed(_run_batch(spark, sql, rows))
+    got_py = _keyed(_run_pyeval(spark, sql, rows))
+    assert got_py == got_batch
+    got_stream = _keyed(_run_stream(spark, sql, rows, rng))
+    assert got_stream == got_batch
