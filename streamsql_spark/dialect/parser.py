@@ -23,6 +23,14 @@ _WINDOW_FUNCS = {
     "SESSIONWINDOW": "session",
 }
 
+
+def _is_duration(text: str) -> bool:
+    """Window-param duration check, mirroring the reference's
+    convertToDuration (rsql/ast.go:1339): bare numbers are seconds,
+    otherwise a unit-suffixed duration literal."""
+    import re
+    return bool(re.fullmatch(r"\d+(ms|us|s|m|h|d)?", text.strip()))
+
 _CLAUSE_KWS = {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "WITH",
     "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "UNION",
@@ -150,8 +158,17 @@ class Parser:
                 if self.accept_kw("AS"):
                     stmt.source_alias = self.parse_identifier()
                 elif self.peek().kind in (IDENT, QIDENT) and not self.at_clause_boundary() \
-                        and not self.peek().is_kw("MATCH_RECOGNIZE"):
+                        and not self.peek().is_kw("MATCH_RECOGNIZE") \
+                        and not self._at_window_func():
                     stmt.source_alias = self.parse_identifier()
+                # postfix window: the window function may follow the
+                # source directly, no GROUP BY — reference lexes the
+                # window names as dedicated tokens and parseGroupBy
+                # accepts them bare (rsql/parser.go:978, lexer.go:391;
+                # parser_test.go "SELECT COUNT(*) FROM events
+                # TUMBLINGWINDOW(5, 'mi')" expectError:false)
+                if self._at_window_func():
+                    stmt.window = self.parse_window_func(self.peek().upper)
             self.parse_joins(stmt)
             # MATCH_RECOGNIZE may follow stream-table JOINs — the CEP
             # engine sees enriched rows (rsql/parser.go:188-196,
@@ -283,6 +300,11 @@ class Parser:
                 continue
             break
 
+    def _at_window_func(self) -> bool:
+        t = self.peek()
+        return (t.kind == IDENT and t.upper in _WINDOW_FUNCS
+                and self.peek(1).kind == OP and self.peek(1).text == "(")
+
     def parse_window_func(self, upper_name: str) -> N.WindowSpec:
         kind = _WINDOW_FUNCS[upper_name]
         self.next()  # name
@@ -297,8 +319,16 @@ class Parser:
             params.append(t)
         spec = N.WindowSpec(kind=kind)
         if kind == "tumbling":
-            if len(params) != 1:
+            # the reference accepts extra params but validates EVERY one
+            # as a positive duration (rsql/ast.go:1383-1396, numeric =
+            # seconds per convertToDuration ast.go:1339) — mirror the
+            # same Execute-time error family for invalid units
+            if len(params) < 1:
                 raise ParseError("TumblingWindow expects 1 parameter, e.g. TumblingWindow('5s')")
+            for p in params:
+                if not _is_duration(p.text):
+                    raise ParseError(
+                        f"invalid duration parameter: {p.text!r}")
             spec.size = params[0].text
         elif kind == "sliding":
             if len(params) != 2:

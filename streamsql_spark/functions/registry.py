@@ -497,6 +497,17 @@ _ARRIVAL_LIST = ("transform(array_sort(collect_list("
                  "struct(`__arrival_order__` AS o, {0} AS v))), s -> s.v)")
 _ARRIVAL_LIST_STR = _ARRIVAL_LIST.replace("{0} AS v", "CAST({0} AS STRING) AS v")
 
+
+def _render_deduplicate(args: list[str], ast: list[N.Expr]) -> str:
+    """Reference arity is (1, unbounded): NewBaseFunction("deduplicate",
+    ..., 1, -1) validates extra args, but the incremental aggregator's
+    Add() consumes only the per-row first value
+    (functions_aggregation.go:1556,1578) — extras are accepted and
+    ignored, e.g. the docs' deduplicate(temperature, true)."""
+    if not args:
+        raise ValueError("wrong argument count: expected at least 1, got 0")
+    return f"array_distinct({_ARRIVAL_LIST.format(args[0])})"
+
 AGG_RENDERERS: dict[str, Renderer] = {
     "sum": _simple("sum({0})"),
     "avg": _simple("avg({0})"),
@@ -519,7 +530,7 @@ AGG_RENDERERS: dict[str, Renderer] = {
     "first_value": _simple("min_by({0}, `__arrival_order__`)"),
     "last_value": _simple("max_by({0}, `__arrival_order__`)"),
     "merge_agg": _simple(f"concat_ws(',', {_ARRIVAL_LIST_STR})"),
-    "deduplicate": _simple(f"array_distinct({_ARRIVAL_LIST})"),
+    "deduplicate": _render_deduplicate,
     "nth_value": _simple(f"try_element_at({_ARRIVAL_LIST}, {{1}})"),
     # Spark-native extras (beyond the reference — free on Catalyst).
     # min_by/max_by give deterministic first/last-by-event-time.

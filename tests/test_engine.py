@@ -2691,3 +2691,39 @@ def test_emit_overflow_block_capacity_atomic(spark):
     for t in ts:
         t.join()
     assert len(done) == 2 and len(s._buffer) == 2
+
+
+# ------------------------------------ r7 grammar conformance additions
+def test_postfix_window_after_from(spark):
+    """Window function directly after the FROM source, no GROUP BY —
+    reference grammar (rsql/parser.go:978 parseGroupBy window tokens,
+    parser_test.go SelectWithTumblingWindow expectError:false).
+    Numeric params are seconds (rsql/ast.go:1339 convertToDuration)."""
+    sql = ("SELECT count(*) AS n FROM stream TumblingWindow(10) "
+           "WITH (TIMESTAMP='ts')")
+    rows = [{"ts": 1_000}, {"ts": 9_000}, {"ts": 11_000}]
+    out = run_query(spark, sql, rows)
+    assert sorted(r["n"] for r in out) == [1, 2]
+
+
+def test_postfix_window_invalid_duration_rejected(spark):
+    """'mi' is not a duration unit — the reference's ToDurationE fails
+    the same statement at Execute (rsql/ast.go:1345)."""
+    from streamsql_spark.dialect.parser import ParseError
+    s = StreamSQL(spark)
+    with pytest.raises((ParseError, ValueError)):
+        s.execute("SELECT COUNT(*) FROM events TUMBLINGWINDOW(5, 'mi')")
+
+
+def test_deduplicate_extra_args_ignored(spark):
+    """deduplicate arity is (1, unbounded) in the reference
+    (functions_aggregation.go:1556 NewBaseFunction ... 1, -1); the
+    aggregator's Add() consumes only the first per-row value, so
+    deduplicate(temperature, true) == deduplicate(temperature)
+    (docs/FUNCTIONS_USAGE_GUIDE.md usage)."""
+    sql = ("SELECT k, deduplicate(v, true) AS u FROM stream "
+           "GROUP BY k, TumblingWindow('1h') WITH (TIMESTAMP='ts')")
+    rows = [{"k": "a", "v": 1, "ts": 1000}, {"k": "a", "v": 2, "ts": 2000},
+            {"k": "a", "v": 1, "ts": 3000}]
+    out = run_query(spark, sql, rows)
+    assert out[0]["u"] == [1, 2]
