@@ -374,6 +374,13 @@ def _fn_bit(op: str, a, b=None):
 # Spark trims chars <= 0x20 off both ends before numeric/bool casts
 # (UTF8String.trimAll) — wider than Python's default strip()
 _ANSI_TRIM = "".join(map(chr, range(0x21)))
+
+# Go unicode.IsSpace charset for the dialect's trim() (functions_string.
+# go:141 strings.TrimSpace): Latin-1 whitespace + Unicode White_Space
+_GO_SPACE = (" \t\n\v\f\r" + chr(0x85) + chr(0xA0) + chr(0x1680)
+             + "".join(map(chr, range(0x2000, 0x200B)))
+             + chr(0x2028) + chr(0x2029) + chr(0x202F) + chr(0x205F)
+             + chr(0x3000))
 # re.ASCII is LOAD-BEARING: \d in unicode mode matches e.g. Arabic-
 # Indic digits, which Python's int()/float() ACCEPT but Spark's ANSI
 # cast rejects — without it the python path would return a value where
@@ -584,9 +591,11 @@ _FNS: dict[str, object] = {
     "upper": lambda v: None if v is None else _str_arg(v).upper(),
     "lower": lambda v: None if v is None else _str_arg(v).lower(),
     "length": lambda v: None if v is None else len(_str_arg(v)),
-    # Go TrimSpace's Latin-1 set — matches the rendered trim charset
+    # Go TrimSpace = full unicode.IsSpace (functions_string.go:141) —
+    # matches the rendered trim charset (registry.py), incl. the
+    # U+2000-series Unicode spaces (delta closed r7)
     "trim": lambda v: None if v is None
-    else _str_arg(v).strip(" \t\n\r\x0b\x0c\x85\xa0"),
+    else _str_arg(v).strip(_GO_SPACE),
     # Spark sqrt(-x) is NaN (Java Math.sqrt), not NULL
     "sqrt": lambda v: None if v is None
     else (math.sqrt(_finite(v)) if _finite(v) >= 0 else float("nan")),

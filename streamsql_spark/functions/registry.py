@@ -291,11 +291,12 @@ SCALAR_RENDERERS: dict[str, Renderer] = {
     "concat": _render_concat,
     # trim family strips WHITESPACE — Spark's bare trim strips spaces
     # only.  trim = Go strings.TrimSpace (functions_string.go:141-146):
-    # unicode.IsSpace's Latin-1 set (space \t \n \v \f \r U+0085
-    # U+00A0; exotic U+2000-series spaces are the one divergence).
+    # the FULL unicode.IsSpace set: Latin-1 whitespace plus the
+    # Unicode White_Space property (U+1680, U+2000-200A, U+2028/29,
+    # U+202F, U+205F, U+3000) - closes the README-noted delta (r7).
     # ltrim/rtrim use the reference's EXPLICIT 4-char predicate
     # (functions_string.go:527-560).
-    "trim": _simple("trim(BOTH ' \\t\\n\\r ' "
+    "trim": _simple("trim(BOTH ' \\t\\n\\r                 　' "
                     "FROM {0})"),
     "ltrim": _simple(r"trim(LEADING ' \t\n\r' FROM {0})"),
     "rtrim": _simple(r"trim(TRAILING ' \t\n\r' FROM {0})"),

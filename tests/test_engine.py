@@ -2031,7 +2031,11 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         s = rng.choice([None, "sensor", " se pad ", "keep", "", "Xy",
                         "12.5", " -7 ", "inf",
                         "sensor\n", "tudor", "se\n",
-                        "\t tab lead", "tail \r\n", "\n\nse mid\t"])
+                        "\t tab lead", "tail \r\n", "\n\nse mid\t",
+                        # r7: full unicode.IsSpace trim parity — trim()
+                        # strips these, ltrim/rtrim (4-char set) don't
+                        " em pad ", "　wide　",
+                        " nb ", " og x"])
         b = rng.choice([None, 2 ** 62, -(2 ** 62),
                         2 ** 62 + rng.randint(0, 1000)])
         return {"t": t, "h": h, "s": s, "b": b}
