@@ -17,6 +17,7 @@ aggregate surface:
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from ..dialect import nodes as N
 
@@ -43,9 +44,20 @@ def _concat_str(x):
     return str(x)
 
 
+def _round_half_up(x, n=0):
+    """Spark/reference rounding is HALF_UP (Go math.Round half-away,
+    functions_math.go:556; Spark Round), NOT Python's banker's round —
+    keep this in lockstep with pyeval._round_half_up."""
+    q = Decimal(1).scaleb(-int(n))
+    r = float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+    if isinstance(x, int) and not isinstance(x, bool):
+        return int(r)
+    return r
+
+
 _SCALARS = {
     "abs": _null_prop(abs),
-    "round": _null_prop(lambda x, n=0: round(x, int(n))),
+    "round": _null_prop(_round_half_up),
     "floor": _null_prop(math.floor),
     "ceil": _null_prop(math.ceil),
     "ceiling": _null_prop(math.ceil),

@@ -1163,3 +1163,143 @@ def test_measure_aggregate_over_unbound_symbol_is_empty(spark):
     assert len(out) == 1
     assert out[0]["nb"] == 0 and out[0]["sb"] is None
     assert out[0]["sa"] == 1.0
+
+
+# ---------------- r7: measures evaluator differential fuzz vs Spark
+def test_measures_differential_fuzz_vs_spark(spark):
+    """cep/eval.py is the one hand-rolled expression engine that is
+    neither Catalyst nor pyeval (both r6 MEASURES defects lived there).
+    Fuzz it: random MEASURES expressions over random matches, asserted
+    against the equivalent Spark SQL computed on the same matched rows
+    (ground truth bindings taken from an ALL ROWS PER MATCH run of the
+    identical pattern — this trusts the matcher, which batch/stream
+    parity tests cover, and isolates the MEASURE evaluator)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    def ordered(sym):
+        # bound rows of `sym` in arrival order, as an array of values
+        return ("filter(array_sort(collect_list(struct(ts AS t, "
+                "csym AS s, v AS v))), x -> x.s = '" + sym + "')")
+
+    def leaf(rng):
+        s = rng.choice(["A", "B"])
+        kind = rng.randrange(9)
+        if kind == 0:
+            return f"SUM({s}.v)", f"sum(CASE WHEN csym = '{s}' THEN v END)"
+        if kind == 1:
+            return f"AVG({s}.v)", f"avg(CASE WHEN csym = '{s}' THEN v END)"
+        if kind == 2:
+            return f"MIN({s}.v)", f"min(CASE WHEN csym = '{s}' THEN v END)"
+        if kind == 3:
+            return f"MAX({s}.v)", f"max(CASE WHEN csym = '{s}' THEN v END)"
+        if kind == 4:
+            return (f"COUNT({s}.v)",
+                    f"count(CASE WHEN csym = '{s}' THEN v END)")
+        if kind == 5:
+            return "COUNT(*)", "count(*)"
+        if kind == 6:
+            n = rng.randrange(2)
+            return (f"FIRST({s}.v, {n})",
+                    f"try_element_at(transform({ordered(s)}, x -> x.v), "
+                    f"{n + 1})")
+        if kind == 7:
+            n = rng.randrange(2)
+            return (f"LAST({s}.v, {n})",
+                    f"try_element_at(transform({ordered(s)}, x -> x.v), "
+                    f"-{n + 1})")
+        # bare X.v is LAST row bound to X (FINAL semantics)
+        return (f"{s}.v",
+                f"try_element_at(transform({ordered(s)}, x -> x.v), -1)")
+
+    def gen(rng, depth):
+        # numeric expressions only — concat/upper/length are composed
+        # at the TOP level below, so string values never flow into
+        # arithmetic (implicit string→number casts are engine-specific
+        # and not the evaluator surface under test)
+        if depth == 0 or rng.random() < 0.3:
+            return leaf(rng)
+        m1, o1 = gen(rng, depth - 1)
+        kind = rng.randrange(7)
+        if kind == 0:
+            return f"abs({m1})", f"abs({o1})"
+        if kind == 1:
+            return f"round({m1}, 1)", f"round({o1}, 1)"
+        if kind == 2:
+            return f"floor({m1})", f"floor({o1})"
+        if kind == 3:
+            return f"ceil({m1})", f"ceil({o1})"
+        if kind == 4:
+            m2, o2 = gen(rng, depth - 1)
+            return f"coalesce({m1}, {m2})", f"coalesce({o1}, {o2})"
+        m2, o2 = gen(rng, depth - 1)
+        op = rng.choice(["+", "-", "*"])
+        return f"({m1} {op} {m2})", f"({o1} {op} {o2})"
+
+    def gen_top(rng):
+        if rng.random() < 0.25:
+            # string layer: concat nil-skips with ToString-join;
+            # int-valued args only (float formatting is JVM-vs-Python
+            # repr noise, not semantics)
+            m1, o1 = gen(rng, 1)
+            m2, o2 = gen(rng, 1)
+            m = f"concat(floor({m1}), 'x', floor({m2}))"
+            o = (f"concat_ws('', CAST(floor({o1}) AS STRING), 'x', "
+                 f"CAST(floor({o2}) AS STRING))")
+            if rng.random() < 0.5:
+                return f"length({m})", f"length({o})"
+            return m, o
+        return gen(rng, 2)
+
+    rng = random.Random(20260815)
+    checked = 0
+    for trial in range(6):
+        rows = []
+        for i in range(28):
+            v = rng.choice([None, float(rng.randint(0, 100)),
+                            round(rng.uniform(0.0, 100.0), 2)])
+            rows.append({"ts": i + 1, "v": v})
+        base = """FROM stream MATCH_RECOGNIZE (
+            ORDER BY ts
+            MEASURES {meas}
+            {mode} PER MATCH
+            PATTERN (A B+)
+            WITHIN '1h'
+            DEFINE A AS v > 50, B AS v <= 50
+        )"""
+        # ground truth bindings
+        truth = run_cep(spark, "SELECT * " + base.format(
+            meas="CLASSIFIER() AS csym, MATCH_NUMBER() AS mn",
+            mode="ALL ROWS"), rows)
+        if not truth:
+            continue
+        exprs = [gen_top(rng) for _ in range(8)]
+        meas = ", ".join(["MATCH_NUMBER() AS mn"]
+                         + [f"{m} AS e{i}" for i, (m, _) in enumerate(exprs)])
+        got = run_cep(spark, "SELECT * " + base.format(
+            meas=meas, mode="ONE ROW"), rows, sort_by=["mn"])
+        tdf = spark.createDataFrame(
+            [(r["mn"], r["ts"], r["csym"],
+              None if r["v"] is None else float(r["v"]))
+             for r in truth], "mn long, ts long, csym string, v double")
+        want_rows = (tdf.groupBy("mn")
+                     .agg(*[F.expr(o).alias(f"e{i}")
+                            for i, (_, o) in enumerate(exprs)])
+                     .collect())
+        want = {r["mn"]: r.asDict() for r in want_rows}
+        assert len(got) == len(want)
+        for r in got:
+            w = want[r["mn"]]
+            for i, (m, o) in enumerate(exprs):
+                g, e = r[f"e{i}"], w[f"e{i}"]
+                if isinstance(g, float) or isinstance(e, float):
+                    ok = (g is None and e is None) or (
+                        g is not None and e is not None
+                        and abs(float(g) - float(e)) <= 1e-6
+                        * max(1.0, abs(float(e))))
+                else:
+                    ok = g == e
+                assert ok, (trial, m, o, g, e, r["mn"])
+                checked += 1
+    assert checked > 100  # the fuzz actually exercised expressions
