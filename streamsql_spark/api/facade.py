@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..dialect import nodes as N
 from ..dialect.parser import parse
-from ..dialect.planner import plan as make_plan
+from ..dialect.planner import PlanError, plan as make_plan
 from ..engine.batch import BatchExecutor
 from ..functions.registry import register_function as _register_function
 
@@ -134,13 +134,64 @@ class StreamSQL:
 
     # ------------------------------------------------------------ compile
     def execute(self, sql: str) -> "StreamSQL":
-        if self._plan is not None:
+        if self._plan is not None or self._stmt is not None:
             raise RuntimeError("Execute may be called once per StreamSQL instance")
         self._stmt = parse(sql)
         if getattr(self._stmt, "match", None) is not None:
             self._stmt.match.skip_anchor = self.cep_skip_anchor
+        # changed_cols(prefix, ignoreNull, "*"): the reference expands
+        # the star over the EVENT's fields at runtime
+        # (analytic_acc.go:195-205; test/e2e/analytic_parity_test.go:104
+        # runs it without any schema).  Spark needs a fixed column set,
+        # so the star binds to the declared schema now, or defers to
+        # first data (query()'s df.columns / the first emitted event)
+        self._star_pending = self._has_changed_cols_star(self._stmt)
+        if self._star_pending and self.schema is not None \
+                and hasattr(self.schema, "fields"):
+            self._bind_changed_cols_star(
+                [f.name for f in self.schema.fields])
+            return self
+        if self._star_pending:
+            if self._stmt.window is not None or self._stmt.group_by:
+                raise PlanError(
+                    'changed_cols(..., "*") with GROUP BY/windows needs '
+                    "a declared schema — list the columns explicitly")
+            return self  # plan binds at first data
         self._plan = make_plan(self._stmt)
         return self
+
+    @staticmethod
+    def _has_changed_cols_star(stmt) -> bool:
+        for f in getattr(stmt, "fields", []) or []:
+            e = f.expr
+            if isinstance(e, N.Func) and e.name.lower() == "changed_cols" \
+                    and any(isinstance(a, N.Lit) and a.value == "*"
+                            for a in e.args[2:]):
+                return True
+        return False
+
+    def _bind_changed_cols_star(self, columns) -> None:
+        """Expand every changed_cols star over ``columns`` and compile
+        the plan.  Column order = arrival order of the binding source
+        (schema field order / df.columns / first-event key order) —
+        deterministic per run, like the fixed-schema fan-out."""
+        for f in self._stmt.fields:
+            e = f.expr
+            if isinstance(e, N.Func) and e.name.lower() == "changed_cols":
+                expanded = []
+                for a in e.args[2:]:
+                    if isinstance(a, N.Lit) and a.value == "*":
+                        expanded.extend(N.Col(parts=(c,))
+                                        for c in columns)
+                    else:
+                        expanded.append(a)
+                e.args = list(e.args[:2]) + expanded
+        self._star_pending = False
+        self._plan = make_plan(self._stmt)
+
+    def _maybe_bind_star(self, columns) -> None:
+        if getattr(self, "_star_pending", False):
+            self._bind_changed_cols_star(list(columns))
 
     @property
     def plan(self):
@@ -149,6 +200,8 @@ class StreamSQL:
     def is_aggregation_query(self) -> bool:
         """IsAggregationQuery analog (streamsql.go) — True for
         window/aggregate mode, False for the direct path."""
+        if getattr(self, "_star_pending", False):
+            return False  # star defers only in direct mode
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
         return self._plan.mode == "window"
@@ -243,6 +296,7 @@ class StreamSQL:
         This is the scale path: one declarative Catalyst plan, no
         driver-side loops.
         """
+        self._maybe_bind_star(source_df.columns)
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
         all_tables = dict(self._tables)
@@ -259,6 +313,7 @@ class StreamSQL:
         ``writeStream`` or use :meth:`start_stream` for the full
         reference sink pipeline (ORDER BY/LIMIT per emission batch).
         """
+        self._maybe_bind_star(stream_df.columns)
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
         from ..streaming.executor import StreamingExecutor
@@ -272,6 +327,7 @@ class StreamSQL:
                      **kwargs):
         """readStream → plan → foreachBatch sink pipeline; returns the
         StreamingQuery (AddSink + Start analog, streamsql.go:406-424)."""
+        self._maybe_bind_star(stream_df.columns)
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
         from ..streaming.executor import StreamingExecutor
@@ -562,6 +618,8 @@ class StreamSQL:
         Returns the projected row, or None when filtered out.  Analytic
         state persists across calls via history replay.
         """
+        if row is not None and getattr(self, "_star_pending", False):
+            self._maybe_bind_star(list(row.keys()))
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
         if self._plan.mode != "direct":
@@ -1029,6 +1087,8 @@ class StreamSQL:
           direct/CEP execution at scale belongs on emit_sync (O(1)
           incremental state) or start_stream (Structured Streaming
           state store)."""
+        if self._buffer and getattr(self, "_star_pending", False):
+            self._maybe_bind_star(list(self._buffer[0].keys()))
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
         # swap UNDER the lock: a 'block'-strategy producer holding

@@ -215,10 +215,11 @@ WHITELIST = [
     # defined result; this repo refuses with a typed error instead of
     # guessing (README parity notes)
     ("star-with-groupby", _err(r"SELECT \* is not supported with GROUP")),
-    # changed_cols(prefix, ignoreNull, "*"): the reference expands the
-    # star per-event at runtime (test/e2e/analytic_parity_test.go:104);
-    # this repo needs a declared schema to fan out columns at plan time
-    # — documented delta, typed refusal with the fix in the message
+    # changed_cols(prefix, ignoreNull, "*"): supported through the
+    # StreamSQL facade (star binds to the declared schema or to first
+    # data — r7, test_engine.py::test_changed_cols_star_binds...);
+    # the BARE planner this sweep drives has no data to bind to, so it
+    # refuses with the typed message
     ("dynamic-star-schema", _err(r"needs a declared schema")),
     # expr-lang '#' placeholder lambdas (docs filter/map examples): the
     # rsql grammar itself rejects '#' (rsql/lexer_test.go negative

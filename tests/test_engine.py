@@ -2731,3 +2731,50 @@ def test_deduplicate_extra_args_ignored(spark):
             {"k": "a", "v": 1, "ts": 3000}]
     out = run_query(spark, sql, rows)
     assert out[0]["u"] == [1, 2]
+
+
+def test_changed_cols_star_binds_at_first_data(spark):
+    """changed_cols(prefix, ignoreNull, "*") without a declared schema:
+    the reference expands the star over the event's fields at runtime
+    (test/e2e/analytic_parity_test.go:104 E3, runs schema-less); here
+    the star binds to the first data seen — df.columns on the batch
+    path, the first event's keys on the sync path.  Fixed-schema
+    rendering: unchanged columns are NULL (vs absent in the reference's
+    dynamic map output)."""
+    demo = [{"ts": i + 1, "temperature": t, "humidity": h}
+            for i, (t, h) in enumerate(
+                [(23, 88), (23, 88), (23, 88), (25, 88),
+                 (25, 90), (25, 91), (25, 91), (25, 91)])]
+    want = [  # analytic_parity_test.go E3 (non-null cells)
+        {"c_ts": 1, "c_temperature": 23, "c_humidity": 88},
+        {"c_ts": 2}, {"c_ts": 3}, {"c_ts": 4, "c_temperature": 25},
+        {"c_ts": 5, "c_humidity": 90}, {"c_ts": 6, "c_humidity": 91},
+        {"c_ts": 7}, {"c_ts": 8},
+    ]
+
+    def nonnull(rows):
+        return [{k: v for k, v in r.items() if v is not None}
+                for r in rows]
+
+    sql = 'SELECT changed_cols("c_", false, "*") FROM stream'
+    # per-event sync path: star binds to the first event's keys
+    s = StreamSQL(spark)
+    s.execute(sql)
+    got_sync = [s.emit_sync(dict(r)) for r in demo]
+    assert nonnull(got_sync) == want
+    # batch path: star binds to df.columns
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    df = spark.createDataFrame(demo, "ts long, temperature long, humidity long")
+    got_batch = [r.asDict() for r in s2.query(df).collect()]
+    got_batch.sort(key=lambda r: (r["c_ts"] is None, r["c_ts"]))
+    # batch replay has no per-event order key beyond ts; compare sets
+    assert nonnull(got_batch) == want
+    # emit + trigger path: star binds to the first buffered row
+    s3 = StreamSQL(spark)
+    s3.execute(sql)
+    for r in demo:
+        s3.emit(dict(r))
+    got_trig = s3.trigger_window()
+    got_trig.sort(key=lambda r: (r.get("c_ts") is None, r.get("c_ts", 0)))
+    assert nonnull(got_trig) == want
