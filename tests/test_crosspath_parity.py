@@ -68,6 +68,12 @@ ANALYTIC_GRID = [
     ("amin", "acc_min(temperature)"),
     ("acnt", "acc_count(temperature)"),
     ("aavg", "acc_avg(temperature)"),
+    # start/reset condition axis (acc_x(expr, startCond, resetCond)):
+    # start latch arms on first true cond, reset zeroes WITHOUT
+    # accumulating and re-arms the latch (analytic_acc.go:8-122)
+    ("astart", "acc_sum(temperature, status = 'ok')"),
+    ("asr", "acc_sum(temperature, status = 'ok', status = 'err')"),
+    ("arst", "acc_count(temperature, true, status = 'err')"),
 ]
 
 # gate axis: ungated, always-boolean gate, and a gate that is NULL on
