@@ -146,11 +146,11 @@ class StreamSQL:
         # so the star binds to the declared schema now, or defers to
         # first data (query()'s df.columns / the first emitted event)
         self._star_pending = self._has_changed_cols_star(self._stmt)
-        if self._star_pending and self.schema is not None \
-                and hasattr(self.schema, "fields"):
-            self._bind_changed_cols_star(
-                [f.name for f in self.schema.fields])
-            return self
+        if self._star_pending:
+            cols = self._schema_columns()
+            if cols:
+                self._bind_changed_cols_star(cols)
+                return self
         if self._star_pending:
             if self._stmt.window is not None or self._stmt.group_by:
                 raise PlanError(
@@ -159,6 +159,22 @@ class StreamSQL:
             return self  # plan binds at first data
         self._plan = make_plan(self._stmt)
         return self
+
+    def _schema_columns(self) -> list | None:
+        """Column names from the declared schema — StructType OR the
+        DDL-string form createDataFrame also accepts."""
+        sch = self.schema
+        if sch is None:
+            return None
+        if hasattr(sch, "fields"):
+            return [f.name for f in sch.fields]
+        if isinstance(sch, str):
+            from pyspark.sql.types import StructType
+            try:
+                return [f.name for f in StructType.fromDDL(sch).fields]
+            except Exception:
+                return None
+        return None
 
     @staticmethod
     def _has_changed_cols_star(stmt) -> bool:
@@ -618,7 +634,9 @@ class StreamSQL:
         Returns the projected row, or None when filtered out.  Analytic
         state persists across calls via history replay.
         """
-        if row is not None and getattr(self, "_star_pending", False):
+        if getattr(self, "_star_pending", False):
+            if row is None:
+                raise ValueError("emit_sync expects a dict event, got None")
             self._maybe_bind_star(list(row.keys()))
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
@@ -1087,7 +1105,9 @@ class StreamSQL:
           direct/CEP execution at scale belongs on emit_sync (O(1)
           incremental state) or start_stream (Structured Streaming
           state store)."""
-        if self._buffer and getattr(self, "_star_pending", False):
+        if getattr(self, "_star_pending", False):
+            if not self._buffer:
+                return []  # nothing to bind the star to yet, nothing fired
             self._maybe_bind_star(list(self._buffer[0].keys()))
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")

@@ -35,12 +35,55 @@ def _null_prop(fn):
     return g
 
 
+def _java_double_str(x: float) -> str:
+    """Java Double.toString — the SELECT-path concat stringifies via
+    CAST(x AS STRING) (JVM-owned), so the measure evaluator must match
+    it exactly, not Python str(): Java switches to scientific notation
+    at |x| >= 1e7 and < 1e-3 (Python at 1e16/1e-5), writes 'E' with no
+    '+', and spells NaN/Infinity.  Python's repr supplies
+    shortest-roundtrip digits; only the layout differs.  Residual
+    delta (same class as pyeval._cast_string's Fallback note): JVM ≤18
+    legacy FloatingDecimal emits an extra digit on some ≥17-significant
+    -digit values and denormals ('4.9E-324' vs shortest '5.0E-324') —
+    JVM-version-specific digit generation, documented in README."""
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "Infinity" if x > 0 else "-Infinity"
+    sign = "-" if math.copysign(1.0, x) < 0 else ""
+    if x == 0:
+        return sign + "0.0"
+    s = repr(abs(x))
+    if "e" in s:
+        mant, e = s.split("e")
+        e = int(e)
+    else:
+        mant, e = s, 0
+    ip, _, fp = mant.partition(".")
+    digits = ip + fp
+    point = len(ip) + e  # value = 0.<digits> * 10**point
+    stripped = digits.lstrip("0")
+    point -= len(digits) - len(stripped)
+    digits = stripped.rstrip("0") or "0"
+    exp = point - 1  # floor(log10(|x|))
+    if -3 <= exp <= 6:  # Java decimal-notation window
+        if exp >= 0:
+            whole = digits.ljust(exp + 1, "0")
+            frac = digits[exp + 1:] or "0"
+            return f"{sign}{whole[:exp + 1]}.{frac}"
+        return sign + "0." + "0" * (-exp - 1) + digits
+    frac = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{frac}E{exp}"
+
+
 def _concat_str(x):
     """ToStringE for concat args (pyeval._cast_string in lockstep):
-    bools are 'true'/'false', ints bare; floats use Python str() —
-    matches JVM Double.toString for the common cases ('3.0')."""
+    bools are 'true'/'false', ints bare, floats via Java
+    Double.toString layout (the SELECT path CASTs on the JVM)."""
     if isinstance(x, bool):
         return "true" if x else "false"
+    if isinstance(x, float):
+        return _java_double_str(x)
     return str(x)
 
 
@@ -48,8 +91,14 @@ def _round_half_up(x, n=0):
     """Spark/reference rounding is HALF_UP (Go math.Round half-away,
     functions_math.go:556; Spark Round), NOT Python's banker's round —
     keep this in lockstep with pyeval._round_half_up."""
+    xf = float(x)
+    if math.isinf(xf) or math.isnan(xf):
+        # Spark round(Infinity) is Infinity, round(NaN) is NaN —
+        # Decimal.quantize would raise InvalidOperation and kill the
+        # whole Spark task
+        return xf
     q = Decimal(1).scaleb(-int(n))
-    r = float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+    r = float(Decimal(repr(xf)).quantize(q, rounding=ROUND_HALF_UP))
     if isinstance(x, int) and not isinstance(x, bool):
         return int(r)
     return r

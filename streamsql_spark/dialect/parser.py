@@ -26,10 +26,16 @@ _WINDOW_FUNCS = {
 
 def _is_duration(text: str) -> bool:
     """Window-param duration check, mirroring the reference's
-    convertToDuration (rsql/ast.go:1339): bare numbers are seconds,
-    otherwise a unit-suffixed duration literal."""
-    import re
-    return bool(re.fullmatch(r"\d+(ms|us|s|m|h|d)?", text.strip()))
+    convertToDuration + positivity validation (rsql/ast.go:1339,
+    1383-1396): bare numbers are seconds, otherwise a unit-suffixed
+    literal, and the value must be POSITIVE.  Delegates to the one
+    duration grammar the engine renders with, so parse-time acceptance
+    can't drift from execute-time rendering."""
+    from ..engine.batch import ExecError, duration_to_seconds
+    try:
+        return duration_to_seconds(text) > 0
+    except ExecError:
+        return False
 
 _CLAUSE_KWS = {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "WITH",
@@ -333,10 +339,17 @@ class Parser:
         elif kind == "sliding":
             if len(params) != 2:
                 raise ParseError("SlidingWindow expects (size, slide), e.g. SlidingWindow('30s','10s')")
+            for p in params:
+                if not _is_duration(p.text):
+                    raise ParseError(
+                        f"invalid duration parameter: {p.text!r}")
             spec.size, spec.slide = params[0].text, params[1].text
         elif kind == "session":
             if len(params) != 1:
                 raise ParseError("SessionWindow expects 1 parameter, e.g. SessionWindow('5m')")
+            if not _is_duration(params[0].text):
+                raise ParseError(
+                    f"invalid duration parameter: {params[0].text!r}")
             spec.gap = params[0].text
         elif kind == "counting":
             if len(params) != 1 or params[0].kind != NUMBER:

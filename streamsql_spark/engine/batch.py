@@ -187,6 +187,14 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
         return default
 
     if name == "lag":
+        if len(f.args) > 1 and not isinstance(f.args[1], N.Lit):
+            # the streaming/sync kernel evaluates a per-row offset
+            # expression (stateful.py ring cap grows to the max offset
+            # seen); the batch window construction needs a CONSTANT
+            # frame — refuse rather than silently coerce to 1
+            raise ExecError("lag offset must be a literal in batch mode"
+                            " — per-row offset expressions run on the "
+                            "streaming/sync paths")
         n_lit = lit_arg(1, 1)
         n = 1 if n_lit is None else int(n_lit)
         if n <= 0:

@@ -1303,3 +1303,28 @@ def test_measures_differential_fuzz_vs_spark(spark):
                 assert ok, (trial, m, o, g, e, r["mn"])
                 checked += 1
     assert checked > 100  # the fuzz actually exercised expressions
+
+
+def test_measures_round_infinity_and_concat_java_floats(spark):
+    """r7 review fixes: round(±Inf/NaN) passes through instead of
+    killing the task (Decimal.quantize raises on non-finite), and
+    concat stringifies floats with Java Double.toString layout —
+    scientific at |x| >= 1e7, matching the SELECT-path CAST."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        ORDER BY ts
+        MEASURES round(A.v) AS rv, concat(A.big, '|', A.tiny) AS c
+        ONE ROW PER MATCH
+        PATTERN (A)
+        WITHIN '1h'
+        DEFINE A AS ts > 0
+    )"""
+    rows = [{"ts": 1, "v": float("inf"), "big": 12345678.0,
+             "tiny": 0.0001}]
+    out = run_cep(spark, sql, rows)
+    assert out[0]["rv"] == float("inf")
+    assert out[0]["c"] == "1.2345678E7|1.0E-4"
+    # differential: the SELECT path must produce the same string
+    s = StreamSQL(spark)
+    s.execute("SELECT concat(big, '|', tiny) AS c FROM stream")
+    assert s.emit_sync({"ts": 1, "big": 12345678.0,
+                        "tiny": 0.0001})["c"] == "1.2345678E7|1.0E-4"

@@ -150,8 +150,12 @@ def _run_pyeval(spark, sql, rows):
 @pytest.mark.parametrize("gate", sorted(GATES))
 @pytest.mark.parametrize("part", sorted(PARTS))
 def test_analytic_grid_three_path_parity(spark, gate, part):
+    import zlib
+
     sql = _mk_sql(GATES[gate], PARTS[part])
-    seed = hash((gate, part)) % 1000
+    # crc32, not hash(): str hashing is salted per process, and an
+    # unreproducible differential failure can't be bisected
+    seed = zlib.crc32(f"{gate}|{part}".encode()) % 1000
     rows, rng = _mk_rows(seed)
 
     got_batch = _keyed(_run_batch(spark, sql, rows))

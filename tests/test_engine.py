@@ -2778,3 +2778,30 @@ def test_changed_cols_star_binds_at_first_data(spark):
     got_trig = s3.trigger_window()
     got_trig.sort(key=lambda r: (r.get("c_ts") is None, r.get("c_ts", 0)))
     assert nonnull(got_trig) == want
+
+
+def test_lag_nonliteral_offset_refused_in_batch(spark):
+    """A per-row lag offset expression runs on the streaming/sync
+    kernel (ring cap grows to the max offset seen); the batch window
+    construction needs a constant — typed refusal, never a silent
+    coerce-to-1 (r7 review fix)."""
+    from streamsql_spark.engine.batch import ExecError
+    s = StreamSQL(spark)
+    s.execute("SELECT lag(v, k) OVER (PARTITION BY d) AS p FROM stream")
+    df = spark.createDataFrame([{"d": "a", "v": 1.0, "k": 2, "ts": 1}])
+    with pytest.raises(ExecError, match="literal"):
+        s.query(df).collect()
+
+
+def test_changed_cols_star_with_ddl_string_schema(spark):
+    """A schema declared as a DDL string binds the star too (r7
+    review fix: createDataFrame accepts the string form, so the star
+    binding must)."""
+    s = StreamSQL(spark, schema="ts long, temperature long")
+    s.execute('SELECT changed_cols("c_", false, "*") FROM stream')
+    out = s.emit_sync({"ts": 1, "temperature": 20})
+    assert out == {"c_ts": 1, "c_temperature": 20}
+    # empty-buffer trigger with a deferred star: [] not RuntimeError
+    s2 = StreamSQL(spark)
+    s2.execute('SELECT changed_cols("c_", false, "*") FROM stream')
+    assert s2.trigger_window() == []
