@@ -488,8 +488,13 @@ def _render_percentile(args: list[str], ast: list[N.Expr]) -> str:
     # Exact-parity expression; at scale prefer approx_percentile (see
     # operators/scale notes) — this one buffers the group like the reference.
     p, col = args[0], args[1]
+    # greatest(idx, 1): an all-NULL group has count=0, making the raw
+    # index 0 — an ILLEGAL argument even for try_element_at
+    # (INVALID_INDEX_OF_ZERO kills the task); clamped to 1 the empty
+    # buffer reads NULL, matching the kernel's empty-values None
     return (f"try_element_at(array_sort(collect_list({col})), "
-            f"CAST(floor(({p}) * (count({col}) - 1)) AS INT) + 1)")
+            f"greatest(CAST(floor(({p}) * (count({col}) - 1)) AS INT)"
+            f" + 1, 1))")
 
 
 # arrival-ordered value buffer: collect (order, value) pairs, sort by

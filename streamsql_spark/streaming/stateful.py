@@ -96,6 +96,35 @@ def _clean(v):
     return v
 
 
+def _clean_int(v):
+    v = _clean(v)
+    return int(v) if isinstance(v, float) else v
+
+
+def _cleaners(df, cols) -> dict:
+    """Per-column cleaner map for kernel buffer ingestion: _clean, plus
+    integral-type restoration.  pandas coerces a nullable int64 column
+    chunk to float64 CHUNK-DEPENDENTLY (a chunk without NaN stays
+    int64), so the same long column buffers as 5 from one micro-batch
+    and 5.0 from another — repr-keyed ``deduplicate`` then splits them
+    and ``merge_agg`` stringifies '5.0' where the batch path's CAST
+    gives '5'.  Restoring the Spark type makes buffered values
+    micro-batch-split-invariant."""
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType)
+    out = {}
+    for c in cols:
+        is_int = False
+        try:
+            is_int = isinstance(
+                df.schema[c].dataType,
+                (ByteType, ShortType, IntegerType, LongType))
+        except Exception:
+            pass
+        out[c] = _clean_int if is_int else _clean
+    return out
+
+
 # --------------------------------------------------------------- agg prep
 
 def _agg_parts(spec) -> tuple[str, str | None, object]:
@@ -351,6 +380,7 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
     key_names = list(keys)
     carry_names = list(carries)
     ncarry = len(carry_names)
+    clean_by = _cleaners(df, carry_names + arg_cols)
 
     def kernel(key, pdf_iter, state):
         import pandas as pd
@@ -364,7 +394,7 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
         if len(pdf):
             vals = {c: pdf[c].tolist() for c in carry_names + arg_cols}
             for i in range(len(pdf)):
-                buf.append(tuple(_clean(vals[c][i])
+                buf.append(tuple(clean_by[c](vals[c][i])
                                  for c in carry_names + arg_cols))
                 if len(buf) >= n:
                     chunk = buf[:n]
@@ -480,6 +510,7 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
     arg_cols = [c for _, _, c, _ in agg_specs if c is not None]
     key_names = list(names)
     algebraic = all(kname in ALGEBRAIC_AGGS for _, kname, _, _ in agg_specs)
+    clean_by = _cleaners(df, arg_cols)
 
     def kernel(key, pdf_iter, state):
         from datetime import datetime, timezone
@@ -541,7 +572,8 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
                         acc_update(ent[1][k], v)
                 else:
                     ent = slots.setdefault(slot, [False, []])
-                    ent[1].append(tuple(_clean(vals[c][i]) for c in arg_cols))
+                    ent[1].append(tuple(clean_by[c](vals[c][i])
+                                        for c in arg_cols))
                 touched.add(slot)
         rows_out = []
 
@@ -645,6 +677,7 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     # holistic aggregates keep the buffer, like the reference's window
     # data (window/global_window.go:49-731)
     algebraic = all(kname in ALGEBRAIC_AGGS for _, kname, _, _ in agg_specs)
+    clean_by = _cleaners(df, arg_cols)
 
     def kernel(key, pdf_iter, state):
         import pandas as pd
@@ -679,7 +712,7 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                         v = _clean(vals[arg_col][i]) if arg_col else None
                         acc_update(accs[k], v)
                 else:
-                    buf.append(tuple(_clean(vals[c][i]) if c else None
+                    buf.append(tuple(clean_by[c](vals[c][i]) if c else None
                                      for c in arg_cols))
                 env = {}
                 for var, fname, argc in trig_cols:

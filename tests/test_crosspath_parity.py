@@ -230,3 +230,119 @@ def test_cdc_state_duration_idiom_three_paths(spark):
     assert got_py == got_batch
     got_stream = _keyed(_run_stream(spark, sql, rows, rng))
     assert got_stream == got_batch
+
+
+# ----------------------- windowed-aggregation batch/stream parity grid
+# The analytic grid above covers §2.6; this covers §2.4×§2.5 — every
+# aggregate family over every window kind, random null-bearing streams,
+# batch trigger vs streaming replay.  String-shaped aggregates
+# (merge_agg/collect/first/last/dedup) run over an INT column so float
+# formatting (JVM vs Python str) can't masquerade as a kernel bug.
+WINDOW_AGGS = [
+    ("n", "count(*)"), ("cv", "count(temperature)"),
+    ("s", "round(sum(temperature), 6)"),
+    ("a", "round(avg(temperature), 6)"),
+    ("lo", "min(temperature)"), ("hi", "max(temperature)"),
+    ("sd", "round(stddev(temperature), 6)"),
+    ("sds", "round(stddevs(temperature), 6)"),
+    ("md", "median(temperature)"),
+    ("pc", "percentile(0.5, temperature)"),
+    ("fv", "first_value(reading)"), ("lv", "last_value(reading)"),
+    ("cl", "collect(reading)"), ("dd", "deduplicate(reading)"),
+    ("mg", "merge_agg(reading)"),
+]
+
+WEVT = StructType(EVT.fields + [
+    StructField("reading", LongType()),
+])
+
+
+def _wagg_rows(seed: int, n: int = 40, pad_multiple: int | None = None):
+    rng = random.Random(seed)
+    rows, ts = [], 0
+    for _ in range(n):
+        ts += rng.randint(500, 3000)
+        rows.append({
+            "deviceId": rng.choice(["d1", "d2"]),
+            "temperature": None if rng.random() < 0.2
+            else round(rng.uniform(-5, 40), 2),
+            "humidity": 0.0,
+            "ts": ts,
+            "status": "ok",
+            "reading": None if rng.random() < 0.2 else rng.randint(0, 5),
+        })
+    if pad_multiple:
+        # counting windows only fire FULL windows in streaming, while
+        # the batch manual trigger drains partials — pad each key to a
+        # window-size multiple so the comparison is exact
+        from collections import Counter
+        counts = Counter(r["deviceId"] for r in rows)
+        for k, c in counts.items():
+            for _ in range((-c) % pad_multiple):
+                ts += rng.randint(500, 3000)
+                rows.append({"deviceId": k, "temperature": 1.0,
+                             "humidity": 0.0, "ts": ts, "status": "ok",
+                             "reading": 1})
+    return rows
+
+
+def _norm_wagg(r: dict):
+    out = []
+    for k in sorted(r):
+        v = r[k]
+        if isinstance(v, float):
+            v = round(v, 6)
+        elif isinstance(v, list):
+            v = tuple(round(x, 6) if isinstance(x, float) else x
+                      for x in v)
+        out.append((k, v))
+    return tuple(out)
+
+
+@pytest.mark.parametrize("wspec,pad", [
+    ("TumblingWindow('5s')", None),
+    ("SlidingWindow('10s', '5s')", None),
+    ("SessionWindow('3s')", None),
+    ("CountingWindow(4)", 4),
+])
+def test_window_agg_stream_batch_parity_random(spark, wspec, pad):
+    import zlib
+    from collections import Counter
+
+    seed = zlib.crc32(wspec.encode()) % 1000
+    rows = _wagg_rows(seed, pad_multiple=pad)
+    cols = ", ".join(f"{expr} AS {alias}" for alias, expr in WINDOW_AGGS)
+    sql = (f"SELECT deviceId, {cols} FROM stream "
+           f"GROUP BY deviceId, {wspec} "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+
+    # batch: manual trigger drains every window
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in rows:
+        s.emit(dict(r))
+    batch_out = Counter(_norm_wagg(r) for r in s.trigger_window())
+
+    # streaming replay over random micro-batch splits; a far-future
+    # flush row advances the watermark so every real window closes
+    # (its own key is filtered back out) — counting windows need no
+    # flush, the pad made every window full
+    rng = random.Random(seed + 1)
+    stream_rows = list(rows)
+    if pad is None:
+        stream_rows.append({"deviceId": "__flush__", "temperature": 1.0,
+                            "humidity": 0.0,
+                            "ts": rows[-1]["ts"] + 10_000_000,
+                            "status": "ok", "reading": 1})
+    batches, i = [], 0
+    while i < len(stream_rows):
+        k = rng.randint(1, 9)
+        batches.append(stream_rows[i:i + k])
+        i += k
+    got = run_streaming_collect(
+        spark, StreamSQL(spark).execute(sql), batches, WEVT, tables={})
+    stream_out = Counter(_norm_wagg(r) for r in got
+                         if dict(r).get("deviceId") != "__flush__")
+    assert stream_out == batch_out, (
+        f"{wspec}: batch-only={batch_out - stream_out} "
+        f"stream-only={stream_out - batch_out}")
