@@ -346,3 +346,79 @@ def test_window_agg_stream_batch_parity_random(spark, wspec, pad):
     assert stream_out == batch_out, (
         f"{wspec}: batch-only={batch_out - stream_out} "
         f"stream-only={stream_out - batch_out}")
+
+
+# ------------------------------------------ CEP batch/stream parity fuzz
+CEP_PATTERNS = [
+    ("A B+", "A AS temperature > 20, B AS temperature <= 20"),
+    ("A{2}", "A AS temperature > 10"),
+    ("A B", "A AS temperature > 25, B AS temperature < 15"),
+    ("(A | B) C", "A AS temperature > 30, B AS temperature < 5, "
+                  "C AS temperature >= 5 AND temperature <= 30"),
+]
+
+
+@pytest.mark.parametrize("pat_idx", range(len(CEP_PATTERNS)))
+def test_cep_stream_batch_parity_random(spark, pat_idx):
+    """Random event streams through the SAME pattern on the batch
+    trigger (full-replay flush) and the incremental streaming matcher
+    (random micro-batch splits + per-key define-failing closer rows to
+    resolve pending matches) — the match sets must be identical.
+    Completes the cross-path matrix: analytics and window aggregates
+    have grids above; this is the CEP engine's."""
+    import zlib
+    from collections import Counter
+
+    pattern, defines = CEP_PATTERNS[pat_idx]
+    sql = f"""SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS n,
+                 FIRST(A.temperature) AS fa, LAST(A.temperature) AS la,
+                 round(SUM(A.temperature), 6) AS sa
+        ONE ROW PER MATCH
+        PATTERN ({pattern})
+        WITHIN '1h'
+        DEFINE {defines}
+    ) WITH (TIMESTAMP='ts', TIMEUNIT='ms')"""
+
+    seed = zlib.crc32(pattern.encode()) % 1000
+    rng = random.Random(seed)
+    rows = []
+    for i in range(40):
+        rows.append({
+            "deviceId": rng.choice(["d1", "d2"]),
+            "temperature": None if rng.random() < 0.15
+            else round(rng.uniform(-10, 40), 2),
+            "humidity": 0.0, "ts": 1000 * (i + 1), "status": "ok",
+        })
+    # closer rows: NULL fails every DEFINE (UNKNOWN → no classify) in
+    # both engines, and a non-classifiable row breaks contiguous
+    # extension — resolving pending matches without joining any
+    closers = [{"deviceId": k, "temperature": None, "humidity": 0.0,
+                "ts": 1000 * (50 + j), "status": "ok"}
+               for j, k in enumerate(["d1", "d2"])]
+
+    def norm(out):
+        return Counter(
+            tuple((k, round(v, 6) if isinstance(v, float) else v)
+                  for k, v in sorted(r.items())) for r in out)
+
+    # batch flush over rows + the same closers, so the two paths see
+    # the same event sequence (the closers match nothing themselves)
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in rows + closers:
+        s.emit(dict(r))
+    batch_out = norm(s.trigger_window())
+
+    batches, i = [], 0
+    stream_rows = rows + closers
+    while i < len(stream_rows):
+        k = rng.randint(1, 6)
+        batches.append(stream_rows[i:i + k])
+        i += k
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    got = run_streaming_collect(spark, s2, batches, EVT, tables={})
+    assert norm(got) == batch_out, f"pattern ({pattern}) diverged"
