@@ -377,3 +377,21 @@ def test_topk_rank_pushes_partial_window_group_limit(spark):
     emb = load_tables(spark, SF_DIR)["embeddings"]
     p = _plan_of(cosine_topk(emb, emb.where("vec_id < 3"), k=5))
     assert p.count("WindowGroupLimit") >= 2, p
+
+
+def test_gated_lag_offset2_linear_plan(spark):
+    """The r7 gated-lag generalization (any offset via count-materialized
+    RANGE frames) must stay LINEAR: one hash exchange on the partition
+    key, window ops only — never a per-row collect_list history (the
+    O(rows**2) shape the construction replaced)."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    s = StreamSQL(spark)
+    s.execute("SELECT ts, lag(v, 2, -1.0, false) "
+              "OVER (PARTITION BY d WHEN v > 0) AS p2 FROM stream")
+    df_in = spark.createDataFrame([("a", 1.0, 1)],
+                                  "d string, v double, ts long")
+    plan = s.query(df_in)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "collect_list" not in plan
+    assert "RangeFrame" in plan  # the count-frame lookup construction
