@@ -537,7 +537,13 @@ AGG_RENDERERS: dict[str, Renderer] = {
     "last_value": _simple("max_by({0}, `__arrival_order__`)"),
     "merge_agg": _simple(f"concat_ws(',', {_ARRIVAL_LIST_STR})"),
     "deduplicate": _render_deduplicate,
-    "nth_value": _simple(f"try_element_at({_ARRIVAL_LIST}, {{1}})"),
+    # n < 1 reads NULL like the kernel's 0 < n guard (aggutil.py) —
+    # try_element_at still raises INVALID_INDEX_OF_ZERO on index 0,
+    # and a negative index would read from the END where the kernel
+    # reads nothing
+    "nth_value": _simple("if(({1}) >= 1, "
+                         f"try_element_at({_ARRIVAL_LIST}, "
+                         "CAST(({1}) AS INT)), NULL)"),
     # Spark-native extras (beyond the reference — free on Catalyst).
     # min_by/max_by give deterministic first/last-by-event-time.
     "approx_count_distinct": _simple("approx_count_distinct({0})"),

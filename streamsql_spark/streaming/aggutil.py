@@ -61,7 +61,9 @@ def py_aggregate(name: str, values: list, extra=None):
     if name == "last_value":
         return values[-1] if values else None
     if name == "nth_value":
-        n = int(extra or 1)
+        # `extra or 1` would coerce an EXPLICIT n=0 to 1 — n=0 must
+        # read None, matching the batch rendering's >= 1 guard
+        n = int(extra) if extra is not None else 1
         return values[n - 1] if 0 < n <= len(values) else None
 
     nums = _nums(values)
@@ -98,10 +100,15 @@ def py_aggregate(name: str, values: list, extra=None):
         return float(s[mid]) if n % 2 else (s[mid - 1] + s[mid]) / 2.0
     if name == "percentile":
         # floor(p*(n-1)) lower-value semantics
-        # (functions_aggregation.go:518-555)
+        # (functions_aggregation.go:518-555).  Out-of-range p mirrors
+        # the batch rendering exactly (greatest(idx+1, 1) +
+        # try_element_at): p < 0 clamps to the first element, p > 1
+        # reads past the buffer -> None — never a Python negative-index
+        # wraparound or an IndexError out of the streaming task
         p = float(extra if extra is not None else 0.5)
         s = sorted(nums)
-        return float(s[int(math.floor(p * (len(s) - 1)))])
+        idx = max(int(math.floor(p * (len(s) - 1))), 0)
+        return float(s[idx]) if idx < len(s) else None
     raise ValueError(f"unsupported streaming aggregate: {name}")
 
 

@@ -114,13 +114,11 @@ def _cleaners(df, cols) -> dict:
                                    ShortType)
     out = {}
     for c in cols:
-        is_int = False
-        try:
-            is_int = isinstance(
-                df.schema[c].dataType,
-                (ByteType, ShortType, IntegerType, LongType))
-        except Exception:
-            pass
+        # no defensive except: every caller passes columns present in
+        # its (pruned) df — a missing name is a plan-build bug that
+        # must fail HERE, not silently get the wrong cleaner
+        is_int = isinstance(df.schema[c].dataType,
+                            (ByteType, ShortType, IntegerType, LongType))
         out[c] = _clean_int if is_int else _clean
     return out
 
@@ -1114,6 +1112,13 @@ def cep_stream(spark, plan, df: DataFrame):
 
     from ..cep.engine import Matcher
 
+    # typed cleaners: the buffered row dicts feed DEFINE/MEASURES
+    # evaluation, so an int column must not arrive as 5 from one
+    # micro-batch and 5.0 from another (pandas null-coercion is
+    # chunk-dependent) — same split-invariance fix as the window
+    # kernels' buffer ingestion
+    cep_clean_by = _cleaners(df, list(df.columns))
+
     def kernel(key, pdf_iter, state):
         import pandas as pd
 
@@ -1126,7 +1131,8 @@ def cep_stream(spark, plan, df: DataFrame):
         if len(pdf):
             n_pending = len(rows)
             for r in pdf.to_dict("records"):
-                rows.append({k: _clean(v) for k, v in r.items()})
+                rows.append({k: cep_clean_by.get(k, _clean)(v)
+                             for k, v in r.items()})
             # cross-batch ORDER BY: a late row (MAXOUTOFORDERNESS
             # source) must interleave into the PENDING tail by the FULL
             # ORDER BY key (ts plus secondary tie-breakers — sorting by

@@ -250,6 +250,10 @@ WINDOW_AGGS = [
     ("fv", "first_value(reading)"), ("lv", "last_value(reading)"),
     ("cl", "collect(reading)"), ("dd", "deduplicate(reading)"),
     ("mg", "merge_agg(reading)"),
+    # out-of-range argument edges (r7 review): n=0 / p>1 read NULL on
+    # BOTH paths, never INVALID_INDEX_OF_ZERO / IndexError
+    ("nth0", "nth_value(reading, 0)"), ("nth2", "nth_value(reading, 2)"),
+    ("pchi", "percentile(1.5, temperature)"),
 ]
 
 WEVT = StructType(EVT.fields + [
