@@ -1109,6 +1109,15 @@ def cep_stream(spark, plan, df: DataFrame):
     measure_names = parts["measure_names"]
     order_cols = parts["order_cols"]
     all_rows_mode = spec.rows_per_match == "all"
+    # declared MAXOUTOFORDERNESS: hold a reorder horizon before the
+    # matcher consumes — a row within the bound may still be displaced
+    # into the held region by a later micro-batch, so consuming past
+    # it would lose the late row (the window kernels hold the same
+    # watermark; without the option, moo=0 keeps the eager
+    # pending-tail-reorder behavior unchanged)
+    from ..engine.batch import duration_to_seconds as _d2s
+    _opts = {k.upper(): v for k, v in plan.options.items()}
+    moo_s = _d2s(str(_opts["MAXOUTOFORDERNESS"]))         if "MAXOUTOFORDERNESS" in _opts else 0.0
 
     from ..cep.engine import Matcher
 
@@ -1167,9 +1176,30 @@ def cep_stream(spark, plan, df: DataFrame):
             ts_vals = [r[ts_col].timestamp() if r[ts_col] is not None else None
                        for r in rows]
             w = within
+            moo = moo_s
         else:
             ts_vals = [r.get(ts_col) for r in rows]
             w = within * 1000 if within is not None else None
+            moo = moo_s * 1000  # numeric event time: ms (ref default)
+
+        held = []
+        if moo:
+            # monotone per-key watermark over ALL rows ever seen
+            wm = st.get("wm")
+            batch_max = max((t for t in ts_vals if t is not None),
+                            default=None)
+            if batch_max is not None:
+                wm = batch_max if wm is None else max(wm, batch_max)
+            if wm is not None:
+                horizon = wm - moo
+                k = len(rows)
+                for i, t in enumerate(ts_vals):
+                    if t is not None and t > horizon:
+                        k = i
+                        break
+                held, rows, ts_vals = rows[k:], rows[:k], ts_vals[:k]
+        else:
+            wm = None
 
         matcher = Matcher(spec, rows, ts_vals, w)
         matcher.match_number = mn
@@ -1181,7 +1211,9 @@ def cep_stream(spark, plan, df: DataFrame):
                 if not all_rows_mode:
                     m = {**dict(zip(part_names, key)), **m}
                 outs.append(m)
-        st = {"rows": rows[consumed:], "mn": mn}
+        st = {"rows": rows[consumed:] + held, "mn": mn}
+        if wm is not None:
+            st["wm"] = wm
         _save_state(state, st, ttl_ms)
         if outs:
             yield pd.DataFrame(outs, columns=[f.name for f in out_schema.fields])

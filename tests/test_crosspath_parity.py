@@ -426,3 +426,75 @@ def test_cep_stream_batch_parity_random(spark, pat_idx):
     s2.execute(sql)
     got = run_streaming_collect(spark, s2, batches, EVT, tables={})
     assert norm(got) == batch_out, f"pattern ({pattern}) diverged"
+
+
+@pytest.mark.parametrize("pat_idx", [0, 3])
+def test_cep_stream_batch_parity_out_of_order(spark, pat_idx):
+    """Same CEP parity contract with BOUNDED out-of-order delivery:
+    rows are displaced up to 3 positions (3s) and the query declares
+    MAXOUTOFORDERNESS='5s', so the streaming reorder buffer must
+    restore event-time order exactly — the match multiset equals the
+    batch full-replay's (whose executor sorts by ORDER BY ts)."""
+    import zlib
+    from collections import Counter
+
+    pattern, defines = CEP_PATTERNS[pat_idx]
+    sql = f"""SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS n,
+                 FIRST(A.temperature) AS fa,
+                 round(SUM(A.temperature), 6) AS sa
+        ONE ROW PER MATCH
+        PATTERN ({pattern})
+        WITHIN '1h'
+        DEFINE {defines}
+    ) WITH (TIMESTAMP='ts', TIMEUNIT='ms', MAXOUTOFORDERNESS='5s')"""
+
+    seed = zlib.crc32(f"ooo|{pattern}".encode()) % 1000
+    rng = random.Random(seed)
+    rows = []
+    for i in range(36):
+        rows.append({
+            "deviceId": rng.choice(["d1", "d2"]),
+            "temperature": None if rng.random() < 0.15
+            else round(rng.uniform(-10, 40), 2),
+            "humidity": 0.0, "ts": 1000 * (i + 1), "status": "ok",
+        })
+    # two closer waves: the first (NULL, fails every DEFINE) breaks
+    # pending matches; the second only PUSHES the per-key watermark
+    # past the first, which is otherwise held inside the declared
+    # MAXOUTOFORDERNESS horizon — standard watermark semantics: a held
+    # tail resolves only when newer data arrives
+    closers = [{"deviceId": k, "temperature": None, "humidity": 0.0,
+                "ts": ts0 * 1000 + j, "status": "ok"}
+               for ts0 in (60, 100) for j, k in enumerate(["d1", "d2"])]
+    # bounded shuffle: random adjacent-ish swaps, displacement <= 3
+    shuffled = list(rows)
+    for _ in range(25):
+        i = rng.randrange(len(shuffled) - 1)
+        j = min(i + rng.randint(1, 3), len(shuffled) - 1)
+        if abs(shuffled[i]["ts"] - shuffled[j]["ts"]) <= 3000:
+            shuffled[i], shuffled[j] = shuffled[j], shuffled[i]
+    delivery = shuffled + closers
+
+    def norm(out):
+        return Counter(
+            tuple((k, round(v, 6) if isinstance(v, float) else v)
+                  for k, v in sorted(r.items())) for r in out)
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in delivery:
+        s.emit(dict(r))
+    batch_out = norm(s.trigger_window())
+
+    batches, i = [], 0
+    while i < len(delivery):
+        k = rng.randint(1, 5)
+        batches.append(delivery[i:i + k])
+        i += k
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    got = run_streaming_collect(spark, s2, batches, EVT, tables={})
+    assert norm(got) == batch_out, f"OOO pattern ({pattern}) diverged"
