@@ -264,6 +264,12 @@ def build_cep_parts(df: DataFrame, plan) -> dict:
         "ts_is_time": isinstance(in_schema.get(ts_col),
                                  (TimestampType, TimestampNTZType)),
         "within": duration_to_seconds(spec.within) if spec.within else None,
+        # numeric event-time columns carry plan.timeunit units
+        # (reference default ms, window/factory.go:76-133) — WITHIN and
+        # MAXOUTOFORDERNESS horizons must scale by the SAME factor the
+        # pipeline's watermark uses, not assume ms
+        "ts_ups": {"ms": 1000, "s": 1, "ss": 1, "us": 10**6,
+                   "ns": 10**9}.get(plan.timeunit, 1000),
         "measure_names": [m.alias or f"m{j}"
                           for j, m in enumerate(spec.measures)],
         "order_cols": [c for c in order_sqls if c in in_schema],
@@ -279,6 +285,7 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
     ts_col = parts["ts_col"]
     ts_is_time = parts["ts_is_time"]
     within_s = parts["within"]
+    ts_ups = parts["ts_ups"]
     measure_names = parts["measure_names"]
     order_cols = parts["order_cols"]
     all_rows = spec.rows_per_match == "all"
@@ -328,8 +335,8 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
             within = within_s
         else:
             ts_full = pdf[ts_col].tolist() if ts_col in pdf.columns else [None] * n
-            # numeric event time: reference default unit is ms
-            within = within_s * 1000 if within_s is not None else None
+            # numeric event time: scale per TIMEUNIT (default ms)
+            within = within_s * ts_ups if within_s is not None else None
         rows = pdf.to_dict("records")
         # NaN/NaT → None, matching the streaming kernel's _clean: raw
         # pandas NaN breaks SQL NULL semantics in the interpreted

@@ -53,14 +53,22 @@ def _save_state(state, obj, ttl_ms: int | None = None) -> None:
         state.setTimeoutDuration(ttl_ms)
 
 
-def state_ttl_ms(plan) -> int | None:
-    """STATETTL option → per-key state timeout (the reference reaps idle
-    counting/global/analytic keys, types/config.go:135)."""
+def opt_duration_s(plan, key: str, default=None):
+    """WITH-option duration in seconds (case-insensitive key) — one
+    parse path for STATETTL/MAXOUTOFORDERNESS/... so option
+    normalization can't drift between kernels."""
     from ..engine.batch import duration_to_seconds
 
     opts = {k.upper(): v for k, v in plan.options.items()}
-    v = opts.get("STATETTL")
-    return int(duration_to_seconds(str(v)) * 1000) if v is not None else None
+    v = opts.get(key.upper())
+    return duration_to_seconds(str(v)) if v is not None else default
+
+
+def state_ttl_ms(plan) -> int | None:
+    """STATETTL option → per-key state timeout (the reference reaps idle
+    counting/global/analytic keys, types/config.go:135)."""
+    v = opt_duration_s(plan, "STATETTL")
+    return int(v * 1000) if v is not None else None
 
 
 def _timeout_conf(ttl_ms: int | None) -> str:
@@ -1115,9 +1123,8 @@ def cep_stream(spark, plan, df: DataFrame):
     # it would lose the late row (the window kernels hold the same
     # watermark; without the option, moo=0 keeps the eager
     # pending-tail-reorder behavior unchanged)
-    from ..engine.batch import duration_to_seconds as _d2s
-    _opts = {k.upper(): v for k, v in plan.options.items()}
-    moo_s = _d2s(str(_opts["MAXOUTOFORDERNESS"]))         if "MAXOUTOFORDERNESS" in _opts else 0.0
+    moo_s = opt_duration_s(plan, "MAXOUTOFORDERNESS", 0.0)
+    ts_ups = parts["ts_ups"]  # numeric event-time units per second
 
     from ..cep.engine import Matcher
 
@@ -1132,7 +1139,36 @@ def cep_stream(spark, plan, df: DataFrame):
         import pandas as pd
 
         if state.hasTimedOut:
-            state.remove()  # STATETTL / WITHIN idle-key reap
+            # STATETTL idle-key reap — but first emit what the EAGER
+            # matcher would already have emitted: with a reorder
+            # horizon, a completed match may be sitting in the held
+            # region, and dropping it would lose output the no-horizon
+            # path delivers (r7 review)
+            st = _load_state(state) or {"rows": [], "mn": 0}
+            rows, mn = st["rows"], st["mn"]
+            outs = []
+            if rows:
+                if ts_is_time:
+                    t_end = [r[ts_col].timestamp()
+                             if r.get(ts_col) is not None else None
+                             for r in rows]
+                    w_end = within
+                else:
+                    t_end = [r.get(ts_col) for r in rows]
+                    w_end = within * ts_ups if within is not None else None
+                matcher = Matcher(spec, rows, t_end, w_end)
+                matcher.match_number = mn
+                matches, _ = matcher.find_emittable(flush=False)
+                for bindings in matches:
+                    mn += 1
+                    for m in matcher.measure_rows(bindings, mn):
+                        if not all_rows_mode:
+                            m = {**dict(zip(part_names, key)), **m}
+                        outs.append(m)
+            state.remove()
+            if outs:
+                yield pd.DataFrame(
+                    outs, columns=[f.name for f in out_schema.fields])
             return
         pdf = _sorted_batch(pdf_iter, order_cols)
         st = _load_state(state) or {"rows": [], "mn": 0}
@@ -1172,6 +1208,12 @@ def cep_stream(spark, plan, df: DataFrame):
                     rows = [rows[i] for i in order]
         if len(rows) > _CEP_MAX_BUFFER:
             rows = rows[-_CEP_MAX_BUFFER:]
+        if moo_s and rows:
+            # a NULL event time cannot be ordered against the horizon —
+            # drop it (the same null-row drop every time-window path
+            # applies, see the lateness kernel), keeping the reorder
+            # sort always applicable under MAXOUTOFORDERNESS
+            rows = [r for r in rows if r.get(ts_col) is not None]
         if ts_is_time:
             ts_vals = [r[ts_col].timestamp() if r[ts_col] is not None else None
                        for r in rows]
@@ -1179,8 +1221,11 @@ def cep_stream(spark, plan, df: DataFrame):
             moo = moo_s
         else:
             ts_vals = [r.get(ts_col) for r in rows]
-            w = within * 1000 if within is not None else None
-            moo = moo_s * 1000  # numeric event time: ms (ref default)
+            # numeric event time: scale per TIMEUNIT, like the
+            # pipeline's watermark (r7 review: assuming ms made the
+            # horizon 1000x off under TIMEUNIT='s')
+            w = within * ts_ups if within is not None else None
+            moo = moo_s * ts_ups
 
         held = []
         if moo:
@@ -1194,7 +1239,11 @@ def cep_stream(spark, plan, df: DataFrame):
                 horizon = wm - moo
                 k = len(rows)
                 for i, t in enumerate(ts_vals):
-                    if t is not None and t > horizon:
+                    # >=, not >: Spark's watermark ADMITS a late row
+                    # whose lateness equals the bound, and it must
+                    # still interleave before an equal-ts row — so
+                    # equal-ts rows stay held (r7 review)
+                    if t is not None and t >= horizon:
                         k = i
                         break
                 held, rows, ts_vals = rows[k:], rows[:k], ts_vals[:k]

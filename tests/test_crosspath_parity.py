@@ -498,3 +498,43 @@ def test_cep_stream_batch_parity_out_of_order(spark, pat_idx):
     s2.execute(sql)
     got = run_streaming_collect(spark, s2, batches, EVT, tables={})
     assert norm(got) == batch_out, f"OOO pattern ({pattern}) diverged"
+
+
+def test_cep_timeunit_seconds_within_and_horizon(spark):
+    """r7 review fix: numeric event time scales WITHIN and the
+    MAXOUTOFORDERNESS horizon per TIMEUNIT — assuming ms made a
+    TIMEUNIT='s' horizon 1000x too deep (stream emitted nothing) and
+    WITHIN 1000x too tight in batch."""
+    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES MATCH_NUMBER() AS mn, FIRST(A.ts) AS ats
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        WITHIN '1h'
+        DEFINE A AS temperature > 25, B AS temperature < 15
+    ) WITH (TIMESTAMP='ts', TIMEUNIT='s', MAXOUTOFORDERNESS='5s')"""
+    rows = [  # ts in SECONDS, pairs 60s apart (within 1h, beyond 1h-ms)
+        {"deviceId": "d1", "temperature": 30.0, "humidity": 0.0,
+         "ts": 100, "status": "ok"},
+        {"deviceId": "d1", "temperature": 10.0, "humidity": 0.0,
+         "ts": 160, "status": "ok"},
+        {"deviceId": "d1", "temperature": 31.0, "humidity": 0.0,
+         "ts": 300, "status": "ok"},
+        {"deviceId": "d1", "temperature": 9.0, "humidity": 0.0,
+         "ts": 360, "status": "ok"},
+        # watermark pusher: advances the horizon past the matches
+        {"deviceId": "d1", "temperature": None, "humidity": 0.0,
+         "ts": 1000, "status": "ok"},
+    ]
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in rows:
+        s.emit(dict(r))
+    batch = sorted(r["ats"] for r in s.trigger_window())
+    assert batch == [100, 300]  # WITHIN '1h' admits the 60s gap
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    got = run_streaming_collect(spark, s2, [[r] for r in rows], EVT,
+                                tables={})
+    assert sorted(r["ats"] for r in got) == [100, 300]
