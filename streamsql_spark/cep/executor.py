@@ -270,6 +270,12 @@ def build_cep_parts(df: DataFrame, plan) -> dict:
         # pipeline's watermark uses, not assume ms
         "ts_ups": {"ms": 1000, "s": 1, "ss": 1, "us": 10**6,
                    "ns": 10**9}.get(plan.timeunit, 1000),
+        # a declared MAXOUTOFORDERNESS signals event-time discipline:
+        # NULL event-time rows drop on BOTH paths (the streaming
+        # kernel's reorder horizon cannot order them; batch must agree
+        # or a null-ts row would match here and never there)
+        "drop_null_ts": any(k.upper() == "MAXOUTOFORDERNESS"
+                            for k in plan.options),
         "measure_names": [m.alias or f"m{j}"
                           for j, m in enumerate(spec.measures)],
         "order_cols": [c for c in order_sqls if c in in_schema],
@@ -286,6 +292,7 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
     ts_is_time = parts["ts_is_time"]
     within_s = parts["within"]
     ts_ups = parts["ts_ups"]
+    drop_null_ts = parts["drop_null_ts"]
     measure_names = parts["measure_names"]
     order_cols = parts["order_cols"]
     all_rows = spec.rows_per_match == "all"
@@ -321,6 +328,10 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
         import numpy as np
         import pandas as pd
 
+        if drop_null_ts and ts_col in pdf.columns:
+            # declared MAXOUTOFORDERNESS: NULL event-time rows drop on
+            # both paths (streaming's reorder horizon can't order them)
+            pdf = pdf[pdf[ts_col].notna()].reset_index(drop=True)
         n = len(pdf)
         pre_full = None
         if pre_cols:

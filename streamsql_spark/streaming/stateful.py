@@ -1147,7 +1147,10 @@ def cep_stream(spark, plan, df: DataFrame):
             st = _load_state(state) or {"rows": [], "mn": 0}
             rows, mn = st["rows"], st["mn"]
             outs = []
-            if rows:
+            # held output exists only when a horizon was in effect;
+            # without MAXOUTOFORDERNESS the eager pass already emitted
+            # everything emittable — skip the guaranteed-empty re-scan
+            if rows and moo_s:
                 if ts_is_time:
                     t_end = [r[ts_col].timestamp()
                              if r.get(ts_col) is not None else None
@@ -1178,6 +1181,15 @@ def cep_stream(spark, plan, df: DataFrame):
             for r in pdf.to_dict("records"):
                 rows.append({k: cep_clean_by.get(k, _clean)(v)
                              for k, v in r.items()})
+            if moo_s:
+                # a NULL event time cannot be ordered against the
+                # horizon — drop BEFORE the reorder (a null inside the
+                # buffer would disable the sort while the horizon split
+                # still consumed out-of-order rows); the batch matcher
+                # applies the same option-conditional drop.  Same
+                # null-row policy as every time-window path.
+                rows = [r for r in rows if r.get(ts_col) is not None]
+                n_pending = min(n_pending, len(rows))
             # cross-batch ORDER BY: a late row (MAXOUTOFORDERNESS
             # source) must interleave into the PENDING tail by the FULL
             # ORDER BY key (ts plus secondary tie-breakers — sorting by
@@ -1208,12 +1220,6 @@ def cep_stream(spark, plan, df: DataFrame):
                     rows = [rows[i] for i in order]
         if len(rows) > _CEP_MAX_BUFFER:
             rows = rows[-_CEP_MAX_BUFFER:]
-        if moo_s and rows:
-            # a NULL event time cannot be ordered against the horizon —
-            # drop it (the same null-row drop every time-window path
-            # applies, see the lateness kernel), keeping the reorder
-            # sort always applicable under MAXOUTOFORDERNESS
-            rows = [r for r in rows if r.get(ts_col) is not None]
         if ts_is_time:
             ts_vals = [r[ts_col].timestamp() if r[ts_col] is not None else None
                        for r in rows]

@@ -504,7 +504,7 @@ def test_cep_timeunit_seconds_within_and_horizon(spark):
     """r7 review fix: numeric event time scales WITHIN and the
     MAXOUTOFORDERNESS horizon per TIMEUNIT — assuming ms made a
     TIMEUNIT='s' horizon 1000x too deep (stream emitted nothing) and
-    WITHIN 1000x too tight in batch."""
+    WITHIN 1000x too LOOSE (a >1h-apart pair wrongly matched)."""
     sql = """SELECT * FROM stream MATCH_RECOGNIZE (
         PARTITION BY deviceId
         ORDER BY ts
@@ -523,9 +523,16 @@ def test_cep_timeunit_seconds_within_and_horizon(spark):
          "ts": 300, "status": "ok"},
         {"deviceId": "d1", "temperature": 9.0, "humidity": 0.0,
          "ts": 360, "status": "ok"},
+        # 5000s gap: MUST NOT match under WITHIN '1h' (3600s) — but
+        # WOULD under the old ms assumption (3.6M units), making the
+        # batch half of this test discriminate the scaling bug too
+        {"deviceId": "d1", "temperature": 32.0, "humidity": 0.0,
+         "ts": 10_000, "status": "ok"},
+        {"deviceId": "d1", "temperature": 8.0, "humidity": 0.0,
+         "ts": 15_000, "status": "ok"},
         # watermark pusher: advances the horizon past the matches
         {"deviceId": "d1", "temperature": None, "humidity": 0.0,
-         "ts": 1000, "status": "ok"},
+         "ts": 30_000, "status": "ok"},
     ]
     s = StreamSQL(spark)
     s.execute(sql)
