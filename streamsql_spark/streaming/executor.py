@@ -89,13 +89,13 @@ class StreamingExecutor:
         return self._batch._project_direct(df, plan)
 
     def _watermark_seconds(self, plan) -> float | None:
-        opts = {k.upper(): v for k, v in plan.options.items()}
+        from .stateful import opt_duration_s
         total = 0.0
         found = False
         for key in ("MAXOUTOFORDERNESS", "ALLOWEDLATENESS"):
-            v = opts.get(key)
+            v = opt_duration_s(plan, key)
             if v is not None:
-                total += duration_to_seconds(str(v))
+                total += v
                 found = True
         if found:
             return total
@@ -132,15 +132,14 @@ class StreamingExecutor:
 
     @staticmethod
     def _allowed_lateness_ms(plan) -> int:
-        opts = {k.upper(): v for k, v in plan.options.items()}
-        v = opts.get("ALLOWEDLATENESS")
-        return int(duration_to_seconds(str(v)) * 1000) if v is not None else 0
+        from .stateful import opt_duration_s
+        return int(opt_duration_s(plan, "ALLOWEDLATENESS", 0.0) * 1000)
 
     @staticmethod
     def _idle_timeout_ms(plan) -> int | None:
-        opts = {k.upper(): v for k, v in plan.options.items()}
-        v = opts.get("IDLETIMEOUT")
-        return int(duration_to_seconds(str(v)) * 1000) if v is not None else None
+        from .stateful import opt_duration_s
+        v = opt_duration_s(plan, "IDLETIMEOUT")
+        return int(v * 1000) if v is not None else None
 
     def _project_stateful(self, agged: DataFrame, plan) -> DataFrame:
         """HAVING + output projection over a stateful kernel's

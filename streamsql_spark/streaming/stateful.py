@@ -470,13 +470,10 @@ def lateness_window_stream(df: DataFrame, plan, ts_col: str) -> DataFrame:
     size_ms = int(duration_to_seconds(w.size) * 1000)
     slide_ms = int(duration_to_seconds(w.slide) * 1000) \
         if w.kind == "sliding" else size_ms
-    opts = {k.upper(): v for k, v in plan.options.items()}
-    al_ms = int(duration_to_seconds(str(opts["ALLOWEDLATENESS"])) * 1000) \
-        if "ALLOWEDLATENESS" in opts else 0
-    idle_ms = int(duration_to_seconds(str(opts["IDLETIMEOUT"])) * 1000) \
-        if "IDLETIMEOUT" in opts else None
-    moo_ms = int(duration_to_seconds(str(opts["MAXOUTOFORDERNESS"])) * 1000) \
-        if "MAXOUTOFORDERNESS" in opts else 0
+    al_ms = int(opt_duration_s(plan, "ALLOWEDLATENESS", 0.0) * 1000)
+    idle_s = opt_duration_s(plan, "IDLETIMEOUT")
+    idle_ms = int(idle_s * 1000) if idle_s is not None else None
+    moo_ms = int(opt_duration_s(plan, "MAXOUTOFORDERNESS", 0.0) * 1000)
 
     df, names = _key_columns(df, plan)
     df, agg_specs = _prep_agg_columns(df, plan)
