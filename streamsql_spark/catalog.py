@@ -1229,8 +1229,9 @@ def _sweep_lateness_staging() -> None:
     import os
     import shutil
 
-    for in_dir in _LATENESS_STAGED.values():
-        shutil.rmtree(os.path.dirname(in_dir), ignore_errors=True)
+    for cache in (_LATENESS_STAGED, _OOO_STAGED):
+        for in_dir in cache.values():
+            shutil.rmtree(os.path.dirname(in_dir), ignore_errors=True)
 
 
 import atexit as _atexit  # noqa: E402
@@ -1397,35 +1398,161 @@ def _streaming_cep_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     (adjacent-pair ≡ LAG)."""
     import uuid as _uuid
 
-    q = StreamSQL(spark).execute("""
-        SELECT user_id, a_ts, b_ts, a_val, b_val FROM stream
-        MATCH_RECOGNIZE (
-            PARTITION BY user_id
-            ORDER BY ts, event_id
-            MEASURES A.ts AS a_ts, B.ts AS b_ts,
-                     A.value AS a_val, B.value AS b_val
-            ONE ROW PER MATCH
-            AFTER MATCH SKIP PAST LAST ROW
-            PATTERN (A B)
-            DEFINE A AS value > 80, B AS value < 20
-            WITHIN '4h'
-        )
-    """)
+    from pyspark.sql import functions as F
+
+    q = StreamSQL(spark).execute(_CEP_ADJ_SQL)
     out = q.query_stream(_events_stream(spark, sf_dir))
     _drop_stale_stream_views(spark, "streaming_cep_")
     name = "streaming_cep_" + _uuid.uuid4().hex[:8]
     sq = (out.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(availableNow=True).start())
+
+    # kind='ooo' leg runs concurrently on the shared local scheduler
+    ooo_acc, ooo_sq = _streaming_cep_ooo_start(spark, sf_dir)
     _await_replay(sq)
-    return spark.table(name)
+    _await_replay(ooo_sq)
+    base = spark.table(name)
+    ooo = spark.createDataFrame(
+        [(r["user_id"], r["a_ts"], r["b_ts"], r["a_val"], r["b_val"])
+         for r in ooo_acc],
+        schema=base.schema)
+    return (base.select(F.lit("inorder").alias("kind"), "*")
+            .unionByName(ooo.select(F.lit("ooo").alias("kind"), "*")))
+
+
+_CEP_ADJ_SQL = """
+    SELECT user_id, a_ts, b_ts, a_val, b_val FROM stream
+    MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES A.ts AS a_ts, B.ts AS b_ts,
+                 A.value AS a_val, B.value AS b_val
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        DEFINE A AS value > 80, B AS value < 20
+        WITHIN '4h'
+    )
+"""
+
+_OOO_STAGED: dict[str, str] = {}
+_OOO_BATCHES = 6
+
+
+def _streaming_cep_ooo_start(spark: SparkSession, sf_dir: str):
+    """Start the out-of-order delivery leg of ``streaming_cep_replay``:
+    the same MATCH_RECOGNIZE query under a declared
+    ``MAXOUTOFORDERNESS='5m'`` reorder horizon (streaming/stateful.py
+    cep kernel; reference out-of-order handling via the window-level
+    watermark, window/watermark.go), fed the SAME events displaced by a
+    deterministic ±120s (crc32 of event_id) and re-batched by displaced
+    delivery time — so rows cross micro-batch boundaries out of event
+    order by up to 240s, strictly inside the 300s horizon, and the
+    match multiset must hash-equal the in-order batch oracle.
+
+    End-of-stream: matches completed inside the final horizon are HELD
+    (watermark semantics — the reference's explicit ``Engine.Flush()``,
+    cep/engine.go:238-267, has no Spark analog; see README parity
+    note), so the staged input ends with one per-user closer row
+    (NULL value — can never satisfy a DEFINE) 2h past max event time
+    that pushes every key's watermark over its held tail.
+
+    Staging is one partitionBy write job, cached per sf_dir (the bench
+    loops entries 3x)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from .session import _nanos_timestamp_columns
+
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.parquet(path)
+    nanos_cols = _nanos_timestamp_columns(path)
+    in_dir = _OOO_STAGED.get(sf_dir)
+    if in_dir is None or not os.path.isdir(in_dir):
+        # displaced delivery time in µs; event times themselves are
+        # untouched — only the ORDER OF ARRIVAL changes
+        ts_us = (F.col("ts").cast("decimal(38,0)") / 1000).cast("long") \
+            if "ts" in nanos_cols \
+            else F.unix_micros(F.col("ts").cast("timestamp"))
+        off_us = ((F.crc32(F.col("event_id").cast("string").cast("binary"))
+                   % 241) - 120) * F.lit(1_000_000)
+        staged = raw.withColumn("__dlv__", ts_us + off_us)
+        lo, hi, max_ts = staged.agg(
+            F.min("__dlv__"), F.max("__dlv__"), F.max("ts")).collect()[0]
+        nb = _OOO_BATCHES
+        staged = staged.withColumn(
+            "__b",
+            F.least(F.lit(nb - 1),
+                    F.floor((F.col("__dlv__") - F.lit(lo)) * nb
+                            / F.lit(hi - lo + 1))).cast("int"))
+        closer_ts = (F.lit(max_ts + 2 * 3600 * 1_000_000_000)
+                     if "ts" in nanos_cols
+                     else (F.lit(max_ts) + F.expr("INTERVAL 2 HOURS"))
+                     .cast(raw.schema["ts"].dataType))
+        closers = (raw.select("user_id").distinct()
+                   .withColumn("event_id", F.lit(-1).cast("long"))
+                   .withColumn("ts", closer_ts)
+                   .withColumn("event_type", F.lit("__flush__"))
+                   .withColumn("value", F.lit(None).cast("double"))
+                   .withColumn("props", F.lit(None).cast("string"))
+                   .withColumn("__b", F.lit(nb).cast("int"))
+                   .select(*raw.columns, "__b"))
+        root = tempfile.mkdtemp(prefix="ssql_cep_ooo_")
+        in_dir = f"{root}/in"
+        try:
+            (staged.select(*raw.columns, "__b").unionByName(closers)
+             .repartition(nb + 1, "__b")
+             .write.partitionBy("__b").parquet(in_dir))
+            # the file source replays by mtime: force strict batch order
+            t0 = __import__("time").time()
+            for b in range(nb + 1):
+                d = f"{in_dir}/__b={b}"
+                for fn in sorted(os.listdir(d)):
+                    if fn.endswith(".parquet"):
+                        os.utime(f"{d}/{fn}", (t0 + b, t0 + b))
+        except BaseException:
+            import shutil
+            shutil.rmtree(root, ignore_errors=True)
+            raise
+        _OOO_STAGED[sf_dir] = in_dir
+    try:
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", "true").parquet(in_dir))
+        for col in nanos_cols:
+            stream = stream.withColumn(
+                col,
+                F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
+        q = StreamSQL(spark).execute(
+            _CEP_ADJ_SQL
+            + " WITH (TIMESTAMP='ts', MAXOUTOFORDERNESS='5m')")
+        acc: list[dict] = []
+        sq = q.start_stream(stream, sink=lambda rows: acc.extend(rows),
+                            query_name="cep_ooo_" + _uuid.uuid4().hex[:8])
+        return acc, sq
+    except BaseException:
+        import shutil
+        staged_dir = _OOO_STAGED.pop(sf_dir, None)
+        if staged_dir is not None:
+            shutil.rmtree(os.path.dirname(staged_dir), ignore_errors=True)
+        raise
 
 
 _add("streaming_cep_replay", Entry(
     _streaming_cep_run,
-    _CEP_ADJ_ORACLE,
+    f"""
+    SELECT 'inorder' AS kind, * FROM ({_CEP_ADJ_ORACLE})
+    UNION ALL
+    SELECT 'ooo' AS kind, * FROM ({_CEP_ADJ_ORACLE})
+    """,
     "§2.7+§3 MATCH_RECOGNIZE on the incremental streaming matcher "
-    "(cep/engine.go:374-461 semantics in applyInPandasWithState); "
-    "value-parity with the batch CEP path"))
+    "(cep/engine.go:374-461 semantics in applyInPandasWithState), "
+    "kind-tagged in-order + bounded out-of-order delivery through the "
+    "MAXOUTOFORDERNESS reorder horizon; value-parity with the batch "
+    "CEP path"))
 
 
 def _streaming_session_run(spark: SparkSession, sf_dir: str) -> DataFrame:

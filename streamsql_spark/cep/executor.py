@@ -23,6 +23,7 @@ from pyspark.sql.types import (BooleanType, DataType, DoubleType, LongType,
 from ..dialect import nodes as N
 from ..dialect.render import render
 from ..engine.batch import duration_to_seconds
+from ..plans.plan import TIMEUNIT_PER_SECOND
 from .engine import run_partition
 
 # batch-kernel buffer flush threshold (rows): the pandas buffer drains at
@@ -267,9 +268,11 @@ def build_cep_parts(df: DataFrame, plan) -> dict:
         # numeric event-time columns carry plan.timeunit units
         # (reference default ms, window/factory.go:76-133) — WITHIN and
         # MAXOUTOFORDERNESS horizons must scale by the SAME factor the
-        # pipeline's watermark uses, not assume ms
-        "ts_ups": {"ms": 1000, "s": 1, "ss": 1, "us": 10**6,
-                   "ns": 10**9}.get(plan.timeunit, 1000),
+        # pipeline's watermark uses, not assume ms. Units-per-second is
+        # fractional for mi/hh/dd (rsql/parser.go:1149-1154), so keep
+        # float math.
+        "ts_ups": TIMEUNIT_PER_SECOND.get(plan.timeunit,
+                                          TIMEUNIT_PER_SECOND["ms"]),
         # a declared MAXOUTOFORDERNESS signals event-time discipline:
         # NULL event-time rows drop on BOTH paths (the streaming
         # kernel's reorder horizon cannot order them; batch must agree

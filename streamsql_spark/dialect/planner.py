@@ -11,7 +11,8 @@ expressions, ``rsql/ast.go:1417-1724``), hidden HAVING aggregates
 from __future__ import annotations
 
 from ..functions import registry
-from ..plans.plan import AggSpec, AnalyticSpec, JoinPlan, OutputField, QueryPlan
+from ..plans.plan import (TIMEUNIT_SECONDS, AggSpec, AnalyticSpec, JoinPlan,
+                          OutputField, QueryPlan)
 from . import nodes as N
 from .render import Renderer, render
 
@@ -325,7 +326,13 @@ class Planner:
         ts_field = stmt.with_opts.get("TIMESTAMP")
         if ts_field:
             plan.event_time_col = ts_field
-        plan.timeunit = stmt.with_opts.get("TIMEUNIT", "ms").lower()
+        # Reference's unit switch is case-sensitive and silently keeps the
+        # ms default for any unrecognized value, including 's' and 'us'
+        # (rsql/parser.go:1141-1162) — normalize here so every downstream
+        # consumer (batch event-time, watermark, CEP WITHIN/horizon) sees
+        # only a known unit.
+        tu = stmt.with_opts.get("TIMEUNIT", "ms")
+        plan.timeunit = tu if tu in TIMEUNIT_SECONDS else "ms"
 
         src_alias = stmt.source_alias or stmt.source
         if stmt.joins:

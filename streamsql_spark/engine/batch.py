@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..dialect import nodes as N
 from ..dialect.planner import WINDOW_END_COL, WINDOW_START_COL
 from ..dialect.render import render
-from ..plans.plan import AnalyticSpec, QueryPlan
+from ..plans.plan import TIMEUNIT_SECONDS, AnalyticSpec, QueryPlan
 
 _TS = "__event_time__"
 _ROWID = "__row_id__"
@@ -133,20 +133,24 @@ def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
         return None
     c = F.col(name)
     if dt in ("bigint", "int", "long"):
-        unit = plan.timeunit
+        # plan.timeunit is normalized at plan time to the reference's
+        # case-sensitive set dd/hh/mi/ss/ms/ns, unknown → ms
+        # (rsql/parser.go:1141-1162)
+        unit = plan.timeunit if plan.timeunit in TIMEUNIT_SECONDS else "ms"
         if unit == "ms":
             return F.timestamp_millis(c.cast("long"))
-        if unit in ("s", "ss"):
+        if unit == "ss":
             return F.timestamp_seconds(c.cast("long"))
-        if unit == "us":
-            return F.timestamp_micros(c.cast("long"))
         if unit == "ns":
             # EXACT division via decimal: epoch nanos (~1.7e18) exceed a
             # double's 2^53 exact range, so a double c/1000 wobbles by
             # ±1 µs and can flip the ordering of closely spaced events
             return F.timestamp_micros(
                 (c.cast("decimal(38,0)") / F.lit(1000)).cast("long"))
-        return F.timestamp_millis(c.cast("long"))
+        # dd/hh/mi: whole-second multiples (time.Minute / time.Hour /
+        # 24*time.Hour, rsql/parser.go:1149-1154)
+        return F.timestamp_seconds(
+            c.cast("long") * F.lit(int(TIMEUNIT_SECONDS[unit])))
     if dt in ("timestamp", "timestamp_ntz", "date"):
         return c.cast("timestamp")
     if dt == "string":

@@ -57,6 +57,25 @@ class JoinPlan:
     on_sql: str | None
 
 
+# WITH (TIMEUNIT=...) — the reference's exact, case-sensitive unit set
+# (rsql/parser.go:1149-1160: dd=day, hh=hour, mi=minute, ss=second,
+# ms=millisecond, ns=nanosecond); any other value silently keeps the
+# millisecond default (rsql/parser.go:1141-1142,1161-1162). Value is the
+# length of one unit in seconds.
+TIMEUNIT_SECONDS: dict[str, float] = {
+    "dd": 86400.0, "hh": 3600.0, "mi": 60.0,
+    "ss": 1.0, "ms": 1e-3, "ns": 1e-9,
+}
+
+# Units-per-second, written out explicitly rather than as 1/TIMEUNIT_SECONDS:
+# 1/1e-9 == 999999999.9999999 in doubles, which would shave the last unit off
+# an exact WITHIN/horizon boundary.
+TIMEUNIT_PER_SECOND: dict[str, float] = {
+    "dd": 1.0 / 86400.0, "hh": 1.0 / 3600.0, "mi": 1.0 / 60.0,
+    "ss": 1.0, "ms": 1000.0, "ns": 1e9,
+}
+
+
 @dataclass
 class QueryPlan:
     mode: str                         # direct | window | cep
@@ -64,7 +83,7 @@ class QueryPlan:
     source: str = "stream"
     source_alias: str | None = None
     event_time_col: str | None = None # column named by WITH (TIMESTAMP=...)
-    timeunit: str = "ms"              # ms | s | us | ns (for long columns)
+    timeunit: str = "ms"              # key of TIMEUNIT_SECONDS (for long columns)
     joins: list[JoinPlan] = field(default_factory=list)
     where_sql: str | None = None
     analytics: list[AnalyticSpec] = field(default_factory=list)

@@ -500,48 +500,73 @@ def test_cep_stream_batch_parity_out_of_order(spark, pat_idx):
     assert norm(got) == batch_out, f"OOO pattern ({pattern}) diverged"
 
 
-def test_cep_timeunit_seconds_within_and_horizon(spark):
-    """r7 review fix: numeric event time scales WITHIN and the
-    MAXOUTOFORDERNESS horizon per TIMEUNIT — assuming ms made a
-    TIMEUNIT='s' horizon 1000x too deep (stream emitted nothing) and
-    WITHIN 1000x too LOOSE (a >1h-apart pair wrongly matched)."""
-    sql = """SELECT * FROM stream MATCH_RECOGNIZE (
+# one event-time day expressed in each reference unit
+# (rsql/parser.go:1149-1160) — whole days keep every unit integral
+TIMEUNIT_DAY = {"ms": 86_400_000, "ss": 86_400, "mi": 1_440,
+                "hh": 24, "dd": 1}
+
+
+@pytest.mark.parametrize("unit", sorted(TIMEUNIT_DAY))
+def test_cep_timeunit_within_and_horizon(spark, unit):
+    """TIMEUNIT scales numeric event time for WITHIN and the
+    MAXOUTOFORDERNESS horizon on both paths.  r7 'What's wrong' #1:
+    ``dd``/``hh``/``mi`` silently fell back to ms, putting event times
+    off by 60,000x+ with no error; the WITHIN leg discriminates an ms
+    misread in batch (a 50-day gap would wrongly match) and the
+    horizon leg in streaming (a 24h horizon misread as ms would hold
+    every match forever)."""
+    mult = TIMEUNIT_DAY[unit]
+    sql = f"""SELECT * FROM stream MATCH_RECOGNIZE (
         PARTITION BY deviceId
         ORDER BY ts
         MEASURES MATCH_NUMBER() AS mn, FIRST(A.ts) AS ats
         ONE ROW PER MATCH
         PATTERN (A B)
-        WITHIN '1h'
+        WITHIN '96h'
         DEFINE A AS temperature > 25, B AS temperature < 15
-    ) WITH (TIMESTAMP='ts', TIMEUNIT='s', MAXOUTOFORDERNESS='5s')"""
-    rows = [  # ts in SECONDS, pairs 60s apart (within 1h, beyond 1h-ms)
-        {"deviceId": "d1", "temperature": 30.0, "humidity": 0.0,
-         "ts": 100, "status": "ok"},
-        {"deviceId": "d1", "temperature": 10.0, "humidity": 0.0,
-         "ts": 160, "status": "ok"},
-        {"deviceId": "d1", "temperature": 31.0, "humidity": 0.0,
-         "ts": 300, "status": "ok"},
-        {"deviceId": "d1", "temperature": 9.0, "humidity": 0.0,
-         "ts": 360, "status": "ok"},
-        # 5000s gap: MUST NOT match under WITHIN '1h' (3600s) — but
-        # WOULD under the old ms assumption (3.6M units), making the
-        # batch half of this test discriminate the scaling bug too
-        {"deviceId": "d1", "temperature": 32.0, "humidity": 0.0,
-         "ts": 10_000, "status": "ok"},
-        {"deviceId": "d1", "temperature": 8.0, "humidity": 0.0,
-         "ts": 15_000, "status": "ok"},
-        # watermark pusher: advances the horizon past the matches
-        {"deviceId": "d1", "temperature": None, "humidity": 0.0,
-         "ts": 30_000, "status": "ok"},
+    ) WITH (TIMESTAMP='ts', TIMEUNIT='{unit}', MAXOUTOFORDERNESS='24h')"""
+
+    def evt(day, temp):
+        return {"deviceId": "d1", "temperature": temp, "humidity": 0.0,
+                "ts": day * mult, "status": "ok"}
+
+    rows = [
+        evt(1, 30.0), evt(2, 10.0),   # 1-day gap: inside WITHIN '96h'
+        evt(5, 31.0), evt(6, 9.0),    # second match
+        # 50-day gap: must NOT match under WITHIN '96h' (4 days) — but
+        # WOULD under an ms misread (50 units << 345.6M ms), so the
+        # batch half discriminates the scaling bug for every unit
+        evt(100, 32.0), evt(150, 8.0),
+        # watermark pusher: the 24h (1-day) horizon clears all holds
+        evt(300, None),
     ]
     s = StreamSQL(spark)
     s.execute(sql)
     for r in rows:
         s.emit(dict(r))
     batch = sorted(r["ats"] for r in s.trigger_window())
-    assert batch == [100, 300]  # WITHIN '1h' admits the 60s gap
+    assert batch == [1 * mult, 5 * mult]
     s2 = StreamSQL(spark)
     s2.execute(sql)
     got = run_streaming_collect(spark, s2, [[r] for r in rows], EVT,
                                 tables={})
-    assert sorted(r["ats"] for r in got) == [100, 300]
+    assert sorted(r["ats"] for r in got) == [1 * mult, 5 * mult]
+
+
+def test_timeunit_unknown_units_default_to_ms():
+    """The reference's TIMEUNIT switch is case-sensitive and accepts
+    exactly dd/hh/mi/ss/ms/ns; anything else — including 's', 'us' and
+    upper-cased forms — silently keeps the millisecond default
+    (rsql/parser.go:1141-1162)."""
+    from streamsql_spark.dialect.parser import parse
+    from streamsql_spark.dialect.planner import plan
+
+    def unit_of(tu):
+        stmt = parse("SELECT deviceId FROM stream "
+                     f"WITH (TIMESTAMP='ts', TIMEUNIT='{tu}')")
+        return plan(stmt).timeunit
+
+    for tu in ("dd", "hh", "mi", "ss", "ms", "ns"):
+        assert unit_of(tu) == tu
+    for tu in ("s", "us", "MI", "SS", "sec", "m"):
+        assert unit_of(tu) == "ms", tu
