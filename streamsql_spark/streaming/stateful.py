@@ -1096,6 +1096,46 @@ _CEP_MAX_BUFFER = 10_000  # reference maxRunRows default (cep/engine.go:17-23)
 _trigger_code_cache: dict[str, object] = {}
 
 
+def cep_flush_outputs(st: dict, spec, ts_col: str, ts_is_time: bool,
+                      within, ts_ups, part_names, key,
+                      all_rows_mode: bool) -> list[dict]:
+    """STATETTL reap = this kernel's ``Engine.Flush()``/``Stop()`` analog
+    (cep/engine.go:238-267,321): emit everything the reference's Flush
+    would — completed matches still held inside the reorder horizon AND
+    still-open greedy matches (an unbounded ``A+`` tail) — before the
+    key's state is destroyed.  The reference's own STATETTL is a
+    counting-window-only reap-without-emit (types/config.go:135);
+    applying it to MATCH_RECOGNIZE is this engine's documented
+    end-of-stream flush route (Spark streams have no final-watermark
+    advance), so it carries full Flush semantics: dropping a match the
+    eager pass was still holding would lose output the reference's
+    Stop() delivers.  WITHIN expiry still applies — ``flush`` releases
+    the could-still-extend hold, it does not resurrect expired spans."""
+    from ..cep.engine import Matcher
+
+    rows, mn = st["rows"], st["mn"]
+    if not rows:
+        return []
+    if ts_is_time:
+        t_end = [r[ts_col].timestamp() if r.get(ts_col) is not None else None
+                 for r in rows]
+        w_end = within
+    else:
+        t_end = [r.get(ts_col) for r in rows]
+        w_end = within * ts_ups if within is not None else None
+    matcher = Matcher(spec, rows, t_end, w_end)
+    matcher.match_number = mn
+    matches, _ = matcher.find_emittable(flush=True)
+    outs = []
+    for bindings in matches:
+        mn += 1
+        for m in matcher.measure_rows(bindings, mn):
+            if not all_rows_mode:
+                m = {**dict(zip(part_names, key)), **m}
+            outs.append(m)
+    return outs
+
+
 def cep_stream(spark, plan, df: DataFrame):
     """Streaming MATCH_RECOGNIZE: per-key row tail buffer in state; the
     batch matcher runs incrementally, emitting matches that can no longer
@@ -1136,35 +1176,11 @@ def cep_stream(spark, plan, df: DataFrame):
         import pandas as pd
 
         if state.hasTimedOut:
-            # STATETTL idle-key reap — but first emit what the EAGER
-            # matcher would already have emitted: with a reorder
-            # horizon, a completed match may be sitting in the held
-            # region, and dropping it would lose output the no-horizon
-            # path delivers (r7 review)
+            # STATETTL idle-key reap = this key's Engine.Flush()
             st = _load_state(state) or {"rows": [], "mn": 0}
-            rows, mn = st["rows"], st["mn"]
-            outs = []
-            # held output exists only when a horizon was in effect;
-            # without MAXOUTOFORDERNESS the eager pass already emitted
-            # everything emittable — skip the guaranteed-empty re-scan
-            if rows and moo_s:
-                if ts_is_time:
-                    t_end = [r[ts_col].timestamp()
-                             if r.get(ts_col) is not None else None
-                             for r in rows]
-                    w_end = within
-                else:
-                    t_end = [r.get(ts_col) for r in rows]
-                    w_end = within * ts_ups if within is not None else None
-                matcher = Matcher(spec, rows, t_end, w_end)
-                matcher.match_number = mn
-                matches, _ = matcher.find_emittable(flush=False)
-                for bindings in matches:
-                    mn += 1
-                    for m in matcher.measure_rows(bindings, mn):
-                        if not all_rows_mode:
-                            m = {**dict(zip(part_names, key)), **m}
-                        outs.append(m)
+            outs = cep_flush_outputs(st, spec, ts_col, ts_is_time,
+                                     within, ts_ups, part_names, key,
+                                     all_rows_mode)
             state.remove()
             if outs:
                 yield pd.DataFrame(

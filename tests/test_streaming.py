@@ -554,6 +554,51 @@ def test_counting_window_with_statettl(spark):
     assert sorted(r["s"] for r in got) == [3.0, 7.0]
 
 
+def test_cep_statettl_reap_is_engine_flush(spark):
+    """Pinned contract: a STATETTL reap on the CEP kernel carries the
+    reference's ``Engine.Flush()``/``Stop()`` semantics
+    (cep/engine.go:238-267,321) — BOTH a completed match still held
+    inside the MAXOUTOFORDERNESS horizon AND a still-open greedy tail
+    (``A+`` that newer data could have extended) emit when the key's
+    state is destroyed, exactly matching what the batch path's flush
+    (``trigger_window``) emits for the same buffered rows."""
+    from streamsql_spark.cep.executor import build_cep_parts
+    from streamsql_spark.streaming.stateful import cep_flush_outputs
+
+    sql = ("SELECT deviceId, n, lastv FROM stream MATCH_RECOGNIZE ("
+           " PARTITION BY deviceId ORDER BY ts"
+           " MEASURES count(*) AS n, LAST(A.temperature) AS lastv"
+           " ONE ROW PER MATCH PATTERN (A+)"
+           " DEFINE A AS temperature > 25"
+           ") WITH (TIMESTAMP='ts', TIMEUNIT='ms', STATETTL='60s',"
+           " MAXOUTOFORDERNESS='5s')")
+    # hot,hot,cold,hot,hot — ALL within the final 5s horizon (max ts
+    # 5000, watermark 0): the eager pass holds everything; the first
+    # A+ run is COMPLETE (closed by the cold row), the second is OPEN
+    rows = _rows(("d1", 30.0, 0.0, 1000, "ok"),
+                 ("d1", 28.0, 0.0, 2000, "ok"),
+                 ("d1", 5.0, 0.0, 3000, "ok"),
+                 ("d1", 29.0, 0.0, 4000, "ok"),
+                 ("d1", 31.0, 0.0, 5000, "ok"))
+    s = StreamSQL(spark)
+    s.execute(sql)
+    df = spark.createDataFrame(rows, EVT)
+    parts = build_cep_parts(df, s.plan)
+    outs = cep_flush_outputs(
+        {"rows": [dict(r) for r in rows], "mn": 0}, parts["spec"],
+        parts["ts_col"], parts["ts_is_time"], parts["within"],
+        parts["ts_ups"], parts["part_names"], ("d1",), False)
+    got = sorted((r["n"], r["lastv"]) for r in outs)
+    assert got == [(2, 28.0), (2, 31.0)]
+    # batch-flush parity on the same rows
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    for r in rows:
+        s2.emit(dict(r))
+    batch = sorted((r["n"], r["lastv"]) for r in s2.trigger_window())
+    assert batch == got
+
+
 # ------------------------------------------- custom stateful analytic UDF
 
 
