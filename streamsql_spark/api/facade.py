@@ -69,6 +69,26 @@ def _freeze_row(r) -> tuple:
 _NOT_APPLICABLE = object()
 
 
+def _an_value_ok(v) -> bool:
+    """Event-value whitelist for the in-process analytic path.  The
+    analytic_step kernel is the SAME function the streaming kernel runs
+    (which, post-cleaning, sees exactly these python types: scalars,
+    datetime, list-of-scalars), so parity holds by construction —
+    differentially fuzzed by tests/test_crosspath_parity.py's rich-type
+    grid.  Lists containing None fall back to the Spark route: python
+    ``==`` says [None]==[None] where Spark array equality is
+    three-valued, and the fallback keeps Spark as the semantics
+    oracle."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, (int, float, str, bool, _dt.datetime)):
+        return True
+    if isinstance(v, list):
+        return all(x is not None and isinstance(x, (int, float, str, bool))
+                   for x in v)
+    return False
+
+
 class StreamSQL:
     """One SQL statement per instance (streamsql.go:141-143)."""
 
@@ -741,8 +761,17 @@ class StreamSQL:
         for i, f in enumerate(self._stmt.fields):
             if isinstance(f.expr, N.Star):
                 return None  # star + analytics: Spark path
-            fn = pyeval.compile_expr(N.transform(f.expr, subst))
-            if bad or fn is None:
+            e2 = N.transform(f.expr, subst)
+            if bad:
+                return None
+            if isinstance(e2, N.Col) and len(e2.parts) == 1 \
+                    and isinstance(e2.parts[0], str):
+                # bare column/placeholder projection: the value lands in
+                # the output verbatim (container-typed analytics incl.)
+                fn = pyeval.raw_col(e2.parts[0])
+            else:
+                fn = pyeval.compile_expr(e2)
+            if fn is None:
                 return None
             outs.append((f.alias or _default_name(f.expr, i), fn))
         where_f = None
@@ -791,6 +820,13 @@ class StreamSQL:
                 if isinstance(a, N.Lit):
                     args.append(("lit", a.value))
                     arg_marks.append(None)
+                elif isinstance(a, N.Col) and len(a.parts) == 1 \
+                        and isinstance(a.parts[0], str):
+                    # bare-column arg feeds analytic_step directly —
+                    # the SAME kernel the streaming route runs on the
+                    # same post-cleaning types, so containers pass
+                    args.append(("fn", pyeval.raw_col(a.parts[0])))
+                    arg_marks.append("x")
                 else:
                     af = pyeval.compile_expr(a)
                     if af is None:
@@ -837,8 +873,7 @@ class StreamSQL:
             self._an_py = self._compile_analytic_python()
         if self._an_py is None or not row:
             return _NOT_APPLICABLE
-        if any(v is not None and not isinstance(v, (int, float, str, bool))
-               for v in row.values()):
+        if not all(_an_value_ok(v) for v in row.values()):
             return _NOT_APPLICABLE
         if not hasattr(self, "_an_states"):
             self._an_states = {}

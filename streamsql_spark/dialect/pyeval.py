@@ -653,6 +653,25 @@ _FN_ARITY: dict[str, tuple[int, int] | None] = {
 }
 
 
+def raw_col(name: str):
+    """Bare-column PASSTHROUGH for the analytic per-event path: the
+    value feeds ``analytic_step`` (the same kernel the streaming route
+    runs, which sees exactly these post-cleaning python types) or lands
+    in the output row verbatim — no pyeval function ever evaluates it,
+    so the container refusal in ``compile_expr``'s col() does not
+    apply.  The int64 range guard is kept: the Spark oracle encodes
+    ints as BIGINT and raises beyond the range."""
+    def col(row, name=name):
+        if name not in row:
+            raise Fallback()
+        v = row[name]
+        if isinstance(v, int) and not isinstance(v, bool) \
+                and not _I64_MIN <= v <= _I64_MAX:
+            raise Fallback()
+        return v
+    return col
+
+
 def compile_expr(e: N.Expr):
     """AST → ``fn(row) -> value``; None when the node kind (or any
     child) is outside the supported subset."""

@@ -42,9 +42,17 @@ class StreamReplay:
 
     def add_batch(self, rows: list[dict]) -> None:
         path = os.path.join(self.input_dir, f"batch-{self._n:05d}.json")
+
+        def _default(o):
+            # datetime → ISO-8601 'T' form, which Spark's default JSON
+            # timestampFormat (yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]) parses
+            if hasattr(o, "isoformat"):
+                return o.isoformat()
+            raise TypeError(f"not JSON serializable: {type(o)}")
+
         with open(path, "w") as f:
             for r in rows:
-                f.write(json.dumps(r) + "\n")
+                f.write(json.dumps(r, default=_default) + "\n")
         # file source orders by modification time — force strict ascent
         mtime = time.time() + self._n
         os.utime(path, (mtime, mtime))

@@ -89,18 +89,35 @@ def _sorted_batch(pdf_iter, order_cols: list[str]):
 
 
 def _clean(v):
-    """numpy scalar → python scalar, NaN → None (state must pickle small)."""
+    """numpy/pandas value → plain python, NaN → None (state must pickle
+    small, and buffered values must be container-type-invariant: Arrow
+    hands an array<...> column to the kernel as np.ndarray cells, which
+    (a) blow up the generic `.item()` scalar unwrap for size>1 and
+    (b) would silently UNWRAP a size-1 array to its scalar)."""
+    import numpy as np
     import pandas as pd
 
     if v is None:
         return None
+    if isinstance(v, np.ndarray):
+        # tolist() recursively converts nested numpy scalars too
+        return v.tolist()
     try:
         if pd.isna(v):
             return None
     except (TypeError, ValueError):
         pass
+    if isinstance(v, pd.Timestamp):
+        # keep the buffered type identical to what batch rows carry
+        # (datetime), so repr-keyed dedup / stringification can't
+        # split across paths
+        return v.to_pydatetime()
     if hasattr(v, "item"):
         return v.item()
+    if isinstance(v, (list, tuple)):
+        return [_clean(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _clean(x) for k, x in v.items()}
     return v
 
 

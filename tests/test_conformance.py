@@ -143,3 +143,69 @@ def test_full_reference_corpus_sweep():
     # regression against real reference usage.
     assert len(planned) >= 732, (
         f"plan rate regressed: {len(planned)} < 732")
+
+
+# --------------------------------------------- whitelist anti-drift (r8)
+# run_sweep() asserts every non-planning statement matches a whitelisted
+# class, but nothing stopped a grammar WIDENING from silently accepting
+# a reference-rejected form (e.g. nested aggregates) — the statement
+# would simply move to `planned` and the class would go quietly unused.
+# One REAL corpus exemplar per class (the reference test asserting each
+# reject is cited on the class's WHITELIST entry in conformance_sweep):
+# each must (a) still fail parse+plan and (b) still classify to ITS
+# class, not drift into a broader one.
+REJECT_CLASS_EXEMPLARS = {
+    "nested-aggregate":
+        "SELECT lag(lag(a)) AS p FROM stream",
+    "analytic-raw-window":
+        "SELECT * FROM stream MATCH_RECOGNIZE (ORDER BY ts PATTERN (A) "
+        "DEFINE A AS v>0) GROUP BY TumblingWindow('1s')",
+    "per-row-window-fn":
+        "SELECT row_number() AS rn FROM stream GROUP BY TumblingWindow('1s')",
+    "over-order-by":
+        "SELECT lag(temp) OVER (PARTITION BY deviceId ORDER BY ts) AS p "
+        "FROM stream",
+    "cep-reject":
+        "SELECT * FROM stream MATCH_RECOGNIZE (ORDER BY ts DEFINE A AS v>0)",
+    "invalid-duration":
+        "SELECT * FROM table TUMBLINGWINDOW(ss, 5)",
+    "star-with-groupby":
+        "SELECT * FROM table GROUP BY field",
+    "dynamic-star-schema":
+        'SELECT changed_cols("c_", false, "*") FROM stream',
+    "expr-lang-hash":
+        "SELECT * FROM table1 WHERE id # 5",
+    "cep-desc-order":
+        "SELECT * FROM stream MATCH_RECOGNIZE (ORDER BY ts DESC "
+        "PATTERN (A) DEFINE A AS v>0)",
+    "pattern-exclusion":
+        "SELECT * FROM stream MATCH_RECOGNIZE (ORDER BY ts "
+        "PATTERN ({- A -}) DEFINE A AS v>0)",
+    "global-no-trigger":
+        "SELECT deviceId, COUNT(*) AS cnt FROM stream "
+        "GROUP BY deviceId, GLOBAL WINDOW",
+    "window-over":
+        "SELECT avg(temp) AS m FROM stream "
+        "GROUP BY CountingWindow(2) OVER (WHEN x > 0)",
+    "from-subquery":
+        "SELECT column FROM (SELECT * FROM table) AS sub",
+    "ambiguous-name":
+        "SELECT temperature, lag(temperature) AS temperature FROM stream",
+}
+
+
+@pytest.mark.parametrize("cls", sorted(REJECT_CLASS_EXEMPLARS))
+def test_reject_class_exemplar_still_rejects(cls):
+    from conformance_sweep import classify
+
+    sql = REJECT_CLASS_EXEMPLARS[cls]
+    try:
+        plan(parse(sql))
+    except Exception as e:  # noqa: BLE001 — any reject is a reject
+        err = f"{type(e).__name__}: {e}"
+    else:
+        pytest.fail(f"[{cls}] exemplar now PLANS — the grammar widened "
+                    f"past a reference reject: {sql}")
+    got = classify("anti_drift.go", sql, err)
+    assert got == cls, (f"[{cls}] exemplar now classifies as {got!r} "
+                        f"(err: {err[:120]})")

@@ -118,10 +118,10 @@ def _keyed(rows):
     return {(r["deviceId"], r["ts"]): _norm(r) for r in rows}
 
 
-def _run_batch(spark, sql, rows):
+def _run_batch(spark, sql, rows, schema=EVT):
     s = StreamSQL(spark)
     s.execute(sql)
-    df = spark.createDataFrame(rows, schema=EVT)
+    df = spark.createDataFrame(rows, schema=schema)
     return [r.asDict() for r in s.query(df).collect()]
 
 
@@ -570,3 +570,142 @@ def test_timeunit_unknown_units_default_to_ms():
         assert unit_of(tu) == tu
     for tu in ("s", "us", "MI", "SS", "sec", "m"):
         assert unit_of(tu) == "ms", tu
+
+
+# ------------------------------------------------- non-flat column types
+# The r7 grid was flat doubles/strings; the pandas-ingestion trap class
+# (chunk-dependent dtype coercion, ndarray cells from Arrow, pandas
+# Timestamp leakage) lives exactly in array/timestamp columns flowing
+# through analytic args and collect/deduplicate buffers.
+
+from datetime import datetime
+
+from pyspark.sql.types import ArrayType, TimestampType
+
+EVT_RICH = StructType([
+    StructField("deviceId", StringType()),
+    StructField("tags", ArrayType(StringType())),
+    StructField("nums", ArrayType(LongType())),
+    StructField("updated", TimestampType()),
+    StructField("ts", LongType()),
+    StructField("status", StringType()),
+])
+
+RICH_GRID = [
+    ("lagt", "lag(tags)"),
+    ("lagt2", "lag(tags, 2, tags)"),
+    ("latt", "latest(tags)"),
+    ("hct", "had_changed(true, tags)"),
+    ("cct", "changed_col(false, tags)"),
+    ("lagn", "lag(nums)"),
+    ("latn", "latest(nums)"),
+    ("lagu", "lag(updated)"),
+    ("latu", "latest(updated)"),
+    ("hcu", "had_changed(true, updated)"),
+]
+
+_TAG_POOL = [None, [], ["a"], ["a", "b"], ["b"], ["c", "a"]]
+_NUM_POOL = [None, [], [1], [1, 2], [7, 7, 7]]
+
+
+def _mk_rich_rows(seed: int, n: int = 30):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        upd = None if rng.random() < 0.2 else \
+            datetime(2024, 1, 1, rng.randrange(24), rng.randrange(60),
+                     rng.randrange(60))  # whole seconds: JSON replay safe
+        rows.append({
+            "deviceId": rng.choice(["d1", "d2"]),
+            "tags": rng.choice(_TAG_POOL),
+            "nums": rng.choice(_NUM_POOL),
+            "updated": upd,
+            "ts": 1000 * (i + 1),
+            "status": rng.choice(["ok", "ok", "err"]),
+        })
+    return rows, rng
+
+
+def _norm_rich(r: dict) -> dict:
+    def n(v):
+        if isinstance(v, list):
+            return tuple(v)
+        if isinstance(v, datetime):
+            return v.isoformat()
+        return v
+    return {k: n(v) for k, v in r.items()}
+
+
+def _keyed_rich(rows):
+    return {(r["deviceId"], r["ts"]): _norm_rich(r) for r in rows}
+
+
+@pytest.mark.parametrize("gate", ["nogate", "strgate"])
+def test_analytic_rich_types_three_path_parity(spark, gate):
+    """Array- and timestamp-typed columns through every analytic path:
+    batch Catalyst windows, the streaming state kernel (Arrow hands
+    array cells as np.ndarray — the generic scalar unwrap must not
+    crash on size>1 or unwrap size-1), and pyeval."""
+    import zlib
+
+    over = " OVER (PARTITION BY deviceId" + \
+        (" WHEN status = 'ok')" if gate == "strgate" else ")")
+    cols = ", ".join(f"{expr}{over} AS {alias}"
+                     for alias, expr in RICH_GRID)
+    sql = (f"SELECT deviceId, ts, {cols} FROM stream "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    seed = zlib.crc32(f"rich|{gate}".encode()) % 1000
+    rows, rng = _mk_rich_rows(seed)
+
+    got_batch = _keyed_rich(_run_batch(spark, sql, rows, schema=EVT_RICH))
+    got_py = _keyed_rich(_run_pyeval(spark, sql, rows))
+    assert got_py == got_batch, f"pyeval vs batch diverged ({gate})"
+
+    batches, i = [], 0
+    while i < len(rows):
+        k = rng.randint(1, 5)
+        batches.append(rows[i:i + k])
+        i += k
+    s = StreamSQL(spark)
+    s.execute(sql)
+    got_stream = _keyed_rich(
+        run_streaming_collect(spark, s, batches, EVT_RICH, tables={}))
+    assert got_stream == got_batch, f"stream vs batch diverged ({gate})"
+
+
+def test_window_collect_dedup_rich_types_stream_parity(spark):
+    """collect/deduplicate/first_value buffers carry arrays and
+    timestamps across micro-batch splits without dtype drift (the
+    chunk-coercion trap the int cleaners fixed in r7, now for
+    non-scalar types): counting-window batch vs streaming replay."""
+    sql = ("SELECT deviceId, collect(tags) AS ctags, "
+           "deduplicate(updated) AS dupd, first_value(nums) AS fnums, "
+           "last_value(updated) AS lupd "
+           "FROM stream GROUP BY deviceId, CountingWindow(5) "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows, rng = _mk_rich_rows(77, n=40)
+    # alternate devices deterministically: 20 rows each = 4 COMPLETE
+    # windows of 5 per key, so batch flush and streaming emission cover
+    # the identical window set (no pending partial tail to reconcile)
+    for i, r in enumerate(rows):
+        r["deviceId"] = "d1" if i % 2 == 0 else "d2"
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in rows:
+        s.emit(dict(r))
+    batch = sorted(
+        tuple(map(str, _norm_rich(r).values())) for r in s.trigger_window())
+
+    batches, i = [], 0
+    while i < len(rows):
+        k = rng.randint(1, 7)
+        batches.append(rows[i:i + k])
+        i += k
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    got = run_streaming_collect(spark, s2, batches, EVT_RICH, tables={})
+    stream = sorted(
+        tuple(map(str, _norm_rich(r).values())) for r in got)
+    assert stream == batch, \
+        "stream vs batch diverged on rich-typed agg buffers"
