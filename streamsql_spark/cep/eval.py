@@ -35,17 +35,48 @@ def _null_prop(fn):
     return g
 
 
+_JVM_LEGACY_CACHE: dict[int, bool] = {}
+
+# legacy FloatingDecimal (JDK <= 18) prints an extra digit for this
+# exact-integer double; Ryu (JDK >= 19, JDK-4511638) prints the
+# shortest '9.745699541085918E16', which is this module's layout
+_LEGACY_PROBE_VALUE = 9.745699541085918e16
+_LEGACY_PROBE_STR = "9.7456995410859184E16"
+
+
+def jvm_double_str_is_legacy(spark) -> bool:
+    """One-time runtime probe (r8, cached per session) of the deployed
+    JVM's Double.toString digit generator.  On Ryu JVMs (>= 19)
+    ``_java_double_str`` is exact EVERYWHERE; on legacy JVMs (<= 18)
+    it is exact outside two pinned classes (see _java_double_str)."""
+    key = id(spark)
+    got = _JVM_LEGACY_CACHE.get(key)
+    if got is None:
+        s = spark.sql(
+            f"SELECT cast({_LEGACY_PROBE_VALUE!r} as double)"
+            " AS x").selectExpr("cast(x as string)").first()[0]
+        got = _JVM_LEGACY_CACHE[key] = (s == _LEGACY_PROBE_STR)
+    return got
+
+
 def _java_double_str(x: float) -> str:
     """Java Double.toString — the SELECT-path concat stringifies via
     CAST(x AS STRING) (JVM-owned), so the measure evaluator must match
     it exactly, not Python str(): Java switches to scientific notation
     at |x| >= 1e7 and < 1e-3 (Python at 1e16/1e-5), writes 'E' with no
     '+', and spells NaN/Infinity.  Python's repr supplies
-    shortest-roundtrip digits; only the layout differs.  Residual
-    delta (same class as pyeval._cast_string's Fallback note): JVM ≤18
-    legacy FloatingDecimal emits an extra digit on some ≥17-significant
-    -digit values and denormals ('4.9E-324' vs shortest '5.0E-324') —
-    JVM-version-specific digit generation, documented in README."""
+    shortest-roundtrip digits; only the layout differs.
+
+    Exactness, pinned against the real JVM by
+    tests/test_cep.py::test_java_double_str_matches_jvm_cast over
+    random bit patterns + 17-significant-digit doubles + denormals:
+    on Ryu JVMs (JDK >= 19) output equals CAST everywhere; on legacy
+    JVMs (JDK <= 18, probed via jvm_double_str_is_legacy) the ONLY
+    divergences are (a) exact-integer doubles >= 2^53, (b) subnormals,
+    and (c) mantissas with >= 40 trailing zero bits (e.g. 2^-44) —
+    classes where legacy FloatingDecimal emits extra trailing digits
+    of the exact expansion ('4.9E-324' vs shortest '5.0E-324',
+    JDK-4511638) — and both strings round-trip to the same double."""
     if math.isnan(x):
         return "NaN"
     if math.isinf(x):

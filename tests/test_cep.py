@@ -1328,3 +1328,74 @@ def test_measures_round_infinity_and_concat_java_floats(spark):
     s.execute("SELECT concat(big, '|', tiny) AS c FROM stream")
     assert s.emit_sync({"ts": 1, "big": 12345678.0,
                         "tiny": 0.0001})["c"] == "1.2345678E7|1.0E-4"
+
+
+def test_java_double_str_matches_jvm_cast(spark):
+    """Pin `_java_double_str` against the REAL JVM's
+    CAST(double AS STRING) over a hard corpus: random bit patterns,
+    >=17-significant-digit doubles, and denormals (r8, closing the r7
+    'documented approximate' residual).  On Ryu JVMs (JDK >= 19) the
+    match must be exact EVERYWHERE; on legacy JVMs (JDK <= 18 —
+    detected by the runtime probe) the only permitted divergences are
+    the two pinned classes — exact-integer doubles >= 2^53 and
+    subnormals, and low-information mantissas (>= 40 trailing zero
+    bits, e.g. 2^-44) — where legacy FloatingDecimal emits extra
+    trailing digits (JDK-4511638) — and even there BOTH strings must
+    round-trip to the same double (layout identical, digits differ)."""
+    import random
+    import struct
+
+    from streamsql_spark.cep.eval import (_java_double_str,
+                                          jvm_double_str_is_legacy)
+
+    rng = random.Random(8)
+    vals = [5e-324, 1e-323, 2 ** -44, 1e23, 0.1, 1 / 3, 0.001, 1e7,
+            9999999.999999998, 1.7976931348623157e308,
+            2.2250738585072014e-308, 9.745699541085918e16]
+    for _ in range(1500):
+        b = rng.getrandbits(64)
+        x = struct.unpack("<d", struct.pack("<Q", b))[0]
+        if x == x and abs(x) != float("inf"):
+            vals.append(x)
+    for _ in range(800):  # 17-significant-digit doubles
+        m = rng.randrange(10 ** 16, 10 ** 17)
+        vals.append(float(f"{m}e{rng.randrange(-25, 25)}"))
+    for _ in range(300):  # subnormals
+        vals.append(struct.unpack(
+            "<d", struct.pack("<Q", rng.randrange(1, 1 << 52)))[0])
+    for _ in range(500):  # trailing-zero-heavy mantissas (2^-44 class)
+        tz = rng.randrange(30, 53)
+        mant = (rng.getrandbits(52 - tz) << tz) & ((1 << 52) - 1)
+        expo = rng.randrange(1, 2046)
+        vals.append(struct.unpack(
+            "<d", struct.pack("<Q", (expo << 52) | mant))[0])
+
+    def mant_tz(x):
+        bits = struct.unpack("<Q", struct.pack("<d", abs(x)))[0]
+        f = (bits & ((1 << 52) - 1)) | ((1 << 52)
+                                        if (bits >> 52) & 0x7FF else 0)
+        return (f & -f).bit_length() - 1 if f else 0
+
+    legacy = jvm_double_str_is_legacy(spark)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.selectExpr("x", "cast(x as string) AS s").collect()
+    diverged = 0
+    for r in got:
+        x, jvm = r["x"], r["s"]
+        mine = _java_double_str(x)
+        if mine == jvm:
+            continue
+        diverged += 1
+        assert legacy, \
+            f"Ryu JVM must match everywhere: x={x!r} jvm={jvm} py={mine}"
+        in_pinned = (abs(x) >= 2.0 ** 53
+                     or 0 < abs(x) < 2.2250738585072014e-308
+                     or mant_tz(x) >= 40)
+        assert in_pinned, (f"divergence outside the pinned classes: "
+                           f"x={x!r} jvm={jvm} py={mine}")
+        # bounded divergence: both spellings are the same double
+        assert float(jvm) == x and float(mine) == x, \
+            f"non-round-tripping spelling: x={x!r} jvm={jvm} py={mine}"
+    # the corpus must actually exercise the pinned classes on legacy
+    if legacy:
+        assert diverged > 0
