@@ -26,7 +26,37 @@ def _force(df) -> int:
     return 0
 
 
+def _wait_for_idle(max_wait_s: float = 180.0) -> None:
+    """Bench hygiene (r7: a snapshot taken right after a pytest/Spark
+    suite inflated every entry ~20% and faked a regression).  Wait,
+    bounded, for the 1-minute load average to fall below ~35% of the
+    benchmark's CPU budget before timing anything; if the machine stays
+    busy, run anyway but leave a machine-state marker on stderr (the
+    stdout JSON line is driver-parsed from a bounded tail buffer and
+    must stay compact)."""
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count()
+        target = max(2.0, 0.35 * cpus)
+        t0 = time.time()
+        while os.getloadavg()[0] > target:
+            if time.time() - t0 >= max_wait_s:
+                print(json.dumps({
+                    "warning": "bench started on a busy machine — "
+                               "timings may be inflated",
+                    "load1": round(os.getloadavg()[0], 1),
+                    "target": round(target, 1)}), file=sys.stderr)
+                return
+            time.sleep(5)
+        waited = time.time() - t0
+        if waited > 1:
+            print(json.dumps({"idle_wait_s": round(waited, 1)}),
+                  file=sys.stderr)
+    except OSError:
+        pass  # no loadavg on this platform — run as before
+
+
 def main() -> None:
+    _wait_for_idle()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0

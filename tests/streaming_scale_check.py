@@ -1,0 +1,96 @@
+"""Streaming-kernel scale spot-check: one stateful kernel at 16x sf0.1
+under the RocksDB state store (r8, BASELINE.md §C).
+
+The batch spot-check (tests/scale_spot_check.py) anchors the
+shape-dependent pipeline operators; the streaming replays in the
+catalog are STARTUP-bound at sf0.1 (BASELINE.md §C), so their sf0.1
+numbers say nothing about kernel throughput.  This script replays a
+16x union of events.parquet (user_id remapped per copy -> 16x the key
+cardinality, 24k keys) through the counting-window kernel
+(applyInPandasWithState, streaming/stateful.py::counting_window_stream)
+on RocksDB and reports:
+
+- end-to-end wall time and rows/s over the 1.6M-row replay
+- state rows and RocksDB memory/SST size from the final progress
+  (stateOperators metrics) -- the executor-heap-ceiling question
+
+Not a pytest (filename intentionally not test_*): run manually and
+record the table in BASELINE.md §C.
+
+    python3 tests/streaming_scale_check.py [sf_dir] [copies]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("SPARK_GRAFT_ROCKSDB_STATE", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from pyspark.sql import functions as F
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.session import get_spark
+
+    spark = get_spark("streaming-scale", rocksdb_state=True)
+    spark.sparkContext.setLogLevel("ERROR")
+    prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    assert "RocksDB" in prov, f"RocksDB provider not active: {prov}"
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = raw.agg(F.max("user_id")).first()[0] + 1
+    root = tempfile.mkdtemp(prefix="ssql_stream_scale_")
+    in_dir = f"{root}/in"
+    # one file per copy -> maxFilesPerTrigger=4 gives a multi-batch
+    # replay (state must survive micro-batch boundaries, like prod)
+    t0 = time.time()
+    for i in range(copies):
+        (raw.withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+    n_rows = spark.read.parquet(in_dir).count()
+    print(f"staged {n_rows} rows x {copies} copies in "
+          f"{time.time() - t0:.1f}s -> {in_dir}")
+
+    q = StreamSQL(spark).execute("""
+        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+        FROM stream GROUP BY user_id, CountingWindow(25)
+    """)
+    stream = (spark.readStream.schema(raw.schema)
+              .option("maxFilesPerTrigger", 4).parquet(in_dir))
+    got = {"n": 0}
+    t0 = time.time()
+    sq = q.start_stream(stream,
+                        sink=lambda rows: got.__setitem__(
+                            "n", got["n"] + len(rows)),
+                        query_name="scale16x")
+    if not sq.awaitTermination(1800):
+        sq.stop()
+        raise RuntimeError("16x replay did not finish in 30min")
+    wall = time.time() - t0
+    prog = sq.lastProgress or {}
+    ops = (prog.get("stateOperators") or [{}])[0]
+    custom = ops.get("customMetrics", {})
+    print(f"kernel=counting_window copies={copies} rows={n_rows} "
+          f"wall={wall:.1f}s rows_per_s={n_rows / wall:,.0f} "
+          f"out_rows={got['n']}")
+    print(f"state: numRowsTotal={ops.get('numRowsTotal')} "
+          f"memoryUsedBytes={ops.get('memoryUsedBytes')} "
+          f"rocksdbTotalMemory={custom.get('rocksdbTotalMemoryUsageBytes')} "
+          f"rocksdbSstFiles={custom.get('rocksdbSstFileSize')} "
+          f"rocksdbPinnedMem={custom.get('rocksdbPinnedBlocksMemoryUsage')}")
+
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
