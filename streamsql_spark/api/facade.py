@@ -68,6 +68,8 @@ def _freeze_row(r) -> tuple:
 # sentinel: "this row can't take the templated sync fast path"
 _NOT_APPLICABLE = object()
 
+import datetime as _dt_mod  # noqa: E402 — hot-path: imported once
+
 
 def _an_value_ok(v) -> bool:
     """Event-value whitelist for the in-process analytic path.  The
@@ -77,12 +79,15 @@ def _an_value_ok(v) -> bool:
     differentially fuzzed by tests/test_crosspath_parity.py's rich-type
     grid.  Lists containing None fall back to the Spark route: python
     ``==`` says [None]==[None] where Spark array equality is
-    three-valued, and the fallback keeps Spark as the semantics
+    three-valued.  Tz-AWARE datetimes also fall back: the Spark route
+    normalizes them to session-timezone-naive values, so passing them
+    through verbatim would buffer a different representation than the
+    fallback stores.  Both fallbacks keep Spark as the semantics
     oracle."""
-    import datetime as _dt
-
-    if v is None or isinstance(v, (int, float, str, bool, _dt.datetime)):
+    if v is None or isinstance(v, (int, float, str, bool)):
         return True
+    if isinstance(v, _dt_mod.datetime):
+        return v.tzinfo is None
     if isinstance(v, list):
         return all(x is not None and isinstance(x, (int, float, str, bool))
                    for x in v)
@@ -395,7 +400,20 @@ class StreamSQL:
     def _rows_df(self, rows: list[dict]) -> DataFrame:
         if self.schema is not None:
             return self.spark.createDataFrame(rows, schema=self.schema)
-        return self.spark.createDataFrame(rows)
+        try:
+            df = self.spark.createDataFrame(rows)
+        except Exception:
+            # schemaless stream, all-NULL column(s) in this slice (e.g.
+            # one per-event fallback row whose optional field is None):
+            # inference fails, but an earlier slice already fixed the
+            # column types — reuse them when the column set matches
+            cached = getattr(self, "_inferred_schema", None)
+            if cached is not None and rows \
+                    and set(cached.fieldNames()) == set(rows[0]):
+                return self.spark.createDataFrame(rows, schema=cached)
+            raise
+        self._inferred_schema = df.schema
+        return df
 
     _SQL_TYPES = {"long": "BIGINT", "integer": "INT", "short": "SMALLINT",
                   "byte": "TINYINT", "double": "DOUBLE", "float": "FLOAT",

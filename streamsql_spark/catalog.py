@@ -1239,6 +1239,58 @@ import atexit as _atexit  # noqa: E402
 _atexit.register(_sweep_lateness_staging)
 
 
+def _staged_events_stream(spark: SparkSession, sf_dir: str,
+                          cache: dict[str, str], prefix: str, build):
+    """Shared staging scaffolding of the lateness and out-of-order
+    replays: cache-or-build a staged input dir for ``sf_dir`` (the
+    bench loops each entry 3x), then open it as a
+    ``maxFilesPerTrigger=1`` file stream with the nanos-timestamp
+    rewrite.  ``build(raw, nanos_cols, in_dir)`` writes the staged
+    files.  A build failure removes the staging NOW (popping the cache
+    would orphan it — the atexit sweep only sees surviving entries) so
+    the next run rebuilds from scratch.  Returns (raw, nanos_cols,
+    stream)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .session import _nanos_timestamp_columns
+
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.parquet(path)
+    nanos_cols = _nanos_timestamp_columns(path)
+    in_dir = cache.get(sf_dir)
+    if in_dir is None or not os.path.isdir(in_dir):
+        root = tempfile.mkdtemp(prefix=prefix)
+        in_dir = f"{root}/in"
+        try:
+            build(raw, nanos_cols, in_dir)
+        except BaseException:
+            import shutil
+            shutil.rmtree(root, ignore_errors=True)
+            raise
+        cache[sf_dir] = in_dir
+    stream = (spark.readStream.schema(raw.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(in_dir))
+    for col in nanos_cols:
+        stream = stream.withColumn(
+            col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
+    return raw, nanos_cols, stream
+
+
+def _drop_staging(cache: dict[str, str], sf_dir: str) -> None:
+    """Failure after staging (query construction/run): remove the
+    staged dir so the next run rebuilds from scratch."""
+    import os
+    import shutil
+
+    staged = cache.pop(sf_dir, None)
+    if staged is not None:
+        shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
+
+
 def _await_replay(sq, seconds: int = 300) -> None:
     """awaitTermination with the timeout ENFORCED: a replay that
     overruns must fail loudly (and stop its query), not hand a
@@ -1460,18 +1512,12 @@ def _streaming_cep_ooo_start(spark: SparkSession, sf_dir: str):
     Staging is one partitionBy write job, cached per sf_dir (the bench
     loops entries 3x)."""
     import os
-    import tempfile
+    import time as _time
     import uuid as _uuid
 
     from pyspark.sql import functions as F
 
-    from .session import _nanos_timestamp_columns
-
-    path = f"{sf_dir}/events.parquet"
-    raw = spark.read.parquet(path)
-    nanos_cols = _nanos_timestamp_columns(path)
-    in_dir = _OOO_STAGED.get(sf_dir)
-    if in_dir is None or not os.path.isdir(in_dir):
+    def build(raw, nanos_cols, in_dir):
         # displaced delivery time in µs; event times themselves are
         # untouched — only the ORDER OF ARRIVAL changes
         ts_us = (F.col("ts").cast("decimal(38,0)") / 1000).cast("long") \
@@ -1500,32 +1546,24 @@ def _streaming_cep_ooo_start(spark: SparkSession, sf_dir: str):
                    .withColumn("props", F.lit(None).cast("string"))
                    .withColumn("__b", F.lit(nb).cast("int"))
                    .select(*raw.columns, "__b"))
-        root = tempfile.mkdtemp(prefix="ssql_cep_ooo_")
-        in_dir = f"{root}/in"
-        try:
-            (staged.select(*raw.columns, "__b").unionByName(closers)
-             .repartition(nb + 1, "__b")
-             .write.partitionBy("__b").parquet(in_dir))
-            # the file source replays by mtime: force strict batch order
-            t0 = __import__("time").time()
-            for b in range(nb + 1):
-                d = f"{in_dir}/__b={b}"
-                for fn in sorted(os.listdir(d)):
-                    if fn.endswith(".parquet"):
-                        os.utime(f"{d}/{fn}", (t0 + b, t0 + b))
-        except BaseException:
-            import shutil
-            shutil.rmtree(root, ignore_errors=True)
-            raise
-        _OOO_STAGED[sf_dir] = in_dir
+        (staged.select(*raw.columns, "__b").unionByName(closers)
+         .repartition(nb + 1, "__b")
+         .write.partitionBy("__b").parquet(in_dir))
+        # the file source replays by mtime: force strict batch order
+        # (an equal-width delivery bucket can be EMPTY on clustered
+        # data — partitionBy writes no directory for it)
+        t0 = _time.time()
+        for b in range(nb + 1):
+            d = f"{in_dir}/__b={b}"
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    os.utime(f"{d}/{fn}", (t0 + b, t0 + b))
+
     try:
-        stream = (spark.readStream.schema(raw.schema)
-                  .option("maxFilesPerTrigger", 1)
-                  .option("recursiveFileLookup", "true").parquet(in_dir))
-        for col in nanos_cols:
-            stream = stream.withColumn(
-                col,
-                F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
+        _, _, stream = _staged_events_stream(
+            spark, sf_dir, _OOO_STAGED, "ssql_cep_ooo_", build)
         q = StreamSQL(spark).execute(
             _CEP_ADJ_SQL
             + " WITH (TIMESTAMP='ts', MAXOUTOFORDERNESS='5m')")
@@ -1534,10 +1572,7 @@ def _streaming_cep_ooo_start(spark: SparkSession, sf_dir: str):
                             query_name="cep_ooo_" + _uuid.uuid4().hex[:8])
         return acc, sq
     except BaseException:
-        import shutil
-        staged_dir = _OOO_STAGED.pop(sf_dir, None)
-        if staged_dir is not None:
-            shutil.rmtree(os.path.dirname(staged_dir), ignore_errors=True)
+        _drop_staging(_OOO_STAGED, sf_dir)
         raise
 
 
@@ -1595,56 +1630,40 @@ def _streaming_lateness_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     tumbling oracle.  Late re-emission itself is unit-tested
     (tests/test_streaming.py lateness case)."""
     import os
-    import tempfile
     import uuid as _uuid
 
     from pyspark.sql import functions as F
 
-    from .session import _nanos_timestamp_columns
-
     path = f"{sf_dir}/events.parquet"
-    raw = spark.read.parquet(path)  # raw schema (ts INT64 nanos or timestamp)
-    nanos_cols = _nanos_timestamp_columns(path)
+
     # the staged input dir (source symlink + two flush batches) is a
     # pure function of sf_dir — build it once and reuse across repeat
     # runs (the bench loops each entry 3×; rewriting the flush parquet
     # every run costs two write jobs + an agg job per rep)
-    in_dir = _LATENESS_STAGED.get(sf_dir)
-    if in_dir is None or not os.path.isdir(in_dir):
+    def build(raw, nanos_cols, in_dir):
         max_v = raw.agg(F.max("ts")).collect()[0][0]
         flush_ts = (F.lit(max_v + 30 * 86400 * 1_000_000_000)
                     if "ts" in nanos_cols
                     else F.lit(max_v) + F.expr("INTERVAL 30 DAYS"))
-        root = tempfile.mkdtemp(prefix="ssql_lateness_")
-        in_dir = f"{root}/in"
-        try:
-            os.makedirs(in_dir)
-            # batch 1 IS the source file (symlinked, not rewritten); the
-            # two flush batches carry one far-future row each to advance
-            # the watermark so every window fires
-            os.symlink(path, f"{in_dir}/b0.parquet")
-            flush = raw.limit(1).select(
-                F.lit(-1).cast("long").alias("event_id"),
-                F.lit(-1).cast("long").alias("user_id"),
-                F.lit("__flush__").alias("event_type"),
-                F.lit(0.0).alias("value"),
-                flush_ts.alias("ts"),
-                F.lit(None).cast("string").alias("props"))
-            flush = flush.select(*raw.columns)
-            for i in (1, 2):
-                flush.coalesce(1).write.parquet(f"{in_dir}/b{i}")
-        except BaseException:
-            import shutil
-            shutil.rmtree(root, ignore_errors=True)
-            raise
-        _LATENESS_STAGED[sf_dir] = in_dir
+        os.makedirs(in_dir)
+        # batch 1 IS the source file (symlinked, not rewritten); the
+        # two flush batches carry one far-future row each to advance
+        # the watermark so every window fires
+        os.symlink(path, f"{in_dir}/b0.parquet")
+        flush = raw.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__flush__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            flush_ts.alias("ts"),
+            F.lit(None).cast("string").alias("props"))
+        flush = flush.select(*raw.columns)
+        for i in (1, 2):
+            flush.coalesce(1).write.parquet(f"{in_dir}/b{i}")
+
     try:
-        stream = (spark.readStream.schema(raw.schema)
-                  .option("maxFilesPerTrigger", 1)
-                  .option("recursiveFileLookup", "true").parquet(in_dir))
-        for col in nanos_cols:
-            stream = stream.withColumn(
-                col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
+        _, _, stream = _staged_events_stream(
+            spark, sf_dir, _LATENESS_STAGED, "ssql_lateness_", build)
         q = StreamSQL(spark).execute("""
             SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
                    unix_timestamp(window_start()) AS ws
@@ -1661,13 +1680,7 @@ def _streaming_lateness_run(spark: SparkSession, sf_dir: str) -> DataFrame:
              if r["event_type"] != "__flush__"],
             schema="event_type string, cnt bigint, total double, ws bigint")
     except BaseException:
-        # on failure remove the staging dir NOW (popping it from the
-        # cache would orphan it — the atexit sweep only sees surviving
-        # entries) so the next run rebuilds from scratch
-        import shutil
-        staged = _LATENESS_STAGED.pop(sf_dir, None)
-        if staged is not None:
-            shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
+        _drop_staging(_LATENESS_STAGED, sf_dir)
         raise
 
 

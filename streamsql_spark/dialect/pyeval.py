@@ -668,6 +668,13 @@ def raw_col(name: str):
         if isinstance(v, int) and not isinstance(v, bool) \
                 and not _I64_MIN <= v <= _I64_MAX:
             raise Fallback()
+        if isinstance(v, list):
+            # same guard element-wise: the Spark oracle encodes the
+            # list as array<bigint> and raises beyond int64
+            for x in v:
+                if isinstance(x, int) and not isinstance(x, bool) \
+                        and not _I64_MIN <= x <= _I64_MAX:
+                    raise Fallback()
         return v
     return col
 

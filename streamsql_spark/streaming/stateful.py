@@ -126,6 +126,21 @@ def _clean_int(v):
     return int(v) if isinstance(v, float) else v
 
 
+def _clean_int_list(v):
+    """array<integral> cell: Arrow float64-coerces the WHOLE chunk when
+    any element anywhere in it is NULL, so ``[5]`` buffers as ``[5.0]``
+    from one micro-batch and ``[5]`` from another, and a NULL element
+    arrives as ``nan`` — restore ints and None so buffered arrays are
+    micro-batch-split-invariant (same trap class as _clean_int, r7;
+    elements beyond 2^53 in a null-bearing chunk are unrecoverable —
+    float64 already lost the precision at the Arrow boundary)."""
+    v = _clean(v)
+    if v is None:
+        return None
+    return [None if x is None or (isinstance(x, float) and x != x)
+            else (int(x) if isinstance(x, float) else x) for x in v]
+
+
 def _cleaners(df, cols) -> dict:
     """Per-column cleaner map for kernel buffer ingestion: _clean, plus
     integral-type restoration.  pandas coerces a nullable int64 column
@@ -135,16 +150,21 @@ def _cleaners(df, cols) -> dict:
     and ``merge_agg`` stringifies '5.0' where the batch path's CAST
     gives '5'.  Restoring the Spark type makes buffered values
     micro-batch-split-invariant."""
-    from pyspark.sql.types import (ByteType, IntegerType, LongType,
-                                   ShortType)
+    from pyspark.sql.types import (ArrayType, ByteType, IntegerType,
+                                   LongType, ShortType)
+    ints = (ByteType, ShortType, IntegerType, LongType)
     out = {}
     for c in cols:
         # no defensive except: every caller passes columns present in
         # its (pruned) df — a missing name is a plan-build bug that
         # must fail HERE, not silently get the wrong cleaner
-        is_int = isinstance(df.schema[c].dataType,
-                            (ByteType, ShortType, IntegerType, LongType))
-        out[c] = _clean_int if is_int else _clean
+        dt = df.schema[c].dataType
+        if isinstance(dt, ints):
+            out[c] = _clean_int
+        elif isinstance(dt, ArrayType) and isinstance(dt.elementType, ints):
+            out[c] = _clean_int_list
+        else:
+            out[c] = _clean
     return out
 
 

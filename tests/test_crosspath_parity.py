@@ -753,3 +753,80 @@ def test_cep_measures_rich_types_stream_parity(spark):
     s2.execute(sql)
     got = run_streaming_collect(spark, s2, batches, EVT_RICH, tables={})
     assert norm(got) == batch, "CEP rich-measure stream/batch divergence"
+
+
+def test_array_long_null_elements_split_invariant(spark):
+    """r8 review find, pinned: the Arrow boundary float64-coerces an
+    ENTIRE array<long> chunk when any element in it is NULL (so [5]
+    arrives as [5.0] from a null-bearing micro-batch and [5] from a
+    clean one, and a NULL element arrives as nan) — before the
+    _clean_int_list restoration, repr-keyed deduplicate split 5 vs 5.0
+    across micro-batch boundaries and emitting nan into array<bigint>
+    killed the streaming query.  Batch flush and a deliberately
+    null-splitting replay must agree exactly."""
+    from collections import Counter
+
+    sql = ("SELECT deviceId, collect(nums) AS cn, deduplicate(nums) AS dn, "
+           "last_value(nums) AS ln FROM stream "
+           "GROUP BY deviceId, CountingWindow(3) "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+
+    def evt(i, nums):
+        return {"deviceId": "d1", "tags": ["t"], "nums": nums,
+                "updated": datetime(2024, 1, 1), "ts": 1000 * (i + 1),
+                "status": "ok"}
+
+    rows = [evt(0, [5]), evt(1, [1, None]), evt(2, [5]),
+            evt(3, [5]), evt(4, [2, 3]), evt(5, [1, None])]
+
+    def norm(out):
+        return Counter(str(sorted(_norm_rich(r).items())) for r in out)
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in rows:
+        s.emit(dict(r))
+    batch = norm(s.trigger_window())
+    assert sum(batch.values()) == 2
+
+    # split so window 1 sees a null-bearing chunk and a clean chunk,
+    # and window 2 gets its null-bearing row in a SEPARATE batch
+    batches = [[rows[0]], [rows[1], rows[2]], [rows[3], rows[4]], [rows[5]]]
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    got = run_streaming_collect(spark, s2, batches, EVT_RICH, tables={})
+    assert norm(got) == batch, "array<long> buffers split across chunks"
+
+
+def test_pyeval_fallback_continuity_on_rich_edge_values(spark):
+    """r8 review finds, pinned: values OUTSIDE the per-event python
+    whitelist (a null-element list; a tz-aware datetime) must fall
+    back to the Spark route for THAT event with state continuity —
+    not crash schemaless inference, not buffer a representation the
+    other path wouldn't.  lag state must read across the path switch
+    in both directions."""
+    from datetime import timezone
+
+    sql = ("SELECT deviceId, ts, lag(nums) OVER (PARTITION BY deviceId) "
+           "AS p FROM stream WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    r1 = s.emit_sync({"deviceId": "d1", "nums": [5], "ts": 1000})
+    r2 = s.emit_sync({"deviceId": "d1", "nums": [1, None], "ts": 2000})
+    r3 = s.emit_sync({"deviceId": "d1", "nums": [7], "ts": 3000})
+    assert r1["p"] is None and r2["p"] == [5] and r3["p"] == [1, None]
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT deviceId, ts, "
+               "latest(u) OVER (PARTITION BY deviceId) AS lu FROM stream "
+               "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    s2.emit_sync({"deviceId": "d1", "u": datetime(2024, 1, 1, 12),
+                  "ts": 1000})
+    # aware datetime: Spark route normalizes to session-naive — the
+    # python path must NOT buffer the aware original instead
+    b = s2.emit_sync({"deviceId": "d1",
+                      "u": datetime(2024, 1, 1, 13, tzinfo=timezone.utc),
+                      "ts": 2000})
+    assert b["lu"].tzinfo is None
+    c = s2.emit_sync({"deviceId": "d1", "u": None, "ts": 3000})
+    assert c["lu"].tzinfo is None  # latest carries the naive buffered value
