@@ -60,33 +60,47 @@ def main() -> None:
     print(f"staged {n_rows} rows x {copies} copies in "
           f"{time.time() - t0:.1f}s -> {in_dir}")
 
-    q = StreamSQL(spark).execute("""
-        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
-        FROM stream GROUP BY user_id, CountingWindow(25)
-    """)
-    stream = (spark.readStream.schema(raw.schema)
-              .option("maxFilesPerTrigger", 4).parquet(in_dir))
-    got = {"n": 0}
-    t0 = time.time()
-    sq = q.start_stream(stream,
-                        sink=lambda rows: got.__setitem__(
-                            "n", got["n"] + len(rows)),
-                        query_name="scale16x")
-    if not sq.awaitTermination(1800):
-        sq.stop()
-        raise RuntimeError("16x replay did not finish in 30min")
-    wall = time.time() - t0
-    prog = sq.lastProgress or {}
-    ops = (prog.get("stateOperators") or [{}])[0]
-    custom = ops.get("customMetrics", {})
-    print(f"kernel=counting_window copies={copies} rows={n_rows} "
-          f"wall={wall:.1f}s rows_per_s={n_rows / wall:,.0f} "
-          f"out_rows={got['n']}")
-    print(f"state: numRowsTotal={ops.get('numRowsTotal')} "
-          f"memoryUsedBytes={ops.get('memoryUsedBytes')} "
-          f"rocksdbTotalMemory={custom.get('rocksdbTotalMemoryUsageBytes')} "
-          f"rocksdbSstFiles={custom.get('rocksdbSstFileSize')} "
-          f"rocksdbPinnedMem={custom.get('rocksdbPinnedBlocksMemoryUsage')}")
+    kernels = {
+        "counting_window": """
+            SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+            FROM stream GROUP BY user_id, CountingWindow(25)
+        """,
+        "analytic": """
+            SELECT event_id, user_id,
+                   lag(value) OVER (PARTITION BY user_id) AS prev_v,
+                   round(acc_sum(value) OVER (PARTITION BY user_id), 4)
+                       AS run_sum,
+                   acc_count(value) OVER (PARTITION BY user_id) AS run_cnt
+            FROM stream
+        """,
+    }
+    for kernel_name, sql in kernels.items():
+        q = StreamSQL(spark).execute(sql)
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("maxFilesPerTrigger", 4).parquet(in_dir))
+        got = {"n": 0}
+        t0 = time.time()
+        sq = q.start_stream(stream,
+                            sink=lambda rows: got.__setitem__(
+                                "n", got["n"] + len(rows)),
+                            query_name=f"scale16x_{kernel_name}")
+        if not sq.awaitTermination(1800):
+            sq.stop()
+            raise RuntimeError("16x replay did not finish in 30min")
+        wall = time.time() - t0
+        prog = sq.lastProgress or {}
+        ops = (prog.get("stateOperators") or [{}])[0]
+        custom = ops.get("customMetrics", {})
+        print(f"kernel={kernel_name} copies={copies} rows={n_rows} "
+              f"wall={wall:.1f}s rows_per_s={n_rows / wall:,.0f} "
+              f"out_rows={got['n']}")
+        print(f"state: numRowsTotal={ops.get('numRowsTotal')} "
+              f"memoryUsedBytes={ops.get('memoryUsedBytes')} "
+              f"rocksdbTotalMemory="
+              f"{custom.get('rocksdbTotalMemoryUsageBytes')} "
+              f"rocksdbSstFiles={custom.get('rocksdbSstFileSize')} "
+              f"rocksdbPinnedMem="
+              f"{custom.get('rocksdbPinnedBlocksMemoryUsage')}")
 
     import shutil
     shutil.rmtree(root, ignore_errors=True)
