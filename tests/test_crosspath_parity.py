@@ -881,3 +881,43 @@ def test_analytic_struct_columns_stream_parity(spark):
     got_stream = norm(run_streaming_collect(spark, s, batches, schema,
                                             tables={}))
     assert got_stream == got_batch, "struct columns diverged batch/stream"
+
+
+@pytest.mark.parametrize("unit", sorted(TIMEUNIT_DAY))
+def test_window_timeunit_batch_stream_parity(spark, unit):
+    """TIMEUNIT scaling for the WINDOW path (the same `_event_time_col`
+    conversion the CEP fuzz pins, but through tumbling-window
+    assignment and the streaming watermark): day-granular numeric
+    event times in each reference unit must land in the same 48h
+    windows on both paths, with window_start() reporting the true
+    wall-clock boundary."""
+    mult = TIMEUNIT_DAY[unit]
+    sql = ("SELECT deviceId, count(*) AS n, sum(temperature) AS s, "
+           "unix_timestamp(window_start()) AS ws FROM stream "
+           "GROUP BY deviceId, TumblingWindow('48h') "
+           f"WITH (TIMESTAMP='ts', TIMEUNIT='{unit}')")
+
+    def evt(day, temp):
+        return {"deviceId": "d1", "temperature": temp, "humidity": 0.0,
+                "ts": day * mult, "status": "ok"}
+
+    # days 0,1 -> window 0; days 2,3 -> window 1; day 4 pushes the
+    # watermark past both
+    rows = [evt(0, 1.0), evt(1, 2.0), evt(2, 4.0), evt(3, 8.0),
+            evt(4, 16.0)]
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in rows:
+        s.emit(dict(r))
+    batch = sorted((r["ws"], r["n"], r["s"]) for r in s.trigger_window())
+    day_s = 86_400
+    assert batch == [(0, 2, 3.0), (2 * day_s, 2, 12.0),
+                     (4 * day_s, 1, 16.0)], (unit, batch)
+
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    got = run_streaming_collect(spark, s2, [[r] for r in rows], EVT,
+                                tables={})
+    # append mode: the last window (day 4) stays open at end of stream
+    stream = sorted((r["ws"], r["n"], r["s"]) for r in got)
+    assert stream == batch[:2], (unit, stream)
