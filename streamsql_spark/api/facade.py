@@ -409,7 +409,12 @@ class StreamSQL:
             # column types — reuse them when the column set matches
             cached = getattr(self, "_inferred_schema", None)
             if cached is not None and rows \
-                    and set(cached.fieldNames()) == set(rows[0]):
+                    and all(set(cached.fieldNames()) == set(r)
+                            for r in rows):
+                # EVERY row's key set must match — createDataFrame with
+                # an explicit schema silently drops unknown keys, which
+                # would turn the old loud inference failure into wrong
+                # output
                 return self.spark.createDataFrame(rows, schema=cached)
             raise
         self._inferred_schema = df.schema

@@ -1337,6 +1337,20 @@ def _fast_ckpt(prefix: str) -> str | None:
     return d
 
 
+def _reap_ckpt(d: str | None) -> None:
+    """Remove a replay's checkpoint as soon as its query finishes —
+    fresh per run and never reused, so leaving them to the atexit
+    sweep would pile streaming state in tmpfs across bench reps."""
+    import shutil
+
+    if d is not None:
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            _EPHEMERAL_CKPTS.remove(d)
+        except ValueError:
+            pass
+
+
 def _sweep_ephemeral_ckpts() -> None:
     import shutil
 
@@ -1517,9 +1531,21 @@ def _streaming_cep_run(spark: SparkSession, sf_dir: str) -> DataFrame:
               .outputMode("append").trigger(availableNow=True).start())
 
         # kind='ooo' leg runs concurrently on the shared local scheduler
-        ooo_acc, ooo_sq = _streaming_cep_ooo_start(spark, sf_dir)
-        _await_replay(sq)
-        _await_replay(ooo_sq)
+        ooo_acc, ooo_sq, ooo_ckpt = _streaming_cep_ooo_start(spark, sf_dir)
+        try:
+            _await_replay(sq)
+            _await_replay(ooo_sq)
+        except BaseException:
+            # one leg overran/failed: stop BOTH, or the survivor keeps
+            # contending with the next bench entry and mutating its acc
+            for q_ in (sq, ooo_sq):
+                try:
+                    q_.stop()
+                except Exception:  # noqa: BLE001 — already failing
+                    pass
+            raise
+        finally:
+            _reap_ckpt(ooo_ckpt)
     base = spark.table(name)
     ooo = spark.createDataFrame(
         [(r["user_id"], r["a_ts"], r["b_ts"], r["a_val"], r["b_val"])
@@ -1636,10 +1662,11 @@ def _streaming_cep_ooo_start(spark: SparkSession, sf_dir: str):
             _CEP_ADJ_SQL
             + " WITH (TIMESTAMP='ts', MAXOUTOFORDERNESS='5m')")
         acc: list[dict] = []
+        ckpt = _fast_ckpt("ssql_cep_ooo_ckpt_")
         sq = q.start_stream(stream, sink=lambda rows: acc.extend(rows),
                             query_name="cep_ooo_" + _uuid.uuid4().hex[:8],
-                            checkpoint=_fast_ckpt("ssql_cep_ooo_ckpt_"))
-        return acc, sq
+                            checkpoint=ckpt)
+        return acc, sq, ckpt
     except BaseException:
         _drop_staging(_OOO_STAGED, sf_dir)
         raise
@@ -1650,7 +1677,7 @@ _add("streaming_cep_replay", Entry(
     f"""
     SELECT 'inorder' AS kind, * FROM ({_CEP_ADJ_ORACLE})
     UNION ALL
-    SELECT 'ooo' AS kind, * FROM ({_CEP_ADJ_ORACLE}) WHERE user_id % 7 = 0
+    SELECT 'ooo' AS kind, * FROM ({_CEP_ADJ_ORACLE}) WHERE {_OOO_KEY_PRED}
     """,
     "§2.7+§3 MATCH_RECOGNIZE on the incremental streaming matcher "
     "(cep/engine.go:374-461 semantics in applyInPandasWithState), "
@@ -1741,12 +1768,16 @@ def _streaming_lateness_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ALLOWEDLATENESS='2h')
         """)
         acc: list[dict] = []
+        ckpt = _fast_ckpt("ssql_lateness_ckpt_")
         with _replay_partitions(spark):
-            sq = q.start_stream(
-                stream, sink=lambda rows: acc.extend(rows),
-                query_name="lateness_" + _uuid.uuid4().hex[:8],
-                checkpoint=_fast_ckpt("ssql_lateness_ckpt_"))
-            _await_replay(sq)
+            try:
+                sq = q.start_stream(
+                    stream, sink=lambda rows: acc.extend(rows),
+                    query_name="lateness_" + _uuid.uuid4().hex[:8],
+                    checkpoint=ckpt)
+                _await_replay(sq)
+            finally:
+                _reap_ckpt(ckpt)
         return spark.createDataFrame(
             [(r["event_type"], r["cnt"], r["total"], r["ws"]) for r in acc
              if r["event_type"] != "__flush__"],

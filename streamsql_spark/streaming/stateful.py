@@ -126,19 +126,41 @@ def _clean_int(v):
     return int(v) if isinstance(v, float) else v
 
 
-def _clean_int_list(v):
-    """array<integral> cell: Arrow float64-coerces the WHOLE chunk when
-    any element anywhere in it is NULL, so ``[5]`` buffers as ``[5.0]``
-    from one micro-batch and ``[5]`` from another, and a NULL element
-    arrives as ``nan`` — restore ints and None so buffered arrays are
-    micro-batch-split-invariant (same trap class as _clean_int, r7;
-    elements beyond 2^53 in a null-bearing chunk are unrecoverable —
-    float64 already lost the precision at the Arrow boundary)."""
-    v = _clean(v)
-    if v is None:
+def _clean_int_leaf(x):
+    """Integral array element: Arrow float64-coerces the WHOLE chunk
+    when any element anywhere in it is NULL, so ``5`` arrives as
+    ``5.0`` chunk-dependently and a NULL element arrives as ``nan`` —
+    restore int/None for micro-batch-split-invariance (same trap class
+    as _clean_int, r7; elements beyond 2^53 in a null-bearing chunk
+    are unrecoverable — float64 already lost the precision at the
+    Arrow boundary)."""
+    if x is None or (isinstance(x, float) and x != x):
         return None
-    return [None if x is None or (isinstance(x, float) and x != x)
-            else (int(x) if isinstance(x, float) else x) for x in v]
+    return int(x) if isinstance(x, float) else x
+
+
+def _int_array_cleaner(dt):
+    """Cell cleaner for (nested) arrays whose LEAF element type is
+    integral, recursing through array<array<...>>; None when the type
+    carries no integral leaf to restore (plain _clean suffices)."""
+    from pyspark.sql.types import (ArrayType, ByteType, IntegerType,
+                                   LongType, ShortType)
+    if isinstance(dt.elementType, (ByteType, ShortType, IntegerType,
+                                   LongType)):
+        inner = _clean_int_leaf
+    elif isinstance(dt.elementType, ArrayType):
+        inner = _int_array_cleaner(dt.elementType)
+        if inner is None:
+            return None
+    else:
+        return None
+
+    def f(v, inner=inner):
+        v = _clean(v)
+        if v is None:
+            return None
+        return [inner(x) for x in v]
+    return f
 
 
 def _cleaners(df, cols) -> dict:
@@ -161,8 +183,8 @@ def _cleaners(df, cols) -> dict:
         dt = df.schema[c].dataType
         if isinstance(dt, ints):
             out[c] = _clean_int
-        elif isinstance(dt, ArrayType) and isinstance(dt.elementType, ints):
-            out[c] = _clean_int_list
+        elif isinstance(dt, ArrayType):
+            out[c] = _int_array_cleaner(dt) or _clean
         else:
             out[c] = _clean
     return out

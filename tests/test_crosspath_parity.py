@@ -502,8 +502,10 @@ def test_cep_stream_batch_parity_out_of_order(spark, pat_idx):
 
 # one event-time day expressed in each reference unit
 # (rsql/parser.go:1149-1160) — whole days keep every unit integral
+# (ns included: it takes the decimal-division micros path in
+# _event_time_col, the one nontrivial conversion)
 TIMEUNIT_DAY = {"ms": 86_400_000, "ss": 86_400, "mi": 1_440,
-                "hh": 24, "dd": 1}
+                "hh": 24, "dd": 1, "ns": 86_400_000_000_000}
 
 
 @pytest.mark.parametrize("unit", sorted(TIMEUNIT_DAY))
