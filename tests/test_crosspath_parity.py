@@ -923,3 +923,66 @@ def test_window_timeunit_batch_stream_parity(spark, unit):
     # append mode: the last window (day 4) stays open at end of stream
     stream = sorted((r["ws"], r["n"], r["s"]) for r in got)
     assert stream == batch[:2], (unit, stream)
+
+
+@pytest.mark.parametrize("wspec", [
+    "TumblingWindow('5s')",
+    "SlidingWindow('10s', '5s')",
+    "SessionWindow('3s')",
+])
+def test_window_agg_out_of_order_delivery_parity(spark, wspec):
+    """Window-aggregation analog of the CEP out-of-order fuzz: rows
+    displaced up to 3 positions (<=3s) under MAXOUTOFORDERNESS='5s'
+    must land in their true event-time windows — the batch path
+    assigns windows by event time regardless of arrival order, so the
+    streaming kernels' reorder/watermark handling must converge to the
+    same multiset.  Order-INSENSITIVE aggregates only (arrival-order
+    aggs like collect are, by reference semantics, arrival-dependent
+    and not comparable under displaced delivery)."""
+    import zlib
+    from collections import Counter
+
+    aggs = [("n", "count(*)"), ("cv", "count(temperature)"),
+            ("s", "round(sum(temperature), 6)"),
+            ("a", "round(avg(temperature), 6)"),
+            ("lo", "min(temperature)"), ("hi", "max(temperature)"),
+            ("md", "median(temperature)")]
+    cols = ", ".join(f"{expr} AS {alias}" for alias, expr in aggs)
+    sql = (f"SELECT deviceId, {cols}, "
+           "unix_timestamp(window_start()) AS ws FROM stream "
+           f"GROUP BY deviceId, {wspec} "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms', MAXOUTOFORDERNESS='5s')")
+
+    seed = zlib.crc32(f"ooo|{wspec}".encode()) % 1000
+    rows = _wagg_rows(seed)
+    rng = random.Random(seed + 7)
+    shuffled = list(rows)
+    for _ in range(30):  # bounded displacement, like the CEP ooo fuzz
+        i = rng.randrange(len(shuffled) - 1)
+        j = min(i + rng.randint(1, 3), len(shuffled) - 1)
+        if abs(shuffled[i]["ts"] - shuffled[j]["ts"]) <= 3000:
+            shuffled[i], shuffled[j] = shuffled[j], shuffled[i]
+    delivery = shuffled + [
+        {"deviceId": "__flush__", "temperature": 1.0, "humidity": 0.0,
+         "ts": max(r["ts"] for r in rows) + 10_000_000, "status": "ok",
+         "reading": 1}]
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in delivery:
+        s.emit(dict(r))
+    batch_out = Counter(_norm_wagg(r) for r in s.trigger_window()
+                        if r["deviceId"] != "__flush__")
+
+    batches, i = [], 0
+    while i < len(delivery):
+        k = rng.randint(1, 6)
+        batches.append(delivery[i:i + k])
+        i += k
+    got = run_streaming_collect(
+        spark, StreamSQL(spark).execute(sql), batches, WEVT, tables={})
+    stream_out = Counter(_norm_wagg(r) for r in got
+                         if dict(r).get("deviceId") != "__flush__")
+    assert stream_out == batch_out, (
+        f"{wspec} OOO: batch-only={batch_out - stream_out} "
+        f"stream-only={stream_out - batch_out}")
