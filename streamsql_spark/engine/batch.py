@@ -809,6 +809,15 @@ class BatchExecutor:
         # keep ORDER BY-referenced placeholders alive through projection
         extra = [s.placeholder for s in plan.agg_specs
                  if any(s.placeholder in osql for osql, _ in plan.order_by)]
+        if (plan.order_by or plan.limit is not None) \
+                and WINDOW_START_COL in grouped.columns \
+                and not any(o.name == WINDOW_START_COL
+                            for o in plan.outputs):
+            # ORDER BY/LIMIT on a windowed query apply PER WINDOW FIRE
+            # (the reference's emission unit — LIMIT caps each sink
+            # batch, processor_data.go:481-483), so the window identity
+            # must survive the projection
+            extra = extra + [WINDOW_START_COL]
         self._order_extras = extra
         return grouped.select(*out_cols, *[F.col(e) for e in extra])
 
@@ -890,19 +899,46 @@ class BatchExecutor:
 
     # -------------------------------------------------------- order/limit
     def _apply_order_limit(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
+        extras = getattr(self, "_order_extras", [])
+        # window mode: ORDER BY/LIMIT apply PER WINDOW FIRE — the
+        # reference's sink-emission unit (each window close is one
+        # batch; LIMIT truncates it AFTER the sort,
+        # processor_data.go:438-493) — never globally across windows
+        win_col = WINDOW_START_COL \
+            if plan.mode == "window" and WINDOW_START_COL in df.columns \
+            else None
+        exprs = []
         if plan.order_by:
-            # ORDER BY + LIMIT compiles to TakeOrderedAndProject — a top-K
-            # per partition + merge, no global sort at scale.  Sort keys
-            # referencing projected expressions (m.location, computed
-            # cols) rewrite to their output names.
+            # Sort keys referencing projected expressions (m.location,
+            # computed cols) rewrite to their output names.
             outmap = {o.sql: o.name for o in plan.outputs
                       if o.sql and o.name and o.sql != o.name}
-            exprs = []
             for sql, asc in plan.order_by:
                 c = F.expr(replace_ref_tokens(sql, outmap))
                 exprs.append(c.asc() if asc else c.desc())
-            df = df.orderBy(*exprs)
-        extras = getattr(self, "_order_extras", [])
+        if win_col is not None and plan.limit is not None:
+            from pyspark.sql.window import Window
+
+            # top-K per window (partial WindowGroupLimit before the
+            # shuffle — no global sort); without an ORDER BY the
+            # reference's per-batch truncation order is its map
+            # iteration order (nondeterministic), so any deterministic
+            # in-window order is compliant — use the visible outputs
+            order_exprs = exprs or [
+                F.col(c) for c in df.columns
+                if c != win_col and c not in extras]
+            w = Window.partitionBy(win_col).orderBy(*order_exprs)
+            df = (df.withColumn("__rn__", F.row_number().over(w))
+                  .where(F.col("__rn__") <= plan.limit).drop("__rn__"))
+            if exprs:
+                # emission order: windows in fire order, sorted within
+                df = df.orderBy(F.col(win_col).asc(), *exprs)
+            return df.drop(*[c for c in extras if c in df.columns])
+        if exprs:
+            # ORDER BY + LIMIT compiles to TakeOrderedAndProject — a
+            # top-K per partition + merge, no global sort at scale
+            df = df.orderBy(*([F.col(win_col).asc()] if win_col else [])
+                            + exprs)
         if extras:
             df = df.drop(*extras)
         if plan.limit is not None:

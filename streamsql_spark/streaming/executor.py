@@ -175,15 +175,61 @@ class StreamingExecutor:
     # ----------------------------------------------------------- sinks
     def post_batch_fn(self, plan) -> Callable[[DataFrame], DataFrame]:
         """Per-emission tail: DISTINCT → ORDER BY → LIMIT
-        (stream/processor_data.go:438-493 order)."""
+        (stream/processor_data.go:438-493 order).  On windowed queries
+        ORDER BY/LIMIT apply PER WINDOW FIRE — the reference's emission
+        unit is one window close, and a micro-batch may carry several —
+        so the limit partitions on the (possibly hidden) window start,
+        mirroring the batch path.  Hidden helper columns (ORDER BY-only
+        aggregate placeholders, the window-identity carrier) never
+        reach the sink."""
+        from ..dialect.planner import WINDOW_START_COL
+
+        # the window-identity carrier is hidden unless the user
+        # projected it under its own name; helper placeholders are
+        # __dunder__-named by construction.  (NOT "anything outside
+        # plan.outputs": star outputs carry o.name=None and would make
+        # every column hidden.)
+        win_hidden = (plan.mode == "window"
+                      and not any(o.name == WINDOW_START_COL
+                                  for o in plan.outputs))
+
         def fn(batch_df: DataFrame) -> DataFrame:
             df = batch_df
+            hidden = [c for c in df.columns
+                      if (c.startswith("__") and c.endswith("__"))
+                      or (win_hidden and c == WINDOW_START_COL)]
             if plan.distinct:
-                df = df.dropDuplicates()
-            if plan.order_by:
-                exprs = [F.expr(s).asc() if asc else F.expr(s).desc()
-                         for s, asc in plan.order_by]
-                df = df.orderBy(*exprs)
+                vis = [c for c in df.columns if c not in hidden]
+                if hidden:
+                    # deterministic survivor per visible group (same
+                    # min-election as the batch DISTINCT)
+                    df = df.groupBy(*[F.col(c) for c in vis]).agg(
+                        *[F.min(c).alias(c) for c in hidden])
+                else:
+                    df = df.dropDuplicates()
+            exprs = [F.expr(s).asc() if asc else F.expr(s).desc()
+                     for s, asc in plan.order_by] if plan.order_by else []
+            win_col = WINDOW_START_COL \
+                if plan.mode == "window" and WINDOW_START_COL in df.columns \
+                else None
+            if win_col is not None and plan.limit is not None:
+                from pyspark.sql.window import Window
+
+                order_exprs = exprs or [
+                    F.col(c) for c in df.columns
+                    if c != win_col and c not in hidden]
+                w = Window.partitionBy(win_col).orderBy(*order_exprs)
+                df = (df.withColumn("__rn__", F.row_number().over(w))
+                      .where(F.col("__rn__") <= plan.limit)
+                      .drop("__rn__"))
+                if exprs:
+                    df = df.orderBy(F.col(win_col).asc(), *exprs)
+                return df.drop(*[c for c in hidden if c in df.columns])
+            if exprs:
+                df = df.orderBy(
+                    *([F.col(win_col).asc()] if win_col else []) + exprs)
+            if hidden:
+                df = df.drop(*hidden)
             if plan.limit is not None:
                 df = df.limit(plan.limit)
             return df

@@ -2805,3 +2805,45 @@ def test_changed_cols_star_with_ddl_string_schema(spark):
     s2 = StreamSQL(spark)
     s2.execute('SELECT changed_cols("c_", false, "*") FROM stream')
     assert s2.trigger_window() == []
+
+
+def test_window_orderby_limit_per_window_fire(spark):
+    """ORDER BY + LIMIT on a windowed query apply PER WINDOW FIRE — the
+    reference's emission unit is one window close and LIMIT truncates
+    that batch after its sort (processor_data.go:438-493,481-483;
+    test/e2e/window_orderby_test.go TestIntegration_OrderBy_WithLimitTopN)
+    — never globally across windows: two tumbling windows with three
+    devices each must yield the top-2 per window (4 rows), not the
+    global top-2."""
+    sql = ("SELECT deviceId, avg(temperature) AS m FROM stream "
+           "GROUP BY deviceId, TumblingWindow('10s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms') ORDER BY m DESC LIMIT 2")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for dev, t, ts in [("d1", 30.0, 1000), ("d2", 50.0, 2000),
+                       ("d3", 40.0, 3000),
+                       ("d1", 90.0, 11000), ("d2", 10.0, 12000),
+                       ("d3", 60.0, 13000)]:
+        s.emit({"deviceId": dev, "temperature": t, "ts": ts})
+    out = s.trigger_window()
+    assert [(r["deviceId"], r["m"]) for r in out] == \
+        [("d2", 50.0), ("d3", 40.0),   # window 1 top-2, sorted desc
+         ("d1", 90.0), ("d3", 60.0)]   # window 2 top-2, sorted desc
+    assert all(set(r) == {"deviceId", "m"} for r in out), \
+        "hidden window-identity column leaked to the output"
+
+
+def test_window_orderby_limit_single_window_reference_case(spark):
+    """The reference's own top-N case (window_orderby_test.go:90-106):
+    one window, ORDER BY m DESC LIMIT 2 → exactly the two hottest
+    devices in descending order."""
+    sql = ("SELECT deviceId, avg(temperature) AS m FROM stream "
+           "GROUP BY deviceId, TumblingWindow('10s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms') ORDER BY m DESC LIMIT 2")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for dev, t in [("d1", 30.0), ("d2", 50.0), ("d3", 40.0)]:
+        s.emit({"deviceId": dev, "temperature": t, "ts": 1000})
+    out = s.trigger_window()
+    assert [(r["deviceId"], r["m"]) for r in out] == \
+        [("d2", 50.0), ("d3", 40.0)]

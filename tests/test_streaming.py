@@ -1161,3 +1161,28 @@ def test_cep_null_define_semantics_batch_stream_parity(spark):
                     run_streaming_collect(spark, s2, [rows], EVT,
                                           tables=s2._tables))
     assert batch == stream == [(2000, 3000)]
+
+
+def test_streaming_window_orderby_limit_per_window_fire(spark):
+    """Streaming mirror of the per-window-fire LIMIT contract: a single
+    micro-batch carrying TWO closed windows must emit the top-2 per
+    window (processor_data.go:481-483 — LIMIT truncates each emission
+    batch, and the reference's emission unit is one window close), and
+    the hidden window-identity carrier must not reach the sink."""
+    sql = ("SELECT deviceId, avg(temperature) AS m FROM stream "
+           "GROUP BY deviceId, TumblingWindow('10s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms') ORDER BY m DESC LIMIT 2")
+    batches = [
+        _rows(("d1", 30.0, 0.0, 1000, "ok"), ("d2", 50.0, 0.0, 2000, "ok"),
+              ("d3", 40.0, 0.0, 3000, "ok"),
+              ("d1", 90.0, 0.0, 11000, "ok"), ("d2", 10.0, 0.0, 12000, "ok"),
+              ("d3", 60.0, 0.0, 13000, "ok")),
+        # watermark pusher closes both windows in one emission
+        _rows(("dX", 1.0, 0.0, 10_000_000, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    rows = [(r["deviceId"], r["m"]) for r in got if r["deviceId"] != "dX"]
+    assert sorted(rows) == sorted(
+        [("d2", 50.0), ("d3", 40.0), ("d1", 90.0), ("d3", 60.0)]), rows
+    assert all(set(r) == {"deviceId", "m"} for r in got), \
+        "hidden window-identity column leaked to the sink"
