@@ -395,3 +395,29 @@ def test_gated_lag_offset2_linear_plan(spark):
     assert plan.count("Exchange") == 1
     assert "collect_list" not in plan
     assert "RangeFrame" in plan  # the count-frame lookup construction
+
+
+def test_window_orderby_limit_is_per_window_group_limit(spark):
+    """Windowed ORDER BY + LIMIT (per-window-fire semantics, r8) must
+    compile to WindowGroupLimit — a PARTIAL top-K before the shuffle
+    plus the final pass — never a global sort+limit across windows."""
+    import contextlib
+    import io
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.session import load_tables
+
+    tables = load_tables(spark, SF_DIR)
+    s = StreamSQL(spark)
+    s.execute("SELECT user_id, avg(value) AS m FROM stream "
+              "GROUP BY user_id, TumblingWindow('6h') "
+              "WITH (TIMESTAMP='ts') ORDER BY m DESC LIMIT 2")
+    df = s.query(tables["events"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert p.count("WindowGroupLimit") >= 2, p  # partial + final
+    assert "GlobalLimit" not in p
+    # the hidden window-identity carrier never reaches the result
+    assert [f.name for f in df.schema.fields] == ["user_id", "m"]
