@@ -1531,7 +1531,17 @@ def _streaming_cep_run(spark: SparkSession, sf_dir: str) -> DataFrame:
               .outputMode("append").trigger(availableNow=True).start())
 
         # kind='ooo' leg runs concurrently on the shared local scheduler
-        ooo_acc, ooo_sq, ooo_ckpt = _streaming_cep_ooo_start(spark, sf_dir)
+        try:
+            ooo_acc, ooo_sq, ooo_ckpt = _streaming_cep_ooo_start(
+                spark, sf_dir)
+        except BaseException:
+            # staging/start failed with the inorder query already
+            # running — stop it or it contends with the next entry
+            try:
+                sq.stop()
+            except Exception:  # noqa: BLE001 — already failing
+                pass
+            raise
         try:
             _await_replay(sq)
             _await_replay(ooo_sq)

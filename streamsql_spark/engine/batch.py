@@ -119,6 +119,38 @@ def event_time_name(columns, plan: QueryPlan) -> str | None:
     return name
 
 
+def _fires_per_time_window(plan: QueryPlan) -> bool:
+    """True when the plan's emission unit is a TIME window fire — the
+    grain at which the reference applies DISTINCT/ORDER BY/LIMIT
+    (processor_data.go:438-493).  Counting/global windows and plain
+    GROUP BY aggregates synthesize window_start as a per-GROUP min
+    timestamp, which is NOT a fire identity — per-window post-stages
+    keyed on it would mis-partition (e.g. disable LIMIT entirely)."""
+    return (plan.mode == "window" and plan.window is not None
+            and plan.window.kind in ("tumbling", "sliding", "session"))
+
+
+def per_window_topk(df: DataFrame, win_col: str, exprs: list,
+                    limit: int, drop_cols: list) -> DataFrame:
+    """Top-K per window fire (partial WindowGroupLimit before the
+    shuffle — no global sort), then rows ordered by window fire and
+    the ORDER BY keys within each.  Without an ORDER BY the
+    reference's per-batch truncation order is its map iteration order
+    (nondeterministic), so any deterministic in-window order is
+    compliant — the visible outputs are used.  Shared by the batch
+    executor and the streaming per-emission tail."""
+    from pyspark.sql.window import Window
+
+    order_exprs = exprs or [F.col(c) for c in df.columns
+                            if c != win_col and c not in drop_cols]
+    w = Window.partitionBy(win_col).orderBy(*order_exprs)
+    df = (df.withColumn("__rn__", F.row_number().over(w))
+          .where(F.col("__rn__") <= limit).drop("__rn__"))
+    if exprs:
+        df = df.orderBy(F.col(win_col).asc(), *exprs)
+    return df.drop(*[c for c in drop_cols if c in df.columns])
+
+
 def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
     """Resolve the event-time column per WITH (TIMESTAMP=..., TIMEUNIT=...).
 
@@ -575,9 +607,13 @@ class BatchExecutor:
             # helper placeholders (kept alive by _apply_window_agg) would
             # otherwise make distinct groups out of identical result rows
             # (the reference serializes the result row — output fields —
-            # stream/processor_data.go:496-515)
+            # stream/processor_data.go:496-515).  The hidden WINDOW
+            # identity is NOT a helper: DISTINCT applies per window fire
+            # (the emission unit), so identical rows from two windows
+            # must both survive — it joins the dedup keys instead of
+            # being min-elected across windows.
             extras = [c for c in getattr(self, "_order_extras", [])
-                      if c in df.columns]
+                      if c in df.columns and c != WINDOW_START_COL]
             vis = [c for c in df.columns if c not in extras]
             if extras:
                 # deterministic survivor: dropDuplicates(vis) keeps an
@@ -809,14 +845,19 @@ class BatchExecutor:
         # keep ORDER BY-referenced placeholders alive through projection
         extra = [s.placeholder for s in plan.agg_specs
                  if any(s.placeholder in osql for osql, _ in plan.order_by)]
-        if (plan.order_by or plan.limit is not None) \
+        if (plan.order_by or plan.limit is not None or plan.distinct) \
+                and _fires_per_time_window(plan) \
                 and WINDOW_START_COL in grouped.columns \
                 and not any(o.name == WINDOW_START_COL
                             for o in plan.outputs):
-            # ORDER BY/LIMIT on a windowed query apply PER WINDOW FIRE
-            # (the reference's emission unit — LIMIT caps each sink
-            # batch, processor_data.go:481-483), so the window identity
-            # must survive the projection
+            # ORDER BY/LIMIT on a TIME-windowed query apply PER WINDOW
+            # FIRE (the reference's emission unit — LIMIT caps each
+            # sink batch, processor_data.go:481-483), so the window
+            # identity must survive the projection.  Time windows ONLY:
+            # for plain GROUP BY / counting / global windows the
+            # window_start column is a per-GROUP min timestamp, not a
+            # fire identity — partitioning a LIMIT on it would disable
+            # the limit entirely.
             extra = extra + [WINDOW_START_COL]
         self._order_extras = extra
         return grouped.select(*out_cols, *[F.col(e) for e in extra])
@@ -900,13 +941,13 @@ class BatchExecutor:
     # -------------------------------------------------------- order/limit
     def _apply_order_limit(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
         extras = getattr(self, "_order_extras", [])
-        # window mode: ORDER BY/LIMIT apply PER WINDOW FIRE — the
+        # time windows: ORDER BY/LIMIT apply PER WINDOW FIRE — the
         # reference's sink-emission unit (each window close is one
         # batch; LIMIT truncates it AFTER the sort,
         # processor_data.go:438-493) — never globally across windows
         win_col = WINDOW_START_COL \
-            if plan.mode == "window" and WINDOW_START_COL in df.columns \
-            else None
+            if _fires_per_time_window(plan) \
+            and WINDOW_START_COL in df.columns else None
         exprs = []
         if plan.order_by:
             # Sort keys referencing projected expressions (m.location,
@@ -917,23 +958,8 @@ class BatchExecutor:
                 c = F.expr(replace_ref_tokens(sql, outmap))
                 exprs.append(c.asc() if asc else c.desc())
         if win_col is not None and plan.limit is not None:
-            from pyspark.sql.window import Window
-
-            # top-K per window (partial WindowGroupLimit before the
-            # shuffle — no global sort); without an ORDER BY the
-            # reference's per-batch truncation order is its map
-            # iteration order (nondeterministic), so any deterministic
-            # in-window order is compliant — use the visible outputs
-            order_exprs = exprs or [
-                F.col(c) for c in df.columns
-                if c != win_col and c not in extras]
-            w = Window.partitionBy(win_col).orderBy(*order_exprs)
-            df = (df.withColumn("__rn__", F.row_number().over(w))
-                  .where(F.col("__rn__") <= plan.limit).drop("__rn__"))
-            if exprs:
-                # emission order: windows in fire order, sorted within
-                df = df.orderBy(F.col(win_col).asc(), *exprs)
-            return df.drop(*[c for c in extras if c in df.columns])
+            return per_window_topk(df, win_col, exprs, plan.limit,
+                                   drop_cols=extras)
         if exprs:
             # ORDER BY + LIMIT compiles to TakeOrderedAndProject — a
             # top-K per partition + merge, no global sort at scale

@@ -183,48 +183,41 @@ class StreamingExecutor:
         aggregate placeholders, the window-identity carrier) never
         reach the sink."""
         from ..dialect.planner import WINDOW_START_COL
+        from ..engine.batch import _fires_per_time_window, per_window_topk
 
         # the window-identity carrier is hidden unless the user
         # projected it under its own name; helper placeholders are
         # __dunder__-named by construction.  (NOT "anything outside
         # plan.outputs": star outputs carry o.name=None and would make
         # every column hidden.)
-        win_hidden = (plan.mode == "window"
+        per_fire = _fires_per_time_window(plan)
+        win_hidden = (per_fire
                       and not any(o.name == WINDOW_START_COL
                                   for o in plan.outputs))
 
         def fn(batch_df: DataFrame) -> DataFrame:
             df = batch_df
+            win_col = WINDOW_START_COL \
+                if per_fire and WINDOW_START_COL in df.columns else None
             hidden = [c for c in df.columns
                       if (c.startswith("__") and c.endswith("__"))
                       or (win_hidden and c == WINDOW_START_COL)]
             if plan.distinct:
-                vis = [c for c in df.columns if c not in hidden]
-                if hidden:
-                    # deterministic survivor per visible group (same
-                    # min-election as the batch DISTINCT)
+                # DISTINCT applies per window fire: the window identity
+                # joins the dedup keys (identical rows from two windows
+                # both survive); true helper placeholders min-elect
+                helpers = [c for c in hidden if c != win_col]
+                vis = [c for c in df.columns if c not in helpers]
+                if helpers:
                     df = df.groupBy(*[F.col(c) for c in vis]).agg(
-                        *[F.min(c).alias(c) for c in hidden])
+                        *[F.min(c).alias(c) for c in helpers])
                 else:
-                    df = df.dropDuplicates()
+                    df = df.dropDuplicates(vis)
             exprs = [F.expr(s).asc() if asc else F.expr(s).desc()
                      for s, asc in plan.order_by] if plan.order_by else []
-            win_col = WINDOW_START_COL \
-                if plan.mode == "window" and WINDOW_START_COL in df.columns \
-                else None
             if win_col is not None and plan.limit is not None:
-                from pyspark.sql.window import Window
-
-                order_exprs = exprs or [
-                    F.col(c) for c in df.columns
-                    if c != win_col and c not in hidden]
-                w = Window.partitionBy(win_col).orderBy(*order_exprs)
-                df = (df.withColumn("__rn__", F.row_number().over(w))
-                      .where(F.col("__rn__") <= plan.limit)
-                      .drop("__rn__"))
-                if exprs:
-                    df = df.orderBy(F.col(win_col).asc(), *exprs)
-                return df.drop(*[c for c in hidden if c in df.columns])
+                return per_window_topk(df, win_col, exprs, plan.limit,
+                                       drop_cols=hidden)
             if exprs:
                 df = df.orderBy(
                     *([F.col(win_col).asc()] if win_col else []) + exprs)

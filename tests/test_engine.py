@@ -499,14 +499,14 @@ def test_distinct_order_limit(spark):
 
 
 def test_distinct_with_hidden_order_key_is_deterministic(spark):
-    """ADVICE r5 (engine/batch.py): DISTINCT over the visible columns
-    while ORDER BY references a hidden aggregate placeholder must elect
-    a DETERMINISTIC survivor — dropDuplicates keeps an arbitrary row
-    per group, so the hidden sort key (and hence the output order)
-    could differ run to run.  The fix groups on the visible columns and
-    takes min() of each helper: 'a' windows max 5/3 -> survivor 3, 'b'
-    windows max 6/4 -> survivor 4, so ORDER BY max(n) is always
-    [a, b]."""
+    """ADVICE r5 + r8 emission-unit update: DISTINCT over the visible
+    columns while ORDER BY references a hidden aggregate placeholder
+    must be DETERMINISTIC across repeats (dropDuplicates keeps an
+    arbitrary row per group).  Since r8, DISTINCT on a TIME-windowed
+    query applies PER WINDOW FIRE — the reference's emission unit
+    (processor_data.go:438-493) — so 'a' appearing in two windows
+    yields TWO rows, ordered by window fire then the hidden max(n):
+    w1 [a(5), b(6)], w2 [a(3), b(4)]."""
     sql = ("SELECT DISTINCT status FROM stream "
            "GROUP BY status, TumblingWindow('10s') WITH (TIMESTAMP='ts') "
            "ORDER BY max(n)")
@@ -516,7 +516,7 @@ def test_distinct_with_hidden_order_key_is_deterministic(spark):
             {"status": "b", "n": 4, "ts": 12000}]
     for _ in range(3):  # nondeterminism shows up across repeats
         out = run_query(spark, sql, rows)
-        assert [r["status"] for r in out] == ["a", "b"]
+        assert [r["status"] for r in out] == ["a", "b", "a", "b"]
         assert all(set(r) == {"status"} for r in out)
 
 
@@ -2847,3 +2847,37 @@ def test_window_orderby_limit_single_window_reference_case(spark):
     out = s.trigger_window()
     assert [(r["deviceId"], r["m"]) for r in out] == \
         [("d2", 50.0), ("d3", 40.0)]
+
+
+def test_plain_groupby_orderby_limit_stays_global(spark):
+    """r8 second-pass review find, pinned: per-window-fire LIMIT applies
+    ONLY to time windows — a plain GROUP BY aggregate (no window clause;
+    window_start() is a per-GROUP min timestamp, not a fire identity)
+    must keep the global top-K, even when window_start() is projected."""
+    sql = ("SELECT deviceId, count(*) AS n, window_start() AS ws "
+           "FROM stream GROUP BY deviceId "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms') ORDER BY n DESC LIMIT 2")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for dev, reps in [("d1", 5), ("d2", 3), ("d3", 1), ("d4", 4)]:
+        for i in range(reps):
+            s.emit({"deviceId": dev, "temperature": 1.0,
+                    "ts": 1000 * (i + 1)})
+    out = s.trigger_window()
+    assert [(r["deviceId"], r["n"]) for r in out] == [("d1", 5), ("d4", 4)]
+
+
+def test_counting_window_limit_stays_global(spark):
+    """Counting windows have no post-aggregation fire identity column,
+    so LIMIT keeps the documented global per-drain cap (it must not be
+    silently disabled by a mis-grained per-window partition)."""
+    sql = ("SELECT deviceId, sum(temperature) AS s FROM stream "
+           "GROUP BY deviceId, CountingWindow(2) "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms') ORDER BY s DESC LIMIT 1")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for dev, t, ts in [("d1", 1.0, 1000), ("d1", 2.0, 2000),
+                       ("d2", 10.0, 3000), ("d2", 20.0, 4000)]:
+        s.emit({"deviceId": dev, "temperature": t, "ts": ts})
+    out = s.trigger_window()
+    assert [(r["deviceId"], r["s"]) for r in out] == [("d2", 30.0)]
