@@ -49,6 +49,11 @@ def _default_name(e: N.Expr, i: int) -> str:
         return str(last)
     if isinstance(e, N.Func):
         return e.name.lower()
+    if isinstance(e, N.Lit) and isinstance(e.value, str) and e.value.strip():
+        # an unaliased string literal names itself by its content
+        # (rsql/ast.go:158-166; test/e2e/quoted_test.go asserts
+        # result["normal"] for a bare 'normal' in the SELECT list)
+        return e.value
     return f"col_{i}"
 
 

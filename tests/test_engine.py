@@ -2881,3 +2881,22 @@ def test_counting_window_limit_stays_global(spark):
         s.emit({"deviceId": dev, "temperature": t, "ts": ts})
     out = s.trigger_window()
     assert [(r["deviceId"], r["s"]) for r in out] == [("d2", 30.0)]
+
+
+def test_unaliased_string_literal_names_itself(spark):
+    """Reference quoted-identifier semantics (test/e2e/quoted_test.go
+    mixed case; rsql/ast.go:158-166): a bare string literal in the
+    SELECT list outputs under its own CONTENT as the field name —
+    result['normal'], never result["'normal'"] or a col_N synthetic —
+    and double-quoted strings are constants, not identifiers."""
+    s = StreamSQL(spark)
+    s.execute("SELECT `deviceId`, 'mixed_test' as test_field, 'normal' "
+              "FROM stream WHERE `deviceId` = 'sensor001'")
+    out = s.emit_sync({"deviceId": "sensor001", "deviceType": "x"})
+    assert out == {"deviceId": "sensor001", "test_field": "mixed_test",
+                   "normal": "normal"}
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT 'single_quote' as test1, \"double_quote\" as test2 "
+               "FROM stream LIMIT 1")
+    assert s2.emit_sync({"deviceId": "x"}) == \
+        {"test1": "single_quote", "test2": "double_quote"}
