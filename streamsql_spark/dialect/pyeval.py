@@ -307,10 +307,13 @@ def _fn_substring(s, start, length=_ABSENT):
 
 
 def _fn_extreme(biggest: bool, *vs):
-    # Spark greatest/least SKIP null arguments; null only when all null
-    vals = [v for v in vs if v is not None]
-    if not vals:
+    # reference nil-propagation: ANY nil argument → nil
+    # (functions_conditional.go:104-136) — the Spark path renders the
+    # same any-null guard (registry._render_nil_prop_extreme), so the
+    # two stay in lockstep
+    if not vs or any(v is None for v in vs):
         return None
+    vals = list(vs)
     if all(isinstance(v, _NUM) and not isinstance(v, bool) for v in vals):
         # NaN sorts above everything in Spark; Python's max/min is
         # argument-order-dependent with NaN — Spark path owns it

@@ -314,7 +314,11 @@ SCALAR_RENDERERS: dict[str, Renderer] = {
     "encode": _render_encode,
     "decode": _render_decode,
     "to_seconds": _simple("unix_timestamp(CAST({0} AS TIMESTAMP))"),
-    "chr": _simple("char({0})"),
+    # chr rejects codes outside ASCII 0..127 (functions_conversion.go:
+    # 362-369 errors; the e2e contract accepts error-or-nil, and a
+    # rendered column can't raise per-row) — NULL for out-of-range
+    "chr": _simple("CASE WHEN ({0}) BETWEEN 0 AND 127 "
+                   "THEN char({0}) ELSE NULL END"),
     "trunc": _render_trunc,
     "url_encode": _simple("url_encode({0})"),
     "url_decode": _simple("url_decode({0})"),
@@ -382,6 +386,27 @@ SCALAR_RENDERERS: dict[str, Renderer] = {
     "if_null": _simple("ifnull({0}, {1})"),
     "null_if": _simple("nullif({0}, {1})"),
 }
+
+
+def _render_nil_prop_extreme(fn: str):
+    """greatest/least propagate nil: ANY nil argument → nil
+    (functions_conditional.go:104-136; e2e asserts
+    greatest(1, NULL, 3) IS NULL) — Spark's builtins instead SKIP
+    nulls, so wrap them in an any-null guard."""
+    def render(args: list[str], ast: list[N.Expr]) -> str:
+        if not args:
+            raise ValueError("wrong argument count: expected at least 1, "
+                             "got 0")
+        if len(args) == 1:
+            return f"({args[0]})"  # extreme of one value is itself
+        nulls = " OR ".join(f"({a}) IS NULL" for a in args)
+        return (f"CASE WHEN {nulls} THEN NULL "
+                f"ELSE {fn}({', '.join(args)}) END")
+    return render
+
+
+SCALAR_RENDERERS["greatest"] = _render_nil_prop_extreme("greatest")
+SCALAR_RENDERERS["least"] = _render_nil_prop_extreme("least")
 
 
 def _render_case_when(args: list[str], ast: list[N.Expr]) -> str:

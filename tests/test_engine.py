@@ -2900,3 +2900,25 @@ def test_unaliased_string_literal_names_itself(spark):
                "FROM stream LIMIT 1")
     assert s2.emit_sync({"deviceId": "x"}) == \
         {"test1": "single_quote", "test2": "double_quote"}
+
+
+def test_greatest_least_nil_propagation_and_chr_range(spark):
+    """Reference conditional/conversion semantics mined from
+    test/e2e/function_scenarios_test.go (r8): greatest/least return
+    nil when ANY argument is nil (functions_conditional.go:104-136 —
+    Spark's builtins null-SKIP, so the renderer wraps an any-null
+    guard, and pyeval matches), and chr() outside ASCII 0..127 is nil
+    (functions_conversion.go:362-369 errors; error-or-nil contract)."""
+    s = StreamSQL(spark)
+    s.execute("SELECT greatest(a, b, c) AS g, least(a, b, c) AS l, "
+              "greatest(a, c) AS g2 FROM stream")
+    out = s.emit_sync({"a": 1, "b": None, "c": 3})
+    assert out["g"] is None and out["l"] is None and out["g2"] == 3
+    out2 = s.emit_sync({"a": 1, "b": 5, "c": 3})
+    assert out2["g"] == 5 and out2["l"] == 1
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT chr(65) AS a, chr(128) AS over, chr(0-1) AS neg "
+               "FROM stream")
+    out3 = s2.emit_sync({"x": 1})
+    assert out3 == {"a": "A", "over": None, "neg": None}
