@@ -622,6 +622,7 @@ class StreamSQL:
             self._metrics["input_dropped"] += 1
             self._metrics["schema_dropped"] += 1
             return  # validate-and-drop
+        row = self._stamp_arrival(row)
         if self.overflow_strategy == "block":
             # blocking strategy (strategy.go:66-97): the capacity check
             # and the append must share one lock on EVERY emit, not only
@@ -645,6 +646,29 @@ class StreamSQL:
                 self._metrics["input_dropped"] += 1
                 return
         self._buffer.append(row)
+
+    def _stamp_arrival(self, row: dict) -> dict:
+        """PROCESSING-TIME windows (reference: a window with no TsProp
+        and no ts-like field runs on wall clock — window/factory.go
+        defaults, trigger_window_test.go emits rows with no timestamp
+        at all): stamp the arrival instant at EMIT time, strictly
+        monotone so counting windows keep exact arrival order even
+        within one millisecond.  The stamp column is internal
+        (never projected — window mode has explicit outputs)."""
+        plan = self._plan
+        if (plan is None or plan.mode != "window" or plan.window is None
+                or plan.event_time_col is not None
+                or ({"ts", "event_time", "timestamp"} & row.keys())):
+            return row
+        import time as _t
+
+        from ..engine.batch import ARRIVAL_COL
+        ms = int(_t.time() * 1000)
+        last = getattr(self, "_last_arrival_ms", 0)
+        if ms <= last:
+            ms = last + 1
+        self._last_arrival_ms = ms
+        return {**row, ARRIVAL_COL: ms}
 
     def _block_append(self, row: dict) -> bool:
         """Wait until the emit buffer has room, then append WHILE STILL

@@ -107,12 +107,20 @@ def duration_to_seconds(dur: str) -> float:
     raise ExecError(f"bad duration literal: {dur!r}")
 
 
+# wall-clock arrival stamp for PROCESSING-TIME windows (reference: a
+# time window with no TsProp and no ts-like field windows on wall
+# clock, window/factory.go defaults; trigger_window_test.go) — the
+# facade's emit path adds it when a windowed plan has no event time
+ARRIVAL_COL = "__arrival_ms__"
+
+
 def event_time_name(columns, plan: QueryPlan) -> str | None:
-    """The column acting as event time (explicit WITH (TIMESTAMP=...) or
-    the ts/event_time/timestamp fallback)."""
+    """The column acting as event time (explicit WITH (TIMESTAMP=...),
+    the ts/event_time/timestamp fallback, or the emit path's wall-clock
+    arrival stamp)."""
     name = plan.event_time_col
     if name is None:
-        for cand in ("ts", "event_time", "timestamp"):
+        for cand in ("ts", "event_time", "timestamp", ARRIVAL_COL):
             if cand in columns:
                 name = cand
                 break
@@ -160,6 +168,10 @@ def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
     name = event_time_name(df.columns, plan)
     if name is None:
         return None
+    if name == ARRIVAL_COL:
+        # wall-clock milliseconds by construction — TIMEUNIT never
+        # applies (it describes the user's event-time column)
+        return F.timestamp_millis(F.col(name).cast("long"))
     dt = dict(df.dtypes).get(name)
     if dt is None:
         return None

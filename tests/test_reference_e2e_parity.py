@@ -152,3 +152,34 @@ def test_if_null_wrapped_aggregates_window(spark):
     out = s.trigger_window()
     assert out == [{"deviceId": "sensor1", "f": 0.0, "lv": 30.0,
                     "a": 20.0}]
+
+
+def test_processing_time_windows_without_event_time(spark):
+    """test/e2e/trigger_window_test.go: a time window with NO event-time
+    column anywhere (no WITH TIMESTAMP, no ts-like field) runs on wall
+    clock — emit stamps the arrival instant, TriggerWindow flushes the
+    current window immediately, and the internal stamp never reaches
+    the output.  TriggerWindow on a no-window (direct) query is a safe
+    no-op.  Counting windows keep exact arrival order without any
+    timestamp."""
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, COUNT(*) AS cnt FROM stream "
+              "GROUP BY deviceId, TumblingWindow('5s')")
+    s.emit({"deviceId": "d1"})
+    s.emit({"deviceId": "d1"})
+    s.emit({"deviceId": "d2"})
+    out = s.trigger_window()
+    assert sorted((r["deviceId"], r["cnt"]) for r in out) == \
+        [("d1", 2), ("d2", 1)]
+    assert all(set(r) == {"deviceId", "cnt"} for r in out)
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT deviceId FROM stream")
+    assert s2.trigger_window() == []
+
+    s3 = StreamSQL(spark)
+    s3.execute("SELECT deviceId, sum(v) AS sv FROM stream "
+               "GROUP BY deviceId, CountingWindow(2)")
+    for v in (1.0, 2.0, 10.0, 20.0):
+        s3.emit({"deviceId": "d1", "v": v})
+    assert sorted(r["sv"] for r in s3.trigger_window()) == [3.0, 30.0]
