@@ -304,12 +304,21 @@ class StreamSQL:
         rows.append(row)
         self._tables[name] = self.spark.createDataFrame(rows)
 
-    def delete_table(self, name: str, row: dict) -> None:
+    def delete_table(self, name: str, key) -> None:
+        """Delete the row whose key matches: accepts a dict row, a
+        single key VALUE, or a list/tuple of key values in key-field
+        order — the reference's MemoryTableSource.Delete contract
+        (stream/table_store.go:77-107 encodeKey value-or-tuple)."""
         self._materialize_table_rows(name)
         rows = self._table_rows.get(name, [])
         keys = self._table_keys.get(name, ())
         if keys:
-            kv = tuple(row.get(k) for k in keys)
+            if isinstance(key, dict):
+                kv = tuple(key.get(k) for k in keys)
+            elif isinstance(key, (list, tuple)):
+                kv = tuple(key)
+            else:
+                kv = (key,)
             rows[:] = [r for r in rows if tuple(r.get(k) for k in keys) != kv]
             if rows:
                 self._tables[name] = self.spark.createDataFrame(rows)

@@ -183,3 +183,30 @@ def test_processing_time_windows_without_event_time(spark):
     for v in (1.0, 2.0, 10.0, 20.0):
         s3.emit({"deviceId": "d1", "v": v})
     assert sorted(r["sv"] for r in s3.trigger_window()) == [3.0, 30.0]
+
+
+def test_join_upsert_delete_by_key_value(spark):
+    """test/e2e/join_source_test.go TestJoinUpsertTableAndDelete:
+    UpsertTable rebinds a dim row; Delete takes the bare KEY VALUE
+    (MemoryTableSource.Delete, stream/table_store.go:77-107 accepts a
+    value or a tuple) and the INNER join then drops the stream row.
+    WHERE on a TABLE-side column filters after enrichment."""
+    meta = [{"deviceId": "d1", "location": "plantA", "type": "temp"},
+            {"deviceId": "d2", "location": "plantB", "type": "hum"}]
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, m.location FROM stream "
+              "JOIN meta m ON deviceId = m.deviceId")
+    s.register_table("meta", meta)
+    s.upsert_table("meta", {"deviceId": "d1", "location": "plantX"})
+    assert s.emit_sync({"deviceId": "d1"})["location"] == "plantX"
+    s.delete_table("meta", "d1")  # bare key value, the reference form
+    assert s.emit_sync({"deviceId": "d1"}) is None
+    assert s.emit_sync({"deviceId": "d2"})["location"] == "plantB"
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT deviceId, m.location FROM stream "
+               "JOIN meta m ON deviceId = m.deviceId "
+               "WHERE m.type = 'temp'")
+    s2.register_table("meta", meta)
+    assert s2.emit_sync({"deviceId": "d1"})["location"] == "plantA"
+    assert s2.emit_sync({"deviceId": "d2"}) is None

@@ -193,15 +193,23 @@ def test_arrival_order_aggregate_without_event_time_rejected(spark):
     from streamsql_spark.api.facade import StreamSQL
     from streamsql_spark.engine.batch import ExecError
 
+    # the EMIT path stamps a monotone wall-clock arrival instant (r8
+    # processing-time windows, reference trigger_window_test.go), so a
+    # counting window without any timestamp now WORKS in arrival order
     s = StreamSQL(spark)
     s.execute("SELECT k, first_value(v) AS fv FROM stream "
               "GROUP BY k, CountingWindow(2)")
     for r in [{"k": "a", "v": 1.0}, {"k": "a", "v": 2.0}]:
         s.emit(r)
-    # the chunker's own refusal fires first (it partitions the rows
-    # before aggregates run) — same typed error, same remedy
+    assert [r["fv"] for r in s.trigger_window()] == [1.0]
+    # the QUERY path over a raw DataFrame has no emit instant to stamp
+    # — the typed refusal still guards the repartition hazard there
+    sq = StreamSQL(spark)
+    sq.execute("SELECT k, first_value(v) AS fv FROM stream "
+               "GROUP BY k, CountingWindow(2)")
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, v double")
     with pytest.raises(ExecError, match="needs an event-time"):
-        s.trigger_window()
+        sq.query(df).collect()
     # a non-counting shape reaches the arrival-order aggregate check
     s1 = StreamSQL(spark)
     s1.execute("SELECT k, first_value(v) AS fv FROM stream GROUP BY k")
