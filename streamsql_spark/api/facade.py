@@ -183,7 +183,20 @@ class StreamSQL:
                     "a declared schema — list the columns explicitly")
             return self  # plan binds at first data
         self._plan = make_plan(self._stmt)
+        self._prime_arrival_stamp()
         return self
+
+    def _prime_arrival_stamp(self) -> None:
+        """Cache the plan-level processing-time-window eligibility
+        (fixed once the plan exists) so emit() pays one flag check."""
+        import threading
+
+        plan = self._plan
+        self._arrival_eligible = (
+            plan is not None and plan.mode == "window"
+            and plan.window is not None and plan.event_time_col is None)
+        self._arrival_lock = threading.Lock()
+        self._last_arrival_ms = 0
 
     def _schema_columns(self) -> list | None:
         """Column names from the declared schema — StructType OR the
@@ -408,7 +421,18 @@ class StreamSQL:
     # ------------------------------------------------------- emit harness
     def _rows_df(self, rows: list[dict]) -> DataFrame:
         if self.schema is not None:
-            return self.spark.createDataFrame(rows, schema=self.schema)
+            schema = self.schema
+            if rows and hasattr(schema, "add"):
+                from ..engine.batch import ARRIVAL_COL
+                if ARRIVAL_COL in rows[0] \
+                        and ARRIVAL_COL not in schema.fieldNames():
+                    # the emit path's processing-time arrival stamp is
+                    # not part of the user's declared schema — widen a
+                    # COPY so createDataFrame doesn't silently drop it
+                    from pyspark.sql.types import LongType, StructType
+                    schema = StructType(list(schema.fields)).add(
+                        ARRIVAL_COL, LongType())
+            return self.spark.createDataFrame(rows, schema=schema)
         try:
             df = self.spark.createDataFrame(rows)
         except Exception:
@@ -656,27 +680,29 @@ class StreamSQL:
                 return
         self._buffer.append(row)
 
+    _TS_FALLBACK_KEYS = frozenset(("ts", "event_time", "timestamp"))
+
     def _stamp_arrival(self, row: dict) -> dict:
         """PROCESSING-TIME windows (reference: a window with no TsProp
         and no ts-like field runs on wall clock — window/factory.go
         defaults, trigger_window_test.go emits rows with no timestamp
         at all): stamp the arrival instant at EMIT time, strictly
-        monotone so counting windows keep exact arrival order even
-        within one millisecond.  The stamp column is internal
-        (never projected — window mode has explicit outputs)."""
-        plan = self._plan
-        if (plan is None or plan.mode != "window" or plan.window is None
-                or plan.event_time_col is not None
-                or ({"ts", "event_time", "timestamp"} & row.keys())):
+        monotone UNDER A LOCK (concurrent producers are supported —
+        see _block_append) so counting windows keep exact arrival
+        order even within one millisecond.  The stamp column is
+        internal (never projected — window mode has explicit outputs).
+        The plan-level eligibility is cached at execute() time; the
+        per-event cost is one flag check + one key intersection."""
+        if not getattr(self, "_arrival_eligible", False) \
+                or (self._TS_FALLBACK_KEYS & row.keys()):
             return row
         import time as _t
-
-        from ..engine.batch import ARRIVAL_COL
         ms = int(_t.time() * 1000)
-        last = getattr(self, "_last_arrival_ms", 0)
-        if ms <= last:
-            ms = last + 1
-        self._last_arrival_ms = ms
+        with self._arrival_lock:
+            if ms <= self._last_arrival_ms:
+                ms = self._last_arrival_ms + 1
+            self._last_arrival_ms = ms
+        from ..engine.batch import ARRIVAL_COL
         return {**row, ARRIVAL_COL: ms}
 
     def _block_append(self, row: dict) -> bool:

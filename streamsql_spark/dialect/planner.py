@@ -49,10 +49,13 @@ def _default_name(e: N.Expr, i: int) -> str:
         return str(last)
     if isinstance(e, N.Func):
         return e.name.lower()
-    if isinstance(e, N.Lit) and isinstance(e.value, str) and e.value.strip():
+    if isinstance(e, N.Lit) and isinstance(e.value, str) and e.value.strip() \
+            and not (e.value.startswith("__") and e.value.endswith("__")):
         # an unaliased string literal names itself by its content
         # (rsql/ast.go:158-166; test/e2e/quoted_test.go asserts
-        # result["normal"] for a bare 'normal' in the SELECT list)
+        # result["normal"] for a bare 'normal' in the SELECT list).
+        # Dunder-shaped content keeps the synthetic name: __x__ would
+        # collide with the engine's hidden-helper column convention.
         return e.value
     return f"col_{i}"
 

@@ -316,9 +316,13 @@ SCALAR_RENDERERS: dict[str, Renderer] = {
     "to_seconds": _simple("unix_timestamp(CAST({0} AS TIMESTAMP))"),
     # chr rejects codes outside ASCII 0..127 (functions_conversion.go:
     # 362-369 errors; the e2e contract accepts error-or-nil, and a
-    # rendered column can't raise per-row) — NULL for out-of-range
-    "chr": _simple("CASE WHEN ({0}) BETWEEN 0 AND 127 "
-                   "THEN char({0}) ELSE NULL END"),
+    # rendered column can't raise per-row) — NULL for out-of-range.
+    # The transform-lambda binds the argument ONCE: a CASE that
+    # splices {0} twice would double-evaluate it, observably wrong for
+    # nondeterministic args (guard sees one rand() draw, char another)
+    "chr": _simple("element_at(transform(array({0}), __v -> "
+                   "CASE WHEN __v BETWEEN 0 AND 127 "
+                   "THEN char(__v) END), 1)"),
     "trunc": _render_trunc,
     "url_encode": _simple("url_encode({0})"),
     "url_decode": _simple("url_decode({0})"),
@@ -388,20 +392,28 @@ SCALAR_RENDERERS: dict[str, Renderer] = {
 }
 
 
-def _render_nil_prop_extreme(fn: str):
+def _render_nil_prop_extreme(agg_fn: str):
     """greatest/least propagate nil: ANY nil argument → nil
     (functions_conditional.go:104-136; e2e asserts
     greatest(1, NULL, 3) IS NULL) — Spark's builtins instead SKIP
-    nulls, so wrap them in an any-null guard."""
+    nulls.  The transform-lambda binds the argument array ONCE (a
+    CASE splicing every arg into both an IS NULL chain and the
+    function call would evaluate each arg twice — observably wrong
+    for nondeterministic args); array_max/array_min ignore nulls,
+    which the any-null guard has already excluded."""
+    arr_fn = "array_max" if agg_fn == "greatest" else "array_min"
+
     def render(args: list[str], ast: list[N.Expr]) -> str:
         if not args:
             raise ValueError("wrong argument count: expected at least 1, "
                              "got 0")
         if len(args) == 1:
             return f"({args[0]})"  # extreme of one value is itself
-        nulls = " OR ".join(f"({a}) IS NULL" for a in args)
-        return (f"CASE WHEN {nulls} THEN NULL "
-                f"ELSE {fn}({', '.join(args)}) END")
+        return ("element_at(transform(array(array("
+                f"{', '.join(args)})), __a -> "
+                "CASE WHEN NOT array_contains(transform(__a, "
+                "__x -> __x IS NULL), true) "
+                f"THEN {arr_fn}(__a) END), 1)")
     return render
 
 

@@ -170,6 +170,18 @@ class StreamingExecutor:
             # lateness kernel emissions carry a stable window_id for
             # sink dedup (stream/processor_data.go:415-435) — keep it
             out_cols.append(F.col("window_id"))
+        from ..dialect.planner import WINDOW_START_COL
+        from ..engine.batch import _fires_per_time_window
+        if (_fires_per_time_window(plan)
+                and (plan.order_by or plan.limit is not None
+                     or plan.distinct)
+                and WINDOW_START_COL in agged.columns
+                and not any(o.name == WINDOW_START_COL
+                            for o in plan.outputs)):
+            # per-window-fire post-stages (DISTINCT/ORDER BY/LIMIT) need
+            # the fire identity past the projection — post_batch_fn
+            # partitions on it and drops it before the sink
+            out_cols.append(F.col(WINDOW_START_COL))
         return agged.select(*out_cols)
 
     # ----------------------------------------------------------- sinks

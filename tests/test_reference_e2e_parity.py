@@ -162,9 +162,12 @@ def test_processing_time_windows_without_event_time(spark):
     the output.  TriggerWindow on a no-window (direct) query is a safe
     no-op.  Counting windows keep exact arrival order without any
     timestamp."""
+    # 1h window: the reference case uses 5s, but a real-clock test
+    # emitting across a 5s boundary would split d1's rows — same
+    # semantics, boundary-crossing probability ~0
     s = StreamSQL(spark)
     s.execute("SELECT deviceId, COUNT(*) AS cnt FROM stream "
-              "GROUP BY deviceId, TumblingWindow('5s')")
+              "GROUP BY deviceId, TumblingWindow('1h')")
     s.emit({"deviceId": "d1"})
     s.emit({"deviceId": "d1"})
     s.emit({"deviceId": "d2"})
@@ -210,3 +213,20 @@ def test_join_upsert_delete_by_key_value(spark):
     s2.register_table("meta", meta)
     assert s2.emit_sync({"deviceId": "d1"})["location"] == "plantA"
     assert s2.emit_sync({"deviceId": "d2"}) is None
+
+
+def test_processing_time_windows_with_declared_schema(spark):
+    """r8 third-pass review find, pinned: the arrival stamp must
+    survive a DECLARED schema (createDataFrame with an explicit schema
+    silently drops unknown keys — the stamp widens a schema copy)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("deviceId", StringType())])
+    s = StreamSQL(spark, schema=schema)
+    s.execute("SELECT deviceId, COUNT(*) AS cnt FROM stream "
+              "GROUP BY deviceId, TumblingWindow('1h')")
+    s.emit({"deviceId": "d1"})
+    s.emit({"deviceId": "d1"})
+    out = s.trigger_window()
+    assert [(r["deviceId"], r["cnt"]) for r in out] == [("d1", 2)]
+    assert all(set(r) == {"deviceId", "cnt"} for r in out)

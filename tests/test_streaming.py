@@ -1186,3 +1186,29 @@ def test_streaming_window_orderby_limit_per_window_fire(spark):
         [("d2", 50.0), ("d3", 40.0), ("d1", 90.0), ("d3", 60.0)]), rows
     assert all(set(r) == {"deviceId", "m"} for r in got), \
         "hidden window-identity column leaked to the sink"
+
+
+def test_lateness_kernel_orderby_limit_per_window_fire(spark):
+    """r8 third-pass review find, pinned: the per-window-fire LIMIT
+    must also engage when a time window routes to the STATEFUL
+    lateness kernel (ALLOWEDLATENESS/IDLETIMEOUT) — the projection
+    keeps the kernel's window_start as the fire identity and the sink
+    stage drops it, so the same SQL cannot change LIMIT semantics
+    based on an unrelated lateness option."""
+    sql = ("SELECT deviceId, avg(temperature) AS m FROM stream "
+           "GROUP BY deviceId, TumblingWindow('10s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms', ALLOWEDLATENESS='2s') "
+           "ORDER BY m DESC LIMIT 2")
+    batches = [
+        _rows(("d1", 30.0, 0.0, 1000, "ok"), ("d2", 50.0, 0.0, 2000, "ok"),
+              ("d3", 40.0, 0.0, 3000, "ok"),
+              ("d1", 90.0, 0.0, 11000, "ok"), ("d2", 10.0, 0.0, 12000, "ok"),
+              ("d3", 60.0, 0.0, 13000, "ok")),
+        _rows(("dX", 1.0, 0.0, 10_000_000, "ok")),
+    ]
+    got = run_stream(spark, sql, batches)
+    rows = sorted((r["deviceId"], r["m"]) for r in got
+                  if r["deviceId"] != "dX")
+    assert rows == sorted([("d2", 50.0), ("d3", 40.0),
+                           ("d1", 90.0), ("d3", 60.0)]), rows
+    assert all("window_start" not in r and "window_id" in r for r in got)
