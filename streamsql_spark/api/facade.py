@@ -105,7 +105,8 @@ class StreamSQL:
                  analytic_max_partitions: int | None = None,
                  overflow_strategy: str = "drop",
                  blocking_timeout: float | None = None,
-                 cep_skip_anchor: str = "inclusive"):
+                 cep_skip_anchor: str = "inclusive",
+                 strict_schema: bool = False):
         if spark is None:
             from ..session import get_spark
             spark = get_spark()
@@ -114,7 +115,20 @@ class StreamSQL:
                 f"unknown overflow_strategy {overflow_strategy!r}: "
                 f"expected one of {self.OVERFLOW_STRATEGIES}")
         self.spark = spark
+        if isinstance(schema, str):
+            # DDL-string schemas ("a INT, b STRING") normalize to
+            # StructType up front: downstream consumers (the arrival-
+            # stamp widening in _rows_df, the validate-and-drop gate)
+            # check .fields/.add and would silently skip a bare string
+            from pyspark.sql.types import StructType
+            try:
+                schema = StructType.fromDDL(schema)
+            except Exception:
+                pass  # let createDataFrame surface its own parse error
         self.schema = schema
+        # Schema.Strict (schema/schema.go:123-124): unknown keys in an
+        # input row are a validation error, not a pass-through
+        self.strict_schema = strict_schema
         self.max_buffer_rows = max_buffer_rows
         # emit overflow strategy (stream/strategy.go:57-233): "drop"
         # rejects the INCOMING row when full; "block" waits for a
@@ -196,7 +210,7 @@ class StreamSQL:
             plan is not None and plan.mode == "window"
             and plan.window is not None and plan.event_time_col is None)
         self._arrival_lock = threading.Lock()
-        self._last_arrival_ms = 0
+        self._last_arrival_us = 0
 
     def _schema_columns(self) -> list | None:
         """Column names from the declared schema — StructType OR the
@@ -619,9 +633,16 @@ class StreamSQL:
 
     def _schema_violation(self, row: dict) -> str | None:
         """Declared-schema validation (schema/schema.go:97-265): missing
-        fields and type mismatches; None values pass (nullable)."""
+        fields and type mismatches; None values pass (nullable).
+        strict_schema additionally rejects unknown keys
+        (schema/schema.go:123-124, 221-226 Strict mode)."""
         if self.schema is None or not hasattr(self.schema, "fields"):
             return None
+        if getattr(self, "strict_schema", False):
+            declared = {f.name for f in self.schema.fields}
+            for k in row:
+                if k not in declared:
+                    return f"unknown field {k!r}"
         _OK = {"long": (int,), "integer": (int,), "short": (int,),
                "double": (int, float), "float": (int, float),
                "string": (str,), "boolean": (bool,)}
@@ -689,7 +710,13 @@ class StreamSQL:
         at all): stamp the arrival instant at EMIT time, strictly
         monotone UNDER A LOCK (concurrent producers are supported —
         see _block_append) so counting windows keep exact arrival
-        order even within one millisecond.  The stamp column is
+        order even within one clock tick.  MICROsecond resolution:
+        the monotone tiebreak (+1 on ties) then only drifts the stamp
+        ahead of wall clock above 1M events/s, so window assignment
+        tracks real arrival time at any sustainable emit rate (a
+        millisecond stamp drifted arbitrarily past 1k events/s and
+        pushed rows into later processing-time windows than the
+        reference's wall-clock assignment).  The stamp column is
         internal (never projected — window mode has explicit outputs).
         The plan-level eligibility is cached at execute() time; the
         per-event cost is one flag check + one key intersection."""
@@ -697,13 +724,13 @@ class StreamSQL:
                 or (self._TS_FALLBACK_KEYS & row.keys()):
             return row
         import time as _t
-        ms = int(_t.time() * 1000)
+        us = int(_t.time() * 1_000_000)
         with self._arrival_lock:
-            if ms <= self._last_arrival_ms:
-                ms = self._last_arrival_ms + 1
-            self._last_arrival_ms = ms
+            if us <= self._last_arrival_us:
+                us = self._last_arrival_us + 1
+            self._last_arrival_us = us
         from ..engine.batch import ARRIVAL_COL
-        return {**row, ARRIVAL_COL: ms}
+        return {**row, ARRIVAL_COL: us}
 
     def _block_append(self, row: dict) -> bool:
         """Wait until the emit buffer has room, then append WHILE STILL
@@ -752,7 +779,9 @@ class StreamSQL:
         viol = self._schema_violation(row)
         if viol is not None:
             self._metrics["input_dropped"] += 1
-            # sync path errors instead of dropping (streamsql.go:262-282)
+            # the sync path errors instead of dropping, but still counts
+            # the row in SchemaDropped (streamsql.go:275-280)
+            self._metrics["schema_dropped"] += 1
             raise ValueError(f"schema validation failed: {viol}")
         if self._plan.analytics:
             return self._emit_sync_analytic(row)

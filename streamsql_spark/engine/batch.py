@@ -15,6 +15,8 @@ keyed) — counting windows and count-only triggers stay JVM-side.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -110,8 +112,10 @@ def duration_to_seconds(dur: str) -> float:
 # wall-clock arrival stamp for PROCESSING-TIME windows (reference: a
 # time window with no TsProp and no ts-like field windows on wall
 # clock, window/factory.go defaults; trigger_window_test.go) — the
-# facade's emit path adds it when a windowed plan has no event time
-ARRIVAL_COL = "__arrival_ms__"
+# facade's emit path adds it when a windowed plan has no event time.
+# MICROseconds: the emit path's monotone tiebreak must not drift the
+# assignment timestamp ahead of wall clock at realistic emit rates
+ARRIVAL_COL = "__arrival_us__"
 
 
 def event_time_name(columns, plan: QueryPlan) -> str | None:
@@ -127,35 +131,41 @@ def event_time_name(columns, plan: QueryPlan) -> str | None:
     return name
 
 
-def _fires_per_time_window(plan: QueryPlan) -> bool:
-    """True when the plan's emission unit is a TIME window fire — the
-    grain at which the reference applies DISTINCT/ORDER BY/LIMIT
-    (processor_data.go:438-493).  Counting/global windows and plain
-    GROUP BY aggregates synthesize window_start as a per-GROUP min
-    timestamp, which is NOT a fire identity — per-window post-stages
-    keyed on it would mis-partition (e.g. disable LIMIT entirely)."""
-    return (plan.mode == "window" and plan.window is not None
-            and plan.window.kind in ("tumbling", "sliding", "session"))
+# hidden fire-identity carrier columns: `__fire_0__`, `__fire_1__`, ...
+# Dunder-named so a user output aliased 'window_start' (or a group-key
+# name) can never collide with — or be mistaken for — the fire identity.
+FIRE_COL_PREFIX = "__fire_"
+_FIRE_RE = re.compile(r"__fire_\d+__\Z")
 
 
-def per_window_topk(df: DataFrame, win_col: str, exprs: list,
+def fire_cols_in(columns) -> list[str]:
+    """The hidden fire-identity carriers present, in carrier order."""
+    return sorted((c for c in columns if _FIRE_RE.match(c)),
+                  key=lambda c: int(c[len(FIRE_COL_PREFIX):-2]))
+
+
+def per_window_topk(df: DataFrame, win_cols: list[str], exprs: list,
                     limit: int, drop_cols: list) -> DataFrame:
     """Top-K per window fire (partial WindowGroupLimit before the
     shuffle — no global sort), then rows ordered by window fire and
-    the ORDER BY keys within each.  Without an ORDER BY the
-    reference's per-batch truncation order is its map iteration order
-    (nondeterministic), so any deterministic in-window order is
-    compliant — the visible outputs are used.  Shared by the batch
-    executor and the streaming per-emission tail."""
+    the ORDER BY keys within each.  The fire identity is one or more
+    columns: time windows fire one batch per window close across all
+    keys (window_start); session windows fire per (group key, session)
+    — window/session_window.go:396-425 collects one result per key —
+    and counting/global windows fire per (chunk key, chunk).  Without
+    an ORDER BY the reference's per-batch truncation order is its map
+    iteration order (nondeterministic), so any deterministic in-window
+    order is compliant — the visible outputs are used.  Shared by the
+    batch executor and the streaming per-emission tail."""
     from pyspark.sql.window import Window
 
     order_exprs = exprs or [F.col(c) for c in df.columns
-                            if c != win_col and c not in drop_cols]
-    w = Window.partitionBy(win_col).orderBy(*order_exprs)
+                            if c not in win_cols and c not in drop_cols]
+    w = Window.partitionBy(*win_cols).orderBy(*order_exprs)
     df = (df.withColumn("__rn__", F.row_number().over(w))
           .where(F.col("__rn__") <= limit).drop("__rn__"))
     if exprs:
-        df = df.orderBy(F.col(win_col).asc(), *exprs)
+        df = df.orderBy(*[F.col(c).asc() for c in win_cols], *exprs)
     return df.drop(*[c for c in drop_cols if c in df.columns])
 
 
@@ -169,9 +179,9 @@ def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
     if name is None:
         return None
     if name == ARRIVAL_COL:
-        # wall-clock milliseconds by construction — TIMEUNIT never
+        # wall-clock microseconds by construction — TIMEUNIT never
         # applies (it describes the user's event-time column)
-        return F.timestamp_millis(F.col(name).cast("long"))
+        return F.timestamp_micros(F.col(name).cast("long"))
     dt = dict(df.dtypes).get(name)
     if dt is None:
         return None
@@ -205,17 +215,36 @@ def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
 # ------------------------------------------------------------- analytics
 
 
+def _canon_map_cmp(c: Column) -> Column:
+    """Order-insensitive canonical form of a MAP column for equality
+    comparison: JSON of the entry array sorted BY KEY (keys are unique,
+    so a key-only comparator needs no value ordering).  Spark's `<=>`
+    rejects map types outright (INVALID_ORDERING_TYPE), while the
+    reference compares rows with reflect.DeepEqual — maps included
+    (schema/schema.go:70-95 makes map a first-class value type)."""
+    ent = F.array_sort(
+        F.map_entries(c),
+        lambda a, b: F.when(a.key < b.key, F.lit(-1))
+                      .when(a.key > b.key, F.lit(1)).otherwise(F.lit(0)))
+    return F.to_json(ent)
+
+
 def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
                      columns: list[str] | None = None,
-                     prep=None) -> Column:
+                     prep=None, dtype_of=None) -> Column:
     """Batch realization of a stateful analytic call via Spark window
     functions (§2.6 mapping).  ``prep(col) -> name`` (when provided)
     materializes an intermediate column on the source DataFrame so
     multi-pass constructions can order a second window by a first
-    window's result.  Streaming uses the stateful operator in
-    ``streaming/stateful.py``; semantics here match the reference's state
-    machine on an ordered replay.
+    window's result.  ``dtype_of(col) -> DataType`` (when provided)
+    resolves an expression's type so map-typed values take the
+    DeepEqual-parity comparison and non-orderable fallbacks.
+    Streaming uses the stateful operator in ``streaming/stateful.py``;
+    semantics here match the reference's state machine on an ordered
+    replay.
     """
+    from pyspark.sql.types import MapType
+
     f = spec.func
     name = f.name.lower()
     parts = [F.expr(p) for p in spec.partition_by] or [F.lit(1)]
@@ -233,6 +262,19 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
         if i < len(f.args) and isinstance(f.args[i], N.Lit):
             return f.args[i].value
         return default
+
+    def is_map(c: Column) -> bool:
+        if dtype_of is None:
+            return False
+        try:
+            return isinstance(dtype_of(c), MapType)
+        except Exception:
+            return False  # unresolvable here (e.g. placeholder scope)
+
+    def cmp_form(c: Column) -> Column:
+        """The column itself, or its canonical form when equality on
+        the raw type is unsupported (maps)."""
+        return _canon_map_cmp(c) if is_map(c) else c
 
     if name == "lag":
         if len(f.args) > 1 and not isinstance(f.args[1], N.Lit):
@@ -271,7 +313,7 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
             if n == 1:
                 # previous non-null value — O(1) incremental frame
                 res = F.last(arg(0), ignorenulls=True).over(w_prev)
-            elif prep is not None:
+            elif prep is not None and not is_map(arg(0)):
                 # n-th previous NON-NULL value, exact and linear: count(x)
                 # increments only on non-null rows, so exactly one
                 # non-null row exists per count value — a constant-offset
@@ -304,7 +346,7 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
         stored = F.when(store, F.struct(arg(0).alias("v")))
         if n == 1:
             s = F.last(stored, ignorenulls=True).over(w_prev)
-        elif prep is not None:
+        elif prep is not None and not is_map(arg(0)):
             # n-th previous STORED value, exact and linear — the same
             # constant-offset RANGE frame over a materialized running
             # count the ungated n>1 path uses: count(stored) increments
@@ -355,11 +397,14 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
                 cols.append(F.expr(render(a)))
         out = F.row_number().over(w) == 1
         for c in cols:
+            # map-typed watches compare via the canonical JSON form
+            # (DeepEqual parity — `<=>` rejects map types)
+            cc = cmp_form(c)
             if ignore_null:
-                base = F.last(c, ignorenulls=True).over(w_prev)
-                out = out | (c.isNotNull() & ~base.eqNullSafe(c))
+                base = F.last(cc, ignorenulls=True).over(w_prev)
+                out = out | (c.isNotNull() & ~base.eqNullSafe(cc))
             else:
-                out = out | ~F.lag(c).over(w).eqNullSafe(c)
+                out = out | ~F.lag(cc).over(w).eqNullSafe(cc)
         return out
 
     if name == "changed_col":
@@ -369,11 +414,12 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
         # state (functions/analytic_acc.go:125-154 changedColState)
         ignore_null = bool(lit_arg(0, False))
         val = arg(1)
+        vc = cmp_form(val)  # compare canonically, return the raw value
         if ignore_null:
-            prev_eff = F.last(val, ignorenulls=True).over(w_prev)
-            return F.when(val.isNotNull() & ~prev_eff.eqNullSafe(val), val)
+            prev_eff = F.last(vc, ignorenulls=True).over(w_prev)
+            return F.when(val.isNotNull() & ~prev_eff.eqNullSafe(vc), val)
         chg = (F.row_number().over(w) == 1) | \
-            ~F.lag(val).over(w).eqNullSafe(val)
+            ~F.lag(vc).over(w).eqNullSafe(vc)
         return F.when(chg, val)
 
     if name == "__changed_value__":
@@ -381,11 +427,12 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
         # baseline (first occurrence counts as changed), else NULL;
         # ignoreNull+nil keeps the baseline (analytic_acc.go:168-185)
         c = arg(0)
+        cc = cmp_form(c)
         if bool(lit_arg(1, False)):
-            base = F.last(c, ignorenulls=True).over(w_prev)
-            return F.when(c.isNotNull() & ~base.eqNullSafe(c), c)
-        prev = F.lag(c).over(w)
-        chg = (F.row_number().over(w) == 1) | ~prev.eqNullSafe(c)
+            base = F.last(cc, ignorenulls=True).over(w_prev)
+            return F.when(c.isNotNull() & ~base.eqNullSafe(cc), c)
+        prev = F.lag(cc).over(w)
+        chg = (F.row_number().over(w) == 1) | ~prev.eqNullSafe(cc)
         return F.when(chg, c)
 
     if name in ("acc_sum", "acc_max", "acc_min", "acc_count", "acc_avg"):
@@ -593,6 +640,7 @@ class BatchExecutor:
         # previous plan's hidden ORDER BY placeholders into this plan's
         # distinct/order logic
         self._order_extras = []
+        self._fire_cols = []
         if plan.mode == "cep":
             # processCEP order: JOIN enrichment precedes the NFA
             # (stream/processor_data.go:112-141)
@@ -619,13 +667,15 @@ class BatchExecutor:
             # helper placeholders (kept alive by _apply_window_agg) would
             # otherwise make distinct groups out of identical result rows
             # (the reference serializes the result row — output fields —
-            # stream/processor_data.go:496-515).  The hidden WINDOW
-            # identity is NOT a helper: DISTINCT applies per window fire
-            # (the emission unit), so identical rows from two windows
-            # must both survive — it joins the dedup keys instead of
-            # being min-elected across windows.
+            # stream/processor_data.go:496-515).  The hidden FIRE
+            # identity is NOT a helper: DISTINCT applies per fire (the
+            # emission unit), so identical rows from two fires must
+            # both survive — it joins the dedup keys instead of being
+            # min-elected across fires.
+            fire = [c for c in getattr(self, "_fire_cols", [])
+                    if c in df.columns]
             extras = [c for c in getattr(self, "_order_extras", [])
-                      if c in df.columns and c != WINDOW_START_COL]
+                      if c in df.columns and c not in fire]
             vis = [c for c in df.columns if c not in extras]
             if extras:
                 # deterministic survivor: dropDuplicates(vis) keeps an
@@ -713,8 +763,14 @@ class BatchExecutor:
                 df = df.withColumn(name, col)
                 return name
 
+            def dtype_of(col):
+                # analysis-only probe (no job): resolve an analytic
+                # argument's type against the current frame
+                return df.select(col.alias("__dtype_probe__")) \
+                    .schema["__dtype_probe__"].dataType
+
             out = _analytic_column(spec, order_cols, columns=star_cols,
-                                   prep=prep)
+                                   prep=prep, dtype_of=dtype_of)
             df = df.withColumn(spec.placeholder, out).drop(*prepped)
         return df
 
@@ -767,8 +823,8 @@ class BatchExecutor:
             # aggregate — scales as a single exchange.  The counting
             # window emits ONLY on the Nth row, so trailing partial
             # chunks stay pending and are dropped here.
-            df = self._chunk_rows(df, counting_key_sqls(plan, df.columns),
-                                  w.count)
+            chunk_sqls = counting_key_sqls(plan, df.columns)
+            df = self._chunk_rows(df, chunk_sqls, w.count)
             group_cols.append(F.col("__win_id__"))
         elif w is not None and w.kind == "global":
             n = self._count_trigger_n(w)
@@ -834,12 +890,18 @@ class BatchExecutor:
                 raise ExecError("window-output analytics need a window "
                                 "(they order by window emission)")
             default_parts = simple_keys + list(injected.values())
+            def dtype_of_grouped(col):
+                return grouped.select(col.alias("__dtype_probe__")) \
+                    .schema["__dtype_probe__"].dataType
+
             for spec in win_specs:
                 eff = spec if spec.partition_by else AnalyticSpec(
                     spec.placeholder, spec.func, default_parts,
                     spec.when_sql, True)
                 grouped = grouped.withColumn(
-                    spec.placeholder, _analytic_column(eff, order_cols))
+                    spec.placeholder,
+                    _analytic_column(eff, order_cols,
+                                     dtype_of=dtype_of_grouped))
             grouped = _omit_empty_filter(grouped, plan, window_mode=True)
 
         if plan.having_sql:
@@ -857,20 +919,44 @@ class BatchExecutor:
         # keep ORDER BY-referenced placeholders alive through projection
         extra = [s.placeholder for s in plan.agg_specs
                  if any(s.placeholder in osql for osql, _ in plan.order_by)]
+
+        # ---- fire identity: the reference's sink-batch emission unit.
+        # DISTINCT/ORDER BY/LIMIT apply PER FIRE (LIMIT caps each sink
+        # batch AFTER the sort, processor_data.go:438-493), so the fire
+        # identity must survive the projection — carried under hidden
+        # dunder names so a user output aliased 'window_start' (or a
+        # group-key name) can never collide with or be mistaken for it.
+        key_names = [injected.get(g, g) for g in plan.group_sqls]
+        fire_src: list[str] = []
+        if w is not None and w.kind in ("tumbling", "sliding"):
+            # the window trigger emits ALL keys' rows for a closed
+            # window in one batch → identity = the window itself
+            fire_src = [WINDOW_START_COL]
+        elif w is not None and w.kind == "session":
+            # each (composite group key, session) expires and emits its
+            # OWN batch (window/session_window.go:396-425 collects one
+            # result per key; sendResults emits each separately)
+            fire_src = [WINDOW_START_COL] + key_names
+        elif w is not None and w.kind == "counting":
+            # fires when ONE chunk key's buffer reaches N: the fired
+            # chunk (possibly sub-grouped by non-flat group values) is
+            # one batch → identity = (chunk keys, chunk seq)
+            fire_src = [injected.get(g, g) for g in chunk_sqls] \
+                + ["__win_id__"]
+        elif w is not None and w.kind == "global":
+            # FIRE_AND_PURGE per key on trigger hit → (keys, segment)
+            fire_src = key_names + ["__win_id__"]
+        # plain GROUP BY aggregate / no window: the whole batch result
+        # is one emission → global DISTINCT/ORDER BY/LIMIT (no carrier)
+
+        self._fire_cols = []
         if (plan.order_by or plan.limit is not None or plan.distinct) \
-                and _fires_per_time_window(plan) \
-                and WINDOW_START_COL in grouped.columns \
-                and not any(o.name == WINDOW_START_COL
-                            for o in plan.outputs):
-            # ORDER BY/LIMIT on a TIME-windowed query apply PER WINDOW
-            # FIRE (the reference's emission unit — LIMIT caps each
-            # sink batch, processor_data.go:481-483), so the window
-            # identity must survive the projection.  Time windows ONLY:
-            # for plain GROUP BY / counting / global windows the
-            # window_start column is a per-GROUP min timestamp, not a
-            # fire identity — partitioning a LIMIT on it would disable
-            # the limit entirely.
-            extra = extra + [WINDOW_START_COL]
+                and fire_src:
+            for k, src in enumerate(fire_src):
+                h = f"{FIRE_COL_PREFIX}{k}__"
+                grouped = grouped.withColumn(h, grouped[src])
+                extra.append(h)
+                self._fire_cols.append(h)
         self._order_extras = extra
         return grouped.select(*out_cols, *[F.col(e) for e in extra])
 
@@ -953,13 +1039,12 @@ class BatchExecutor:
     # -------------------------------------------------------- order/limit
     def _apply_order_limit(self, df: DataFrame, plan: QueryPlan) -> DataFrame:
         extras = getattr(self, "_order_extras", [])
-        # time windows: ORDER BY/LIMIT apply PER WINDOW FIRE — the
-        # reference's sink-emission unit (each window close is one
-        # batch; LIMIT truncates it AFTER the sort,
-        # processor_data.go:438-493) — never globally across windows
-        win_col = WINDOW_START_COL \
-            if _fires_per_time_window(plan) \
-            and WINDOW_START_COL in df.columns else None
+        # windowed plans: ORDER BY/LIMIT apply PER FIRE — the
+        # reference's sink-emission unit (each window close / session
+        # expiry / chunk fire is one batch; LIMIT truncates it AFTER
+        # the sort, processor_data.go:438-493) — never globally
+        fire = [c for c in getattr(self, "_fire_cols", [])
+                if c in df.columns]
         exprs = []
         if plan.order_by:
             # Sort keys referencing projected expressions (m.location,
@@ -969,16 +1054,15 @@ class BatchExecutor:
             for sql, asc in plan.order_by:
                 c = F.expr(replace_ref_tokens(sql, outmap))
                 exprs.append(c.asc() if asc else c.desc())
-        if win_col is not None and plan.limit is not None:
-            return per_window_topk(df, win_col, exprs, plan.limit,
+        if fire and plan.limit is not None:
+            return per_window_topk(df, fire, exprs, plan.limit,
                                    drop_cols=extras)
         if exprs:
             # ORDER BY + LIMIT compiles to TakeOrderedAndProject — a
             # top-K per partition + merge, no global sort at scale
-            df = df.orderBy(*([F.col(win_col).asc()] if win_col else [])
-                            + exprs)
+            df = df.orderBy(*[F.col(c).asc() for c in fire] + exprs)
         if extras:
-            df = df.drop(*extras)
+            df = df.drop(*[c for c in extras if c in df.columns])
         if plan.limit is not None:
             df = df.limit(plan.limit)
         return df

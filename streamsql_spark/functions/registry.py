@@ -535,9 +535,16 @@ def _render_percentile(args: list[str], ast: list[N.Expr]) -> str:
 
 
 # arrival-ordered value buffer: collect (order, value) pairs, sort by
-# arrival, strip the order key — deterministic collect/nth/merge/dedup
+# arrival, strip the order key — deterministic collect/nth/merge/dedup.
+# The sort comparator reads ONLY the order key: the default struct
+# comparison would also order by the VALUE (a tie-break the reference's
+# arrival buffer doesn't have) and rejects non-orderable value types
+# outright (maps — INVALID_ORDERING_TYPE), while arrival keys are
+# unique by construction so no tie-break is ever needed.
 _ARRIVAL_LIST = ("transform(array_sort(collect_list("
-                 "struct(`__arrival_order__` AS o, {0} AS v))), s -> s.v)")
+                 "struct(`__arrival_order__` AS o, {0} AS v)), "
+                 "(a, b) -> CASE WHEN a.o < b.o THEN -1 "
+                 "WHEN a.o > b.o THEN 1 ELSE 0 END), s -> s.v)")
 _ARRIVAL_LIST_STR = _ARRIVAL_LIST.replace("{0} AS v", "CAST({0} AS STRING) AS v")
 
 

@@ -171,54 +171,51 @@ class StreamingExecutor:
             # sink dedup (stream/processor_data.go:415-435) — keep it
             out_cols.append(F.col("window_id"))
         from ..dialect.planner import WINDOW_START_COL
-        from ..engine.batch import _fires_per_time_window
-        if (_fires_per_time_window(plan)
-                and (plan.order_by or plan.limit is not None
-                     or plan.distinct)
-                and WINDOW_START_COL in agged.columns
-                and not any(o.name == WINDOW_START_COL
-                            for o in plan.outputs)):
-            # per-window-fire post-stages (DISTINCT/ORDER BY/LIMIT) need
-            # the fire identity past the projection — post_batch_fn
-            # partitions on it and drops it before the sink
-            out_cols.append(F.col(WINDOW_START_COL))
+        from ..engine.batch import FIRE_COL_PREFIX
+        if plan.order_by or plan.limit is not None or plan.distinct:
+            # per-fire post-stages (DISTINCT/ORDER BY/LIMIT) need the
+            # fire identity past the projection — post_batch_fn
+            # partitions on the hidden carrier and drops it before the
+            # sink.  Counting/global kernels stamp each emission with
+            # an opaque per-fire id; the lateness (time window) kernel
+            # fires one batch per window close → window_start IS the
+            # identity.  Hidden dunder naming: a user output aliased
+            # 'window_start' must never be mistaken for the carrier.
+            if "__fire_id__" in agged.columns:
+                out_cols.append(
+                    F.col("__fire_id__").alias(f"{FIRE_COL_PREFIX}0__"))
+            elif WINDOW_START_COL in agged.columns:
+                out_cols.append(
+                    F.col(WINDOW_START_COL).alias(f"{FIRE_COL_PREFIX}0__"))
         return agged.select(*out_cols)
 
     # ----------------------------------------------------------- sinks
     def post_batch_fn(self, plan) -> Callable[[DataFrame], DataFrame]:
         """Per-emission tail: DISTINCT → ORDER BY → LIMIT
         (stream/processor_data.go:438-493 order).  On windowed queries
-        ORDER BY/LIMIT apply PER WINDOW FIRE — the reference's emission
-        unit is one window close, and a micro-batch may carry several —
-        so the limit partitions on the (possibly hidden) window start,
+        ORDER BY/LIMIT apply PER FIRE — the reference's emission unit
+        (one window close / session expiry / chunk fire), and a
+        micro-batch may carry several — so the limit partitions on the
+        hidden ``__fire_k__`` carriers the build stage attached,
         mirroring the batch path.  Hidden helper columns (ORDER BY-only
-        aggregate placeholders, the window-identity carrier) never
-        reach the sink."""
-        from ..dialect.planner import WINDOW_START_COL
-        from ..engine.batch import _fires_per_time_window, per_window_topk
-
-        # the window-identity carrier is hidden unless the user
-        # projected it under its own name; helper placeholders are
-        # __dunder__-named by construction.  (NOT "anything outside
-        # plan.outputs": star outputs carry o.name=None and would make
-        # every column hidden.)
-        per_fire = _fires_per_time_window(plan)
-        win_hidden = (per_fire
-                      and not any(o.name == WINDOW_START_COL
-                                  for o in plan.outputs))
+        aggregate placeholders, the fire-identity carriers) never reach
+        the sink."""
+        from ..engine.batch import fire_cols_in, per_window_topk
 
         def fn(batch_df: DataFrame) -> DataFrame:
             df = batch_df
-            win_col = WINDOW_START_COL \
-                if per_fire and WINDOW_START_COL in df.columns else None
+            fire = fire_cols_in(df.columns)
+            # helper placeholders and carriers are __dunder__-named by
+            # construction.  (NOT "anything outside plan.outputs": star
+            # outputs carry o.name=None and would make every column
+            # hidden.)
             hidden = [c for c in df.columns
-                      if (c.startswith("__") and c.endswith("__"))
-                      or (win_hidden and c == WINDOW_START_COL)]
+                      if c.startswith("__") and c.endswith("__")]
             if plan.distinct:
-                # DISTINCT applies per window fire: the window identity
-                # joins the dedup keys (identical rows from two windows
-                # both survive); true helper placeholders min-elect
-                helpers = [c for c in hidden if c != win_col]
+                # DISTINCT applies per fire: the fire identity joins
+                # the dedup keys (identical rows from two fires both
+                # survive); true helper placeholders min-elect
+                helpers = [c for c in hidden if c not in fire]
                 vis = [c for c in df.columns if c not in helpers]
                 if helpers:
                     df = df.groupBy(*[F.col(c) for c in vis]).agg(
@@ -227,12 +224,12 @@ class StreamingExecutor:
                     df = df.dropDuplicates(vis)
             exprs = [F.expr(s).asc() if asc else F.expr(s).desc()
                      for s, asc in plan.order_by] if plan.order_by else []
-            if win_col is not None and plan.limit is not None:
-                return per_window_topk(df, win_col, exprs, plan.limit,
+            if fire and plan.limit is not None:
+                return per_window_topk(df, fire, exprs, plan.limit,
                                        drop_cols=hidden)
             if exprs:
                 df = df.orderBy(
-                    *([F.col(win_col).asc()] if win_col else []) + exprs)
+                    *[F.col(c).asc() for c in fire] + exprs)
             if hidden:
                 df = df.drop(*hidden)
             if plan.limit is not None:

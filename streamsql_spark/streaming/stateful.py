@@ -163,6 +163,36 @@ def _int_array_cleaner(dt):
     return f
 
 
+def _map_cleaner(dt):
+    """MAP-typed cell → plain dict.  Arrow hands a map column to the
+    kernel as a LIST OF (key, value) TUPLES, whose Python equality is
+    ORDER-SENSITIVE — two DeepEqual-equal maps delivered with
+    different key orders would read as 'changed' in had_changed /
+    changed_col and split repr-keyed dedup buffers.  A dict restores
+    the reference's order-insensitive map semantics
+    (schema/schema.go:70-95; reflect.DeepEqual row comparison), and
+    Arrow accepts dicts back for MapType output columns."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    vt = dt.valueType
+    if isinstance(vt, MapType):
+        sub = _map_cleaner(vt)
+    elif isinstance(vt, ArrayType):
+        sub = _int_array_cleaner(vt) or _clean
+    else:
+        sub = _clean
+
+    def cl(v):
+        v = _clean(v)
+        if v is None:
+            return None
+        if isinstance(v, dict):
+            return {k: sub(x) for k, x in v.items()}
+        return {k: sub(x) for k, x in v}  # list of (k, v) pairs
+
+    return cl
+
+
 def _cleaners(df, cols) -> dict:
     """Per-column cleaner map for kernel buffer ingestion: _clean, plus
     integral-type restoration.  pandas coerces a nullable int64 column
@@ -171,9 +201,10 @@ def _cleaners(df, cols) -> dict:
     and 5.0 from another — repr-keyed ``deduplicate`` then splits them
     and ``merge_agg`` stringifies '5.0' where the batch path's CAST
     gives '5'.  Restoring the Spark type makes buffered values
-    micro-batch-split-invariant."""
+    micro-batch-split-invariant.  Map columns restore dicts (see
+    :func:`_map_cleaner`)."""
     from pyspark.sql.types import (ArrayType, ByteType, IntegerType,
-                                   LongType, ShortType)
+                                   LongType, MapType, ShortType)
     ints = (ByteType, ShortType, IntegerType, LongType)
     out = {}
     for c in cols:
@@ -185,6 +216,8 @@ def _cleaners(df, cols) -> dict:
             out[c] = _clean_int
         elif isinstance(dt, ArrayType):
             out[c] = _int_array_cleaner(dt) or _clean
+        elif isinstance(dt, MapType):
+            out[c] = _map_cleaner(dt)
         else:
             out[c] = _clean
     return out
@@ -437,6 +470,12 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
     for ph, kname, arg_col, _ in agg_specs:
         at = _field_type(df, arg_col) if arg_col else None
         fields.append(StructField(ph, _agg_out_type(kname, at)))
+    # opaque per-fire id (unique within a micro-batch): a chunk fire is
+    # ONE reference sink batch — the per-emission tail (DISTINCT/ORDER
+    # BY/LIMIT) partitions on it so two fires of the same key in one
+    # trigger are never merged.  Deterministic (key + in-batch chunk
+    # counter), dropped before the sink.
+    fields.append(StructField("__fire_id__", StringType()))
     out_schema = StructType(fields)
     int_phs = _int_out_phs(out_schema)
 
@@ -456,6 +495,7 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
         pdf = _sorted_batch(pdf_iter, order)
         buf = _load_state(state) or []
         rows_out = []
+        fire_no = 0
         if len(pdf):
             vals = {c: pdf[c].tolist() for c in carry_names + arg_cols}
             for i in range(len(pdf)):
@@ -464,6 +504,8 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
                 if len(buf) >= n:
                     chunk = buf[:n]
                     buf = buf[n:]
+                    fid = "|".join(map(str, key)) + "#" + str(fire_no)
+                    fire_no += 1
                     # sub-group the fired chunk by the carried group
                     # values (first-seen order, like the hash aggregator)
                     groups: dict[tuple, list[tuple]] = {}
@@ -480,6 +522,7 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
                                 out[ph] = py_aggregate(
                                     kname, [t[idx] for t in rows], extra)
                         _coerce_ints(out, int_phs)
+                        out["__fire_id__"] = fid
                         rows_out.append(out)
         _save_state(state, buf, ttl_ms)
         if rows_out:
@@ -726,6 +769,10 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     for ph, kname, arg_col, _ in agg_specs:
         at = _field_type(df, arg_col) if arg_col else None
         fields.append(StructField(ph, _agg_out_type(kname, at)))
+    # per-fire id: each trigger hit is one reference sink batch (see
+    # counting kernel) — two fires of one key in a micro-batch must
+    # stay distinct through the per-emission DISTINCT/LIMIT tail
+    fields.append(StructField("__fire_id__", StringType()))
     out_schema = StructType(fields)
     int_phs = _int_out_phs(out_schema)
 
@@ -766,6 +813,7 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
             code = compile(code_src, "<trigger_when>", "eval")
             _trigger_code_cache[code_src] = code
         rows_out = []
+        fire_no = 0
         if len(pdf):
             vals = {c: pdf[c].tolist() for c in read_cols}
             for i in range(len(pdf)):
@@ -825,6 +873,9 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                                     kname, [t[idx] for t in buf], extra)
                         buf.clear()
                     _coerce_ints(out, int_phs)
+                    out["__fire_id__"] = \
+                        "|".join(map(str, key)) + "#" + str(fire_no)
+                    fire_no += 1
                     rows_out.append(out)
                     tstate.clear()
                     counts.clear()
@@ -1098,6 +1149,12 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                             + [StructField(p["ph"], ph_type(p)) for p in prep])
     order = [ts_col] if ts_col and ts_col in df.columns else []
     all_cols = df.columns
+    # dtype-aware cleaners: map cells arrive as (k, v) tuple lists and
+    # must compare order-insensitively (see _map_cleaner)
+    need_cols = sorted({c for p in prep
+                        for c in ([p["when"]] if p["when"] else [])
+                        + [a for a in p["args"] if a]})
+    clean_by = _cleaners(df, need_cols)
 
     def kernel(key, pdf_iter, state):
         import pandas as pd
@@ -1111,10 +1168,7 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
         if len(pdf):
             # only the columns the step functions read — converting the
             # whole frame costs one list per column PER KEY GROUP
-            need = {c for p in prep
-                    for c in ([p["when"]] if p["when"] else [])
-                    + [a for a in p["args"] if a]}
-            vals = {c: pdf[c].tolist() for c in need}
+            vals = {c: pdf[c].tolist() for c in need_cols}
             for i in range(len(pdf)):
                 for p in prep:
                     nm, ph = p["name"], p["ph"]
@@ -1126,7 +1180,7 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                         # earlier spec's value for THIS row (prep order
                         # puts the lifted inner analytic first)
                         gate = bool(_clean(outs[p["when_ph"]][i]))
-                    argv = [_clean(vals[c][i]) if c else p["lits"][j]
+                    argv = [clean_by[c](vals[c][i]) if c else p["lits"][j]
                             for j, c in enumerate(p["args"])]
                     outs[ph].append(analytic_step(p, s, argv, gate))
         _save_state(state, st, ttl_ms)

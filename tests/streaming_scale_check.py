@@ -60,6 +60,20 @@ def main() -> None:
     print(f"staged {n_rows} rows x {copies} copies in "
           f"{time.time() - t0:.1f}s -> {in_dir}")
 
+    _CEP_BODY = """
+        SELECT user_id, a_ts, b_ts, a_val, b_val FROM stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, B.ts AS b_ts,
+                     A.value AS a_val, B.value AS b_val
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS value > 80, B AS value < 20
+            WITHIN '4h'
+        )
+    """
     kernels = {
         "counting_window": """
             SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
@@ -73,6 +87,16 @@ def main() -> None:
                    acc_count(value) OVER (PARTITION BY user_id) AS run_cnt
             FROM stream
         """,
+        # r9: the CEP kernel was the one class with no scale row; its
+        # per-key state is O(buffered rows) (capped at _CEP_MAX_BUFFER
+        # = the reference's maxRunRows), unlike the O(100B) kernels
+        # above -- measure both the bare matcher and the
+        # MAXOUTOFORDERNESS reorder-horizon config (the horizon holds a
+        # per-key tail until the watermark passes, so state high-water
+        # is the interesting number)
+        "cep": _CEP_BODY,
+        "cep_ooo_horizon": _CEP_BODY
+        + " WITH (TIMESTAMP='ts', MAXOUTOFORDERNESS='5m')",
     }
     for kernel_name, sql in kernels.items():
         q = StreamSQL(spark).execute(sql)

@@ -582,7 +582,7 @@ def test_timeunit_unknown_units_default_to_ms():
 
 from datetime import datetime
 
-from pyspark.sql.types import ArrayType, TimestampType
+from pyspark.sql.types import ArrayType, MapType, TimestampType
 
 EVT_RICH = StructType([
     StructField("deviceId", StringType()),
@@ -986,3 +986,154 @@ def test_window_agg_out_of_order_delivery_parity(spark, wspec):
     assert stream_out == batch_out, (
         f"{wspec} OOO: batch-only={batch_out - stream_out} "
         f"stream-only={stream_out - batch_out}")
+
+
+# ----------------------------------------------------------------- maps
+
+EVT_MAP = StructType([
+    StructField("deviceId", StringType()),
+    StructField("attrs", MapType(StringType(), LongType())),
+    StructField("ts", LongType()),
+    StructField("status", StringType()),
+])
+
+# same CONTENT under different key orders must read as unchanged
+# (reference DeepEqual; schema/schema.go:70-95 map is a first-class
+# value type) — the Arrow boundary hands maps to kernels as (k, v)
+# tuple lists whose naive equality is order-sensitive
+_MAP_POOL = [None, {}, {"a": 1}, {"a": 1, "b": 2}, {"b": 2, "a": 1},
+             {"b": 2}, {"c": 3, "a": 1}]
+
+MAP_GRID = [
+    ("lagm", "lag(attrs)"),
+    ("lagm2", "lag(attrs, 2, attrs)"),
+    ("latm", "latest(attrs)"),
+    ("hcm", "had_changed(true, attrs)"),
+    ("hcm0", "had_changed(false, attrs)"),
+    ("ccm", "changed_col(false, attrs)"),
+    ("ccm1", "changed_col(true, attrs)"),
+]
+
+
+def _mk_map_rows(seed: int, n: int = 30):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append({
+            "deviceId": rng.choice(["d1", "d2"]),
+            "attrs": rng.choice(_MAP_POOL),
+            "ts": 1000 * (i + 1),
+            "status": rng.choice(["ok", "ok", "err"]),
+        })
+    return rows, rng
+
+
+def _norm_map(r: dict) -> dict:
+    def n(v):
+        if isinstance(v, dict):
+            return tuple(sorted(v.items()))
+        if isinstance(v, list):  # tolerate (k,v)-pair map encodings
+            return tuple(sorted((k, x) for k, x in v))
+        return v
+    return {k: n(v) for k, v in r.items()}
+
+
+def _keyed_map(rows):
+    return {(r["deviceId"], r["ts"]): _norm_map(r) for r in rows}
+
+
+@pytest.mark.parametrize("gate", ["nogate", "strgate"])
+def test_analytic_map_types_three_path_parity(spark, gate):
+    """map[string]any through every analytic path (r9, VERDICT item 4):
+    batch Catalyst windows (canonical-JSON compare — `<=>` rejects map
+    types), the streaming state kernel (dict-restored cells), and
+    pyeval (dict equality).  Key-order variants of equal maps must
+    read as UNCHANGED on all three paths."""
+    import zlib
+
+    over = " OVER (PARTITION BY deviceId" + \
+        (" WHEN status = 'ok')" if gate == "strgate" else ")")
+    cols = ", ".join(f"{expr}{over} AS {alias}"
+                     for alias, expr in MAP_GRID)
+    sql = (f"SELECT deviceId, ts, {cols} FROM stream "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    seed = zlib.crc32(f"map|{gate}".encode()) % 1000
+    rows, rng = _mk_map_rows(seed)
+
+    got_batch = _keyed_map(_run_batch(spark, sql, rows, schema=EVT_MAP))
+    got_py = _keyed_map(_run_pyeval(spark, sql, rows))
+    assert got_py == got_batch, f"pyeval vs batch diverged ({gate})"
+
+    batches, i = [], 0
+    while i < len(rows):
+        k = rng.randint(1, 5)
+        batches.append(rows[i:i + k])
+        i += k
+    s = StreamSQL(spark)
+    s.execute(sql)
+    got_stream = _keyed_map(
+        run_streaming_collect(spark, s, batches, EVT_MAP, tables={}))
+    assert got_stream == got_batch, f"stream vs batch diverged ({gate})"
+
+
+def test_window_collect_map_stream_parity(spark):
+    """collect/first_value/last_value buffers carry MAP cells across
+    micro-batch splits without the tuple-list/dict form diverging from
+    the batch path: counting-window batch vs streaming replay."""
+    sql = ("SELECT deviceId, collect(attrs) AS cm, "
+           "first_value(attrs) AS fm, last_value(attrs) AS lm "
+           "FROM stream GROUP BY deviceId, CountingWindow(5) "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows, rng = _mk_map_rows(88, n=40)
+    for i, r in enumerate(rows):
+        r["deviceId"] = "d1" if i % 2 == 0 else "d2"
+
+    def norm_row(r):
+        def n(v):
+            if isinstance(v, dict):
+                return tuple(sorted(v.items()))
+            if isinstance(v, list):
+                return tuple(n(x) if isinstance(x, (dict, list)) else x
+                             for x in v)
+            return v
+        return tuple(sorted((k, n(v)) for k, v in r.items()))
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in rows:
+        s.emit(dict(r))
+    batch = sorted((repr(norm_row(r)) for r in s.trigger_window()))
+
+    batches, i = [], 0
+    while i < len(rows):
+        k = rng.randint(1, 7)
+        batches.append(rows[i:i + k])
+        i += k
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    got = run_streaming_collect(spark, s2, batches, EVT_MAP, tables={})
+    stream = sorted(repr(norm_row(dict(r))) for r in got)
+    assert stream == batch
+
+
+def test_cep_measures_map_column(spark):
+    """MATCH_RECOGNIZE measures carrying a MAP column (A.attrs) keep
+    dict content through the pandas matcher."""
+    s = StreamSQL(spark)
+    s.execute("""
+        SELECT k, am, bm FROM stream MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES A.attrs AS am, B.attrs AS bm
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B) DEFINE A AS v > 80, B AS v < 20)
+    """)
+    data = [("k1", 90.0, {"m": 1}, 1000), ("k1", 10.0, {"n": 2}, 2000),
+            ("k1", 50.0, None, 3000), ("k1", 85.0, {"b": 2, "a": 1}, 4000),
+            ("k1", 5.0, {}, 5000)]
+    for k, v, attrs, ts in data:
+        s.emit({"k": k, "v": v, "attrs": attrs, "ts": ts})
+    out = s.trigger_window()
+    got = sorted((_norm_map(r)["am"], _norm_map(r)["bm"]) for r in out)
+    # two matches: (90->10) measures {m:1}/{n:2}; (85->5) {a:1,b:2}/{}
+    assert got == [((("a", 1), ("b", 2)), ()),
+                   ((("m", 1),), (("n", 2),))]

@@ -2867,10 +2867,12 @@ def test_plain_groupby_orderby_limit_stays_global(spark):
     assert [(r["deviceId"], r["n"]) for r in out] == [("d1", 5), ("d4", 4)]
 
 
-def test_counting_window_limit_stays_global(spark):
-    """Counting windows have no post-aggregation fire identity column,
-    so LIMIT keeps the documented global per-drain cap (it must not be
-    silently disabled by a mis-grained per-window partition)."""
+def test_counting_window_limit_per_fire(spark):
+    """LIMIT on a counting window applies PER FIRE, matching the
+    reference: each filled chunk is its own sink batch and LIMIT
+    truncates each batch (stream/processor_data.go:481-483), so a
+    1-row-per-fire aggregate loses nothing under LIMIT 1 — both
+    devices' chunk fires survive (a global limit would drop one)."""
     sql = ("SELECT deviceId, sum(temperature) AS s FROM stream "
            "GROUP BY deviceId, CountingWindow(2) "
            "WITH (TIMESTAMP='ts', TIMEUNIT='ms') ORDER BY s DESC LIMIT 1")
@@ -2880,7 +2882,84 @@ def test_counting_window_limit_stays_global(spark):
                        ("d2", 10.0, 3000), ("d2", 20.0, 4000)]:
         s.emit({"deviceId": dev, "temperature": t, "ts": ts})
     out = s.trigger_window()
-    assert [(r["deviceId"], r["s"]) for r in out] == [("d2", 30.0)]
+    assert sorted((r["deviceId"], r["s"]) for r in out) == \
+        [("d1", 3.0), ("d2", 30.0)]
+
+
+def test_counting_window_limit_truncates_multirow_fire(spark):
+    """When the chunk key is a SUBSET of the group keys (nested paths
+    don't key the reference's flat chunk lookup), one fire can emit
+    several aggregated rows — LIMIT then truncates WITHIN the fire,
+    per batch, not globally across fires."""
+    sql = ("SELECT deviceId, meta.loc AS loc, count(*) AS n FROM stream "
+           "GROUP BY deviceId, meta.loc, CountingWindow(4) "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms') LIMIT 1")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    # d1 chunk: 4 rows over 3 locs -> one fire, 3 agg rows, LIMIT 1 -> 1
+    # d2 chunk: 4 rows over 2 locs -> one fire, 2 agg rows, LIMIT 1 -> 1
+    rows = [("d1", "a", 1000), ("d1", "b", 2000), ("d1", "a", 3000),
+            ("d1", "c", 4000), ("d2", "x", 5000), ("d2", "y", 6000),
+            ("d2", "x", 7000), ("d2", "x", 8000)]
+    for dev, loc, ts in rows:
+        s.emit({"deviceId": dev, "meta": {"loc": loc}, "ts": ts})
+    out = s.trigger_window()
+    assert len(out) == 2
+    assert sorted(r["deviceId"] for r in out) == ["d1", "d2"]
+
+
+def test_session_window_fires_per_key(spark):
+    """Session windows fire per (composite group key, session) — the
+    reference keeps sessionMap per key and each expired session emits
+    its OWN batch (window/session_window.go:396-425).  Two keys whose
+    sessions share a start timestamp are SEPARATE fires: LIMIT 1 keeps
+    one row from EACH (a window_start-only fire partition would
+    truncate across keys), and DISTINCT must not merge identical rows
+    from the two fires."""
+    sql = ("SELECT deviceId, count(*) AS n FROM stream "
+           "GROUP BY deviceId, SessionWindow('5s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms') ORDER BY n DESC LIMIT 1")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    # both devices' sessions start at ts=1000 (same session start)
+    for dev, ts in [("d1", 1000), ("d1", 2000), ("d2", 1000)]:
+        s.emit({"deviceId": dev, "ts": ts})
+    out = s.trigger_window()
+    assert sorted((r["deviceId"], r["n"]) for r in out) == \
+        [("d1", 2), ("d2", 1)]
+
+
+def test_session_window_distinct_keeps_both_fires(spark):
+    """DISTINCT on a session query dedups per fire: identical visible
+    rows emitted by two different keys' sessions (same start, count
+    not selecting the key) both survive."""
+    sql = ("SELECT DISTINCT count(*) AS n FROM stream "
+           "GROUP BY deviceId, SessionWindow('5s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for dev, ts in [("d1", 1000), ("d2", 1000)]:
+        s.emit({"deviceId": dev, "ts": ts})
+    out = s.trigger_window()
+    assert [r["n"] for r in out] == [1, 1]
+
+
+def test_window_start_alias_is_not_fire_identity(spark):
+    """A user output ALIASED 'window_start' that is not window_start()
+    must not be mistaken for the fire identity: the per-window LIMIT
+    partitions on the hidden carrier, so two rows in ONE window with
+    different alias values still truncate to the per-window top-1."""
+    sql = ("SELECT deviceId AS window_start, count(*) AS n FROM stream "
+           "GROUP BY deviceId, TumblingWindow('10s') "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms') ORDER BY n DESC LIMIT 1")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    # one tumbling window, two devices: if the alias were treated as
+    # the fire identity the limit would keep both rows
+    for dev, ts in [("d1", 1000), ("d1", 2000), ("d2", 3000)]:
+        s.emit({"deviceId": dev, "ts": ts})
+    out = s.trigger_window()
+    assert [(r["window_start"], r["n"]) for r in out] == [("d1", 2)]
 
 
 def test_unaliased_string_literal_names_itself(spark):

@@ -230,3 +230,251 @@ def test_processing_time_windows_with_declared_schema(spark):
     out = s.trigger_window()
     assert [(r["deviceId"], r["cnt"]) for r in out] == [("d1", 2)]
     assert all(set(r) == {"deviceId", "cnt"} for r in out)
+
+
+def test_processing_time_windows_with_ddl_string_schema(spark):
+    """The DDL-string schema form ("a INT, b STRING") is the second
+    documented way to declare a schema — it must behave like the
+    StructType form: normalize to StructType up front so the arrival
+    stamp widening (and the validation gate) see .fields, instead of
+    createDataFrame silently dropping the stamp and the
+    processing-time window failing with 'requires an event-time
+    column'."""
+    s = StreamSQL(spark, schema="deviceId STRING")
+    s.execute("SELECT deviceId, COUNT(*) AS cnt FROM stream "
+              "GROUP BY deviceId, TumblingWindow('1h')")
+    s.emit({"deviceId": "d1"})
+    s.emit({"deviceId": "d1"})
+    out = s.trigger_window()
+    assert [(r["deviceId"], r["cnt"]) for r in out] == [("d1", 2)]
+    assert all(set(r) == {"deviceId", "cnt"} for r in out)
+
+
+# ------------------------------------------------------------------
+# window_sliding_test.go / window_session_test.go mining (r9) — the
+# two largest reference e2e files.  Their wall-clock orchestration is
+# not portable, but each pins deterministic event-time semantics:
+# slot alignment, window sizing, retention/fan-out, session extent.
+# ------------------------------------------------------------------
+
+from datetime import datetime
+
+_EPOCH = datetime(1970, 1, 1)
+
+
+def _ms(dt) -> int:
+    # session timezone is UTC in the test harness; naive datetimes
+    # are UTC wall time
+    return round((dt - _EPOCH).total_seconds() * 1000)
+
+
+def test_sliding_window_alignment_size_and_retention(spark):
+    """window_sliding_test.go TestSQLSlidingWindow_EventTimeWindowAlignment
+    (:1387): every fired slot start is epoch-aligned to the SLIDE
+    (startMs % 500 == 0), every slot spans exactly the window SIZE
+    (end-start == 2000ms), and consecutive slots differ by exactly the
+    slide.  TestSQLSlidingWindow_DataRetention (:666) / _DataOverlap
+    (:529): a datum is retained in EVERY overlapping slot (size/slide
+    = 4 of them), never cleaned early."""
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, count(*) AS cnt, window_start() AS ws, "
+              "window_end() AS we FROM stream "
+              "GROUP BY deviceId, SlidingWindow('2s', '500ms') "
+              "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    events = [1000 + i * 200 for i in range(10)]  # 1000..2800
+    for ts in events:
+        s.emit({"deviceId": "sensor001", "ts": ts})
+    out = s.trigger_window()
+    rows = sorted(((_ms(r["ws"]), _ms(r["we"]), r["cnt"]) for r in out))
+    # expected: python-side slot assignment, start aligned to 500ms
+    exp = {}
+    for t in events:
+        first = (t // 500) * 500 - 1500  # earliest aligned start covering t
+        for st in range(first, t + 1, 500):
+            exp[st] = exp.get(st, 0) + 1
+    assert rows == sorted((st, st + 2000, c) for st, c in exp.items())
+    for st, en, _ in rows:
+        assert st % 500 == 0          # epoch-aligned to the slide
+        assert en - st == 2000        # exact window size
+    starts = [st for st, _, _ in rows]
+    assert all(b - a == 500 for a, b in zip(starts, starts[1:]))
+    # retention: each of the 10 events appears in exactly 4 slots
+    assert sum(c for _, _, c in rows) == 40
+
+
+def test_sliding_window_multikey_grouped(spark):
+    """window_sliding_test.go TestSQLSlidingWindow_MultiKeyGrouped
+    (:314): per-device slots aggregate independently under the same
+    slide alignment."""
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, count(*) AS cnt, "
+              "round(avg(temperature), 4) AS avg_temp FROM stream "
+              "GROUP BY deviceId, SlidingWindow('1s', '500ms') "
+              "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    for dev, temp, ts in [("a", 10.0, 1000), ("a", 20.0, 1400),
+                          ("b", 5.0, 1200)]:
+        s.emit({"deviceId": dev, "temperature": temp, "ts": ts})
+    out = s.trigger_window()
+    got = sorted((r["deviceId"], r["cnt"], r["avg_temp"]) for r in out)
+    # slots (1s size, 500ms slide): a@1000 and a@1400 both fall in
+    # [500,1500) and [1000,2000); b@1200 likewise — per-device slots
+    # aggregate independently
+    assert got == [("a", 2, 15.0), ("a", 2, 15.0),
+                   ("b", 1, 5.0), ("b", 1, 5.0)]
+
+
+def test_session_window_extent_is_first_to_last_plus_gap(spark):
+    """window_session_test.go TestSQLSessionWindow_EventTimeWindowAlignment
+    (:323): a session's START is the first event's actual timestamp
+    (no alignment), its END is the LAST event's timestamp + gap, so
+    duration >= gap always; an event-time gap > timeout splits
+    sessions."""
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, count(*) AS cnt, window_start() AS ws, "
+              "window_end() AS we FROM stream "
+              "GROUP BY deviceId, SessionWindow('500ms') "
+              "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    base = 7_300  # deliberately NOT aligned to anything
+    for off in (0, 100, 200, 300, 400):     # one session
+        s.emit({"deviceId": "sensor001", "ts": base + off})
+    for off in (2000, 2100):                # gap 1600ms > 500ms: new one
+        s.emit({"deviceId": "sensor001", "ts": base + off})
+    out = s.trigger_window()
+    rows = sorted((_ms(r["ws"]), _ms(r["we"]), r["cnt"]) for r in out)
+    assert rows == [(base, base + 400 + 500, 5),
+                    (base + 2000, base + 2100 + 500, 2)]
+    for st, en, _ in rows:
+        assert en - st >= 500  # duration >= session timeout
+
+
+def test_session_window_composite_key_sessions(spark):
+    """window_session_test.go TestSQLSessionWindow_MultiKeyGroupedSession
+    (:119): sessions are tracked per COMPOSITE group key — the same
+    deviceId in two locations holds two independent sessions, and
+    each expires as its own fire."""
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, location, count(*) AS cnt FROM stream "
+              "GROUP BY deviceId, location, SessionWindow('500ms') "
+              "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [("d1", "room1", 1000), ("d1", "room1", 1200),
+            ("d1", "room2", 1100),
+            ("d2", "room1", 1050), ("d2", "room1", 2500)]
+    for dev, loc, ts in rows:
+        s.emit({"deviceId": dev, "location": loc, "ts": ts})
+    out = s.trigger_window()
+    got = sorted((r["deviceId"], r["location"], r["cnt"]) for r in out)
+    assert got == [("d1", "room1", 2), ("d1", "room2", 1),
+                   ("d2", "room1", 1), ("d2", "room1", 1)]
+
+
+# ------------------------------------------------------------------
+# schema_test.go / select_test.go / sink_test.go mining (r9)
+# ------------------------------------------------------------------
+
+
+def test_schema_validation_optin_async_drop(spark):
+    """test/e2e/schema_test.go TestSchemaValidation_OptIn: with a
+    declared schema, Emit drops invalid rows BEFORE the stream (wrong
+    type, missing required field) and counts them in SchemaDropped;
+    the valid row flows through."""
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([StructField("deviceId", StringType()),
+                         StructField("temperature", DoubleType())])
+    s = StreamSQL(spark, schema=schema)
+    s.execute("SELECT deviceId, temperature FROM stream "
+              "WHERE temperature > 0")
+    got = []
+    s.add_sink(lambda rows: got.extend(rows))
+    s.emit({"deviceId": "d1", "temperature": 25.0})    # valid
+    s.emit({"deviceId": "d2", "temperature": "hot"})   # wrong type
+    s.emit({"temperature": 30.0})                      # missing required
+    s.trigger_window()
+    assert [r["deviceId"] for r in got] == ["d1"]
+    assert s.schema_dropped() == 2
+
+
+def test_schema_validation_sync_error_counts_and_zero_overhead(spark):
+    """test/e2e/schema_test.go TestSchemaValidation_EmitSync +
+    _ZeroOverheadWhenNotSet: the sync path ERRORS on an invalid row
+    (and still counts it in SchemaDropped, streamsql.go:275-280);
+    without a schema nothing validates and SchemaDropped stays 0."""
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    s = StreamSQL(spark, schema=StructType([StructField("v", LongType())]))
+    s.execute("SELECT v FROM stream")
+    assert s.emit_sync({"v": 5}) == {"v": 5}
+    with pytest.raises(ValueError, match="schema validation failed"):
+        s.emit_sync({"v": "x"})
+    assert s.schema_dropped() == 1
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT v FROM stream")
+    assert s2.emit_sync({"v": 5}) is not None
+    assert s2.schema_dropped() == 0
+
+
+def test_schema_strict_rejects_unknown_fields(spark):
+    """schema/schema.go:123-124,221-226 Strict mode: unknown keys in
+    the input are a validation error; the default (non-strict) lets
+    them ride through."""
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sch = StructType([StructField("v", LongType())])
+    strict = StreamSQL(spark, schema=sch, strict_schema=True)
+    strict.execute("SELECT v FROM stream")
+    assert strict.emit_sync({"v": 1}) == {"v": 1}
+    with pytest.raises(ValueError, match="unknown field"):
+        strict.emit_sync({"v": 1, "x": 2})
+    assert strict.schema_dropped() == 1
+
+    loose = StreamSQL(spark, schema=sch)
+    loose.execute("SELECT v FROM stream")
+    assert loose.emit_sync({"v": 1, "x": 2}) == {"v": 1}
+
+
+def test_select_star_all_fields_and_with_where(spark):
+    """test/e2e/select_test.go TestSelectAllAsterisk +
+    TestSelectAllWithWhere: SELECT * returns ALL input fields
+    unchanged; with WHERE it filters first, then outputs every
+    field."""
+    s = StreamSQL(spark)
+    s.execute("SELECT * FROM stream")
+    row = {"deviceId": "d1", "temperature": 35.5, "humidity": 60}
+    assert s.emit_sync(dict(row)) == row
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT * FROM stream WHERE temperature > 30")
+    keep = {"deviceId": "d1", "temperature": 35, "humidity": 60}
+    assert s2.emit_sync(dict(keep)) == keep
+    assert s2.emit_sync({"deviceId": "d2", "temperature": 20}) is None
+
+
+def test_emit_sync_also_delivers_to_sinks(spark):
+    """test/e2e/sink_test.go TestEmitSyncWithAddSink: EmitSync on a
+    non-aggregation query BOTH returns the row synchronously AND
+    triggers each AddSink callback once per passing row; filtered
+    rows trigger nothing."""
+    s = StreamSQL(spark)
+    s.execute("SELECT `temperature`, humidity, "
+              "`temperature` * 1.8 + 32 AS temp_fahrenheit, "
+              "'normal' AS status, 'sensor_data' AS data_type "
+              "FROM stream WHERE temperature > 20")
+    calls = []
+    s.add_sink(lambda rows: calls.append(list(rows)))
+    sync_results = []
+    for data in [{"temperature": 25.0, "humidity": 60.0},
+                 {"temperature": 15.0, "humidity": 70.0},
+                 {"temperature": 30.0, "humidity": 80.0}]:
+        r = s.emit_sync(data)
+        if r is not None:
+            sync_results.append(r)
+    assert len(sync_results) == 2
+    assert len(calls) == 2
+    assert [c[0] for c in calls] == sync_results
+    assert sync_results[0]["temp_fahrenheit"] == 25.0 * 1.8 + 32
+    assert sync_results[0]["status"] == "normal"
+    assert sync_results[0]["data_type"] == "sensor_data"
