@@ -85,17 +85,111 @@ _add("filter_project", Entry(
     "IS NULL/NOT (stream/processor_field.go:39-105, "
     "condition/condition.go:31-338)"))
 
-_add("distinct_orderby_limit", Entry(
-    _dialect("""
+def _distinct_orderby_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT/ORDER BY/LIMIT across ALL fire-identity kinds (r9),
+    kind-tagged in one entry (50-entry gate): 'direct' = one batch per
+    drain (global top-K); 'winfire' = per-window-close top-K
+    (tumbling, all keys one batch); 'sessfire' = per-(key, session)
+    fires — LIMIT 1 keeps every session's single aggregated row
+    (session_window.go:396-425 emits each expired key separately);
+    'countfire' = per-(key, chunk) fires — LIMIT 1 keeps every full
+    chunk's row (processor_data.go:481-483 truncates each batch).
+    Outputs normalized to a shared (kind, a, b, n, v) shape."""
+    from pyspark.sql import functions as F
+
+    tables = load_tables(spark, sf_dir)
+
+    def norm(df, kind, a, b, n, v):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            (a if a is not None else F.lit(None)).cast("string").alias("a"),
+            (b if b is not None else F.lit(None)).cast("string").alias("b"),
+            (n if n is not None else F.lit(None)).cast("long").alias("n"),
+            (v if v is not None else F.lit(None)).cast("double").alias("v"))
+
+    q1 = StreamSQL(spark).execute("""
         SELECT DISTINCT user_id, event_type FROM stream WHERE value > 100
-        ORDER BY user_id, event_type LIMIT 40
-    """, "events"),
+        ORDER BY user_id, event_type LIMIT 40""")
+    q2 = StreamSQL(spark).execute("""
+        SELECT event_type, count(*) AS cnt,
+               unix_timestamp(window_start()) AS ws
+        FROM stream GROUP BY event_type, TumblingWindow('6h')
+        WITH (TIMESTAMP='ts') ORDER BY cnt DESC, event_type LIMIT 3""")
+    q3 = StreamSQL(spark).execute("""
+        SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+        FROM stream GROUP BY user_id, SessionWindow('4h')
+        WITH (TIMESTAMP='ts') ORDER BY cnt DESC LIMIT 1""")
+    q4 = StreamSQL(spark).execute("""
+        SELECT user_id, round(sum(value), 4) AS total
+        FROM stream GROUP BY user_id, CountingWindow(25)
+        WITH (TIMESTAMP='ts') ORDER BY total DESC LIMIT 1""")
+    ev = tables["events"]
+    out = [
+        norm(q1.query(ev), "direct", F.col("user_id"),
+             F.col("event_type"), None, None),
+        norm(q2.query(ev), "winfire", F.col("event_type"), F.col("ws"),
+             F.col("cnt"), None),
+        norm(q3.query(ev), "sessfire", F.col("user_id"), None,
+             F.col("cnt"), F.col("total")),
+        norm(q4.query(ev), "countfire", F.col("user_id"), None, None,
+             F.col("total")),
+    ]
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+_add("distinct_orderby_limit", Entry(
+    _distinct_orderby_run,
     """
-    SELECT DISTINCT user_id, event_type FROM events WHERE value > 100
-    ORDER BY user_id, event_type LIMIT 40
+    SELECT 'direct' AS kind, CAST(user_id AS VARCHAR) AS a,
+           event_type AS b, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS v
+    FROM (SELECT DISTINCT user_id, event_type FROM events
+          WHERE value > 100 ORDER BY user_id, event_type LIMIT 40)
+    UNION ALL
+    SELECT 'winfire', event_type, CAST(ws AS VARCHAR), cnt, NULL FROM (
+      SELECT event_type, cnt, ws,
+             row_number() OVER (PARTITION BY ws
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM (SELECT event_type, count(*) AS cnt,
+                   CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS ws
+            FROM events GROUP BY event_type, ws))
+    WHERE rn <= 3
+    UNION ALL
+    SELECT 'sessfire', CAST(user_id AS VARCHAR), NULL, cnt, total FROM (
+      WITH marked AS (
+        SELECT user_id, value, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL '4 hours' OR
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+      FROM sessions GROUP BY user_id, sid)
+    UNION ALL
+    SELECT 'countfire', CAST(user_id AS VARCHAR), NULL, NULL, total FROM (
+      WITH numbered AS (
+        SELECT user_id, value,
+               floor((row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) - 1)
+                     / 25) AS win
+        FROM events)
+      SELECT user_id, round(sum(value), 4) AS total
+      FROM numbered GROUP BY user_id, win HAVING count(*) = 25)
     """,
-    "§2.2 DISTINCT + ORDER BY + LIMIT top-K "
-    "(stream/processor_data.go:496-515, stream/sorter.go:15-160)"))
+    "§2.2 DISTINCT + ORDER BY + LIMIT, per FIRE on windowed queries "
+    "(stream/processor_data.go:438-515, stream/sorter.go:15-160; "
+    "session fires per key, session_window.go:396-425; chunk fires "
+    "per key) — kind-tagged direct/winfire/sessfire/countfire"))
 
 _add("unnest", Entry(
     _dialect("""

@@ -478,3 +478,41 @@ def test_emit_sync_also_delivers_to_sinks(spark):
     assert sync_results[0]["temp_fahrenheit"] == 25.0 * 1.8 + 32
     assert sync_results[0]["status"] == "normal"
     assert sync_results[0]["data_type"] == "sensor_data"
+
+
+def test_direct_path_filter_unchanged(spark):
+    """test/e2e/condition_direct_filter_test.go: direct-path WHERE —
+    sync match projects / non-match returns None; async delivers only
+    matching rows to sinks; no WHERE passes everything; compound
+    AND/OR with parentheses honors precedence."""
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, temperature FROM stream "
+              "WHERE temperature > 30")
+    assert s.emit_sync({"deviceId": "d1", "temperature": 35}) == \
+        {"deviceId": "d1", "temperature": 35}
+    assert s.emit_sync({"deviceId": "d2", "temperature": 20}) is None
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT deviceId FROM stream WHERE temperature > 30")
+    ids = []
+    s2.add_sink(lambda rows: ids.extend(r["deviceId"] for r in rows))
+    s2.emit({"deviceId": "d1", "temperature": 35})
+    s2.emit({"deviceId": "d2", "temperature": 20})
+    s2.emit({"deviceId": "d3", "temperature": 40})
+    s2.trigger_window()
+    assert sorted(ids) == ["d1", "d3"]
+
+    s3 = StreamSQL(spark)
+    s3.execute("SELECT deviceId FROM stream")
+    for dev in ("a", "b", "c"):
+        assert s3.emit_sync({"deviceId": dev}) == {"deviceId": dev}
+
+    s4 = StreamSQL(spark)
+    s4.execute("SELECT deviceId FROM stream WHERE "
+               "(temperature > 30 AND humidity < 80) OR deviceId = 'd9'")
+    assert s4.emit_sync({"deviceId": "d1", "temperature": 35,
+                         "humidity": 60}) is not None
+    assert s4.emit_sync({"deviceId": "d9", "temperature": 10,
+                         "humidity": 99}) is not None
+    assert s4.emit_sync({"deviceId": "d2", "temperature": 20,
+                         "humidity": 90}) is None

@@ -138,3 +138,77 @@ def test_replay_catalog_value_parity_on_rocksdb(spark):
         got = ns["norm_rows"]([row.asDict(recursive=True)
                                for row in df.collect()])
         assert got == rocksdb[name], f"{name}: provider outputs differ"
+
+
+# ---------------- r9: CEP bounded state under adversarial key cardinality
+
+_CEP_MANYKEYS_SCRIPT = r"""
+import os, tempfile
+os.environ["SPARK_GRAFT_ROCKSDB_STATE"] = "1"
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+from pyspark.sql import functions as F
+import streamsql_spark as ss
+from streamsql_spark.session import get_spark
+
+spark = get_spark("rocksdb-cep-manykeys", shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+assert "RocksDB" in spark.conf.get(
+    "spark.sql.streaming.stateStore.providerClass")
+
+N = 20000
+root = tempfile.mkdtemp(prefix="cep_many_")
+key = F.concat(F.lit("k"), F.col("id").cast("string")).alias("k")
+# trigger 1: an A row per key (partial match held in state across the
+# micro-batch boundary); trigger 2: the B row that completes it
+(spark.range(N).select(key, F.lit(90.0).alias("v"),
+                       F.lit(1000).cast("long").alias("ts"))
+ .coalesce(1).write.mode("append").parquet(root + "/in"))
+(spark.range(N).select(key, F.lit(10.0).alias("v"),
+                       F.lit(2000).cast("long").alias("ts"))
+ .coalesce(1).write.mode("append").parquet(root + "/in"))
+
+q = ss.StreamSQL(spark).execute('''
+    SELECT k, av FROM stream MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        MEASURES A.v AS av
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B) DEFINE A AS v > 80, B AS v < 20)
+''')
+schema = spark.read.parquet(root + "/in").schema
+stream = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(root + "/in"))
+got = {"n": 0}
+sq = q.start_stream(stream,
+                    sink=lambda rows: got.__setitem__("n",
+                                                      got["n"] + len(rows)),
+                    query_name="cep_manykeys")
+assert sq.awaitTermination(480), "20k-key CEP replay did not finish"
+ops = (sq.lastProgress.get("stateOperators") or [{}])[0]
+n_state = ops.get("numRowsTotal")
+mem = ops.get("memoryUsedBytes")
+assert got["n"] == N, f"matches {got['n']} != {N}"
+# state grows with KEY COUNT, never with stream length: one state row
+# per live key, small per-key footprint (the partial-match buffer
+# drains at each match; row buffer capped at _CEP_MAX_BUFFER)
+assert n_state is not None and n_state <= N, n_state
+assert mem is not None and mem / N < 2048, f"per-key state {mem/N:.0f}B"
+print(f"CEP_MANYKEYS_OK state_rows={n_state} mem_per_key={mem/N:.0f}B")
+"""
+
+
+def test_cep_many_keys_bounded_state():
+    """Reference parity for the CEP memory guard (cep/engine.go:17-23
+    caps live partitions at 10k with LRU eviction; cep_stress_test.go
+    asserts survival): this engine keeps per-key NFA state in the
+    disk-backed state store instead — 20k concurrent partial matches
+    must complete across a micro-batch boundary with state bounded by
+    KEY COUNT (one state row per key, small per-key footprint), and
+    idle keys are reaped by STATETTL rather than LRU (documented
+    eviction contract, README + BASELINE.md §C)."""
+    env = dict(os.environ)
+    r = subprocess.run([sys.executable, "-c", _CEP_MANYKEYS_SCRIPT],
+                       env=env, capture_output=True, text=True,
+                       timeout=580,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert "CEP_MANYKEYS_OK" in r.stdout, \
+        (r.stdout[-1500:], r.stderr[-1500:])
