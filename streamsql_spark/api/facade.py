@@ -213,19 +213,15 @@ class StreamSQL:
         self._last_arrival_us = 0
 
     def _schema_columns(self) -> list | None:
-        """Column names from the declared schema — StructType OR the
-        DDL-string form createDataFrame also accepts."""
+        """Column names from the declared schema (normalized to
+        StructType in __init__, DDL strings included)."""
         sch = self.schema
         if sch is None:
             return None
         if hasattr(sch, "fields"):
             return [f.name for f in sch.fields]
-        if isinstance(sch, str):
-            from pyspark.sql.types import StructType
-            try:
-                return [f.name for f in StructType.fromDDL(sch).fields]
-            except Exception:
-                return None
+        # a str here means __init__'s fromDDL normalization already
+        # failed on it — no columns to offer
         return None
 
     @staticmethod

@@ -155,11 +155,17 @@ def per_window_topk(df: DataFrame, win_cols: list[str], exprs: list,
     and counting/global windows fire per (chunk key, chunk).  Without
     an ORDER BY the reference's per-batch truncation order is its map
     iteration order (nondeterministic), so any deterministic in-window
-    order is compliant — the visible outputs are used.  Shared by the
-    batch executor and the streaming per-emission tail."""
+    order is compliant — the visible outputs are used; non-orderable
+    outputs (maps anywhere in the type) order by their JSON form, since
+    Window.orderBy rejects them outright.  Shared by the batch executor
+    and the streaming per-emission tail."""
     from pyspark.sql.window import Window
 
-    order_exprs = exprs or [F.col(c) for c in df.columns
+    def fallback_order(c: str, dt: str) -> Column:
+        return F.to_json(F.col(c)) if "map<" in dt else F.col(c)
+
+    order_exprs = exprs or [fallback_order(c, dt)
+                            for c, dt in df.dtypes
                             if c not in win_cols and c not in drop_cols]
     w = Window.partitionBy(*win_cols).orderBy(*order_exprs)
     df = (df.withColumn("__rn__", F.row_number().over(w))
@@ -215,18 +221,54 @@ def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
 # ------------------------------------------------------------- analytics
 
 
-def _canon_map_cmp(c: Column) -> Column:
-    """Order-insensitive canonical form of a MAP column for equality
-    comparison: JSON of the entry array sorted BY KEY (keys are unique,
-    so a key-only comparator needs no value ordering).  Spark's `<=>`
+def _contains_map(dt) -> bool:
+    """True when a MapType occurs anywhere in the type tree (top-level
+    map, array<map>, struct fields, nested map values) — every such
+    type is non-orderable/non-comparable in Catalyst."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _canon_map_cmp(c: Column, dt) -> Column:
+    """Order-insensitive canonical form of a map-bearing column for
+    equality comparison: every map ANYWHERE in the type tree becomes
+    its entry array sorted BY KEY (keys are unique, so a key-only
+    comparator needs no value ordering; map values canonicalize
+    recursively), then the whole value renders to JSON.  Spark's `<=>`
     rejects map types outright (INVALID_ORDERING_TYPE), while the
-    reference compares rows with reflect.DeepEqual — maps included
-    (schema/schema.go:70-95 makes map a first-class value type)."""
-    ent = F.array_sort(
-        F.map_entries(c),
-        lambda a, b: F.when(a.key < b.key, F.lit(-1))
-                      .when(a.key > b.key, F.lit(1)).otherwise(F.lit(0)))
-    return F.to_json(ent)
+    reference compares rows with reflect.DeepEqual — maps included,
+    nested or not (schema/schema.go:70-95 makes map a first-class
+    value type)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def canon(col: Column, t) -> Column:
+        if isinstance(t, MapType):
+            ent = F.array_sort(
+                F.map_entries(col),
+                lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+                              .when(a["key"] > b["key"], F.lit(1))
+                              .otherwise(F.lit(0)))
+            if _contains_map(t.valueType):
+                ent = F.transform(
+                    ent, lambda e: F.struct(
+                        e["key"].alias("key"),
+                        canon(e["value"], t.valueType).alias("value")))
+            return ent
+        if isinstance(t, ArrayType) and _contains_map(t.elementType):
+            return F.transform(col, lambda x: canon(x, t.elementType))
+        if isinstance(t, StructType) and _contains_map(t):
+            return F.struct(*[canon(col[f.name], f.dataType).alias(f.name)
+                              for f in t.fields])
+        return col
+
+    return F.to_json(canon(c, dt))
 
 
 def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
@@ -243,7 +285,6 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
     semantics here match the reference's state machine on an ordered
     replay.
     """
-    from pyspark.sql.types import MapType
 
     f = spec.func
     name = f.name.lower()
@@ -263,18 +304,26 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
             return f.args[i].value
         return default
 
-    def is_map(c: Column) -> bool:
+    def _dtype(c: Column):
         if dtype_of is None:
-            return False
+            return None
         try:
-            return isinstance(dtype_of(c), MapType)
+            return dtype_of(c)
         except Exception:
-            return False  # unresolvable here (e.g. placeholder scope)
+            return None  # unresolvable here (e.g. placeholder scope)
+
+    def is_map(c: Column) -> bool:
+        """Non-orderable/non-comparable: a map anywhere in the type."""
+        dt = _dtype(c)
+        return dt is not None and _contains_map(dt)
 
     def cmp_form(c: Column) -> Column:
         """The column itself, or its canonical form when equality on
-        the raw type is unsupported (maps)."""
-        return _canon_map_cmp(c) if is_map(c) else c
+        the raw type is unsupported (maps, incl. nested)."""
+        dt = _dtype(c)
+        if dt is not None and _contains_map(dt):
+            return _canon_map_cmp(c, dt)
+        return c
 
     if name == "lag":
         if len(f.args) > 1 and not isinstance(f.args[1], N.Lit):
@@ -764,8 +813,13 @@ class BatchExecutor:
                 return name
 
             def dtype_of(col):
-                # analysis-only probe (no job): resolve an analytic
-                # argument's type against the current frame
+                # plain column references (the overwhelmingly common
+                # case, incl. every had_changed(*) expansion) resolve
+                # straight off the schema; computed expressions pay an
+                # analysis-only probe (driver-side, no job)
+                m = re.fullmatch(r"Column<'`?([^`']+)`?'>", str(col))
+                if m and m.group(1) in df.columns:
+                    return df.schema[m.group(1)].dataType
                 return df.select(col.alias("__dtype_probe__")) \
                     .schema["__dtype_probe__"].dataType
 

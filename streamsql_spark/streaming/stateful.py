@@ -504,7 +504,10 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
                 if len(buf) >= n:
                     chunk = buf[:n]
                     buf = buf[n:]
-                    fid = "|".join(map(str, key)) + "#" + str(fire_no)
+                    # repr() is collision-free across composite string
+                    # keys (a plain '|'.join would merge ("x|y","z")
+                    # with ("x","y|z") into one fire)
+                    fid = repr(tuple(key)) + "#" + str(fire_no)
                     fire_no += 1
                     # sub-group the fired chunk by the carried group
                     # values (first-seen order, like the hash aggregator)
@@ -873,8 +876,9 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                                     kname, [t[idx] for t in buf], extra)
                         buf.clear()
                     _coerce_ints(out, int_phs)
+                    # repr(): collision-free across composite keys
                     out["__fire_id__"] = \
-                        "|".join(map(str, key)) + "#" + str(fire_no)
+                        repr(tuple(key)) + "#" + str(fire_no)
                     fire_no += 1
                     rows_out.append(out)
                     tstate.clear()

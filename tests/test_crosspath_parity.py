@@ -1137,3 +1137,57 @@ def test_cep_measures_map_column(spark):
     # two matches: (90->10) measures {m:1}/{n:2}; (85->5) {a:1,b:2}/{}
     assert got == [((("a", 1), ("b", 2)), ()),
                    ((("m", 1),), (("n", 2),))]
+
+
+EVT_NESTED_MAP = StructType([
+    StructField("deviceId", StringType()),
+    StructField("attrs", MapType(StringType(),
+                                 MapType(StringType(), LongType()))),
+    StructField("ts", LongType()),
+])
+
+
+def test_nested_map_change_detection_parity(spark):
+    """Nested maps (map<string,map<string,long>>) compare
+    order-insensitively at EVERY level on batch and pyeval (review
+    find r9: the first canon pass sorted only the outer entries, so
+    inner key-order variants read as changed on batch only)."""
+    sql = ("SELECT deviceId, ts, had_changed(true, attrs) AS hc, "
+           "lag(attrs) AS prev FROM stream "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [
+        {"deviceId": "d1", "attrs": {"m": {"x": 1, "y": 2}}, "ts": 1000},
+        # same content, inner keys in a different insertion order
+        {"deviceId": "d1", "attrs": {"m": {"y": 2, "x": 1}}, "ts": 2000},
+        {"deviceId": "d1", "attrs": {"m": {"x": 9}}, "ts": 3000},
+    ]
+    got_batch = _keyed_map(_run_batch(spark, sql, rows,
+                                      schema=EVT_NESTED_MAP))
+    assert [got_batch[("d1", t)]["hc"] for t in (1000, 2000, 3000)] == \
+        [True, False, True]
+    got_py = {}
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in rows:
+        o = s.emit_sync(dict(r))
+        got_py[(o["deviceId"], o["ts"])] = o
+    assert [got_py[("d1", t)]["hc"] for t in (1000, 2000, 3000)] == \
+        [True, False, True]
+
+
+def test_map_output_per_fire_limit(spark):
+    """LIMIT without ORDER BY on a windowed query whose visible output
+    is map-typed (collect over maps): the per-fire top-K fallback
+    order must not crash on the non-orderable column (review find r9 —
+    Window.orderBy rejects maps; the fallback orders by JSON form)."""
+    sql = ("SELECT deviceId, collect(attrs) AS cm FROM stream "
+           "GROUP BY deviceId, CountingWindow(2) "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms') LIMIT 1")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for i, (dev, a) in enumerate([("d1", {"a": 1}), ("d1", {"b": 2}),
+                                  ("d2", {"c": 3}), ("d2", None)]):
+        s.emit({"deviceId": dev, "attrs": a, "ts": 1000 * (i + 1)})
+    out = s.trigger_window()
+    # one full chunk per device = one fire each; LIMIT 1 keeps both
+    assert sorted(r["deviceId"] for r in out) == ["d1", "d2"]
