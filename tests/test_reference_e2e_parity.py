@@ -516,3 +516,71 @@ def test_direct_path_filter_unchanged(spark):
                          "humidity": 99}) is not None
     assert s4.emit_sync({"deviceId": "d2", "temperature": 20,
                          "humidity": 90}) is None
+
+
+def test_counting_window_per_chunk_fires(spark):
+    """test/e2e/window_counting_test.go: each full chunk is its own
+    1-row fire (GroupByDevice: 30 rows / CountingWindow(10) = 3 fires
+    of cnt=10); interleaved devices keep independent chunk sequences
+    (GroupedCounting_MixedDevices: A and B each fire once at 10)."""
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, COUNT(*) AS cnt FROM stream "
+              "GROUP BY deviceId, CountingWindow(10)")
+    fires = []
+    s.add_sink(lambda rows: fires.append(list(rows)))
+    for i in range(30):
+        s.emit({"deviceId": "sensor001", "temperature": i})
+    s.trigger_window()
+    flat = [r for b in fires for r in b]
+    assert [(r["deviceId"], r["cnt"]) for r in flat] == \
+        [("sensor001", 10)] * 3
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT deviceId, AVG(temperature) AS avg_temp "
+               "FROM stream GROUP BY deviceId, CountingWindow(10)")
+    for i in range(10):
+        s2.emit({"deviceId": "A", "temperature": float(i)})
+        s2.emit({"deviceId": "B", "temperature": float(i)})
+    out = s2.trigger_window()
+    assert sorted((r["deviceId"], r["avg_temp"]) for r in out) == \
+        [("A", 4.5), ("B", 4.5)]
+
+
+def test_global_window_trigger_semantics(spark):
+    """test/e2e/global_window_test.go: COUNT-driven trigger fires and
+    PURGES (6 rows / >=3 = two fires of cnt=3); a field-driven
+    MAX(temp) > 50 predicate fires the instant the running max crosses
+    (max=55 over the accumulated 3 rows); no GROUP BY aggregates the
+    whole stream as one implicit group; groups fire independently."""
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, COUNT(*) AS cnt FROM stream "
+              "GROUP BY deviceId, GLOBAL WINDOW TRIGGER WHEN COUNT(*) >= 3")
+    for i in range(6):
+        s.emit({"deviceId": "sensorA", "value": i})
+    out = s.trigger_window()
+    assert [(r["deviceId"], r["cnt"]) for r in out] == \
+        [("sensorA", 3), ("sensorA", 3)]
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT deviceId, MAX(temp) AS max_temp FROM stream "
+               "GROUP BY deviceId, GLOBAL WINDOW TRIGGER WHEN MAX(temp) > 50")
+    for temp in (40, 45, 55):
+        s2.emit({"deviceId": "dev1", "temp": temp})
+    out = s2.trigger_window()
+    assert [(r["deviceId"], r["max_temp"]) for r in out] == [("dev1", 55)]
+
+    s3 = StreamSQL(spark)
+    s3.execute("SELECT COUNT(*) AS total FROM stream "
+               "GLOBAL WINDOW TRIGGER WHEN COUNT(*) >= 4")
+    for i in range(4):
+        s3.emit({"v": i})
+    assert [r["total"] for r in s3.trigger_window()] == [4]
+
+    s4 = StreamSQL(spark)
+    s4.execute("SELECT deviceId, COUNT(*) AS cnt FROM stream "
+               "GROUP BY deviceId, GLOBAL WINDOW TRIGGER WHEN COUNT(*) >= 2")
+    for dev in ("a", "b", "a", "a", "b"):  # a fires at rows 1,3; b at 5
+        s4.emit({"deviceId": dev, "value": 1})
+    out = s4.trigger_window()
+    assert sorted((r["deviceId"], r["cnt"]) for r in out) == \
+        [("a", 2), ("b", 2)]
