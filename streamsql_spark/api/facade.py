@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..dialect import nodes as N
 from ..dialect.parser import parse
 from ..dialect.planner import PlanError, plan as make_plan
-from ..engine.batch import BatchExecutor
+from ..engine.batch import BatchExecutor, ExecError
 from ..functions.registry import register_function as _register_function
 
 
@@ -159,6 +159,7 @@ class StreamSQL:
         self._tables: dict[str, DataFrame] = {}
         self._table_rows: dict[str, list[dict]] = {}
         self._table_keys: dict[str, tuple] = {}
+        self._table_sources: dict[str, object] = {}  # lookup-backed dims
         self._sinks: list[Callable[[list[dict]], None]] = []
         self._buffer: list[dict] = []
         self._history: list[dict] = []  # replay rows for cross-trigger state
@@ -281,6 +282,134 @@ class StreamSQL:
         self._table_keys[name] = key_fields or self._derive_join_keys(name)
         self._tables[name] = self.spark.createDataFrame(self._table_rows[name])
 
+    def register_table_source(self, src) -> None:
+        """Register a CUSTOM lookup-backed table source (file/DB/Redis/
+        HTTP) — the reference's ``RegisterTableSource``
+        (streamsql.go:517-525; ``stream/table_store.go:18-23``
+        TableSource interface).  ``src`` provides:
+
+        - ``name()`` (or a ``name`` attribute): the table name JOINed
+          against;
+        - ``lookup(key) -> (row, found)`` or ``row | None``: key is the
+          bare key value for single-key joins, a list of values for
+          composite keys;
+        - optional ``init()`` / ``close()`` lifecycle hooks.
+
+        Spark realization (scale path): instead of one Lookup per
+        event, each batch collects the DISTINCT join-key values of the
+        stream side, drives driver-side Lookup calls per distinct key
+        (bounded by key cardinality — strictly fewer calls than the
+        reference's per-event probe), and broadcast-joins the
+        materialized rows.  A Lookup that RAISES is recovered per key
+        (the reference's J2 ingest recover,
+        test/e2e/j2_panic_recover_test.go): that key resolves as
+        not-found and the query survives.  Must be called after
+        execute().  Batch/emit/emit_sync paths only: a long-running
+        ``start_stream`` needs a snapshot it can broadcast — register
+        the dimension with :meth:`register_table` (and refresh it via
+        upsert/delete) instead."""
+        if self._stmt is None:
+            raise RuntimeError(
+                "execute(sql) must be called before register_table_source")
+        name = src.name() if callable(getattr(src, "name", None)) \
+            else getattr(src, "name")
+        init = getattr(src, "init", None)
+        if callable(init):
+            init()
+        self._table_sources[name] = src
+        if not self._table_keys.get(name):
+            self._table_keys[name] = self._derive_join_keys(name)
+
+    def _join_key_pairs(self, name: str) -> list[tuple[str, str]]:
+        """(stream-side expression SQL, table key field) pairs from the
+        JOIN ON equalities against table ``name`` — the probe order
+        matches ``_derive_join_keys`` (the reference's encodeKey field
+        order, stream/table_store.go:28-96)."""
+        from ..dialect.render import render
+        pairs = []
+        for j in self._stmt.joins:
+            if j.table == name and j.on is not None:
+                for node in N.walk(j.on):
+                    if isinstance(node, N.Bin) and node.op == "=":
+                        for side, opp in ((node.left, node.right),
+                                          (node.right, node.left)):
+                            if isinstance(side, N.Col) \
+                                    and len(side.parts) == 2 \
+                                    and str(side.parts[0]) in (j.alias,
+                                                               j.table):
+                                pairs.append((render(opp),
+                                              str(side.parts[1])))
+        return pairs
+
+    def _lookup_tables(self, source_df: DataFrame) -> dict[str, DataFrame]:
+        """Materialize every registered lookup source against THIS
+        batch's distinct join-key values (see register_table_source)."""
+        from pyspark.sql import functions as F
+        out: dict[str, DataFrame] = {}
+        for name, src in self._table_sources.items():
+            pairs = self._join_key_pairs(name)
+            if not pairs:
+                raise ExecError(
+                    f"lookup table source {name!r} needs an equality "
+                    "JOIN ON condition to derive its probe keys")
+            # the planner qualifies stream-side refs with the source
+            # alias (stream.deviceId) — alias the probe frame to match
+            probe = source_df.alias(
+                (self._plan.source_alias or self._plan.source)
+                if self._plan is not None else "stream")
+            key_rows = (probe
+                        .select(*[F.expr(s).alias(k) for s, k in pairs])
+                        .distinct().collect())
+            rows = []
+            for kr in key_rows:
+                kv = [kr[k] for _, k in pairs]
+                arg = kv[0] if len(kv) == 1 else list(kv)
+                try:
+                    got = src.lookup(arg)
+                except Exception:
+                    continue  # J2 recover: this key resolves not-found
+                row, found = got if isinstance(got, tuple) else \
+                    (got, got is not None)
+                if found and row:
+                    rows.append({**{k: kr[k] for _, k in pairs}, **row})
+            if rows:
+                tdf = self.spark.createDataFrame(rows)
+            else:
+                # all keys missed: an empty relation with the key cols
+                tdf = (probe
+                       .select(*[F.expr(s).alias(k)
+                                 for s, k in pairs]).limit(0))
+            # plan-referenced table columns the lookups never returned
+            # resolve as NULL — the reference's nil for a missing map
+            # field (utils/fieldpath GetNestedField miss)
+            for c in self._table_ref_cols(name):
+                if c not in tdf.columns:
+                    tdf = tdf.withColumn(c, F.lit(None))
+            out[name] = tdf
+        return out
+
+    def _table_ref_cols(self, name: str) -> list[str]:
+        """Column names the statement references under table ``name``'s
+        alias (m.location, meta.type, ...)."""
+        cols: list[str] = []
+        stmt = self._stmt
+        aliases = {name}
+        for j in stmt.joins:
+            if j.table == name and j.alias:
+                aliases.add(j.alias)
+        exprs = [f.expr for f in stmt.fields] \
+            + [stmt.where, stmt.having] \
+            + [j.on for j in stmt.joins] \
+            + list(stmt.group_by) \
+            + [e for e, _ in stmt.order_by]
+        for e in exprs:
+            for node in N.walk(e):
+                if isinstance(node, N.Col) and len(node.parts) == 2 \
+                        and str(node.parts[0]) in aliases \
+                        and str(node.parts[1]) not in cols:
+                    cols.append(str(node.parts[1]))
+        return cols
+
     def _derive_join_keys(self, name: str) -> tuple:
         """Auto-derive key fields from the JOIN ON equality condition
         (streamsql.go:506-513)."""
@@ -373,6 +502,8 @@ class StreamSQL:
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
         all_tables = dict(self._tables)
+        if self._table_sources:
+            all_tables.update(self._lookup_tables(source_df))
         if tables:
             all_tables.update(tables)
         return BatchExecutor(self.spark, all_tables).execute(self._plan, source_df)
@@ -389,6 +520,11 @@ class StreamSQL:
         self._maybe_bind_star(stream_df.columns)
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
+        if self._table_sources:
+            raise ExecError(
+                "lookup table sources are batch/emit-path only — a "
+                "long-running stream needs a broadcastable snapshot: "
+                "use register_table(...) and refresh via upsert/delete")
         from ..streaming.executor import StreamingExecutor
         all_tables = dict(self._tables)
         if tables:
@@ -403,6 +539,11 @@ class StreamSQL:
         self._maybe_bind_star(stream_df.columns)
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
+        if self._table_sources:
+            raise ExecError(
+                "lookup table sources are batch/emit-path only — a "
+                "long-running stream needs a broadcastable snapshot: "
+                "use register_table(...) and refresh via upsert/delete")
         from ..streaming.executor import StreamingExecutor
         ex = StreamingExecutor(self.spark, dict(self._tables))
         sinks = list(self._sinks)
@@ -1045,10 +1186,15 @@ class StreamSQL:
         from ..streaming.stateful import (_dedupe_columns, analytic_step,
                                           flatten_join_refs)
 
-        ex = BatchExecutor(self.spark, dict(self._tables))
         src = self._local_row_df(row)
         if src is None:
             src = self._rows_df([row])
+        all_tables = dict(self._tables)
+        if self._table_sources:
+            # per-event probe: the single row's key drives one Lookup —
+            # exactly the reference's direct-path behavior
+            all_tables.update(self._lookup_tables(src))
+        ex = BatchExecutor(self.spark, all_tables)
         df = ex._apply_joins(src, self._plan)
         if self._plan.joins:
             # alias-qualified refs don't survive the flat row rebuild —
@@ -1413,6 +1559,14 @@ class StreamSQL:
         if self._buffer and self._plan is not None and self._plan.mode == "window":
             self.trigger_window()
         self._stopped = True
+        for src in self._table_sources.values():
+            close = getattr(src, "close", None)
+            if callable(close):
+                try:
+                    close()
+                except Exception:
+                    pass  # user Close bugs must not break shutdown
+        self._table_sources.clear()
         with self._buffer_cond:  # same lock discipline as the trigger swap
             self._buffer.clear()
             self._history.clear()

@@ -584,3 +584,70 @@ def test_global_window_trigger_semantics(spark):
     out = s4.trigger_window()
     assert sorted((r["deviceId"], r["cnt"]) for r in out) == \
         [("a", 2), ("b", 2)]
+
+
+class _PanicLookupSource:
+    """Port of j2_panic_recover_test.go panicLookupSource: raises on a
+    poisoned key, answers one good key, misses the rest."""
+
+    def __init__(self, name, boom_key, good):
+        self._name, self._boom, self._good = name, boom_key, good
+
+    def name(self):
+        return self._name
+
+    def init(self):
+        self.inited = True
+
+    def close(self):
+        self.closed = True
+
+    def lookup(self, key):
+        k = key[0] if isinstance(key, list) else key
+        if k == self._boom:
+            raise RuntimeError("boom: simulated user Lookup panic")
+        if k == "ok":
+            return self._good, True
+        return None, False
+
+
+def test_register_table_source_lookup_join_and_panic_recovery(spark):
+    """test/e2e/j2_panic_recover_test.go TestJ2_PanicInLookupRecovered
+    + streamsql.go:517-525 RegisterTableSource: a custom lookup-backed
+    table source joins by probing the stream side's keys; a Lookup
+    that RAISES is recovered (the poisoned row resolves as not-found
+    and is dropped by the INNER join) and later rows still flow;
+    stop() invokes the source's close()."""
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, m.location FROM stream "
+              "JOIN meta m ON deviceId = m.deviceId")
+    src = _PanicLookupSource("meta", "boom", {"location": "plantA"})
+    s.register_table_source(src)
+    assert src.inited
+
+    got = []
+    s.add_sink(lambda rows: got.extend(rows))
+    s.emit({"deviceId": "boom"})
+    s.emit({"deviceId": "ok"})
+    s.trigger_window()
+    assert [(r["deviceId"], r["location"]) for r in got] == \
+        [("ok", "plantA")]
+    # sync path too: panic key drops, good key enriches, miss drops
+    assert s.emit_sync({"deviceId": "boom"}) is None
+    assert s.emit_sync({"deviceId": "ok"}) == \
+        {"deviceId": "ok", "location": "plantA"}
+    assert s.emit_sync({"deviceId": "nope"}) is None
+    s.stop()
+    assert src.closed
+
+
+def test_register_table_source_requires_execute_and_blocks_streaming(spark):
+    """RegisterTableSource must be called after Execute
+    (streamsql.go:520-523); the streaming path refuses lookup sources
+    with a typed error (snapshot tables broadcast, lookups don't)."""
+    import pytest
+
+    s = StreamSQL(spark)
+    with pytest.raises(RuntimeError, match="execute"):
+        s.register_table_source(
+            _PanicLookupSource("meta", "x", {"a": 1}))
