@@ -304,10 +304,14 @@ class StreamSQL:
         (the reference's J2 ingest recover,
         test/e2e/j2_panic_recover_test.go): that key resolves as
         not-found and the query survives.  Must be called after
-        execute().  Batch/emit/emit_sync paths only: a long-running
-        ``start_stream`` needs a snapshot it can broadcast — register
-        the dimension with :meth:`register_table` (and refresh it via
-        upsert/delete) instead."""
+        execute().
+
+        Streaming (``start_stream``/``query_stream``) additionally
+        requires the source to be PICKLABLE and to declare ``schema()``
+        (StructType or DDL string): the join then runs as a worker-side
+        ``mapInPandas`` probe stage — lookup called per distinct key
+        per Arrow batch on the executors, no driver round-trip
+        (streaming/lookup.py); ``init()`` re-runs once per worker."""
         if self._stmt is None:
             raise RuntimeError(
                 "execute(sql) must be called before register_table_source")
@@ -520,16 +524,14 @@ class StreamSQL:
         self._maybe_bind_star(stream_df.columns)
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
-        if self._table_sources:
-            raise ExecError(
-                "lookup table sources are batch/emit-path only — a "
-                "long-running stream needs a broadcastable snapshot: "
-                "use register_table(...) and refresh via upsert/delete")
         from ..streaming.executor import StreamingExecutor
         all_tables = dict(self._tables)
         if tables:
             all_tables.update(tables)
-        return StreamingExecutor(self.spark, all_tables).build(self._plan, stream_df)
+        return StreamingExecutor(
+            self.spark, all_tables,
+            lookup_sources=dict(self._table_sources)
+        ).build(self._plan, stream_df)
 
     def start_stream(self, stream_df: DataFrame,
                      sink: Callable[[list[dict]], None] | None = None,
@@ -539,13 +541,9 @@ class StreamSQL:
         self._maybe_bind_star(stream_df.columns)
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
-        if self._table_sources:
-            raise ExecError(
-                "lookup table sources are batch/emit-path only — a "
-                "long-running stream needs a broadcastable snapshot: "
-                "use register_table(...) and refresh via upsert/delete")
         from ..streaming.executor import StreamingExecutor
-        ex = StreamingExecutor(self.spark, dict(self._tables))
+        ex = StreamingExecutor(self.spark, dict(self._tables),
+                               lookup_sources=dict(self._table_sources))
         sinks = list(self._sinks)
         if sink is not None:
             sinks.append(sink)

@@ -37,9 +37,14 @@ from .stateful import (analytic_stream, cep_stream, counting_window_stream,
 class StreamingExecutor:
     """Compile a QueryPlan against a streaming DataFrame."""
 
-    def __init__(self, spark: SparkSession, tables: dict[str, DataFrame] | None = None):
+    def __init__(self, spark: SparkSession,
+                 tables: dict[str, DataFrame] | None = None,
+                 lookup_sources: dict | None = None):
         self.spark = spark
         self.tables = tables or {}
+        # custom lookup-backed dims (register_table_source): joined via
+        # a worker-side mapInPandas probe stage (streaming/lookup.py)
+        self.lookup_sources = lookup_sources or {}
         self._batch = BatchExecutor(spark, tables)
 
     # ------------------------------------------------------------- build
@@ -58,6 +63,9 @@ class StreamingExecutor:
             if delay is not None:
                 df = df.withWatermark(_TS, f"{delay} seconds")
 
+        if self.lookup_sources:
+            from .lookup import apply_lookup_joins
+            df, plan = apply_lookup_joins(df, plan, self.lookup_sources)
         df = self._batch._apply_joins(df, plan)
 
         if plan.mode == "cep":

@@ -78,7 +78,10 @@ def run_streaming_collect(spark, plan_holder, batches: list[list[dict]],
         for b in batches:
             replay.add_batch(b)
         got: list[dict] = []
-        ex = StreamingExecutor(spark, tables or {})
+        ex = StreamingExecutor(
+            spark, tables or {},
+            lookup_sources=dict(getattr(plan_holder, "_table_sources",
+                                        None) or {}))
         q = ex.start(plan_holder.plan, replay.stream(),
                      sink=lambda rows: got.extend(rows),
                      checkpoint=replay.checkpoint)

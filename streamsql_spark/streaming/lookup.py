@@ -1,0 +1,228 @@
+"""Worker-side lookup-join enrichment for streaming queries.
+
+The reference enriches each event by calling a user TableSource's
+``Lookup(key)`` inline on the ingest path (stream/join.go:35-67 over
+stream/table_store.go:18-23).  A long-running Spark stream cannot probe
+a driver-side object per micro-batch without a collect round-trip, so
+the streaming realization ships the source TO THE WORKERS: a
+``mapInPandas`` stage probes ``lookup`` once per DISTINCT key per Arrow
+batch and merges the found columns — the scalable lookup-join shape (no
+driver involvement, parallel across partitions, per-batch key dedup).
+
+Contract (on top of the batch-path TableSource protocol):
+- the source must be PICKLABLE (it is serialized into the stage); open
+  connections lazily — ``init()`` is re-invoked once per worker process;
+- it must declare ``schema()`` (StructType or DDL string) for its row
+  columns: Spark needs the enriched column types up front, where the
+  reference's open maps don't;
+- ``lookup`` must be concurrency-safe (the reference documents the same,
+  streamsql.go:517-519).
+
+Only equality ON conditions are supported (exactly the Lookup-key
+contract); a raising ``lookup`` resolves that key as not-found (J2
+ingest recovery).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from ..dialect import nodes as N
+from ..dialect.render import render
+from ..engine.batch import ExecError
+from .stateful import _QREF, _sub_outside_literals
+
+
+def source_schema(src) -> StructType:
+    sch = getattr(src, "schema", None)
+    sch = sch() if callable(sch) else sch
+    if isinstance(sch, str):
+        sch = StructType.fromDDL(sch)
+    if not isinstance(sch, StructType):
+        raise ExecError(
+            "a streaming lookup table source must declare schema() "
+            "(StructType or DDL string) — enriched column types cannot "
+            "be inferred from an unbounded stream")
+    return sch
+
+
+def _equi_pairs(j) -> list[tuple[str, str]]:
+    """ON must be a conjunction of equalities, each with exactly one
+    table-qualified side → (stream-side sql, table key field) pairs."""
+    pairs: list[tuple[str, str]] = []
+
+    def walk_and(e):
+        if isinstance(e, N.Bin) and e.op == "AND":
+            walk_and(e.left)
+            walk_and(e.right)
+            return
+        if isinstance(e, N.Bin) and e.op == "=":
+            for side, opp in ((e.left, e.right), (e.right, e.left)):
+                if isinstance(side, N.Col) and len(side.parts) == 2 \
+                        and str(side.parts[0]) in (j.alias, j.table):
+                    pairs.append((render(opp), str(side.parts[1])))
+                    return
+        raise ExecError(
+            "streaming lookup joins support equality ON conditions "
+            f"only (the Lookup-key contract); got: {render(e)}")
+
+    walk_and(j.on)
+    if not pairs:
+        raise ExecError("streaming lookup join needs at least one "
+                        "equality ON condition")
+    return pairs
+
+
+def apply_lookup_joins(df: DataFrame, plan, sources: dict):
+    """Replace every join against a registered lookup source with a
+    worker-side mapInPandas enrichment stage; qualified refs to those
+    tables rewrite to flat hidden columns.  Returns (df, plan2)."""
+    lookups = [j for j in plan.joins if j.table in sources]
+    rest = [j for j in plan.joins if j.table not in sources]
+    if not lookups:
+        return df, plan
+    if rest:
+        raise ExecError(
+            "streaming queries cannot mix lookup table sources with "
+            "snapshot-table joins yet — register both as snapshots or "
+            "both as lookup sources")
+    if any(o.star for o in plan.outputs):
+        raise ExecError(
+            "SELECT * with a streaming lookup join is not supported — "
+            "list the columns explicitly")
+    if plan.mode == "cep":
+        raise ExecError(
+            "streaming MATCH_RECOGNIZE with a lookup table source is "
+            "not supported — register the dimension as a snapshot "
+            "table (register_table) instead")
+
+    src_name = plan.source_alias or plan.source
+    quals = {j.table for j in lookups} | {j.alias for j in lookups
+                                          if j.alias}
+    mapping: dict[str, str] = {}
+
+    def rw(sql):
+        if not sql:
+            return sql
+
+        def sub(m):
+            q, c = m.group(1), m.group(2)
+            if q == src_name:
+                return c
+            if q not in quals:
+                return m.group(0)
+            tok = f"{q}.{c}"
+            mapping.setdefault(tok, f"__q_{q}_{c}__")
+            return mapping[tok]
+
+        return _sub_outside_literals(_QREF, sub, sql)
+
+    analytics2 = [replace(a, partition_by=[rw(p) for p in a.partition_by],
+                          when_sql=rw(a.when_sql))
+                  for a in plan.analytics]
+    plan2 = replace(
+        plan,
+        joins=[],
+        where_sql=rw(plan.where_sql),
+        having_sql=rw(plan.having_sql),
+        group_sqls=[rw(g) for g in plan.group_sqls],
+        order_by=[(rw(s), asc) for s, asc in plan.order_by],
+        outputs=[replace(o, sql=rw(o.sql)) for o in plan.outputs],
+        agg_specs=[replace(s, sql=rw(s.sql)) for s in plan.agg_specs],
+        analytics=analytics2,
+        options={**plan.options,
+                 "__qref_map__": {**mapping, "__src__": src_name}},
+    )
+
+    # plan.joins carry rendered SQL; the equality structure lives in
+    # the statement's AST join specs (matched by table+alias)
+    ast_joins = {(aj.table, aj.alias): aj for aj in plan.stmt.joins}
+    for j in lookups:
+        src = sources[j.table]
+        sch = source_schema(src)
+        by_name = {f.name: f for f in sch.fields}
+        alias = j.alias or j.table
+        ast_j = ast_joins.get((j.table, j.alias))
+        if ast_j is None or ast_j.on is None:
+            raise ExecError("streaming lookup join needs an ON clause")
+        # referenced columns of THIS table, with declared types
+        want = [(flat, tok.split(".", 1)[1])
+                for tok, flat in mapping.items()
+                if tok.split(".", 1)[0] in (alias, j.table)]
+        for _, col in want:
+            if col not in by_name:
+                raise ExecError(
+                    f"lookup source {j.table!r} schema() does not "
+                    f"declare referenced column {col!r}")
+        # the stream-side probe expressions carry planner-qualified
+        # refs (stream.deviceId) — rewrite them to the flat frame
+        pairs = [(rw(s), k) for s, k in _equi_pairs(ast_j)]
+        df = _enrich(df, src, pairs, want, by_name, j.kind)
+    return df, plan2
+
+
+def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
+    if how not in ("inner", "left"):
+        raise ExecError(f"streaming lookup joins support INNER/LEFT, "
+                        f"got {how!r}")
+    key_cols = [f"__lkkey_{i}__" for i in range(len(pairs))]
+    probe = df
+    for (sql, _), kc in zip(pairs, key_cols):
+        probe = probe.withColumn(kc, F.expr(sql))
+    out_fields = list(probe.schema.fields) + \
+        [StructField(flat, by_name[col].dataType) for flat, col in want]
+    out_schema = StructType(out_fields)
+    inner = how == "inner"
+    want_cols = [col for _, col in want]
+    flat_names = [flat for flat, _ in want]
+    nkeys = len(key_cols)
+
+    def gen(batches):
+        import pandas as pd
+
+        init = getattr(src, "init", None)
+        if callable(init) and not getattr(src, "_ssql_worker_inited",
+                                          False):
+            try:
+                src._ssql_worker_inited = True
+            except Exception:
+                pass
+            init()  # once per worker process (pickled copy)
+        cache: dict[tuple, object] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = list(zip(*(pdf[c].tolist() for c in key_cols)))
+            rows = {f: [] for f in flat_names}
+            mask = []
+            for kt in keys:
+                hit = cache.get(kt)
+                if hit is None and kt not in cache:
+                    arg = kt[0] if nkeys == 1 else list(kt)
+                    try:
+                        got = src.lookup(arg)
+                    except Exception:
+                        got = None  # J2 recovery: resolves not-found
+                    row, found = got if isinstance(got, tuple) \
+                        else (got, got is not None)
+                    hit = dict(row) if found and row else None
+                    cache[kt] = hit
+                found = hit is not None
+                mask.append(found or not inner)
+                for f, c in zip(flat_names, want_cols):
+                    rows[f].append(hit.get(c) if hit else None)
+            out = pdf.copy()
+            for f in flat_names:
+                out[f] = rows[f]
+            if inner:
+                out = out[pd.Series(mask, index=out.index)]
+            if len(out):
+                yield out
+
+    enriched = probe.mapInPandas(gen, out_schema)
+    return enriched.drop(*key_cols)

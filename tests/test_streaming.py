@@ -1212,3 +1212,134 @@ def test_lateness_kernel_orderby_limit_per_window_fire(spark):
     assert rows == sorted([("d2", 50.0), ("d3", 40.0),
                            ("d1", 90.0), ("d3", 60.0)]), rows
     assert all("window_start" not in r and "window_id" in r for r in got)
+
+
+# ------------------------------------------------------- lookup sources
+
+def _mk_dict_lookup_source(name, data, boom_key=None):
+    """Lookup source for the streaming mapInPandas probe.  Defined
+    FUNCTION-LOCALLY so cloudpickle serializes the class by value —
+    a test-module-level class pickles by reference and the executor
+    workers have no 'test_streaming' module."""
+
+    class DictLookupSource:
+        def __init__(self, name, data, boom_key):
+            self._name, self._data = name, dict(data)
+            self._boom = boom_key
+            self.inits = 0
+
+        def name(self):
+            return self._name
+
+        def schema(self):
+            return "location STRING, tier BIGINT"
+
+        def init(self):
+            self.inits += 1
+
+        def lookup(self, key):
+            k = key[0] if isinstance(key, list) else key
+            if self._boom is not None and k == self._boom:
+                raise RuntimeError("boom")
+            row = self._data.get(k)
+            return row, row is not None
+
+    return DictLookupSource(name, data, boom_key)
+
+
+def _lookup_schema():
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    return StructType([StructField("deviceId", StringType()),
+                       StructField("v", DoubleType()),
+                       StructField("ts", LongType())])
+
+
+def test_streaming_lookup_join_inner_and_left(spark):
+    """register_table_source on the STREAMING path: the join runs as a
+    worker-side mapInPandas probe (streaming/lookup.py) — INNER drops
+    lookup misses and recovered lookup raises (J2); LEFT keeps the
+    stream row with NULL table columns; found columns enrich under
+    their qualified names."""
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    data = {"d1": {"location": "plantA", "tier": 1},
+            "d2": {"location": "plantB", "tier": 2}}
+    batches = [
+        [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+         {"deviceId": "dX", "v": 2.0, "ts": 2000}],   # lookup miss
+        [{"deviceId": "d2", "v": 3.0, "ts": 3000},
+         {"deviceId": "boom", "v": 4.0, "ts": 4000}],  # lookup raises
+    ]
+
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, m.location AS loc, m.tier AS tier "
+              "FROM stream JOIN meta m ON deviceId = m.deviceId")
+    s.register_table_source(_mk_dict_lookup_source("meta", data, "boom"))
+    got = run_streaming_collect(spark, s, batches, _lookup_schema())
+    assert sorted((r["deviceId"], r["loc"], r["tier"]) for r in got) == \
+        [("d1", "plantA", 1), ("d2", "plantB", 2)]
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT deviceId, m.location AS loc FROM stream "
+               "LEFT JOIN meta m ON deviceId = m.deviceId")
+    s2.register_table_source(_mk_dict_lookup_source("meta", data))
+    got = run_streaming_collect(spark, s2, batches, _lookup_schema())
+    assert sorted((r["deviceId"], r["loc"]) for r in got) == \
+        [("boom", None), ("d1", "plantA"), ("d2", "plantB"),
+         ("dX", None)]
+
+
+def test_streaming_lookup_join_feeds_windowed_agg(spark):
+    """Lookup enrichment composes upstream of a windowed aggregate:
+    GROUP BY the looked-up column through a tumbling window."""
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    data = {"d1": {"location": "A", "tier": 1},
+            "d2": {"location": "A", "tier": 2},
+            "d3": {"location": "B", "tier": 3}}
+    batches = [
+        [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+         {"deviceId": "d2", "v": 2.0, "ts": 2000}],
+        [{"deviceId": "d3", "v": 4.0, "ts": 3000},
+         # closer far past the window to fire it in append mode
+         {"deviceId": "d1", "v": 0.0, "ts": 7_200_000}],
+    ]
+    s = StreamSQL(spark)
+    s.execute("SELECT m.location AS loc, count(*) AS cnt, "
+              "round(sum(v), 4) AS total FROM stream "
+              "JOIN meta m ON deviceId = m.deviceId "
+              "GROUP BY m.location, TumblingWindow('1h') "
+              "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    s.register_table_source(_mk_dict_lookup_source("meta", data))
+    got = run_streaming_collect(spark, s, batches, _lookup_schema())
+    assert sorted((r["loc"], r["cnt"], r["total"]) for r in got) == \
+        [("A", 2, 3.0), ("B", 1, 4.0)]
+
+
+def test_streaming_lookup_source_requires_schema(spark):
+    """A schemaless lookup source fails the STREAMING path with a
+    typed error (batch/emit paths infer from found rows instead)."""
+    import pytest
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.engine.batch import ExecError
+
+    class NoSchema:
+        def name(self):
+            return "meta"
+
+        def lookup(self, key):
+            return {"x": 1}, True
+
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, m.x FROM stream "
+              "JOIN meta m ON deviceId = m.deviceId")
+    s.register_table_source(NoSchema())
+    stream = (spark.readStream.format("rate").load()
+              .selectExpr("CAST(value AS STRING) AS deviceId",
+                          "timestamp AS ts"))
+    with pytest.raises(ExecError, match="schema"):
+        s.query_stream(stream)
