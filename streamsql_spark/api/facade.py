@@ -317,6 +317,13 @@ class StreamSQL:
                 "execute(sql) must be called before register_table_source")
         name = src.name() if callable(getattr(src, "name", None)) \
             else getattr(src, "name")
+        if not any(j.table == name for j in self._stmt.joins):
+            # fail at REGISTRATION, not at the first query (the
+            # streaming path would otherwise silently ignore the
+            # source while the batch path errored per query)
+            raise ExecError(
+                f"table source {name!r} is not joined in the "
+                "statement — the ON clause derives its probe keys")
         init = getattr(src, "init", None)
         if callable(init):
             init()
@@ -328,21 +335,18 @@ class StreamSQL:
         """(stream-side expression SQL, table key field) pairs from the
         JOIN ON equalities against table ``name`` — the probe order
         matches ``_derive_join_keys`` (the reference's encodeKey field
-        order, stream/table_store.go:28-96)."""
-        from ..dialect.render import render
-        pairs = []
+        order, stream/table_store.go:28-96).  Shares the STRICT
+        extractor with the streaming path: key pairs come only from
+        conjunction equalities with one table-qualified side; OR/NOT
+        raise (probing one arm would silently drop the other's
+        matches), and non-key conjuncts pass through as residual —
+        the batch join re-applies the FULL ON afterwards."""
+        from ..streaming.lookup import equi_pairs
+        pairs: list[tuple[str, str]] = []
         for j in self._stmt.joins:
             if j.table == name and j.on is not None:
-                for node in N.walk(j.on):
-                    if isinstance(node, N.Bin) and node.op == "=":
-                        for side, opp in ((node.left, node.right),
-                                          (node.right, node.left)):
-                            if isinstance(side, N.Col) \
-                                    and len(side.parts) == 2 \
-                                    and str(side.parts[0]) in (j.alias,
-                                                               j.table):
-                                pairs.append((render(opp),
-                                              str(side.parts[1])))
+                p, _residual = equi_pairs(j, allow_residual=True)
+                pairs.extend(p)
         return pairs
 
     def _lookup_tables(self, source_df: DataFrame) -> dict[str, DataFrame]:
@@ -374,8 +378,11 @@ class StreamSQL:
                     continue  # J2 recover: this key resolves not-found
                 row, found = got if isinstance(got, tuple) else \
                     (got, got is not None)
-                if found and row:
-                    rows.append({**{k: kr[k] for _, k in pairs}, **row})
+                if found:
+                    # ({}, True) IS a hit: an existence-only source
+                    # keeps the event with no extra columns
+                    rows.append({**{k: kr[k] for _, k in pairs},
+                                 **(row or {})})
             if rows:
                 tdf = self.spark.createDataFrame(rows)
             else:
@@ -406,6 +413,13 @@ class StreamSQL:
             + [j.on for j in stmt.joins] \
             + list(stmt.group_by) \
             + [e for e, _ in stmt.order_by]
+        if stmt.match is not None:
+            # batch CEP over a lookup source: MEASURES/DEFINE/PARTITION
+            # refs must NULL-backfill too, not crash unresolved
+            exprs += [f.expr for f in stmt.match.measures] \
+                + list(stmt.match.defines.values()) \
+                + list(stmt.match.partition_by) \
+                + list(stmt.match.order_by)
         for e in exprs:
             for node in N.walk(e):
                 if isinstance(node, N.Col) and len(node.parts) == 2 \

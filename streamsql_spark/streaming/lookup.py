@@ -11,7 +11,10 @@ driver involvement, parallel across partitions, per-batch key dedup).
 
 Contract (on top of the batch-path TableSource protocol):
 - the source must be PICKLABLE (it is serialized into the stage); open
-  connections lazily — ``init()`` is re-invoked once per worker process;
+  connections LAZILY/IDEMPOTENTLY — ``init()`` is re-invoked once per
+  worker process (module-level memo), and there is no worker-side
+  ``close()`` hook (Spark tears workers down opaquely; driver-side
+  ``close()`` still runs on ``stop()``);
 - it must declare ``schema()`` (StructType or DDL string) for its row
   columns: Spark needs the enriched column types up front, where the
   reference's open maps don't;
@@ -25,7 +28,6 @@ ingest recovery).
 
 from __future__ import annotations
 
-import re
 from dataclasses import replace
 
 from pyspark.sql import DataFrame
@@ -51,10 +53,20 @@ def source_schema(src) -> StructType:
     return sch
 
 
-def _equi_pairs(j) -> list[tuple[str, str]]:
-    """ON must be a conjunction of equalities, each with exactly one
-    table-qualified side → (stream-side sql, table key field) pairs."""
+def equi_pairs(j, allow_residual: bool = False):
+    """Extract the Lookup probe keys from a join's ON tree.
+
+    ON must be a CONJUNCTION; each key-defining conjunct is an equality
+    with exactly one table-qualified side → (stream-side sql, table key
+    field) pairs.  Other conjuncts (literal filters, non-key
+    comparisons) either raise (streaming — they cannot be evaluated
+    after a LEFT enrichment) or pass through as ``residual`` for the
+    batch path, whose real join re-applies the FULL ON afterwards.
+    An OR / NOT anywhere raises on BOTH paths: probing only one arm
+    would silently drop the other arm's matches.
+    """
     pairs: list[tuple[str, str]] = []
+    residual: list = []
 
     def walk_and(e):
         if isinstance(e, N.Bin) and e.op == "AND":
@@ -67,15 +79,22 @@ def _equi_pairs(j) -> list[tuple[str, str]]:
                         and str(side.parts[0]) in (j.alias, j.table):
                     pairs.append((render(opp), str(side.parts[1])))
                     return
+        if allow_residual and not any(
+                isinstance(n, N.Bin) and n.op in ("OR",)
+                or isinstance(n, N.Un) and n.op == "NOT"
+                for n in N.walk(e)):
+            residual.append(e)
+            return
         raise ExecError(
-            "streaming lookup joins support equality ON conditions "
-            f"only (the Lookup-key contract); got: {render(e)}")
+            "lookup-source joins support conjunctions of equality ON "
+            f"conditions (the Lookup-key contract); got: {render(e)}")
 
     walk_and(j.on)
     if not pairs:
-        raise ExecError("streaming lookup join needs at least one "
-                        "equality ON condition")
-    return pairs
+        raise ExecError("a lookup-source join needs at least one "
+                        "equality ON condition against the table's "
+                        "key fields")
+    return (pairs, residual) if allow_residual else pairs
 
 
 def apply_lookup_joins(df: DataFrame, plan, sources: dict):
@@ -122,6 +141,23 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict):
 
         return _sub_outside_literals(_QREF, sub, sql)
 
+    # ---- pass 1: extract every join's probe pairs FIRST, so chained
+    # lookups (JOIN a ... JOIN b ON a.region = b.region) register their
+    # cross-table refs in `mapping` before the plan/want snapshots --
+    # table a's enrichment then materializes __q_a_region__ for b's
+    # probe, and the __qref_map__ is complete.  (plan.joins carry
+    # rendered SQL; the equality structure lives in the statement's
+    # AST join specs, matched by table+alias.)
+    ast_joins = {(aj.table, aj.alias): aj for aj in plan.stmt.joins}
+    pairs_by_join = []
+    for j in lookups:
+        ast_j = ast_joins.get((j.table, j.alias))
+        if ast_j is None or ast_j.on is None:
+            raise ExecError("streaming lookup join needs an ON clause")
+        # the stream-side probe expressions carry planner-qualified
+        # refs (stream.deviceId, a.region) -- rewrite to the flat frame
+        pairs_by_join.append([(rw(s), k) for s, k in equi_pairs(ast_j)])
+
     analytics2 = [replace(a, partition_by=[rw(p) for p in a.partition_by],
                           when_sql=rw(a.when_sql))
                   for a in plan.analytics]
@@ -139,18 +175,13 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict):
                  "__qref_map__": {**mapping, "__src__": src_name}},
     )
 
-    # plan.joins carry rendered SQL; the equality structure lives in
-    # the statement's AST join specs (matched by table+alias)
-    ast_joins = {(aj.table, aj.alias): aj for aj in plan.stmt.joins}
-    for j in lookups:
+    # ---- pass 2: enrich in join order; each table's `want` comes
+    # from the now-complete mapping
+    for j, pairs in zip(lookups, pairs_by_join):
         src = sources[j.table]
         sch = source_schema(src)
         by_name = {f.name: f for f in sch.fields}
         alias = j.alias or j.table
-        ast_j = ast_joins.get((j.table, j.alias))
-        if ast_j is None or ast_j.on is None:
-            raise ExecError("streaming lookup join needs an ON clause")
-        # referenced columns of THIS table, with declared types
         want = [(flat, tok.split(".", 1)[1])
                 for tok, flat in mapping.items()
                 if tok.split(".", 1)[0] in (alias, j.table)]
@@ -159,11 +190,17 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict):
                 raise ExecError(
                     f"lookup source {j.table!r} schema() does not "
                     f"declare referenced column {col!r}")
-        # the stream-side probe expressions carry planner-qualified
-        # refs (stream.deviceId) — rewrite them to the flat frame
-        pairs = [(rw(s), k) for s, k in _equi_pairs(ast_j)]
         df = _enrich(df, src, pairs, want, by_name, j.kind)
     return df, plan2
+
+
+# per-WORKER-PROCESS init memo: mapInPandas unpickles a fresh copy of
+# the stage closure for every task, so an instance attribute cannot
+# dedupe init() calls — this module-level set (keyed by source name)
+# lives in the Python worker process and survives across tasks.
+# Worker-side close() has no hook at all (Spark tears workers down
+# opaquely): sources must open connections lazily/idempotently.
+_WORKER_INITED: set[str] = set()
 
 
 def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
@@ -181,18 +218,24 @@ def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
     want_cols = [col for _, col in want]
     flat_names = [flat for flat, _ in want]
     nkeys = len(key_cols)
+    src_name = src.name() if callable(getattr(src, "name", None)) \
+        else getattr(src, "name", "")
+    # dtype-restoring cleaners: a nullable int64 key column arrives
+    # float64-coerced from Arrow (5 -> 5.0, NULL -> NaN) chunk-
+    # dependently — the probe must see the EXACT key values the batch
+    # path's Row collect sees, or str(key)/typed backends miss
+    from .stateful import _cleaners
+    clean_by = _cleaners(probe, key_cols)
+    cleaners = [clean_by[c] for c in key_cols]
+    _MISS = object()
 
     def gen(batches):
         import pandas as pd
 
         init = getattr(src, "init", None)
-        if callable(init) and not getattr(src, "_ssql_worker_inited",
-                                          False):
-            try:
-                src._ssql_worker_inited = True
-            except Exception:
-                pass
-            init()  # once per worker process (pickled copy)
+        if callable(init) and src_name not in _WORKER_INITED:
+            _WORKER_INITED.add(src_name)
+            init()  # once per worker process
         cache: dict[tuple, object] = {}
         for pdf in batches:
             if not len(pdf):
@@ -200,9 +243,10 @@ def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
             keys = list(zip(*(pdf[c].tolist() for c in key_cols)))
             rows = {f: [] for f in flat_names}
             mask = []
-            for kt in keys:
-                hit = cache.get(kt)
-                if hit is None and kt not in cache:
+            for raw in keys:
+                kt = tuple(cl(v) for cl, v in zip(cleaners, raw))
+                hit = cache.get(kt, _MISS)
+                if hit is _MISS:
                     arg = kt[0] if nkeys == 1 else list(kt)
                     try:
                         got = src.lookup(arg)
@@ -210,12 +254,14 @@ def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
                         got = None  # J2 recovery: resolves not-found
                     row, found = got if isinstance(got, tuple) \
                         else (got, got is not None)
-                    hit = dict(row) if found and row else None
+                    # ({}, True) IS a hit — an existence-only source
+                    # returns found with no extra columns
+                    hit = dict(row or {}) if found else None
                     cache[kt] = hit
-                found = hit is not None
-                mask.append(found or not inner)
+                mask.append(hit is not None or not inner)
                 for f, c in zip(flat_names, want_cols):
-                    rows[f].append(hit.get(c) if hit else None)
+                    rows[f].append(hit.get(c) if hit is not None
+                                   else None)
             out = pdf.copy()
             for f in flat_names:
                 out[f] = rows[f]

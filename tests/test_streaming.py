@@ -1319,6 +1319,57 @@ def test_streaming_lookup_join_feeds_windowed_agg(spark):
         [("A", 2, 3.0), ("B", 1, 4.0)]
 
 
+def test_streaming_lookup_guard_errors(spark):
+    """The documented streaming lookup guards raise typed errors:
+    mixing lookup sources with snapshot joins, SELECT *, OR in the ON
+    clause, and a source not joined in the statement (rejected at
+    registration)."""
+    import pytest
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.engine.batch import ExecError
+
+    def stream_df(spark, ddl):
+        return (spark.readStream.format("rate").load()
+                .selectExpr("CAST(value AS STRING) AS deviceId",
+                            "CAST(value AS DOUBLE) AS v",
+                            "timestamp AS ts"))
+
+    # not joined in the statement -> rejected at registration
+    s0 = StreamSQL(spark)
+    s0.execute("SELECT deviceId FROM stream")
+    with pytest.raises(ExecError, match="not joined"):
+        s0.register_table_source(_mk_dict_lookup_source("meta", {}))
+
+    # mixing lookup + snapshot joins
+    s1 = StreamSQL(spark)
+    s1.execute("SELECT deviceId, m.location AS loc, o.x AS x "
+               "FROM stream JOIN meta m ON deviceId = m.deviceId "
+               "JOIN other o ON deviceId = o.deviceId")
+    s1.register_table_source(_mk_dict_lookup_source("meta", {}))
+    s1.register_table("other", [{"deviceId": "d1", "x": 1}])
+    with pytest.raises(ExecError, match="mix"):
+        s1.query_stream(stream_df(spark, None))
+
+    # SELECT *
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT * FROM stream JOIN meta m ON deviceId = m.deviceId")
+    s2.register_table_source(_mk_dict_lookup_source("meta", {}))
+    with pytest.raises(ExecError, match="SELECT \\*"):
+        s2.query_stream(stream_df(spark, None))
+
+    # OR in the ON clause: probing one arm would drop the other's
+    # matches -- typed refusal on BOTH paths
+    s3 = StreamSQL(spark)
+    s3.execute("SELECT deviceId, m.location AS loc FROM stream "
+               "JOIN meta m ON deviceId = m.deviceId OR v = m.deviceId")
+    s3.register_table_source(_mk_dict_lookup_source("meta", {}))
+    with pytest.raises(ExecError, match="equality"):
+        s3.query_stream(stream_df(spark, None))
+    with pytest.raises(ExecError, match="equality"):
+        s3.emit_sync({"deviceId": "d1", "v": 1.0})
+
+
 def test_streaming_lookup_source_requires_schema(spark):
     """A schemaless lookup source fails the STREAMING path with a
     typed error (batch/emit paths infer from found rows instead)."""
@@ -1343,3 +1394,49 @@ def test_streaming_lookup_source_requires_schema(spark):
                           "timestamp AS ts"))
     with pytest.raises(ExecError, match="schema"):
         s.query_stream(stream)
+
+
+def test_streaming_lookup_int_keys_survive_null_coercion(spark):
+    """A nullable BIGINT join key column arrives float64-coerced from
+    Arrow when ANY row's key is NULL (the pandas chunk dtype trap):
+    the probe must still deliver exact ints to lookup() — a source
+    doing exact-type matching (str(key), typed backend) would silently
+    miss 42.0 — and a NULL key probes as None, not NaN."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    def mk_src():
+        class IntKeySource:
+            seen = []
+
+            def name(self):
+                return "meta"
+
+            def schema(self):
+                return "label STRING"
+
+            def lookup(self, key):
+                # EXACT int match only: a float 42.0 must miss
+                if type(key) is int and key in (42, 7):
+                    return {"label": f"k{key}"}, True
+                return None, False
+
+        return IntKeySource()
+
+    schema = StructType([StructField("kid", LongType()),
+                         StructField("v", DoubleType()),
+                         StructField("ts", LongType())])
+    batches = [[{"kid": 42, "v": 1.0, "ts": 1000},
+                {"kid": None, "v": 2.0, "ts": 2000},   # forces float64
+                {"kid": 7, "v": 3.0, "ts": 3000}]]
+    s = StreamSQL(spark)
+    s.execute("SELECT kid, m.label AS label FROM stream "
+              "LEFT JOIN meta m ON kid = m.kid")
+    s.register_table_source(mk_src())
+    got = run_streaming_collect(spark, s, batches, schema)
+    assert sorted(((r["kid"], r["label"]) for r in got),
+                  key=lambda t: (t[0] is None, t[0])) == \
+        [(7, "k7"), (42, "k42"), (None, None)]
