@@ -1191,3 +1191,51 @@ def test_map_output_per_fire_limit(spark):
     out = s.trigger_window()
     # one full chunk per device = one fire each; LIMIT 1 keeps both
     assert sorted(r["deviceId"] for r in out) == ["d1", "d2"]
+
+
+@pytest.mark.parametrize("wspec,limit_sql", [
+    ("SessionWindow('5s')", "ORDER BY cnt DESC LIMIT 1"),
+    ("CountingWindow(4)", "LIMIT 1"),
+    ("TumblingWindow('10s')", "ORDER BY cnt DESC, deviceId LIMIT 1"),
+])
+def test_per_fire_limit_batch_stream_agreement(spark, wspec, limit_sql):
+    """The per-fire LIMIT contract (r9) holds identically on the batch
+    trigger path and the streaming replay: session/counting fires are
+    per key (LIMIT 1 keeps each fire's row), tumbling fires span keys
+    (LIMIT 1 keeps the per-window top-1)."""
+    import zlib
+
+    sql = (f"SELECT deviceId, count(*) AS cnt FROM stream "
+           f"GROUP BY deviceId, {wspec} "
+           f"WITH (TIMESTAMP='ts', TIMEUNIT='ms') {limit_sql}")
+    rng = random.Random(zlib.crc32(wspec.encode()) % 1000)
+    rows = []
+    for i in range(24):
+        rows.append({"deviceId": rng.choice(["d1", "d2", "d3"]),
+                     "temperature": 0.0, "humidity": 0.0,
+                     "status": "ok", "ts": 1000 * (i + 1)})
+    # closer far in the future: fires every data window in append
+    # mode; its OWN window never closes in streaming while the batch
+    # trigger flushes it — excluded from the comparison on both sides
+    closer = {"deviceId": "__closer__", "temperature": 0.0,
+              "humidity": 0.0, "status": "ok", "ts": 10_000_000}
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    for r in rows + [closer]:
+        s.emit(dict(r))
+    batch = sorted((r["deviceId"], r["cnt"]) for r in s.trigger_window()
+                   if r["deviceId"] != "__closer__")
+
+    batches, i = [], 0
+    while i < len(rows):
+        k = rng.randint(1, 6)
+        batches.append(rows[i:i + k])
+        i += k
+    batches.append([closer])
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    got = run_streaming_collect(spark, s2, batches, EVT, tables={})
+    stream = sorted((r["deviceId"], r["cnt"]) for r in got
+                    if r["deviceId"] != "__closer__")
+    assert stream == batch, f"{wspec}: batch={batch} stream={stream}"
