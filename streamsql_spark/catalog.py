@@ -206,28 +206,78 @@ _add("unnest", Entry(
 # §2.3 Joins (stream-table enrichment)
 # ===================================================================
 
-_add("join_inner", Entry(
-    # composite equi-ON (second key is an expression on both sides)
-    # exercises the multi-condition ON path without changing the result
-    _dialect("""
-        SELECT l.l_orderkey AS okey, l.l_linenumber AS lno,
-               o.o_orderpriority AS prio,
-               round(l.l_extendedprice * (1 - l.l_discount), 4) AS net
-        FROM stream AS l
-        INNER JOIN orders AS o ON l.l_orderkey = o.o_orderkey
-            AND mod(l.l_orderkey, 4) = mod(o.o_orderkey, 4)
-        WHERE o.o_orderstatus = 'F' AND l.l_quantity > 25
-    """, "lineitem", dims=("orders",)),
-    """
+_JOIN_INNER_SQL = """
     SELECT l.l_orderkey AS okey, l.l_linenumber AS lno,
            o.o_orderpriority AS prio,
            round(l.l_extendedprice * (1 - l.l_discount), 4) AS net
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    FROM stream AS l
+    INNER JOIN orders AS o ON l.l_orderkey = o.o_orderkey
         AND mod(l.l_orderkey, 4) = mod(o.o_orderkey, 4)
+    WHERE o.o_orderstatus = 'F' AND l.l_quantity > 25
+"""
+
+
+class _OrdersLookupSource:
+    """Lookup-backed dim over the SAME orders rows the snapshot kind
+    broadcasts — the two kinds must agree value-for-value (the
+    register_table_source driver-probe path under the oracle gate)."""
+
+    def __init__(self, rows_by_key: dict):
+        self._rows = rows_by_key
+
+    def name(self):
+        return "orders"
+
+    def lookup(self, key):
+        row = self._rows.get(key)
+        return row, row is not None
+
+
+def _join_inner_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER stream-table join, kind-tagged (50-entry gate): 'bcast' =
+    snapshot dim broadcast join; 'lookup' = the same dim behind a
+    register_table_source Lookup(key) — the engine probes the stream
+    side's distinct keys, materializes found rows, and the real join
+    re-applies the full composite ON (the non-key mod() conjunct rides
+    as residual)."""
+    from pyspark.sql import functions as F
+
+    tables = load_tables(spark, sf_dir)
+    q1 = StreamSQL(spark).execute(_JOIN_INNER_SQL)
+    q1.register_table("orders", tables["orders"])
+    bcast = q1.query(tables["lineitem"]).withColumn("kind", F.lit("bcast"))
+
+    rows_by_key = {
+        r["o_orderkey"]: {"o_orderkey": r["o_orderkey"],
+                          "o_orderstatus": r["o_orderstatus"],
+                          "o_orderpriority": r["o_orderpriority"]}
+        for r in tables["orders"].select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority").collect()}
+    q2 = StreamSQL(spark).execute(_JOIN_INNER_SQL)
+    q2.register_table_source(_OrdersLookupSource(rows_by_key))
+    lookup = q2.query(tables["lineitem"]).withColumn("kind",
+                                                     F.lit("lookup"))
+    return bcast.unionByName(lookup)
+
+
+_add("join_inner", Entry(
+    # composite equi-ON (second key is an expression on both sides)
+    # exercises the multi-condition ON path without changing the result
+    _join_inner_run,
+    """
+    SELECT l.l_orderkey AS okey, l.l_linenumber AS lno,
+           o.o_orderpriority AS prio,
+           round(l.l_extendedprice * (1 - l.l_discount), 4) AS net,
+           k.kind AS kind
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        AND mod(l.l_orderkey, 4) = mod(o.o_orderkey, 4),
+        LATERAL (SELECT unnest(['bcast', 'lookup']) AS kind) k
     WHERE o.o_orderstatus = 'F' AND l.l_quantity > 25
     """,
     "§2.3 INNER stream-table join, composite/expression ON keys "
-    "(stream/join.go:35-67, rsql/parser.go:834-926)"))
+    "(stream/join.go:35-67, rsql/parser.go:834-926) + the same join "
+    "through a register_table_source Lookup probe (streamsql.go:517-525), "
+    "kind-tagged"))
 
 _add("join_left_nullgroup", Entry(
     _dialect("""

@@ -98,8 +98,30 @@ def main() -> None:
         "cep_ooo_horizon": _CEP_BODY
         + " WITH (TIMESTAMP='ts', MAXOUTOFORDERNESS='5m')",
     }
+    class _UserDimSource:
+        """Synthetic lookup dim: answers every user_id (r9 — measures
+        the worker-side mapInPandas probe stage at scale)."""
+
+        def name(self):
+            return "meta"
+
+        def schema(self):
+            return "segment STRING, weight BIGINT"
+
+        def lookup(self, key):
+            return {"segment": "s" + str(int(key) % 7),
+                    "weight": int(key) % 100}, True
+
+    kernels["lookup_join"] = """
+        SELECT event_id, user_id, m.segment AS segment,
+               value * m.weight AS wv
+        FROM stream JOIN meta m ON user_id = m.user_id
+    """
+
     for kernel_name, sql in kernels.items():
         q = StreamSQL(spark).execute(sql)
+        if kernel_name == "lookup_join":
+            q.register_table_source(_UserDimSource())
         stream = (spark.readStream.schema(raw.schema)
                   .option("maxFilesPerTrigger", 4).parquet(in_dir))
         got = {"n": 0}
