@@ -1173,6 +1173,16 @@ def test_nested_map_change_detection_parity(spark):
         got_py[(o["deviceId"], o["ts"])] = o
     assert [got_py[("d1", t)]["hc"] for t in (1000, 2000, 3000)] == \
         [True, False, True]
+    # streaming kernel: the recursive _map_cleaner must restore nested
+    # dicts from Arrow's (k,v)-tuple encoding at EVERY level
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    got_stream = _keyed_map(run_streaming_collect(
+        spark, s2, [rows[:1], rows[1:]], EVT_NESTED_MAP, tables={}))
+    assert [got_stream[("d1", t)]["hc"] for t in (1000, 2000, 3000)] == \
+        [True, False, True]
+    assert got_stream == _keyed_map(_run_batch(
+        spark, sql, rows, schema=EVT_NESTED_MAP))
 
 
 def test_map_output_per_fire_limit(spark):
