@@ -328,6 +328,12 @@ class StreamSQL:
         if callable(init):
             init()
         self._table_sources[name] = src
+        # the statement is frozen after execute(): derive the probe
+        # pairs and referenced columns ONCE, not per query/emit
+        if not hasattr(self, "_table_source_meta"):
+            self._table_source_meta = {}
+        self._table_source_meta[name] = (self._join_key_pairs(name),
+                                         self._table_ref_cols(name))
         if not self._table_keys.get(name):
             self._table_keys[name] = self._derive_join_keys(name)
 
@@ -354,17 +360,17 @@ class StreamSQL:
         batch's distinct join-key values (see register_table_source)."""
         from pyspark.sql import functions as F
         out: dict[str, DataFrame] = {}
+        # the planner qualifies stream-side refs with the source
+        # alias (stream.deviceId) — alias the probe frame to match
+        probe = source_df.alias(
+            (self._plan.source_alias or self._plan.source)
+            if self._plan is not None else "stream")
         for name, src in self._table_sources.items():
-            pairs = self._join_key_pairs(name)
+            pairs, ref_cols = self._table_source_meta[name]
             if not pairs:
                 raise ExecError(
                     f"lookup table source {name!r} needs an equality "
                     "JOIN ON condition to derive its probe keys")
-            # the planner qualifies stream-side refs with the source
-            # alias (stream.deviceId) — alias the probe frame to match
-            probe = source_df.alias(
-                (self._plan.source_alias or self._plan.source)
-                if self._plan is not None else "stream")
             key_rows = (probe
                         .select(*[F.expr(s).alias(k) for s, k in pairs])
                         .distinct().collect())
@@ -393,7 +399,7 @@ class StreamSQL:
             # plan-referenced table columns the lookups never returned
             # resolve as NULL — the reference's nil for a missing map
             # field (utils/fieldpath GetNestedField miss)
-            for c in self._table_ref_cols(name):
+            for c in ref_cols:
                 if c not in tdf.columns:
                     tdf = tdf.withColumn(c, F.lit(None))
             out[name] = tdf
@@ -787,8 +793,11 @@ class StreamSQL:
         (schema/schema.go:123-124, 221-226 Strict mode)."""
         if self.schema is None or not hasattr(self.schema, "fields"):
             return None
-        if getattr(self, "strict_schema", False):
-            declared = {f.name for f in self.schema.fields}
+        if self.strict_schema:
+            declared = getattr(self, "_declared_names", None)
+            if declared is None:
+                declared = self._declared_names = \
+                    {f.name for f in self.schema.fields}
             for k in row:
                 if k not in declared:
                     return f"unknown field {k!r}"

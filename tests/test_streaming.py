@@ -1359,15 +1359,13 @@ def test_streaming_lookup_guard_errors(spark):
         s2.query_stream(stream_df(spark, None))
 
     # OR in the ON clause: probing one arm would drop the other's
-    # matches -- typed refusal on BOTH paths
+    # matches -- typed refusal, raised eagerly AT REGISTRATION (the
+    # probe pairs are derived once there, not per query)
     s3 = StreamSQL(spark)
     s3.execute("SELECT deviceId, m.location AS loc FROM stream "
                "JOIN meta m ON deviceId = m.deviceId OR v = m.deviceId")
-    s3.register_table_source(_mk_dict_lookup_source("meta", {}))
     with pytest.raises(ExecError, match="equality"):
-        s3.query_stream(stream_df(spark, None))
-    with pytest.raises(ExecError, match="equality"):
-        s3.emit_sync({"deviceId": "d1", "v": 1.0})
+        s3.register_table_source(_mk_dict_lookup_source("meta", {}))
 
 
 def test_streaming_lookup_source_requires_schema(spark):
