@@ -651,3 +651,50 @@ def test_register_table_source_requires_execute_and_blocks_streaming(spark):
     with pytest.raises(RuntimeError, match="execute"):
         s.register_table_source(
             _PanicLookupSource("meta", "x", {"a": 1}))
+
+
+def test_window_aggregate_combos(spark):
+    """test/e2e/window_aggregate_combo_test.go, all four verbatim:
+    HAVING referencing an aggregate NOT in the SELECT list; post-agg
+    arithmetic over two aggregates; five aggregates in one window; and
+    SQL NULL semantics in aggregates (count(*) counts rows,
+    count(v)/avg/sum ignore NULL)."""
+    base = 10_000
+
+    s = StreamSQL(spark)
+    s.execute("SELECT count(*) AS c FROM stream "
+              "GROUP BY TumblingWindow('1s') "
+              "WITH (TIMESTAMP='ts', TIMEUNIT='ms') HAVING max(v) > 50")
+    for v in (10.0, 60.0):
+        s.emit({"ts": base, "v": v})
+    assert [r["c"] for r in s.trigger_window()] == [2]
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT max(v) - min(v) AS rng, sum(v) AS s FROM stream "
+               "GROUP BY TumblingWindow('1s') "
+               "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    for v in (10.0, 40.0, 25.0):
+        s2.emit({"ts": base, "v": v})
+    assert [(r["rng"], r["s"]) for r in s2.trigger_window()] == \
+        [(30.0, 75.0)]
+
+    s3 = StreamSQL(spark)
+    s3.execute("SELECT count(*) AS c, sum(v) AS s, avg(v) AS a, "
+               "min(v) AS mn, max(v) AS mx FROM stream "
+               "GROUP BY TumblingWindow('1s') "
+               "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    for v in (10.0, 20.0, 30.0):
+        s3.emit({"ts": base, "v": v})
+    out = s3.trigger_window()
+    assert [(r["c"], r["s"], r["a"], r["mn"], r["mx"])
+            for r in out] == [(3, 60.0, 20.0, 10.0, 30.0)]
+
+    s4 = StreamSQL(spark)
+    s4.execute("SELECT count(*) AS c, count(v) AS cv, avg(v) AS a, "
+               "sum(v) AS s FROM stream GROUP BY TumblingWindow('1s') "
+               "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    for v in (10.0, None, 30.0):
+        s4.emit({"ts": base, "v": v})
+    out = s4.trigger_window()
+    assert [(r["c"], r["cv"], r["a"], r["s"]) for r in out] == \
+        [(3, 2, 20.0, 40.0)]
