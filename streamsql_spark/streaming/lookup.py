@@ -240,13 +240,17 @@ def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            keys = list(zip(*(pdf[c].tolist() for c in key_cols)))
-            rows = {f: [] for f in flat_names}
-            mask = []
-            for raw in keys:
-                kt = tuple(cl(v) for cl, v in zip(cleaners, raw))
-                hit = cache.get(kt, _MISS)
+            # one Python step per DISTINCT key; the per-ROW fan-out is
+            # a vectorized pandas merge (the row loop was the stage's
+            # bottleneck at scale — 1.6M rows / 24k keys)
+            recs = []
+            for raw in pdf[key_cols].drop_duplicates() \
+                    .itertuples(index=False, name=None):
+                hit = cache.get(raw, _MISS)
                 if hit is _MISS:
+                    # exact Spark-typed key values: Arrow float64-
+                    # coerces nullable int columns (42 -> 42.0)
+                    kt = tuple(cl(v) for cl, v in zip(cleaners, raw))
                     arg = kt[0] if nkeys == 1 else list(kt)
                     try:
                         got = src.lookup(arg)
@@ -257,16 +261,17 @@ def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
                     # ({}, True) IS a hit — an existence-only source
                     # returns found with no extra columns
                     hit = dict(row or {}) if found else None
-                    cache[kt] = hit
-                mask.append(hit is not None or not inner)
-                for f, c in zip(flat_names, want_cols):
-                    rows[f].append(hit.get(c) if hit is not None
-                                   else None)
-            out = pdf.copy()
-            for f in flat_names:
-                out[f] = rows[f]
+                    cache[raw] = hit
+                recs.append(
+                    dict(zip(key_cols, raw), __hit__=hit is not None,
+                         **{f: (hit.get(c) if hit is not None else None)
+                            for f, c in zip(flat_names, want_cols)}))
+            lk = pd.DataFrame(recs,
+                              columns=key_cols + ["__hit__"] + flat_names)
+            out = pdf.merge(lk, on=key_cols, how="left")
             if inner:
-                out = out[pd.Series(mask, index=out.index)]
+                out = out[out["__hit__"]]
+            out = out.drop(columns="__hit__")
             if len(out):
                 yield out
 
