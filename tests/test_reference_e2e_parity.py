@@ -698,3 +698,25 @@ def test_window_aggregate_combos(spark):
     out = s4.trigger_window()
     assert [(r["c"], r["cv"], r["a"], r["s"]) for r in out] == \
         [(3, 2, 20.0, 40.0)]
+
+
+def test_join_analytic_lag_by_table_column(spark):
+    """test/e2e/analytic_combo_test.go TestScenario_JoinAnalytic_
+    LagByLocation, verbatim: lag partitioned by a JOINED table's
+    column — the per-event sync path enriches first, then the lag
+    state keys on m.location (plantA and plantB interleave)."""
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, m.location AS loc, "
+              "lag(temp) OVER (PARTITION BY m.location) AS prev "
+              "FROM stream JOIN meta m ON deviceId = m.deviceId")
+    s.register_table("meta", [
+        {"deviceId": "d1", "location": "plantA"},
+        {"deviceId": "d2", "location": "plantB"},
+        {"deviceId": "d3", "location": "plantA"},
+    ])
+    events = [("d1", 10.0), ("d2", 20.0), ("d3", 30.0),
+              ("d1", 40.0), ("d2", 50.0)]
+    got = [s.emit_sync({"deviceId": d, "temp": t}) for d, t in events]
+    assert [(r["loc"], r["prev"]) for r in got] == [
+        ("plantA", None), ("plantB", None), ("plantA", 10.0),
+        ("plantA", 30.0), ("plantB", 20.0)]
