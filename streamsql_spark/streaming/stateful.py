@@ -1036,7 +1036,15 @@ def analytic_step(p, s, argv, gate):
             else:
                 started = True
             v = argv[0]
-            if started and v is not None:
+            # numeric-TYPE gate (analytic_state.go:80-92
+            # toFloat64Generic: int/float only — strings never convert,
+            # bools skip): a non-numeric value is NOT accumulated and
+            # must not crash the step; acc_count alone counts any
+            # non-nil value (analytic_acc.go acc_count branch)
+            numeric = isinstance(v, (int, float)) \
+                and not isinstance(v, bool)
+            if started and v is not None \
+                    and (numeric or nm == "acc_count"):
                 acc = s.get("acc")
                 if nm == "acc_sum":
                     s["acc"] = (acc or 0) + v

@@ -720,3 +720,23 @@ def test_join_analytic_lag_by_table_column(spark):
     assert [(r["loc"], r["prev"]) for r in got] == [
         ("plantA", None), ("plantB", None), ("plantA", 10.0),
         ("plantA", 30.0), ("plantB", 20.0)]
+
+
+def test_acc_functions_skip_non_numeric_values(spark):
+    """test/e2e/analytic_combo_test.go TestCombo_D5_AccAvgEmptyNil +
+    functions/analytic_state.go:80-92 toFloat64Generic: acc_sum/avg/
+    max/min accumulate NUMERIC-typed values only — a string value is
+    skipped (never crashes the step, never converts), so an acc_avg
+    that has seen only non-numeric input returns nil; acc_count counts
+    any non-nil value, strings included."""
+    s = StreamSQL(spark)
+    s.execute("SELECT acc_avg(s) AS a, acc_sum(s) AS t, "
+              "acc_count(s) AS c FROM stream")
+    r1 = s.emit_sync({"s": "not-a-number"})
+    assert (r1["a"], r1["t"], r1["c"]) == (None, None, 1)
+    r2 = s.emit_sync({"s": 10.0})
+    assert (r2["a"], r2["t"], r2["c"]) == (10.0, 10.0, 2)
+    r3 = s.emit_sync({"s": "12.5"})  # numeric STRING still skips
+    assert (r3["a"], r3["t"], r3["c"]) == (10.0, 10.0, 3)
+    r4 = s.emit_sync({"s": None})    # nil: not even counted
+    assert (r4["a"], r4["t"], r4["c"]) == (10.0, 10.0, 3)
