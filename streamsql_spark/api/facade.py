@@ -1127,8 +1127,13 @@ class StreamSQL:
         # `from x import y` statements per event cost ~2-3 µs
         from ..dialect.pyeval import Fallback, _bool3, _truthy
         from ..streaming.stateful import analytic_step
+        # WHERE vs analytics ordering (stream.go:659-671): when the
+        # WHERE references no analytic placeholder, it filters FIRST —
+        # a rejected row must not advance analytic state
+        where_first = bool(plan.where_sql) and not any(
+            a.placeholder in plan.where_sql for a in plan.analytics)
         return {"outs": outs, "where": where_f, "specs": specs,
-                "omit_empty": omit_empty,
+                "omit_empty": omit_empty, "where_first": where_first,
                 "rt": (Fallback, _bool3, _truthy, analytic_step)}
 
     def _emit_sync_analytic_python(self, row: dict):
@@ -1153,6 +1158,11 @@ class StreamSQL:
             # step state on COPIES, commit only after the whole event
             # evaluates: a Fallback anywhere hands the UNTOUCHED state
             # to the Spark route, which then performs the one true step
+            if cp["where_first"] and cp["where"] is not None:
+                # standard-SQL mode: the filter sees only raw columns;
+                # a rejected row never touches analytic state
+                if not _truthy(_bool3(cp["where"](dict(row)))):
+                    return None
             staged = []
             ext = dict(row)
             for p, parts, when_f, args in cp["specs"]:
@@ -1167,7 +1177,9 @@ class StreamSQL:
                     self._an_states.get((p["ph"], key)) or {})
                 ext[p["ph"]] = analytic_step(p, st, argv, gate)
                 staged.append(((p["ph"], key), st))
-            if cp["where"] is not None:
+            if cp["where"] is not None and not cp["where_first"]:
+                # CDC mode (WHERE reads an analytic): state advanced
+                # BEFORE the filter, and stays advanced on rejection
                 if not _truthy(_bool3(cp["where"](ext))):
                     for slot, st in staged:
                         self._touch_analytic_partition(*slot)
@@ -1227,6 +1239,16 @@ class StreamSQL:
             plan_flat = self._plan
         if not hasattr(self, "_an_plan_flat"):
             self._an_plan_flat = plan_flat
+
+        # WHERE vs analytics ordering (stream.go:659-671): a WHERE that
+        # references no analytic placeholder filters BEFORE the state
+        # step — a rejected row must not advance analytic state; the
+        # post-step executor then skips the (already-applied) filter
+        where_first = bool(plan_flat.where_sql) and not any(
+            a.placeholder in plan_flat.where_sql
+            for a in plan_flat.analytics)
+        if where_first:
+            df = df.filter(F.expr(plan_flat.where_sql))
 
         # prep caches star expansion + placeholder dtypes against THIS
         # row's column set; undeclared-schema streams may widen/shrink
@@ -1362,7 +1384,9 @@ class StreamSQL:
             rows2, [(f.name, f.dataType.simpleString()) for f in schema2.fields])
         if df2 is None:
             df2 = self.spark.createDataFrame(rows2, schema2)
-        plan2 = replace(self._an_plan_flat, joins=[])
+        plan2 = replace(self._an_plan_flat, joins=[],
+                        where_sql=(None if where_first
+                                   else self._an_plan_flat.where_sql))
         out = ex.execute(plan2, df2).collect()
         if not out:
             return None

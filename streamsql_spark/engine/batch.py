@@ -702,8 +702,17 @@ class BatchExecutor:
             df = df.withColumn(_TS, ts)
 
         df = self._apply_joins(df, plan)
+        # WHERE vs analytics ordering (stream.go:659-671
+        # applyWhereAndAnalytic): standard SQL filters FIRST — analytic
+        # state sees only surviving rows — UNLESS the WHERE itself
+        # references an analytic (CDC mode), where analytics evaluate
+        # first and the filter reads their placeholders
+        where_first = bool(plan.where_sql) and not any(
+            a.placeholder in plan.where_sql for a in plan.analytics)
+        if where_first:
+            df = df.filter(F.expr(plan.where_sql))
         df = self._apply_analytics(df, plan)
-        if plan.where_sql:
+        if plan.where_sql and not where_first:
             df = df.filter(F.expr(plan.where_sql))
 
         if plan.mode == "window":

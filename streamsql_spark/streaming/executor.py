@@ -83,13 +83,19 @@ class StreamingExecutor:
                 "analytics over window-emission rows (e.g. lag(avg(x))) "
                 "are batch-only for now — in streaming, apply them in a "
                 "foreachBatch stage over the windowed output")
+        # WHERE vs analytics ordering (stream.go:659-671): filter FIRST
+        # unless the WHERE references an analytic placeholder (CDC mode)
+        where_first = bool(plan.where_sql) and not any(
+            a.placeholder in plan.where_sql for a in plan.analytics)
         if plan.analytics:
             if plan.joins:
                 # the analytic kernel passes the whole row through a
                 # flat DataFrame — flatten qualified refs first
                 df, plan = flatten_join_refs(df, plan)
+            if where_first:
+                df = df.filter(F.expr(plan.where_sql))
             df = analytic_stream(df, plan, _TS if _TS in df.columns else None)
-        if plan.where_sql:
+        if plan.where_sql and not (where_first and plan.analytics):
             df = df.filter(F.expr(plan.where_sql))
 
         if plan.mode == "window":

@@ -740,3 +740,29 @@ def test_acc_functions_skip_non_numeric_values(spark):
     assert (r3["a"], r3["t"], r3["c"]) == (10.0, 10.0, 3)
     r4 = s.emit_sync({"s": None})    # nil: not even counted
     assert (r4["a"], r4["t"], r4["c"]) == (10.0, 10.0, 3)
+
+
+def test_where_vs_analytic_ordering(spark):
+    """test/e2e/analytic_combo_test.go TestScenario_WhereVsAnalytic_
+    Ordering, verbatim (stream.go:659-671 applyWhereAndAnalytic):
+    standard SQL — WHERE filters FIRST and the analytic state sees
+    only surviving rows (temp 10,20,15,30 with temp>12 keeps 20,15,30;
+    lag over the FILTERED stream → d = [nil,-5,15]); CDC mode (WHERE
+    referencing the analytic) keeps analytics-first, state advancing
+    even on rejected rows."""
+    s = StreamSQL(spark)
+    s.execute("SELECT temp, temp - lag(temp) AS d FROM stream "
+              "WHERE temp > 12")
+    got = [s.emit_sync({"temp": float(t)}) for t in (10, 20, 15, 30)]
+    got = [r for r in got if r is not None]
+    assert [(r["temp"], r["d"]) for r in got] == \
+        [(20.0, None), (15.0, -5.0), (30.0, 15.0)]
+
+    # CDC contrast (analytic_cdc_test.go): lag read IN the WHERE —
+    # state advances on every row, including rejected ones
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT temp FROM stream "
+               "WHERE temp > 12 AND lag(temp) < 18")
+    got2 = [s2.emit_sync({"temp": float(t)}) for t in (10, 20, 15, 30)]
+    # lag state over ALL rows: [nil,10,20,15]; keep temp>12 & lag<18
+    assert [r["temp"] for r in got2 if r] == [20.0, 30.0]
