@@ -766,3 +766,35 @@ def test_where_vs_analytic_ordering(spark):
     got2 = [s2.emit_sync({"temp": float(t)}) for t in (10, 20, 15, 30)]
     # lag state over ALL rows: [nil,10,20,15]; keep temp>12 & lag<18
     assert [r["temp"] for r in got2 if r] == [20.0, 30.0]
+
+
+def test_analytic_combo_scalar_wrapping_and_multi_over(spark):
+    """test/e2e/analytic_combo_test.go scalar-wrapping + multi-OVER
+    cases, verbatim: CASE over lag(); coalesce(lag(), -1) fills the
+    first row's nil (the wrapper must not short-circuit on nil);
+    running acc_max - acc_min arithmetic; two lag() calls with
+    DIFFERENT PARTITION BY keys keep independent state."""
+    s = StreamSQL(spark)
+    s.execute("SELECT CASE WHEN lag(temp) > 20 THEN 'up' ELSE 'down' "
+              "END AS trend FROM stream")
+    got = [s.emit_sync({"temp": t}) for t in (10, 25, 15, 30)]
+    assert [r["trend"] for r in got] == ["down", "down", "up", "down"]
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT coalesce(lag(temp), -1) AS p FROM stream")
+    assert [s2.emit_sync({"temp": t})["p"] for t in (10, 20, 30)] == \
+        [-1, 10, 20]
+
+    s3 = StreamSQL(spark)
+    s3.execute("SELECT acc_max(t) - acc_min(t) AS rng FROM stream")
+    assert [s3.emit_sync({"t": float(t)})["rng"]
+            for t in (10, 25, 5, 30)] == [0.0, 15.0, 20.0, 25.0]
+
+    s4 = StreamSQL(spark)
+    s4.execute("SELECT lag(v) OVER (PARTITION BY a) AS pa, "
+               "lag(v) OVER (PARTITION BY b) AS pb FROM stream")
+    rows = [{"a": 1, "b": 9, "v": 1.0}, {"a": 1, "b": 8, "v": 2.0},
+            {"a": 2, "b": 9, "v": 3.0}, {"a": 2, "b": 8, "v": 4.0}]
+    got = [s4.emit_sync(dict(r)) for r in rows]
+    assert [(r["pa"], r["pb"]) for r in got] == \
+        [(None, None), (1.0, None), (None, 1.0), (3.0, 2.0)]
