@@ -1091,8 +1091,17 @@ def analytic_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
     part_sqls = specs[0].partition_by if specs else []
     for s in specs:
         if s.partition_by != part_sqls:
-            raise ValueError("streaming analytics require a common "
-                             "OVER (PARTITION BY ...) across calls")
+            # Spark allows ONE applyInPandasWithState per streaming
+            # query ("Multiple applyInPandasWithStates are not
+            # supported"), and a single kernel groups by one key set —
+            # chained kernels were tried (r9) and rejected at analysis.
+            # The per-event and batch paths DO support mixed keys.
+            raise ValueError(
+                "streaming analytics require a common OVER (PARTITION "
+                "BY ...) across calls — Spark permits one stateful "
+                "analytic kernel per streaming query; split the query, "
+                "or use the batch/emit paths (which support mixed "
+                "partition keys)")
 
     # materialize partition key / WHEN / argument columns JVM-side
     key_cols = []

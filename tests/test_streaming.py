@@ -1438,3 +1438,25 @@ def test_streaming_lookup_int_keys_survive_null_coercion(spark):
     assert sorted(((r["kid"], r["label"]) for r in got),
                   key=lambda t: (t[0] is None, t[0])) == \
         [(7, "k7"), (42, "k42"), (None, None)]
+
+
+def test_streaming_multi_over_different_partitions_rejected(spark):
+    """Mixed OVER (PARTITION BY ...) keys in ONE streaming query raise
+    a typed error: Spark permits a single applyInPandasWithState per
+    streaming query (chained kernels fail analysis — verified r9), so
+    the limitation is declared up front; the batch and per-event paths
+    support mixed keys (pinned in test_reference_e2e_parity.py)."""
+    import pytest
+
+    from streamsql_spark.api.facade import StreamSQL
+
+    s = StreamSQL(spark)
+    s.execute("SELECT ts, lag(v) OVER (PARTITION BY a) AS pa, "
+              "lag(v) OVER (PARTITION BY b) AS pb FROM stream "
+              "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    stream = (spark.readStream.format("rate").load()
+              .selectExpr("value AS a", "value AS b",
+                          "CAST(value AS DOUBLE) AS v",
+                          "value AS ts"))
+    with pytest.raises(ValueError, match="common OVER"):
+        s.query_stream(stream)
