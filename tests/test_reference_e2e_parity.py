@@ -798,3 +798,27 @@ def test_analytic_combo_scalar_wrapping_and_multi_over(spark):
     got = [s4.emit_sync(dict(r)) for r in rows]
     assert [(r["pa"], r["pb"]) for r in got] == \
         [(None, None), (1.0, None), (None, 1.0), (3.0, 2.0)]
+
+
+def test_group_by_function_expression_counting(spark):
+    """test/e2e/analytic_combo_test.go TestScenario_GroupBy_
+    FunctionExpression + _HourExpression, verbatim: a counting window
+    keyed by a FUNCTION expression — upper(device) merges case
+    variants into one chunk sequence; hour(timestamp) groups by the
+    numeric hour and keeps the key's type in the output."""
+    s = StreamSQL(spark)
+    s.execute("SELECT upper(device) AS d, count(*) AS c FROM stream "
+              "GROUP BY upper(device), CountingWindow(2)")
+    for dev in ("aa", "AA", "bb", "BB"):
+        s.emit({"device": dev})
+    assert sorted((r["d"], r["c"]) for r in s.trigger_window()) == \
+        [("AA", 2), ("BB", 2)]
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT hour(timestamp) AS h, count(*) AS c FROM stream "
+               "GROUP BY hour(timestamp), CountingWindow(2)")
+    for t in ("2026-07-12 10:00:00", "2026-07-12 10:30:00",
+              "2026-07-12 11:00:00", "2026-07-12 11:30:00"):
+        s2.emit({"timestamp": t})
+    assert sorted((r["h"], r["c"]) for r in s2.trigger_window()) == \
+        [(10, 2), (11, 2)]
