@@ -1127,11 +1127,8 @@ class StreamSQL:
         # `from x import y` statements per event cost ~2-3 µs
         from ..dialect.pyeval import Fallback, _bool3, _truthy
         from ..streaming.stateful import analytic_step
-        # WHERE vs analytics ordering (stream.go:659-671): when the
-        # WHERE references no analytic placeholder, it filters FIRST —
-        # a rejected row must not advance analytic state
-        where_first = bool(plan.where_sql) and not any(
-            a.placeholder in plan.where_sql for a in plan.analytics)
+        from ..plans.plan import where_filters_first
+        where_first = where_filters_first(plan)
         return {"outs": outs, "where": where_f, "specs": specs,
                 "omit_empty": omit_empty, "where_first": where_first,
                 "rt": (Fallback, _bool3, _truthy, analytic_step)}
@@ -1244,9 +1241,8 @@ class StreamSQL:
         # references no analytic placeholder filters BEFORE the state
         # step — a rejected row must not advance analytic state; the
         # post-step executor then skips the (already-applied) filter
-        where_first = bool(plan_flat.where_sql) and not any(
-            a.placeholder in plan_flat.where_sql
-            for a in plan_flat.analytics)
+        from ..plans.plan import where_filters_first
+        where_first = where_filters_first(plan_flat)
         if where_first:
             df = df.filter(F.expr(plan_flat.where_sql))
 

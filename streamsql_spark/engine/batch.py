@@ -492,6 +492,18 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
         # means the row does not touch state at all — including reset.
         # Delta vs the reference (SURVEY §7 NULL policy): zero/empty state
         # reads as SQL NULL, not 0.0.
+        if name != "acc_count":
+            # numeric-only accumulation (analytic_state.go:80-92
+            # toFloat64Generic): a uniformly non-numeric column —
+            # string, timestamp, bool — never accumulates, so the
+            # whole-column result is NULL here, matching the kernel
+            # and pyeval per-value skip (Spark types are uniform per
+            # column, so per-value == per-column)
+            from pyspark.sql.types import NullType, NumericType
+            adt = _dtype(arg(0))
+            if adt is not None and not isinstance(adt,
+                                                  (NumericType, NullType)):
+                return F.lit(None).cast("double")
         x = arg(0)
         gate = F.expr(when_sql) if when_sql is not None else None
         if gate is not None:
@@ -702,13 +714,8 @@ class BatchExecutor:
             df = df.withColumn(_TS, ts)
 
         df = self._apply_joins(df, plan)
-        # WHERE vs analytics ordering (stream.go:659-671
-        # applyWhereAndAnalytic): standard SQL filters FIRST — analytic
-        # state sees only surviving rows — UNLESS the WHERE itself
-        # references an analytic (CDC mode), where analytics evaluate
-        # first and the filter reads their placeholders
-        where_first = bool(plan.where_sql) and not any(
-            a.placeholder in plan.where_sql for a in plan.analytics)
+        from ..plans.plan import where_filters_first
+        where_first = where_filters_first(plan)
         if where_first:
             df = df.filter(F.expr(plan.where_sql))
         df = self._apply_analytics(df, plan)

@@ -102,3 +102,15 @@ class QueryPlan:
     uses_window_end: bool = False
     # options from WITH(...)
     options: dict = field(default_factory=dict)
+
+
+def where_filters_first(plan: "QueryPlan") -> bool:
+    """WHERE-vs-analytics ordering (stream.go:659-671
+    applyWhereAndAnalytic): standard SQL filters FIRST — analytic state
+    sees only surviving rows — UNLESS the WHERE references an analytic
+    placeholder (CDC mode), where analytics evaluate first and the
+    filter reads their results.  ONE definition: every execution path
+    (batch, streaming, pyeval, the Spark sync fallback) must agree, or
+    the same query orders differently per path."""
+    return bool(plan.where_sql) and not any(
+        a.placeholder in plan.where_sql for a in plan.analytics)

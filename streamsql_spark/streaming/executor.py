@@ -83,10 +83,10 @@ class StreamingExecutor:
                 "analytics over window-emission rows (e.g. lag(avg(x))) "
                 "are batch-only for now — in streaming, apply them in a "
                 "foreachBatch stage over the windowed output")
-        # WHERE vs analytics ordering (stream.go:659-671): filter FIRST
-        # unless the WHERE references an analytic placeholder (CDC mode)
-        where_first = bool(plan.where_sql) and not any(
-            a.placeholder in plan.where_sql for a in plan.analytics)
+        # WHERE vs analytics ordering: filter FIRST unless the WHERE
+        # references an analytic placeholder (CDC mode)
+        from ..plans.plan import where_filters_first
+        where_first = where_filters_first(plan)
         if plan.analytics:
             if plan.joins:
                 # the analytic kernel passes the whole row through a

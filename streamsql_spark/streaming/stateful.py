@@ -904,6 +904,8 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
 
 _LAG_CAP = 64  # ring buffer bound per lag() call
 
+from decimal import Decimal as _Decimal  # noqa: E402 — hot-path import
+
 _SCALARS = frozenset((int, float, str, bool, bytes, type(None)))
 
 
@@ -1038,9 +1040,13 @@ def analytic_step(p, s, argv, gate):
             v = argv[0]
             # numeric-TYPE gate (analytic_state.go:80-92
             # toFloat64Generic: int/float only — strings never convert,
-            # bools skip): a non-numeric value is NOT accumulated and
-            # must not crash the step; acc_count alone counts any
-            # non-nil value (analytic_acc.go acc_count branch)
+            # bools/datetimes skip): a non-numeric value is NOT
+            # accumulated and must not crash the step; acc_count alone
+            # counts any non-nil value (analytic_acc.go acc_count
+            # branch).  Spark DECIMAL columns are numeric (a type the
+            # reference lacks): accumulate as float like the batch path.
+            if isinstance(v, _Decimal):
+                v = float(v)
             numeric = isinstance(v, (int, float)) \
                 and not isinstance(v, bool)
             if started and v is not None \

@@ -741,6 +741,17 @@ def test_acc_functions_skip_non_numeric_values(spark):
     r4 = s.emit_sync({"s": None})    # nil: not even counted
     assert (r4["a"], r4["t"], r4["c"]) == (10.0, 10.0, 3)
 
+    # batch path agreement: a uniformly STRING column (Spark types are
+    # per-column) never accumulates — whole-column NULL, same as the
+    # kernels' per-value skip; acc_count still counts non-nil strings
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT acc_sum(s) AS t, acc_count(s) AS c FROM stream "
+               "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    df = spark.createDataFrame([("x", 1000), ("12.5", 2000)],
+                               "s string, ts long")
+    got = [r.asDict() for r in s2.query(df).collect()]
+    assert [(r["t"], r["c"]) for r in got] == [(None, 1), (None, 2)]
+
 
 def test_where_vs_analytic_ordering(spark):
     """test/e2e/analytic_combo_test.go TestScenario_WhereVsAnalytic_
@@ -766,6 +777,34 @@ def test_where_vs_analytic_ordering(spark):
     got2 = [s2.emit_sync({"temp": float(t)}) for t in (10, 20, 15, 30)]
     # lag state over ALL rows: [nil,10,20,15]; keep temp>12 & lag<18
     assert [r["temp"] for r in got2 if r] == [20.0, 30.0]
+
+    # the BATCH executor path must order identically (independent
+    # implementation of the same fork)
+    from streamsql_spark.session import get_spark  # session exists
+    sb = StreamSQL(spark)
+    sb.execute("SELECT temp, temp - lag(temp) AS d FROM stream "
+               "WHERE temp > 12 WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    df = spark.createDataFrame(
+        [(float(t), 1000 * (i + 1)) for i, t in enumerate((10, 20, 15, 30))],
+        "temp double, ts long")
+    got3 = sorted((r["temp"], r["d"]) for r in
+                  (x.asDict() for x in sb.query(df).collect()))
+    assert got3 == [(15.0, -5.0), (20.0, None), (30.0, 15.0)]
+
+    # ... and the STREAMING kernel path
+    from streamsql_spark.streaming.harness import run_streaming_collect
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    schema = StructType([StructField("temp", DoubleType()),
+                         StructField("ts", LongType())])
+    rows = [{"temp": float(t), "ts": 1000 * (i + 1)}
+            for i, t in enumerate((10, 20, 15, 30))]
+    ss = StreamSQL(spark)
+    ss.execute("SELECT temp, temp - lag(temp) AS d FROM stream "
+               "WHERE temp > 12 WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    got4 = sorted((r["temp"], r["d"]) for r in
+                  run_streaming_collect(spark, ss, [rows[:2], rows[2:]],
+                                        schema))
+    assert got4 == got3
 
 
 def test_analytic_combo_scalar_wrapping_and_multi_over(spark):
