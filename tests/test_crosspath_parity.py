@@ -1249,3 +1249,41 @@ def test_per_fire_limit_batch_stream_agreement(spark, wspec, limit_sql):
     stream = sorted((r["deviceId"], r["cnt"]) for r in got
                     if r["deviceId"] != "__closer__")
     assert stream == batch, f"{wspec}: batch={batch} stream={stream}"
+
+
+WHERES = {
+    # plain WHERE: filters BEFORE analytics — state sees only
+    # survivors (stream.go:659-671)
+    "plain": "WHERE temperature > 10 OR temperature IS NULL",
+    # CDC WHERE: references an analytic — analytics step FIRST and
+    # state advances on rejected rows
+    # same OVER as the SELECT analytics: mixed partition keys are a
+    # declared streaming limitation (one stateful kernel per query)
+    "cdc": "WHERE lag(temperature, 1, -100.0) "
+           "OVER (PARTITION BY deviceId) < temperature "
+           "OR had_changed(true, status) OVER (PARTITION BY deviceId)",
+}
+
+
+@pytest.mark.parametrize("where", sorted(WHERES))
+def test_where_ordering_three_path_parity(spark, where):
+    """WHERE-clause axis of the differential grid (r9): the
+    WHERE-vs-analytics ordering fork must agree across batch, pyeval,
+    and the streaming kernel — for both the filter-first (plain) and
+    analytics-first (CDC) modes, with NULLs in play."""
+    import zlib
+
+    sql = ("SELECT deviceId, ts, "
+           "lag(temperature) OVER (PARTITION BY deviceId) AS prev, "
+           "acc_count(temperature) OVER (PARTITION BY deviceId) AS n, "
+           "latest(status) OVER (PARTITION BY deviceId) AS st "
+           f"FROM stream {WHERES[where]} "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    seed = zlib.crc32(f"where|{where}".encode()) % 1000
+    rows, rng = _mk_rows(seed)
+
+    got_batch = _keyed(_run_batch(spark, sql, rows))
+    got_py = _keyed(_run_pyeval(spark, sql, rows))
+    assert got_py == got_batch, f"pyeval vs batch diverged ({where})"
+    got_stream = _keyed(_run_stream(spark, sql, rows, rng))
+    assert got_stream == got_batch, f"stream vs batch diverged ({where})"
