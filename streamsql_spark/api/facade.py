@@ -390,7 +390,7 @@ class StreamSQL:
                     rows.append({**{k: kr[k] for _, k in pairs},
                                  **(row or {})})
             if rows:
-                tdf = self.spark.createDataFrame(rows)
+                tdf = self._lookup_rows_df(src, rows, pairs, probe)
             else:
                 # all keys missed: an empty relation with the key cols
                 tdf = (probe
@@ -404,6 +404,42 @@ class StreamSQL:
                     tdf = tdf.withColumn(c, F.lit(None))
             out[name] = tdf
         return out
+
+    def _lookup_rows_df(self, src, rows: list[dict], pairs,
+                        probe: DataFrame) -> DataFrame:
+        """Materialize lookup hits, TYPED when the source declares
+        schema(): inference crashes on an all-None column and on
+        ragged row shapes, both legal in the reference's open rows
+        (nil map values / per-key field sets).  Key columns type from
+        the probe frame; undeclared non-key columns fall back to
+        inference."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+        sch = getattr(src, "schema", None)
+        sch = sch() if callable(sch) else sch
+        if isinstance(sch, str):
+            try:
+                sch = StructType.fromDDL(sch)
+            except Exception:
+                sch = None
+        if not isinstance(sch, StructType):
+            return self.spark.createDataFrame(rows)
+        by_name = {f.name: f for f in sch.fields}
+        key_fields = {f.name: f for f in probe.select(
+            *[F.expr(s).alias(k) for s, k in pairs]).schema.fields}
+        allcols: list[str] = []
+        for r in rows:
+            for k in r:
+                if k not in allcols:
+                    allcols.append(k)
+        fields = []
+        for c in allcols:
+            f = by_name.get(c) or key_fields.get(c)
+            if f is None:
+                return self.spark.createDataFrame(rows)  # undeclared col
+            fields.append(f)
+        norm = [{c: r.get(c) for c in allcols} for r in rows]
+        return self.spark.createDataFrame(norm, StructType(fields))
 
     def _table_ref_cols(self, name: str) -> list[str]:
         """Column names the statement references under table ``name``'s

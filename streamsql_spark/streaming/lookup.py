@@ -24,6 +24,12 @@ Contract (on top of the batch-path TableSource protocol):
 Only equality ON conditions are supported (exactly the Lookup-key
 contract); a raising ``lookup`` resolves that key as not-found (J2
 ingest recovery).
+
+Known delta: star-watched change detection (``had_changed(true, *)`` /
+``changed_cols(..., "*")``) does not see lookup-ENRICHED columns on
+this path — they live under hidden ``__q_*__`` names the star
+expansion excludes; list watched table columns explicitly.  Snapshot
+joins (register_table) keep plain table column names and are watched.
 """
 
 from __future__ import annotations
@@ -37,7 +43,7 @@ from pyspark.sql.types import StructField, StructType
 from ..dialect import nodes as N
 from ..dialect.render import render
 from ..engine.batch import ExecError
-from .stateful import _QREF, _sub_outside_literals
+from .stateful import make_qref_rewriter
 
 
 def source_schema(src) -> StructType:
@@ -74,9 +80,16 @@ def equi_pairs(j, allow_residual: bool = False):
             walk_and(e.right)
             return
         if isinstance(e, N.Bin) and e.op == "=":
+            def table_side(n):
+                return isinstance(n, N.Col) and len(n.parts) == 2 \
+                    and str(n.parts[0]) in (j.alias, j.table)
+
             for side, opp in ((e.left, e.right), (e.right, e.left)):
-                if isinstance(side, N.Col) and len(side.parts) == 2 \
-                        and str(side.parts[0]) in (j.alias, j.table):
+                # exactly ONE table-qualified side makes a probe key;
+                # table-col = table-col (o.lo = o.hi) is a row filter —
+                # it falls through to residual/raise below
+                if table_side(side) and not any(
+                        table_side(n) for n in N.walk(opp)):
                     pairs.append((render(opp), str(side.parts[1])))
                     return
         if allow_residual and not any(
@@ -124,22 +137,7 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict):
     quals = {j.table for j in lookups} | {j.alias for j in lookups
                                           if j.alias}
     mapping: dict[str, str] = {}
-
-    def rw(sql):
-        if not sql:
-            return sql
-
-        def sub(m):
-            q, c = m.group(1), m.group(2)
-            if q == src_name:
-                return c
-            if q not in quals:
-                return m.group(0)
-            tok = f"{q}.{c}"
-            mapping.setdefault(tok, f"__q_{q}_{c}__")
-            return mapping[tok]
-
-        return _sub_outside_literals(_QREF, sub, sql)
+    rw = make_qref_rewriter(src_name, quals, mapping)
 
     # ---- pass 1: extract every join's probe pairs FIRST, so chained
     # lookups (JOIN a ... JOIN b ON a.region = b.region) register their
@@ -158,6 +156,15 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict):
         # refs (stream.deviceId, a.region) -- rewrite to the flat frame
         pairs_by_join.append([(rw(s), k) for s, k in equi_pairs(ast_j)])
 
+    # analytic ARGUMENTS render inside the kernels via apply_qref_map
+    # over plan.options["__qref_map__"]: register their qualified refs
+    # now so the columns they read get enriched and mapped (a
+    # lookup-table column referenced ONLY as an analytic arg would
+    # otherwise never materialize)
+    for a_spec in plan.analytics:
+        for arg in a_spec.func.args:
+            if not isinstance(arg, (N.Lit, N.Star)):
+                rw(render(arg))
     analytics2 = [replace(a, partition_by=[rw(p) for p in a.partition_by],
                           when_sql=rw(a.when_sql))
                   for a in plan.analytics]
@@ -218,8 +225,14 @@ def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
     want_cols = [col for _, col in want]
     flat_names = [flat for flat, _ in want]
     nkeys = len(key_cols)
+    import uuid
     src_name = src.name() if callable(getattr(src, "name", None)) \
         else getattr(src, "name", "")
+    # unique per enrichment STAGE: a restarted stream shipping a NEW
+    # source instance under the same table name must re-init on warm
+    # workers (init is idempotent-by-contract, so a fresh token per
+    # build only costs one extra call per worker)
+    init_token = f"{src_name}#{uuid.uuid4().hex}"
     # dtype-restoring cleaners: a nullable int64 key column arrives
     # float64-coerced from Arrow (5 -> 5.0, NULL -> NaN) chunk-
     # dependently — the probe must see the EXACT key values the batch
@@ -233,9 +246,9 @@ def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
         import pandas as pd
 
         init = getattr(src, "init", None)
-        if callable(init) and src_name not in _WORKER_INITED:
-            _WORKER_INITED.add(src_name)
-            init()  # once per worker process
+        if callable(init) and init_token not in _WORKER_INITED:
+            _WORKER_INITED.add(init_token)
+            init()  # once per worker process per stage
         cache: dict[tuple, object] = {}
         for pdf in batches:
             if not len(pdf):

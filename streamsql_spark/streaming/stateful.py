@@ -174,9 +174,13 @@ def _map_cleaner(dt):
     Arrow accepts dicts back for MapType output columns."""
     from pyspark.sql.types import ArrayType, MapType
 
+    from ..engine.batch import _contains_map as _has_map
+
     vt = dt.valueType
     if isinstance(vt, MapType):
         sub = _map_cleaner(vt)
+    elif _has_map(vt):
+        sub = _container_map_cleaner(vt)  # array/struct holding maps
     elif isinstance(vt, ArrayType):
         sub = _int_array_cleaner(vt) or _clean
     else:
@@ -193,6 +197,38 @@ def _map_cleaner(dt):
     return cl
 
 
+def _container_map_cleaner(dt):
+    """Cleaner for maps nested INSIDE arrays/structs (array<map>,
+    struct<..., m: map>): the batch path canonicalizes maps anywhere
+    in the type tree (engine.batch._contains_map), so the kernels must
+    dict-restore them at every depth too, or change detection compares
+    Arrow's (k,v)-tuple lists order-sensitively on one path only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return _map_cleaner(dt)
+    if isinstance(dt, ArrayType):
+        sub = _container_map_cleaner(dt.elementType)
+
+        def cl_arr(v):
+            v = _clean(v)
+            return None if v is None else [sub(x) for x in v]
+        return cl_arr
+    if isinstance(dt, StructType):
+        subs = {f.name: _container_map_cleaner(f.dataType)
+                for f in dt.fields}
+
+        def cl_struct(v):
+            v = _clean(v)
+            if v is None:
+                return None
+            d = v if isinstance(v, dict) else v.asDict()
+            return {k: (subs[k](x) if k in subs else x)
+                    for k, x in d.items()}
+        return cl_struct
+    return _clean
+
+
 def _cleaners(df, cols) -> dict:
     """Per-column cleaner map for kernel buffer ingestion: _clean, plus
     integral-type restoration.  pandas coerces a nullable int64 column
@@ -204,7 +240,9 @@ def _cleaners(df, cols) -> dict:
     micro-batch-split-invariant.  Map columns restore dicts (see
     :func:`_map_cleaner`)."""
     from pyspark.sql.types import (ArrayType, ByteType, IntegerType,
-                                   LongType, MapType, ShortType)
+                                   LongType, MapType, ShortType,
+                                   StructType)
+    from ..engine.batch import _contains_map as _contains_map_dt
     ints = (ByteType, ShortType, IntegerType, LongType)
     out = {}
     for c in cols:
@@ -214,10 +252,13 @@ def _cleaners(df, cols) -> dict:
         dt = df.schema[c].dataType
         if isinstance(dt, ints):
             out[c] = _clean_int
-        elif isinstance(dt, ArrayType):
-            out[c] = _int_array_cleaner(dt) or _clean
         elif isinstance(dt, MapType):
             out[c] = _map_cleaner(dt)
+        elif isinstance(dt, (ArrayType, StructType)) \
+                and _contains_map_dt(dt):
+            out[c] = _container_map_cleaner(dt)
+        elif isinstance(dt, ArrayType):
+            out[c] = _int_array_cleaner(dt) or _clean
         else:
             out[c] = _clean
     return out
@@ -334,6 +375,34 @@ def _sub_outside_literals(pattern, sub, sql: str) -> str:
                    for i, p in enumerate(_SQL_LIT.split(sql)))
 
 
+def make_qref_rewriter(src: str, quals: set, mapping: dict):
+    """Shared qualified-ref token rewriter: source-alias refs → bare
+    names; table-qualified refs → ``__q_{alias}_{col}__`` flat names
+    collected into ``mapping``.  ONE implementation: both the
+    snapshot-join flatten (below) and the lookup-join enrichment
+    (streaming/lookup.py) produce ``__qref_map__`` maps consumed by
+    :func:`apply_qref_map` — a drift between two copies would silently
+    desynchronize the two rewrite paths."""
+
+    def rw(sql):
+        if not sql:
+            return sql
+
+        def sub(m):
+            q, c = m.group(1), m.group(2)
+            if q == src:
+                return c
+            if q not in quals:
+                return m.group(0)
+            tok = f"{q}.{c}"
+            mapping.setdefault(tok, f"__q_{q}_{c}__")
+            return mapping[tok]
+
+        return _sub_outside_literals(_QREF, sub, sql)
+
+    return rw
+
+
 def flatten_join_refs(df: DataFrame, plan):
     """Flatten alias-qualified refs for pass-through stateful kernels.
 
@@ -356,23 +425,7 @@ def flatten_join_refs(df: DataFrame, plan):
     quals = {j.table for j in plan.joins} | \
             {j.alias for j in plan.joins if j.alias}
     added: dict[str, str] = {}
-
-    def rw(sql):
-        if not sql:
-            return sql
-
-        def sub(m):
-            q, c = m.group(1), m.group(2)
-            if q == src:
-                return c
-            if q not in quals:
-                return m.group(0)
-            tok = f"{q}.{c}"
-            if tok not in added:
-                added[tok] = f"__q_{q}_{c}__"
-            return added[tok]
-
-        return _sub_outside_literals(_QREF, sub, sql)
+    rw = make_qref_rewriter(src, quals, added)
 
     analytics2 = [replace(a, partition_by=[rw(p) for p in a.partition_by],
                           when_sql=rw(a.when_sql)) for a in plan.analytics]
@@ -506,8 +559,10 @@ def counting_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame
                     buf = buf[n:]
                     # repr() is collision-free across composite string
                     # keys (a plain '|'.join would merge ("x|y","z")
-                    # with ("x","y|z") into one fire)
-                    fid = repr(tuple(key)) + "#" + str(fire_no)
+                    # with ("x","y|z") into one fire); zero-padded seq
+                    # so the carrier's LEXICOGRAPHIC order matches fire
+                    # order past 10 fires/key/micro-batch
+                    fid = repr(tuple(key)) + f"#{fire_no:09d}"
                     fire_no += 1
                     # sub-group the fired chunk by the carried group
                     # values (first-seen order, like the hash aggregator)
@@ -876,9 +931,10 @@ def global_window_stream(df: DataFrame, plan, ts_col: str | None) -> DataFrame:
                                     kname, [t[idx] for t in buf], extra)
                         buf.clear()
                     _coerce_ints(out, int_phs)
-                    # repr(): collision-free across composite keys
+                    # repr(): collision-free across composite keys;
+                    # zero-padded seq keeps lexicographic = fire order
                     out["__fire_id__"] = \
-                        repr(tuple(key)) + "#" + str(fire_no)
+                        repr(tuple(key)) + f"#{fire_no:09d}"
                     fire_no += 1
                     rows_out.append(out)
                     tstate.clear()

@@ -1287,3 +1287,34 @@ def test_where_ordering_three_path_parity(spark, where):
     assert got_py == got_batch, f"pyeval vs batch diverged ({where})"
     got_stream = _keyed(_run_stream(spark, sql, rows, rng))
     assert got_stream == got_batch, f"stream vs batch diverged ({where})"
+
+
+def test_array_of_maps_change_detection_parity(spark):
+    """Maps nested under ARRAYS compare order-insensitively on the
+    streaming kernel too (review find r9: only top-level MapType
+    columns were dict-restored; array<map> cells stayed Arrow tuple
+    lists, diverging from batch canonicalization)."""
+    schema = StructType([
+        StructField("deviceId", StringType()),
+        StructField("tags", ArrayType(MapType(StringType(), LongType()))),
+        StructField("ts", LongType()),
+    ])
+    sql = ("SELECT deviceId, ts, "
+           "had_changed(true, tags) OVER (PARTITION BY deviceId) AS hc "
+           "FROM stream WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [
+        {"deviceId": "d1", "tags": [{"a": 1, "b": 2}], "ts": 1000},
+        # same content, different inner key order
+        {"deviceId": "d1", "tags": [{"b": 2, "a": 1}], "ts": 2000},
+        {"deviceId": "d1", "tags": [{"a": 9}], "ts": 3000},
+    ]
+    want = [True, False, True]
+
+    got_batch = _keyed_map(_run_batch(spark, sql, rows, schema=schema))
+    assert [got_batch[("d1", t)]["hc"] for t in (1000, 2000, 3000)] == want
+    s = StreamSQL(spark)
+    s.execute(sql)
+    got_stream = _keyed_map(run_streaming_collect(
+        spark, s, [rows[:1], rows[1:]], schema, tables={}))
+    assert [got_stream[("d1", t)]["hc"]
+            for t in (1000, 2000, 3000)] == want

@@ -1460,3 +1460,46 @@ def test_streaming_multi_over_different_partitions_rejected(spark):
                           "value AS ts"))
     with pytest.raises(ValueError, match="common OVER"):
         s.query_stream(stream)
+
+
+def test_streaming_lookup_column_as_analytic_arg(spark):
+    """A lookup-table column referenced ONLY inside an analytic call's
+    arguments must still be enriched and resolved (review find r9: the
+    qref mapping was built from plan expressions that exclude analytic
+    args, which render in-kernel)."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    def mk_src():
+        class PriceSource:
+            def name(self):
+                return "m"
+
+            def schema(self):
+                return "price DOUBLE"
+
+            def lookup(self, key):
+                return {"price": {"d1": 10.0, "d2": 100.0}.get(key)}, \
+                    key in ("d1", "d2")
+
+        return PriceSource()
+
+    schema = StructType([StructField("deviceId", StringType()),
+                         StructField("v", DoubleType()),
+                         StructField("ts", LongType())])
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+            {"deviceId": "d2", "v": 2.0, "ts": 2000},
+            {"deviceId": "d1", "v": 3.0, "ts": 3000}]
+    s = StreamSQL(spark)
+    s.execute("SELECT ts, lag(m.price) OVER (PARTITION BY deviceId) "
+              "AS prev FROM stream JOIN m ON deviceId = m.deviceId "
+              "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    s.register_table_source(mk_src())
+    got = sorted(run_streaming_collect(spark, s, [rows[:2], rows[2:]],
+                                       schema),
+                 key=lambda r: r["ts"])
+    assert [(r["ts"], r["prev"]) for r in got] == \
+        [(1000, None), (2000, None), (3000, 10.0)]
