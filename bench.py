@@ -78,6 +78,33 @@ def main() -> None:
     _force(spark.range(1000).toDF("x").mapInPandas(
         lambda it: it, schema="x long"))
 
+    # Machine-state calibration (r9: untouched entries drifted a
+    # uniform ~1.2× on byte-identical code round-to-round, costing
+    # real effort to separate real regressions from machine state).
+    # Two FIXED-WORK jobs — data-independent, same process, same JVM —
+    # timed best-of-3 right before the catalog: a Catalyst hash-agg
+    # (JVM/codegen path) and an Arrow mapInPandas identity (Python
+    # worker path).  Cross-round entry ratios divide by the matching
+    # calibration ratio to normalize machine state; details on stderr,
+    # one compact "cal" field on the stdout line (tail-buffer budget).
+    def _best_of(k, job):
+        best = float("inf")
+        for _ in range(k):
+            t0 = time.perf_counter()
+            _force(job())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    cal_jvm = _best_of(3, lambda: spark.range(30_000_000).selectExpr(
+        "id % 97 AS k", "(id * 2654435761) % 1000003 AS v")
+        .groupBy("k").agg({"v": "sum", "*": "count"}))
+    cal_py = _best_of(3, lambda: spark.range(2_000_000)
+                      .selectExpr("id AS x", "id * 1.0 AS y")
+                      .mapInPandas(lambda it: it, schema="x long, y double"))
+    print(json.dumps({"calibration": {"jvm": round(cal_jvm, 3),
+                                      "py": round(cal_py, 3)}}),
+          file=sys.stderr)
+
     # Each entry runs three times; the best WARM run is reported.  The
     # first run pays one-time Catalyst analysis + codegen JIT (~1-4 s
     # per query shape) — constant cost, irrelevant at scale where a
@@ -119,6 +146,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # fixed-work machine-state constants (see calibration above):
+        # divide a cross-round entry ratio by the matching cal ratio
+        "cal": round(cal_jvm, 3),
+        "cal_py": round(cal_py, 3),
     }))
 
 

@@ -295,23 +295,21 @@ class StreamSQL:
           composite keys;
         - optional ``init()`` / ``close()`` lifecycle hooks.
 
-        Spark realization (scale path): instead of one Lookup per
-        event, each batch collects the DISTINCT join-key values of the
-        stream side, drives driver-side Lookup calls per distinct key
-        (bounded by key cardinality — strictly fewer calls than the
-        reference's per-event probe), and broadcast-joins the
-        materialized rows.  A Lookup that RAISES is recovered per key
-        (the reference's J2 ingest recover,
-        test/e2e/j2_panic_recover_test.go): that key resolves as
-        not-found and the query survives.  Must be called after
-        execute().
-
-        Streaming (``start_stream``/``query_stream``) additionally
-        requires the source to be PICKLABLE and to declare ``schema()``
-        (StructType or DDL string): the join then runs as a worker-side
-        ``mapInPandas`` probe stage — lookup called per distinct key
-        per Arrow batch on the executors, no driver round-trip
-        (streaming/lookup.py); ``init()`` re-runs once per worker."""
+        Spark realization (scale path): a PICKLABLE source that
+        declares ``schema()`` (StructType or DDL string) joins as a
+        worker-side ``mapInPandas`` probe stage — ``lookup`` called
+        once per DISTINCT key per Arrow batch ON THE EXECUTORS, no
+        driver round-trip, on both the batch and streaming paths
+        (streaming/lookup.py); ``init()`` re-runs once per worker
+        process.  A source that cannot ship (unpicklable, or no
+        schema) takes the batch-only driver-probe fallback: collect
+        the stream side's distinct join keys (bounded by
+        ``driver_probe_max_keys``), loop ``lookup`` per key, and
+        broadcast-join the materialized rows.  A Lookup that RAISES is
+        recovered per key on both paths (the reference's J2 ingest
+        recover, test/e2e/j2_panic_recover_test.go): that key resolves
+        as not-found and the query survives.  Must be called after
+        execute()."""
         if self._stmt is None:
             raise RuntimeError(
                 "execute(sql) must be called before register_table_source")
@@ -347,17 +345,69 @@ class StreamSQL:
         raise (probing one arm would silently drop the other's
         matches), and non-key conjuncts pass through as residual —
         the batch join re-applies the FULL ON afterwards."""
+        from ..dialect.render import render
         from ..streaming.lookup import equi_pairs
         pairs: list[tuple[str, str]] = []
         for j in self._stmt.joins:
             if j.table == name and j.on is not None:
                 p, _residual = equi_pairs(j, allow_residual=True)
-                pairs.extend(p)
+                pairs.extend((render(s), k) for s, k in p)
         return pairs
 
-    def _lookup_tables(self, source_df: DataFrame) -> dict[str, DataFrame]:
-        """Materialize every registered lookup source against THIS
-        batch's distinct join-key values (see register_table_source)."""
+    # driver-probe fallback bound: the serial Lookup loop and the
+    # collected key rows are sized by the stream side's DISTINCT key
+    # cardinality — above this, fail typed instead of grinding the
+    # driver (make the source picklable + schema()-declaring to route
+    # it worker-side, or raise the cap explicitly)
+    driver_probe_max_keys: int = 100_000
+
+    def _worker_routable(self, name: str, src) -> bool:
+        """True when a lookup source can ship to the workers: picklable
+        AND schema()-declaring, with every referenced non-key column
+        covered by the schema — the streaming path's contract
+        (streaming/lookup.py).  Anything else takes the bounded
+        driver-probe fallback."""
+        # cloudpickle, not pickle: Spark ships stage closures with it,
+        # and it serializes locally-defined classes by value where the
+        # stdlib pickler refuses — the check must match what the
+        # mapInPandas stage will actually do
+        from pyspark import cloudpickle as pickle
+
+        from ..streaming.lookup import source_schema
+        try:
+            sch = source_schema(src)
+        except ExecError:
+            return False
+        pairs, ref_cols = self._table_source_meta[name]
+        if not pairs:
+            return False
+        declared = {f.name for f in sch.fields}
+        key_fields = {k for _, k in pairs}
+        if any(c not in declared and c not in key_fields
+               for c in ref_cols):
+            return False
+        try:
+            pickle.dumps(src)
+        except Exception:
+            return False
+        return True
+
+    def _split_lookup_sources(self):
+        """(worker-routable, driver-fallback) partitions of the
+        registered lookup sources."""
+        worker: dict[str, object] = {}
+        driver: dict[str, object] = {}
+        for name, src in self._table_sources.items():
+            (worker if self._worker_routable(name, src)
+             else driver)[name] = src
+        return worker, driver
+
+    def _lookup_tables(self, source_df: DataFrame,
+                       sources: dict | None = None) -> dict[str, DataFrame]:
+        """Materialize registered lookup sources against THIS batch's
+        distinct join-key values (see register_table_source) — the
+        DRIVER-PROBE fallback, bounded by ``driver_probe_max_keys``.
+        The per-event sync path also lands here (one key per call)."""
         from pyspark.sql import functions as F
         out: dict[str, DataFrame] = {}
         # the planner qualifies stream-side refs with the source
@@ -365,7 +415,9 @@ class StreamSQL:
         probe = source_df.alias(
             (self._plan.source_alias or self._plan.source)
             if self._plan is not None else "stream")
-        for name, src in self._table_sources.items():
+        cap = self.driver_probe_max_keys
+        for name, src in (sources if sources is not None
+                          else self._table_sources).items():
             pairs, ref_cols = self._table_source_meta[name]
             if not pairs:
                 raise ExecError(
@@ -373,7 +425,16 @@ class StreamSQL:
                     "JOIN ON condition to derive its probe keys")
             key_rows = (probe
                         .select(*[F.expr(s).alias(k) for s, k in pairs])
-                        .distinct().collect())
+                        .distinct().limit(cap + 1).collect())
+            if len(key_rows) > cap:
+                raise ExecError(
+                    f"lookup source {name!r}: stream side has more than "
+                    f"driver_probe_max_keys={cap} distinct join keys — "
+                    "the driver-probe fallback collects one row per key "
+                    "and loops Lookup serially. Make the source picklable "
+                    "and declare schema() to route it through the "
+                    "worker-side probe stage, or raise "
+                    "driver_probe_max_keys explicitly.")
             rows = []
             for kr in key_rows:
                 kv = [kr[k] for _, k in pairs]
@@ -561,12 +622,23 @@ class StreamSQL:
         self._maybe_bind_star(source_df.columns)
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
+        plan = self._plan
         all_tables = dict(self._tables)
         if self._table_sources:
-            all_tables.update(self._lookup_tables(source_df))
+            # the scale path: picklable schema()-declaring sources run
+            # as the worker-side mapInPandas probe stage — cost
+            # parallel across partitions, zero driver involvement; the
+            # rest take the bounded driver-probe fallback
+            worker, driver = self._split_lookup_sources()
+            if worker:
+                from ..streaming.lookup import apply_lookup_joins
+                source_df, plan = apply_lookup_joins(
+                    source_df, plan, worker, via="join")
+            if driver:
+                all_tables.update(self._lookup_tables(source_df, driver))
         if tables:
             all_tables.update(tables)
-        return BatchExecutor(self.spark, all_tables).execute(self._plan, source_df)
+        return BatchExecutor(self.spark, all_tables).execute(plan, source_df)
 
     # -------------------------------------------------------- streaming path
     def query_stream(self, stream_df: DataFrame,

@@ -219,14 +219,20 @@ _JOIN_INNER_SQL = """
 
 class _OrdersLookupSource:
     """Lookup-backed dim over the SAME orders rows the snapshot kind
-    broadcasts — the two kinds must agree value-for-value (the
-    register_table_source driver-probe path under the oracle gate)."""
+    broadcasts — the two kinds must agree value-for-value.  Picklable
+    and schema()-declaring, so register_table_source routes it through
+    the worker-side mapInPandas probe stage (streaming/lookup.py): the
+    per-distinct-key Lookup cost parallelizes across partitions with
+    zero driver involvement."""
 
     def __init__(self, rows_by_key: dict):
         self._rows = rows_by_key
 
     def name(self):
         return "orders"
+
+    def schema(self):
+        return "o_orderstatus STRING, o_orderpriority STRING"
 
     def lookup(self, key):
         row = self._rows.get(key)
@@ -236,13 +242,12 @@ class _OrdersLookupSource:
 def _join_inner_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INNER stream-table join, kind-tagged (50-entry gate): 'bcast' =
     snapshot dim broadcast join; 'lookup' = the same dim behind a
-    register_table_source Lookup(key) — the engine probes the stream
-    side's distinct keys, materializes found rows, and the real join
-    re-applies the full composite ON (the non-key mod() conjunct rides
-    as residual).  The lookup kind runs on a deterministic 1-in-7 key
-    slice: the driver-probe cost is per DISTINCT key by design, and
-    150k probes per bench repeat at sf0.1 would measure the probe
-    loop, not the join (the oracle applies the same slice)."""
+    register_table_source Lookup(key) — the worker-side probe stage
+    calls Lookup once per distinct key per Arrow batch on the
+    executors and applies the non-key mod() ON conjunct as a residual
+    filter.  Runs UNSLICED over the full stream side (r9 ran a 1-in-7
+    key slice because the then driver-probe loop was serial in key
+    cardinality; the worker stage isn't)."""
     from pyspark.sql import functions as F
 
     tables = load_tables(spark, sf_dir)
@@ -250,18 +255,15 @@ def _join_inner_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     q1.register_table("orders", tables["orders"])
     bcast = q1.query(tables["lineitem"]).withColumn("kind", F.lit("bcast"))
 
-    slice_li = tables["lineitem"].where("l_orderkey % 7 = 0")
     rows_by_key = {
-        r["o_orderkey"]: {"o_orderkey": r["o_orderkey"],
-                          "o_orderstatus": r["o_orderstatus"],
+        r["o_orderkey"]: {"o_orderstatus": r["o_orderstatus"],
                           "o_orderpriority": r["o_orderpriority"]}
         for r in tables["orders"]
-        .where("o_orderkey % 7 = 0")
         .select("o_orderkey", "o_orderstatus", "o_orderpriority")
         .collect()}
     q2 = StreamSQL(spark).execute(_JOIN_INNER_SQL)
     q2.register_table_source(_OrdersLookupSource(rows_by_key))
-    lookup = q2.query(slice_li).withColumn("kind", F.lit("lookup"))
+    lookup = q2.query(tables["lineitem"]).withColumn("kind", F.lit("lookup"))
     return bcast.unionByName(lookup)
 
 
@@ -285,7 +287,6 @@ _add("join_inner", Entry(
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         AND mod(l.l_orderkey, 4) = mod(o.o_orderkey, 4)
     WHERE o.o_orderstatus = 'F' AND l.l_quantity > 25
-      AND l.l_orderkey % 7 = 0
     """,
     "§2.3 INNER stream-table join, composite/expression ON keys "
     "(stream/join.go:35-67, rsql/parser.go:834-926) + the same join "

@@ -1078,6 +1078,11 @@ class BatchExecutor:
         df = _omit_empty_filter(df, plan, window_mode=False)
         hidden = {_TS, _ROWID} | {a.placeholder for a in plan.analytics} \
             | {"__win_id__", "__chunk_n__"}
+        # flattened-qualified-ref carriers (__q_alias_col__) from a
+        # lookup-enrichment or join-flatten stage are plumbing, not
+        # user columns — SELECT * must not leak them
+        qmap = (plan.options or {}).get("__qref_map__") or {}
+        hidden |= {v for k, v in qmap.items() if k != "__src__"}
         out_cols: list[Column] = []
         unnest: tuple[str, str] | None = None
         for out in plan.outputs:

@@ -79,7 +79,9 @@ def run_streaming_collect(spark, plan_holder, batches: list[list[dict]],
             replay.add_batch(b)
         got: list[dict] = []
         ex = StreamingExecutor(
-            spark, tables or {},
+            spark,
+            {**(getattr(plan_holder, "_tables", None) or {}),
+             **(tables or {})},
             lookup_sources=dict(getattr(plan_holder, "_table_sources",
                                         None) or {}))
         q = ex.start(plan_holder.plan, replay.stream(),

@@ -1,13 +1,21 @@
-"""Worker-side lookup-join enrichment for streaming queries.
+"""Worker-side lookup-join enrichment (streaming AND batch).
 
 The reference enriches each event by calling a user TableSource's
 ``Lookup(key)`` inline on the ingest path (stream/join.go:35-67 over
-stream/table_store.go:18-23).  A long-running Spark stream cannot probe
-a driver-side object per micro-batch without a collect round-trip, so
-the streaming realization ships the source TO THE WORKERS: a
-``mapInPandas`` stage probes ``lookup`` once per DISTINCT key per Arrow
-batch and merges the found columns — the scalable lookup-join shape (no
-driver involvement, parallel across partitions, per-batch key dedup).
+stream/table_store.go:18-23), source-agnostic for every downstream
+mode (stream/processor_data.go:94-141 enriches before windows AND
+before the CEP NFA).  A driver-side per-key probe loop does not scale
+with stream-key cardinality, so this realization ships the source TO
+THE WORKERS: a ``mapInPandas`` stage probes ``lookup`` once per
+DISTINCT key per Arrow batch and merges the found columns — the
+scalable lookup-join shape (no driver involvement, parallel across
+partitions, per-batch key dedup).  The same stage serves
+
+- streaming queries (StreamingExecutor.build), and
+- batch queries (StreamSQL.query routes every picklable,
+  schema()-declaring source here; the driver probe in
+  ``api.facade._lookup_tables`` remains only as the bounded fallback
+  for sources that cannot ship).
 
 Contract (on top of the batch-path TableSource protocol):
 - the source must be PICKLABLE (it is serialized into the stage); open
@@ -21,15 +29,24 @@ Contract (on top of the batch-path TableSource protocol):
 - ``lookup`` must be concurrency-safe (the reference documents the same,
   streamsql.go:517-519).
 
-Only equality ON conditions are supported (exactly the Lookup-key
-contract); a raising ``lookup`` resolves that key as not-found (J2
-ingest recovery).
+ON-clause support: a CONJUNCTION whose equality conjuncts with one
+table-qualified side define the probe keys (exactly the Lookup-key
+contract); remaining conjuncts ride as a RESIDUAL predicate applied
+after enrichment — INNER drops residual-failing rows, LEFT keeps them
+with the enriched columns nulled (standard SQL ON semantics, matching
+the batch driver-probe path's real join).  OR / NOT anywhere raises:
+probing only one arm would silently drop the other arm's matches.
+A raising ``lookup`` resolves that key as not-found (J2 ingest
+recovery).
 
-Known delta: star-watched change detection (``had_changed(true, *)`` /
-``changed_cols(..., "*")``) does not see lookup-ENRICHED columns on
-this path — they live under hidden ``__q_*__`` names the star
-expansion excludes; list watched table columns explicitly.  Snapshot
-joins (register_table) keep plain table column names and are watched.
+``SELECT *`` materializes every schema() column under its REAL name
+(stream columns win a name collision — the reference keeps stream
+fields top-level, stream/join.go:41-46); ``alias.*`` expands to the
+schema columns.  Known delta: star-watched change detection
+(``changed_cols(..., "*")``) binds to the STREAM columns before
+enrichment runs, so lookup-enriched columns are not watched — list
+watched table columns explicitly (pinned in
+tests/test_streaming.py::test_lookup_star_watch_delta_pinned).
 """
 
 from __future__ import annotations
@@ -38,7 +55,7 @@ from dataclasses import replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import BooleanType, StructField, StructType
 
 from ..dialect import nodes as N
 from ..dialect.render import render
@@ -53,7 +70,7 @@ def source_schema(src) -> StructType:
         sch = StructType.fromDDL(sch)
     if not isinstance(sch, StructType):
         raise ExecError(
-            "a streaming lookup table source must declare schema() "
+            "a worker-side lookup table source must declare schema() "
             "(StructType or DDL string) — enriched column types cannot "
             "be inferred from an unbounded stream")
     return sch
@@ -63,15 +80,14 @@ def equi_pairs(j, allow_residual: bool = False):
     """Extract the Lookup probe keys from a join's ON tree.
 
     ON must be a CONJUNCTION; each key-defining conjunct is an equality
-    with exactly one table-qualified side → (stream-side sql, table key
-    field) pairs.  Other conjuncts (literal filters, non-key
-    comparisons) either raise (streaming — they cannot be evaluated
-    after a LEFT enrichment) or pass through as ``residual`` for the
-    batch path, whose real join re-applies the FULL ON afterwards.
-    An OR / NOT anywhere raises on BOTH paths: probing only one arm
-    would silently drop the other arm's matches.
+    with exactly one table-qualified side → (stream-side expr AST, table
+    key field) pairs.  Other conjuncts (literal filters, non-key
+    comparisons) pass through as ``residual`` AST exprs when
+    ``allow_residual`` — the caller re-applies them after enrichment —
+    else raise.  An OR / NOT anywhere raises on BOTH paths: probing
+    only one arm would silently drop the other arm's matches.
     """
-    pairs: list[tuple[str, str]] = []
+    pairs: list[tuple[object, str]] = []
     residual: list = []
 
     def walk_and(e):
@@ -90,7 +106,7 @@ def equi_pairs(j, allow_residual: bool = False):
                 # it falls through to residual/raise below
                 if table_side(side) and not any(
                         table_side(n) for n in N.walk(opp)):
-                    pairs.append((render(opp), str(side.parts[1])))
+                    pairs.append((opp, str(side.parts[1])))
                     return
         if allow_residual and not any(
                 isinstance(n, N.Bin) and n.op in ("OR",)
@@ -110,94 +126,176 @@ def equi_pairs(j, allow_residual: bool = False):
     return (pairs, residual) if allow_residual else pairs
 
 
-def apply_lookup_joins(df: DataFrame, plan, sources: dict):
+def _pattern_shadow(spec) -> set:
+    """Pattern symbols + SUBSET names shadow join aliases inside
+    MATCH_RECOGNIZE expressions (A.temp stays a symbol navigation)."""
+    from ..cep.executor import _pattern_symbols
+    return set(_pattern_symbols(spec.pattern)) | set(spec.subsets)
+
+
+def apply_lookup_joins(df: DataFrame, plan, sources: dict,
+                       via: str = "stage"):
     """Replace every join against a registered lookup source with a
-    worker-side mapInPandas enrichment stage; qualified refs to those
-    tables rewrite to flat hidden columns.  Returns (df, plan2)."""
+    worker-side mapInPandas enrichment stage.
+
+    Qualified refs to those tables rewrite to flat hidden columns
+    (``__q_{alias}_{col}__``, the same convention as the snapshot-join
+    flatteners, so the maps merge); joins against OTHER tables
+    (snapshots, driver-probed sources) stay in the plan and apply
+    afterwards — the reference registers any mix
+    (streamsql.go:503-534).  Works for direct, window, analytic and
+    CEP plans; bare ``*`` and ``alias.*`` outputs materialize the
+    schema columns under their real names.  Returns (df, plan2);
+    ``plan`` and its statement are never mutated (the per-event sync
+    path keeps executing the original plan with real joins).
+
+    ``via`` picks the physical shape:
+
+    - ``"stage"`` (streaming): the source rides inside a mapInPandas
+      pass over the FULL frame — the only shape a micro-batch
+      pipeline allows (a streaming frame cannot be distinct-ed and
+      re-joined mid-plan in append mode).
+    - ``"join"`` (batch): distinct keys JVM-side → probe ONLY the
+      keys in Python → JVM join back.  Arrow traffic ∝ distinct
+      keys, not rows × columns; the fact table never leaves the JVM,
+      so column pruning / codegen survive, and AQE broadcast-joins
+      the (dim-bounded) hit set.
+    """
     lookups = [j for j in plan.joins if j.table in sources]
     rest = [j for j in plan.joins if j.table not in sources]
     if not lookups:
         return df, plan
-    if rest:
-        raise ExecError(
-            "streaming queries cannot mix lookup table sources with "
-            "snapshot-table joins yet — register both as snapshots or "
-            "both as lookup sources")
-    if any(o.star for o in plan.outputs):
-        raise ExecError(
-            "SELECT * with a streaming lookup join is not supported — "
-            "list the columns explicitly")
-    if plan.mode == "cep":
-        raise ExecError(
-            "streaming MATCH_RECOGNIZE with a lookup table source is "
-            "not supported — register the dimension as a snapshot "
-            "table (register_table) instead")
 
     src_name = plan.source_alias or plan.source
     quals = {j.table for j in lookups} | {j.alias for j in lookups
                                           if j.alias}
+    shadow = _pattern_shadow(plan.stmt.match) \
+        if plan.mode == "cep" and plan.stmt.match is not None else set()
+    quals -= shadow
     mapping: dict[str, str] = {}
     rw = make_qref_rewriter(src_name, quals, mapping)
 
-    # ---- pass 1: extract every join's probe pairs FIRST, so chained
-    # lookups (JOIN a ... JOIN b ON a.region = b.region) register their
-    # cross-table refs in `mapping` before the plan/want snapshots --
-    # table a's enrichment then materializes __q_a_region__ for b's
-    # probe, and the __qref_map__ is complete.  (plan.joins carry
-    # rendered SQL; the equality structure lives in the statement's
-    # AST join specs, matched by table+alias.)
+    def xf(e):
+        """AST twin of ``rw`` sharing ``mapping`` — for expressions the
+        engines render late (CEP measures/defines, analytic args)."""
+        if isinstance(e, N.Col) and len(e.parts) == 2 \
+                and all(isinstance(p, str) for p in e.parts):
+            root, col = str(e.parts[0]), str(e.parts[1])
+            if root in shadow:
+                return e
+            if root == src_name:
+                return N.Col((col,))
+            if root in quals:
+                tok = f"{root}.{col}"
+                mapping.setdefault(tok, f"__q_{root}_{col}__")
+                return N.Col((mapping[tok],))
+        return e
+
+    # ---- pass 1: extract every join's probe pairs + residual FIRST,
+    # so chained lookups (JOIN a ... JOIN b ON a.region = b.region)
+    # register their cross-table refs in `mapping` before the plan/want
+    # snapshots — table a's enrichment then materializes
+    # __q_a_region__ for b's probe, and the __qref_map__ is complete.
     ast_joins = {(aj.table, aj.alias): aj for aj in plan.stmt.joins}
-    pairs_by_join = []
+    bare_star = any(o.star and not o.star_qualifier for o in plan.outputs)
+    per_join = []
     for j in lookups:
         ast_j = ast_joins.get((j.table, j.alias))
         if ast_j is None or ast_j.on is None:
-            raise ExecError("streaming lookup join needs an ON clause")
-        # the stream-side probe expressions carry planner-qualified
-        # refs (stream.deviceId, a.region) -- rewrite to the flat frame
-        pairs_by_join.append([(rw(s), k) for s, k in equi_pairs(ast_j)])
+            raise ExecError("a lookup-source join needs an ON clause")
+        pairs, residual = equi_pairs(ast_j, allow_residual=True)
+        pairs = [(render(N.transform(s, xf)), k) for s, k in pairs]
+        res_sqls = [render(N.transform(r, xf)) for r in residual]
+        res_sql = " AND ".join(f"({r})" for r in res_sqls) or None
+        per_join.append((j, pairs, res_sql))
 
-    # analytic ARGUMENTS render inside the kernels via apply_qref_map
-    # over plan.options["__qref_map__"]: register their qualified refs
-    # now so the columns they read get enriched and mapped (a
-    # lookup-table column referenced ONLY as an analytic arg would
-    # otherwise never materialize)
-    for a_spec in plan.analytics:
-        for arg in a_spec.func.args:
-            if not isinstance(arg, (N.Lit, N.Star)):
-                rw(render(arg))
-    analytics2 = [replace(a, partition_by=[rw(p) for p in a.partition_by],
-                          when_sql=rw(a.when_sql))
-                  for a in plan.analytics]
+    # alias.* outputs expand to the schema columns (under hidden names
+    # aliased back — collision-proof); register their refs now
+    outputs2 = []
+    for o in plan.outputs:
+        if o.star and o.star_qualifier and o.star_qualifier in quals:
+            j = next(jj for jj in lookups
+                     if o.star_qualifier in (jj.alias, jj.table))
+            for fld in source_schema(sources[j.table]).fields:
+                tok = f"{o.star_qualifier}.{fld.name}"
+                mapping.setdefault(tok, f"__q_{o.star_qualifier}_{fld.name}__")
+                outputs2.append(replace(o, star=False, star_qualifier=None,
+                                        name=fld.name, sql=mapping[tok]))
+        else:
+            outputs2.append(replace(o, sql=rw(o.sql)))
+
+    # analytic args/when render inside the kernels — rewrite the ASTs
+    # (the batch engine renders them with no qref map) and register
+    # their refs so the columns they read get enriched
+    analytics2 = [replace(
+        a,
+        func=N.Func(a.func.name,
+                    [N.transform(x, xf) for x in a.func.args],
+                    a.func.distinct, a.func.over),
+        partition_by=[rw(p) for p in a.partition_by],
+        when_sql=rw(a.when_sql),
+        when_ast=(N.transform(a.when_ast, xf)
+                  if a.when_ast is not None else None))
+        for a in plan.analytics]
+
+    stmt2 = plan.stmt
+    if plan.mode == "cep" and plan.stmt.match is not None:
+        spec = plan.stmt.match
+        spec2 = replace(
+            spec,
+            partition_by=[N.transform(p, xf) for p in spec.partition_by],
+            order_by=[N.transform(ob, xf) for ob in spec.order_by],
+            measures=[replace(m, expr=N.transform(m.expr, xf))
+                      for m in spec.measures],
+            defines={s: N.transform(c, xf)
+                     for s, c in spec.defines.items()},
+        )
+        stmt2 = replace(plan.stmt, match=spec2)
+
+    # remaining (snapshot / driver-probed) joins apply AFTER the
+    # enrichment: their ON may reference enriched lookup columns
+    rest2 = [replace(r, on_sql=rw(r.on_sql)) for r in rest]
+
     plan2 = replace(
         plan,
-        joins=[],
+        stmt=stmt2,
+        joins=rest2,
         where_sql=rw(plan.where_sql),
         having_sql=rw(plan.having_sql),
         group_sqls=[rw(g) for g in plan.group_sqls],
         order_by=[(rw(s), asc) for s, asc in plan.order_by],
-        outputs=[replace(o, sql=rw(o.sql)) for o in plan.outputs],
+        outputs=outputs2,
         agg_specs=[replace(s, sql=rw(s.sql)) for s in plan.agg_specs],
         analytics=analytics2,
         options={**plan.options,
-                 "__qref_map__": {**mapping, "__src__": src_name}},
+                 "__qref_map__": {
+                     **(plan.options.get("__qref_map__") or {}),
+                     **mapping, "__src__": src_name}},
     )
 
     # ---- pass 2: enrich in join order; each table's `want` comes
-    # from the now-complete mapping
-    for j, pairs in zip(lookups, pairs_by_join):
+    # from the now-complete mapping, plus real-named schema columns
+    # for a bare SELECT * (stream columns win a name collision)
+    for j, pairs, res_sql in per_join:
         src = sources[j.table]
         sch = source_schema(src)
         by_name = {f.name: f for f in sch.fields}
         alias = j.alias or j.table
+        key_fields = {k for _, k in pairs}
         want = [(flat, tok.split(".", 1)[1])
                 for tok, flat in mapping.items()
                 if tok.split(".", 1)[0] in (alias, j.table)]
         for _, col in want:
-            if col not in by_name:
+            if col not in by_name and col not in key_fields:
                 raise ExecError(
                     f"lookup source {j.table!r} schema() does not "
                     f"declare referenced column {col!r}")
-        df = _enrich(df, src, pairs, want, by_name, j.kind)
+        if bare_star:
+            taken = set(df.columns) | {flat for flat, _ in want}
+            want += [(f.name, f.name) for f in sch.fields
+                     if f.name not in taken]
+        df = _enrich(df, src, pairs, want, by_name, j.kind, res_sql,
+                     via=via)
     return df, plan2
 
 
@@ -210,20 +308,39 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict):
 _WORKER_INITED: set[str] = set()
 
 
-def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
+def _enrich(df: DataFrame, src, pairs, want, by_name, how,
+            residual_sql: str | None = None,
+            via: str = "stage") -> DataFrame:
     if how not in ("inner", "left"):
-        raise ExecError(f"streaming lookup joins support INNER/LEFT, "
+        raise ExecError(f"worker-side lookup joins support INNER/LEFT, "
                         f"got {how!r}")
     key_cols = [f"__lkkey_{i}__" for i in range(len(pairs))]
     probe = df
     for (sql, _), kc in zip(pairs, key_cols):
         probe = probe.withColumn(kc, F.expr(sql))
+    key_types = {k: probe.schema[kc].dataType
+                 for (_, k), kc in zip(pairs, key_cols)}
+    if via == "join":
+        return _enrich_via_join(probe, src, pairs, want, by_name,
+                                key_types, key_cols, how, residual_sql)
+
+    def out_type(col):
+        # a referenced KEY field needn't be in schema(): its value is
+        # the probe key itself, typed from the stream side (the batch
+        # driver path materializes the same, api.facade._lookup_tables)
+        f = by_name.get(col)
+        return f.dataType if f is not None else key_types[col]
+
     out_fields = list(probe.schema.fields) + \
-        [StructField(flat, by_name[col].dataType) for flat, col in want]
-    out_schema = StructType(out_fields)
+        [StructField(flat, out_type(col)) for flat, col in want]
     inner = how == "inner"
+    keep_hit = residual_sql is not None and not inner
+    if keep_hit:
+        out_fields.append(StructField("__hit__", BooleanType()))
+    out_schema = StructType(out_fields)
     want_cols = [col for _, col in want]
     flat_names = [flat for flat, _ in want]
+    key_field_order = [k for _, k in pairs]
     nkeys = len(key_cols)
     import uuid
     src_name = src.name() if callable(getattr(src, "name", None)) \
@@ -271,9 +388,16 @@ def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
                         got = None  # J2 recovery: resolves not-found
                     row, found = got if isinstance(got, tuple) \
                         else (got, got is not None)
-                    # ({}, True) IS a hit — an existence-only source
-                    # returns found with no extra columns
-                    hit = dict(row or {}) if found else None
+                    if found:
+                        # ({}, True) IS a hit — an existence-only
+                        # source returns found with no extra columns;
+                        # a referenced key field the row omits fills
+                        # from the probe key (parity with the driver
+                        # path's key materialization)
+                        hit = dict(zip(key_field_order, kt))
+                        hit.update(row or {})
+                    else:
+                        hit = None
                     cache[raw] = hit
                 recs.append(
                     dict(zip(key_cols, raw), __hit__=hit is not None,
@@ -284,9 +408,103 @@ def _enrich(df: DataFrame, src, pairs, want, by_name, how) -> DataFrame:
             out = pdf.merge(lk, on=key_cols, how="left")
             if inner:
                 out = out[out["__hit__"]]
-            out = out.drop(columns="__hit__")
+            if not keep_hit:
+                out = out.drop(columns="__hit__")
             if len(out):
                 yield out
 
     enriched = probe.mapInPandas(gen, out_schema)
+    if residual_sql is not None:
+        if inner:
+            enriched = enriched.filter(F.expr(residual_sql))
+        else:
+            # LEFT: a residual-failing match NULL-extends instead of
+            # dropping the row (standard SQL ON semantics — parity
+            # with the driver path's real LEFT JOIN).  The verdict
+            # materializes FIRST: the residual reads enriched columns,
+            # so nulling them in sequence must not re-evaluate it
+            enriched = enriched.withColumn(
+                "__lkok__", F.col("__hit__") & F.expr(residual_sql))
+            for flat in flat_names:
+                enriched = enriched.withColumn(
+                    flat, F.when(F.col("__lkok__"), F.col(flat)))
+            enriched = enriched.drop("__hit__", "__lkok__")
     return enriched.drop(*key_cols)
+
+
+def _enrich_via_join(probe: DataFrame, src, pairs, want, by_name,
+                     key_types, key_cols, how,
+                     residual_sql: str | None) -> DataFrame:
+    """Batch shape: distinct keys JVM-side → Python probes ONLY the
+    keys → JVM join back.  The wide fact frame never crosses Arrow
+    (column pruning and codegen survive around the stage), the probe
+    stage parallelizes over shuffle partitions, and the HIT set —
+    bounded by the dimension's cardinality — feeds a join AQE can
+    broadcast.  One NULL-key delta vs the stage path, shared with the
+    driver-probe fallback: SQL join equality never matches NULL keys,
+    while the in-stage pandas merge (and the reference's in-process
+    Lookup(nil)) can."""
+    from pyspark.sql.types import BooleanType
+    keydf = probe.select(*key_cols).distinct()
+    hit_fields = [StructField(kc, key_types[k])
+                  for (_, k), kc in zip(pairs, key_cols)]
+    for flat, col in want:
+        f = by_name.get(col)
+        hit_fields.append(StructField(
+            flat, f.dataType if f is not None else key_types[col]))
+    hit_schema = StructType(hit_fields)
+    want_cols = [col for _, col in want]
+    flat_names = [flat for flat, _ in want]
+    key_field_order = [k for _, k in pairs]
+    nkeys = len(key_cols)
+    import uuid
+    src_name = src.name() if callable(getattr(src, "name", None)) \
+        else getattr(src, "name", "")
+    init_token = f"{src_name}#{uuid.uuid4().hex}"
+    from .stateful import _cleaners
+    clean_by = _cleaners(probe, key_cols)
+    cleaners = [clean_by[c] for c in key_cols]
+
+    def gen_hits(batches):
+        import pandas as pd
+
+        init = getattr(src, "init", None)
+        if callable(init) and init_token not in _WORKER_INITED:
+            _WORKER_INITED.add(init_token)
+            init()
+        for pdf in batches:
+            recs = []
+            for raw in pdf[key_cols].itertuples(index=False, name=None):
+                kt = tuple(cl(v) for cl, v in zip(cleaners, raw))
+                arg = kt[0] if nkeys == 1 else list(kt)
+                try:
+                    got = src.lookup(arg)
+                except Exception:
+                    continue  # J2 recovery: resolves not-found
+                row, found = got if isinstance(got, tuple) \
+                    else (got, got is not None)
+                if not found:
+                    continue
+                hit = dict(zip(key_field_order, kt))
+                hit.update(row or {})
+                recs.append(dict(zip(key_cols, raw),
+                                 **{f: hit.get(c) for f, c
+                                    in zip(flat_names, want_cols)}))
+            if recs:
+                yield pd.DataFrame(recs, columns=key_cols + flat_names)
+
+    hits = keydf.mapInPandas(gen_hits, hit_schema)
+    inner = how == "inner"
+    out = probe.join(hits, on=key_cols, how="inner" if inner else "left")
+    if residual_sql is not None:
+        if inner:
+            out = out.filter(F.expr(residual_sql))
+        else:
+            # a LEFT miss is simply absent from the hit set (flats
+            # already NULL); a hit failing the residual NULL-extends
+            out = out.withColumn("__lkok__", F.expr(residual_sql))
+            for flat in flat_names:
+                out = out.withColumn(
+                    flat, F.when(F.col("__lkok__"), F.col(flat)))
+            out = out.drop("__lkok__")
+    return out.drop(*key_cols)

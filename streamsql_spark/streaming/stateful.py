@@ -437,8 +437,13 @@ def flatten_join_refs(df: DataFrame, plan):
         order_by=[(rw(s), asc) for s, asc in plan.order_by],
         outputs=[replace(o, sql=rw(o.sql)) for o in plan.outputs],
         analytics=analytics2,
+        # MERGE an existing map (a lookup-enrichment stage may have
+        # run first — same __q_{alias}_{col}__ convention, disjoint
+        # alias sets) — overwriting would orphan its rewrites
         options={**plan.options,
-                 "__qref_map__": {**added, "__src__": src}},
+                 "__qref_map__": {
+                     **(plan.options.get("__qref_map__") or {}),
+                     **added, "__src__": src}},
     )
     for tok, name in added.items():
         df = df.withColumn(name, F.expr(tok))

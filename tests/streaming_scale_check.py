@@ -97,6 +97,28 @@ def main() -> None:
         "cep": _CEP_BODY,
         "cep_ooo_horizon": _CEP_BODY
         + " WITH (TIMESTAMP='ts', MAXOUTOFORDERNESS='5m')",
+        # r10: adversarial NON-draining buffer — the r9 rows used A B
+        # under SKIP PAST LAST ROW, where the buffer drains on every
+        # match.  Here B* keeps extending until a RARE closer
+        # (p(value<1) ~1.9% -> ~52-row average open run) or WITHIN
+        # expiry, and ALL ROWS PER MATCH re-emits the whole buffered
+        # run — held-buffer high-water vs _CEP_MAX_BUFFER is the
+        # number to watch (streaming/stateful.py::_CEP_MAX_BUFFER).
+        "cep_nondraining": """
+            SELECT user_id, cls, ts, value FROM stream
+            MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY ts, event_id
+                MEASURES CLASSIFIER() AS cls
+                ALL ROWS PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B* C)
+                DEFINE A AS value > 99,
+                       B AS value >= 1 AND value <= 99,
+                       C AS value < 1
+                WITHIN '4h'
+            )
+        """,
     }
     class _UserDimSource:
         """Synthetic lookup dim: answers every user_id (r9 — measures

@@ -1320,43 +1320,21 @@ def test_streaming_lookup_join_feeds_windowed_agg(spark):
 
 
 def test_streaming_lookup_guard_errors(spark):
-    """The documented streaming lookup guards raise typed errors:
-    mixing lookup sources with snapshot joins, SELECT *, OR in the ON
-    clause, and a source not joined in the statement (rejected at
-    registration)."""
+    """The remaining lookup guards raise typed errors: OR in the ON
+    clause (probing one arm would drop the other's matches), and a
+    source not joined in the statement (rejected at registration).
+    Mixing with snapshot joins, SELECT *, and MATCH_RECOGNIZE are
+    capabilities now — tested functionally below."""
     import pytest
 
     from streamsql_spark.api.facade import StreamSQL
     from streamsql_spark.engine.batch import ExecError
-
-    def stream_df(spark, ddl):
-        return (spark.readStream.format("rate").load()
-                .selectExpr("CAST(value AS STRING) AS deviceId",
-                            "CAST(value AS DOUBLE) AS v",
-                            "timestamp AS ts"))
 
     # not joined in the statement -> rejected at registration
     s0 = StreamSQL(spark)
     s0.execute("SELECT deviceId FROM stream")
     with pytest.raises(ExecError, match="not joined"):
         s0.register_table_source(_mk_dict_lookup_source("meta", {}))
-
-    # mixing lookup + snapshot joins
-    s1 = StreamSQL(spark)
-    s1.execute("SELECT deviceId, m.location AS loc, o.x AS x "
-               "FROM stream JOIN meta m ON deviceId = m.deviceId "
-               "JOIN other o ON deviceId = o.deviceId")
-    s1.register_table_source(_mk_dict_lookup_source("meta", {}))
-    s1.register_table("other", [{"deviceId": "d1", "x": 1}])
-    with pytest.raises(ExecError, match="mix"):
-        s1.query_stream(stream_df(spark, None))
-
-    # SELECT *
-    s2 = StreamSQL(spark)
-    s2.execute("SELECT * FROM stream JOIN meta m ON deviceId = m.deviceId")
-    s2.register_table_source(_mk_dict_lookup_source("meta", {}))
-    with pytest.raises(ExecError, match="SELECT \\*"):
-        s2.query_stream(stream_df(spark, None))
 
     # OR in the ON clause: probing one arm would drop the other's
     # matches -- typed refusal, raised eagerly AT REGISTRATION (the
@@ -1366,6 +1344,246 @@ def test_streaming_lookup_guard_errors(spark):
                "JOIN meta m ON deviceId = m.deviceId OR v = m.deviceId")
     with pytest.raises(ExecError, match="equality"):
         s3.register_table_source(_mk_dict_lookup_source("meta", {}))
+
+
+def test_streaming_lookup_mixed_with_snapshot_join(spark):
+    """A lookup source and a snapshot table in ONE statement — the
+    reference registers any mix (streamsql.go:503-534): the lookup
+    enrichment stage applies first, then the ordinary stream-static
+    join; batch and streaming agree."""
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    data = {"d1": {"location": "plantA", "tier": 1},
+            "d2": {"location": "plantB", "tier": 2}}
+    snap = [{"sid": "d1", "owner": "ops"}, {"sid": "d2", "owner": "dev"},
+            {"sid": "dX", "owner": "x"}]
+    batches = [
+        [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+         {"deviceId": "d2", "v": 2.0, "ts": 2000},
+         {"deviceId": "dX", "v": 3.0, "ts": 3000}],  # lookup miss
+    ]
+    sql = ("SELECT deviceId, m.location AS loc, o.owner AS owner "
+           "FROM stream JOIN meta m ON deviceId = m.deviceId "
+           "JOIN own o ON deviceId = o.sid")
+    want = [("d1", "plantA", "ops"), ("d2", "plantB", "dev")]
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(_mk_dict_lookup_source("meta", data))
+    s.register_table("own", snap)
+    got = run_streaming_collect(spark, s, batches, _lookup_schema())
+    assert sorted((r["deviceId"], r["loc"], r["owner"]) for r in got) == want
+
+    sb = StreamSQL(spark)
+    sb.execute(sql)
+    sb.register_table_source(_mk_dict_lookup_source("meta", data))
+    sb.register_table("own", snap)
+    bout = sb.query(spark.createDataFrame(batches[0], _lookup_schema()))
+    assert sorted((r["deviceId"], r["loc"], r["owner"])
+                  for r in bout.collect()) == want
+
+
+def test_streaming_lookup_select_star(spark):
+    """SELECT * with a lookup join materializes every schema() column
+    under its REAL name after the stream columns (stream wins a name
+    collision — stream/join.go:41-46 keeps stream fields top-level);
+    batch and streaming agree, and alias.* expands the schema."""
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    data = {"d1": {"location": "plantA", "tier": 1},
+            "d2": {"location": "plantB", "tier": 2}}
+    batches = [[{"deviceId": "d1", "v": 1.0, "ts": 1000},
+                {"deviceId": "d2", "v": 2.0, "ts": 2000},
+                {"deviceId": "dX", "v": 3.0, "ts": 3000}]]
+    sql = "SELECT * FROM stream JOIN meta m ON deviceId = m.deviceId"
+    want = [("d1", 1.0, 1000, "plantA", 1), ("d2", 2.0, 2000, "plantB", 2)]
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(_mk_dict_lookup_source("meta", data))
+    got = run_streaming_collect(spark, s, batches, _lookup_schema())
+    assert sorted(tuple(r[k] for k in
+                        ("deviceId", "v", "ts", "location", "tier"))
+                  for r in got) == want
+    assert not any(k.startswith("__") for k in got[0])
+
+    sb = StreamSQL(spark)
+    sb.execute(sql)
+    sb.register_table_source(_mk_dict_lookup_source("meta", data))
+    bout = sb.query(spark.createDataFrame(batches[0], _lookup_schema()))
+    assert bout.columns == ["deviceId", "v", "ts", "location", "tier"]
+    assert sorted(tuple(r) for r in bout.collect()) == want
+
+    # alias.*: just the table's schema columns
+    sq = StreamSQL(spark)
+    sq.execute("SELECT deviceId, m.* FROM stream "
+               "JOIN meta m ON deviceId = m.deviceId")
+    sq.register_table_source(_mk_dict_lookup_source("meta", data))
+    qout = sq.query(spark.createDataFrame(batches[0], _lookup_schema()))
+    assert qout.columns == ["deviceId", "location", "tier"]
+    assert sorted(tuple(r) for r in qout.collect()) == \
+        [("d1", "plantA", 1), ("d2", "plantB", 2)]
+
+
+def test_streaming_cep_over_lookup_source(spark):
+    """MATCH_RECOGNIZE over a lookup-enriched stream — the reference
+    enriches before the NFA regardless of downstream mode
+    (stream/processor_data.go:113-141): PARTITION BY, MEASURES and
+    DEFINE all reference the lookup table; batch and streaming agree."""
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    data = {"d1": {"location": "A", "tier": 60},
+            "d2": {"location": "A", "tier": 60}}
+    sql = ("SELECT loc, a_t, b_t FROM stream "
+           "JOIN meta m ON deviceId = m.deviceId "
+           "MATCH_RECOGNIZE ("
+           "  PARTITION BY m.location ORDER BY ts "
+           "  MEASURES m.location AS loc, A.v AS a_t, B.v AS b_t "
+           "  ONE ROW PER MATCH PATTERN (A B) "
+           "  DEFINE A AS v > m.tier, B AS v < 10"
+           ") WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    batches = [[{"deviceId": "d1", "v": 70.0, "ts": 1000}],
+               [{"deviceId": "d2", "v": 5.0, "ts": 2000}],
+               [{"deviceId": "dX", "v": 80.0, "ts": 3000}]]  # INNER miss
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(_mk_dict_lookup_source("meta", data))
+    got = run_streaming_collect(spark, s, batches, _lookup_schema())
+    assert got == [{"loc": "A", "a_t": 70.0, "b_t": 5.0}]
+
+    sb = StreamSQL(spark)
+    sb.execute(sql)
+    sb.register_table_source(_mk_dict_lookup_source("meta", data))
+    rows = [r for b in batches for r in b]
+    bout = sb.query(spark.createDataFrame(rows, _lookup_schema()))
+    assert [r.asDict() for r in bout.collect()] == \
+        [{"loc": "A", "a_t": 70.0, "b_t": 5.0}]
+
+
+def test_lookup_residual_on_conjuncts_and_key_field_fill(spark):
+    """Non-key ON conjuncts ride as a RESIDUAL predicate on the
+    worker-side stage: INNER drops residual-failing rows, LEFT keeps
+    them NULL-extended (standard SQL ON semantics — parity with the
+    driver path's real join).  A referenced table KEY field the lookup
+    row omits fills from the probe key on both paths."""
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    # rows omit the key field deviceId — m.deviceId must still resolve
+    data = {"d1": {"location": "plantA", "tier": 1},
+            "d2": {"location": "plantB", "tier": 2}}
+    batches = [[{"deviceId": "d1", "v": 1.0, "ts": 1000},
+                {"deviceId": "d2", "v": 2.0, "ts": 2000}]]
+    rows = batches[0]
+
+    inner_sql = ("SELECT deviceId, m.deviceId AS mdev, m.location AS loc "
+                 "FROM stream JOIN meta m ON deviceId = m.deviceId "
+                 "AND m.tier > 1")
+    left_sql = ("SELECT deviceId, m.deviceId AS mdev, m.location AS loc "
+                "FROM stream LEFT JOIN meta m ON deviceId = m.deviceId "
+                "AND m.tier > 1")
+    want_inner = [("d2", "d2", "plantB")]
+    want_left = [("d1", None, None), ("d2", "d2", "plantB")]
+
+    for sql, want in ((inner_sql, want_inner), (left_sql, want_left)):
+        s = StreamSQL(spark)
+        s.execute(sql)
+        s.register_table_source(_mk_dict_lookup_source("meta", data))
+        got = run_streaming_collect(spark, s, batches, _lookup_schema())
+        assert sorted((r["deviceId"], r["mdev"], r["loc"])
+                      for r in got) == want, sql
+
+        sb = StreamSQL(spark)
+        sb.execute(sql)
+        sb.register_table_source(_mk_dict_lookup_source("meta", data))
+        bout = sb.query(spark.createDataFrame(rows, _lookup_schema()))
+        assert sorted(tuple(r) for r in bout.collect()) == want, sql
+
+
+def test_batch_lookup_routes_worker_side(spark):
+    """A picklable schema()-declaring source routes the BATCH join
+    through the worker-side mapInPandas probe stage — the executed
+    plan carries the stage and no driver-side collect runs; an
+    unpicklable source falls back to the (bounded) driver probe, and
+    blowing the key bound raises typed."""
+    import pytest
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.engine.batch import ExecError
+
+    data = {"d1": {"location": "plantA", "tier": 1}}
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+            {"deviceId": "d2", "v": 2.0, "ts": 2000}]
+    df = spark.createDataFrame(rows, _lookup_schema())
+    sql = ("SELECT deviceId, m.location AS loc FROM stream "
+           "JOIN meta m ON deviceId = m.deviceId")
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(_mk_dict_lookup_source("meta", data))
+    out = s.query(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert [tuple(r) for r in out.collect()] == [("d1", "plantA")]
+
+    # unpicklable (open file handle) and schemaless -> driver fallback
+    class Unpicklable:
+        def __init__(self):
+            self._fh = open(__file__, "rb")  # defeats cloudpickle
+
+        def name(self):
+            return "meta"
+
+        def schema(self):
+            return "location STRING, tier BIGINT"
+
+        def lookup(self, key):
+            row = data.get(key)
+            return row, row is not None
+
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    s2.register_table_source(Unpicklable())
+    out2 = s2.query(df)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan2, plan2
+    assert [tuple(r) for r in out2.collect()] == [("d1", "plantA")]
+
+    # the driver fallback is BOUNDED: key cardinality over the cap
+    # fails typed instead of grinding a serial Lookup loop
+    s3 = StreamSQL(spark)
+    s3.execute(sql)
+    s3.register_table_source(Unpicklable())
+    s3.driver_probe_max_keys = 1
+    with pytest.raises(ExecError, match="driver_probe_max_keys"):
+        s3.query(df).collect()
+
+
+def test_lookup_star_watch_delta_pinned(spark):
+    """Documented delta (streaming/lookup.py module docstring):
+    changed_cols(..., '*') binds to the STREAM columns before lookup
+    enrichment runs, so lookup-enriched columns are NOT watched — the
+    reference's open-map `*` would see them (stream/join.go:58-62).
+    Pin the delta so it cannot silently change."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    data = {"d1": {"location": "plantA", "tier": 1}}
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+            {"deviceId": "d1", "v": 1.0, "ts": 2000}]
+    s = StreamSQL(spark)
+    s.execute("SELECT changed_cols('c_', false, '*') FROM stream "
+              "JOIN meta m ON deviceId = m.deviceId")
+    s.register_table_source(_mk_dict_lookup_source("meta", data))
+    out = s.query(spark.createDataFrame(rows, _lookup_schema()))
+    # the star fan-out watches exactly the stream columns; enriched
+    # location/tier produce no c_* outputs
+    assert any("deviceId" in c for c in out.columns)
+    assert not any("location" in c or "tier" in c for c in out.columns)
+    assert out.count() == 2
 
 
 def test_streaming_lookup_source_requires_schema(spark):
