@@ -334,6 +334,12 @@ class StreamSQL:
                                          self._table_ref_cols(name))
         if not self._table_keys.get(name):
             self._table_keys[name] = self._derive_join_keys(name)
+        # routing is a pure function of the frozen statement + source:
+        # decide ONCE here (the cloudpickle probe can be MBs for a
+        # dict-backed source — not a per-query cost)
+        if not hasattr(self, "_table_source_route"):
+            self._table_source_route = {}
+        self._table_source_route[name] = self._worker_routable(name, src)
 
     def _join_key_pairs(self, name: str) -> list[tuple[str, str]]:
         """(stream-side expression SQL, table key field) pairs from the
@@ -394,12 +400,12 @@ class StreamSQL:
 
     def _split_lookup_sources(self):
         """(worker-routable, driver-fallback) partitions of the
-        registered lookup sources."""
+        registered lookup sources (decision cached at registration)."""
+        route = getattr(self, "_table_source_route", {})
         worker: dict[str, object] = {}
         driver: dict[str, object] = {}
         for name, src in self._table_sources.items():
-            (worker if self._worker_routable(name, src)
-             else driver)[name] = src
+            (worker if route.get(name) else driver)[name] = src
         return worker, driver
 
     def _lookup_tables(self, source_df: DataFrame,
@@ -726,9 +732,85 @@ class StreamSQL:
                 # would turn the old loud inference failure into wrong
                 # output
                 return self.spark.createDataFrame(rows, schema=cached)
+            # no usable cache (r10: the in-process path answers the
+            # early events, so the first full-route event may be the
+            # INDETERMINATE one — empty dict / all-None nested value):
+            # type it leniently (indeterminates widen to string, the
+            # reference's open-map nil semantics — a missing nested key
+            # then reads as NULL, null_test.go) and keep the original
+            # loud error when even that can't represent the row
+            lenient = self._lenient_schema(rows)
+            if lenient is not None:
+                try:
+                    return self.spark.createDataFrame(rows,
+                                                      schema=lenient)
+                except Exception:
+                    pass
             raise
         self._inferred_schema = df.schema
         return df
+
+    @staticmethod
+    def _lenient_schema(rows: list[dict]):
+        """Best-effort schema for rows plain inference rejects: scalar
+        leaves type normally; a container whose element types are
+        indeterminate (empty, or all-None) widens its VALUE type to
+        string, so NULL reads propagate instead of crashing.  Returns
+        None when rows disagree on keys or hold kinds this table can't
+        express (schema verification then re-raises the original
+        inference error for genuinely mixed containers)."""
+        import datetime as _dt
+
+        from pyspark.sql.types import (ArrayType, BinaryType, BooleanType,
+                                       DateType, DoubleType, LongType,
+                                       MapType, StringType, StructField,
+                                       StructType, TimestampType)
+
+        def merged(types):
+            """One type, StringType for 'indeterminate' (no non-null
+            evidence), or None for a genuine disagreement."""
+            if any(t is None for t in types):
+                return None
+            uniq = {t.simpleString(): t for t in types}
+            if len(uniq) == 1:
+                return next(iter(uniq.values()))
+            return StringType() if not uniq else None
+
+        def typ(v):
+            if isinstance(v, bool):
+                return BooleanType()
+            if isinstance(v, int):
+                return LongType()
+            if isinstance(v, float):
+                return DoubleType()
+            if isinstance(v, str):
+                return StringType()
+            if isinstance(v, _dt.datetime):
+                return TimestampType()
+            if isinstance(v, _dt.date):
+                return DateType()
+            if isinstance(v, (bytes, bytearray)):
+                return BinaryType()
+            if isinstance(v, dict):
+                vt = merged([typ(x) for x in v.values() if x is not None])
+                return None if vt is None else MapType(StringType(), vt)
+            if isinstance(v, (list, tuple)):
+                et = merged([typ(x) for x in v if x is not None])
+                return None if et is None else ArrayType(et)
+            return None
+
+        if not rows:
+            return None
+        keys = list(rows[0])
+        if any(set(r) != set(keys) for r in rows[1:]):
+            return None
+        fields = []
+        for k in keys:
+            t = merged([typ(r[k]) for r in rows if r[k] is not None])
+            if t is None:
+                return None  # rows disagree on a field's kind
+            fields.append(StructField(k, t))
+        return StructType(fields)
 
     _SQL_TYPES = {"long": "BIGINT", "integer": "INT", "short": "SMALLINT",
                   "byte": "TINYINT", "double": "DOUBLE", "float": "FLOAT",
@@ -1716,6 +1798,8 @@ class StreamSQL:
                 except Exception:
                     pass  # user Close bugs must not break shutdown
         self._table_sources.clear()
+        if hasattr(self, "_table_source_route"):
+            self._table_source_route.clear()
         with self._buffer_cond:  # same lock discipline as the trigger swap
             self._buffer.clear()
             self._history.clear()

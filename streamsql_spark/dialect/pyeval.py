@@ -14,6 +14,12 @@ the dialect with byte-identical Spark semantics:
 - literals, bare single-part columns, arithmetic (+ - * / % ^), string
   concat (||), comparisons with SQL three-valued logic, AND/OR/NOT,
   LIKE, IS [NOT] NULL, [NOT] IN, BETWEEN, CASE (simple + searched);
+- nested dot/bracket paths (``a.b[0]['k']``, r10) over recursively
+  type-homogeneous containers with every step present and a scalar
+  leaf (mixed containers COERCE or RAISE under the Spark oracle's
+  single-event schema inference — those events fall back), and
+  ``json_extract`` with a literal dot/index path and a string-or-null
+  leaf (other leaf kinds render engine-specifically — fall back);
 - a scalar-function whitelist where Python can reproduce Spark's
   exact behavior: abs/upper/lower/length/len/trim/coalesce/concat/
   startswith/endswith/floor/ceil/sqrt/round half-up, the string family
@@ -682,6 +688,174 @@ def raw_col(name: str):
     return col
 
 
+def _homog_class(v):
+    """Spark-inference homogeneity witness for a nested value (r10
+    nested-path whitelist).  The Spark fallback infers the event's
+    schema from the single row: a dict becomes map<string, MERGE(value
+    types)> and a list array<MERGE(elements)>, and the merge either
+    RAISES (map vs long) or COERCES (long+string -> string, so ``1``
+    reads back as ``'1'``; long+double -> double, so ``1`` reads back
+    ``1.0``).  Rather than replicate the merge/coercion table, the
+    python path answers ONLY when every dict/list under the traversed
+    column is recursively single-classed — mixed containers re-route
+    the event to the Spark semantics oracle.  Returns a hashable class
+    token; raises Fallback on any mix or non-scalar leaf kind."""
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, int):
+        if not _I64_MIN <= v <= _I64_MAX:
+            raise Fallback()
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    if isinstance(v, str):
+        return "s"
+    if isinstance(v, dict):
+        inner = {_homog_class(x) for x in v.values() if x is not None}
+        if len(inner) > 1:
+            raise Fallback()
+        return ("m", next(iter(inner), None))
+    if isinstance(v, (list, tuple)):
+        inner = {_homog_class(x) for x in v if x is not None}
+        if len(inner) > 1:
+            raise Fallback()
+        return ("a", next(iter(inner), None))
+    raise Fallback()  # datetime/bytes/... inside containers: Spark path
+
+
+def _compile_nested_col(e: N.Col):
+    """Nested path navigation (``a.b[0]['k']``) for the in-process
+    path — the largest fallback class in the reference-mined corpus
+    (30/101 direct-shaped misses, tests/pyeval_coverage.py).
+
+    Conservative Spark-exact subset: the traversed column's value tree
+    must be recursively homogeneous (see :func:`_homog_class` — the
+    Spark oracle COERCES or RAISES on mixed containers), every dot/
+    bracket step must land on a present key / in-range index, and the
+    leaf must be scalar.  Anything else — missing key (Spark: NULL for
+    a map, analysis error for a primitive mid-type), None mid-path,
+    out-of-range index (try_element_at NULL), mixed containers —
+    raises Fallback and the event re-runs through the Spark path,
+    which stays the semantics oracle."""
+    parts = e.parts
+    if not isinstance(parts[0], str):
+        return None
+    for p in parts[1:]:
+        if not isinstance(p, (str, int, N.MapKey)):
+            return None
+
+    def nav(row):
+        root = parts[0]
+        if root not in row:
+            raise Fallback()
+        cur = row[root]
+        _homog_class(cur)  # whole-subtree check: siblings join the merge
+        for p in parts[1:]:
+            if isinstance(p, int):
+                if not isinstance(cur, (list, tuple)):
+                    raise Fallback()
+                # render maps [i] -> try_element_at(i+1) / negative
+                # from the end — python indexing matches exactly when
+                # in range; out of range -> NULL (Spark) -> oracle path
+                if not (-len(cur) <= p < len(cur)):
+                    raise Fallback()
+                cur = cur[p]
+            else:
+                key = p.key if isinstance(p, N.MapKey) else p
+                if not isinstance(cur, dict) or key not in cur:
+                    raise Fallback()
+                cur = cur[key]
+        if cur is not None and not isinstance(cur, (int, float, str, bool)):
+            raise Fallback()  # non-scalar leaf: Spark path
+        if isinstance(cur, int) and not isinstance(cur, bool) \
+                and not _I64_MIN <= cur <= _I64_MAX:
+            raise Fallback()
+        return cur
+
+    return nav
+
+
+_JPATH_SEG = re.compile(r"\.([A-Za-z_][A-Za-z0-9_]*)|\[(\d+)\]")
+
+
+def _parse_jpath(path: str):
+    """``$.a.b[0].c`` → ["a", "b", 0, "c"]; None for anything beyond
+    the plain dot/index subset (wildcards, quoted brackets, slices —
+    those stay on the Spark path)."""
+    if not path.startswith("$"):
+        return None
+    segs, pos = [], 1
+    while pos < len(path):
+        m = _JPATH_SEG.match(path, pos)
+        if m is None:
+            return None
+        segs.append(m.group(1) if m.group(1) is not None
+                    else int(m.group(2)))
+        pos = m.end()
+    return segs
+
+
+def _compile_json_extract(e: N.Func):
+    """json_extract(doc, path) → get_json_object (registry
+    _render_json_extract) for the EXACTLY-replicable subset: a literal
+    dot/index path whose leaf is a JSON string or null — the decoded
+    string is well-defined on both engines, and a missing path is NULL
+    on both.  Number/bool/container leaves (engine-specific text
+    rendering), non-literal paths, documents Python can't parse
+    strictly, and duplicate keys along the path (parser-dependent
+    which match wins) all re-route to the Spark oracle."""
+    if len(e.args) != 2:
+        return None
+    pa = e.args[1]
+    if not (isinstance(pa, N.Lit) and isinstance(pa.value, str)):
+        return None
+    path = pa.value if pa.value.startswith("$") else "$." + pa.value
+    segs = _parse_jpath(path)
+    if segs is None:
+        return None
+    vf = compile_expr(e.args[0])
+    if vf is None:
+        return None
+
+    import json
+
+    def _no_const(_):
+        raise Fallback()  # NaN/Infinity: Python accepts, Jackson varies
+
+    def jx(row):
+        doc = vf(row)
+        if doc is None:
+            return None
+        if not isinstance(doc, str):
+            raise Fallback()
+        try:
+            cur = json.loads(doc, parse_constant=_no_const)
+        except Fallback:
+            raise
+        except Exception:
+            # python-strict parse failure: Jackson may still accept
+            # (laxer number/whitespace handling) — oracle decides
+            raise Fallback()
+        for s in segs:
+            if isinstance(s, int):
+                if not isinstance(cur, list) or not 0 <= s < len(cur):
+                    return None  # out of range / not an array: NULL
+                cur = cur[s]
+            else:
+                if not isinstance(cur, dict):
+                    return None
+                if doc.count(f'"{s}"') > 1:
+                    raise Fallback()  # duplicate key: match order varies
+                if s not in cur:
+                    return None  # missing path: NULL on both engines
+                cur = cur[s]
+        if cur is None or isinstance(cur, str):
+            return cur
+        raise Fallback()  # number/bool/container leaf: text rendering
+
+    return jx
+
+
 def compile_expr(e: N.Expr):
     """AST → ``fn(row) -> value``; None when the node kind (or any
     child) is outside the supported subset."""
@@ -690,7 +864,7 @@ def compile_expr(e: N.Expr):
         return lambda row: v
     if isinstance(e, N.Col):
         if len(e.parts) != 1 or not isinstance(e.parts[0], str):
-            return None
+            return _compile_nested_col(e)
         name = e.parts[0]
 
         def col(row, name=name):
@@ -862,6 +1036,8 @@ def compile_expr(e: N.Expr):
             if vf is None:
                 return None
             return lambda row: caster(vf(row))
+        if lname == "json_extract":
+            return _compile_json_extract(e)
         fn = _FNS.get(lname)
         if fn is None:
             return None

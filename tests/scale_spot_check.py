@@ -145,6 +145,45 @@ def main():
                "source", "doc_id"),
            n_docs)
 
+    # r10: the BATCH lookup-source join (register_table_source routed
+    # through the worker-side probe: distinct keys -> mapInPandas probe
+    # of only the keys -> JVM join back).  16x events = 1.6M rows over
+    # 24k distinct keys; the number anchors the claim that batch lookup
+    # cost is per-distinct-key and parallel, not a serial driver loop.
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.session import load_tables
+
+    class _UserDimSource:
+        def name(self):
+            return "meta"
+
+        def schema(self):
+            return "segment STRING, weight BIGINT"
+
+        def lookup(self, key):
+            return {"segment": "s" + str(int(key) % 7),
+                    "weight": int(key) % 100}, True
+
+    events = load_tables(spark, sf_dir)["events"]
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    ev = None
+    for i in range(copies):
+        d = events.withColumn("user_id",
+                              F.col("user_id") + F.lit(i * n_users))
+        ev = d if ev is None else ev.unionByName(d)
+    ev = ev.cache()
+    n_ev = ev.count()
+
+    def _batch_lookup():
+        q = StreamSQL(spark).execute(
+            "SELECT event_id, user_id, m.segment AS segment, "
+            "value * m.weight AS wv "
+            "FROM stream JOIN meta m ON user_id = m.user_id")
+        q.register_table_source(_UserDimSource())
+        return q.query(ev)
+
+    _bench("batch_lookup_join_16x", spark, _batch_lookup, n_ev)
+
 
 if __name__ == "__main__":
     main()

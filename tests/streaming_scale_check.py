@@ -17,7 +17,7 @@ on RocksDB and reports:
 Not a pytest (filename intentionally not test_*): run manually and
 record the table in BASELINE.md §C.
 
-    python3 tests/streaming_scale_check.py [sf_dir] [copies]
+    python3 tests/streaming_scale_check.py [sf_dir] [copies] [kernel ...]
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    only = set(sys.argv[3:])  # optional kernel-name filter
 
     from pyspark.sql import functions as F
 
@@ -100,10 +101,12 @@ def main() -> None:
         # r10: adversarial NON-draining buffer — the r9 rows used A B
         # under SKIP PAST LAST ROW, where the buffer drains on every
         # match.  Here B* keeps extending until a RARE closer
-        # (p(value<1) ~1.9% -> ~52-row average open run) or WITHIN
-        # expiry, and ALL ROWS PER MATCH re-emits the whole buffered
-        # run — held-buffer high-water vs _CEP_MAX_BUFFER is the
-        # number to watch (streaming/stateful.py::_CEP_MAX_BUFFER).
+        # (p(value<1) ~1.9% -> ~52-row average open run) and ALL ROWS
+        # PER MATCH re-emits the whole buffered run; WITHIN spans the
+        # fixture's full 30-day range (events run ~2.5 rows/user/day,
+        # so a short WITHIN would expire runs instead of holding them)
+        # — held-buffer high-water vs _CEP_MAX_BUFFER is the number to
+        # watch (streaming/stateful.py::_CEP_MAX_BUFFER).
         "cep_nondraining": """
             SELECT user_id, cls, ts, value FROM stream
             MATCH_RECOGNIZE (
@@ -116,7 +119,7 @@ def main() -> None:
                 DEFINE A AS value > 99,
                        B AS value >= 1 AND value <= 99,
                        C AS value < 1
-                WITHIN '4h'
+                WITHIN '30d'
             )
         """,
     }
@@ -141,6 +144,8 @@ def main() -> None:
     """
 
     for kernel_name, sql in kernels.items():
+        if only and kernel_name not in only:
+            continue
         q = StreamSQL(spark).execute(sql)
         if kernel_name == "lookup_join":
             q.register_table_source(_UserDimSource())
@@ -159,11 +164,20 @@ def main() -> None:
         prog = sq.lastProgress or {}
         ops = (prog.get("stateOperators") or [{}])[0]
         custom = ops.get("customMetrics", {})
+        # HIGH-WATER across the replay, not just the final batch: a
+        # WITHIN-expiring buffer (cep_nondraining) can drain by the
+        # last progress while holding far more mid-stream
+        hw_mem = hw_rows = 0
+        for p in (sq.recentProgress or []):
+            for op in (p.get("stateOperators") or []):
+                hw_mem = max(hw_mem, op.get("memoryUsedBytes") or 0)
+                hw_rows = max(hw_rows, op.get("numRowsTotal") or 0)
         print(f"kernel={kernel_name} copies={copies} rows={n_rows} "
               f"wall={wall:.1f}s rows_per_s={n_rows / wall:,.0f} "
               f"out_rows={got['n']}")
         print(f"state: numRowsTotal={ops.get('numRowsTotal')} "
               f"memoryUsedBytes={ops.get('memoryUsedBytes')} "
+              f"highwater: mem={hw_mem} rows={hw_rows} "
               f"rocksdbTotalMemory="
               f"{custom.get('rocksdbTotalMemoryUsageBytes')} "
               f"rocksdbSstFiles={custom.get('rocksdbSstFileSize')} "

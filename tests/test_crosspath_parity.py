@@ -885,6 +885,172 @@ def test_analytic_struct_columns_stream_parity(spark):
     assert got_stream == got_batch, "struct columns diverged batch/stream"
 
 
+# --------------------------------------------- array<struct> (r10 axis)
+# the canonical reference fixture carries sensors: array<struct>
+# (test/e2e/nested_field_test.go / FIXTURES.md) — the deepest Arrow
+# dtype-trap surface: struct cells arrive as dicts, array<struct> as
+# ndarrays OF dicts, chunk-dependently.
+
+EVT_AOS = StructType([
+    StructField("deviceId", StringType()),
+    StructField("sensor", StructType([
+        StructField("id", StringType()),
+        StructField("temp", DoubleType())])),
+    StructField("sensors", ArrayType(StructType([
+        StructField("id", StringType()),
+        StructField("temp", DoubleType())]))),
+    StructField("ts", LongType()),
+    StructField("status", StringType()),
+])
+
+_SENSOR_POOL = [None, {"id": "s1", "temp": 1.5}, {"id": "s1", "temp": 2.5},
+                {"id": "s2", "temp": 1.5}]
+_SENSORS_POOL = [None, [],
+                 [{"id": "s1", "temp": 1.5}],
+                 [{"id": "s1", "temp": 1.5}, {"id": "s2", "temp": 9.0}],
+                 [{"id": "s2", "temp": 9.0}]]
+
+
+def _mk_aos_rows(seed: int, n: int = 32):
+    rng = random.Random(seed)
+    return [{"deviceId": rng.choice(["d1", "d2"]),
+             "sensor": rng.choice(_SENSOR_POOL),
+             "sensors": rng.choice(_SENSORS_POOL),
+             "ts": 1000 * (i + 1),
+             "status": rng.choice(["ok", "ok", "err"])}
+            for i in range(n)], rng
+
+
+def _norm_deep(v):
+    """Rows/dicts/lists → hashable nested tuples (order-preserving for
+    lists, key-sorted for dicts) so struct values from the JVM (Row)
+    and the kernels (dict) compare equal."""
+    if hasattr(v, "asDict"):
+        v = v.asDict()
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_deep(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_deep(x) for x in v)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    return v
+
+
+def _split_batches(rows, rng, hi=5):
+    batches, i = [], 0
+    while i < len(rows):
+        k = rng.randint(1, hi)
+        batches.append(rows[i:i + k])
+        i += k
+    return batches
+
+
+def test_analytic_array_of_struct_stream_parity(spark):
+    """array<struct> columns through the analytic kernels: Arrow hands
+    the cell as an ndarray OF dicts — lag/latest must buffer and
+    re-emit it unchanged across micro-batch splits, and had_changed's
+    equality must agree with Catalyst's nested equality; a nested-path
+    arg (sensor.temp) feeds acc_sum on both paths."""
+    sql = ("SELECT deviceId, ts, "
+           "lag(sensors) OVER (PARTITION BY deviceId) AS ps, "
+           "latest(sensors) OVER (PARTITION BY deviceId) AS ls, "
+           "had_changed(true, sensors) OVER (PARTITION BY deviceId) AS hc, "
+           "round(acc_sum(sensor.temp) OVER (PARTITION BY deviceId), 4) "
+           "    AS at FROM stream WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows, rng = _mk_aos_rows(31)
+
+    def norm(out):
+        return {(r["deviceId"], r["ts"]):
+                {k: _norm_deep(v) for k, v in r.items()} for r in out}
+
+    got_batch = norm(_run_batch(spark, sql, rows, schema=EVT_AOS))
+    s = StreamSQL(spark)
+    s.execute(sql)
+    got_stream = norm(run_streaming_collect(
+        spark, s, _split_batches(rows, rng), EVT_AOS, tables={}))
+    assert got_stream == got_batch, \
+        "array<struct> analytics diverged batch/stream"
+
+
+def test_window_collect_array_of_struct_stream_parity(spark):
+    """collect/deduplicate/first_value/last_value buffers carrying
+    struct and array<struct> values across micro-batch splits: the
+    buffered representation must restore to the declared Spark types
+    chunk-independently (emit-batch flush vs replay)."""
+    from collections import Counter
+
+    sql = ("SELECT deviceId, collect(sensor) AS cs, "
+           "deduplicate(sensors) AS ds, first_value(sensors) AS fs, "
+           "last_value(sensor) AS lsr "
+           "FROM stream GROUP BY deviceId, CountingWindow(4) "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows, rng = _mk_aos_rows(47, n=32)
+    # alternate devices deterministically: 16 rows each = 4 COMPLETE
+    # windows of 4 per key (batch flush and replay cover the same set)
+    for i, r in enumerate(rows):
+        r["deviceId"] = "d1" if i % 2 == 0 else "d2"
+
+    def norm(out):
+        return Counter(
+            tuple(sorted((k, _norm_deep(v)) for k, v in r.items()))
+            for r in out)
+
+    # schema declared on the emit leg too: schemaless dict inference
+    # would type sensor as a MAP where the replay schema says STRUCT
+    s = StreamSQL(spark, schema=EVT_AOS)
+    s.execute(sql)
+    for r in rows:
+        s.emit(dict(r))
+    batch = norm(s.trigger_window())
+    assert sum(batch.values()) == 8
+
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    got = norm(run_streaming_collect(
+        spark, s2, _split_batches(rows, rng, hi=7), EVT_AOS, tables={}))
+    assert got == batch, "struct agg buffers diverged batch/stream"
+
+
+def test_cep_measures_array_of_struct_stream_parity(spark):
+    """MATCH_RECOGNIZE measures returning struct and array<struct>
+    (FIRST(A.sensors), LAST(B.sensor)): measure out-schema inference
+    for nested types + the CEP row buffer's dict/ndarray cleaning,
+    incremental streaming matcher vs batch full replay."""
+    from collections import Counter
+
+    sql = """SELECT deviceId, asens, bsens, n FROM stream MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES FIRST(A.sensors) AS asens, LAST(B.sensor) AS bsens,
+                 COUNT(*) AS n
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A+ B)
+        DEFINE A AS status = 'ok', B AS status = 'err'
+    ) WITH (TIMESTAMP='ts', TIMEUNIT='ms')"""
+    rows, rng = _mk_aos_rows(13, n=48)
+
+    def norm(out):
+        return Counter(
+            tuple(sorted((k, _norm_deep(v)) for k, v in r.items()))
+            for r in out)
+
+    s = StreamSQL(spark, schema=EVT_AOS)
+    s.execute(sql)
+    for r in rows:
+        s.emit(dict(r))
+    batch = norm(s.trigger_window())
+    assert sum(batch.values()) > 0, "fixture produced no matches"
+    assert any(dict(k).get("asens") is not None for k in batch), \
+        "vacuous: no match carried a non-null array<struct> measure"
+
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    got = norm(run_streaming_collect(
+        spark, s2, _split_batches(rows, rng, hi=6), EVT_AOS, tables={}))
+    assert got == batch, "CEP nested-measure stream/batch divergence"
+
+
 @pytest.mark.parametrize("unit", sorted(TIMEUNIT_DAY))
 def test_window_timeunit_batch_stream_parity(spark, unit):
     """TIMEUNIT scaling for the WINDOW path (the same `_event_time_col`

@@ -2076,6 +2076,114 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
     assert n_py > n_fb, (n_py, n_fb)
 
 
+def test_pyeval_nested_paths_differential(spark):
+    """r10 whitelist addition, differential-fuzzed: nested dot/bracket
+    paths (a.b[0]['k']) on the in-process path vs the full Spark route
+    (createDataFrame inference — the oracle for nested events, since
+    the VALUES fast path can't encode containers).  The python path
+    answers only recursively-homogeneous containers with every step
+    present and a scalar leaf; everything else must FALL BACK, and the
+    end-to-end answers must agree wherever the oracle answers."""
+    import random
+
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+    from streamsql_spark.dialect.pyeval import Fallback
+
+    queries = [
+        "SELECT device.info.name AS n FROM stream "
+        "WHERE device.info.type = 'temp'",
+        "SELECT device.cnt + 1 AS c, device.info.name AS n FROM stream",
+        "SELECT sensors[0].v AS v0, sensors[-1].v AS vl FROM stream",
+        "SELECT m['k'] AS mk, upper(tags[1]) AS t1 FROM stream",
+    ]
+    rng = random.Random(20260815)
+
+    def event():
+        name = rng.choice(["d1", "d2", None])
+        typ = rng.choice(["temp", "hum"])
+        info = rng.choice([{"name": name, "type": typ},
+                           {"type": typ},          # missing leaf
+                           None])                  # null mid-path
+        device = rng.choice([
+            {"info": info, "cnt": rng.randint(0, 9)},  # MIXED: falls back
+            {"cnt": rng.randint(0, 9)},
+            {"info": info} if info is not None else {"info": {}},
+        ])
+        sensors = rng.choice([
+            [{"v": 1.5}, {"v": 2.5}], [{"v": rng.random()}], [], None])
+        return {"device": device, "sensors": sensors,
+                "m": rng.choice([{"k": 7, "j": 9}, {"j": 1}, {}]),
+                "tags": rng.choice([["a", "b"], ["x"], None])}
+
+    n_py = n_fb = 0
+    for sql in queries:
+        e = StreamSQL(spark)
+        e.execute(sql)
+        twin = StreamSQL(spark)
+        twin.execute(sql)
+        twin._pyeval_ready = (None, Fallback)  # force the Spark route
+        for _ in range(25):
+            row = event()
+            py = e._emit_sync_python(dict(row))
+            if py is _NOT_APPLICABLE:
+                n_fb += 1
+                continue
+            n_py += 1
+            try:
+                sp = twin.emit_sync(dict(row))
+            except Exception:
+                # oracle inference crash (e.g. a mixed container in an
+                # UNREFERENCED field) — pyeval answering a clean
+                # traversal there is the documented tolerated delta
+                continue
+            assert py == sp, (sql, row, py, sp)
+    assert n_py >= 20, (n_py, n_fb)  # coverage: the fast path engages
+
+
+def test_pyeval_json_extract_differential(spark):
+    """r10 whitelist addition, differential-fuzzed: json_extract with
+    a literal dot/index path and a STRING-or-null leaf vs the Spark
+    get_json_object oracle; number/bool/container leaves, duplicate
+    keys, and python-unparseable documents must fall back."""
+    import random
+
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+
+    docs = [
+        '{"type": "alert", "tags": ["a", "b"], "meta": {"site": "x"}}',
+        '{"type": null, "tags": []}',
+        '{"meta": {"site": "y \\u00e9\\nz"}}',
+        '{"type": 42}',                        # number leaf: fallback
+        '{"type": true}',                      # bool leaf: fallback
+        '{"type": {"x": 1}}',                  # container leaf: fallback
+        '{"type": "a", "type": "b"}',          # duplicate key: fallback
+        'not json at all',                     # parse fail: oracle decides
+        '{"tags": ["only"]}',
+        None,
+    ]
+    queries = [
+        "SELECT json_extract(payload, '$.type') AS tp FROM stream",
+        "SELECT json_extract(payload, '$.tags[1]') AS tg FROM stream",
+        "SELECT json_extract(payload, '$.meta.site') AS st FROM stream",
+        "SELECT json_extract(payload, 'type') AS tp2 FROM stream",
+    ]
+    rng = random.Random(7)
+    n_py = 0
+    for sql in queries:
+        e = StreamSQL(spark)
+        e.execute(sql)
+        for _ in range(20):
+            row = {"payload": rng.choice(docs)}
+            py = e._emit_sync_python(dict(row))
+            sp = e._emit_sync_fast(dict(row))
+            assert sp is not _NOT_APPLICABLE
+            if py is _NOT_APPLICABLE:
+                continue
+            n_py += 1
+            assert py == sp, (sql, row, py, sp)
+    assert n_py >= 30, n_py
+
+
 def test_pyeval_int64_overflow_falls_back(spark):
     """Python's arbitrary-precision ints must not silently exceed
     BIGINT range on the in-process path: Spark (ANSI) raises on
