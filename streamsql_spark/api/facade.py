@@ -160,6 +160,11 @@ class StreamSQL:
         self._table_rows: dict[str, list[dict]] = {}
         self._table_keys: dict[str, tuple] = {}
         self._table_sources: dict[str, object] = {}  # lookup-backed dims
+        # per-source frozen-statement derivations, kept in lockstep with
+        # _table_sources: (probe pairs, referenced cols) and the
+        # worker-vs-driver routing decision (register_table_source)
+        self._table_source_meta: dict[str, tuple] = {}
+        self._table_source_route: dict[str, bool] = {}
         self._sinks: list[Callable[[list[dict]], None]] = []
         self._buffer: list[dict] = []
         self._history: list[dict] = []  # replay rows for cross-trigger state
@@ -328,8 +333,6 @@ class StreamSQL:
         self._table_sources[name] = src
         # the statement is frozen after execute(): derive the probe
         # pairs and referenced columns ONCE, not per query/emit
-        if not hasattr(self, "_table_source_meta"):
-            self._table_source_meta = {}
         self._table_source_meta[name] = (self._join_key_pairs(name),
                                          self._table_ref_cols(name))
         if not self._table_keys.get(name):
@@ -337,8 +340,6 @@ class StreamSQL:
         # routing is a pure function of the frozen statement + source:
         # decide ONCE here (the cloudpickle probe can be MBs for a
         # dict-backed source — not a per-query cost)
-        if not hasattr(self, "_table_source_route"):
-            self._table_source_route = {}
         self._table_source_route[name] = self._worker_routable(name, src)
 
     def _join_key_pairs(self, name: str) -> list[tuple[str, str]]:
@@ -382,7 +383,10 @@ class StreamSQL:
         from ..streaming.lookup import source_schema
         try:
             sch = source_schema(src)
-        except ExecError:
+        except Exception:
+            # ANY schema() failure — absent, raising, malformed DDL —
+            # routes to the driver-probe fallback rather than failing
+            # registration (the r9 driver path tolerated all of these)
             return False
         pairs, ref_cols = self._table_source_meta[name]
         if not pairs:
@@ -401,11 +405,11 @@ class StreamSQL:
     def _split_lookup_sources(self):
         """(worker-routable, driver-fallback) partitions of the
         registered lookup sources (decision cached at registration)."""
-        route = getattr(self, "_table_source_route", {})
         worker: dict[str, object] = {}
         driver: dict[str, object] = {}
         for name, src in self._table_sources.items():
-            (worker if route.get(name) else driver)[name] = src
+            (worker if self._table_source_route.get(name)
+             else driver)[name] = src
         return worker, driver
 
     def _lookup_tables(self, source_df: DataFrame,
@@ -636,12 +640,16 @@ class StreamSQL:
             # parallel across partitions, zero driver involvement; the
             # rest take the bounded driver-probe fallback
             worker, driver = self._split_lookup_sources()
+            if driver:
+                # driver probe keys come from the PRE-enrichment frame:
+                # probing the worker-enriched frame would execute every
+                # worker source's mapInPandas stage (and its lookups) an
+                # extra full pass just to collect the fallback's keys
+                all_tables.update(self._lookup_tables(source_df, driver))
             if worker:
                 from ..streaming.lookup import apply_lookup_joins
                 source_df, plan = apply_lookup_joins(
                     source_df, plan, worker, via="join")
-            if driver:
-                all_tables.update(self._lookup_tables(source_df, driver))
         if tables:
             all_tables.update(tables)
         return BatchExecutor(self.spark, all_tables).execute(plan, source_df)
@@ -664,8 +672,25 @@ class StreamSQL:
             all_tables.update(tables)
         return StreamingExecutor(
             self.spark, all_tables,
-            lookup_sources=dict(self._table_sources)
+            lookup_sources=self._stream_lookup_sources()
         ).build(self._plan, stream_df)
+
+    def _stream_lookup_sources(self) -> dict:
+        """Lookup sources for the streaming path — which has no
+        driver-probe fallback (a micro-batch pipeline cannot collect
+        per-batch keys on the driver), so a source that registration
+        already classified as not worker-routable fails HERE with a
+        typed error instead of an opaque PicklingError at task
+        serialization inside the running stream."""
+        worker, driver = self._split_lookup_sources()
+        if driver:
+            raise ExecError(
+                f"table source(s) {sorted(driver)} cannot ship to "
+                "workers (unpicklable, or no usable schema()) — the "
+                "streaming path has no driver-probe fallback. Make the "
+                "source picklable and declare schema() (StructType or "
+                "DDL string) covering its referenced columns.")
+        return worker
 
     def start_stream(self, stream_df: DataFrame,
                      sink: Callable[[list[dict]], None] | None = None,
@@ -677,7 +702,7 @@ class StreamSQL:
             raise RuntimeError("call execute(sql) first")
         from ..streaming.executor import StreamingExecutor
         ex = StreamingExecutor(self.spark, dict(self._tables),
-                               lookup_sources=dict(self._table_sources))
+                               lookup_sources=self._stream_lookup_sources())
         sinks = list(self._sinks)
         if sink is not None:
             sinks.append(sink)
@@ -1798,8 +1823,8 @@ class StreamSQL:
                 except Exception:
                     pass  # user Close bugs must not break shutdown
         self._table_sources.clear()
-        if hasattr(self, "_table_source_route"):
-            self._table_source_route.clear()
+        self._table_source_meta.clear()
+        self._table_source_route.clear()
         with self._buffer_cond:  # same lock discipline as the trigger swap
             self._buffer.clear()
             self._history.clear()

@@ -822,6 +822,18 @@ def _compile_json_extract(e: N.Func):
     def _no_const(_):
         raise Fallback()  # NaN/Infinity: Python accepts, Jackson varies
 
+    def _pairs(pairs):
+        # duplicate keys ANYWHERE — including escape-collided
+        # spellings (a key written with \\u-escapes collides with its
+        # plain form), which a raw-text scan cannot see: which match
+        # wins is parser-dependent, so the oracle decides
+        d = {}
+        for k, v in pairs:
+            if k in d:
+                raise Fallback()
+            d[k] = v
+        return d
+
     def jx(row):
         doc = vf(row)
         if doc is None:
@@ -829,7 +841,8 @@ def _compile_json_extract(e: N.Func):
         if not isinstance(doc, str):
             raise Fallback()
         try:
-            cur = json.loads(doc, parse_constant=_no_const)
+            cur = json.loads(doc, parse_constant=_no_const,
+                             object_pairs_hook=_pairs)
         except Fallback:
             raise
         except Exception:
@@ -844,8 +857,6 @@ def _compile_json_extract(e: N.Func):
             else:
                 if not isinstance(cur, dict):
                     return None
-                if doc.count(f'"{s}"') > 1:
-                    raise Fallback()  # duplicate key: match order varies
                 if s not in cur:
                     return None  # missing path: NULL on both engines
                 cur = cur[s]

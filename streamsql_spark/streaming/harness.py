@@ -78,12 +78,15 @@ def run_streaming_collect(spark, plan_holder, batches: list[list[dict]],
         for b in batches:
             replay.add_batch(b)
         got: list[dict] = []
+        split = getattr(plan_holder, "_stream_lookup_sources", None)
         ex = StreamingExecutor(
             spark,
             {**(getattr(plan_holder, "_tables", None) or {}),
              **(tables or {})},
-            lookup_sources=dict(getattr(plan_holder, "_table_sources",
-                                        None) or {}))
+            lookup_sources=(split() if callable(split)
+                            else dict(getattr(plan_holder,
+                                              "_table_sources",
+                                              None) or {})))
         q = ex.start(plan_holder.plan, replay.stream(),
                      sink=lambda rows: got.extend(rows),
                      checkpoint=replay.checkpoint)

@@ -177,18 +177,24 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
 
     def xf(e):
         """AST twin of ``rw`` sharing ``mapping`` — for expressions the
-        engines render late (CEP measures/defines, analytic args)."""
-        if isinstance(e, N.Col) and len(e.parts) == 2 \
-                and all(isinstance(p, str) for p in e.parts):
+        engines render late (CEP measures/defines, analytic args).
+        Handles paths of ANY depth: ``m.payload['k']`` parses as a
+        3-part Col whose first two segments are the qualifier and the
+        enriched column — the rewrite keeps the trailing path segments
+        (``__q_m_payload__['k']``), matching what ``rw`` produces on
+        the rendered string."""
+        if isinstance(e, N.Col) and len(e.parts) >= 2 \
+                and isinstance(e.parts[0], str) \
+                and isinstance(e.parts[1], str):
             root, col = str(e.parts[0]), str(e.parts[1])
             if root in shadow:
                 return e
             if root == src_name:
-                return N.Col((col,))
+                return N.Col(tuple(e.parts[1:]), e.quoted)
             if root in quals:
                 tok = f"{root}.{col}"
                 mapping.setdefault(tok, f"__q_{root}_{col}__")
-                return N.Col((mapping[tok],))
+                return N.Col((mapping[tok], *e.parts[2:]), e.quoted)
         return e
 
     # ---- pass 1: extract every join's probe pairs + residual FIRST,
@@ -444,7 +450,6 @@ def _enrich_via_join(probe: DataFrame, src, pairs, want, by_name,
     driver-probe fallback: SQL join equality never matches NULL keys,
     while the in-stage pandas merge (and the reference's in-process
     Lookup(nil)) can."""
-    from pyspark.sql.types import BooleanType
     keydf = probe.select(*key_cols).distinct()
     hit_fields = [StructField(kc, key_types[k])
                   for (_, k), kc in zip(pairs, key_cols)]

@@ -2157,6 +2157,11 @@ def test_pyeval_json_extract_differential(spark):
         '{"type": true}',                      # bool leaf: fallback
         '{"type": {"x": 1}}',                  # container leaf: fallback
         '{"type": "a", "type": "b"}',          # duplicate key: fallback
+        # ESCAPE-COLLIDED duplicate (the u-escaped first key parses
+        # equal to "type"): a raw-text scan can't see it — parse-time
+        # duplicate detection must fall back,
+        # or pyeval's last-wins would diverge from Jackson's first-match
+        '{"\\u0074ype": "q", "type": "r"}',
         'not json at all',                     # parse fail: oracle decides
         '{"tags": ["only"]}',
         None,

@@ -1721,3 +1721,106 @@ def test_streaming_lookup_column_as_analytic_arg(spark):
                  key=lambda r: r["ts"])
     assert [(r["ts"], r["prev"]) for r in got] == \
         [(1000, None), (2000, None), (3000, 10.0)]
+
+
+def test_lookup_nested_qualified_ref_in_analytic_arg(spark):
+    """A NESTED qualified ref to a lookup column (``m.payload['k']``,
+    a 3-part path) inside an analytic argument must rewrite to the
+    enriched flat column and register in the qref mapping (review find
+    r10: the AST rewriter only handled exactly-2-part Cols, so the
+    column was never enriched — AnalysisException); batch and
+    streaming agree."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    def mk_src():
+        class MapSource:
+            def name(self):
+                return "m"
+
+            def schema(self):
+                return "payload MAP<STRING, BIGINT>"
+
+            def lookup(self, key):
+                pay = {"d1": {"k": 10}, "d2": {"k": 100}}.get(key)
+                return ({"payload": pay}, True) if pay is not None \
+                    else (None, False)
+
+        return MapSource()
+
+    schema = StructType([StructField("deviceId", StringType()),
+                         StructField("v", DoubleType()),
+                         StructField("ts", LongType())])
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+            {"deviceId": "d2", "v": 2.0, "ts": 2000},
+            {"deviceId": "d1", "v": 3.0, "ts": 3000}]
+    sql = ("SELECT ts, acc_sum(m.payload['k']) "
+           "OVER (PARTITION BY deviceId) AS acc FROM stream "
+           "JOIN m ON deviceId = m.deviceId "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    want = [(1000, 10), (2000, 100), (3000, 20)]
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(mk_src())
+    got = sorted(run_streaming_collect(spark, s, [rows[:2], rows[2:]],
+                                       schema),
+                 key=lambda r: r["ts"])
+    assert [(r["ts"], r["acc"]) for r in got] == want
+
+    sb = StreamSQL(spark)
+    sb.execute(sql)
+    sb.register_table_source(mk_src())
+    bout = sb.query(spark.createDataFrame(rows, schema))
+    assert sorted(tuple(r) for r in bout.collect()) == want
+
+
+def test_lookup_malformed_schema_routes_driver_batch_raises_stream(spark):
+    """A source whose schema() is unusable (malformed DDL here; raising
+    schema() is the same class) must not fail REGISTRATION: the batch
+    path falls back to the bounded driver probe (r9 behavior), and the
+    streaming path — which has no driver fallback — raises a typed
+    error instead of an opaque PicklingError inside the running
+    stream."""
+    import pytest
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.engine.batch import ExecError
+
+    data = {"d1": {"location": "plantA", "tier": 1}}
+
+    class BadDDL:
+        def name(self):
+            return "meta"
+
+        def schema(self):
+            return "location STRING tier BIGINT"  # missing comma
+
+        def lookup(self, key):
+            row = data.get(key)
+            return row, row is not None
+
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+            {"deviceId": "d2", "v": 2.0, "ts": 2000}]
+    sql = ("SELECT deviceId, m.location AS loc FROM stream "
+           "JOIN meta m ON deviceId = m.deviceId")
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(BadDDL())  # must not raise
+    out = s.query(spark.createDataFrame(rows, _lookup_schema()))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan  # driver fallback
+    assert [tuple(r) for r in out.collect()] == [("d1", "plantA")]
+
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    s2.register_table_source(BadDDL())
+    stream = (spark.readStream.format("rate").load()
+              .selectExpr("CAST(value AS STRING) AS deviceId",
+                          "timestamp AS ts"))
+    with pytest.raises(ExecError, match="cannot ship"):
+        s2.query_stream(stream)
