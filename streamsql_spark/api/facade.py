@@ -914,7 +914,13 @@ class StreamSQL:
         if cached is None:
             # the gate is a pure function of the compiled plan + the
             # declared schema — decide ONCE, not per event
-            from ..dialect.pyeval import Fallback, compile_direct
+            from ..dialect.pyeval import (Fallback, compile_direct,
+                                          set_session_tz)
+            try:
+                set_session_tz(self.spark.conf.get(
+                    "spark.sql.session.timeZone"))
+            except Exception:
+                set_session_tz("")  # unresolvable tz: UTC-gated fns off
             plan = self._plan
             fn = None
             if not (plan.joins or plan.analytics or plan.distinct

@@ -560,6 +560,682 @@ def _fn_is_numeric(v):
     return False
 
 
+# ------------------------------------------------ session context
+# effective ``spark.sql.session.timeZone``, set by the facade before
+# the first compile.  The time-of-day family (now/current_date/...)
+# and epoch formatting only answer under UTC — the get_spark default
+# (session.py) — because any other zone would require the JVM and
+# Python tzdata to agree, an unverifiable bar; non-UTC sessions take
+# the Spark path.
+_SESSION_TZ = "UTC"
+
+
+def set_session_tz(tz: str) -> None:
+    global _SESSION_TZ
+    _SESSION_TZ = tz or "unknown"  # unresolvable: UTC-gated fns off
+
+
+def _utc_now():
+    """Wall clock in session time (UTC-gated).  now()/current_* are
+    NONDETERMINISTIC: the parity bar here is type + clock source, not
+    value-identity with a Spark evaluation at a different instant —
+    the reference evaluates them in-process the same way
+    (functions_datetime.go now/current_*)."""
+    import datetime as dt
+    if _SESSION_TZ != "UTC":
+        raise Fallback()
+    return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+
+def _fn_unix_timestamp():
+    if _SESSION_TZ != "UTC":
+        raise Fallback()
+    import time
+    return int(time.time())
+
+
+def _fn_from_unixtime(v):
+    """from_unixtime(seconds) → 'yyyy-MM-dd HH:mm:ss' in session time
+    (registry renders Spark's from_unixtime).  DETERMINISTIC — exact
+    parity required: int seconds only (a double arg casts engine-side),
+    years outside 1000-9999 fall back (strftime %Y zero-padding is
+    platform-dependent)."""
+    if v is None:
+        return None
+    if _SESSION_TZ != "UTC":
+        raise Fallback()
+    if isinstance(v, bool) or not isinstance(v, int):
+        raise Fallback()
+    import datetime as dt
+    try:
+        d = dt.datetime.fromtimestamp(v, dt.timezone.utc)
+    except (OverflowError, OSError, ValueError):
+        raise Fallback()
+    if not 1000 <= d.year <= 9999:
+        raise Fallback()
+    return d.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _fn_chr(v):
+    """chr(code) — the rendered formula (registry.py) answers char(v)
+    for 0..127 and NULL outside (the reference errors on out-of-ASCII,
+    functions_conversion.go:362-369; a rendered column can't raise
+    per-row)."""
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, int):
+        raise Fallback()  # fractional codes: engine-side cast semantics
+    return chr(v) if 0 <= v <= 127 else None
+
+
+def _fn_json_valid(v):
+    """json_valid(s) → (try_parse_json(s) IS NOT NULL): NULL input is
+    FALSE (NULL IS NOT NULL), python-strict-parseable is True — strict
+    Python acceptance implies variant acceptance for the guarded
+    subset; any parse failure, non-finite number, >38-digit integer
+    (variant decimal bound) or deeply-bracketed document is
+    parser-leniency territory and falls back."""
+    if v is None:
+        return False
+    if not isinstance(v, str):
+        raise Fallback()
+    if v.count("[") + v.count("{") > 64:
+        raise Fallback()  # depth limits differ between parsers
+
+    def _const(_):
+        raise Fallback()  # NaN/Infinity: Python accepts, variant varies
+
+    def _flt(s):
+        f = float(s)
+        if not math.isfinite(f):
+            raise Fallback()  # 1e999 overflows differently per parser
+        return f
+
+    def _intg(s):
+        if len(s.lstrip("-")) > 38:
+            raise Fallback()  # beyond variant's decimal(38) range
+        return int(s)
+
+    def _dupchk(pairs):
+        # variant REJECTS duplicate object keys (try_parse_json →
+        # NULL → json_valid false) where Python's last-wins accepts —
+        # measured divergence, so duplicates go to the oracle
+        d = {}
+        for k, val in pairs:
+            if k in d:
+                raise Fallback()
+            d[k] = val
+        return d
+
+    import json
+    try:
+        json.loads(v, parse_constant=_const, parse_float=_flt,
+                   parse_int=_intg, object_pairs_hook=_dupchk)
+    except Fallback:
+        raise
+    except Exception:
+        raise Fallback()  # variant may be laxer: oracle decides
+    return True
+
+
+# ------------------------------------------ datetime (strict subset, r10)
+
+_STRICT_TS_RE = re.compile(
+    r"(\d{4})-(\d{2})-(\d{2})"
+    r"(?:[ ](\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?)?")
+
+
+def _strict_ts(v):
+    """Spark ``CAST(string AS TIMESTAMP)`` for the STRICT shape
+    ``yyyy-MM-dd[ HH:mm:ss[.ffffff]]`` with in-range fields — the
+    shapes whose acceptance is mode-independent.  Everything else
+    (T separators, zone suffixes, partial times, single-digit fields,
+    out-of-range dates — ANSI raises where legacy NULLs) falls back.
+    UTC-gated: in a DST zone a wall-clock string can be nonexistent or
+    ambiguous and Spark shifts it, so every consumer (field extractors,
+    date arithmetic, formatting) is only wall==instant-safe under a
+    fixed-offset session zone."""
+    import datetime as dt
+    if v is None:
+        return None
+    if _SESSION_TZ != "UTC":
+        raise Fallback()
+    if not isinstance(v, str):
+        raise Fallback()
+    m = _STRICT_TS_RE.fullmatch(v)
+    if m is None:
+        raise Fallback()
+    try:
+        return dt.datetime(int(m[1]), int(m[2]), int(m[3]),
+                           int(m[4] or 0), int(m[5] or 0), int(m[6] or 0),
+                           int((m[7] or "0").ljust(6, "0")))
+    except ValueError:
+        raise Fallback()  # invalid date: ANSI raises, legacy NULLs
+
+
+def _ts_field(fld):
+    def f(v):
+        d = _strict_ts(v)
+        return None if d is None else fld(d)
+    return f
+
+
+def _fn_to_seconds(v):
+    """to_seconds → unix_timestamp(CAST(x AS TIMESTAMP)): epoch micros
+    divided by 1e6 with JAVA integer division — truncation toward
+    ZERO, not floor (measured: '1969-12-31 23:59:59.5' → 0, where
+    floor would give -1).  UTC-gated by _strict_ts."""
+    import calendar
+    d = _strict_ts(v)
+    if d is None:
+        return None
+    us = calendar.timegm(d.timetuple()) * 1_000_000 + d.microsecond
+    q, r = divmod(us, 1_000_000)
+    if q < 0 and r:
+        q += 1  # floor → toward zero
+    return q
+
+
+# timestampadd/timestampdiff fixed-length units in microseconds; the
+# calendar units (MONTH/QUARTER/YEAR) go through _add_months
+_UNIT_US = {"DAY": 86_400_000_000, "HOUR": 3_600_000_000,
+            "MINUTE": 60_000_000, "SECOND": 1_000_000,
+            "WEEK": 604_800_000_000, "MILLISECOND": 1_000,
+            "MICROSECOND": 1}
+_UNIT_MONTHS = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}
+
+
+def _add_months(d, n: int):
+    """LocalDateTime.plusMonths semantics (Spark timestampadd
+    MONTH/QUARTER/YEAR): day-of-month clamps to the target month's
+    length, time-of-day keeps."""
+    import calendar
+    t = d.year * 12 + (d.month - 1) + n
+    y, m = divmod(t, 12)
+    if not 1 <= y <= 9999:
+        raise Fallback()  # engine-side overflow behavior owns this
+    last = calendar.monthrange(y, m + 1)[1]
+    return d.replace(year=y, month=m + 1, day=min(d.day, last))
+
+
+def _compile_date_addsub(e: "N.Func", sign: int):
+    """date_add/date_sub(ts, n[, unit]) → timestampadd(UNIT,
+    ±CAST(n AS BIGINT), CAST(ts AS TIMESTAMP)) — registry
+    _render_date_add/_render_date_sub."""
+    from ..functions.registry import _ts_unit
+    if not 2 <= len(e.args) <= 3:
+        return None
+    unit = _ts_unit(e.args[2]) if len(e.args) > 2 else "DAY"
+    vf, nf = compile_expr(e.args[0]), compile_expr(e.args[1])
+    if vf is None or nf is None:
+        return None
+    unit_us = _UNIT_US.get(unit)
+    months = _UNIT_MONTHS.get(unit)
+    if unit_us is None and months is None:
+        return None
+
+    def f(row):
+        import datetime as dt
+        d = _strict_ts(vf(row))
+        n = nf(row)
+        if d is None or n is None:
+            return None
+        if isinstance(n, bool) or not isinstance(n, int):
+            raise Fallback()  # CAST(n AS BIGINT) truncation: engine-side
+        try:
+            if unit_us is not None:
+                out = d + dt.timedelta(microseconds=sign * n * unit_us)
+            else:
+                out = _add_months(d, sign * n * months)
+        except (OverflowError, ValueError):
+            raise Fallback()  # out of timestamp range: ANSI error zone
+        return out
+
+    return f
+
+
+def _compile_date_diff(e: "N.Func"):
+    """date_diff(a, b[, unit]) → timestampdiff(UNIT, CAST(b), CAST(a)):
+    complete units between, truncated toward zero.  Calendar units
+    (MONTH/QUARTER/YEAR — day-of-month comparison rules) stay on the
+    Spark path."""
+    from ..functions.registry import _ts_unit
+    if not 2 <= len(e.args) <= 3:
+        return None
+    unit = _ts_unit(e.args[2]) if len(e.args) > 2 else "DAY"
+    unit_us = _UNIT_US.get(unit)
+    if unit_us is None:
+        return None
+    af, bf = compile_expr(e.args[0]), compile_expr(e.args[1])
+    if af is None or bf is None:
+        return None
+
+    def f(row):
+        import datetime as dt
+        a = _strict_ts(af(row))
+        b = _strict_ts(bf(row))
+        if a is None or b is None:
+            return None
+        us = (a - b) // dt.timedelta(microseconds=1)
+        q, r = divmod(us, unit_us)
+        if q < 0 and r != 0:
+            q += 1  # floor → truncate toward zero
+        return q
+
+    return f
+
+
+def _parse_java_pattern(pat: str):
+    """Tokenize the go_format_to_java output subset: yyyy/yy/MM/dd/
+    HH/mm/ss field tokens, 'quoted' literals, non-letter literals.
+    None for anything else (unsupported pattern letters)."""
+    parts: list[tuple[str, str]] = []
+    i = 0
+    while i < len(pat):
+        for tok in ("yyyy", "yy", "MM", "dd", "HH", "mm", "ss"):
+            if pat.startswith(tok, i):
+                parts.append(("f", tok))
+                i += len(tok)
+                break
+        else:
+            ch = pat[i]
+            if ch == "'":
+                j = pat.find("'", i + 1)
+                if j < 0:
+                    return None
+                parts.append(("l", "'" if j == i + 1 else pat[i + 1:j]))
+                i = j + 1
+            elif ch.isalpha():
+                return None
+            else:
+                parts.append(("l", ch))
+                i += 1
+    return parts
+
+
+_JFMT_OUT = {
+    "yyyy": lambda d: f"{d.year:04d}", "yy": lambda d: f"{d.year % 100:02d}",
+    "MM": lambda d: f"{d.month:02d}", "dd": lambda d: f"{d.day:02d}",
+    "HH": lambda d: f"{d.hour:02d}", "mm": lambda d: f"{d.minute:02d}",
+    "ss": lambda d: f"{d.second:02d}",
+}
+
+
+def _compile_date_format(e: "N.Func"):
+    """date_format(ts, pattern-literal) for the translated-token subset
+    (registry._render_date_format → go_format_to_java)."""
+    from ..functions.registry import _lit_str, go_format_to_java
+    if len(e.args) != 2:
+        return None
+    pat = _lit_str(e.args[1])
+    if pat is None:
+        return None
+    parts = _parse_java_pattern(go_format_to_java(pat))
+    if parts is None:
+        return None
+    vf = compile_expr(e.args[0])
+    if vf is None:
+        return None
+
+    def f(row):
+        d = _strict_ts(vf(row))
+        if d is None:
+            return None
+        return "".join(lit if kind == "l" else _JFMT_OUT[lit](d)
+                       for kind, lit in parts)
+
+    return f
+
+
+def _compile_date_parse(e: "N.Func"):
+    """date_parse(s, pattern-literal) → to_timestamp(s, javafmt) for
+    exactly-one-of-each yyyy/MM/dd (+ optional HH/mm/ss) patterns:
+    strict full-width match, missing time fields default to zero
+    (Java resolver defaults); 'yy' (century-base resolution) and
+    repeated fields stay on the Spark path.  A non-matching input is
+    ANSI-mode territory (error vs NULL) — falls back."""
+    from ..functions.registry import _lit_str, go_format_to_java
+    if len(e.args) != 2:
+        return None
+    pat = _lit_str(e.args[1])
+    if pat is None:
+        return None
+    parts = _parse_java_pattern(go_format_to_java(pat))
+    if parts is None:
+        return None
+    toks = [lit for kind, lit in parts if kind == "f"]
+    if "yy" in toks or len(set(toks)) != len(toks) \
+            or not {"yyyy", "MM", "dd"} <= set(toks):
+        return None
+    rx = "".join(r"(\d{4})" if lit == "yyyy" else r"(\d{2})"
+                 if kind == "f" else re.escape(lit)
+                 for kind, lit in parts)
+    pat_re = re.compile(rx)
+    vf = compile_expr(e.args[0])
+    if vf is None:
+        return None
+
+    def f(row):
+        import datetime as dt
+        v = vf(row)
+        if v is None:
+            return None
+        if _SESSION_TZ != "UTC":
+            raise Fallback()
+        if not isinstance(v, str):
+            raise Fallback()
+        m = pat_re.fullmatch(v)
+        if m is None:
+            raise Fallback()  # parse failure: ANSI raises, legacy NULLs
+        got = dict(zip(toks, (int(g) for g in m.groups())))
+        try:
+            return dt.datetime(got["yyyy"], got["MM"], got["dd"],
+                               got.get("HH", 0), got.get("mm", 0),
+                               got.get("ss", 0))
+        except ValueError:
+            raise Fallback()
+
+    return f
+
+
+def _compile_extract(e: "N.Func"):
+    """extract(unit-literal, ts) — registry._render_extract's unit map
+    (Go weekday 0=Sunday)."""
+    from ..functions.registry import _lit_str
+    if len(e.args) != 2:
+        return None
+    unit = (_lit_str(e.args[0]) or "year").lower()
+    flds = {
+        "year": lambda d: d.year, "month": lambda d: d.month,
+        "day": lambda d: d.day, "hour": lambda d: d.hour,
+        "minute": lambda d: d.minute, "second": lambda d: d.second,
+        "weekday": lambda d: (d.weekday() + 1) % 7,
+        "yearday": lambda d: d.timetuple().tm_yday,
+    }
+    fld = flds.get(unit)
+    if fld is None:
+        return None  # renderer raises at render time — Spark path owns
+    vf = compile_expr(e.args[1])
+    if vf is None:
+        return None
+
+    def f(row):
+        d = _strict_ts(vf(row))
+        return None if d is None else fld(d)
+
+    return f
+
+
+def _compile_split(e: "N.Func"):
+    """split(s, literal-sep) — the renderer regex-escapes the literal
+    delimiter (strings.Split semantics), so Java Pattern.split with
+    limit -1 equals Python str.split exactly (both keep leading and
+    trailing empties); empty/runtime delimiters stay on the Spark
+    path."""
+    if len(e.args) != 2:
+        return None
+    sep = e.args[1]
+    if not (isinstance(sep, N.Lit) and isinstance(sep.value, str)
+            and sep.value):
+        return None
+    vf = compile_expr(e.args[0])
+    if vf is None:
+        return None
+    sepv = sep.value
+
+    def f(row):
+        v = vf(row)
+        if v is None:
+            return None
+        if not isinstance(v, str):
+            raise Fallback()
+        return v.split(sepv)
+
+    return f
+
+
+def _compile_array_len(e: "N.Func"):
+    """len/length over an array-producing function argument renders
+    cardinality() (registry._render_len's polymorphic branch) — count
+    list elements; a non-Func argument keeps the string-length _FNS
+    path.  Returns None to mean 'not the array branch'."""
+    if len(e.args) != 1:
+        return None
+    a0 = e.args[0]
+    from ..functions.registry import _ARRAY_FUNCS
+    if not (isinstance(a0, N.Func) and a0.name.lower() in _ARRAY_FUNCS):
+        return None
+
+    vf = compile_expr(a0)
+
+    def f(row):
+        v = vf(row)
+        if v is None:
+            return None
+        if not isinstance(v, list):
+            raise Fallback()
+        return len(v)
+
+    return f if vf is not None else _NO_COMPILE
+
+
+_NO_COMPILE = object()  # array-branch marker: "is the branch, can't compile"
+
+
+# --------------------------------------------- array functions (r10)
+
+def _compile_array_val(e):
+    """Accessor for an ARRAY-typed argument: a bare column hands the
+    raw list through (compile_expr's col() refuses containers by
+    design — the refusal protects scalar consumers, not these), any
+    other expr compiles normally (split() produces lists).  The
+    runtime list/homogeneity check happens in _scalar_array."""
+    if isinstance(e, N.Col) and len(e.parts) == 1 \
+            and isinstance(e.parts[0], str):
+        name = e.parts[0]
+
+        def acc(row):
+            if name not in row:
+                raise Fallback()
+            return row[name]
+
+        return acc
+    return compile_expr(e)
+
+
+def _scalar_array(v):
+    """(list, class-token) for a homogeneous SCALAR array — the only
+    array kind whose single-event schema inference (the Spark oracle
+    encodes the list as a typed literal) is unambiguous.  Nested
+    containers, mixed classes, out-of-range ints → Fallback."""
+    if not isinstance(v, list):
+        raise Fallback()
+    cls = _homog_class(v)
+    inner = cls[1]
+    if inner not in (None, "b", "i", "f", "s"):
+        raise Fallback()
+    return v, inner
+
+
+def _finite_elems(arr):
+    """Set-based array ops (distinct/union/intersect/except) compare
+    via Python hashing, where NaN != NaN — Spark's NaN normalization
+    differs, so non-finite floats go to the oracle."""
+    for x in arr:
+        if isinstance(x, float) and not math.isfinite(x):
+            raise Fallback()
+    return arr
+
+
+def _same_elem_class(ca, cb):
+    """Two-array ops: a class mix (array<long> vs array<double>)
+    makes Spark coerce BOTH sides — the result carries coerced values
+    (1 → 1.0) the python path would get wrong — and a None class
+    (empty / all-null array) single-event-infers as array<string>
+    (measured: array_union([], [1,1]) is an ANALYSIS ERROR on the
+    Spark route), so both cases fall back."""
+    if ca is None or cb is None or ca != cb:
+        raise Fallback()
+
+
+def _arr_first_index(arr, val):
+    """1-based first match by Spark equality (_cmp); 0 when absent."""
+    for i, x in enumerate(arr):
+        if x is not None and _cmp("=", x, val) is True:
+            return i + 1
+    return 0
+
+
+def _compile_array_fn(lname: str, e: "N.Func"):
+    two = lname in ("array_contains", "array_position", "array_remove",
+                    "array_union", "array_intersect", "array_except")
+    if len(e.args) != (2 if two else 1):
+        return None
+    af = _compile_array_val(e.args[0])
+    if af is None:
+        return None
+    bf = None
+    if two:
+        bf = (_compile_array_val(e.args[1])
+              if lname in ("array_union", "array_intersect",
+                           "array_except") else compile_expr(e.args[1]))
+        if bf is None:
+            return None
+
+    def f(row):
+        va = af(row)
+        if va is None:
+            return None
+        arr, ca = _scalar_array(va)
+        if lname == "array_length":
+            return len(arr)
+        if lname == "array_distinct":
+            out, seen = [], set()
+            for x in _finite_elems(arr):
+                if x not in seen:
+                    seen.add(x)
+                    out.append(x)
+            return out
+        vb = bf(row)
+        if lname in ("array_union", "array_intersect", "array_except"):
+            if vb is None:
+                return None
+            brr, cb = _scalar_array(vb)
+            _same_elem_class(ca, cb)
+            _finite_elems(arr)
+            _finite_elems(brr)
+            if lname == "array_union":
+                out, seen = [], set()
+                for x in arr + brr:
+                    if x not in seen:
+                        seen.add(x)
+                        out.append(x)
+                return out
+            bset = set(brr)
+            out, seen = [], set()
+            for x in arr:
+                keep = (x in bset) if lname == "array_intersect" \
+                    else (x not in bset)
+                if keep and x not in seen:
+                    seen.add(x)
+                    out.append(x)
+            return out
+        # element-valued second argument (contains/position/remove)
+        if vb is None:
+            return None
+        if not isinstance(vb, (bool, int, float, str)):
+            raise Fallback()
+        if ca is None:
+            # empty/all-null array infers array<string> on the Spark
+            # route: a non-string probe value is an analysis error
+            # there — don't answer what the oracle would reject
+            raise Fallback()
+        if lname == "array_contains":
+            if _arr_first_index(arr, vb):
+                return True
+            return None if any(x is None for x in arr) else False
+        if lname == "array_position":
+            return _arr_first_index(arr, vb)
+        # array_remove: drop every element equal to vb; nulls keep
+        return [x for x in arr
+                if x is None or _cmp("=", x, vb) is not True]
+
+    return f
+
+
+_ARRAY_FN_NAMES = frozenset(
+    {"array_contains", "array_position", "array_remove", "array_union",
+     "array_intersect", "array_except", "array_distinct", "array_length"})
+
+
+_UDF_T = None  # lazy pyspark.sql.types handle (keeps pyeval pure-python)
+
+
+def _udf_result(r, dt):
+    """Spark's UDF result-type contract for the EXACT-match subset: a
+    result whose Python type matches the declared Spark type passes
+    through unchanged on both the pickled and Arrow-optimized UDF
+    paths; anything needing coercion (int for a DOUBLE declaration,
+    str for BIGINT, containers, timestamps...) is converter-dependent
+    — the Spark path owns it."""
+    global _UDF_T
+    if _UDF_T is None:
+        from pyspark.sql import types as _T
+        _UDF_T = _T
+    T = _UDF_T
+    if r is None:
+        return None
+    if isinstance(dt, T.StringType):
+        if isinstance(r, str):
+            return r
+    elif isinstance(dt, T.LongType):
+        if isinstance(r, int) and not isinstance(r, bool) \
+                and _I64_MIN <= r <= _I64_MAX:
+            return r
+    elif isinstance(dt, T.IntegerType):
+        if isinstance(r, int) and not isinstance(r, bool) \
+                and -(2 ** 31) <= r <= 2 ** 31 - 1:
+            return r
+    elif isinstance(dt, T.DoubleType):
+        if isinstance(r, float):
+            return float(r)  # normalizes float subclasses (np.float64)
+    elif isinstance(dt, T.BooleanType):
+        if isinstance(r, bool):
+            return r
+    raise Fallback()
+
+
+def _compile_custom_scalar(lname: str, e: "N.Func"):
+    """Call a runtime-registered scalar UDF in-process — the SAME
+    Python callable the Spark path executes (registry.register_function
+    hands it to spark.udf.register), so given identical argument values
+    the result is identical by construction; what needs guarding is the
+    HANDOFF: scalar args only (container representation differs by UDF
+    mode), exact result-type match (``_udf_result``), and a raising UDF
+    re-routes to the Spark path, which owns error surfacing."""
+    args = [compile_expr(a) for a in e.args]
+    if any(a is None for a in args):
+        return None
+
+    def call(row):
+        from ..functions.registry import custom_scalar
+        ent = custom_scalar(lname)
+        if ent is None:
+            raise Fallback()  # deregistered/re-registered since compile
+        fn, dt = ent
+        vals = [a(row) for a in args]
+        for v in vals:
+            if v is not None and not isinstance(v, (bool, int, float, str)):
+                raise Fallback()
+        try:
+            r = fn(*vals)
+        except Exception:
+            raise Fallback()
+        return _udf_result(r, dt)
+
+    return call
+
+
 _FNS: dict[str, object] = {
     # type checks: on the per-event path every admitted value is a
     # scalar (col() refuses containers), and an untyped NULL literal's
@@ -638,6 +1314,27 @@ _FNS: dict[str, object] = {
     "if_null": lambda a, b: _fn_coalesce(a, b),
     "null_if": lambda a, b: _FNS["nullif"](a, b),
     "len": lambda v: None if v is None else len(_str_arg(v)),
+    # conversion / json (r10 whitelist)
+    "chr": _fn_chr,
+    "json_valid": _fn_json_valid,
+    # datetime (r10; UTC-gated — see _SESSION_TZ)
+    "from_unixtime": _fn_from_unixtime,
+    "now": _utc_now,
+    "current_date": lambda: _utc_now().date(),
+    "current_time": lambda: _utc_now().strftime("%H:%M:%S"),
+    "unix_timestamp": _fn_unix_timestamp,
+    "to_seconds": _fn_to_seconds,
+    # strict-timestamp field extractors: 'day' renders dayofmonth and
+    # 'dayofweek' the Go Sunday=0 shift (registry.py); the rest are
+    # pass-through Spark builtins over the implicit string cast
+    "day": _ts_field(lambda d: d.day),
+    "dayofweek": _ts_field(lambda d: (d.weekday() + 1) % 7),
+    "dayofyear": _ts_field(lambda d: d.timetuple().tm_yday),
+    "hour": _ts_field(lambda d: d.hour),
+    "minute": _ts_field(lambda d: d.minute),
+    "second": _ts_field(lambda d: d.second),
+    "month": _ts_field(lambda d: d.month),
+    "year": _ts_field(lambda d: d.year),
 }
 
 # arity guards (None = variadic)
@@ -659,6 +1356,13 @@ _FN_ARITY: dict[str, tuple[int, int] | None] = {
     "trunc": (1, 2), "hex2dec": (1, 1), "dec2hex": (1, 1),
     "is_numeric": (1, 1), "is_string": (1, 1), "is_bool": (1, 1),
     "is_array": (1, 1), "is_object": (1, 1),
+    "chr": (1, 1), "json_valid": (1, 1), "from_unixtime": (1, 1),
+    "now": (0, 0), "current_date": (0, 0), "current_time": (0, 0),
+    # unix_timestamp(ts) renders through a CAST — 0-arg form only
+    "unix_timestamp": (0, 0),
+    "to_seconds": (1, 1), "day": (1, 1), "dayofweek": (1, 1),
+    "dayofyear": (1, 1), "hour": (1, 1), "minute": (1, 1),
+    "second": (1, 1), "month": (1, 1), "year": (1, 1),
 }
 
 
@@ -1016,9 +1720,16 @@ def compile_expr(e: N.Expr):
             return None
         lname = e.name.lower()
         from ..functions import registry as _registry
-        if lname in _registry._CUSTOM_SCALARS \
-                or lname in _registry._CUSTOM_ANALYTICS:
-            return None  # runtime-registered custom function wins
+        if lname in _registry._CUSTOM_ANALYTICS:
+            return None  # runtime-registered analytic wins (stateful)
+        if lname in _registry._CUSTOM_SCALARS:
+            if lname in _registry.SCALAR_RENDERERS \
+                    or lname in _registry.AGG_RENDERERS:
+                # a custom registration shadowed by a dialect renderer:
+                # which one the rendered SQL resolves to is the Spark
+                # path's business — don't guess
+                return None
+            return _compile_custom_scalar(lname, e)
         if lname == "case_when":
             # the renderer pairs args WHEN/THEN with a trailing ELSE
             # (registry._render_case_when) — build the equivalent
@@ -1049,6 +1760,27 @@ def compile_expr(e: N.Expr):
             return lambda row: caster(vf(row))
         if lname == "json_extract":
             return _compile_json_extract(e)
+        if lname == "extract":
+            return _compile_extract(e)
+        if lname == "date_add":
+            return _compile_date_addsub(e, 1)
+        if lname == "date_sub":
+            return _compile_date_addsub(e, -1)
+        if lname == "date_diff":
+            return _compile_date_diff(e)
+        if lname == "date_format":
+            return _compile_date_format(e)
+        if lname == "date_parse":
+            return _compile_date_parse(e)
+        if lname == "split":
+            return _compile_split(e)
+        if lname in _ARRAY_FN_NAMES:
+            return _compile_array_fn(lname, e)
+        if lname in ("len", "length"):
+            arr = _compile_array_len(e)
+            if arr is not None:
+                return None if arr is _NO_COMPILE else arr
+            # not the array branch: string length via _FNS below
         fn = _FNS.get(lname)
         if fn is None:
             return None

@@ -637,7 +637,15 @@ def register_function(spark, name: str, fn, return_type="string") -> None:
 
     dt = return_type if not isinstance(return_type, str) else _parse_datatype_string(return_type)
     spark.udf.register(name, fn, dt)
-    _CUSTOM_SCALARS[name.lower()] = fn
+    # (fn, declared type): the per-event python path calls the same
+    # callable in-process (dialect/pyeval.py) and needs the declared
+    # type to apply Spark's result-type contract
+    _CUSTOM_SCALARS[name.lower()] = (fn, dt)
+
+
+def custom_scalar(name: str):
+    """(fn, return_type) for a runtime-registered scalar UDF."""
+    return _CUSTOM_SCALARS.get(name.lower())
 
 
 def register_aggregate_function(spark, name: str, fn, return_type="double") -> None:

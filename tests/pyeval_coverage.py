@@ -83,11 +83,68 @@ def shape_gate(plan) -> str | None:
     return None
 
 
+def _register_reference_fixture_udfs() -> None:
+    """The corpus statements that call square/f_to_c/circle_area/
+    mask_phone/func01/func02 come from reference e2e tests that
+    REGISTER those functions first (test/e2e custom-function suites) —
+    mirror the registrations so the coverage number reflects the
+    harness those statements assume.  Registered directly into the
+    registry's scalar table (compile-time measurement needs no Spark
+    session; the declared types drive the result-type contract)."""
+    from pyspark.sql.types import DoubleType, LongType, StringType
+
+    from streamsql_spark.functions import registry
+
+    def square(x):
+        return None if x is None else float(x) * float(x)
+
+    def f_to_c(f):
+        return None if f is None else (float(f) - 32.0) * 5.0 / 9.0
+
+    def circle_area(r):
+        import math
+        return None if r is None else math.pi * float(r) * float(r)
+
+    def mask_phone(s):
+        return None if s is None else (s[:3] + "****" + s[-4:]
+                                       if len(s) >= 7 else s)
+
+    def str_length(s):
+        return None if s is None else len(str(s))
+
+    fixtures = {
+        "square": (square, DoubleType()),
+        "f_to_c": (f_to_c, DoubleType()),
+        "circle_area": (circle_area, DoubleType()),
+        "mask_phone": (mask_phone, StringType()),
+        "func01": (square, DoubleType()),
+        "func02": (str_length, LongType()),
+    }
+    registry._CUSTOM_SCALARS.update(fixtures)
+
+
+def _is_error_shaped(stmt) -> bool:
+    """True when the statement calls a function name NEITHER engine can
+    resolve (not in the dialect registry, not runtime-registered, not a
+    Spark builtin): it raises on BOTH paths by design (the corpus keeps
+    the reference's negative tests), so it is not a fast-path
+    candidate and must not depress the coverage denominator."""
+    from streamsql_spark.functions.registry import (
+        unknown_function_suggestions)
+    for e in [f.expr for f in stmt.fields] + [stmt.where]:
+        for node in N.walk(e):
+            if isinstance(node, N.Func) \
+                    and unknown_function_suggestions(node.name) is not None:
+                return True
+    return False
+
+
 def main() -> None:
+    _register_reference_fixture_udfs()
     planned, _, _ = run_sweep()
     shape = Counter()
     miss = Counter()
-    compiled = direct = 0
+    compiled = direct = error_shaped = 0
     miss_examples: dict[str, str] = {}
     for rel, stmt_sql in planned:
         stmt = parse(stmt_sql)
@@ -98,6 +155,9 @@ def main() -> None:
         gate = shape_gate(plan)
         if gate is not None:
             shape[gate] += 1
+            continue
+        if _is_error_shaped(stmt):
+            error_shaped += 1
             continue
         direct += 1
         if compile_direct(stmt) is not None:
@@ -111,12 +171,14 @@ def main() -> None:
             miss[r] += 1
             miss_examples.setdefault(r, stmt_sql[:120])
 
-    total = direct + sum(shape.values())
+    total = direct + sum(shape.values()) + error_shaped
     print(f"planned statements: {total}")
     print(f"shape-gated (executor machinery by design): "
           f"{sum(shape.values())}")
     for k, v in shape.most_common():
         print(f"  {k}: {v}")
+    print(f"error-shaped (unknown function — raises on both paths): "
+          f"{error_shaped}")
     print(f"direct-shaped: {direct}")
     pct = 100.0 * compiled / direct if direct else 0.0
     print(f"pyeval fast path: {compiled}/{direct} = {pct:.1f}%")

@@ -2021,6 +2021,18 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         "SELECT concat(s, '_', h) AS cnh, concat(s, s) AS css FROM stream",
         "SELECT round(h, 2) AS rh2, round(h, 0) AS rh0, "
         "round(h, -1) AS rhm FROM stream WHERE h IS NOT NULL",
+        # r10 whitelist additions: chr (ASCII window), json_valid,
+        # from_unixtime, the strict-timestamp family, split
+        "SELECT chr(h) AS ch FROM stream",
+        "SELECT json_valid(j) AS jv FROM stream",
+        "SELECT from_unixtime(h * 20000000) AS fu FROM stream "
+        "WHERE h IS NOT NULL",
+        "SELECT day(dt) AS dd, hour(dt) AS hh, dayofweek(dt) AS dw, "
+        "month(dt) AS mo, year(dt) AS yr FROM stream",
+        "SELECT date_add(dt, 1, 'month') AS da, to_seconds(dt) AS tsx "
+        "FROM stream",
+        "SELECT date_format(dt, 'YYYY/MM/DD HH:mi') AS df FROM stream",
+        "SELECT len(split(s, 'e')) AS ns FROM stream",
     ]
     rng = random.Random(20260814)
 
@@ -2038,7 +2050,13 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
                         " nb ", " og x"])
         b = rng.choice([None, 2 ** 62, -(2 ** 62),
                         2 ** 62 + rng.randint(0, 1000)])
-        return {"t": t, "h": h, "s": s, "b": b}
+        j = rng.choice([None, '{"a": 1}', '[1, 2, 3]', 'oops', '"str"',
+                        '{"a": {"b": []}}', '{"x": 1, "x": 2}',
+                        '  [true, null] ', '{'])
+        dt = rng.choice([None, "2024-01-15 10:30:45", "2024-02-29",
+                         "2023-02-29", "2024-12-31 23:59:59.123456",
+                         "2024-01-31", "2024-6-01", "not-a-date"])
+        return {"t": t, "h": h, "s": s, "b": b, "j": j, "dt": dt}
 
     n_py = n_fb = 0
     for sql in queries:
@@ -2047,11 +2065,14 @@ def test_pyeval_differential_vs_spark_fast_path(spark):
         for _ in range(40):
             row = event()
             py = e._emit_sync_python(dict(row))
-            sp = e._emit_sync_fast(dict(row))
-            assert sp is not _NOT_APPLICABLE, (sql, row)
             if py is _NOT_APPLICABLE:
+                # fallback rows may be Spark-side ERRORS (ANSI cast of
+                # 'not-a-date', invalid dates) — the oracle owns them;
+                # error-parity edges are pinned in the fixed-case tests
                 n_fb += 1
                 continue
+            sp = e._emit_sync_fast(dict(row))
+            assert sp is not _NOT_APPLICABLE, (sql, row)
             n_py += 1
 
             def norm(d):
@@ -2187,6 +2208,318 @@ def test_pyeval_json_extract_differential(spark):
             n_py += 1
             assert py == sp, (sql, row, py, sp)
     assert n_py >= 30, n_py
+
+
+def test_pyeval_chr_json_valid_from_unixtime_differential(spark):
+    """r10 whitelist additions, differential vs the Spark renderings:
+    chr (NULL outside ASCII 0-127), json_valid (python-strict parse
+    implies variant-valid; failures/NaN/huge numbers fall back), and
+    from_unixtime (UTC epoch formatting; out-of-range years fall
+    back).  Every in-process answer must equal the Spark path's."""
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+
+    cases = [
+        ("SELECT chr(c) AS x FROM stream", "c",
+         [65, 0, 127, 128, 255, -1, None, True, 65.0]),
+        ("SELECT json_valid(p) AS x FROM stream", "p",
+         ['{"a": 1}', 'nope', '[1, 2]', '"s"', None, '5',
+          '{"a": NaN}', '1e999', '  {"k": [true, null]} ', '{',
+          '{"a": 1, "a": 2}', 9]),
+        ("SELECT from_unixtime(t) AS x FROM stream", "t",
+         [0, 1705312800, -1, -62135596800, 253402300800, None, 1.5]),
+    ]
+    n_py = 0
+    for sql, col, vals in cases:
+        e = StreamSQL(spark)
+        e.execute(sql)
+        for v in vals:
+            row = {col: v, "pad": 1}
+            py = e._emit_sync_python(dict(row))
+            if py is _NOT_APPLICABLE:
+                # fallback values may be Spark-side errors too (e.g. a
+                # bool fed to chr's int formula) — the oracle owns them
+                continue
+            sp = e._emit_sync_fast(dict(row))
+            assert sp is not _NOT_APPLICABLE
+            n_py += 1
+            assert py == sp, (sql, v, py, sp)
+    assert n_py >= 16, n_py  # 17 of the fixtures take the fast path
+
+
+def test_pyeval_datetime_family_differential(spark):
+    """r10 whitelist: the strict-timestamp family (field extractors,
+    extract, to_seconds, date_add/date_sub/date_diff, date_format/
+    date_parse, split + len-over-array), differential-fuzzed against
+    the Spark renderings over randomized timestamps including
+    month-end clamps, leap days, sub-second fractions (to_seconds
+    truncates toward ZERO — Java division, measured), negative spans,
+    and out-of-shape strings (which must fall back)."""
+    import random
+
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+
+    rng = random.Random(11)
+
+    def rand_ts():
+        y = rng.randint(1969, 2030)
+        mo = rng.randint(1, 12)
+        d = rng.randint(1, [31, 29 if y % 4 == 0 else 28, 31, 30, 31, 30,
+                            31, 31, 30, 31, 30, 31][mo - 1])
+        if rng.random() < 0.3:
+            return f"{y:04d}-{mo:02d}-{d:02d}"
+        frac = f".{rng.randint(0, 999999):06d}" if rng.random() < 0.3 else ""
+        return (f"{y:04d}-{mo:02d}-{d:02d} {rng.randint(0, 23):02d}:"
+                f"{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}{frac}")
+
+    edge = ["2024-01-31 05:00:00", "2024-02-29", "2023-02-28 23:59:59",
+            "2024-03-31", "2024-12-31 23:59:59.999999",
+            "1969-12-31 23:59:59.5", "1970-01-01 00:00:00",
+            "2024-02-30", "2024-13-01", "not a date",
+            "2024-01-15T10:00:00", None]
+    queries = [
+        "SELECT day(t) AS a, hour(t) AS b, dayofweek(t) AS c, "
+        "dayofyear(t) AS d, month(t) AS e, year(t) AS f, minute(t) AS g,"
+        " second(t) AS h FROM stream",
+        "SELECT extract('weekday', t) AS a, extract('yearday', t) AS b, "
+        "extract('hour', t) AS c FROM stream",
+        "SELECT to_seconds(t) AS a FROM stream",
+        "SELECT date_add(t, 1, 'month') AS a, date_add(t, -2, 'month') "
+        "AS b, date_add(t, 13, 'month') AS c, date_add(t, 2, 'year') "
+        "AS d, date_sub(t, 1, 'quarter') AS e FROM stream",
+        "SELECT date_add(t, 7, 'day') AS a, date_add(t, -3, 'hour') AS "
+        "b, date_add(t, 90, 'second') AS c, date_sub(t, 2, 'week') AS d"
+        " FROM stream",
+        "SELECT date_format(t, 'YYYY/MM/DD') AS a, date_format(t, "
+        "'HH:mi:SS') AS b, date_format(t, 'YY-MM') AS c FROM stream",
+    ]
+    n_py = 0
+    for sql in queries:
+        e = StreamSQL(spark)
+        e.execute(sql)
+        for _ in range(12):
+            row = {"t": rng.choice(edge) if rng.random() < 0.4
+                   else rand_ts()}
+            py = e._emit_sync_python(dict(row))
+            if py is _NOT_APPLICABLE:
+                continue
+            sp = e._emit_sync_fast(dict(row))
+            n_py += 1
+            assert py == sp, (sql, row, py, sp)
+
+    # pairwise: date_diff truncates toward zero on fractional spans
+    e = StreamSQL(spark)
+    e.execute("SELECT date_diff(a, b, 'day') AS x, "
+              "date_diff(a, b, 'hour') AS y, "
+              "date_diff(a, b, 'second') AS z FROM stream")
+    for _ in range(15):
+        row = {"a": rand_ts(), "b": rand_ts()}
+        py = e._emit_sync_python(dict(row))
+        if py is _NOT_APPLICABLE:
+            continue
+        sp = e._emit_sync_fast(dict(row))
+        n_py += 1
+        assert py == sp, (row, py, sp)
+
+    # date_parse strict round trip + mismatch fallback
+    e = StreamSQL(spark)
+    e.execute("SELECT date_parse(t, 'YYYY-MM-DD HH:mi:SS') AS a "
+              "FROM stream")
+    py = e._emit_sync_python({"t": "2024-03-05 09:08:07"})
+    sp = e._emit_sync_fast({"t": "2024-03-05 09:08:07"})
+    assert py == sp
+    assert e._emit_sync_python({"t": "2024/03/05"}) is _NOT_APPLICABLE
+
+    # split keeps leading/trailing empties (strings.Split semantics);
+    # len over an array-producing arg counts elements
+    e = StreamSQL(spark)
+    e.execute("SELECT split(s, '.') AS a, len(split(s, '.')) AS n "
+              "FROM stream")
+    for s in ["a.b.c", ".a.", "abc", "", "..", None]:
+        py = e._emit_sync_python({"s": s})
+        sp = e._emit_sync_fast({"s": s})
+        assert py is not _NOT_APPLICABLE
+        n_py += 1
+        assert py == sp, (s, py, sp)
+
+    assert n_py >= 60, n_py
+
+
+def test_pyeval_array_functions_differential(spark):
+    """r10 whitelist: the array family (contains/position/remove/
+    distinct/union/intersect/except/length) over homogeneous scalar
+    arrays, differential vs the FULL Spark route (the templated
+    VALUES oracle declines array rows — the twin with pyeval disabled
+    is the real fallback).  Pinned edges: empty arrays infer
+    array<string> on the Spark route (measured: array_union([], [1])
+    is an analysis error — class-indeterminate sides fall back);
+    array_contains is three-valued (null element + miss → NULL);
+    array_position is 1-based with 0 for a miss."""
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+    from streamsql_spark.dialect.pyeval import Fallback
+
+    def both(sql, row):
+        e = StreamSQL(spark)
+        e.execute(sql)
+        py = e._emit_sync_python(dict(row))
+        if py is _NOT_APPLICABLE:
+            return py, None
+        t = StreamSQL(spark)
+        t.execute(sql)
+        t._pyeval_ready = (None, Fallback)  # twin: force the Spark route
+        return py, t.emit_sync(dict(row))
+
+    n_py = 0
+    cases = [
+        ("SELECT array_contains(t, 'b') AS a, array_contains(t, 'z') "
+         "AS b FROM stream", {"t": ["a", "b"]}),
+        ("SELECT array_contains(t, 'z') AS a FROM stream",
+         {"t": ["a", None]}),
+        ("SELECT array_contains(t, 2) AS a FROM stream", {"t": [1, 2]}),
+        ("SELECT array_contains(t, 1.5) AS a FROM stream",
+         {"t": [1.5, 2.5]}),
+        ("SELECT array_position(t, 'b') AS a, array_position(t, 'z') "
+         "AS b FROM stream", {"t": ["a", "b", "b"]}),
+        ("SELECT array_position(t, 'z') AS a FROM stream",
+         {"t": ["a", None]}),
+        ("SELECT array_distinct(t) AS a FROM stream",
+         {"t": ["b", "a", "b", None, "a", None]}),
+        ("SELECT array_length(t) AS a FROM stream", {"t": [1, 2, 3]}),
+        ("SELECT array_length(t) AS a FROM stream", {"t": None}),
+        ("SELECT array_union(x, y) AS a, array_intersect(x, y) AS b, "
+         "array_except(x, y) AS c FROM stream",
+         {"x": [1, 2, 2, None], "y": [2, 3, None]}),
+        ("SELECT array_union(x, y) AS a FROM stream",
+         {"x": ["p"], "y": ["q", "p"]}),
+        ("SELECT array_remove(t, 'b') AS a FROM stream",
+         {"t": ["a", "b", None, "b"]}),
+        ("SELECT array_remove(t, 2) AS a FROM stream",
+         {"t": [1, 2, 3, 2]}),
+    ]
+    for sql, row in cases:
+        py, sp = both(sql, row)
+        assert py is not _NOT_APPLICABLE, (sql, row)
+        n_py += 1
+        assert py == sp, (sql, row, py, sp)
+    assert n_py == len(cases)
+
+    # class-indeterminate (empty) vs typed side: Spark route errors —
+    # pyeval must NOT answer
+    e = StreamSQL(spark)
+    e.execute("SELECT array_union(x, y) AS a FROM stream")
+    assert e._emit_sync_python({"x": [], "y": [1, 1]}) is _NOT_APPLICABLE
+    # empty array + non-string probe: same class of analysis error
+    e2 = StreamSQL(spark)
+    e2.execute("SELECT array_contains(t, 5) AS a FROM stream")
+    assert e2._emit_sync_python({"t": []}) is _NOT_APPLICABLE
+    # nested arrays: single-event inference territory — Spark path
+    e3 = StreamSQL(spark)
+    e3.execute("SELECT array_distinct(t) AS a FROM stream")
+    assert e3._emit_sync_python({"t": [[1], [1]]}) is _NOT_APPLICABLE
+
+
+def test_pyeval_custom_scalar_udf_in_process(spark):
+    """A runtime-registered scalar UDF answers on the per-event python
+    path by calling the SAME callable in-process (the reference's
+    custom functions run in-process, functions/registry.go:239-288) —
+    guarded by the exact result-type contract: an exact-type result
+    matches the Spark path bit-for-bit; a coercion-needing result
+    (int for a DOUBLE declaration — the pickled UDF path NULLs it) or
+    a raising UDF re-routes to the Spark path."""
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+
+    def square(x):
+        return None if x is None else float(x) * float(x)
+
+    def mask(s):
+        return None if s is None else s[:3] + "****"
+
+    def str_len(s):
+        return None if s is None else len(s)
+
+    def badtype(x):
+        return 4  # int for a double declaration: converter-dependent
+
+    def boom(x):
+        raise ValueError("user bug")
+
+    regs = [("zz_square", square, "double"), ("zz_mask", mask, "string"),
+            ("zz_len", str_len, "bigint"),
+            ("zz_badtype", badtype, "double"), ("zz_boom", boom, "double")]
+
+    def run(sql, row):
+        e = StreamSQL(spark)
+        e.execute(sql)
+        for name, fn, rt in regs:
+            e.register_function(name, fn, rt)
+        return (e._emit_sync_python(dict(row)),
+                e._emit_sync_fast(dict(row)))
+
+    py, sp = run("SELECT zz_square(v) AS s, zz_mask(p) AS m, "
+                 "zz_len(p) AS n FROM stream WHERE zz_square(v) > 4",
+                 {"v": 3.0, "p": "5551234"})
+    assert py == sp == {"s": 9.0, "m": "555****", "n": 7}
+    py, sp = run("SELECT zz_square(v) AS s FROM stream",
+                 {"v": None})
+    assert py == sp == {"s": None}
+    # non-exact result type: python path must NOT answer (the Spark
+    # pickle path NULLs the value — converter-dependent)
+    py, sp = run("SELECT zz_badtype(v) AS s FROM stream", {"v": 1.0})
+    assert py is _NOT_APPLICABLE and sp == {"s": None}
+    # raising UDF: python path hands the event to the Spark path,
+    # which owns error surfacing
+    e = StreamSQL(spark)
+    e.execute("SELECT zz_boom(v) AS s FROM stream")
+    for name, fn, rt in regs:
+        e.register_function(name, fn, rt)
+    assert e._emit_sync_python({"v": 1.0}) is _NOT_APPLICABLE
+    # container argument: handoff representation is UDF-mode-dependent
+    e2 = StreamSQL(spark)
+    e2.execute("SELECT zz_len(tags) AS n FROM stream")
+    for name, fn, rt in regs:
+        e2.register_function(name, fn, rt)
+    assert e2._emit_sync_python({"tags": ["a", "b"]}) is _NOT_APPLICABLE
+
+
+def test_pyeval_time_family_clock_and_tz_gate(spark):
+    """now()/current_date()/current_time()/unix_timestamp() answer
+    in-process under a UTC session (type-exact, clock within
+    tolerance — they are NONDETERMINISTIC, so value-identity with a
+    Spark evaluation at another instant is not the bar); a non-UTC
+    session tz disables them (JVM/Python tzdata agreement is
+    unverifiable)."""
+    import datetime
+
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+    from streamsql_spark.dialect import pyeval
+
+    e = StreamSQL(spark)
+    e.execute("SELECT now() AS t, current_date() AS d, "
+              "current_time() AS c, unix_timestamp() AS u FROM stream")
+    py = e._emit_sync_python({"v": 1})
+    sp = e._emit_sync_fast({"v": 1})
+    assert py is not _NOT_APPLICABLE
+    assert isinstance(py["t"], datetime.datetime)
+    assert isinstance(py["d"], datetime.date)
+    assert isinstance(py["c"], str) and len(py["c"]) == 8
+    assert isinstance(py["u"], int)
+    assert abs((py["t"] - sp["t"]).total_seconds()) < 60
+    assert abs(py["u"] - sp["u"]) < 60
+
+    try:
+        pyeval.set_session_tz("America/New_York")
+        e2 = StreamSQL(spark)
+        e2.execute("SELECT now() AS t FROM stream")
+        # compile directly: _emit_sync_python would re-read the real
+        # session tz and undo the override
+        from streamsql_spark.dialect.pyeval import compile_direct
+        fn = compile_direct(e2._stmt)
+        assert fn is not None
+        import pytest
+        with pytest.raises(pyeval.Fallback):
+            fn({"v": 1})
+    finally:
+        pyeval.set_session_tz(
+            spark.conf.get("spark.sql.session.timeZone"))
 
 
 def test_pyeval_int64_overflow_falls_back(spark):
