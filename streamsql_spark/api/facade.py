@@ -469,12 +469,50 @@ class StreamSQL:
                                  for s, k in pairs]).limit(0))
             # plan-referenced table columns the lookups never returned
             # resolve as NULL — the reference's nil for a missing map
-            # field (utils/fieldpath GetNestedField miss)
+            # field (utils/fieldpath GetNestedField miss).  A column the
+            # statement navigates NESTED (m.payload['k']) needs a TYPED
+            # NULL: a void literal cannot be try_element_at-ed
             for c in ref_cols:
                 if c not in tdf.columns:
-                    tdf = tdf.withColumn(c, F.lit(None))
+                    cast = self._nested_backfill_cast(name, c)
+                    lit = F.lit(None).cast(cast) if cast else F.lit(None)
+                    tdf = tdf.withColumn(c, lit)
             out[name] = tdf
         return out
+
+    def _nested_backfill_cast(self, name: str, col: str) -> str | None:
+        """Spark type for NULL-backfilling table column ``col`` when the
+        statement navigates it nested: bracket-key segments shape a
+        map, index segments an array (matching render_col's
+        try_element_at chain), built recursively from the first nested
+        ref's path.  None for plain refs (untyped NULL suffices) and
+        for struct-dot segments (a missing struct field cannot be
+        faked — the declared schema() covers that case instead)."""
+        aliases = {name}
+        for j in self._stmt.joins:
+            if j.table == name and j.alias:
+                aliases.add(j.alias)
+
+        def shape(parts) -> str | None:
+            if not parts:
+                return "string"
+            p = parts[0]
+            if isinstance(p, N.MapKey):
+                inner = shape(parts[1:])
+                return f"map<string,{inner}>" if inner else None
+            if isinstance(p, int):
+                inner = shape(parts[1:])
+                return f"array<{inner}>" if inner else None
+            return None  # struct dot access: not fakeable
+
+        for e in [f.expr for f in self._stmt.fields] \
+                + [self._stmt.where, self._stmt.having]:
+            for node in N.walk(e):
+                if isinstance(node, N.Col) and len(node.parts) > 2 \
+                        and str(node.parts[0]) in aliases \
+                        and node.parts[1] == col:
+                    return shape(list(node.parts[2:]))
+        return None
 
     def _lookup_rows_df(self, src, rows: list[dict], pairs,
                         probe: DataFrame) -> DataFrame:
@@ -535,7 +573,12 @@ class StreamSQL:
                 + list(stmt.match.order_by)
         for e in exprs:
             for node in N.walk(e):
-                if isinstance(node, N.Col) and len(node.parts) == 2 \
+                # >= 2 parts: a NESTED ref (m.payload['k'], 3-part Col)
+                # still references table column parts[1] — missing it
+                # breaks NULL-backfill and the worker-routability
+                # schema-coverage check (review find r10)
+                if isinstance(node, N.Col) and len(node.parts) >= 2 \
+                        and isinstance(node.parts[1], str) \
                         and str(node.parts[0]) in aliases \
                         and str(node.parts[1]) not in cols:
                     cols.append(str(node.parts[1]))

@@ -38,8 +38,12 @@ supported grammar.
 
 from __future__ import annotations
 
+import calendar
+import datetime as _dt
+import json as _json
 import math
 import re
+import time as _time
 from decimal import ROUND_HALF_UP, Decimal
 
 from . import nodes as N
@@ -575,23 +579,35 @@ def set_session_tz(tz: str) -> None:
     _SESSION_TZ = tz or "unknown"  # unresolvable: UTC-gated fns off
 
 
+# functions whose Spark semantics read the session timezone: compile
+# REFUSES them under a non-UTC zone (a statement compiled under one
+# facade must not start answering because a different facade later set
+# the process-wide tz back to UTC), and the runtime gates stay as a
+# tripwire for the reverse flip.  Known limit: mutating
+# spark.sql.session.timeZone between a facade's compile and its later
+# events is not re-detected — use a fresh StreamSQL after a tz change.
+_TZ_GATED = frozenset(
+    {"now", "current_date", "current_time", "unix_timestamp",
+     "from_unixtime", "to_seconds", "day", "dayofweek", "dayofyear",
+     "hour", "minute", "second", "month", "year", "date_add",
+     "date_sub", "date_diff", "date_format", "date_parse", "extract"})
+
+
 def _utc_now():
     """Wall clock in session time (UTC-gated).  now()/current_* are
     NONDETERMINISTIC: the parity bar here is type + clock source, not
     value-identity with a Spark evaluation at a different instant —
     the reference evaluates them in-process the same way
     (functions_datetime.go now/current_*)."""
-    import datetime as dt
     if _SESSION_TZ != "UTC":
         raise Fallback()
-    return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
 
 def _fn_unix_timestamp():
     if _SESSION_TZ != "UTC":
         raise Fallback()
-    import time
-    return int(time.time())
+    return int(_time.time())
 
 
 def _fn_from_unixtime(v):
@@ -606,9 +622,8 @@ def _fn_from_unixtime(v):
         raise Fallback()
     if isinstance(v, bool) or not isinstance(v, int):
         raise Fallback()
-    import datetime as dt
     try:
-        d = dt.datetime.fromtimestamp(v, dt.timezone.utc)
+        d = _dt.datetime.fromtimestamp(v, _dt.timezone.utc)
     except (OverflowError, OSError, ValueError):
         raise Fallback()
     if not 1000 <= d.year <= 9999:
@@ -626,6 +641,21 @@ def _fn_chr(v):
     if isinstance(v, bool) or not isinstance(v, int):
         raise Fallback()  # fractional codes: engine-side cast semantics
     return chr(v) if 0 <= v <= 127 else None
+
+
+def _reject_dup_pairs(pairs):
+    """object_pairs_hook shared by json_valid and json_extract:
+    duplicate object keys ANYWHERE — including escape-collided
+    spellings (a key written with \\u-escapes collides with its plain
+    form), which a raw-text scan cannot see — are parser-dependent
+    territory (variant REJECTS them, Jackson keeps the first match,
+    Python keeps the last), so they go to the oracle."""
+    d = {}
+    for k, val in pairs:
+        if k in d:
+            raise Fallback()
+        d[k] = val
+    return d
 
 
 def _fn_json_valid(v):
@@ -656,21 +686,9 @@ def _fn_json_valid(v):
             raise Fallback()  # beyond variant's decimal(38) range
         return int(s)
 
-    def _dupchk(pairs):
-        # variant REJECTS duplicate object keys (try_parse_json →
-        # NULL → json_valid false) where Python's last-wins accepts —
-        # measured divergence, so duplicates go to the oracle
-        d = {}
-        for k, val in pairs:
-            if k in d:
-                raise Fallback()
-            d[k] = val
-        return d
-
-    import json
     try:
-        json.loads(v, parse_constant=_const, parse_float=_flt,
-                   parse_int=_intg, object_pairs_hook=_dupchk)
+        _json.loads(v, parse_constant=_const, parse_float=_flt,
+                    parse_int=_intg, object_pairs_hook=_reject_dup_pairs)
     except Fallback:
         raise
     except Exception:
@@ -695,7 +713,6 @@ def _strict_ts(v):
     ambiguous and Spark shifts it, so every consumer (field extractors,
     date arithmetic, formatting) is only wall==instant-safe under a
     fixed-offset session zone."""
-    import datetime as dt
     if v is None:
         return None
     if _SESSION_TZ != "UTC":
@@ -706,7 +723,7 @@ def _strict_ts(v):
     if m is None:
         raise Fallback()
     try:
-        return dt.datetime(int(m[1]), int(m[2]), int(m[3]),
+        return _dt.datetime(int(m[1]), int(m[2]), int(m[3]),
                            int(m[4] or 0), int(m[5] or 0), int(m[6] or 0),
                            int((m[7] or "0").ljust(6, "0")))
     except ValueError:
@@ -725,7 +742,6 @@ def _fn_to_seconds(v):
     divided by 1e6 with JAVA integer division — truncation toward
     ZERO, not floor (measured: '1969-12-31 23:59:59.5' → 0, where
     floor would give -1).  UTC-gated by _strict_ts."""
-    import calendar
     d = _strict_ts(v)
     if d is None:
         return None
@@ -749,7 +765,6 @@ def _add_months(d, n: int):
     """LocalDateTime.plusMonths semantics (Spark timestampadd
     MONTH/QUARTER/YEAR): day-of-month clamps to the target month's
     length, time-of-day keeps."""
-    import calendar
     t = d.year * 12 + (d.month - 1) + n
     y, m = divmod(t, 12)
     if not 1 <= y <= 9999:
@@ -775,7 +790,6 @@ def _compile_date_addsub(e: "N.Func", sign: int):
         return None
 
     def f(row):
-        import datetime as dt
         d = _strict_ts(vf(row))
         n = nf(row)
         if d is None or n is None:
@@ -784,7 +798,7 @@ def _compile_date_addsub(e: "N.Func", sign: int):
             raise Fallback()  # CAST(n AS BIGINT) truncation: engine-side
         try:
             if unit_us is not None:
-                out = d + dt.timedelta(microseconds=sign * n * unit_us)
+                out = d + _dt.timedelta(microseconds=sign * n * unit_us)
             else:
                 out = _add_months(d, sign * n * months)
         except (OverflowError, ValueError):
@@ -811,12 +825,11 @@ def _compile_date_diff(e: "N.Func"):
         return None
 
     def f(row):
-        import datetime as dt
         a = _strict_ts(af(row))
         b = _strict_ts(bf(row))
         if a is None or b is None:
             return None
-        us = (a - b) // dt.timedelta(microseconds=1)
+        us = (a - b) // _dt.timedelta(microseconds=1)
         q, r = divmod(us, unit_us)
         if q < 0 and r != 0:
             q += 1  # floor → truncate toward zero
@@ -916,7 +929,6 @@ def _compile_date_parse(e: "N.Func"):
         return None
 
     def f(row):
-        import datetime as dt
         v = vf(row)
         if v is None:
             return None
@@ -929,7 +941,7 @@ def _compile_date_parse(e: "N.Func"):
             raise Fallback()  # parse failure: ANSI raises, legacy NULLs
         got = dict(zip(toks, (int(g) for g in m.groups())))
         try:
-            return dt.datetime(got["yyyy"], got["MM"], got["dd"],
+            return _dt.datetime(got["yyyy"], got["MM"], got["dd"],
                                got.get("HH", 0), got.get("mm", 0),
                                got.get("ss", 0))
         except ValueError:
@@ -1216,13 +1228,19 @@ def _compile_custom_scalar(lname: str, e: "N.Func"):
     args = [compile_expr(a) for a in e.args]
     if any(a is None for a in args):
         return None
+    from ..functions.registry import custom_scalar
+    expected = custom_scalar(lname)
+    fn, dt = expected
 
     def call(row):
-        from ..functions.registry import custom_scalar
-        ent = custom_scalar(lname)
-        if ent is None:
-            raise Fallback()  # deregistered/re-registered since compile
-        fn, dt = ent
+        # identity tripwire: the registry is PROCESS-global while
+        # spark.udf.register is per-SparkSession — if the entry was
+        # replaced since compile (re-registration, or another session
+        # registering the same name), this compiled closure must not
+        # keep answering with a callable the Spark path may no longer
+        # execute; the oracle decides
+        if custom_scalar(lname) is not expected:
+            raise Fallback()
         vals = [a(row) for a in args]
         for v in vals:
             if v is not None and not isinstance(v, (bool, int, float, str)):
@@ -1521,22 +1539,9 @@ def _compile_json_extract(e: N.Func):
     if vf is None:
         return None
 
-    import json
 
     def _no_const(_):
         raise Fallback()  # NaN/Infinity: Python accepts, Jackson varies
-
-    def _pairs(pairs):
-        # duplicate keys ANYWHERE — including escape-collided
-        # spellings (a key written with \\u-escapes collides with its
-        # plain form), which a raw-text scan cannot see: which match
-        # wins is parser-dependent, so the oracle decides
-        d = {}
-        for k, v in pairs:
-            if k in d:
-                raise Fallback()
-            d[k] = v
-        return d
 
     def jx(row):
         doc = vf(row)
@@ -1545,8 +1550,8 @@ def _compile_json_extract(e: N.Func):
         if not isinstance(doc, str):
             raise Fallback()
         try:
-            cur = json.loads(doc, parse_constant=_no_const,
-                             object_pairs_hook=_pairs)
+            cur = _json.loads(doc, parse_constant=_no_const,
+                              object_pairs_hook=_reject_dup_pairs)
         except Fallback:
             raise
         except Exception:
@@ -1758,6 +1763,8 @@ def compile_expr(e: N.Expr):
             if vf is None:
                 return None
             return lambda row: caster(vf(row))
+        if lname in _TZ_GATED and _SESSION_TZ != "UTC":
+            return None  # see _TZ_GATED — non-UTC session at compile
         if lname == "json_extract":
             return _compile_json_extract(e)
         if lname == "extract":

@@ -2510,10 +2510,18 @@ def test_pyeval_time_family_clock_and_tz_gate(spark):
         e2 = StreamSQL(spark)
         e2.execute("SELECT now() AS t FROM stream")
         # compile directly: _emit_sync_python would re-read the real
-        # session tz and undo the override
+        # session tz and undo the override.  Non-UTC at COMPILE time
+        # refuses outright (a statement compiled under one facade must
+        # not start answering because another facade later set the
+        # process-wide tz back to UTC)
         from streamsql_spark.dialect.pyeval import compile_direct
+        assert compile_direct(e2._stmt) is None
+        # the runtime gate remains as a tripwire for the reverse flip:
+        # compiled under UTC, the tz global then changes
+        pyeval.set_session_tz("UTC")
         fn = compile_direct(e2._stmt)
         assert fn is not None
+        pyeval.set_session_tz("America/New_York")
         import pytest
         with pytest.raises(pyeval.Fallback):
             fn({"v": 1})

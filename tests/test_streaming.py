@@ -1824,3 +1824,35 @@ def test_lookup_malformed_schema_routes_driver_batch_raises_stream(spark):
                           "timestamp AS ts"))
     with pytest.raises(ExecError, match="cannot ship"):
         s2.query_stream(stream)
+
+
+def test_lookup_nested_ref_visible_to_routing_and_backfill(spark):
+    """A column referenced ONLY through a nested path (``m.payload['k']``,
+    a 3-part Col) must register in _table_ref_cols (review find r10:
+    the 2-part-only walk missed it): (a) a schema() that omits it must
+    NOT pass the worker-routability coverage check — the source routes
+    to the driver probe instead of raising mid-query; (b) on the
+    driver path, an all-miss batch must NULL-backfill the column
+    instead of failing unresolved."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    class OmitsPayload:
+        def name(self):
+            return "m"
+
+        def schema(self):
+            return "tier BIGINT"  # payload NOT declared
+
+        def lookup(self, key):
+            return None, False  # every key misses
+
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000}]
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, m.payload['k'] AS pk FROM stream "
+              "LEFT JOIN m ON deviceId = m.deviceId")
+    s.register_table_source(OmitsPayload())
+    # routed driver-side (schema does not cover the nested-referenced
+    # column), and the all-miss batch backfills payload as NULL
+    assert not s._table_source_route["m"]
+    out = s.query(spark.createDataFrame(rows, _lookup_schema()))
+    assert [tuple(r) for r in out.collect()] == [("d1", None)]
