@@ -16,9 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BooleanType, DataType, DoubleType, LongType,
-                               StringType, StructField, StructType,
-                               TimestampNTZType, TimestampType)
+from pyspark.sql.types import (ArrayType, BooleanType, DataType, DoubleType,
+                               LongType, MapType, StringType, StructField,
+                               StructType, TimestampNTZType, TimestampType)
 
 from ..dialect import nodes as N
 from ..dialect.render import render
@@ -32,6 +32,22 @@ from .engine import run_partition
 _TASK_CHUNK_ROWS = 65_536
 
 
+def _descend_type(dt: DataType, segs: list) -> DataType:
+    """Walk nested-path segments through a container DataType
+    (render_col's try_element_at / dot-access chain)."""
+    for p in segs:
+        if isinstance(dt, MapType):
+            dt = dt.valueType  # MapKey OR dotted key both index maps
+        elif isinstance(dt, ArrayType) and isinstance(p, int):
+            dt = dt.elementType
+        elif isinstance(dt, StructType) and isinstance(p, str) \
+                and p in dt.fieldNames():
+            dt = dt[p].dataType
+        else:
+            return DoubleType()  # unknown shape: the legacy default
+    return dt
+
+
 def _measure_type(e: N.Expr, schema: dict[str, DataType]) -> DataType:
     if isinstance(e, N.Lit):
         if isinstance(e.value, bool):
@@ -42,11 +58,16 @@ def _measure_type(e: N.Expr, schema: dict[str, DataType]) -> DataType:
             return DoubleType()
         return StringType()
     if isinstance(e, N.Col):
-        parts = [p for p in e.parts if isinstance(p, str)]
-        # symbol-qualified → the underlying column's type
-        for cand in (parts[-1], parts[0]):
+        segs = list(e.parts)
+        strs = [p for p in segs if isinstance(p, str)]
+        # symbol-qualified → the underlying column's type; navigation
+        # segments AFTER the column (m.thresholds['hi'], a map-typed
+        # lookup column) descend into the container type — the measure
+        # VALUE is the element, not the container
+        for cand in ((strs[-1], strs[0]) if strs else ()):
             if cand in schema:
-                return schema[cand]
+                return _descend_type(schema[cand],
+                                     segs[segs.index(cand) + 1:])
         return DoubleType()
     if isinstance(e, N.Func):
         name = e.name.lower()

@@ -658,17 +658,12 @@ def _reject_dup_pairs(pairs):
     return d
 
 
-def _fn_json_valid(v):
-    """json_valid(s) → (try_parse_json(s) IS NOT NULL): NULL input is
-    FALSE (NULL IS NOT NULL), python-strict-parseable is True — strict
-    Python acceptance implies variant acceptance for the guarded
-    subset; any parse failure, non-finite number, >38-digit integer
-    (variant decimal bound) or deeply-bracketed document is
-    parser-leniency territory and falls back."""
-    if v is None:
-        return False
-    if not isinstance(v, str):
-        raise Fallback()
+def _guarded_json_parse(v: str):
+    """Strict guarded parse shared by json_valid/json_type/json_length:
+    python-strict acceptance implies JVM-parser acceptance for the
+    guarded subset — any parse failure, non-finite number, >38-digit
+    integer (variant decimal bound), duplicate key, or deeply-bracketed
+    document is parser-leniency territory and falls back."""
     if v.count("[") + v.count("{") > 64:
         raise Fallback()  # depth limits differ between parsers
 
@@ -687,13 +682,68 @@ def _fn_json_valid(v):
         return int(s)
 
     try:
-        _json.loads(v, parse_constant=_const, parse_float=_flt,
-                    parse_int=_intg, object_pairs_hook=_reject_dup_pairs)
+        return _json.loads(v, parse_constant=_const, parse_float=_flt,
+                           parse_int=_intg,
+                           object_pairs_hook=_reject_dup_pairs)
     except Fallback:
         raise
     except Exception:
-        raise Fallback()  # variant may be laxer: oracle decides
+        raise Fallback()  # the JVM parser may be laxer: oracle decides
+
+
+_JSON_TRIM = " \t\n\r"  # the renderers' trim(BOTH ' \t\n\r' FROM x)
+
+
+def _fn_json_valid(v):
+    """json_valid(s) → (try_parse_json(s) IS NOT NULL): NULL input is
+    FALSE (NULL IS NOT NULL)."""
+    if v is None:
+        return False
+    if not isinstance(v, str):
+        raise Fallback()
+    _guarded_json_parse(v)
     return True
+
+
+def _fn_json_type(v):
+    """json_type(s) — mirror of the rendered CASE (registry.py): the
+    guarded parse proves NOT-invalid, then the classification is the
+    same whitespace-trimmed prefix logic the rendering applies."""
+    if v is None:
+        return None
+    if not isinstance(v, str):
+        raise Fallback()
+    _guarded_json_parse(v)
+    t = v.strip(_JSON_TRIM)
+    if t == "null":
+        return "null"
+    if t.startswith("{"):
+        return "object"
+    if t.startswith("["):
+        return "array"
+    if t.startswith('"'):
+        return "string"
+    if t in ("true", "false"):
+        return "boolean"
+    return "number"  # parse succeeded and no other prefix matched
+
+
+def _fn_json_length(v):
+    """json_length(s) — rendered as json_array_length for '['-prefixed
+    docs, size(json_object_keys) for '{'-prefixed, NULL otherwise.
+    With the guarded parse (no duplicate keys), element/key counts are
+    parser-independent."""
+    if v is None:
+        return None
+    if not isinstance(v, str):
+        raise Fallback()
+    parsed = _guarded_json_parse(v)
+    t = v.strip(_JSON_TRIM)
+    if t.startswith("["):
+        return len(parsed)
+    if t.startswith("{"):
+        return len(parsed)
+    return None
 
 
 # ------------------------------------------ datetime (strict subset, r10)
@@ -1335,6 +1385,8 @@ _FNS: dict[str, object] = {
     # conversion / json (r10 whitelist)
     "chr": _fn_chr,
     "json_valid": _fn_json_valid,
+    "json_type": _fn_json_type,
+    "json_length": _fn_json_length,
     # datetime (r10; UTC-gated — see _SESSION_TZ)
     "from_unixtime": _fn_from_unixtime,
     "now": _utc_now,
@@ -1374,7 +1426,8 @@ _FN_ARITY: dict[str, tuple[int, int] | None] = {
     "trunc": (1, 2), "hex2dec": (1, 1), "dec2hex": (1, 1),
     "is_numeric": (1, 1), "is_string": (1, 1), "is_bool": (1, 1),
     "is_array": (1, 1), "is_object": (1, 1),
-    "chr": (1, 1), "json_valid": (1, 1), "from_unixtime": (1, 1),
+    "chr": (1, 1), "json_valid": (1, 1), "json_type": (1, 1),
+    "json_length": (1, 1), "from_unixtime": (1, 1),
     "now": (0, 0), "current_date": (0, 0), "current_time": (0, 0),
     # unix_timestamp(ts) renders through a CAST — 0-arg form only
     "unix_timestamp": (0, 0),

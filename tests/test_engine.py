@@ -2225,6 +2225,12 @@ def test_pyeval_chr_json_valid_from_unixtime_differential(spark):
          ['{"a": 1}', 'nope', '[1, 2]', '"s"', None, '5',
           '{"a": NaN}', '1e999', '  {"k": [true, null]} ', '{',
           '{"a": 1, "a": 2}', 9]),
+        ("SELECT json_type(p) AS x FROM stream", "p",
+         ['{"a": 1}', '[1, 2]', '"s"', 'null', ' true', 'false',
+          '-2.5e3', '42', None, 'oops', '  [1] ', '{"a": 1, "a": 2}']),
+        ("SELECT json_length(p) AS x FROM stream", "p",
+         ['[1, 2, 3]', '[]', '{"a": 1, "b": {"c": 2}}', '{}', '"s"',
+          '5', 'null', None, ' [1, [2, 3]] ', 'bad']),
         ("SELECT from_unixtime(t) AS x FROM stream", "t",
          [0, 1705312800, -1, -62135596800, 253402300800, None, 1.5]),
     ]

@@ -1826,6 +1826,62 @@ def test_lookup_malformed_schema_routes_driver_batch_raises_stream(spark):
         s2.query_stream(stream)
 
 
+def test_cep_nested_lookup_ref_in_measures_and_defines(spark):
+    """Nested qualified lookup refs (``m.thresholds['hi']``) inside
+    MATCH_RECOGNIZE MEASURES and DEFINE rewrite through the same AST
+    transformer as analytic args (review find r10) — batch and
+    streaming agree."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    def mk_src():
+        class ThresholdSource:
+            def name(self):
+                return "m"
+
+            def schema(self):
+                return "thresholds MAP<STRING, DOUBLE>"
+
+            def lookup(self, key):
+                if key == "d1":
+                    return {"thresholds": {"hi": 50.0, "lo": 10.0}}, True
+                return None, False
+
+        return ThresholdSource()
+
+    schema = StructType([StructField("deviceId", StringType()),
+                         StructField("v", DoubleType()),
+                         StructField("ts", LongType())])
+    rows = [{"deviceId": "d1", "v": 60.0, "ts": 1000},
+            {"deviceId": "d1", "v": 5.0, "ts": 2000}]
+    sql = ("SELECT hi_v, lo_v, thr FROM stream "
+           "JOIN m ON deviceId = m.deviceId "
+           "MATCH_RECOGNIZE ("
+           "  PARTITION BY deviceId ORDER BY ts "
+           "  MEASURES A.v AS hi_v, B.v AS lo_v, "
+           "           m.thresholds['hi'] AS thr "
+           "  ONE ROW PER MATCH PATTERN (A B) "
+           "  DEFINE A AS v > m.thresholds['hi'], "
+           "         B AS v < m.thresholds['lo']"
+           ") WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    want = [{"hi_v": 60.0, "lo_v": 5.0, "thr": 50.0}]
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(mk_src())
+    got = run_streaming_collect(spark, s, [rows], schema)
+    assert got == want
+
+    sb = StreamSQL(spark)
+    sb.execute(sql)
+    sb.register_table_source(mk_src())
+    bout = sb.query(spark.createDataFrame(rows, schema))
+    assert [r.asDict() for r in bout.collect()] == want
+
+
 def test_lookup_nested_ref_visible_to_routing_and_backfill(spark):
     """A column referenced ONLY through a nested path (``m.payload['k']``,
     a 3-part Col) must register in _table_ref_cols (review find r10:
