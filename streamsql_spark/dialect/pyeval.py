@@ -1084,6 +1084,146 @@ def _compile_array_len(e: "N.Func"):
 _NO_COMPILE = object()  # array-branch marker: "is the branch, can't compile"
 
 
+_B64_RE = re.compile(r"[A-Za-z0-9+/]*={0,2}")
+_HEX_RE = re.compile(r"(?:[0-9a-fA-F]{2})*")
+
+
+def _compile_encode_decode(lname: str, e: "N.Func"):
+    """encode/decode for the exactly-specified formats: base64
+    (java.util.Base64 basic == python base64, unchunked) and hex
+    (lower(hex(bytes)) == bytes.hex()).  String inputs only (CAST of
+    other types to BINARY is engine-specific); decode admits only
+    CANONICAL input whose bytes round-trip strict UTF-8 — anything
+    lenient (non-canonical base64, odd-length hex, invalid UTF-8 whose
+    binary→string cast behavior is mode-dependent) falls back.  The
+    'url' format's Java URLEncoder alphabet differs from Python's
+    quote — Spark path."""
+    from ..functions.registry import _lit_str
+    if len(e.args) != 2:  # (value, format) — the reference's 2,2 arity
+        return None
+    fmt = (_lit_str(e.args[1]) or "").lower()
+    if fmt not in ("base64", "hex"):
+        return None
+    vf = compile_expr(e.args[0])
+    if vf is None:
+        return None
+    enc = lname == "encode"
+
+    def f(row):
+        import base64 as b64
+        v = vf(row)
+        if v is None:
+            return None
+        if not isinstance(v, str):
+            raise Fallback()
+        if enc:
+            raw = v.encode("utf-8")
+            return (b64.b64encode(raw).decode("ascii") if fmt == "base64"
+                    else raw.hex())
+        if fmt == "base64":
+            if not _B64_RE.fullmatch(v) or len(v) % 4:
+                raise Fallback()  # lenient/invalid input: engine rules
+            raw = b64.b64decode(v, validate=True)
+            if b64.b64encode(raw).decode("ascii") != v:
+                raise Fallback()  # non-canonical padding bits
+        else:
+            if not _HEX_RE.fullmatch(v):
+                raise Fallback()  # odd length / non-hex: unhex leniency
+            raw = bytes.fromhex(v)
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            raise Fallback()  # binary→string cast of invalid UTF-8
+
+    return f
+
+
+def _compile_regexp_substring(e: "N.Func"):
+    """regexp_substring(s, pattern-literal) → regexp_extract(s, p, 0):
+    first match, whole-match group, EMPTY STRING on a miss.  Admitted
+    only for the dialect-agnostic pattern subset — no backslash
+    escapes (\\d/\\w/\\s differ in unicode scope between Java and
+    Python), no anchors (line-terminator edge rules), no (?...)
+    constructs; plain literals, ASCII classes, quantifiers, groups and
+    alternation behave identically."""
+    if len(e.args) != 2:
+        return None
+    pa = e.args[1]
+    if not (isinstance(pa, N.Lit) and isinstance(pa.value, str)):
+        return None
+    pat = pa.value
+    if any(tok in pat for tok in ("\\", "^", "$", "(?")):
+        return None
+    try:
+        rx = re.compile(pat)
+    except re.error:
+        return None  # Java may accept what Python rejects: Spark path
+    vf = compile_expr(e.args[0])
+    if vf is None:
+        return None
+
+    def f(row):
+        v = vf(row)
+        if v is None:
+            return None
+        if not isinstance(v, str):
+            raise Fallback()
+        m = rx.search(v)
+        return m.group(0) if m else ""
+
+    return f
+
+
+def _java_fixed(v, d: int) -> str:
+    """Java Formatter %.df: HALF_UP rounding applied to the SHORTEST
+    decimal representation of the double (FormattedFloatingDecimal
+    formats from Double.toString digits, not the exact binary
+    expansion — measured: format_string('%.2f', 2.675) is '2.68',
+    where exact-binary 2.67499… would print '2.67'), unlike Python's
+    half-even %.2f."""
+    q = Decimal(repr(float(v))).quantize(Decimal(1).scaleb(-d),
+                                         rounding=ROUND_HALF_UP)
+    return f"{q:.{d}f}"
+
+
+def _compile_format(e: "N.Func"):
+    """format(v[, pattern]) — registry._render_format: one arg casts to
+    string (the ANSI cast subset); two args render
+    format_string('%.{d}f', CAST(v AS DOUBLE)) with the digit count
+    read from the literal pattern (default 2, '0' → 0)."""
+    if len(e.args) == 1:
+        vf = compile_expr(e.args[0])
+        if vf is None:
+            return None
+        caster = _CASTERS["string"]
+        return lambda row: caster(vf(row))
+    if len(e.args) != 2:
+        return None
+    pa = e.args[1]
+    pat = pa.value if isinstance(pa, N.Lit) and isinstance(pa.value, str) \
+        else None
+    digits = 2
+    if pat is not None and "." in pat:
+        digits = len(pat.split(".", 1)[1])
+    elif pat == "0":
+        digits = 0
+    vf = compile_expr(e.args[0])
+    if vf is None:
+        return None
+
+    def f(row):
+        v = vf(row)
+        if v is None:
+            # measured: format_string passes the NULL through to the
+            # Java Formatter, which prints "null" TRUNCATED to the
+            # conversion's precision ('%.2f' of NULL → 'nu')
+            return "null"[:digits]
+        v = _finite(v)  # inf/NaN render Java-specifically
+        return _java_fixed(float(v), digits)
+
+    return f
+
+
 # --------------------------------------------- array functions (r10)
 
 def _compile_array_val(e):
@@ -1834,6 +1974,12 @@ def compile_expr(e: N.Expr):
             return _compile_date_parse(e)
         if lname == "split":
             return _compile_split(e)
+        if lname == "regexp_substring":
+            return _compile_regexp_substring(e)
+        if lname == "format":
+            return _compile_format(e)
+        if lname in ("encode", "decode"):
+            return _compile_encode_decode(lname, e)
         if lname in _ARRAY_FN_NAMES:
             return _compile_array_fn(lname, e)
         if lname in ("len", "length"):

@@ -126,6 +126,9 @@ def _render_trunc(args: list[str], ast: list[N.Expr]) -> str:
 
 
 def _render_encode(args: list[str], ast: list[N.Expr]) -> str:
+    # exactly (value, format) — NewBaseFunction("encode", ..., 2, 2)
+    if len(ast) != 2:
+        raise ValueError(f"wrong argument count: expected 2, got {len(ast)}")
     fmt = (_lit_str(ast[1]) or "base64").lower()
     if fmt == "base64":
         return f"base64(CAST({args[0]} AS BINARY))"
@@ -137,6 +140,8 @@ def _render_encode(args: list[str], ast: list[N.Expr]) -> str:
 
 
 def _render_decode(args: list[str], ast: list[N.Expr]) -> str:
+    if len(ast) != 2:
+        raise ValueError(f"wrong argument count: expected 2, got {len(ast)}")
     fmt = (_lit_str(ast[1]) or "base64").lower()
     if fmt == "base64":
         return f"CAST(unbase64({args[0]}) AS STRING)"

@@ -2350,6 +2350,84 @@ def test_pyeval_datetime_family_differential(spark):
     assert n_py >= 60, n_py
 
 
+def test_pyeval_format_and_regexp_substring_differential(spark):
+    """r10 whitelist: format (Java Formatter %.df rounds HALF_UP on
+    the SHORTEST decimal repr — 2.675 → '2.68' — and prints a NULL
+    argument as 'null' truncated to the precision, both measured) and
+    regexp_substring on the dialect-agnostic pattern subset (no
+    backslash escapes / anchors / (?...) constructs)."""
+    from streamsql_spark.api.facade import _NOT_APPLICABLE, StreamSQL
+
+    def both(sql, row):
+        e = StreamSQL(spark)
+        e.execute(sql)
+        py = e._emit_sync_python(dict(row))
+        if py is _NOT_APPLICABLE:
+            return py, None
+        return py, e._emit_sync_fast(dict(row))
+
+    n = 0
+    for pat, vals in [
+        ("0.00", [3.14159, 2.675, 0.125, 1.005, -0.0001, 0.0, -2.5,
+                  1e15, 123, None, 2.665, 0.005, 99.995, -1.675]),
+        ("0", [3.6, -3.6, 0.5, 2.5, None]),
+        ("0.000000", [1.23456789, None]),
+    ]:
+        for v in vals:
+            py, sp = both(f"SELECT format(x, '{pat}') AS f FROM stream",
+                          {"x": v})
+            assert py is not _NOT_APPLICABLE, (pat, v)
+            n += 1
+            assert py == sp, (pat, v, py, sp)
+    py, sp = both("SELECT format(x) AS f FROM stream", {"x": 42})
+    assert py == sp == {"f": "42"}
+
+    for patt, s in [("[0-9]+", "phone: 123-456"), ("[0-9]+", "none"),
+                    ("(ab)+c?", "xxababcyy"), ("a|bb", "cbba"),
+                    ("x{2,3}", "wxxxxz"), (".", "\nab"),
+                    ("[0-9]+", None), ("", "abc")]:
+        py, sp = both(
+            f"SELECT regexp_substring(s, '{patt}') AS r FROM stream",
+            {"s": s})
+        assert py is not _NOT_APPLICABLE, (patt, s)
+        n += 1
+        assert py == sp, (patt, s, py, sp)
+    # excluded pattern constructs stay on the Spark path
+    e = StreamSQL(spark)
+    e.execute("SELECT regexp_substring(s, '\\\\d+') AS r FROM stream")
+    assert e._emit_sync_python({"s": "a1"}) is _NOT_APPLICABLE
+
+    # encode/decode: exactly-specified base64/hex; decode admits only
+    # canonical input whose bytes are strict UTF-8
+    for sql, s in [
+        ("SELECT encode(s, 'base64') AS r FROM stream", "hello world"),
+        ("SELECT encode(s, 'base64') AS r FROM stream", ""),
+        ("SELECT encode(s, 'hex') AS r FROM stream", "AbC"),
+        ("SELECT decode(s, 'base64') AS r FROM stream",
+         "aGVsbG8gd29ybGQ="),
+        ("SELECT decode(s, 'hex') AS r FROM stream", "416243"),
+        ("SELECT encode(s, 'base64') AS r FROM stream", None),
+    ]:
+        py, sp = both(sql, {"s": s})
+        assert py is not _NOT_APPLICABLE, (sql, s)
+        n += 1
+        assert py == sp, (sql, s, py, sp)
+    # non-canonical/invalid decode input and the url format fall back
+    for sql, s in [
+        ("SELECT decode(s, 'base64') AS r FROM stream", "aGVsbG8"),
+        ("SELECT decode(s, 'hex') AS r FROM stream", "ff"),
+        ("SELECT encode(s, 'url') AS r FROM stream", "a b~c"),
+    ]:
+        e2 = StreamSQL(spark)
+        e2.execute(sql)
+        assert e2._emit_sync_python({"s": s}) is _NOT_APPLICABLE, (sql, s)
+    # arity is the reference's exact (value, format) — typed plan error
+    import pytest
+    with pytest.raises(ValueError, match="argument count"):
+        StreamSQL(spark).execute("SELECT encode(s) AS r FROM stream")
+    assert n >= 30, n
+
+
 def test_pyeval_array_functions_differential(spark):
     """r10 whitelist: the array family (contains/position/remove/
     distinct/union/intersect/except/length) over homogeneous scalar
