@@ -1484,3 +1484,113 @@ def test_array_of_maps_change_detection_parity(spark):
         spark, s, [rows[:1], rows[1:]], schema, tables={}))
     assert [got_stream[("d1", t)]["hc"]
             for t in (1000, 2000, 3000)] == want
+
+
+# ---------------------------------------------------------------- lookup axis
+
+def _mk_lookup_source():
+    """Deterministic worker-routable dimension over deviceId: d3 is a
+    MISS and d2's tier is NULL — exercising found/miss/null-column
+    cells on both physical shapes."""
+
+    class DimSource:
+        def name(self):
+            return "m"
+
+        def schema(self):
+            return "tier BIGINT, label STRING"
+
+        def lookup(self, key):
+            data = {"d1": {"tier": 1, "label": "plantA"},
+                    "d2": {"tier": None, "label": "plantB"}}
+            row = data.get(key)
+            return row, row is not None
+
+    return DimSource()
+
+
+LOOKUP_GRID = {
+    # direct INNER with an enriched projection
+    "inner": ("SELECT deviceId, ts, m.label AS label, m.tier AS tier "
+              "FROM stream JOIN m ON deviceId = m.deviceId"),
+    # LEFT + residual ON conjunct (misses and residual-fails NULL-extend)
+    "left_residual": ("SELECT deviceId, ts, m.label AS label "
+                      "FROM stream LEFT JOIN m ON deviceId = m.deviceId "
+                      "AND m.tier >= 1"),
+    # stateful analytic reading an enriched column
+    "analytic": ("SELECT deviceId, ts, lag(m.tier) "
+                 "OVER (PARTITION BY deviceId) AS prev_tier FROM stream "
+                 "JOIN m ON deviceId = m.deviceId "
+                 "WITH (TIMESTAMP='ts', TIMEUNIT='ms')"),
+    # windowed aggregate grouped by an enriched column (window_start
+    # projected so the closer's own — never-fired-in-append-mode —
+    # final window can be normalized out of the batch result)
+    "window": ("SELECT m.label AS label, window_start() AS ws, "
+               "count(*) AS cnt, round(sum(temperature), 6) AS total "
+               "FROM stream JOIN m ON deviceId = m.deviceId "
+               "GROUP BY m.label, TumblingWindow('1h') "
+               "WITH (TIMESTAMP='ts', TIMEUNIT='ms')"),
+}
+
+
+@pytest.mark.parametrize("kind", sorted(LOOKUP_GRID))
+def test_lookup_join_batch_stream_parity_random(spark, kind):
+    """The lookup join runs as TWO physical shapes — the batch
+    distinct-keys-probe-join (_enrich_via_join) and the streaming
+    full-frame mapInPandas stage — over the same Lookup contract; a
+    drift between them is a wrong answer on one path.  Seeded random
+    events (misses, NULL-tier hits, NULL temperatures) through four
+    downstream shapes must agree batch vs replay."""
+    import zlib
+
+    sql = LOOKUP_GRID[kind]
+    seed = zlib.crc32(f"lookup|{kind}".encode()) % 1000
+    rows, rng = _mk_rows(seed)
+    if kind == "window":
+        # a closer far past the window fires it in append mode
+        rows = rows + [{"deviceId": "d1", "temperature": 0.0,
+                        "humidity": 0.0, "ts": 7_200_000,
+                        "status": "ok"}]
+
+    def run_batch():
+        s = StreamSQL(spark)
+        s.execute(sql)
+        s.register_table_source(_mk_lookup_source())
+        df = spark.createDataFrame(rows, schema=EVT)
+        return [r.asDict() for r in s.query(df).collect()]
+
+    def run_stream():
+        batches, i = [], 0
+        while i < len(rows):
+            k = rng.randint(1, 7)
+            batches.append(rows[i:i + k])
+            i += k
+        s = StreamSQL(spark)
+        s.execute(sql)
+        s.register_table_source(_mk_lookup_source())
+        return run_streaming_collect(spark, s, batches, EVT)
+
+    def norm(out):
+        from collections import Counter
+        import datetime as dtm
+        closer = dtm.datetime(1970, 1, 1, 2)  # the 7_200_000 ms window
+        return Counter(str(sorted(_norm(r).items())) for r in out
+                       if r.get("ws") != closer)
+
+    b = run_batch()
+    assert b, f"empty batch result would make the {kind} cell vacuous"
+    assert norm(run_stream()) == norm(b), \
+        f"lookup {kind}: stream stage diverged from batch probe-join"
+
+    if kind == "inner":
+        # per-event sync slice: the direct path probes per event
+        # through the driver materialization — same contract
+        s = StreamSQL(spark)
+        s.execute(sql)
+        s.register_table_source(_mk_lookup_source())
+        got = [o for r in rows[:8] for o in [s.emit_sync(dict(r))]
+               if o is not None]
+        want = [r for r in b if (r["deviceId"], r["ts"]) in
+                {(x["deviceId"], x["ts"]) for x in rows[:8]}]
+        assert norm(got) == norm(want), \
+            "lookup inner: per-event sync diverged from batch"

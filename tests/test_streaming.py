@@ -1826,6 +1826,120 @@ def test_lookup_malformed_schema_routes_driver_batch_raises_stream(spark):
         s2.query_stream(stream)
 
 
+def test_chained_lookup_sources_probe_enriched_columns(spark):
+    """Chained lookup joins: table b's probe key is a column ENRICHED
+    by table a (JOIN a ... JOIN b ON a.region = b.region) — pass 1 of
+    apply_lookup_joins registers a's cross-table refs before the
+    enrichment order runs, so a's stage materializes the column b
+    probes.  Batch and streaming agree."""
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    def mk_a():
+        class DevSource:
+            def name(self):
+                return "a"
+
+            def schema(self):
+                return "region STRING"
+
+            def lookup(self, key):
+                reg = {"d1": "emea", "d2": "apac"}.get(key)
+                return ({"region": reg}, True) if reg else (None, False)
+
+        return DevSource()
+
+    def mk_b():
+        class RegionSource:
+            def name(self):
+                return "b"
+
+            def schema(self):
+                return "mgr STRING"
+
+            def lookup(self, key):
+                mgr = {"emea": "kim", "apac": "lee"}.get(key)
+                return ({"mgr": mgr}, True) if mgr else (None, False)
+
+        return RegionSource()
+
+    batches = [[{"deviceId": "d1", "v": 1.0, "ts": 1000},
+                {"deviceId": "d2", "v": 2.0, "ts": 2000},
+                {"deviceId": "dX", "v": 3.0, "ts": 3000}]]
+    sql = ("SELECT deviceId, a.region AS reg, b.mgr AS mgr FROM stream "
+           "JOIN a ON deviceId = a.deviceId "
+           "JOIN b ON a.region = b.region")
+    want = [("d1", "emea", "kim"), ("d2", "apac", "lee")]
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(mk_a())
+    s.register_table_source(mk_b())
+    got = run_streaming_collect(spark, s, batches, _lookup_schema())
+    assert sorted((r["deviceId"], r["reg"], r["mgr"]) for r in got) == want
+
+    sb = StreamSQL(spark)
+    sb.execute(sql)
+    sb.register_table_source(mk_a())
+    sb.register_table_source(mk_b())
+    bout = sb.query(spark.createDataFrame(batches[0], _lookup_schema()))
+    assert sorted(tuple(r) for r in bout.collect()) == want
+
+
+def test_lookup_null_key_delta_pinned(spark):
+    """Documented delta (streaming/lookup.py _enrich_via_join): the
+    reference's in-process Lookup(nil) CAN match a nil key, and the
+    streaming stage path reproduces that (the per-batch pandas merge
+    joins None keys); the BATCH paths use SQL join equality, which
+    never matches NULL — pin both behaviors so the delta cannot
+    silently change."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    def mk_src():
+        class NilSource:
+            def name(self):
+                return "m"
+
+            def schema(self):
+                return "label STRING"
+
+            def lookup(self, key):
+                if key is None:
+                    return {"label": "nil-hit"}, True
+                return {"label": f"k-{key}"}, True
+
+        return NilSource()
+
+    schema = StructType([StructField("kid", StringType()),
+                         StructField("v", DoubleType()),
+                         StructField("ts", LongType())])
+    rows = [{"kid": "a", "v": 1.0, "ts": 1000},
+            {"kid": None, "v": 2.0, "ts": 2000}]
+    sql = ("SELECT kid, m.label AS label FROM stream "
+           "LEFT JOIN m ON kid = m.kid")
+
+    # streaming stage path: the NULL key probes lookup(None) — matches
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(mk_src())
+    got = run_streaming_collect(spark, s, [rows], schema)
+    assert sorted((r["kid"] or "", r["label"] or "") for r in got) == \
+        [("", "nil-hit"), ("a", "k-a")]
+
+    # batch via-join path: SQL join equality — the NULL key NULL-extends
+    sb = StreamSQL(spark)
+    sb.execute(sql)
+    sb.register_table_source(mk_src())
+    bout = sb.query(spark.createDataFrame(rows, schema))
+    assert sorted(((r["kid"] or "", r["label"] or "")
+                   for r in bout.collect())) == \
+        [("", ""), ("a", "k-a")]
+
+
 def test_cep_nested_lookup_ref_in_measures_and_defines(spark):
     """Nested qualified lookup refs (``m.thresholds['hi']``) inside
     MATCH_RECOGNIZE MEASURES and DEFINE rewrite through the same AST
