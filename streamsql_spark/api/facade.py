@@ -505,8 +505,21 @@ class StreamSQL:
                 return f"array<{inner}>" if inner else None
             return None  # struct dot access: not fakeable
 
-        for e in [f.expr for f in self._stmt.fields] \
-                + [self._stmt.where, self._stmt.having]:
+        # SAME expression set as _table_ref_cols: a nested ref in
+        # GROUP BY / ORDER BY / join-ON / MATCH clauses needs the typed
+        # backfill just as much as one in the projection
+        stmt = self._stmt
+        exprs = [f.expr for f in stmt.fields] \
+            + [stmt.where, stmt.having] \
+            + [j.on for j in stmt.joins] \
+            + list(stmt.group_by) \
+            + [e for e, _ in stmt.order_by]
+        if stmt.match is not None:
+            exprs += [f.expr for f in stmt.match.measures] \
+                + list(stmt.match.defines.values()) \
+                + list(stmt.match.partition_by) \
+                + list(stmt.match.order_by)
+        for e in exprs:
             for node in N.walk(e):
                 if isinstance(node, N.Col) and len(node.parts) > 2 \
                         and str(node.parts[0]) in aliases \

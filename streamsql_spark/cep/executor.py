@@ -59,15 +59,16 @@ def _measure_type(e: N.Expr, schema: dict[str, DataType]) -> DataType:
         return StringType()
     if isinstance(e, N.Col):
         segs = list(e.parts)
-        strs = [p for p in segs if isinstance(p, str)]
+        str_pos = [i for i, p in enumerate(segs) if isinstance(p, str)]
         # symbol-qualified → the underlying column's type; navigation
         # segments AFTER the column (m.thresholds['hi'], a map-typed
         # lookup column) descend into the container type — the measure
-        # VALUE is the element, not the container
-        for cand in ((strs[-1], strs[0]) if strs else ()):
-            if cand in schema:
-                return _descend_type(schema[cand],
-                                     segs[segs.index(cand) + 1:])
+        # VALUE is the element, not the container.  Positions, not
+        # .index(): a qualifier named like the column (v.v) would
+        # otherwise resolve to the first occurrence and mis-descend
+        for i in ((str_pos[-1], str_pos[0]) if str_pos else ()):
+            if segs[i] in schema:
+                return _descend_type(schema[segs[i]], segs[i + 1:])
         return DoubleType()
     if isinstance(e, N.Func):
         name = e.name.lower()

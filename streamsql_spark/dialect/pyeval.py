@@ -38,6 +38,7 @@ supported grammar.
 
 from __future__ import annotations
 
+import base64 as _b64
 import calendar
 import datetime as _dt
 import json as _json
@@ -739,10 +740,8 @@ def _fn_json_length(v):
         raise Fallback()
     parsed = _guarded_json_parse(v)
     t = v.strip(_JSON_TRIM)
-    if t.startswith("["):
-        return len(parsed)
-    if t.startswith("{"):
-        return len(parsed)
+    if t.startswith(("[", "{")):
+        return len(parsed)  # top-level elements / distinct keys
     return None
 
 
@@ -1110,21 +1109,23 @@ def _compile_encode_decode(lname: str, e: "N.Func"):
     enc = lname == "encode"
 
     def f(row):
-        import base64 as b64
         v = vf(row)
         if v is None:
             return None
         if not isinstance(v, str):
             raise Fallback()
         if enc:
-            raw = v.encode("utf-8")
-            return (b64.b64encode(raw).decode("ascii") if fmt == "base64"
-                    else raw.hex())
+            try:
+                raw = v.encode("utf-8")
+            except UnicodeEncodeError:
+                raise Fallback()  # lone surrogates: engine-side bytes
+            return (_b64.b64encode(raw).decode("ascii")
+                    if fmt == "base64" else raw.hex())
         if fmt == "base64":
             if not _B64_RE.fullmatch(v) or len(v) % 4:
                 raise Fallback()  # lenient/invalid input: engine rules
-            raw = b64.b64decode(v, validate=True)
-            if b64.b64encode(raw).decode("ascii") != v:
+            raw = _b64.b64decode(v, validate=True)
+            if _b64.b64encode(raw).decode("ascii") != v:
                 raise Fallback()  # non-canonical padding bits
         else:
             if not _HEX_RE.fullmatch(v):
@@ -1152,7 +1153,11 @@ def _compile_regexp_substring(e: "N.Func"):
     if not (isinstance(pa, N.Lit) and isinstance(pa.value, str)):
         return None
     pat = pa.value
-    if any(tok in pat for tok in ("\\", "^", "$", "(?")):
+    # also rejected: '.' (Java excludes \r/\u0085/\u2028/\u2029 as
+    # line terminators, Python only \n), '&&' (Java class
+    # intersection), '{,' (a {0,n} quantifier in Python, a syntax
+    # error in Java)
+    if any(tok in pat for tok in ("\\", "^", "$", "(?", ".", "&&", "{,")):
         return None
     try:
         rx = re.compile(pat)
@@ -1181,8 +1186,16 @@ def _java_fixed(v, d: int) -> str:
     expansion — measured: format_string('%.2f', 2.675) is '2.68',
     where exact-binary 2.67499… would print '2.67'), unlike Python's
     half-even %.2f."""
-    q = Decimal(repr(float(v))).quantize(Decimal(1).scaleb(-d),
-                                         rounding=ROUND_HALF_UP)
+    import decimal
+    try:
+        # doubles reach ~1.8e308: the default 28-digit context cannot
+        # hold the quantized coefficient (InvalidOperation at ~1e26)
+        with decimal.localcontext() as ctx:
+            ctx.prec = 340
+            q = Decimal(repr(float(v))).quantize(
+                Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP)
+    except decimal.InvalidOperation:
+        raise Fallback()
     return f"{q:.{d}f}"
 
 
@@ -1199,14 +1212,11 @@ def _compile_format(e: "N.Func"):
         return lambda row: caster(vf(row))
     if len(e.args) != 2:
         return None
+    from ..functions.registry import format_digits
     pa = e.args[1]
-    pat = pa.value if isinstance(pa, N.Lit) and isinstance(pa.value, str) \
-        else None
-    digits = 2
-    if pat is not None and "." in pat:
-        digits = len(pat.split(".", 1)[1])
-    elif pat == "0":
-        digits = 0
+    digits = format_digits(
+        pa.value if isinstance(pa, N.Lit) and isinstance(pa.value, str)
+        else None)
     vf = compile_expr(e.args[0])
     if vf is None:
         return None

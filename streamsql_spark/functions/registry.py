@@ -152,15 +152,21 @@ def _render_decode(args: list[str], ast: list[N.Expr]) -> str:
     raise ValueError(f"unsupported decode format: {fmt}")
 
 
+def format_digits(pattern: str | None) -> int:
+    """Digit count for format()'s printf rendering — ONE implementation
+    shared with the per-event path (dialect/pyeval._compile_format):
+    default 2, '0' means 0, else count after the first dot."""
+    if pattern is not None and "." in pattern:
+        return len(pattern.split(".", 1)[1])
+    if pattern == "0":
+        return 0
+    return 2
+
+
 def _render_format(args: list[str], ast: list[N.Expr]) -> str:
     if len(args) == 1:
         return f"CAST({args[0]} AS STRING)"
-    pattern = _lit_str(ast[1])
-    digits = 2
-    if pattern is not None and "." in pattern:
-        digits = len(pattern.split(".", 1)[1])
-    elif pattern == "0":
-        digits = 0
+    digits = format_digits(_lit_str(ast[1]))
     return f"format_string('%.{digits}f', CAST({args[0]} AS DOUBLE))"
 
 

@@ -1399,3 +1399,38 @@ def test_java_double_str_matches_jvm_cast(spark):
     # the corpus must actually exercise the pinned classes on legacy
     if legacy:
         assert diverged > 0
+
+
+def test_measure_type_descends_nested_and_survives_name_shadow():
+    """The measure typer descends nested navigation segments into
+    container types (a map-typed lookup column's element is the
+    measure VALUE), and a qualifier named like the column (v.v) must
+    still resolve the column's type — review find r10: .index() found
+    the first occurrence and mis-descended the scalar."""
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   MapType, StringType, StructField,
+                                   StructType)
+
+    from streamsql_spark.cep.executor import _measure_type
+    from streamsql_spark.dialect import nodes as N
+
+    schema = {
+        "v": StringType(),
+        "thresholds": MapType(StringType(), DoubleType()),
+        "nums": ArrayType(LongType()),
+        "meta": StructType([StructField("site", StringType())]),
+    }
+    # symbol-qualified scalar: A.v → the column's own type
+    assert isinstance(_measure_type(N.Col(("A", "v")), schema),
+                      StringType)
+    # qualifier shadowing the column name: v.v → still StringType
+    assert isinstance(_measure_type(N.Col(("v", "v")), schema),
+                      StringType)
+    # nested map element: m.thresholds['hi'] → DoubleType
+    assert isinstance(
+        _measure_type(N.Col(("m", "thresholds", N.MapKey("hi"))), schema),
+        DoubleType)
+    # array index → element type; struct dot → field type
+    assert isinstance(_measure_type(N.Col(("nums", 0)), schema), LongType)
+    assert isinstance(_measure_type(N.Col(("meta", "site")), schema),
+                      StringType)

@@ -2369,9 +2369,12 @@ def test_pyeval_format_and_regexp_substring_differential(spark):
     n = 0
     for pat, vals in [
         ("0.00", [3.14159, 2.675, 0.125, 1.005, -0.0001, 0.0, -2.5,
-                  1e15, 123, None, 2.665, 0.005, 99.995, -1.675]),
+                  1e15, 123, None, 2.665, 0.005, 99.995, -1.675,
+                  # large doubles overflow the default 28-digit Decimal
+                  # context (review find r10) — must answer, not crash
+                  1e30, 1.7e307]),
         ("0", [3.6, -3.6, 0.5, 2.5, None]),
-        ("0.000000", [1.23456789, None]),
+        ("0.000000", [1.23456789, None, 1e25]),
     ]:
         for v in vals:
             py, sp = both(f"SELECT format(x, '{pat}') AS f FROM stream",
@@ -2384,7 +2387,7 @@ def test_pyeval_format_and_regexp_substring_differential(spark):
 
     for patt, s in [("[0-9]+", "phone: 123-456"), ("[0-9]+", "none"),
                     ("(ab)+c?", "xxababcyy"), ("a|bb", "cbba"),
-                    ("x{2,3}", "wxxxxz"), (".", "\nab"),
+                    ("x{2,3}", "wxxxxz"),
                     ("[0-9]+", None), ("", "abc")]:
         py, sp = both(
             f"SELECT regexp_substring(s, '{patt}') AS r FROM stream",
@@ -2392,10 +2395,14 @@ def test_pyeval_format_and_regexp_substring_differential(spark):
         assert py is not _NOT_APPLICABLE, (patt, s)
         n += 1
         assert py == sp, (patt, s, py, sp)
-    # excluded pattern constructs stay on the Spark path
-    e = StreamSQL(spark)
-    e.execute("SELECT regexp_substring(s, '\\\\d+') AS r FROM stream")
-    assert e._emit_sync_python({"s": "a1"}) is _NOT_APPLICABLE
+    # excluded pattern constructs stay on the Spark path: backslash
+    # classes, '.' (Java's line-terminator set excludes \r where
+    # Python's only excludes \n), '&&' (Java class intersection),
+    # '{,' (quantifier in Python, syntax error in Java)
+    for bad in ("\\\\d+", "a.b", "[a&&b]", "a{,3}"):
+        e = StreamSQL(spark)
+        e.execute(f"SELECT regexp_substring(s, '{bad}') AS r FROM stream")
+        assert e._emit_sync_python({"s": "a1b"}) is _NOT_APPLICABLE, bad
 
     # encode/decode: exactly-specified base64/hex; decode admits only
     # canonical input whose bytes are strict UTF-8
@@ -2412,11 +2419,13 @@ def test_pyeval_format_and_regexp_substring_differential(spark):
         assert py is not _NOT_APPLICABLE, (sql, s)
         n += 1
         assert py == sp, (sql, s, py, sp)
-    # non-canonical/invalid decode input and the url format fall back
+    # non-canonical/invalid decode input, the url format, and lone
+    # surrogates (utf-8-unencodable) fall back instead of crashing
     for sql, s in [
         ("SELECT decode(s, 'base64') AS r FROM stream", "aGVsbG8"),
         ("SELECT decode(s, 'hex') AS r FROM stream", "ff"),
         ("SELECT encode(s, 'url') AS r FROM stream", "a b~c"),
+        ("SELECT encode(s, 'hex') AS r FROM stream", "\ud800"),
     ]:
         e2 = StreamSQL(spark)
         e2.execute(sql)
