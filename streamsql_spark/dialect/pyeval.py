@@ -729,6 +729,48 @@ def _fn_json_type(v):
     return "number"  # parse succeeded and no other prefix matched
 
 
+def _fn_from_json(v):
+    """from_json(s) → parse_json (VARIANT), delivered to python as
+    containers/scalars.  Mirrorable subset (measured): ints within
+    BIGINT stay int, strings/bools/null/containers map 1:1, and
+    E-NOTATION numbers arrive as double — but DECIMAL-notation
+    numbers ('1.0') arrive as Decimal and >38-digit ints widen to
+    Decimal, so those (and NaN/Infinity, duplicate keys — parse_json
+    RAISES on them under ANSI) fall back."""
+    if v is None:
+        return None
+    if not isinstance(v, str):
+        raise Fallback()
+    if v.count("[") + v.count("{") > 64:
+        raise Fallback()  # depth limits differ between parsers
+
+    def _const(_):
+        raise Fallback()
+
+    def _flt(s):
+        if "e" in s or "E" in s:
+            f = float(s)
+            if not math.isfinite(f):
+                raise Fallback()
+            return f  # exponent notation: variant double, exact parse
+        raise Fallback()  # decimal notation: variant DECIMAL values
+
+    def _intg(s):
+        n = int(s)
+        if not _I64_MIN <= n <= _I64_MAX:
+            raise Fallback()  # variant widens to decimal(38)
+        return n
+
+    try:
+        return _json.loads(v, parse_constant=_const, parse_float=_flt,
+                           parse_int=_intg,
+                           object_pairs_hook=_reject_dup_pairs)
+    except Fallback:
+        raise
+    except Exception:
+        raise Fallback()  # parse_json may accept (or raise) — oracle
+
+
 def _fn_json_length(v):
     """json_length(s) — rendered as json_array_length for '['-prefixed
     docs, size(json_object_keys) for '{'-prefixed, NULL otherwise.
@@ -1537,6 +1579,7 @@ _FNS: dict[str, object] = {
     "json_valid": _fn_json_valid,
     "json_type": _fn_json_type,
     "json_length": _fn_json_length,
+    "from_json": _fn_from_json,
     # datetime (r10; UTC-gated — see _SESSION_TZ)
     "from_unixtime": _fn_from_unixtime,
     "now": _utc_now,
@@ -1577,7 +1620,7 @@ _FN_ARITY: dict[str, tuple[int, int] | None] = {
     "is_numeric": (1, 1), "is_string": (1, 1), "is_bool": (1, 1),
     "is_array": (1, 1), "is_object": (1, 1),
     "chr": (1, 1), "json_valid": (1, 1), "json_type": (1, 1),
-    "json_length": (1, 1), "from_unixtime": (1, 1),
+    "json_length": (1, 1), "from_json": (1, 1), "from_unixtime": (1, 1),
     "now": (0, 0), "current_date": (0, 0), "current_time": (0, 0),
     # unix_timestamp(ts) renders through a CAST — 0-arg form only
     "unix_timestamp": (0, 0),

@@ -2231,6 +2231,14 @@ def test_pyeval_chr_json_valid_from_unixtime_differential(spark):
         ("SELECT json_length(p) AS x FROM stream", "p",
          ['[1, 2, 3]', '[]', '{"a": 1, "b": {"c": 2}}', '{}', '"s"',
           '5', 'null', None, ' [1, [2, 3]] ', 'bad']),
+        # from_json: int/string/bool/null/container and E-NOTATION
+        # numbers mirror; decimal-notation floats arrive as variant
+        # DECIMAL (measured) and >38-digit ints widen — fall back
+        ("SELECT from_json(p) AS x FROM stream", "p",
+         ['{"a": 1, "b": "x", "c": [true, null]}', '5', '"s"', 'null',
+          '[1, 2]', '{"a": 1e3}', '{"a": 1.5e-2}', None,
+          '{"a": 1.0}', '1.5', '{"big": 99999999999999999999}',
+          '{"a": 1, "a": 2}', 'bad']),
         ("SELECT from_unixtime(t) AS x FROM stream", "t",
          [0, 1705312800, -1, -62135596800, 253402300800, None, 1.5]),
     ]
