@@ -1530,6 +1530,16 @@ LOOKUP_GRID = {
                "FROM stream JOIN m ON deviceId = m.deviceId "
                "GROUP BY m.label, TumblingWindow('1h') "
                "WITH (TIMESTAMP='ts', TIMEUNIT='ms')"),
+    # MATCH_RECOGNIZE with enriched refs in PARTITION/MEASURES/DEFINE
+    "cep": ("SELECT deviceId, ts, lbl FROM stream "
+            "JOIN m ON deviceId = m.deviceId "
+            "MATCH_RECOGNIZE ("
+            "  PARTITION BY deviceId ORDER BY ts "
+            "  MEASURES LAST(A.ts) AS ts, m.label AS lbl "
+            "  ONE ROW PER MATCH PATTERN (A B) "
+            "  DEFINE A AS temperature >= m.tier * 10, "
+            "         B AS temperature < 10"
+            ") WITH (TIMESTAMP='ts', TIMEUNIT='ms')"),
 }
 
 
