@@ -659,32 +659,53 @@ def _reject_dup_pairs(pairs):
     return d
 
 
-def _guarded_json_parse(v: str):
-    """Strict guarded parse shared by json_valid/json_type/json_length:
-    python-strict acceptance implies JVM-parser acceptance for the
-    guarded subset — any parse failure, non-finite number, >38-digit
-    integer (variant decimal bound), duplicate key, or deeply-bracketed
-    document is parser-leniency territory and falls back."""
-    if v.count("[") + v.count("{") > 64:
-        raise Fallback()  # depth limits differ between parsers
+def _json_no_const(_):
+    raise Fallback()  # NaN/Infinity: Python accepts, variant varies
 
-    def _const(_):
-        raise Fallback()  # NaN/Infinity: Python accepts, variant varies
 
-    def _flt(s):
+def _jv_flt(s):
+    f = float(s)
+    if not math.isfinite(f):
+        raise Fallback()  # 1e999 overflows differently per parser
+    return f
+
+
+def _jv_intg(s):
+    if len(s.lstrip("-")) > 38:
+        raise Fallback()  # beyond variant's decimal(38) range
+    return int(s)
+
+
+def _fj_flt(s):
+    if "e" in s or "E" in s:
         f = float(s)
         if not math.isfinite(f):
-            raise Fallback()  # 1e999 overflows differently per parser
-        return f
+            raise Fallback()
+        return f  # exponent notation: variant double, exact parse
+    raise Fallback()  # decimal notation: variant DECIMAL values
 
-    def _intg(s):
-        if len(s.lstrip("-")) > 38:
-            raise Fallback()  # beyond variant's decimal(38) range
-        return int(s)
 
+def _fj_intg(s):
+    n = int(s)
+    if not _I64_MIN <= n <= _I64_MAX:
+        raise Fallback()  # variant widens to decimal(38)
+    return n
+
+
+def _guarded_json_parse(v: str, flt=_jv_flt, intg=_jv_intg):
+    """Strict guarded parse shared by the json family: python-strict
+    acceptance implies JVM-parser acceptance for the guarded subset —
+    any parse failure, non-finite number, >38-digit integer (variant
+    decimal bound), duplicate key, or deeply-bracketed document is
+    parser-leniency territory and falls back.  ``flt``/``intg``
+    override the number hooks for callers whose VALUES surface
+    (from_json needs variant's decimal-vs-double split; the
+    validity/type/length family only classifies)."""
+    if v.count("[") + v.count("{") > 64:
+        raise Fallback()  # depth limits differ between parsers
     try:
-        return _json.loads(v, parse_constant=_const, parse_float=_flt,
-                           parse_int=_intg,
+        return _json.loads(v, parse_constant=_json_no_const,
+                           parse_float=flt, parse_int=intg,
                            object_pairs_hook=_reject_dup_pairs)
     except Fallback:
         raise
@@ -729,46 +750,40 @@ def _fn_json_type(v):
     return "number"  # parse succeeded and no other prefix matched
 
 
+def _has_lone_surrogate(x) -> bool:
+    """True when any string in the parsed tree (values OR keys)
+    contains a code point in U+D800-DFFF: Python's json keeps unpaired
+    \\u-escaped surrogates verbatim, while the JVM's UTF-8 encoder
+    replaces them with '?' (measured) — and replaced keys can even
+    collapse together.  Paired escapes combine into one astral char on
+    both sides, so they pass."""
+    if isinstance(x, str):
+        return any("\ud800" <= c <= "\udfff" for c in x)
+    if isinstance(x, list):
+        return any(_has_lone_surrogate(i) for i in x)
+    if isinstance(x, dict):
+        return any(_has_lone_surrogate(k) or _has_lone_surrogate(val)
+                   for k, val in x.items())
+    return False
+
+
 def _fn_from_json(v):
     """from_json(s) → parse_json (VARIANT), delivered to python as
     containers/scalars.  Mirrorable subset (measured): ints within
     BIGINT stay int, strings/bools/null/containers map 1:1, and
     E-NOTATION numbers arrive as double — but DECIMAL-notation
-    numbers ('1.0') arrive as Decimal and >38-digit ints widen to
-    Decimal, so those (and NaN/Infinity, duplicate keys — parse_json
-    RAISES on them under ANSI) fall back."""
+    numbers ('1.0') arrive as Decimal, >38-digit ints widen to
+    Decimal, and strings holding lone surrogates come back
+    '?'-replaced, so those (and NaN/Infinity, duplicate keys —
+    parse_json RAISES on them under ANSI) fall back."""
     if v is None:
         return None
     if not isinstance(v, str):
         raise Fallback()
-    if v.count("[") + v.count("{") > 64:
-        raise Fallback()  # depth limits differ between parsers
-
-    def _const(_):
+    parsed = _guarded_json_parse(v, flt=_fj_flt, intg=_fj_intg)
+    if _has_lone_surrogate(parsed):
         raise Fallback()
-
-    def _flt(s):
-        if "e" in s or "E" in s:
-            f = float(s)
-            if not math.isfinite(f):
-                raise Fallback()
-            return f  # exponent notation: variant double, exact parse
-        raise Fallback()  # decimal notation: variant DECIMAL values
-
-    def _intg(s):
-        n = int(s)
-        if not _I64_MIN <= n <= _I64_MAX:
-            raise Fallback()  # variant widens to decimal(38)
-        return n
-
-    try:
-        return _json.loads(v, parse_constant=_const, parse_float=_flt,
-                           parse_int=_intg,
-                           object_pairs_hook=_reject_dup_pairs)
-    except Fallback:
-        raise
-    except Exception:
-        raise Fallback()  # parse_json may accept (or raise) — oracle
+    return parsed
 
 
 def _fn_json_length(v):

@@ -36,6 +36,11 @@ def build_queries(rng: random.Random):
             return rng.choice(
                 ['5', '-3.25', '"x"', 'true', 'null', '1e3', '0.0001',
                  '99999999999999999999', '1.5e-2',
+                 # escape-sequence surface: lone surrogates diverge
+                 # (JVM '?'-replacement — must fall back), pairs and
+                 # plain escapes must match
+                 '"\\ud800"', '"\\ud83d\\ude00"', '"a\\u0041\\n\\t"',
+                 '"q\\\\x\\""',
                  '"' + "".join(rng.choices("abß✓ ", k=3)) + '"'])
         if r < 0.6:
             n = rng.randint(0, 3)

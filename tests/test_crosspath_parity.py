@@ -1549,7 +1549,7 @@ def test_lookup_join_batch_stream_parity_random(spark, kind):
     distinct-keys-probe-join (_enrich_via_join) and the streaming
     full-frame mapInPandas stage — over the same Lookup contract; a
     drift between them is a wrong answer on one path.  Seeded random
-    events (misses, NULL-tier hits, NULL temperatures) through four
+    events (misses, NULL-tier hits, NULL temperatures) through five
     downstream shapes must agree batch vs replay."""
     import zlib
 

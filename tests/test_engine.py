@@ -2238,7 +2238,12 @@ def test_pyeval_chr_json_valid_from_unixtime_differential(spark):
          ['{"a": 1, "b": "x", "c": [true, null]}', '5', '"s"', 'null',
           '[1, 2]', '{"a": 1e3}', '{"a": 1.5e-2}', None,
           '{"a": 1.0}', '1.5', '{"big": 99999999999999999999}',
-          '{"a": 1, "a": 2}', 'bad']),
+          '{"a": 1, "a": 2}', 'bad',
+          # escape surface: a lone \ud800 surrogate comes back
+          # '?'-replaced from the JVM (review find r10 — must fall
+          # back); a valid pair combines identically on both sides
+          '"\\ud800"', '{"\\udc00": 1}', '"\\ud83d\\ude00"',
+          '"a\\u0041\\n"']),
         ("SELECT from_unixtime(t) AS x FROM stream", "t",
          [0, 1705312800, -1, -62135596800, 253402300800, None, 1.5]),
     ]
