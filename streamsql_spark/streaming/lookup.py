@@ -173,29 +173,44 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
         if plan.mode == "cep" and plan.stmt.match is not None else set()
     quals -= shadow
     mapping: dict[str, str] = {}
-    rw = make_qref_rewriter(src_name, quals, mapping)
+    # source-qualifier stripping is CONDITIONAL on whether downstream
+    # joins remain: with none, the enriched frame is never re-aliased,
+    # so src refs must flatten to bare names — but when snapshot /
+    # driver-probed joins follow, the executor re-aliases the frame
+    # (engine/batch._apply_joins) and src refs must KEEP the qualifier,
+    # else a stream column sharing a dim column's name (deviceId =
+    # o.deviceId) turns ambiguous post-join.  Probe pairs and residuals
+    # always strip: they evaluate on the frame BEFORE any alias.
+    strip_src = not rest
+    rw = make_qref_rewriter(src_name if strip_src else "", quals, mapping)
 
-    def xf(e):
-        """AST twin of ``rw`` sharing ``mapping`` — for expressions the
-        engines render late (CEP measures/defines, analytic args).
-        Handles paths of ANY depth: ``m.payload['k']`` parses as a
-        3-part Col whose first two segments are the qualifier and the
-        enriched column — the rewrite keeps the trailing path segments
-        (``__q_m_payload__['k']``), matching what ``rw`` produces on
-        the rendered string."""
-        if isinstance(e, N.Col) and len(e.parts) >= 2 \
-                and isinstance(e.parts[0], str) \
-                and isinstance(e.parts[1], str):
-            root, col = str(e.parts[0]), str(e.parts[1])
-            if root in shadow:
-                return e
-            if root == src_name:
-                return N.Col(tuple(e.parts[1:]), e.quoted)
-            if root in quals:
-                tok = f"{root}.{col}"
-                mapping.setdefault(tok, f"__q_{root}_{col}__")
-                return N.Col((mapping[tok], *e.parts[2:]), e.quoted)
-        return e
+    def _mk_xf(strip: bool):
+        def xf(e):
+            """AST twin of ``rw`` sharing ``mapping`` — for expressions
+            the engines render late (CEP measures/defines, analytic
+            args).  Handles paths of ANY depth: ``m.payload['k']``
+            parses as a 3-part Col whose first two segments are the
+            qualifier and the enriched column — the rewrite keeps the
+            trailing path segments (``__q_m_payload__['k']``), matching
+            what ``rw`` produces on the rendered string."""
+            if isinstance(e, N.Col) and len(e.parts) >= 2 \
+                    and isinstance(e.parts[0], str) \
+                    and isinstance(e.parts[1], str):
+                root, col = str(e.parts[0]), str(e.parts[1])
+                if root in shadow:
+                    return e
+                if root == src_name:
+                    return N.Col(tuple(e.parts[1:]), e.quoted) \
+                        if strip else e
+                if root in quals:
+                    tok = f"{root}.{col}"
+                    mapping.setdefault(tok, f"__q_{root}_{col}__")
+                    return N.Col((mapping[tok], *e.parts[2:]), e.quoted)
+            return e
+        return xf
+
+    xf = _mk_xf(strip_src)   # plan expressions (post-alias surfaces)
+    xf_pre = _mk_xf(True)    # probe pairs / residuals (pre-alias)
 
     # ---- pass 1: extract every join's probe pairs + residual FIRST,
     # so chained lookups (JOIN a ... JOIN b ON a.region = b.region)
@@ -210,8 +225,8 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
         if ast_j is None or ast_j.on is None:
             raise ExecError("a lookup-source join needs an ON clause")
         pairs, residual = equi_pairs(ast_j, allow_residual=True)
-        pairs = [(render(N.transform(s, xf)), k) for s, k in pairs]
-        res_sqls = [render(N.transform(r, xf)) for r in residual]
+        pairs = [(render(N.transform(s, xf_pre)), k) for s, k in pairs]
+        res_sqls = [render(N.transform(r, xf_pre)) for r in residual]
         res_sql = " AND ".join(f"({r})" for r in res_sqls) or None
         per_join.append((j, pairs, res_sql))
 

@@ -1886,6 +1886,73 @@ def test_chained_lookup_sources_probe_enriched_columns(spark):
     assert sorted(tuple(r) for r in bout.collect()) == want
 
 
+def test_mixed_worker_and_driver_lookup_sources_one_statement(spark):
+    """One statement joining a worker-routable source AND a
+    driver-fallback source (unpicklable): the batch path enriches
+    through both — the driver probe collecting its keys from the
+    PRE-enrichment frame (review fix r10: probing the enriched frame
+    executed the worker stage an extra full pass) — and the streaming
+    path rejects the non-routable source with a typed error."""
+    import pytest
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.engine.batch import ExecError
+
+    def mk_worker():
+        class WSource:
+            def name(self):
+                return "w"
+
+            def schema(self):
+                return "region STRING"
+
+            def lookup(self, key):
+                reg = {"d1": "emea", "d2": "apac"}.get(key)
+                return ({"region": reg}, True) if reg else (None, False)
+
+        return WSource()
+
+    class DriverOnly:
+        def __init__(self):
+            self._fh = open(__file__, "rb")  # defeats cloudpickle
+
+        def name(self):
+            return "o"
+
+        def schema(self):
+            return "owner STRING"
+
+        def lookup(self, key):
+            own = {"d1": "ops", "d2": "dev"}.get(key)
+            return ({"owner": own}, True) if own else (None, False)
+
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+            {"deviceId": "d2", "v": 2.0, "ts": 2000},
+            {"deviceId": "dX", "v": 3.0, "ts": 3000}]
+    sql = ("SELECT deviceId, w.region AS reg, o.owner AS owner "
+           "FROM stream JOIN w ON deviceId = w.deviceId "
+           "JOIN o ON deviceId = o.deviceId")
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(mk_worker())
+    s.register_table_source(DriverOnly())
+    assert s._table_source_route == {"w": True, "o": False}
+    out = s.query(spark.createDataFrame(rows, _lookup_schema()))
+    assert sorted(tuple(r) for r in out.collect()) == \
+        [("d1", "emea", "ops"), ("d2", "apac", "dev")]
+
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    s2.register_table_source(mk_worker())
+    s2.register_table_source(DriverOnly())
+    stream = (spark.readStream.format("rate").load()
+              .selectExpr("CAST(value AS STRING) AS deviceId",
+                          "timestamp AS ts"))
+    with pytest.raises(ExecError, match="cannot ship"):
+        s2.query_stream(stream)
+
+
 def test_lookup_null_key_delta_pinned(spark):
     """Documented delta (streaming/lookup.py _enrich_via_join): the
     reference's in-process Lookup(nil) CAN match a nil key, and the
