@@ -1886,6 +1886,65 @@ def test_chained_lookup_sources_probe_enriched_columns(spark):
     assert sorted(tuple(r) for r in bout.collect()) == want
 
 
+def test_cep_with_lookup_and_snapshot_in_one_statement(spark):
+    """The triple: MATCH_RECOGNIZE + a worker lookup source + a
+    snapshot table in ONE statement — lookup enrichment first, then
+    the stream-static join, then the NFA, with DEFINE reading the
+    lookup column and MEASURES reading the snapshot column; batch and
+    streaming agree (exercises the conditional source-qualifier
+    rewrite with downstream joins present)."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    def mk_src():
+        class TierSource:
+            def name(self):
+                return "m"
+
+            def schema(self):
+                return "tier DOUBLE"
+
+            def lookup(self, key):
+                return ({"tier": 50.0}, True) if key == "d1" \
+                    else (None, False)
+
+        return TierSource()
+
+    schema = StructType([StructField("deviceId", StringType()),
+                         StructField("v", DoubleType()),
+                         StructField("ts", LongType())])
+    sql = ("SELECT hi, lo, owner FROM stream "
+           "JOIN m ON deviceId = m.deviceId "
+           "JOIN own o ON deviceId = o.sid "
+           "MATCH_RECOGNIZE ("
+           "  PARTITION BY deviceId ORDER BY ts "
+           "  MEASURES A.v AS hi, B.v AS lo, o.owner AS owner "
+           "  ONE ROW PER MATCH PATTERN (A B) "
+           "  DEFINE A AS v > m.tier, B AS v < 10"
+           ") WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [{"deviceId": "d1", "v": 60.0, "ts": 1000},
+            {"deviceId": "d1", "v": 5.0, "ts": 2000}]
+    snap = [{"sid": "d1", "owner": "ops"}]
+    want = [{"hi": 60.0, "lo": 5.0, "owner": "ops"}]
+
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(mk_src())
+    s.register_table("own", snap)
+    bout = s.query(spark.createDataFrame(rows, schema))
+    assert [r.asDict() for r in bout.collect()] == want
+
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    s2.register_table_source(mk_src())
+    s2.register_table("own", snap)
+    got = run_streaming_collect(spark, s2, [rows], schema)
+    assert got == want
+
+
 def test_mixed_worker_and_driver_lookup_sources_one_statement(spark):
     """One statement joining a worker-routable source AND a
     driver-fallback source (unpicklable): the batch path enriches
