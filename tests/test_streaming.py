@@ -1945,6 +1945,85 @@ def test_cep_with_lookup_and_snapshot_in_one_statement(spark):
     assert got == want
 
 
+def test_window_and_analytic_with_lookup_and_snapshot_mixed(spark):
+    """Windowed aggregation and stateful analytics over a statement
+    mixing a lookup source with a snapshot table (the conditional
+    source-qualifier rewrite with downstream joins present): GROUP BY
+    and PARTITION BY read the lookup column, projections read the
+    snapshot column; batch and streaming agree."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    def mk_src():
+        class LocSource:
+            def name(self):
+                return "m"
+
+            def schema(self):
+                return "loc STRING"
+
+            def lookup(self, key):
+                r = {"d1": "A", "d2": "B"}.get(key)
+                return ({"loc": r}, True) if r else (None, False)
+
+        return LocSource()
+
+    schema = StructType([StructField("deviceId", StringType()),
+                         StructField("v", DoubleType()),
+                         StructField("ts", LongType())])
+    snap = [{"sid": "d1", "owner": "ops"}, {"sid": "d2", "owner": "dev"}]
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+            {"deviceId": "d2", "v": 2.0, "ts": 2000},
+            {"deviceId": "d1", "v": 3.0, "ts": 3000},
+            {"deviceId": "d1", "v": 0.0, "ts": 7_200_000}]  # closer
+
+    wsql = ("SELECT m.loc AS loc, o.owner AS owner, count(*) AS c, "
+            "round(sum(v), 4) AS t FROM stream "
+            "JOIN m ON deviceId = m.deviceId JOIN own o ON deviceId = "
+            "o.sid GROUP BY m.loc, o.owner, TumblingWindow('1h') "
+            "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    want = [("A", "ops", 2, 4.0), ("B", "dev", 1, 2.0)]
+    s = StreamSQL(spark)
+    s.execute(wsql)
+    s.register_table_source(mk_src())
+    s.register_table("own", snap)
+    b = sorted(tuple(r) for r in
+               s.query(spark.createDataFrame(rows, schema)).collect())
+    # the batch flush also emits the closer's own final window
+    assert b == [("A", "ops", 1, 0.0)] + want or b == want + \
+        [("A", "ops", 1, 0.0)], b
+    s2 = StreamSQL(spark)
+    s2.execute(wsql)
+    s2.register_table_source(mk_src())
+    s2.register_table("own", snap)
+    got = run_streaming_collect(spark, s2, [rows[:2], rows[2:]], schema)
+    assert sorted((r["loc"], r["owner"], r["c"], r["t"])
+                  for r in got) == want
+
+    asql = ("SELECT ts, lag(v) OVER (PARTITION BY m.loc) AS pv, "
+            "o.owner AS owner FROM stream "
+            "JOIN m ON deviceId = m.deviceId JOIN own o ON deviceId = "
+            "o.sid WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    want_a = [(1000, None, "ops"), (2000, None, "dev"),
+              (3000, 1.0, "ops")]
+    sa = StreamSQL(spark)
+    sa.execute(asql)
+    sa.register_table_source(mk_src())
+    sa.register_table("own", snap)
+    assert sorted(tuple(r) for r in sa.query(
+        spark.createDataFrame(rows[:3], schema)).collect()) == want_a
+    sa2 = StreamSQL(spark)
+    sa2.execute(asql)
+    sa2.register_table_source(mk_src())
+    sa2.register_table("own", snap)
+    got2 = run_streaming_collect(spark, sa2, [rows[:2], rows[2:3]],
+                                 schema)
+    assert sorted((r["ts"], r["pv"], r["owner"]) for r in got2) == want_a
+
+
 def test_mixed_worker_and_driver_lookup_sources_one_statement(spark):
     """One statement joining a worker-routable source AND a
     driver-fallback source (unpicklable): the batch path enriches
