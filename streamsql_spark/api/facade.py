@@ -402,6 +402,24 @@ class StreamSQL:
             return False
         return True
 
+    def _probe_refs_tables(self, name: str, others: dict) -> bool:
+        """True when table ``name``'s probe-key expressions (the
+        stream-side of its ON equalities) reference any table in
+        ``others`` (by alias or name) — a CHAINED lookup whose keys
+        only exist after the other tables' enrichment."""
+        quals = set(others)
+        for jj in self._stmt.joins:
+            if jj.table in others and jj.alias:
+                quals.add(jj.alias)
+        for j in self._stmt.joins:
+            if j.table != name or j.on is None:
+                continue
+            for node in N.walk(j.on):
+                if isinstance(node, N.Col) and len(node.parts) >= 2 \
+                        and str(node.parts[0]) in quals:
+                    return True
+        return False
+
     def _split_lookup_sources(self):
         """(worker-routable, driver-fallback) partitions of the
         registered lookup sources (decision cached at registration)."""
@@ -413,11 +431,15 @@ class StreamSQL:
         return worker, driver
 
     def _lookup_tables(self, source_df: DataFrame,
-                       sources: dict | None = None) -> dict[str, DataFrame]:
+                       sources: dict | None = None,
+                       qref_map: dict | None = None) -> dict[str, DataFrame]:
         """Materialize registered lookup sources against THIS batch's
         distinct join-key values (see register_table_source) — the
         DRIVER-PROBE fallback, bounded by ``driver_probe_max_keys``.
-        The per-event sync path also lands here (one key per call)."""
+        The per-event sync path also lands here (one key per call).
+        ``qref_map`` rewrites probe-key expressions that reference
+        WORKER-enriched columns (chained sources probing the
+        post-enrichment frame) to their flat hidden names."""
         from pyspark.sql import functions as F
         out: dict[str, DataFrame] = {}
         # the planner qualifies stream-side refs with the source
@@ -425,10 +447,18 @@ class StreamSQL:
         probe = source_df.alias(
             (self._plan.source_alias or self._plan.source)
             if self._plan is not None else "stream")
+        rw = None
+        if qref_map:
+            from ..streaming.stateful import make_qref_rewriter
+            quals = {t.split(".", 1)[0] for t in qref_map
+                     if t != "__src__"}
+            rw = make_qref_rewriter("", quals, dict(qref_map))
         cap = self.driver_probe_max_keys
         for name, src in (sources if sources is not None
                           else self._table_sources).items():
             pairs, ref_cols = self._table_source_meta[name]
+            if rw is not None:
+                pairs = [(rw(s), k) for s, k in pairs]
             if not pairs:
                 raise ExecError(
                     f"lookup table source {name!r} needs an equality "
@@ -696,16 +726,30 @@ class StreamSQL:
             # parallel across partitions, zero driver involvement; the
             # rest take the bounded driver-probe fallback
             worker, driver = self._split_lookup_sources()
-            if driver:
-                # driver probe keys come from the PRE-enrichment frame:
-                # probing the worker-enriched frame would execute every
-                # worker source's mapInPandas stage (and its lookups) an
-                # extra full pass just to collect the fallback's keys
-                all_tables.update(self._lookup_tables(source_df, driver))
+            # a driver source whose ON chains on a WORKER-enriched
+            # column can only probe the post-enrichment frame
+            dep = {n: s for n, s in driver.items()
+                   if worker and self._probe_refs_tables(n, worker)}
+            indep = {n: s for n, s in driver.items() if n not in dep}
+            if indep:
+                # independent probes collect keys from the
+                # PRE-enrichment frame: probing the enriched frame
+                # would execute every worker source's mapInPandas
+                # stage (and its lookups) an extra full pass
+                all_tables.update(self._lookup_tables(source_df, indep))
             if worker:
                 from ..streaming.lookup import apply_lookup_joins
                 source_df, plan = apply_lookup_joins(
                     source_df, plan, worker, via="join")
+            if dep:
+                # chained probe keys rewrite to the enriched flat
+                # columns (the rest-join rewrite registered them in the
+                # qref map, so the stage materialized them); the one
+                # extra stage pass is the documented cost of chaining a
+                # driver-probed source on a worker-enriched column
+                all_tables.update(self._lookup_tables(
+                    source_df, dep,
+                    qref_map=plan.options.get("__qref_map__")))
         if tables:
             all_tables.update(tables)
         return BatchExecutor(self.spark, all_tables).execute(plan, source_df)

@@ -1993,8 +1993,7 @@ def test_window_and_analytic_with_lookup_and_snapshot_mixed(spark):
     b = sorted(tuple(r) for r in
                s.query(spark.createDataFrame(rows, schema)).collect())
     # the batch flush also emits the closer's own final window
-    assert b == [("A", "ops", 1, 0.0)] + want or b == want + \
-        [("A", "ops", 1, 0.0)], b
+    assert b == [("A", "ops", 1, 0.0)] + want, b
     s2 = StreamSQL(spark)
     s2.execute(wsql)
     s2.register_table_source(mk_src())
@@ -2089,6 +2088,36 @@ def test_mixed_worker_and_driver_lookup_sources_one_statement(spark):
                           "timestamp AS ts"))
     with pytest.raises(ExecError, match="cannot ship"):
         s2.query_stream(stream)
+
+    # CHAINED: the driver source's ON references a WORKER-enriched
+    # column — its probe keys only exist post-enrichment, so it probes
+    # the enriched frame with qref-rewritten key expressions (review
+    # find r10: this crashed with an unresolved-column error)
+    chained_sql = ("SELECT deviceId, w.region AS reg, o.mgr AS mgr "
+                   "FROM stream JOIN w ON deviceId = w.deviceId "
+                   "JOIN o ON w.region = o.region")
+
+    class DriverByRegion:
+        def __init__(self):
+            self._fh = open(__file__, "rb")  # defeats cloudpickle
+
+        def name(self):
+            return "o"
+
+        def schema(self):
+            return "mgr STRING"
+
+        def lookup(self, key):
+            mgr = {"emea": "kim", "apac": "lee"}.get(key)
+            return ({"mgr": mgr}, True) if mgr else (None, False)
+
+    s3 = StreamSQL(spark)
+    s3.execute(chained_sql)
+    s3.register_table_source(mk_worker())
+    s3.register_table_source(DriverByRegion())
+    out3 = s3.query(spark.createDataFrame(rows, _lookup_schema()))
+    assert sorted(tuple(r) for r in out3.collect()) == \
+        [("d1", "emea", "kim"), ("d2", "apac", "lee")]
 
 
 def test_lookup_null_key_delta_pinned(spark):
