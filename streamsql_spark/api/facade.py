@@ -726,6 +726,18 @@ class StreamSQL:
             # parallel across partitions, zero driver involvement; the
             # rest take the bounded driver-probe fallback
             worker, driver = self._split_lookup_sources()
+            for n in driver:
+                others = {m: s for m, s in driver.items() if m != n}
+                if others and self._probe_refs_tables(n, others):
+                    # driver→driver chains would need sequential
+                    # materialize-join-probe rounds; fail typed instead
+                    # of an unresolved-column crash mid-plan
+                    raise ExecError(
+                        f"lookup source {n!r} chains on another "
+                        "driver-probed source's columns — chained "
+                        "probes are supported only on worker-enriched "
+                        "columns. Make the upstream source picklable "
+                        "and declare schema() to route it worker-side.")
             # a driver source whose ON chains on a WORKER-enriched
             # column can only probe the post-enrichment frame
             dep = {n: s for n, s in driver.items()

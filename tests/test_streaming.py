@@ -2119,6 +2119,30 @@ def test_mixed_worker_and_driver_lookup_sources_one_statement(spark):
     assert sorted(tuple(r) for r in out3.collect()) == \
         [("d1", "emea", "kim"), ("d2", "apac", "lee")]
 
+    # driver→driver chains fail TYPED (sequential materialize-probe
+    # rounds are unsupported), not with an unresolved-column crash
+    class DriverW:
+        def __init__(self):
+            self._fh = open(__file__, "rb")
+
+        def name(self):
+            return "w"
+
+        def schema(self):
+            return "region STRING"
+
+        def lookup(self, key):
+            r = {"d1": "emea", "d2": "apac"}.get(key)
+            return ({"region": r}, True) if r else (None, False)
+
+    s4 = StreamSQL(spark)
+    s4.execute(chained_sql)
+    s4.register_table_source(DriverW())
+    s4.register_table_source(DriverByRegion())
+    assert s4._table_source_route == {"w": False, "o": False}
+    with pytest.raises(ExecError, match="chains on another"):
+        s4.query(spark.createDataFrame(rows, _lookup_schema()))
+
 
 def test_lookup_null_key_delta_pinned(spark):
     """Documented delta (streaming/lookup.py _enrich_via_join): the
