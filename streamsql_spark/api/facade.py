@@ -549,13 +549,24 @@ class StreamSQL:
                 + list(stmt.match.defines.values()) \
                 + list(stmt.match.partition_by) \
                 + list(stmt.match.order_by)
+        # ADVICE r10: the statement may navigate the SAME missing
+        # column at several depths (m.c['a'] and m.c['a']['b']) — the
+        # deepest fakeable shape serves every shallower chain (its
+        # try_element_at yields a typed NULL mid-branch), while a
+        # too-shallow pick fails analysis on the deeper chain
+        best: tuple[int, str] | None = None
         for e in exprs:
+            if e is None:
+                continue
             for node in N.walk(e):
                 if isinstance(node, N.Col) and len(node.parts) > 2 \
                         and str(node.parts[0]) in aliases \
                         and node.parts[1] == col:
-                    return shape(list(node.parts[2:]))
-        return None
+                    s = shape(list(node.parts[2:]))
+                    if s is not None and \
+                            (best is None or len(node.parts) > best[0]):
+                        best = (len(node.parts), s)
+        return best[1] if best else None
 
     def _lookup_rows_df(self, src, rows: list[dict], pairs,
                         probe: DataFrame) -> DataFrame:
@@ -1328,6 +1339,16 @@ class StreamSQL:
         from ..dialect import nodes as N
         from ..dialect import pyeval
         from ..dialect.planner import _default_name
+
+        # every pyeval compile entry point must see the real session
+        # zone BEFORE compiling: the _TZ_GATED gate and the _strict_ts
+        # runtime tripwires key off it (the direct path sets it in
+        # _emit_sync_python; analytic plans never reach that code)
+        try:
+            pyeval.set_session_tz(self.spark.conf.get(
+                "spark.sql.session.timeZone"))
+        except Exception:
+            pyeval.set_session_tz("")  # unresolvable tz: UTC-gated fns off
 
         plan = self._plan
         if (plan.joins or self.schema is not None or plan.distinct

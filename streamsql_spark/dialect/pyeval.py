@@ -1216,6 +1216,24 @@ def _compile_regexp_substring(e: "N.Func"):
     # error in Java)
     if any(tok in pat for tok in ("\\", "^", "$", "(?", ".", "&&", "{,")):
         return None
+    # character-class edges where Java and Python diverge (ADVICE r10):
+    # a '[' INSIDE a class is a nested-class union in Java but a
+    # literal in Python ('[a[b]]' matches 'a]' here, 'a' there), and a
+    # ']' as the FIRST member is a Python literal but a Java
+    # PatternSyntaxException — the fast path must not answer where the
+    # Spark path errors
+    in_class = first = False
+    for ch in pat:
+        if in_class:
+            if ch == "[" or (ch == "]" and first):
+                return None
+            if ch == "]":
+                in_class = False
+            first = False
+        elif ch == "[":
+            in_class = first = True
+    if in_class:
+        return None  # unterminated class: engine-specific recovery
     try:
         rx = re.compile(pat)
     except re.error:
@@ -1244,6 +1262,15 @@ def _java_fixed(v, d: int) -> str:
     where exact-binary 2.67499… would print '2.67'), unlike Python's
     half-even %.2f."""
     import decimal
+    # ADVICE r10: pre-JDK-19 JVMs (this container runs 17) emit
+    # NON-shortest Double.toString digits for |v| >= 2^53 (ulp > 1:
+    # measured smallest divergence 1.8099929708770712E16 vs python's
+    # 1.809992970877071e+16, and format_string('%.2f') follows those
+    # digits — 215556435655560672.00 vs shortest-repr ...670.00).
+    # Below 2^53 legacy == shortest (0/300k sweep divergences), so the
+    # fast path answers only there and hands big magnitudes to Spark.
+    if abs(float(v)) >= 9007199254740992.0:  # 2^53
+        raise Fallback()
     try:
         # doubles reach ~1.8e308: the default 28-digit context cannot
         # hold the quantized coefficient (InvalidOperation at ~1e26)

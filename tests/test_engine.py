@@ -2382,12 +2382,9 @@ def test_pyeval_format_and_regexp_substring_differential(spark):
     n = 0
     for pat, vals in [
         ("0.00", [3.14159, 2.675, 0.125, 1.005, -0.0001, 0.0, -2.5,
-                  1e15, 123, None, 2.665, 0.005, 99.995, -1.675,
-                  # large doubles overflow the default 28-digit Decimal
-                  # context (review find r10) — must answer, not crash
-                  1e30, 1.7e307]),
+                  1e15, 123, None, 2.665, 0.005, 99.995, -1.675]),
         ("0", [3.6, -3.6, 0.5, 2.5, None]),
-        ("0.000000", [1.23456789, None, 1e25]),
+        ("0.000000", [1.23456789, None]),
     ]:
         for v in vals:
             py, sp = both(f"SELECT format(x, '{pat}') AS f FROM stream",
@@ -2395,6 +2392,20 @@ def test_pyeval_format_and_regexp_substring_differential(spark):
             assert py is not _NOT_APPLICABLE, (pat, v)
             n += 1
             assert py == sp, (pat, v, py, sp)
+    # |v| >= 2^53 falls back (ADVICE r10): pre-JDK-19 Double.toString
+    # emits NON-shortest digits there (measured: format_string('%.2f',
+    # 2.1555643565556067e17) is '215556435655560672.00' on this JVM,
+    # where shortest-repr HALF_UP would print '...670.00') — the fast
+    # path must not answer where the JVM formats from different digits
+    for v in (2.1555643565556067e17, 1.373428634809579e18, 1e25, 1e30,
+              1.7e307, -9.334465534579821e17, float(2 ** 53)):
+        e = StreamSQL(spark)
+        e.execute("SELECT format(x, '0.00') AS f FROM stream")
+        assert e._emit_sync_python({"x": v}) is _NOT_APPLICABLE, v
+    # the boundary stays in-process: 2^53 - 1 is the largest exact int
+    py, sp = both("SELECT format(x, '0.00') AS f FROM stream",
+                  {"x": float(2 ** 53 - 1)})
+    assert py is not _NOT_APPLICABLE and py == sp
     py, sp = both("SELECT format(x) AS f FROM stream", {"x": 42})
     assert py == sp == {"f": "42"}
 
@@ -2412,10 +2423,25 @@ def test_pyeval_format_and_regexp_substring_differential(spark):
     # classes, '.' (Java's line-terminator set excludes \r where
     # Python's only excludes \n), '&&' (Java class intersection),
     # '{,' (quantifier in Python, syntax error in Java)
-    for bad in ("\\\\d+", "a.b", "[a&&b]", "a{,3}"):
+    # ADVICE r10 additions: a '[' INSIDE a class is a nested-class
+    # union in Java but a literal in Python ('[a[b]]' on 'a]' → 'a]'
+    # vs Java's 'a'), a ']' as FIRST class member is a Python literal
+    # but a Java PatternSyntaxException, and an unterminated class has
+    # engine-specific recovery
+    for bad in ("\\\\d+", "a.b", "[a&&b]", "a{,3}",
+                "[a[b]]", "[]a]", "[abc"):
         e = StreamSQL(spark)
         e.execute(f"SELECT regexp_substring(s, '{bad}') AS r FROM stream")
         assert e._emit_sync_python({"s": "a1b"}) is _NOT_APPLICABLE, bad
+    # plain classes (incl. a ']' OUTSIDE any class and '-' ranges)
+    # still answer in-process
+    for patt, s in [("[a-c]+]", "xbca]y"), ("a][b]", "xa]by"),
+                    ("[a-]", "x-y")]:
+        py, sp = both(
+            f"SELECT regexp_substring(s, '{patt}') AS r FROM stream",
+            {"s": s})
+        assert py is not _NOT_APPLICABLE, (patt, s)
+        assert py == sp, (patt, s, py, sp)
 
     # encode/decode: exactly-specified base64/hex; decode admits only
     # canonical input whose bytes are strict UTF-8
@@ -3561,3 +3587,33 @@ def test_greatest_least_nil_propagation_and_chr_range(spark):
                "FROM stream")
     out3 = s2.emit_sync({"x": 1})
     assert out3 == {"a": "A", "over": None, "neg": None}
+
+
+def test_analytic_pyeval_compile_reads_real_session_tz(spark):
+    """ADVICE r10 (high): the analytic per-event compile must re-read
+    the REAL session timezone before compiling — only the plain direct
+    path (_emit_sync_python) called set_session_tz, so with a non-UTC
+    user session the module global stayed at its stale default and
+    tz-gated functions (hour/date_format/...) silently answered in UTC
+    while the Spark oracle answered in the session zone."""
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.dialect import pyeval
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        pyeval.set_session_tz("UTC")  # stale global from a prior facade
+        e = StreamSQL(spark)
+        e.execute("SELECT hour(ts) AS h, lag(v) AS prev FROM stream")
+        cp = e._compile_analytic_python()
+        # the compile saw the real zone: tz-gated hour() refuses, and
+        # the module global now reflects the session
+        assert pyeval._SESSION_TZ == "America/New_York"
+        assert cp is None
+        # a tz-free analytic statement still compiles under non-UTC
+        e2 = StreamSQL(spark)
+        e2.execute("SELECT lag(v) AS prev FROM stream")
+        assert e2._compile_analytic_python() is not None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+        pyeval.set_session_tz(orig)

@@ -2284,3 +2284,41 @@ def test_lookup_nested_ref_visible_to_routing_and_backfill(spark):
     assert not s._table_source_route["m"]
     out = s.query(spark.createDataFrame(rows, _lookup_schema()))
     assert [tuple(r) for r in out.collect()] == [("d1", None)]
+
+
+def test_lookup_nested_backfill_mixed_depths(spark):
+    """ADVICE r10 (low): when the statement navigates the SAME missing
+    column at DIFFERENT depths (m.payload['a'] and m.payload['a']['b']),
+    the typed NULL backfill must take the DEEPEST fakeable shape — the
+    r10 code took the first ref's shape, so a shallow-first statement
+    applied the deeper try_element_at chain to a too-shallow typed NULL
+    and failed analysis where the reference returns nil for both."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    class OmitsPayload:
+        def name(self):
+            return "m"
+
+        def schema(self):
+            return "tier BIGINT"  # payload NOT declared
+
+        def lookup(self, key):
+            return None, False  # every key misses
+
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000}]
+    # shallow ref FIRST, deeper ref second — the order that broke
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, m.payload['a'] AS pa, "
+              "m.payload['a']['b'] AS pab FROM stream "
+              "LEFT JOIN m ON deviceId = m.deviceId")
+    s.register_table_source(OmitsPayload())
+    out = s.query(spark.createDataFrame(rows, _lookup_schema()))
+    assert [tuple(r) for r in out.collect()] == [("d1", None, None)]
+    # array-index depth mix under the same column
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT deviceId, m.payload[0] AS p0, "
+               "m.payload[0]['k'] AS p0k FROM stream "
+               "LEFT JOIN m ON deviceId = m.deviceId")
+    s2.register_table_source(OmitsPayload())
+    out2 = s2.query(spark.createDataFrame(rows, _lookup_schema()))
+    assert [tuple(r) for r in out2.collect()] == [("d1", None, None)]
