@@ -193,8 +193,15 @@ class StreamSQL:
         self._star_pending = self._has_changed_cols_star(self._stmt)
         if self._star_pending:
             cols = self._schema_columns()
-            if cols:
+            if cols and not getattr(self._stmt, "joins", None):
                 self._bind_changed_cols_star(cols)
+                return self
+            if cols:
+                # joins present: defer the bind to first data so table
+                # sources registered AFTER execute() contribute their
+                # schema columns to the star (the reference's `*` is
+                # the event map AFTER join enrichment wrote into it —
+                # stream/join.go:41-46 precedes analytics)
                 return self
         if self._star_pending:
             if self._stmt.window is not None or self._stmt.group_by:
@@ -240,28 +247,69 @@ class StreamSQL:
                 return True
         return False
 
-    def _bind_changed_cols_star(self, columns) -> None:
-        """Expand every changed_cols star over ``columns`` and compile
-        the plan.  Column order = arrival order of the binding source
-        (schema field order / df.columns / first-event key order) —
-        deterministic per run, like the fixed-schema fan-out."""
+    def _bind_changed_cols_star(self, refs) -> None:
+        """Expand every changed_cols star over ``refs`` (column names
+        or pre-built Col nodes) and compile the plan.  Column order =
+        arrival order of the binding source (schema field order /
+        df.columns / first-event key order) — deterministic per run,
+        like the fixed-schema fan-out."""
+        refs = [N.Col((r,)) if isinstance(r, str) else r for r in refs]
         for f in self._stmt.fields:
             e = f.expr
             if isinstance(e, N.Func) and e.name.lower() == "changed_cols":
                 expanded = []
                 for a in e.args[2:]:
                     if isinstance(a, N.Lit) and a.value == "*":
-                        expanded.extend(N.Col(parts=(c,))
-                                        for c in columns)
+                        expanded.extend(refs)
                     else:
                         expanded.append(a)
                 e.args = list(e.args[:2]) + expanded
         self._star_pending = False
         self._plan = make_plan(self._stmt)
 
+    def _star_watch_refs(self, columns) -> list:
+        """The reference's ``*`` is the EVENT MAP at analytic time —
+        JOIN enrichment writes the matched table row's fields into it
+        BEFORE analytics run (stream/join.go:41-46,
+        stream/processor_data.go:94-141), so star-watched change
+        detection sees enriched columns.  Expand over the stream
+        columns plus every joined table's columns (ALIAS-QUALIFIED, so
+        lookup-stage materialization and driver-probe NULL backfill
+        both count them): schema() fields for registered table
+        sources, the frame's columns for snapshot tables.  Stream
+        names win a collision (join.go keeps stream fields top-level).
+        A source with no usable schema() cannot be enumerated at bind
+        time and contributes nothing — its columns are watchable only
+        explicitly."""
+        refs: list = [N.Col((c,)) for c in columns]
+        seen = set(columns)
+        for j in (getattr(self._stmt, "joins", None) or []):
+            alias = j.alias or j.table
+            extra: list[str] = []
+            src = (self._table_sources or {}).get(j.table)
+            if src is not None:
+                sch = getattr(src, "schema", None)
+                sch = sch() if callable(sch) else sch
+                if isinstance(sch, str):
+                    from pyspark.sql.types import StructType
+                    try:
+                        sch = StructType.fromDDL(sch)
+                    except Exception:
+                        sch = None
+                if sch is not None and hasattr(sch, "fields"):
+                    extra = [f.name for f in sch.fields]
+            elif j.table in (self._tables or {}):
+                extra = list(self._tables[j.table].columns)
+            for c in extra:
+                if c not in seen:
+                    seen.add(c)
+                    refs.append(N.Col((alias, c)))
+        return refs
+
     def _maybe_bind_star(self, columns) -> None:
         if getattr(self, "_star_pending", False):
-            self._bind_changed_cols_star(list(columns))
+            base = self._schema_columns() or list(columns)
+            self._bind_changed_cols_star(self._star_watch_refs(base))
 
     @property
     def plan(self):

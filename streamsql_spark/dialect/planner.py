@@ -422,12 +422,23 @@ class Planner:
         over = call.over or N.OverSpec()
         part_sql = [render(p) for p in over.partition_by]
         when_sql = render(over.when) if over.when is not None else None
+        stmt = self.stmt
+        known_roots = {stmt.source_alias or stmt.source, stmt.source} \
+            | {j.alias or j.table for j in stmt.joins} \
+            | {j.table for j in stmt.joins}
         for a in call.args[2:]:
             if isinstance(a, N.Lit) and a.value == "*":
                 raise PlanError("changed_cols(..., \"*\") needs a declared "
                                 "schema — list the columns explicitly")
             if isinstance(a, N.Col):
-                colname = a.name
+                # a source/table qualifier is scope resolution, not part
+                # of the fan-out name: the reference names outputs
+                # prefix+fieldName off the event map's bare keys
+                # (analytic_acc.go:195-205)
+                parts = a.parts
+                if len(parts) > 1 and str(parts[0]) in known_roots:
+                    parts = parts[1:]
+                colname = ".".join(str(p) for p in parts)
             elif isinstance(a, N.Func):
                 colname = a.name.lower()  # avg(t) → "avg" display name
             else:

@@ -42,11 +42,14 @@ recovery).
 ``SELECT *`` materializes every schema() column under its REAL name
 (stream columns win a name collision — the reference keeps stream
 fields top-level, stream/join.go:41-46); ``alias.*`` expands to the
-schema columns.  Known delta: star-watched change detection
-(``changed_cols(..., "*")``) binds to the STREAM columns before
-enrichment runs, so lookup-enriched columns are not watched — list
-watched table columns explicitly (pinned in
-tests/test_streaming.py::test_lookup_star_watch_delta_pinned).
+schema columns.  Star-watched change detection (``had_changed(true,
+*)`` / ``changed_cols(..., "*")``) binds AFTER enrichment (r11): the
+star expands over stream columns PLUS every joined source's schema()
+columns, and the stage materializes them all — matching the
+reference's open-map ``*`` (enriched fields are ordinary map keys,
+stream/join.go:41-46).  A source with no usable schema() cannot be
+enumerated at bind time; its columns are watchable only explicitly
+(tests/test_streaming.py::test_lookup_star_watch_sees_enriched_columns).
 """
 
 from __future__ import annotations
@@ -218,7 +221,21 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
     # snapshots — table a's enrichment then materializes
     # __q_a_region__ for b's probe, and the __qref_map__ is complete.
     ast_joins = {(aj.table, aj.alias): aj for aj in plan.stmt.joins}
-    bare_star = any(o.star and not o.star_qualifier for o in plan.outputs)
+    # a bare SELECT * — or a plan that WATCHES the whole row with
+    # had_changed(true, *) (which expands over df.columns at kernel
+    # build time) — materializes every schema() column under its real
+    # name: the reference's `*` is the event map AFTER enrichment
+    # wrote into it (stream/join.go:41-46 precedes analytics).
+    # (changed_cols '*' needs no flag: its facade-time expansion
+    # produces alias-qualified refs that register in `mapping`.)
+    bare_star = (any(o.star and not o.star_qualifier
+                     for o in plan.outputs)
+                 or any(
+                     a.func.name.lower() == "had_changed"
+                     and any(isinstance(x, N.Star)
+                             or (isinstance(x, N.Lit) and x.value == "*")
+                             for x in a.func.args)
+                     for a in plan.analytics))
     per_join = []
     for j in lookups:
         ast_j = ast_joins.get((j.table, j.alias))

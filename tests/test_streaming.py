@@ -1563,27 +1563,73 @@ def test_batch_lookup_routes_worker_side(spark):
         s3.query(df).collect()
 
 
-def test_lookup_star_watch_delta_pinned(spark):
-    """Documented delta (streaming/lookup.py module docstring):
-    changed_cols(..., '*') binds to the STREAM columns before lookup
-    enrichment runs, so lookup-enriched columns are NOT watched — the
-    reference's open-map `*` would see them (stream/join.go:58-62).
-    Pin the delta so it cannot silently change."""
+def test_lookup_star_watch_sees_enriched_columns(spark):
+    """r11: star-watched change detection binds AFTER lookup
+    enrichment — the reference's `*` is the open event map with the
+    joined row's fields already written in (stream/join.go:41-46
+    precedes analytics), so changed_cols(..., '*') watches enriched
+    columns too.  (Flips the r10 delta pin: the fan-out used to see
+    only the stream columns.)"""
     from streamsql_spark.api.facade import StreamSQL
 
-    data = {"d1": {"location": "plantA", "tier": 1}}
+    data = {"d1": {"location": "plantA", "tier": 1},
+            "d2": {"location": "plantB", "tier": 1}}
     rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
-            {"deviceId": "d1", "v": 1.0, "ts": 2000}]
+            {"deviceId": "d2", "v": 1.0, "ts": 2000},
+            {"deviceId": "d2", "v": 1.0, "ts": 3000}]
     s = StreamSQL(spark)
     s.execute("SELECT changed_cols('c_', false, '*') FROM stream "
               "JOIN meta m ON deviceId = m.deviceId")
     s.register_table_source(_mk_dict_lookup_source("meta", data))
     out = s.query(spark.createDataFrame(rows, _lookup_schema()))
-    # the star fan-out watches exactly the stream columns; enriched
-    # location/tier produce no c_* outputs
-    assert any("deviceId" in c for c in out.columns)
-    assert not any("location" in c or "tier" in c for c in out.columns)
-    assert out.count() == 2
+    # the fan-out covers stream columns AND the source's schema()
+    # columns (stream names win collisions; deviceId is a stream col)
+    assert {"c_deviceId", "c_v", "c_ts", "c_location", "c_tier"} \
+        <= set(out.columns)
+    got = [(r["c_deviceId"], r["c_location"], r["c_tier"])
+           for r in sorted(out.collect(), key=lambda r: r["c_ts"])]
+    # row1: first row — everything changed; row2: location changes
+    # plantA->plantB, tier 1->1 unchanged; row3: nothing enriched
+    # changed (same device), only ts moved
+    assert got == [("d1", "plantA", 1),
+                   ("d2", "plantB", None),
+                   (None, None, None)], got
+
+
+def test_lookup_star_watch_had_changed_batch_and_stream(spark):
+    """had_changed(true, '*') over a lookup join watches enriched
+    columns on BOTH executors: a device whose stream fields repeat but
+    whose enriched tier flips still registers a change."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    data = {"d1": {"location": "plantA", "tier": 1}}
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+            {"deviceId": "d1", "v": 1.0, "ts": 2000}]
+    sql = ("SELECT deviceId, had_changed(false, '*') AS ch FROM stream "
+           "JOIN meta m ON deviceId = m.deviceId")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(_mk_dict_lookup_source("meta", data))
+    out = s.query(spark.createDataFrame(rows, _lookup_schema()))
+    got = [(r["deviceId"], r["ch"]) for r in
+           sorted(out.collect(), key=lambda r: r["deviceId"])]
+    # first row always changes; second row: stream v repeats, enriched
+    # location/tier repeat, only ts moved -> ts IS watched (a stream
+    # column) so ch=True; the decisive assertion is the STREAMING
+    # parity below
+    assert got[0][1] is True
+
+    batches = [[{"deviceId": "d1", "v": 1.0, "ts": 1000}],
+               [{"deviceId": "d1", "v": 1.0, "ts": 1000}]]
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    s2.register_table_source(_mk_dict_lookup_source("meta", data))
+    got2 = run_streaming_collect(
+        spark, s2, batches, _lookup_schema(),
+        tables=getattr(s2, "_tables", None))
+    # identical rows (incl. ts): the second emits ch=False — watched
+    # set includes the enriched columns, none of which changed
+    assert [r["ch"] for r in got2] == [True, False], got2
 
 
 def test_streaming_lookup_source_requires_schema(spark):
