@@ -140,7 +140,7 @@ def main() -> None:
     # compact (r5's repeats_per_entry map pushed it past the buffer and
     # the round's bench went unparsed).
     print(json.dumps({"repeats_per_entry": repeats}), file=sys.stderr)
-    print(json.dumps({
+    payload = {
         "metric": "catalog_total_wall",
         "value": round(total, 3),
         "unit": "sec",
@@ -150,7 +150,20 @@ def main() -> None:
         # divide a cross-round entry ratio by the matching cal ratio
         "cal": round(cal_jvm, 3),
         "cal_py": round(cal_py, 3),
-    }))
+    }
+    print(json.dumps(payload))
+    # normalized cross-round comparison vs the newest BENCH_r*.json
+    # (stderr; r11 brief #4): entries are flagged only when NEITHER
+    # calibration ratio explains their slowdown — the phantom-
+    # regression adjudication becomes a one-line read
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from bench_compare import emit_comparison
+        emit_comparison(payload)
+    except Exception as e:  # noqa: BLE001 — advisory output only
+        print(json.dumps({"bench_compare_skipped": str(e)}),
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

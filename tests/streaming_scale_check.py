@@ -122,6 +122,28 @@ def main() -> None:
                 WITHIN '30d'
             )
         """,
+        # r11: the two kernel classes with no scale row yet.
+        # GLOBAL WINDOW TRIGGER WHEN: per-key running aggregates +
+        # trigger predicate + FIRE_AND_PURGE (streaming/stateful.py:810)
+        "global_trigger": """
+            SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+            FROM stream GROUP BY user_id
+            GLOBAL WINDOW TRIGGER WHEN count(*) >= 20
+        """,
+        # ALLOWEDLATENESS re-emission under a LATE-HEAVY replay: the
+        # per-copy user_id remap means every row after the first file
+        # belongs to a FRESH key whose windows are already behind the
+        # global watermark -> it takes the late path (immediate fire +
+        # update), and the '30d' lateness horizon holds EVERY fired
+        # window's partials for the whole replay — held-state
+        # high-water vs executor heap is the number to watch
+        # (streaming/stateful.py:604).
+        "lateness": """
+            SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+            FROM stream GROUP BY user_id, TumblingWindow('1d')
+            WITH (TIMESTAMP='ts', MAXOUTOFORDERNESS='1h',
+                  ALLOWEDLATENESS='30d')
+        """,
     }
     class _UserDimSource:
         """Synthetic lookup dim: answers every user_id (r9 — measures
