@@ -3617,3 +3617,42 @@ def test_analytic_pyeval_compile_reads_real_session_tz(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
         pyeval.set_session_tz(orig)
+
+
+def test_unaliased_nested_path_names_by_last_segment(spark):
+    """Delta row 10 (README "Deltas vs reference"): an unaliased
+    nested projection names its output column by the LAST path
+    segment (`device.location` -> `location`), where the reference
+    keeps the full dotted expression string (rsql/ast.go:158-166
+    naming).  Alias nested projections for portable names."""
+    s = StreamSQL(spark)
+    s.execute("SELECT device.location FROM stream")
+    out = s.emit_sync({"device": {"location": "hall", "id": 7}})
+    assert out == {"location": "hall"}
+
+
+def test_window_fuzz_ci_subset(spark):
+    """CI slice of the window-path differential fuzz (r11; the wide
+    sweep is tests/window_fuzz.py — run it manually after window/agg
+    changes): random window-kind x group-keys x aggregates x WHERE x
+    HAVING x per-fire ORDER BY/LIMIT statements over the events
+    fixture, each checked against the generalized DuckDB oracle
+    templates.  Bar: ZERO divergences."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from window_fuzz import run_fuzz
+
+    from streamsql_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    tables = load_tables(spark, sf)
+    con = duckdb.connect()
+    con.sql("CREATE OR REPLACE VIEW events AS "
+            f"SELECT * FROM '{sf}/events.parquet'")
+    div = run_fuzz(spark, con, tables["events"], seed=20260816,
+                   count=12, verbose=False)
+    assert not div, div

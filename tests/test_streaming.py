@@ -2368,3 +2368,28 @@ def test_lookup_nested_backfill_mixed_depths(spark):
     s2.register_table_source(OmitsPayload())
     out2 = s2.query(spark.createDataFrame(rows, _lookup_schema()))
     assert [tuple(r) for r in out2.collect()] == [("d1", None, None)]
+
+
+def test_streaming_mixed_partition_keys_raise_typed(spark):
+    """Delta row 11 (README "Deltas vs reference"): a streaming query
+    accepts ONE common OVER (PARTITION BY ...) key set — Spark permits
+    a single applyInPandasWithState kernel per stream, so mixed keys
+    fail with a typed error naming the workaround; the batch and
+    per-event paths support mixed keys like the reference."""
+    import pytest
+
+    from streamsql_spark.api.facade import StreamSQL
+
+    sql = ("SELECT acc_sum(temperature) OVER (PARTITION BY deviceId) "
+           "AS a, acc_sum(humidity) OVER (PARTITION BY status) AS b "
+           "FROM stream")
+    batches = [_rows(("d1", 1.0, 2.0, 1000, "ok"))]
+    with pytest.raises(Exception, match="common OVER"):
+        run_stream(spark, sql, batches)
+    # same statement on the BATCH path: mixed keys work
+    s = StreamSQL(spark)
+    s.execute(sql)
+    df = spark.createDataFrame(
+        _rows(("d1", 1.0, 2.0, 1000, "ok"),
+              ("d2", 3.0, 4.0, 2000, "ok")), EVT)
+    assert s.query(df).count() == 2
