@@ -266,6 +266,11 @@ class StreamSQL:
                 e.args = list(e.args[:2]) + expanded
         self._star_pending = False
         self._plan = make_plan(self._stmt)
+        # the normal execute() path primes arrival stamping right after
+        # make_plan — the star-bound path must too, or a star-bound
+        # processing-time-window plan loses its monotone wall-clock
+        # stamp in emit() (review find r11)
+        self._prime_arrival_stamp()
 
     def _star_watch_refs(self, columns) -> list:
         """The reference's ``*`` is the EVENT MAP at analytic time —
@@ -288,16 +293,12 @@ class StreamSQL:
             extra: list[str] = []
             src = (self._table_sources or {}).get(j.table)
             if src is not None:
-                sch = getattr(src, "schema", None)
-                sch = sch() if callable(sch) else sch
-                if isinstance(sch, str):
-                    from pyspark.sql.types import StructType
-                    try:
-                        sch = StructType.fromDDL(sch)
-                    except Exception:
-                        sch = None
-                if sch is not None and hasattr(sch, "fields"):
-                    extra = [f.name for f in sch.fields]
+                from ..streaming.lookup import source_schema
+                try:
+                    extra = [f.name
+                             for f in source_schema(src).fields]
+                except Exception:
+                    extra = []  # no usable schema(): not enumerable
             elif j.table in (self._tables or {}):
                 extra = list(self._tables[j.table].columns)
             for c in extra:
@@ -319,7 +320,11 @@ class StreamSQL:
         """IsAggregationQuery analog (streamsql.go) — True for
         window/aggregate mode, False for the direct path."""
         if getattr(self, "_star_pending", False):
-            return False  # star defers only in direct mode
+            # a deferred star no longer implies direct mode: the r11
+            # joins-deferral branch defers windowed statements too —
+            # answer from the statement shape
+            return self._stmt.window is not None \
+                or bool(self._stmt.group_by)
         if self._plan is None:
             raise RuntimeError("call execute(sql) first")
         return self._plan.mode == "window"
@@ -601,8 +606,21 @@ class StreamSQL:
         # column at several depths (m.c['a'] and m.c['a']['b']) — the
         # deepest fakeable shape serves every shallower chain (its
         # try_element_at yields a typed NULL mid-branch), while a
-        # too-shallow pick fails analysis on the deeper chain
-        best: tuple[int, str] | None = None
+        # too-shallow pick fails analysis on the deeper chain.  That
+        # only holds when every chain is a segment-kind PREFIX of the
+        # deepest; a map-key and an array-index at the same position
+        # (m.c['a'] AND m.c[0]) cannot share one typed NULL — fail
+        # typed instead of an unresolved AnalysisException mid-plan
+        # (review find r11)
+        def kinds(parts) -> str:
+            # struct-dot counts as 'm': Catalyst resolves a field name
+            # on a map column as GetMapValue, so a typed NULL map
+            # serves a dot chain — only key-by-name vs index-by-int
+            # genuinely conflict
+            return "".join("a" if isinstance(p, int) else "m"
+                           for p in parts)
+
+        cands: list[tuple[str, str | None]] = []
         for e in exprs:
             if e is None:
                 continue
@@ -610,11 +628,22 @@ class StreamSQL:
                 if isinstance(node, N.Col) and len(node.parts) > 2 \
                         and str(node.parts[0]) in aliases \
                         and node.parts[1] == col:
-                    s = shape(list(node.parts[2:]))
-                    if s is not None and \
-                            (best is None or len(node.parts) > best[0]):
-                        best = (len(node.parts), s)
-        return best[1] if best else None
+                    path = list(node.parts[2:])
+                    cands.append((kinds(path), shape(path)))
+        fakeable = [(k, s) for k, s in cands if s is not None]
+        if not fakeable:
+            return None
+        longest, best = max(fakeable, key=lambda t: len(t[0]))
+        for k, _ in cands:
+            n = min(len(k), len(longest))
+            if k[:n] != longest[:n]:
+                raise ExecError(
+                    f"lookup source {name!r}: column {col!r} is "
+                    "navigated with conflicting shapes (map key vs "
+                    "array index at the same position) and the source "
+                    "never returned it — declare the column in "
+                    "schema() so its real type resolves the paths")
+        return best
 
     def _lookup_rows_df(self, src, rows: list[dict], pairs,
                         probe: DataFrame) -> DataFrame:

@@ -426,6 +426,7 @@ class Planner:
         known_roots = {stmt.source_alias or stmt.source, stmt.source} \
             | {j.alias or j.table for j in stmt.joins} \
             | {j.table for j in stmt.joins}
+        used_names = {o.name for o in plan.outputs}
         for a in call.args[2:]:
             if isinstance(a, N.Lit) and a.value == "*":
                 raise PlanError("changed_cols(..., \"*\") needs a declared "
@@ -434,9 +435,15 @@ class Planner:
                 # a source/table qualifier is scope resolution, not part
                 # of the fan-out name: the reference names outputs
                 # prefix+fieldName off the event map's bare keys
-                # (analytic_acc.go:195-205)
+                # (analytic_acc.go:195-205).  If stripping would collide
+                # with an earlier fan-out member (deviceId AND
+                # m.deviceId both watched), the later member keeps its
+                # dotted name — duplicate output names silently drop a
+                # column in dict sinks (review find r11)
                 parts = a.parts
-                if len(parts) > 1 and str(parts[0]) in known_roots:
+                if len(parts) > 1 and str(parts[0]) in known_roots \
+                        and f"{prefix}" + ".".join(
+                            str(p) for p in parts[1:]) not in used_names:
                     parts = parts[1:]
                 colname = ".".join(str(p) for p in parts)
             elif isinstance(a, N.Func):
@@ -450,6 +457,7 @@ class Planner:
             synth = N.Func(name="__changed_value__", args=[arg, call.args[1]])
             self.analytics.append(AnalyticSpec(
                 ph, synth, part_sql, when_sql, window_output=window_mode))
+            used_names.add(f"{prefix}{colname}")
             plan.outputs.append(OutputField(name=f"{prefix}{colname}", sql=ph))
 
     def _plan_direct(self, plan: QueryPlan) -> None:

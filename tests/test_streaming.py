@@ -2393,3 +2393,95 @@ def test_streaming_mixed_partition_keys_raise_typed(spark):
         _rows(("d1", 1.0, 2.0, 1000, "ok"),
               ("d2", 3.0, 4.0, 2000, "ok")), EVT)
     assert s.query(df).count() == 2
+
+
+def test_lookup_star_watch_collision_first_join_wins(spark):
+    """Delta row 14 (README "Deltas vs reference"): when two joined
+    sources declare the SAME column name, the star watch (and SELECT *
+    materialization) resolve the collision as stream-first, then
+    FIRST-join-wins — the reference's open map is last-write-wins
+    (each later join overwrites the key, stream/join.go:41-46).
+    Pinned so the resolution order cannot drift silently."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    def mk(name, tier):
+        class Src:
+            def __init__(self):
+                self._n, self._t = name, tier
+
+            def name(self):
+                return self._n
+
+            def schema(self):
+                return "tier STRING"
+
+            def lookup(self, key):
+                return {"tier": self._t}, True
+        return Src()
+
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+            {"deviceId": "d1", "v": 1.0, "ts": 2000}]
+    s = StreamSQL(spark)
+    s.execute("SELECT changed_cols('c_', false, '*') FROM stream "
+              "JOIN a ON deviceId = a.deviceId "
+              "JOIN b ON deviceId = b.deviceId")
+    s.register_table_source(mk("a", "gold"))
+    s.register_table_source(mk("b", "iron"))
+    out = s.query(spark.createDataFrame(rows, _lookup_schema()))
+    # ONE c_tier fan-out member, bound to the FIRST join's column
+    assert out.columns.count("c_tier") == 1
+    got = sorted((r["c_ts"], r["c_tier"]) for r in out.collect())
+    # row1: first row, tier changed -> 'gold' (a's value, not b's);
+    # row2: tier unchanged -> NULL
+    assert got == [(1000, "gold"), (2000, None)], got
+
+
+def test_changed_cols_explicit_qualified_name_collision(spark):
+    """Review find r11: watching both a stream column and a
+    same-named table column (`deviceId, m.deviceId`) must produce
+    DISTINCT fan-out output names — qualifier stripping applies only
+    while it doesn't collide (duplicate DataFrame column names
+    silently drop a column in dict sinks)."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    data = {"d1": {"location": "plantA", "tier": 1}}
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000}]
+    s = StreamSQL(spark)
+    s.execute("SELECT changed_cols('c_', false, deviceId, m.location, "
+              "m.deviceId) FROM stream "
+              "JOIN meta m ON deviceId = m.deviceId")
+    s.register_table_source(_mk_dict_lookup_source("meta", data))
+    out = s.query(spark.createDataFrame(rows, _lookup_schema()))
+    assert sorted(out.columns) == \
+        ["c_deviceId", "c_location", "c_m.deviceId"], out.columns
+
+
+def test_lookup_nested_backfill_conflicting_kinds_fail_typed(spark):
+    """Review find r11: a missing column navigated BOTH as a map
+    (m.payload['a']) and as an array (m.payload[0]) cannot share one
+    typed NULL backfill — the query fails with a typed error naming
+    the fix (declare the column in schema()) instead of an opaque
+    AnalysisException mid-plan."""
+    import pytest
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.engine.batch import ExecError
+
+    class OmitsPayload:
+        def name(self):
+            return "m"
+
+        def schema(self):
+            return "tier BIGINT"
+
+        def lookup(self, key):
+            return None, False
+
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000}]
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, m.payload['a'] AS pa, "
+              "m.payload[0] AS p0 FROM stream "
+              "LEFT JOIN m ON deviceId = m.deviceId")
+    s.register_table_source(OmitsPayload())
+    with pytest.raises(ExecError, match="conflicting shapes"):
+        s.query(spark.createDataFrame(rows, _lookup_schema())).collect()

@@ -65,7 +65,7 @@ def _session_oracle(keys, where, sel_keys, aggs_sql, having, gap_s):
     return f"""
     WITH filtered AS (SELECT * FROM events {wf}),
     marked AS (
-      SELECT {keycols}value, ts,
+      SELECT {keycols}value, ts, event_id,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER ({part}ORDER BY ts, event_id))
                        > {gap_s} OR
                        lag(ts) OVER ({part}ORDER BY ts, event_id) IS NULL
@@ -73,7 +73,7 @@ def _session_oracle(keys, where, sel_keys, aggs_sql, having, gap_s):
       FROM filtered),
     sessions AS (
       SELECT {keycols}value,
-             sum(new_session) OVER ({part}ORDER BY ts
+             sum(new_session) OVER ({part}ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked)
     SELECT {sel_keys}{aggs_sql}

@@ -84,6 +84,17 @@ def compare(prev: dict, cur: dict, threshold: float = 1.25) -> dict:
     entries = []
     for name, cv in cq.items():
         pv = pq.get(name)
+        # bench.py records -1.0 for an entry whose query RAISED — the
+        # worst regression there is, never a ratio (review find r11)
+        if cv is not None and cv < 0:
+            entries.append({"entry": name, "status": "broke",
+                            "prev": pv, "cur": cv,
+                            "flagged": pv is not None and pv > 0})
+            continue
+        if pv is not None and pv < 0:
+            entries.append({"entry": name, "status": "recovered",
+                            "prev": pv, "cur": cv, "flagged": False})
+            continue
         if not pv:
             entries.append({"entry": name, "status": "new",
                             "cur": cv})
@@ -112,11 +123,11 @@ def compare(prev: dict, cur: dict, threshold: float = 1.25) -> dict:
                         if prev.get("value") else None),
         "entries": entries,
         "removed": gone,
-        "flagged": sorted((e["entry"] for e in entries
-                           if e.get("flagged")),
-                          key=lambda n: -next(
-                              x["normalized"] for x in entries
-                              if x["entry"] == n)),
+        "flagged": sorted(
+            (e["entry"] for e in entries if e.get("flagged")),
+            key=lambda n: -next(
+                x.get("normalized", float("inf")) for x in entries
+                if x["entry"] == n)),
     }
 
 
@@ -144,6 +155,10 @@ def emit_comparison(cur: dict, prev_path: str | None = None,
     print(f"bench_compare vs {os.path.basename(prev_path)}: "
           f"total ratio {rep['total_ratio']}, "
           f"cal ratios {rep['calibration_ratios']}", file=out)
+    for e in rep["entries"]:
+        if e["status"] == "broke" and e.get("flagged"):
+            print(f"  BROKE {e['entry']}: {e['prev']:.3f}s -> entry "
+                  "now RAISES (-1.0 sentinel)", file=out)
     worst = sorted((e for e in rep["entries"] if e["status"] == "ok"),
                    key=lambda e: -e["normalized"])
     for e in worst:
@@ -159,12 +174,21 @@ def emit_comparison(cur: dict, prev_path: str | None = None,
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 1.25
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    raw = sys.argv[1:]
+    i = 0
+    while i < len(raw):
+        a = raw[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a
-                        else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                thr = float(raw[i + 1])
+                i += 1  # consume the value token too
+        else:
+            args.append(a)
+        i += 1
     if not args:
         print(__doc__)
         sys.exit(2)
