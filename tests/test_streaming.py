@@ -2485,3 +2485,25 @@ def test_lookup_nested_backfill_conflicting_kinds_fail_typed(spark):
     s.register_table_source(OmitsPayload())
     with pytest.raises(ExecError, match="conflicting shapes"):
         s.query(spark.createDataFrame(rows, _lookup_schema())).collect()
+
+
+def test_lookup_star_watch_emit_sync_parity(spark):
+    """The per-event path agrees with batch/streaming on star-watched
+    change detection over lookup-enriched columns (r11): identical
+    consecutive events emit ch=False because the watched set includes
+    the enriched columns and none changed."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    data = {"d1": {"location": "plantA", "tier": 1}}
+    sql = ("SELECT deviceId, had_changed(false, '*') AS ch FROM stream "
+           "JOIN meta m ON deviceId = m.deviceId")
+    s = StreamSQL(spark)
+    s.execute(sql)
+    s.register_table_source(_mk_dict_lookup_source("meta", data))
+    r1 = s.emit_sync({"deviceId": "d1", "v": 1.0, "ts": 1000})
+    r2 = s.emit_sync({"deviceId": "d1", "v": 1.0, "ts": 1000})
+    assert r1["ch"] is True and r2["ch"] is False, (r1, r2)
+    # a changed ENRICHED value (table update between events) fires
+    data["d1"]["tier"] = 2
+    r3 = s.emit_sync({"deviceId": "d1", "v": 1.0, "ts": 1000})
+    assert r3["ch"] is True, r3
