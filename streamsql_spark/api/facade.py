@@ -473,6 +473,26 @@ class StreamSQL:
                     return True
         return False
 
+    def _probe_dep_tables(self, name: str, others) -> set[str]:
+        """TABLE NAMES among ``others`` that table ``name``'s ON
+        references — the driver-probe dependency set (chained keys
+        exist only after those tables' materialization)."""
+        alias_to_table: dict[str, str] = {}
+        for jj in self._stmt.joins:
+            if jj.table in others:
+                alias_to_table[jj.table] = jj.table
+                if jj.alias:
+                    alias_to_table[jj.alias] = jj.table
+        deps: set[str] = set()
+        for j in self._stmt.joins:
+            if j.table != name or j.on is None:
+                continue
+            for node in N.walk(j.on):
+                if isinstance(node, N.Col) and len(node.parts) >= 2 \
+                        and str(node.parts[0]) in alias_to_table:
+                    deps.add(alias_to_table[str(node.parts[0])])
+        return deps
+
     def _split_lookup_sources(self):
         """(worker-routable, driver-fallback) partitions of the
         registered lookup sources (decision cached at registration)."""
@@ -485,19 +505,23 @@ class StreamSQL:
 
     def _lookup_tables(self, source_df: DataFrame,
                        sources: dict | None = None,
-                       qref_map: dict | None = None) -> dict[str, DataFrame]:
+                       qref_map: dict | None = None,
+                       probe_aliased: bool = False) -> dict[str, DataFrame]:
         """Materialize registered lookup sources against THIS batch's
         distinct join-key values (see register_table_source) — the
         DRIVER-PROBE fallback, bounded by ``driver_probe_max_keys``.
         The per-event sync path also lands here (one key per call).
         ``qref_map`` rewrites probe-key expressions that reference
         WORKER-enriched columns (chained sources probing the
-        post-enrichment frame) to their flat hidden names."""
+        post-enrichment frame) to their flat hidden names.
+        ``probe_aliased``: the caller already stream-aliased (and
+        possibly dependency-joined) the frame — re-aliasing would
+        erase the join-side qualifiers chained key expressions need."""
         from pyspark.sql import functions as F
         out: dict[str, DataFrame] = {}
         # the planner qualifies stream-side refs with the source
         # alias (stream.deviceId) — alias the probe frame to match
-        probe = source_df.alias(
+        probe = source_df if probe_aliased else source_df.alias(
             (self._plan.source_alias or self._plan.source)
             if self._plan is not None else "stream")
         rw = None
@@ -814,23 +838,14 @@ class StreamSQL:
             # parallel across partitions, zero driver involvement; the
             # rest take the bounded driver-probe fallback
             worker, driver = self._split_lookup_sources()
-            for n in driver:
-                others = {m: s for m, s in driver.items() if m != n}
-                if others and self._probe_refs_tables(n, others):
-                    # driver→driver chains would need sequential
-                    # materialize-join-probe rounds; fail typed instead
-                    # of an unresolved-column crash mid-plan
-                    raise ExecError(
-                        f"lookup source {n!r} chains on another "
-                        "driver-probed source's columns — chained "
-                        "probes are supported only on worker-enriched "
-                        "columns. Make the upstream source picklable "
-                        "and declare schema() to route it worker-side.")
-            # a driver source whose ON chains on a WORKER-enriched
-            # column can only probe the post-enrichment frame
-            dep = {n: s for n, s in driver.items()
-                   if worker and self._probe_refs_tables(n, worker)}
-            indep = {n: s for n, s in driver.items() if n not in dep}
+            # per-source dependencies: which OTHER driver tables and
+            # whether any worker-enriched column feeds its probe keys
+            ddeps = {n: self._probe_dep_tables(
+                n, {m for m in driver if m != n}) for n in driver}
+            dep_w = {n for n in driver
+                     if worker and self._probe_refs_tables(n, worker)}
+            indep = {n: s for n, s in driver.items()
+                     if not ddeps[n] and n not in dep_w}
             if indep:
                 # independent probes collect keys from the
                 # PRE-enrichment frame: probing the enriched frame
@@ -841,15 +856,43 @@ class StreamSQL:
                 from ..streaming.lookup import apply_lookup_joins
                 source_df, plan = apply_lookup_joins(
                     source_df, plan, worker, via="join")
-            if dep:
-                # chained probe keys rewrite to the enriched flat
-                # columns (the rest-join rewrite registered them in the
-                # qref map, so the stage materialized them); the one
-                # extra stage pass is the documented cost of chaining a
-                # driver-probed source on a worker-enriched column
-                all_tables.update(self._lookup_tables(
-                    source_df, dep,
-                    qref_map=plan.options.get("__qref_map__")))
+            # chained driver probes resolve in dependency ROUNDS
+            # (r11; previously a typed error): each round joins the
+            # already-materialized dependency tables (broadcast, the
+            # same join the executor will run) into the probe frame so
+            # the chained source's key expressions resolve, then
+            # driver-probes it — every round bounded by
+            # driver_probe_max_keys.  Worker-enriched refs rewrite via
+            # the qref map (the stage materialized their flat names).
+            pending = {n: s for n, s in driver.items() if n not in indep}
+            qmap = plan.options.get("__qref_map__")
+            from pyspark.sql import functions as F
+            while pending:
+                ready = {n: s for n, s in pending.items()
+                         if ddeps[n] <= set(all_tables)}
+                if not ready:
+                    raise ExecError(
+                        "lookup sources "
+                        f"{sorted(pending)} form a probe-key cycle — "
+                        "each one's ON references another's columns, "
+                        "so no probe order exists. Break the cycle or "
+                        "route a source worker-side (picklable + "
+                        "schema()).")
+                for n, s in ready.items():
+                    probe = source_df.alias(
+                        plan.source_alias or plan.source)
+                    for d in sorted(ddeps[n]):
+                        j = next(r for r in plan.joins if r.table == d)
+                        probe = probe.join(
+                            F.broadcast(all_tables[d].alias(
+                                j.alias or j.table)),
+                            F.expr(j.on_sql),
+                            j.kind if j.kind != "cross" else "inner")
+                    all_tables.update(self._lookup_tables(
+                        probe, {n: s},
+                        qref_map=qmap if n in dep_w else None,
+                        probe_aliased=True))
+                    del pending[n]
         if tables:
             all_tables.update(tables)
         return BatchExecutor(self.spark, all_tables).execute(plan, source_df)

@@ -2165,8 +2165,11 @@ def test_mixed_worker_and_driver_lookup_sources_one_statement(spark):
     assert sorted(tuple(r) for r in out3.collect()) == \
         [("d1", "emea", "kim"), ("d2", "apac", "lee")]
 
-    # driver→driver chains fail TYPED (sequential materialize-probe
-    # rounds are unsupported), not with an unresolved-column crash
+    # driver→driver chains resolve in sequential materialize-join-
+    # probe rounds (r11; previously a typed error): w materializes
+    # first, its broadcast join enriches the probe frame, then o's
+    # keys (w.region) collect from it — same values as the
+    # worker-chain case above
     class DriverW:
         def __init__(self):
             self._fh = open(__file__, "rb")
@@ -2186,8 +2189,38 @@ def test_mixed_worker_and_driver_lookup_sources_one_statement(spark):
     s4.register_table_source(DriverW())
     s4.register_table_source(DriverByRegion())
     assert s4._table_source_route == {"w": False, "o": False}
-    with pytest.raises(ExecError, match="chains on another"):
-        s4.query(spark.createDataFrame(rows, _lookup_schema()))
+    out4 = s4.query(spark.createDataFrame(rows, _lookup_schema()))
+    assert sorted(tuple(r) for r in out4.collect()) == \
+        [("d1", "emea", "kim"), ("d2", "apac", "lee")]
+
+    # a genuine probe-key CYCLE still fails typed (no probe order)
+    class CycA:
+        def __init__(self):
+            self._fh = open(__file__, "rb")
+
+        def name(self):
+            return "ca"
+
+        def schema(self):
+            return "x STRING"
+
+        def lookup(self, key):
+            return {"x": "1"}, True
+
+    class CycB(CycA):
+        def name(self):
+            return "cb"
+
+        def schema(self):
+            return "y STRING"
+
+    s5 = StreamSQL(spark)
+    s5.execute("SELECT deviceId, ca.x AS x, cb.y AS y FROM stream "
+               "JOIN ca ON cb.y = ca.x JOIN cb ON ca.x = cb.y")
+    s5.register_table_source(CycA())
+    s5.register_table_source(CycB())
+    with pytest.raises(ExecError, match="cycle"):
+        s5.query(spark.createDataFrame(rows, _lookup_schema()))
 
 
 def test_lookup_null_key_delta_pinned(spark):
