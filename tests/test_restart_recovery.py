@@ -363,3 +363,75 @@ def test_restart_recovery_hard_stop_mid_replay():
     state versioning prevents double-application)."""
     out = _run(_HARD_STOP)
     assert "HARD_STOP_OK" in out, out
+
+
+_CONF_CHANGE = _COMMON + r"""
+# Restarting with a DIFFERENT spark.sql.shuffle.partitions is the
+# classic production trap: Spark pins the stateful operator's
+# partition count in the checkpoint at first run, so a conf change on
+# restart must neither crash nor redistribute state — output equals
+# the uninterrupted run regardless.
+sql = ("SELECT k, count(*) AS n, round(sum(v), 4) AS s FROM stream "
+       "GROUP BY k, CountingWindow(3) WITH (TIMESTAMP='ts')")
+batches = [
+    [{"k": "a", "v": 1.0, "ts": 1}, {"k": "b", "v": 10.0, "ts": 2}],
+    [{"k": "a", "v": 2.0, "ts": 3}, {"k": "b", "v": 20.0, "ts": 4}],
+    [{"k": "a", "v": 4.0, "ts": 5}, {"k": "b", "v": 40.0, "ts": 6}],
+]
+base = uninterrupted(sql, batches)
+
+replay = StreamReplay(spark, SCHEMA)
+try:
+    acc = []
+    for b in batches[:2]:
+        replay.add_batch(b)
+    run_phase(make_holder(sql), replay, acc)
+    # the conf change a redeploy might ship — state stays on the
+    # checkpoint's original partitioning
+    spark.conf.set("spark.sql.shuffle.partitions", "11")
+    replay.add_batch(batches[2])
+    run_phase(make_holder(sql), replay, acc)
+    assert norm(acc) == norm(base), (norm(acc), norm(base))
+    print("CONF_CHANGE_OK")
+finally:
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    replay.cleanup()
+
+# ---- lookup enrichment feeding a STATEFUL analytic across restart:
+# two recovery surfaces in one query (the worker stage's per-process
+# init memo + the analytic kernel's accumulator state)
+class Tiers2:
+    def name(self):
+        return "m"
+
+    def schema(self):
+        return "w DOUBLE"
+
+    def lookup(self, key):
+        t = {"a": 2.0, "b": 10.0}.get(key)
+        return ({"w": t}, True) if t is not None else (None, False)
+
+
+check(
+    "lookup_plus_analytic",
+    "SELECT k, round(acc_sum(v * m.w) OVER (PARTITION BY k), 4) AS ws "
+    "FROM stream INNER JOIN m ON k = m.k WITH (TIMESTAMP='ts')",
+    [
+        [{"k": "a", "v": 1.0, "ts": 1}, {"k": "b", "v": 1.0, "ts": 2}],
+        [{"k": "a", "v": 2.0, "ts": 3}],
+        [{"k": "a", "v": 4.0, "ts": 5}, {"k": "b", "v": 2.0, "ts": 6}],
+    ],
+    2,
+    ['"ws": 14.0', '"ws": 30.0'],  # 2*(1+2+4), 10*(1+2) span the restart
+    sources=[Tiers2()],
+)
+print("ALL_OK")
+"""
+
+
+def test_restart_recovery_conf_change_and_lookup_analytic():
+    """Shuffle-partition conf change on restart (state stays on the
+    checkpoint's pinned partitioning) and a lookup-enriched stateful
+    analytic recovering both surfaces."""
+    out = _run(_CONF_CHANGE)
+    assert "CONF_CHANGE_OK" in out and out.count("CASE_OK") == 1, out
