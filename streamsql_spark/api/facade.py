@@ -460,18 +460,81 @@ class StreamSQL:
         stream-side of its ON equalities) reference any table in
         ``others`` (by alias or name) — a CHAINED lookup whose keys
         only exist after the other tables' enrichment."""
-        quals = set(others)
-        for jj in self._stmt.joins:
-            if jj.table in others and jj.alias:
-                quals.add(jj.alias)
-        for j in self._stmt.joins:
-            if j.table != name or j.on is None:
-                continue
-            for node in N.walk(j.on):
-                if isinstance(node, N.Col) and len(node.parts) >= 2 \
-                        and str(node.parts[0]) in quals:
-                    return True
-        return False
+        return bool(self._probe_dep_tables(name, set(others)))
+
+    def _lookup_tables_chained(self, source_df: DataFrame, plan,
+                               sources: dict, all_tables: dict,
+                               dep_w=frozenset(), qmap=None,
+                               pre_df: DataFrame | None = None) -> None:
+        """Materialize driver-probed lookup ``sources`` into
+        ``all_tables``, resolving CHAINED probes in dependency ROUNDS
+        (r11; previously a typed error): each round broadcast-joins
+        the already-materialized dependency tables — other driver
+        sources AND register_table snapshot tables — into the probe
+        frame (the same join the executor will run) so the chained
+        source's key expressions resolve, then driver-probes it;
+        every round is bounded by ``driver_probe_max_keys``.
+
+        ``dep_w``: sources whose keys read WORKER-enriched columns —
+        they probe the post-enrichment ``source_df`` with ``qmap``
+        rewriting those refs to their materialized flat names.
+        ``pre_df``: the PRE-worker-enrichment frame; sources that need
+        no worker column probe it instead, so key collection does not
+        re-run the worker stage's mapInPandas lookups (one extra full
+        pass per source otherwise).  Used by query() and by the
+        per-event analytic path (where every source probes
+        driver-style, one key per event)."""
+        from pyspark.sql import functions as F
+        if not sources:
+            return
+        snap = set(all_tables)  # snapshot/dim tables: available day one
+        ddeps = {n: self._probe_dep_tables(
+            n, (set(sources) - {n}) | snap) for n in sources}
+        if not any(ddeps.values()) and not dep_w:
+            all_tables.update(self._lookup_tables(
+                pre_df if pre_df is not None else source_df, sources))
+            return
+        pending = dict(sources)
+        while pending:
+            ready = {n: s for n, s in pending.items()
+                     if ddeps[n] <= set(all_tables)}
+            if not ready:
+                raise ExecError(
+                    f"lookup sources {sorted(pending)} form a "
+                    "probe-key cycle — each one's ON references "
+                    "another's columns, so no probe order exists. "
+                    "Break the cycle or route a source worker-side "
+                    "(picklable + schema()).")
+            for n, s in ready.items():
+                # a dependency table whose OWN join condition reads a
+                # worker-enriched column forces the enriched frame
+                dep_needs_worker = any(
+                    self._probe_refs_tables(d, self._worker_name_map())
+                    for d in ddeps[n]) if pre_df is not None else False
+                use_pre = (pre_df is not None and n not in dep_w
+                           and not dep_needs_worker)
+                probe = (pre_df if use_pre else source_df).alias(
+                    plan.source_alias or plan.source)
+                for d in sorted(ddeps[n]):
+                    # EVERY join entry for the dep table: the same
+                    # table may be joined under several aliases, and a
+                    # chained key may reference any of them
+                    for j in (r for r in plan.joins if r.table == d):
+                        probe = probe.join(
+                            F.broadcast(all_tables[d].alias(
+                                j.alias or j.table)),
+                            F.expr(j.on_sql),
+                            j.kind if j.kind != "cross" else "inner")
+                all_tables.update(self._lookup_tables(
+                    probe, {n: s},
+                    qref_map=qmap if n in dep_w else None,
+                    probe_aliased=True))
+                del pending[n]
+
+    def _worker_name_map(self) -> dict:
+        """Worker-routable source names (for _probe_refs_tables)."""
+        return {n: s for n, s in self._table_sources.items()
+                if self._table_source_route.get(n)}
 
     def _probe_dep_tables(self, name: str, others) -> set[str]:
         """TABLE NAMES among ``others`` that table ``name``'s ON
@@ -838,61 +901,17 @@ class StreamSQL:
             # parallel across partitions, zero driver involvement; the
             # rest take the bounded driver-probe fallback
             worker, driver = self._split_lookup_sources()
-            # per-source dependencies: which OTHER driver tables and
-            # whether any worker-enriched column feeds its probe keys
-            ddeps = {n: self._probe_dep_tables(
-                n, {m for m in driver if m != n}) for n in driver}
             dep_w = {n for n in driver
                      if worker and self._probe_refs_tables(n, worker)}
-            indep = {n: s for n, s in driver.items()
-                     if not ddeps[n] and n not in dep_w}
-            if indep:
-                # independent probes collect keys from the
-                # PRE-enrichment frame: probing the enriched frame
-                # would execute every worker source's mapInPandas
-                # stage (and its lookups) an extra full pass
-                all_tables.update(self._lookup_tables(source_df, indep))
+            pre_df = source_df
             if worker:
                 from ..streaming.lookup import apply_lookup_joins
                 source_df, plan = apply_lookup_joins(
                     source_df, plan, worker, via="join")
-            # chained driver probes resolve in dependency ROUNDS
-            # (r11; previously a typed error): each round joins the
-            # already-materialized dependency tables (broadcast, the
-            # same join the executor will run) into the probe frame so
-            # the chained source's key expressions resolve, then
-            # driver-probes it — every round bounded by
-            # driver_probe_max_keys.  Worker-enriched refs rewrite via
-            # the qref map (the stage materialized their flat names).
-            pending = {n: s for n, s in driver.items() if n not in indep}
-            qmap = plan.options.get("__qref_map__")
-            from pyspark.sql import functions as F
-            while pending:
-                ready = {n: s for n, s in pending.items()
-                         if ddeps[n] <= set(all_tables)}
-                if not ready:
-                    raise ExecError(
-                        "lookup sources "
-                        f"{sorted(pending)} form a probe-key cycle — "
-                        "each one's ON references another's columns, "
-                        "so no probe order exists. Break the cycle or "
-                        "route a source worker-side (picklable + "
-                        "schema()).")
-                for n, s in ready.items():
-                    probe = source_df.alias(
-                        plan.source_alias or plan.source)
-                    for d in sorted(ddeps[n]):
-                        j = next(r for r in plan.joins if r.table == d)
-                        probe = probe.join(
-                            F.broadcast(all_tables[d].alias(
-                                j.alias or j.table)),
-                            F.expr(j.on_sql),
-                            j.kind if j.kind != "cross" else "inner")
-                    all_tables.update(self._lookup_tables(
-                        probe, {n: s},
-                        qref_map=qmap if n in dep_w else None,
-                        probe_aliased=True))
-                    del pending[n]
+            self._lookup_tables_chained(
+                source_df, plan, driver, all_tables, dep_w=dep_w,
+                qmap=plan.options.get("__qref_map__"),
+                pre_df=pre_df if worker else None)
         if tables:
             all_tables.update(tables)
         return BatchExecutor(self.spark, all_tables).execute(plan, source_df)
@@ -1696,8 +1715,10 @@ class StreamSQL:
         all_tables = dict(self._tables)
         if self._table_sources:
             # per-event probe: the single row's key drives one Lookup —
-            # exactly the reference's direct-path behavior
-            all_tables.update(self._lookup_tables(src))
+            # exactly the reference's direct-path behavior; chained
+            # sources resolve in the same dependency rounds as query()
+            self._lookup_tables_chained(
+                src, self._plan, dict(self._table_sources), all_tables)
         ex = BatchExecutor(self.spark, all_tables)
         df = ex._apply_joins(src, self._plan)
         if self._plan.joins:

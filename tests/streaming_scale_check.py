@@ -32,6 +32,56 @@ os.environ.setdefault("SPARK_GRAFT_ROCKSDB_STATE", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _restart_leg(spark, StreamSQL, raw, in_dir, n_rows, copies, sql,
+                 ckpt_root) -> None:
+    """Stop the counting kernel mid-replay (processingTime trigger,
+    unprocessed files queued), restart from the same RocksDB
+    checkpoint, report the recovery gap (restart -> first batch
+    committed: offset log read + state store reload)."""
+    import time
+    seen = {"n": 0}
+    q1 = StreamSQL(spark).execute(sql)
+    stream = (spark.readStream.schema(raw.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir))
+    t0 = time.time()
+    sq = q1.start_stream(
+        stream, sink=lambda rows: seen.__setitem__(
+            "n", seen["n"] + len(rows)),
+        trigger={"processingTime": "0 seconds"},
+        checkpoint=f"{ckpt_root}/ckpt",
+        query_name="scale16x_counting_restart_p1")
+    while not (sq.recentProgress and len(sq.recentProgress) >= 3) \
+            and time.time() - t0 < 600:
+        time.sleep(0.2)
+    sq.stop()
+    sq.awaitTermination(120)
+    t_stop = time.time()
+    q2 = StreamSQL(spark).execute(sql)
+    stream2 = (spark.readStream.schema(raw.schema)
+               .option("maxFilesPerTrigger", 4).parquet(in_dir))
+    sq2 = q2.start_stream(
+        stream2, sink=lambda rows: seen.__setitem__(
+            "n", seen["n"] + len(rows)),
+        checkpoint=f"{ckpt_root}/ckpt",
+        query_name="scale16x_counting_restart_p2")
+    first_commit = None
+    while first_commit is None and time.time() - t_stop < 600:
+        if sq2.recentProgress:
+            first_commit = time.time()
+        time.sleep(0.05)
+    if first_commit is None:
+        sq2.stop()
+        raise RuntimeError(
+            "restarted query made no progress within 600s — "
+            "checkpoint recovery stalled")
+    sq2.awaitTermination(1800)
+    wall = time.time() - t0
+    print(f"kernel=counting_restart copies={copies} rows={n_rows} "
+          f"wall={wall:.1f}s (incl. stop+restart) "
+          f"recovery_gap={first_commit - t_stop:.1f}s "
+          f"out_rows={seen['n']}")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -172,46 +222,12 @@ def main() -> None:
     # offset read + state store reload) alongside total wall.
     if not only or "counting_restart" in only:
         ckpt_root = tempfile.mkdtemp(prefix="ssql_restart_scale_")
-        sql = kernels["counting_window"]
-        seen = {"n": 0}
-        q1 = StreamSQL(spark).execute(sql)
-        stream = (spark.readStream.schema(raw.schema)
-                  .option("maxFilesPerTrigger", 2).parquet(in_dir))
-        t0 = time.time()
-        sq = q1.start_stream(
-            stream, sink=lambda rows: seen.__setitem__(
-                "n", seen["n"] + len(rows)),
-            trigger={"processingTime": "0 seconds"},
-            checkpoint=f"{ckpt_root}/ckpt",
-            query_name="scale16x_counting_restart_p1")
-        while not (sq.recentProgress and
-                   len(sq.recentProgress) >= 3) \
-                and time.time() - t0 < 600:
-            time.sleep(0.2)
-        sq.stop()
-        sq.awaitTermination(120)
-        t_stop = time.time()
-        q2 = StreamSQL(spark).execute(sql)
-        stream2 = (spark.readStream.schema(raw.schema)
-                   .option("maxFilesPerTrigger", 4).parquet(in_dir))
-        sq2 = q2.start_stream(
-            stream2, sink=lambda rows: seen.__setitem__(
-                "n", seen["n"] + len(rows)),
-            checkpoint=f"{ckpt_root}/ckpt",
-            query_name="scale16x_counting_restart_p2")
-        first_commit = None
-        while first_commit is None and time.time() - t_stop < 600:
-            if sq2.recentProgress:
-                first_commit = time.time()
-            time.sleep(0.05)
-        sq2.awaitTermination(1800)
-        wall = time.time() - t0
-        print(f"kernel=counting_restart copies={copies} rows={n_rows} "
-              f"wall={wall:.1f}s (incl. stop+restart) "
-              f"recovery_gap={first_commit - t_stop:.1f}s "
-              f"out_rows={seen['n']}")
-        import shutil as _sh
-        _sh.rmtree(ckpt_root, ignore_errors=True)
+        try:
+            _restart_leg(spark, StreamSQL, raw, in_dir, n_rows, copies,
+                         kernels["counting_window"], ckpt_root)
+        finally:
+            import shutil as _sh
+            _sh.rmtree(ckpt_root, ignore_errors=True)
 
     for kernel_name, sql in kernels.items():
         if only and kernel_name not in only:

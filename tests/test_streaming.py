@@ -2540,3 +2540,68 @@ def test_lookup_star_watch_emit_sync_parity(spark):
     data["d1"]["tier"] = 2
     r3 = s.emit_sync({"deviceId": "d1", "v": 1.0, "ts": 1000})
     assert r3["ch"] is True, r3
+
+
+def test_chained_lookup_on_snapshot_table_and_emit_sync_analytic(spark):
+    """Review finds r11 (both reproduced as raw AnalysisExceptions
+    before the fix): (a) a driver-probed source chained on a
+    register_table SNAPSHOT table's columns resolves via the same
+    dependency rounds (the snapshot is materialized from day one);
+    (b) the per-event ANALYTIC path resolves chained sources too —
+    it now routes through the shared rounds helper instead of probing
+    every source against the bare single-row frame."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    class DriverByRegion:
+        def __init__(self):
+            self._fh = open(__file__, "rb")  # defeats cloudpickle
+
+        def name(self):
+            return "o"
+
+        def schema(self):
+            return "mgr STRING"
+
+        def lookup(self, key):
+            mgr = {"emea": "kim", "apac": "lee"}.get(key)
+            return ({"mgr": mgr}, True) if mgr else (None, False)
+
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+            {"deviceId": "d2", "v": 2.0, "ts": 2000}]
+    snap = [{"deviceId": "d1", "region": "emea"},
+            {"deviceId": "d2", "region": "apac"}]
+
+    # (a) snapshot -> driver chain on the batch path
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, snap.region AS reg, o.mgr AS mgr "
+              "FROM stream JOIN snap ON deviceId = snap.deviceId "
+              "JOIN o ON snap.region = o.region")
+    s.register_table("snap", snap)
+    s.register_table_source(DriverByRegion())
+    out = s.query(spark.createDataFrame(rows, _lookup_schema()))
+    assert sorted(tuple(r) for r in out.collect()) == \
+        [("d1", "emea", "kim"), ("d2", "apac", "lee")]
+
+    # (b) chained sources + an analytic on the per-event path
+    class W:
+        def name(self):
+            return "w"
+
+        def schema(self):
+            return "region STRING"
+
+        def lookup(self, key):
+            r = {"d1": "emea", "d2": "apac"}.get(key)
+            return ({"region": r}, True) if r else (None, False)
+
+    s2 = StreamSQL(spark)
+    s2.execute("SELECT deviceId, o.mgr AS mgr, "
+               "lag(v) OVER (PARTITION BY deviceId) AS prev "
+               "FROM stream JOIN w ON deviceId = w.deviceId "
+               "JOIN o ON w.region = o.region")
+    s2.register_table_source(W())
+    s2.register_table_source(DriverByRegion())
+    r1 = s2.emit_sync({"deviceId": "d1", "v": 1.0, "ts": 1000})
+    r2 = s2.emit_sync({"deviceId": "d1", "v": 3.0, "ts": 2000})
+    assert r1 == {"deviceId": "d1", "mgr": "kim", "prev": None}
+    assert r2 == {"deviceId": "d1", "mgr": "kim", "prev": 1.0}
