@@ -435,3 +435,64 @@ def test_restart_recovery_conf_change_and_lookup_analytic():
     analytic recovering both surfaces."""
     out = _run(_CONF_CHANGE)
     assert "CONF_CHANGE_OK" in out and out.count("CASE_OK") == 1, out
+
+
+_EXTRA_CASES = _COMMON + r"""
+# ---- session window (native Spark session_window aggregation): an
+# OPEN session spans the restart — phase-2 rows extend it and the
+# merged session fires once, with the recovered accumulation
+check(
+    "session",
+    "SELECT k, count(*) AS n, round(sum(v), 4) AS s FROM stream "
+    "GROUP BY k, SessionWindow('5s') "
+    "WITH (TIMESTAMP='ts', TIMEUNIT='ms')",
+    [
+        [{"k": "a", "v": 1.0, "ts": 1000},
+         {"k": "a", "v": 2.0, "ts": 3000}],   # open session [1s..3s]
+        [{"k": "b", "v": 10.0, "ts": 2000}],
+        # ---------------- split: a's session still open in state
+        [{"k": "a", "v": 4.0, "ts": 6000}],   # extends a's session
+        [{"k": "a", "v": 0.5, "ts": 30000},   # gap: closes a + b
+         {"k": "b", "v": 0.5, "ts": 31000}],
+        [{"k": "a", "v": 0.25, "ts": 60000},  # advance watermark so
+         {"k": "b", "v": 0.25, "ts": 61000}], # the 30s sessions fire
+        [{"k": "a", "v": 0.1, "ts": 90000}],
+    ],
+    2,
+    ['"s": 7.0'],  # 1+2+4 merged across the restart
+)
+
+# ---- CEP under a MAXOUTOFORDERNESS reorder horizon: the held tail
+# (rows inside watermark-horizon) is part of the kernel's state — a
+# match COMPLETED before the split but still held by the horizon must
+# emit after restart, when newer data advances the watermark
+check(
+    "cep_horizon",
+    "SELECT k, a_ts, b_ts FROM stream MATCH_RECOGNIZE ("
+    " PARTITION BY k ORDER BY ts"
+    " MEASURES A.ts AS a_ts, B.ts AS b_ts"
+    " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+    " PATTERN (A B) DEFINE A AS v > 80, B AS v < 20"
+    " WITHIN '1h'"
+    ") WITH (TIMESTAMP='ts', TIMEUNIT='ms', MAXOUTOFORDERNESS='5s')",
+    [
+        [{"k": "p", "v": 90.0, "ts": 1000},
+         {"k": "p", "v": 5.0, "ts": 2000}],   # match complete, HELD
+        # ---------------- split: held tail + completed match in state
+        [{"k": "p", "v": 50.0, "ts": 20000}], # watermark 15s: releases
+        [{"k": "p", "v": 95.0, "ts": 30000},
+         {"k": "p", "v": 6.0, "ts": 31000}],  # second match
+        [{"k": "p", "v": 40.0, "ts": 60000}], # advance: releases 2nd
+    ],
+    1,
+    ['"b_ts": 2000', '"b_ts": 31000'],
+)
+print("ALL_OK")
+"""
+
+
+def test_restart_recovery_session_and_cep_horizon():
+    """Native session-window state and the CEP reorder-horizon held
+    tail both recover from a RocksDB checkpoint across restart."""
+    out = _run(_EXTRA_CASES)
+    assert out.count("CASE_OK") == 2, out
