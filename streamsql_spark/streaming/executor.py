@@ -297,6 +297,31 @@ class StreamingExecutor:
                               F.count(F.lit(1)).alias("rows"))
         post = self.post_batch_fn(plan)
 
+        # EXACTLY-ONCE file output (r11): a bare sink_path with no
+        # callback and no post stage routes through Spark's NATIVE
+        # file sink — its _spark_metadata transaction log skips
+        # committed batches on restart, where the foreachBatch append
+        # below is at-least-once (a batch re-run after a crash appends
+        # its files again).  Plans with DISTINCT/ORDER/LIMIT or UPDATE
+        # emission keep the foreachBatch path (the post stage and
+        # update re-emission need it).
+        if (sink_path is not None and sink is None and on_output is None
+                and not plan.distinct and not plan.order_by
+                and plan.limit is None
+                and self._output_mode(plan) == "append"
+                and sink_format in ("parquet", "orc", "json", "csv")):
+            hidden = [c for c in out.columns
+                      if c.startswith("__") and c.endswith("__")]
+            if hidden:
+                out = out.drop(*hidden)
+            writer = (out.writeStream.format(sink_format)
+                      .option("path", sink_path)
+                      .queryName(query_name).outputMode("append"))
+            if checkpoint:
+                writer = writer.option("checkpointLocation", checkpoint)
+            writer = writer.trigger(**(trigger or {"availableNow": True}))
+            return writer.start()
+
         def handle(batch_df: DataFrame, _batch_id: int):
             done = post(batch_df)
             if sink_path is not None:

@@ -2605,3 +2605,52 @@ def test_chained_lookup_on_snapshot_table_and_emit_sync_analytic(spark):
     r2 = s2.emit_sync({"deviceId": "d1", "v": 3.0, "ts": 2000})
     assert r1 == {"deviceId": "d1", "mgr": "kim", "prev": None}
     assert r2 == {"deviceId": "d1", "mgr": "kim", "prev": 1.0}
+
+
+def test_sink_path_native_file_sink_exactly_once(spark, tmp_path):
+    """r11: a bare sink_path (no callback, no DISTINCT/ORDER/LIMIT,
+    append mode) routes through Spark's NATIVE file sink, whose
+    _spark_metadata log makes output EXACTLY-ONCE across restart —
+    the foreachBatch append path is at-least-once there."""
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import StreamReplay
+
+    sql = "SELECT deviceId, temperature FROM stream WHERE temperature > 0"
+    rows_all = [("d%d" % i, float(i + 1), 0.0, 1000 + i, "ok")
+                for i in range(12)]
+    replay = StreamReplay(spark, EVT)
+    try:
+        for i in range(0, 12, 2):
+            replay.add_batch(_rows(*rows_all[i:i + 2]))
+        out_dir = str(tmp_path / "out")
+
+        # phase 1: hard stop mid-replay with queued files
+        s = StreamSQL(spark)
+        s.execute(sql)
+        q = s.start_stream(replay.stream(), sink_path=out_dir,
+                           trigger={"processingTime": "0 seconds"},
+                           checkpoint=replay.checkpoint)
+        import time
+        t0 = time.time()
+        while not q.recentProgress and time.time() - t0 < 120:
+            time.sleep(0.2)
+        # the NATIVE sink is active (not foreachBatch)
+        assert "FileSink" in (q.lastProgress or {}).get("sink", {}) \
+            .get("description", ""), q.lastProgress
+        q.stop()
+        q.awaitTermination(60)
+
+        # phase 2: restart from the same checkpoint, drain the rest
+        s2 = StreamSQL(spark)
+        s2.execute(sql)
+        q2 = s2.start_stream(replay.stream(), sink_path=out_dir,
+                             checkpoint=replay.checkpoint)
+        q2.awaitTermination(120)
+
+        got = sorted((r["deviceId"], r["temperature"])
+                     for r in spark.read.parquet(out_dir).collect())
+        want = sorted((d, t) for d, t, _, _, _ in rows_all)
+        # EXACTLY once: no duplicates from any re-run batch
+        assert got == want, got
+    finally:
+        replay.cleanup()
