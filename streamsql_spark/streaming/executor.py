@@ -34,6 +34,15 @@ from .stateful import (analytic_stream, cep_stream, counting_window_stream,
                        lateness_window_stream)
 
 
+def _hidden_cols(columns) -> list[str]:
+    """Helper placeholders and fire-identity carriers are
+    __dunder__-named by construction — the ONE hidden-column rule both
+    sink paths share.  (NOT "anything outside plan.outputs": star
+    outputs carry o.name=None and would make every column hidden.)"""
+    return [c for c in columns
+            if c.startswith("__") and c.endswith("__")]
+
+
 class StreamingExecutor:
     """Compile a QueryPlan against a streaming DataFrame."""
 
@@ -219,12 +228,7 @@ class StreamingExecutor:
         def fn(batch_df: DataFrame) -> DataFrame:
             df = batch_df
             fire = fire_cols_in(df.columns)
-            # helper placeholders and carriers are __dunder__-named by
-            # construction.  (NOT "anything outside plan.outputs": star
-            # outputs carry o.name=None and would make every column
-            # hidden.)
-            hidden = [c for c in df.columns
-                      if c.startswith("__") and c.endswith("__")]
+            hidden = _hidden_cols(df.columns)
             if plan.distinct:
                 # DISTINCT applies per fire: the fire identity joins
                 # the dedup keys (identical rows from two fires both
@@ -250,6 +254,35 @@ class StreamingExecutor:
                 df = df.limit(plan.limit)
             return df
         return fn
+
+    @staticmethod
+    def _guard_sink_dir_mode(sink_path: str | None, native: bool) -> None:
+        """Refuse to MIX sink modes on one directory: reads of a dir
+        holding _spark_metadata trust that log as the source of truth
+        and SILENTLY drop files foreachBatch appended outside it (and
+        vice versa, native writes into a dir of plain files leave the
+        old files invisible to log-aware reads).  Local paths only —
+        remote URIs (s3://...) skip the check rather than pay a
+        driver-side FS roundtrip."""
+        import os
+        if sink_path is None or "://" in sink_path:
+            return
+        p = sink_path[5:] if sink_path.startswith("file:") else sink_path
+        meta = os.path.join(p, "_spark_metadata")
+        if not native and os.path.isdir(meta):
+            raise ExecError(
+                f"sink_path {sink_path!r} holds a native file-sink "
+                "_spark_metadata log, but this query routes through "
+                "foreachBatch (callback/post-stage/update mode/no "
+                "checkpoint) — its appends would be INVISIBLE to "
+                "log-aware reads. Use a fresh directory.")
+        if native and os.path.isdir(p) and not os.path.isdir(meta) \
+                and any(not e.startswith(".") for e in os.listdir(p)):
+            raise ExecError(
+                f"sink_path {sink_path!r} already holds non-logged "
+                "files; the native file sink's _spark_metadata log "
+                "would hide them from log-aware reads. Use a fresh "
+                "directory.")
 
     def start(self, plan, stream_df: DataFrame,
               sink: Callable[[list[dict]], None] | None = None,
@@ -295,32 +328,38 @@ class StreamingExecutor:
         if not collect_delivery:
             out = out.observe("streamsql_output_" + _uuid.uuid4().hex[:8],
                               F.count(F.lit(1)).alias("rows"))
-        post = self.post_batch_fn(plan)
 
         # EXACTLY-ONCE file output (r11): a bare sink_path with no
-        # callback and no post stage routes through Spark's NATIVE
-        # file sink — its _spark_metadata transaction log skips
-        # committed batches on restart, where the foreachBatch append
-        # below is at-least-once (a batch re-run after a crash appends
-        # its files again).  Plans with DISTINCT/ORDER/LIMIT or UPDATE
-        # emission keep the foreachBatch path (the post stage and
-        # update re-emission need it).
-        if (sink_path is not None and sink is None and on_output is None
-                and not plan.distinct and not plan.order_by
-                and plan.limit is None
-                and self._output_mode(plan) == "append"
-                and sink_format in ("parquet", "orc", "json", "csv")):
-            hidden = [c for c in out.columns
-                      if c.startswith("__") and c.endswith("__")]
+        # callback, no post stage, and an explicit checkpoint routes
+        # through Spark's NATIVE file sink — its _spark_metadata
+        # transaction log skips committed batches on restart, where
+        # the foreachBatch append below is at-least-once (a batch
+        # re-run after a crash appends its files again).  Plans with
+        # DISTINCT/ORDER/LIMIT or UPDATE emission keep the
+        # foreachBatch path (the post stage and update re-emission
+        # need it); so does a checkpoint-less call (the native sink
+        # REQUIRES checkpointLocation, foreachBatch auto-creates a
+        # temp one).  Never mix the two paths on one directory —
+        # _spark_metadata-aware reads silently drop non-logged files
+        # (guarded below for local paths).
+        native = (sink_path is not None and sink is None
+                  and on_output is None and checkpoint is not None
+                  and not plan.distinct and not plan.order_by
+                  and plan.limit is None
+                  and self._output_mode(plan) == "append"
+                  and sink_format in ("parquet", "orc", "json", "csv"))
+        self._guard_sink_dir_mode(sink_path, native)
+        if native:
+            hidden = _hidden_cols(out.columns)
             if hidden:
                 out = out.drop(*hidden)
             writer = (out.writeStream.format(sink_format)
                       .option("path", sink_path)
+                      .option("checkpointLocation", checkpoint)
                       .queryName(query_name).outputMode("append"))
-            if checkpoint:
-                writer = writer.option("checkpointLocation", checkpoint)
             writer = writer.trigger(**(trigger or {"availableNow": True}))
             return writer.start()
+        post = self.post_batch_fn(plan)
 
         def handle(batch_df: DataFrame, _batch_id: int):
             done = post(batch_df)

@@ -2615,32 +2615,33 @@ def test_sink_path_native_file_sink_exactly_once(spark, tmp_path):
     from streamsql_spark.api.facade import StreamSQL
     from streamsql_spark.streaming.harness import StreamReplay
 
+    import pytest
+
+    from streamsql_spark.engine.batch import ExecError
+
     sql = "SELECT deviceId, temperature FROM stream WHERE temperature > 0"
     rows_all = [("d%d" % i, float(i + 1), 0.0, 1000 + i, "ok")
                 for i in range(12)]
     replay = StreamReplay(spark, EVT)
     try:
-        for i in range(0, 12, 2):
-            replay.add_batch(_rows(*rows_all[i:i + 2]))
         out_dir = str(tmp_path / "out")
-
-        # phase 1: hard stop mid-replay with queued files
+        # phase 1: only the first 3 files staged (deterministic split,
+        # like the restart-recovery harness) — AvailableNow commits
+        # exactly those
+        for i in range(0, 6, 2):
+            replay.add_batch(_rows(*rows_all[i:i + 2]))
         s = StreamSQL(spark)
         s.execute(sql)
         q = s.start_stream(replay.stream(), sink_path=out_dir,
-                           trigger={"processingTime": "0 seconds"},
                            checkpoint=replay.checkpoint)
-        import time
-        t0 = time.time()
-        while not q.recentProgress and time.time() - t0 < 120:
-            time.sleep(0.2)
-        # the NATIVE sink is active (not foreachBatch)
+        q.awaitTermination(120)
+        # the NATIVE sink ran (not foreachBatch)
         assert "FileSink" in (q.lastProgress or {}).get("sink", {}) \
             .get("description", ""), q.lastProgress
-        q.stop()
-        q.awaitTermination(60)
 
-        # phase 2: restart from the same checkpoint, drain the rest
+        # phase 2: remaining files, fresh plan, SAME checkpoint + dir
+        for i in range(6, 12, 2):
+            replay.add_batch(_rows(*rows_all[i:i + 2]))
         s2 = StreamSQL(spark)
         s2.execute(sql)
         q2 = s2.start_stream(replay.stream(), sink_path=out_dir,
@@ -2650,7 +2651,27 @@ def test_sink_path_native_file_sink_exactly_once(spark, tmp_path):
         got = sorted((r["deviceId"], r["temperature"])
                      for r in spark.read.parquet(out_dir).collect())
         want = sorted((d, t) for d, t, _, _, _ in rows_all)
-        # EXACTLY once: no duplicates from any re-run batch
+        # EXACTLY once across the restart: no lost or duplicate rows
         assert got == want, got
+
+        # mode-mixing guard: a foreachBatch-routed query (callback
+        # present) must refuse the SAME directory — its appends would
+        # be invisible to _spark_metadata-aware reads
+        s3 = StreamSQL(spark)
+        s3.execute(sql)
+        with pytest.raises(ExecError, match="_spark_metadata"):
+            s3.start_stream(replay.stream(), sink_path=out_dir,
+                            sink=lambda rows: None,
+                            checkpoint=replay.checkpoint)
+        # and a checkpoint-LESS bare sink_path stays on foreachBatch
+        # (the native sink requires checkpointLocation) — on a fresh
+        # dir it starts fine with a temp checkpoint
+        s4 = StreamSQL(spark)
+        s4.execute(sql)
+        q4 = s4.start_stream(replay.stream(),
+                             sink_path=str(tmp_path / "out2"))
+        q4.awaitTermination(120)
+        assert "ForeachBatch" in (q4.lastProgress or {}).get(
+            "sink", {}).get("description", ""), q4.lastProgress
     finally:
         replay.cleanup()
