@@ -1,0 +1,190 @@
+"""Seeded differential fuzz for the CEP engine (r11 extension).
+
+The crosspath grid pins six hand-picked patterns; this sweep GENERATES
+random MATCH_RECOGNIZE statements — random symbol count, per-symbol
+quantifiers ('', +, *, ?, {m}, {m,n}), alternation groups, PERMUTE,
+random DEFINE thresholds, AFTER MATCH SKIP mode, ONE/ALL ROWS PER
+MATCH — and runs each over random event streams on THREE paths:
+
+- batch flush (emit + trigger_window: the incremental NFA drained at
+  end of stream),
+- the streaming kernel (run_streaming_collect over random micro-batch
+  splits, define-failing closer rows resolving pending matches),
+- the relational batch path (StreamSQL.query over a DataFrame).
+
+All three must produce the identical match multiset.  The bar is ZERO
+divergences.
+
+    python3 tests/cep_fuzz.py [seed [count]]
+
+r11 baseline: 40 statements/seed, 0 divergences (seeds 20260816, 7,
+99).  CI subset: tests/test_cep_fastpath.py::test_cep_fuzz_ci_subset.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def gen_pattern(rng: random.Random):
+    """A random (pattern, defines) pair over symbols with disjoint-ish
+    temperature ranges; the first element is never empty-matchable."""
+    n_sym = rng.randint(2, 3)
+    syms = ["A", "B", "C"][:n_sym]
+    # random thresholds carve the [-10, 40] value space
+    hi = round(rng.uniform(18, 32), 2)
+    lo = round(rng.uniform(2, 12), 2)
+    defs = {
+        "A": f"A AS temperature > {hi}",
+        "B": f"B AS temperature < {lo}",
+        "C": f"C AS temperature >= {lo} AND temperature <= {hi}",
+    }
+    quants = ["", "+", "*", "?", "{2}", "{1,2}", "{2,3}"]
+
+    def q(sym, allow_empty=True):
+        choices = quants if allow_empty else ["", "+", "{2}", "{1,2}"]
+        return sym + rng.choice(choices)
+
+    shape = rng.random()
+    if shape < 0.15 and n_sym >= 2:
+        pattern = f"PERMUTE({', '.join(syms)})"
+    elif shape < 0.35 and n_sym >= 3:
+        # alternation group in the middle
+        pattern = f"{q(syms[0], False)} ({syms[1]} | {syms[2]}) " \
+                  f"{q(rng.choice(syms))}"
+    else:
+        parts = [q(syms[0], allow_empty=False)]
+        parts += [q(s) for s in syms[1:]]
+        pattern = " ".join(parts)
+    used = sorted(set(c for c in pattern if c in "ABC"))
+    defines = ", ".join(defs[s] for s in used)
+    return pattern, defines
+
+
+def gen_case(rng: random.Random):
+    pattern, defines = gen_pattern(rng)
+    skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
+    all_rows = rng.random() < 0.4
+    if all_rows:
+        select = "SELECT deviceId, ts, temperature, cls, mn FROM stream"
+        measures = "CLASSIFIER() AS cls, MATCH_NUMBER() AS mn"
+        rows_per = "ALL ROWS PER MATCH"
+    else:
+        select = "SELECT * FROM stream"
+        measures = ("MATCH_NUMBER() AS mn, COUNT(*) AS n, "
+                    "FIRST(ts) AS fts, LAST(ts) AS lts, "
+                    "round(SUM(temperature), 6) AS st")
+        rows_per = "ONE ROW PER MATCH"
+    sql = f"""{select} MATCH_RECOGNIZE (
+        PARTITION BY deviceId
+        ORDER BY ts
+        MEASURES {measures}
+        {rows_per}
+        AFTER MATCH SKIP {skip}
+        PATTERN ({pattern})
+        WITHIN '1h'
+        DEFINE {defines}
+    ) WITH (TIMESTAMP='ts', TIMEUNIT='ms')"""
+    return sql, pattern
+
+
+def gen_rows(rng: random.Random, n: int = 36):
+    rows = []
+    for i in range(n):
+        rows.append({
+            "deviceId": rng.choice(["d1", "d2"]),
+            "temperature": None if rng.random() < 0.12
+            else round(rng.uniform(-10, 40), 2),
+            "humidity": 0.0, "ts": 1000 * (i + 1), "status": "ok",
+        })
+    # define-failing closers resolve pending matches on every path
+    rows += [{"deviceId": k, "temperature": None, "humidity": 0.0,
+              "ts": 1000 * (n + 10 + j), "status": "ok"}
+             for j, k in enumerate(["d1", "d2"])]
+    return rows
+
+
+def _norm(out):
+    return Counter(
+        tuple((k, round(v, 6) if isinstance(v, float) else v)
+              for k, v in sorted(r.items())) for r in out)
+
+
+def run_fuzz(spark, seed: int, count: int, verbose: bool = True) -> list:
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.streaming.harness import run_streaming_collect
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_streaming import EVT
+
+    rng = random.Random(seed)
+    divergences = []
+    for i in range(count):
+        sql, pattern = gen_case(rng)
+        rows = gen_rows(rng)
+        try:
+            # path 1: incremental NFA, end-of-stream flush
+            s = StreamSQL(spark)
+            s.execute(sql)
+            for r in rows:
+                s.emit(dict(r))
+            flush = _norm(s.trigger_window())
+
+            # path 2: relational batch over a DataFrame
+            s2 = StreamSQL(spark)
+            s2.execute(sql)
+            df = spark.createDataFrame(
+                [tuple(r[f] for f in
+                       ("deviceId", "temperature", "humidity", "ts",
+                        "status")) for r in rows], EVT)
+            batch = _norm([row.asDict() for row in s2.query(df).collect()])
+
+            # path 3: streaming kernel over random micro-batch splits
+            batches, j = [], 0
+            while j < len(rows):
+                k = rng.randint(1, 6)
+                batches.append(rows[j:j + k])
+                j += k
+            s3 = StreamSQL(spark)
+            s3.execute(sql)
+            stream = _norm(run_streaming_collect(
+                spark, s3, batches, EVT, tables={}))
+        except Exception as e:  # noqa: BLE001 — a crash IS a divergence
+            divergences.append((i, pattern, sql,
+                                f"EXCEPTION {type(e).__name__}: "
+                                f"{str(e)[:300]}"))
+            continue
+        if not (flush == batch == stream):
+            detail = (f"flush={sum(flush.values())} "
+                      f"batch={sum(batch.values())} "
+                      f"stream={sum(stream.values())}; "
+                      f"flush-batch={list((flush - batch).items())[:2]} "
+                      f"batch-flush={list((batch - flush).items())[:2]} "
+                      f"flush-stream={list((flush - stream).items())[:2]}")
+            divergences.append((i, pattern, sql, detail))
+            if verbose:
+                print(f"DIVERGE [{i}] ({pattern}): {detail}\n  {sql}")
+    if verbose:
+        print(f"cep_fuzz(seed={seed}): {count} statements, "
+              f"{len(divergences)} diverged")
+    return divergences
+
+
+def main() -> int:
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 20260816
+    count = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+
+    from streamsql_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    return 1 if run_fuzz(spark, seed, count) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -83,3 +83,20 @@ def test_repeated_symbol_sequence_matches_generic(cls):
     pat = N.PSeq([N.PSym("A"), N.PSym("A")])
     fast, generic = _find_both(pat, pre, len(cls))
     assert fast == generic
+
+
+def test_cep_fuzz_ci_subset(spark):
+    """CI slice of the CEP differential fuzz (r11; the wide sweep is
+    tests/cep_fuzz.py — run it after NFA/matcher changes): random
+    patterns (quantifiers, alternation, PERMUTE, SKIP modes, ONE/ALL
+    ROWS) over random events, three paths (incremental flush,
+    relational batch, streaming kernel) must agree.  Bar: ZERO
+    divergences."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cep_fuzz import run_fuzz
+
+    div = run_fuzz(spark, seed=20260816, count=4, verbose=False)
+    assert not div, div
