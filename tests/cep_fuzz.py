@@ -10,15 +10,28 @@ MATCH — and runs each over random event streams on THREE paths:
   end of stream),
 - the streaming kernel (run_streaming_collect over random micro-batch
   splits, define-failing closer rows resolving pending matches),
-- the relational batch path (StreamSQL.query over a DataFrame).
+- the relational batch path (StreamSQL.query over a DataFrame),
+- (every other statement) an OUT-OF-ORDER leg: delivery slots
+  perturbed within a MAXOUTOFORDERNESS horizon, with watermark-pusher
+  rows past the closers (under a horizon the closers themselves stay
+  held at end of stream — README delta row 9).
 
-All three must produce the identical match multiset.  The bar is ZERO
+All paths must produce the identical match multiset.  The bar is ZERO
 divergences.
 
     python3 tests/cep_fuzz.py [seed [count]]
 
-r11 baseline: 40 statements/seed, 0 divergences (seeds 20260816, 7,
-99).  CI subset: tests/test_cep_fastpath.py::test_cep_fuzz_ci_subset.
+r11 baseline: 40 statements/seed incl. 20 ooo legs, 0 divergences
+(seeds 20260816, 7, 99).  CI subset:
+tests/test_cep_fastpath.py::test_cep_fuzz_ci_subset.
+
+Harness lessons (cost a debug round each — keep them):
+- relative skew between two displaced rows is up to 2x the per-row
+  displacement; keep 2*d*spacing under the horizon or late rows drop
+  LEGALLY on the stream side only;
+- define-failing closer rows do NOT flush matches under a horizon
+  (they are themselves held) — watermark pushers beyond closer_ts +
+  horizon are required.
 """
 
 from __future__ import annotations
@@ -154,11 +167,68 @@ def run_fuzz(spark, seed: int, count: int, verbose: bool = True) -> list:
             s3.execute(sql)
             stream = _norm(run_streaming_collect(
                 spark, s3, batches, EVT, tables={}))
+
+            # leg 4 (every other statement): OUT-OF-ORDER delivery
+            # under a MAXOUTOFORDERNESS horizon — each row's delivery
+            # slot perturbed within the 5s bound (ts spacing is 1s),
+            # random micro-batch splits; the reorder buffer must
+            # reconstruct the in-order match set exactly
+            ooo = None
+            if i % 2 == 0:
+                ooo_sql = sql.replace(
+                    "TIMEUNIT='ms')",
+                    "TIMEUNIT='ms', MAXOUTOFORDERNESS='5s')")
+                # RELATIVE skew between two rows is up to 2x the
+                # per-row displacement — keep 2*d*spacing (4s) under
+                # the 5s horizon, or late rows drop LEGALLY on the
+                # stream side while the batch side keeps them
+                shuffled = sorted(
+                    range(len(rows)),
+                    key=lambda j: (j + rng.randint(-2, 2), j))
+                # watermark PUSHERS (delivered last, in order): under
+                # a horizon the define-failing closers themselves stay
+                # held at end of stream (the documented CEP
+                # end-of-stream contract, README delta row 9) — rows
+                # a full horizon past them advance the watermark so
+                # the closers are consumed and complete matches emit
+                last_ts = rows[-1]["ts"]
+                pushers = [
+                    {"deviceId": k, "temperature": None,
+                     "humidity": 0.0, "ts": last_ts + 10000 + 1000 * j,
+                     "status": "ok"}
+                    for j, k in enumerate(["d1", "d2"])]
+                ooo_rows = [rows[j] for j in shuffled] + pushers
+                # expected = batch flush of the SAME ooo SQL over the
+                # SAME row set (the horizon changes delivery
+                # tolerance, not match semantics)
+                se = StreamSQL(spark)
+                se.execute(ooo_sql)
+                for r in rows + pushers:
+                    se.emit(dict(r))
+                ooo_want = _norm(se.trigger_window())
+                ob, j2 = [], 0
+                while j2 < len(ooo_rows):
+                    k = rng.randint(1, 6)
+                    ob.append(ooo_rows[j2:j2 + k])
+                    j2 += k
+                so = StreamSQL(spark)
+                so.execute(ooo_sql)
+                ooo = (_norm(run_streaming_collect(
+                    spark, so, ob, EVT, tables={})), ooo_want)
         except Exception as e:  # noqa: BLE001 — a crash IS a divergence
             divergences.append((i, pattern, sql,
                                 f"EXCEPTION {type(e).__name__}: "
                                 f"{str(e)[:300]}"))
             continue
+        if ooo is not None and ooo[0] != ooo[1]:
+            divergences.append((i, pattern, sql,
+                                f"ooo leg diverged: got="
+                                f"{sum(ooo[0].values())} want="
+                                f"{sum(ooo[1].values())} "
+                                f"{list((ooo[0] - ooo[1]).items())[:2]} "
+                                f"{list((ooo[1] - ooo[0]).items())[:2]}"))
+            if verbose:
+                print(f"DIVERGE-OOO [{i}] ({pattern})")
         if not (flush == batch == stream):
             detail = (f"flush={sum(flush.values())} "
                       f"batch={sum(batch.values())} "
