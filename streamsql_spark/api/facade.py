@@ -192,36 +192,65 @@ class StreamSQL:
         # first data (query()'s df.columns / the first emitted event)
         self._star_pending = self._has_changed_cols_star(self._stmt)
         if self._star_pending:
+            if self._stmt.window is not None or self._stmt.group_by:
+                # windowed star: the reference evaluates windowed
+                # analytics over the WINDOW RESULT row
+                # (stream/processor_data.go:438-452), so the star
+                # expands over the statement's own output fields +
+                # group keys — known right now, schema or not (r12
+                # retires README delta row 8)
+                self._bind_changed_cols_star([])
+                return self
             cols = self._schema_columns()
             if cols and not getattr(self._stmt, "joins", None):
                 self._bind_changed_cols_star(cols)
                 return self
-            if cols:
-                # joins present: defer the bind to first data so table
-                # sources registered AFTER execute() contribute their
-                # schema columns to the star (the reference's `*` is
-                # the event map AFTER join enrichment wrote into it —
-                # stream/join.go:41-46 precedes analytics)
-                return self
-        if self._star_pending:
-            if self._stmt.window is not None or self._stmt.group_by:
-                raise PlanError(
-                    'changed_cols(..., "*") with GROUP BY/windows needs '
-                    "a declared schema — list the columns explicitly")
-            return self  # plan binds at first data
+            # Defer the bind to first data: joins present (so table
+            # sources registered AFTER execute() contribute schema
+            # columns — the reference's `*` is the event map AFTER join
+            # enrichment, stream/join.go:41-46), or no declared schema
+            # at all — direct AND windowed statements alike (the
+            # reference expands the star per event at runtime,
+            # functions/analytic_acc.go:195-205; r12 retires the
+            # windowed-needs-schema restriction).  Arrival-stamp
+            # eligibility is a statement-shape property, so prime it
+            # NOW: rows emitted before the star binds must already
+            # carry the monotone processing-time stamp.
+            self._prime_arrival_stamp_from_stmt()
+            return self
         self._plan = make_plan(self._stmt)
         self._prime_arrival_stamp()
         return self
 
     def _prime_arrival_stamp(self) -> None:
         """Cache the plan-level processing-time-window eligibility
-        (fixed once the plan exists) so emit() pays one flag check."""
+        (fixed once the plan exists) so emit() pays one flag check.
+        Preserves any counter state a pre-bind stmt-shape primer
+        already established (deferred-star paths stamp from the first
+        emit — the monotone tiebreak must not rewind at bind time)."""
         import threading
 
         plan = self._plan
         self._arrival_eligible = (
             plan is not None and plan.mode == "window"
             and plan.window is not None and plan.event_time_col is None)
+        if not hasattr(self, "_arrival_lock"):
+            self._arrival_lock = threading.Lock()
+            self._last_arrival_us = 0
+
+    def _prime_arrival_stamp_from_stmt(self) -> None:
+        """Deferred-star paths return from execute() with no plan, but
+        emit() may run before the star binds — compute the same
+        eligibility from the STATEMENT shape (window present, no
+        declared event-time column), which is exactly what the plan
+        would report (planner.py: event_time_col := WITH TIMESTAMP;
+        window := stmt.window)."""
+        import threading
+
+        stmt = self._stmt
+        self._arrival_eligible = (
+            stmt.window is not None
+            and not stmt.with_opts.get("TIMESTAMP"))
         self._arrival_lock = threading.Lock()
         self._last_arrival_us = 0
 
@@ -253,7 +282,10 @@ class StreamSQL:
         arrival order of the binding source (schema field order /
         df.columns / first-event key order) — deterministic per run,
         like the fixed-schema fan-out."""
-        refs = [N.Col((r,)) if isinstance(r, str) else r for r in refs]
+        if self._stmt.window is not None or self._stmt.group_by:
+            refs = self._window_star_refs()
+        else:
+            refs = [N.Col((r,)) if isinstance(r, str) else r for r in refs]
         for f in self._stmt.fields:
             e = f.expr
             if isinstance(e, N.Func) and e.name.lower() == "changed_cols":
@@ -271,6 +303,61 @@ class StreamSQL:
         # processing-time-window plan loses its monotone wall-clock
         # stamp in emit() (review find r11)
         self._prime_arrival_stamp()
+
+    def _window_star_refs(self) -> list:
+        """Windowed ``changed_cols`` star members.  The reference runs
+        windowed analytics over the WINDOW RESULT row — after group-
+        column projection and aggregation, before HAVING
+        (stream/processor_data.go:438-452 projectGroupColumns →
+        applyWindowAnalytic per result row) — so ``'*'`` expands over
+        the result row's fields: the statement's other non-analytic
+        output fields (watched by their output NAME, valued by their
+        expression) plus unselected plain GROUP BY keys.  Sibling
+        analytic outputs are excluded: AnalyticEngine.Evaluate builds
+        a separate result map, so they are not yet in the row when the
+        star expands (stream/analytic.go:117-123)."""
+        import copy
+
+        from ..dialect.planner import _default_name
+        from ..functions import registry
+        stmt = self._stmt
+        members: list = []
+        seen: set[str] = set()
+
+        def has_analytic(e) -> bool:
+            return any(isinstance(n, N.Func)
+                       and (registry.is_analytic(n.name)
+                            or n.name.lower() == "changed_cols")
+                       for n in N.walk(e))
+
+        for i, f in enumerate(stmt.fields):
+            e = f.expr
+            if isinstance(e, N.Star) or has_analytic(e):
+                continue
+            name = f.alias or _default_name(e, i)
+            if name in seen:
+                continue
+            node = copy.deepcopy(e)
+            node._fanout_name = name  # result-row key, not expr text
+            members.append(node)
+            seen.add(name)
+        for g in stmt.group_by or []:
+            if not isinstance(g, N.Col):
+                continue  # window specs / expression keys: not row keys
+            parts = g.parts
+            name = ".".join(str(p) for p in
+                            (parts[1:] if len(parts) > 1 else parts))
+            if name in seen:
+                continue
+            members.append(copy.deepcopy(g))
+            seen.add(name)
+        if not members:
+            raise PlanError(
+                'changed_cols(..., "*") on a windowed statement watches '
+                "the window result row, and this statement has no other "
+                "output fields or group keys to watch — list columns "
+                "explicitly or add fields")
+        return members
 
     def _star_watch_refs(self, columns) -> list:
         """The reference's ``*`` is the EVENT MAP at analytic time —
@@ -309,7 +396,12 @@ class StreamSQL:
 
     def _maybe_bind_star(self, columns) -> None:
         if getattr(self, "_star_pending", False):
-            base = self._schema_columns() or list(columns)
+            from ..engine.batch import ARRIVAL_COL
+            base = self._schema_columns() or [
+                # a processing-time-window row buffered before the bind
+                # already carries the internal arrival stamp — never a
+                # watchable column (windowed deferral, r12)
+                c for c in columns if c != ARRIVAL_COL]
             self._bind_changed_cols_star(self._star_watch_refs(base))
 
     @property
@@ -488,16 +580,21 @@ class StreamSQL:
         if not sources:
             return
         snap = set(all_tables)  # snapshot/dim tables: available day one
-        ddeps = {n: self._probe_dep_tables(
-            n, (set(sources) - {n}) | snap) for n in sources}
-        if not any(ddeps.values()) and not dep_w:
+        universe = set(sources) | snap
+        # TRANSITIVE closure, in dependency (topological) order: a dep
+        # table's OWN ON may reference a third table (stream→a→b→c),
+        # so materializing c must join a BEFORE b into the probe frame
+        # or b's condition fails to resolve (ADVICE r12 — depth ≥3
+        # chains crashed with an AnalysisException before this)
+        dclos = {n: self._probe_dep_closure(n, universe) for n in sources}
+        if not any(dclos.values()) and not dep_w:
             all_tables.update(self._lookup_tables(
                 pre_df if pre_df is not None else source_df, sources))
             return
         pending = dict(sources)
         while pending:
             ready = {n: s for n, s in pending.items()
-                     if ddeps[n] <= set(all_tables)}
+                     if set(dclos[n]) <= set(all_tables)}
             if not ready:
                 raise ExecError(
                     f"lookup sources {sorted(pending)} form a "
@@ -510,12 +607,12 @@ class StreamSQL:
                 # worker-enriched column forces the enriched frame
                 dep_needs_worker = any(
                     self._probe_refs_tables(d, self._worker_name_map())
-                    for d in ddeps[n]) if pre_df is not None else False
+                    for d in dclos[n]) if pre_df is not None else False
                 use_pre = (pre_df is not None and n not in dep_w
                            and not dep_needs_worker)
                 probe = (pre_df if use_pre else source_df).alias(
                     plan.source_alias or plan.source)
-                for d in sorted(ddeps[n]):
+                for d in dclos[n]:
                     # EVERY join entry for the dep table: the same
                     # table may be joined under several aliases, and a
                     # chained key may reference any of them
@@ -535,6 +632,30 @@ class StreamSQL:
         """Worker-routable source names (for _probe_refs_tables)."""
         return {n: s for n, s in self._table_sources.items()
                 if self._table_source_route.get(n)}
+
+    def _probe_dep_closure(self, name: str, universe) -> list[str]:
+        """Transitive closure of ``_probe_dep_tables`` over
+        ``universe``, in dependency (topological) order: every listed
+        table's ON references only the stream side and tables EARLIER
+        in the list, so joining them left-to-right into the probe
+        frame always resolves.  A cycle inside the closure is left to
+        the caller's readiness check (which reports it typed)."""
+        order: list[str] = []
+        done: set[str] = set()
+
+        def visit(t: str, stack: frozenset) -> None:
+            if t in done or t in stack:
+                return
+            for d in sorted(self._probe_dep_tables(
+                    t, set(universe) - {t})):
+                visit(d, stack | {t})
+            done.add(t)
+            order.append(t)
+
+        for d in sorted(self._probe_dep_tables(
+                name, set(universe) - {name})):
+            visit(d, frozenset({name}))
+        return order
 
     def _probe_dep_tables(self, name: str, others) -> set[str]:
         """TABLE NAMES among ``others`` that table ``name``'s ON

@@ -431,7 +431,14 @@ class Planner:
             if isinstance(a, N.Lit) and a.value == "*":
                 raise PlanError("changed_cols(..., \"*\") needs a declared "
                                 "schema — list the columns explicitly")
-            if isinstance(a, N.Col):
+            fan = getattr(a, "_fanout_name", None)
+            if fan is not None:
+                # windowed star member: the facade watches the window
+                # RESULT row's field (reference result-row key), so the
+                # fan-out name is the field's OUTPUT name, not the
+                # expression's rendering
+                colname = fan
+            elif isinstance(a, N.Col):
                 # a source/table qualifier is scope resolution, not part
                 # of the fan-out name: the reference names outputs
                 # prefix+fieldName off the event map's bare keys
@@ -450,6 +457,16 @@ class Planner:
                 colname = a.name.lower()  # avg(t) → "avg" display name
             else:
                 colname = render(a)
+            if f"{prefix}{colname}" in used_names:
+                # regardless of member ORDER: a bare member colliding
+                # with an earlier stripped-qualifier member (w.region
+                # then region) has no dotted fallback — two identical
+                # output names silently drop a column in dict sinks,
+                # so fail typed instead (ADVICE r12)
+                raise PlanError(
+                    f"changed_cols fan-out name {prefix}{colname!r} is "
+                    "produced by more than one watched column — alias "
+                    "the statement or drop the duplicate member")
             ph = f"__analytic_{len(self.analytics)}__"
             arg = self._lift_aggregates(a) if window_mode else a
             # thread the ignoreNull flag through (analytic_acc.go:168-185:

@@ -3366,6 +3366,84 @@ def test_changed_cols_star_binds_at_first_data(spark):
     assert nonnull(got_trig) == want
 
 
+def test_changed_cols_star_windowed_watches_result_row(spark):
+    """r12 retires README delta row 8: changed_cols star on a WINDOWED
+    statement binds at execute() — with or WITHOUT a declared schema —
+    and watches the WINDOW RESULT row: the reference evaluates
+    windowed analytics over the aggregated result row after group-
+    column projection (stream/processor_data.go:438-452
+    projectGroupColumns → applyWindowAnalytic), so '*' expands over
+    the statement's other output fields and group keys, NOT the input
+    schema.  A fire where nothing changed is dropped entirely
+    (changedAny gate, kept-rows filter there)."""
+    sql = ("SELECT max(t) AS mx, changed_cols('c_', true, '*') "
+           "FROM stream GROUP BY d, CountingWindow(2) "
+           "WITH (TIMESTAMP='ts')")
+    rows = [{"d": "a", "t": float(v), "ts": i}
+            for i, v in enumerate([10, 20, 30, 20, 30, 20], 1)]
+    # per-key windows of 2: max = 20, 30, 30 → first fire watches
+    # (mx, d) both new; second changes mx only; third changes nothing
+    # → suppressed by the changedAny gate
+    want = [{"mx": 20.0, "c_mx": 20.0, "c_d": "a"},
+            {"mx": 30.0, "c_mx": 30.0, "c_d": None}]
+    for schema in (None, "d string, t double, ts long"):
+        s = StreamSQL(spark, schema=schema)
+        s.execute(sql)
+        assert not s._star_pending  # binds at execute(), schema or not
+        for r in rows:
+            s.emit(dict(r))
+        out = s.trigger_window()
+        out.sort(key=lambda r: r["mx"])
+        assert out == want, (schema, out)
+    # batch query() path agrees (streaming rejects windowed analytics
+    # typed — pre-existing kernel limitation, not star-specific;
+    # emit_sync is direct-only by design)
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    df = spark.createDataFrame(rows, "d string, t double, ts long")
+    out2 = sorted((r.asDict() for r in s2.query(df).collect()),
+                  key=lambda r: r["mx"])
+    assert out2 == want
+
+
+def test_changed_cols_star_windowed_no_watchable_fields(spark):
+    """A windowed star with NOTHING else in the result row (no other
+    fields, no plain group keys) has nothing to watch — typed
+    PlanError, not a confusing arg-count error."""
+    from streamsql_spark.dialect.planner import PlanError
+    s = StreamSQL(spark)
+    with pytest.raises(PlanError, match="no other output fields"):
+        s.execute("SELECT changed_cols('c_', true, '*') FROM stream "
+                  "GROUP BY CountingWindow(2)")
+
+
+def test_changed_cols_duplicate_fanout_name_rejected(spark):
+    """Order-independent duplicate guard (ADVICE r12): a BARE member
+    colliding with an earlier stripped-qualifier member
+    (stream.region then region) has no dotted-name fallback — typed
+    PlanError instead of two identical output names silently dropping
+    a column in dict sinks."""
+    from streamsql_spark.dialect.planner import PlanError
+    s = StreamSQL(spark)
+    with pytest.raises(PlanError, match="more than one watched column"):
+        s.execute("SELECT changed_cols('c_', true, stream.region, "
+                  "region) FROM stream")
+
+
+def test_windowed_star_arrival_stamp_primed_at_execute(spark):
+    """A processing-time windowed star statement must stamp arrival
+    order from the FIRST emit (ADVICE r12): the star binds at
+    execute() now, and rows buffered before any flush carry the
+    monotone arrival column."""
+    from streamsql_spark.engine.batch import ARRIVAL_COL
+    s = StreamSQL(spark)
+    s.execute("SELECT max(v) AS mx, changed_cols('c_', true, '*') "
+              "FROM stream GROUP BY CountingWindow(2)")
+    assert s._arrival_eligible is True
+    s.emit({"v": 1.0})
+    assert ARRIVAL_COL in s._buffer[0]
+
+
 def test_lag_nonliteral_offset_refused_in_batch(spark):
     """A per-row lag offset expression runs on the streaming/sync
     kernel (ring cap grows to the max offset seen); the batch window

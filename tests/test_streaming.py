@@ -2223,6 +2223,54 @@ def test_mixed_worker_and_driver_lookup_sources_one_statement(spark):
         s5.query(spark.createDataFrame(rows, _lookup_schema()))
 
 
+def test_chained_lookup_depth_three(spark):
+    """stream→a→b→c driver-probe chain (ADVICE r12): materializing c
+    must join a into the probe frame BEFORE b — b's own ON references
+    a (``a.site = b.site``), so joining only c's DIRECT dependency
+    {b} crashed with an unresolved-column AnalysisException.  The
+    probe frame now joins the transitive dependency closure in
+    topological order."""
+    def mk(nm, sch, table):
+        class Src:
+            def __init__(self):
+                self._fh = open(__file__, "rb")  # defeats cloudpickle
+
+            def name(self):
+                return nm
+
+            def schema(self):
+                return sch
+
+            def lookup(self, key):
+                row = table.get(key)
+                return (row, True) if row is not None else (None, False)
+
+        return Src()
+
+    a = mk("a", "site STRING",
+           {"d1": {"site": "s1"}, "d2": {"site": "s2"}})
+    b = mk("b", "zone STRING",
+           {"s1": {"zone": "z1"}, "s2": {"zone": "z2"}})
+    c = mk("c", "owner STRING",
+           {"z1": {"owner": "kim"}, "z2": {"owner": "lee"}})
+
+    rows = [{"deviceId": "d1", "v": 1.0, "ts": 1000},
+            {"deviceId": "d2", "v": 2.0, "ts": 2000},
+            {"deviceId": "dX", "v": 3.0, "ts": 3000}]
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId, a.site AS site, b.zone AS zone, "
+              "c.owner AS owner FROM stream "
+              "JOIN a ON deviceId = a.deviceId "
+              "JOIN b ON a.site = b.site "
+              "JOIN c ON b.zone = c.zone")
+    for src in (a, b, c):
+        s.register_table_source(src)
+    assert s._table_source_route == {"a": False, "b": False, "c": False}
+    out = s.query(spark.createDataFrame(rows, _lookup_schema()))
+    assert sorted(tuple(r) for r in out.collect()) == \
+        [("d1", "s1", "z1", "kim"), ("d2", "s2", "z2", "lee")]
+
+
 def test_lookup_null_key_delta_pinned(spark):
     """Documented delta (streaming/lookup.py _enrich_via_join): the
     reference's in-process Lookup(nil) CAN match a nil key, and the
