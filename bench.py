@@ -55,6 +55,72 @@ def _wait_for_idle(max_wait_s: float = 180.0) -> None:
         pass  # no loadavg on this platform — run as before
 
 
+def _cal_stream(spark) -> float:
+    """Fixed-work TRIGGER-LOOP calibration (r12 brief #1).  The
+    streaming_*_replay entries are multi-trigger scheduling-bound at
+    sf0.1 — wall time is dominated by micro-batch startup, offset/state
+    commits, and Python-worker round trips, none of which the CPU
+    calibrations (cal/cal_py) model; normalizing their drift by a CPU
+    constant is what left two replay entries unadjudicated in r10/r11.
+    This job measures exactly that loop and nothing else: an 8-file
+    parquet input (fixed 16k rows, data-independent) replayed one file
+    per trigger through a trivial applyInPandasWithState count kernel
+    into a memory sink, availableNow, best-of-3 — the same machinery
+    class (and the same shuffle-partition right-sizing and tmpfs
+    checkpoint placement) as the replay entries themselves."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from streamsql_spark.catalog import (_fast_ckpt, _reap_ckpt,
+                                         _replay_partitions)
+
+    in_dir = tempfile.mkdtemp(prefix="cal_stream_in_")
+    try:
+        for i in range(8):
+            (spark.range(i * 2000, (i + 1) * 2000)
+             .selectExpr("id % 16 AS k", "id AS v").coalesce(1)
+             .write.mode("append").parquet(in_dir))
+
+        def count_kernel(key, pdf_iter, state):
+            n = state.get[0] if state.exists else 0
+            for pdf in pdf_iter:
+                n += len(pdf)
+            state.update((n,))
+            yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        def run_once() -> float:
+            name = "cal_stream_" + uuid.uuid4().hex[:8]
+            ckpt = _fast_ckpt("cal_stream_ck_")
+            t0 = time.perf_counter()
+            st = (spark.readStream.schema("k long, v long")
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+            out = st.groupBy("k").applyInPandasWithState(
+                count_kernel, "k long, n long", "n long",
+                "update", GroupStateTimeout.NoTimeout)
+            w = (out.writeStream.format("memory").queryName(name)
+                 .outputMode("update").trigger(availableNow=True))
+            if ckpt is not None:
+                w = w.option("checkpointLocation", ckpt)
+            q = w.start()
+            try:
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise RuntimeError("cal_stream replay overran 300s")
+                return time.perf_counter() - t0
+            finally:
+                spark.catalog.dropTempView(name)
+                _reap_ckpt(ckpt)
+
+        with _replay_partitions(spark, 8):
+            return min(run_once() for _ in range(3))
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+
+
 def main() -> None:
     _wait_for_idle()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,8 +167,10 @@ def main() -> None:
     cal_py = _best_of(3, lambda: spark.range(2_000_000)
                       .selectExpr("id AS x", "id * 1.0 AS y")
                       .mapInPandas(lambda it: it, schema="x long, y double"))
+    cal_stream = _cal_stream(spark)
     print(json.dumps({"calibration": {"jvm": round(cal_jvm, 3),
-                                      "py": round(cal_py, 3)}}),
+                                      "py": round(cal_py, 3),
+                                      "stream": round(cal_stream, 3)}}),
           file=sys.stderr)
 
     # Each entry runs three times; the best WARM run is reported.  The
@@ -148,14 +216,20 @@ def main() -> None:
         "sf": sf,
         # fixed-work machine-state constants (see calibration above):
         # divide a cross-round entry ratio by the matching cal ratio
+        # (streaming_*_replay entries normalize by cal_stream)
         "cal": round(cal_jvm, 3),
         "cal_py": round(cal_py, 3),
+        "cal_stream": round(cal_stream, 3),
     }
-    print(json.dumps(payload))
     # normalized cross-round comparison vs the newest BENCH_r*.json
     # (stderr; r11 brief #4): entries are flagged only when NEITHER
     # calibration ratio explains their slowdown — the phantom-
-    # regression adjudication becomes a one-line read
+    # regression adjudication becomes a one-line read.  Emitted
+    # BEFORE the payload: the driver tails a bounded buffer of the
+    # run's output, and anything printed after the payload line can
+    # push its head out of that buffer (BENCH_r11.json recorded
+    # parsed=null exactly this way) — the stdout JSON line must be
+    # the LAST thing this process writes.
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools"))
@@ -164,6 +238,9 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — advisory output only
         print(json.dumps({"bench_compare_skipped": str(e)}),
               file=sys.stderr)
+    sys.stderr.flush()
+    print(json.dumps(payload))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
