@@ -930,7 +930,8 @@ class BatchExecutor:
             order_col = (F.struct(F.col(_TS), F.col(tiebreak))
                          if tiebreak else F.col(_TS))
             df = df.withColumn("__arrival_order__", order_col)
-        aggs = [F.expr(s.sql).alias(s.placeholder) for s in plan.agg_specs]
+        aggs = [F.expr(self._agg_sql(df, s)).alias(s.placeholder)
+                for s in plan.agg_specs]
         if not aggs:
             aggs = [F.count(F.lit(1)).alias("__cnt_dummy__")]
         if plan.uses_window_start or plan.uses_window_end:
@@ -1029,6 +1030,39 @@ class BatchExecutor:
                 self._fire_cols.append(h)
         self._order_extras = extra
         return grouped.select(*out_cols, *[F.col(e) for e in extra])
+
+    @staticmethod
+    def _agg_sql(df: DataFrame, spec) -> str:
+        """Type-aware touch-up of one rendered aggregate.
+        ``deduplicate(map_column)`` (r12, retires README delta row 12):
+        Catalyst's ``array_distinct`` rejects map equality, so a
+        MAP-typed argument canonicalizes through sorted entry arrays —
+        ``array_sort(map_entries(m))`` with a key-only comparator gives
+        a canonical ``array<struct<key,value>>`` that equality-compares
+        fine, and the distinct entry arrays map back losslessly.  The
+        reference's incremental deduplicator hashes the Go value
+        directly (functions_aggregation.go:1556-1578), so map dedup
+        works on its every path; a map nested INSIDE the value type
+        still fails in Catalyst (equality again) — unchanged, typed."""
+        fn = getattr(spec, "func", None)
+        if fn is None or fn.name.lower() != "deduplicate" or not fn.args:
+            return spec.sql
+        from pyspark.sql.types import MapType
+
+        from ..dialect.render import Renderer
+        from ..functions.registry import _ARRIVAL_LIST
+        arg_sql = Renderer(agg_mode="forbid").render(fn.args[0])
+        try:
+            dt = df.select(F.expr(arg_sql)).schema[0].dataType
+        except Exception:  # noqa: BLE001 — leave resolution to Catalyst
+            return spec.sql
+        if not isinstance(dt, MapType):
+            return spec.sql
+        canon = (f"array_sort(map_entries({arg_sql}), (a, b) -> "
+                 "CASE WHEN a.key < b.key THEN -1 "
+                 "WHEN a.key > b.key THEN 1 ELSE 0 END)")
+        return (f"transform(array_distinct({_ARRIVAL_LIST.format(canon)}),"
+                " a -> map_from_entries(a))")
 
     def _chunk_rows(self, df: DataFrame, key_sqls: list[str],
                     n: int) -> DataFrame:

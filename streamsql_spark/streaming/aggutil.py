@@ -33,6 +33,23 @@ def _nums(values):
     return out
 
 
+def _dedup_key(v) -> str:
+    """Canonical ``deduplicate`` key.  The reference keys on
+    ``fmt.Sprintf("%v", value)`` (functions_aggregation.go:1578) and
+    Go prints MAP keys SORTED (since Go 1.12), so equal maps built in
+    different insertion orders dedupe together — dicts canonicalize by
+    sorted key here, recursively (dicts inside lists too).  Everything
+    else keeps ``repr`` (the int-vs-float split is pinned kernel
+    behavior, stateful.py map-cell note)."""
+    if isinstance(v, dict):
+        return "{" + ", ".join(
+            f"{k!r}: {_dedup_key(v[k])}"
+            for k in sorted(v, key=lambda x: (str(type(x)), str(x)))) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_dedup_key(x) for x in v) + "]"
+    return repr(v)
+
+
 def py_aggregate(name: str, values: list, extra=None):
     """Evaluate one reference aggregate over a window's buffered values.
 
@@ -49,7 +66,7 @@ def py_aggregate(name: str, values: list, extra=None):
     if name == "deduplicate":
         seen, out = set(), []
         for v in values:
-            k = repr(v)
+            k = _dedup_key(v)
             if k not in seen:
                 seen.add(k)
                 out.append(v)

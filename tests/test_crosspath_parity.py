@@ -1243,11 +1243,16 @@ def test_analytic_map_types_three_path_parity(spark, gate):
 
 
 def test_window_collect_map_stream_parity(spark):
-    """collect/first_value/last_value buffers carry MAP cells across
-    micro-batch splits without the tuple-list/dict form diverging from
-    the batch path: counting-window batch vs streaming replay."""
+    """collect/first_value/last_value/deduplicate buffers carry MAP
+    cells across micro-batch splits without the tuple-list/dict form
+    diverging from the batch path: counting-window batch vs streaming
+    replay.  deduplicate(map) on the BATCH path is r12 (README delta
+    row 12 retired): sorted-entry canonicalization, so key-order
+    variants of one map dedupe together exactly like the kernel's
+    dict hashing."""
     sql = ("SELECT deviceId, collect(attrs) AS cm, "
-           "first_value(attrs) AS fm, last_value(attrs) AS lm "
+           "first_value(attrs) AS fm, last_value(attrs) AS lm, "
+           "deduplicate(attrs) AS dm "
            "FROM stream GROUP BY deviceId, CountingWindow(5) "
            "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
     rows, rng = _mk_map_rows(88, n=40)
