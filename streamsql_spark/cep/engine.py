@@ -213,11 +213,16 @@ class Matcher:
         walk(self.pattern)
         self.symbols = frozenset(syms)
         # NEXT() in DEFINE reads rows AFTER the one being classified: a
-        # failed classification within this many rows of the buffer
-        # tail is INCONCLUSIVE for streaming (a future row could flip
-        # it), so it must hold the position, not consume it
-        self._next_span = (_max_next_offset(spec.defines.values())
-                           if _uses_future_nav(spec) else 0)
+        # failed classification within the SYMBOL's NEXT span of the
+        # buffer tail is INCONCLUSIVE for streaming (a future row could
+        # flip it), so it must hold the position, not consume it.
+        # Per-symbol (r12): a span keyed off ANY define's NEXT made
+        # every tail failure inconclusive — e.g. an A-define without
+        # navigation failing on an end-of-stream closer row held
+        # forever because a C-define elsewhere used NEXT.
+        self._next_span_by_sym = {
+            s: _max_next_offset([c], floor=0)
+            for s, c in (spec.defines or {}).items()}
         # NEXT() in MEASURES reads rows after the MATCH: a completed
         # match whose measures may reach past the buffer tail must hold
         # for the next micro-batch (0 = no NEXT in any measure)
@@ -244,13 +249,14 @@ class Matcher:
             ok = bool(evaluate(cond, ctx))
         except Exception:
             ok = False
-        if not ok and self._next_span \
-                and pos + self._next_span >= len(self.rows):
-            # the DEFINE uses NEXT() and this row is within its span of
-            # the buffer tail: the False may come from reading past the
-            # end — signal the streaming drive to HOLD, not consume
-            # (conservative: also set on genuine in-buffer failures
-            # near the tail; that only delays emission one batch)
+        span = self._next_span_by_sym.get(sym, 0)
+        if not ok and span and pos + span >= len(self.rows):
+            # THIS symbol's DEFINE uses NEXT() and the row is within
+            # its span of the buffer tail: the False may come from
+            # reading past the end — signal the streaming drive to
+            # HOLD, not consume (conservative: also set on genuine
+            # in-buffer failures near the tail; that only delays
+            # emission until the successor arrives)
             self._hit_end = True
         return ok
 
@@ -539,6 +545,18 @@ class Matcher:
                 start += 1
                 continue
             end, bindings = m
+            if self._hit_end and not flush and not self._expired(start) \
+                    and not self.fixed_final:
+                # a match WAS found, but the search probed past the
+                # buffer tail (or a NEXT()-reading DEFINE failed within
+                # its span of it) while preferring a LONGER candidate:
+                # the failed extension is INCONCLUSIVE — a future row
+                # could flip it and greedy preference would then pick
+                # the longer match (r12 CEP-fuzz find: C* with
+                # `C AS temperature < NEXT(temperature)` emitted the
+                # short match at a micro-batch boundary where flush
+                # extends it).  Hold the position instead.
+                return out, start
             # rows the emission may read: the match itself (through
             # end-1) plus any MEASURES NEXT() reach past its last row
             tail_need = end + self._measures_next - 1 \

@@ -750,9 +750,13 @@ class Parser:
         if quant is None and self.peek().kind == OP and self.peek().text == "?":
             # bare `?` optional
             self.next()
-            return N.PQuant(base, 0, 1)
+            quant = N.PQuant(base, 0, 1)
         if quant is not None:
-            # reluctant marker `?` after a quantifier
+            # reluctant marker `?` after ANY quantifier, `?` included:
+            # the reference consumes it uniformly after every
+            # quantifier form (rsql/parser_match_pattern.go:164-189
+            # tryMRQuantifier → consumeReluctant), so `B??` is a
+            # reluctant optional, not a parse error (r12 CEP fuzz find)
             if self.peek().kind == OP and self.peek().text == "?":
                 self.next()
                 quant.greedy = False

@@ -2,9 +2,13 @@
 
 The crosspath grid pins six hand-picked patterns; this sweep GENERATES
 random MATCH_RECOGNIZE statements — random symbol count, per-symbol
-quantifiers ('', +, *, ?, {m}, {m,n}), alternation groups, PERMUTE,
-random DEFINE thresholds, AFTER MATCH SKIP mode, ONE/ALL ROWS PER
-MATCH — and runs each over random event streams on THREE paths:
+quantifiers ('', +, *, ?, {m}, {m,n}) including RELUCTANT variants
+(+?, *?, ??, {m,n}? — r12), alternation groups, PERMUTE, random
+DEFINE thresholds and PREV/NEXT navigation in DEFINE (r12), all four
+AFTER MATCH SKIP modes incl. TO FIRST/LAST <sym> (r12), SUBSET union
+symbols in MEASURES (r12), a WITHIN axis (none / tight 4s / loose 1h —
+r12), ONE/ALL ROWS PER MATCH — and runs each over random event
+streams on THREE paths:
 
 - batch flush (emit + trigger_window: the incremental NFA drained at
   end of stream),
@@ -31,7 +35,17 @@ Harness lessons (cost a debug round each — keep them):
   LEGALLY on the stream side only;
 - define-failing closer rows do NOT flush matches under a horizon
   (they are themselves held) — watermark pushers beyond closer_ts +
-  horizon are required.
+  horizon are required;
+- closers must be TWO deep per key (r12): a NEXT()-reading DEFINE
+  classifying the first closer needs the second as its successor to
+  fail conclusively, else the kernel legitimately holds the tail.
+
+r12 engine finds from the new axes: the parser rejected `??`
+(reluctant optional — reference consumes the reluctant marker after
+EVERY quantifier form), and find_emittable emitted a SHORT match when
+the greedy extension's NEXT()-reading DEFINE failed inconclusively at
+the micro-batch tail (flush/batch extend it once the successor
+exists) — both fixed, both now exercised every run.
 """
 
 from __future__ import annotations
@@ -45,8 +59,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def gen_pattern(rng: random.Random):
-    """A random (pattern, defines) pair over symbols with disjoint-ish
-    temperature ranges; the first element is never empty-matchable."""
+    """A random (pattern, defines, used, anchor_ok) tuple over symbols
+    with disjoint-ish temperature ranges; the first element is never
+    empty-matchable.  r12 axes: reluctant quantifiers (+? *? ?? {m,n}?
+    — cep/engine.go:492-625 greedy/reluctant emission) and PREV/NEXT
+    navigation inside DEFINE.  ``anchor_ok`` lists symbols safe as a
+    SKIP TO FIRST/LAST anchor (never the sequence's first symbol — the
+    standard's no-progress corner)."""
     n_sym = rng.randint(2, 3)
     syms = ["A", "B", "C"][:n_sym]
     # random thresholds carve the [-10, 40] value space
@@ -57,12 +76,25 @@ def gen_pattern(rng: random.Random):
         "B": f"B AS temperature < {lo}",
         "C": f"C AS temperature >= {lo} AND temperature <= {hi}",
     }
-    quants = ["", "+", "*", "?", "{2}", "{1,2}", "{2,3}"]
+    # navigation in DEFINE (~30%): C becomes relative to its
+    # neighbours — PREV reads the previous PARTITION row physically,
+    # NEXT the following one (NULL off either end fails the define)
+    if n_sym >= 3 and rng.random() < 0.3:
+        defs["C"] = rng.choice([
+            f"C AS temperature >= PREV(temperature) - 10",
+            f"C AS temperature <= PREV(temperature, 2) + 25",
+            f"C AS temperature < NEXT(temperature)",
+            f"C AS temperature >= {lo} AND PREV(temperature) IS NOT NULL",
+        ])
+    quants = ["", "+", "*", "?", "{2}", "{1,2}", "{2,3}",
+              "+?", "*?", "??", "{1,2}?", "{2,3}?"]
 
     def q(sym, allow_empty=True):
-        choices = quants if allow_empty else ["", "+", "{2}", "{1,2}"]
+        choices = quants if allow_empty else \
+            ["", "+", "{2}", "{1,2}", "+?", "{1,2}?"]
         return sym + rng.choice(choices)
 
+    anchor_ok: list[str] = []
     shape = rng.random()
     if shape < 0.15 and n_sym >= 2:
         pattern = f"PERMUTE({', '.join(syms)})"
@@ -70,18 +102,31 @@ def gen_pattern(rng: random.Random):
         # alternation group in the middle
         pattern = f"{q(syms[0], False)} ({syms[1]} | {syms[2]}) " \
                   f"{q(rng.choice(syms))}"
+        anchor_ok = [s for s in syms[1:] if s in pattern]
     else:
         parts = [q(syms[0], allow_empty=False)]
         parts += [q(s) for s in syms[1:]]
         pattern = " ".join(parts)
+        anchor_ok = syms[1:]
     used = sorted(set(c for c in pattern if c in "ABC"))
     defines = ", ".join(defs[s] for s in used)
-    return pattern, defines
+    return pattern, defines, used, anchor_ok
 
 
 def gen_case(rng: random.Random):
-    pattern, defines = gen_pattern(rng)
-    skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
+    pattern, defines, used, anchor_ok = gen_pattern(rng)
+    # AFTER MATCH SKIP: all four reference modes
+    # (cep/engine.go:593-625); FIRST/LAST anchors avoid the sequence's
+    # first symbol (the no-progress corner the standard rejects)
+    skips = ["PAST LAST ROW", "TO NEXT ROW"]
+    if anchor_ok:
+        a = rng.choice(anchor_ok)
+        skips += [f"TO FIRST {a}", f"TO LAST {a}"]
+    skip = rng.choice(skips)
+    # WITHIN axis: none / tight (4s at 1s row spacing — truncates
+    # matches) / loose (1h — never binds); every path must agree on
+    # expiry exactly
+    within = rng.choice(["", "WITHIN '4s'", "WITHIN '1h'"])
     all_rows = rng.random() < 0.4
     if all_rows:
         select = "SELECT deviceId, ts, temperature, cls, mn FROM stream"
@@ -93,14 +138,21 @@ def gen_case(rng: random.Random):
                     "FIRST(ts) AS fts, LAST(ts) AS lts, "
                     "round(SUM(temperature), 6) AS st")
         rows_per = "ONE ROW PER MATCH"
+    # SUBSET (~30% of ONE ROW cases): union symbol fed to aggregation
+    # and last-row navigation (cep/engine.go:738-864)
+    subset = ""
+    if not all_rows and len(used) >= 2 and rng.random() < 0.3:
+        members = sorted(rng.sample(used, 2))
+        subset = f"\n        SUBSET U = ({', '.join(members)})"
+        measures += ", round(SUM(U.temperature), 6) AS su, U.ts AS uts"
     sql = f"""{select} MATCH_RECOGNIZE (
         PARTITION BY deviceId
         ORDER BY ts
         MEASURES {measures}
         {rows_per}
         AFTER MATCH SKIP {skip}
-        PATTERN ({pattern})
-        WITHIN '1h'
+        PATTERN ({pattern}){subset}
+        {within}
         DEFINE {defines}
     ) WITH (TIMESTAMP='ts', TIMEUNIT='ms')"""
     return sql, pattern
@@ -115,10 +167,15 @@ def gen_rows(rng: random.Random, n: int = 36):
             else round(rng.uniform(-10, 40), 2),
             "humidity": 0.0, "ts": 1000 * (i + 1), "status": "ok",
         })
-    # define-failing closers resolve pending matches on every path
+    # define-failing closers resolve pending matches on every path.
+    # TWO per key (r12): a NEXT()-reading DEFINE classifying the FIRST
+    # closer needs the second as its successor to fail CONCLUSIVELY —
+    # with a single closer the tail classification stays inconclusive
+    # (reads past end) and the streaming kernel legitimately holds it
+    # (README delta row 9: no end-of-stream flush without STATETTL)
     rows += [{"deviceId": k, "temperature": None, "humidity": 0.0,
               "ts": 1000 * (n + 10 + j), "status": "ok"}
-             for j, k in enumerate(["d1", "d2"])]
+             for j, k in enumerate(["d1", "d2", "d1", "d2"])]
     return rows
 
 
@@ -219,6 +276,9 @@ def run_fuzz(spark, seed: int, count: int, verbose: bool = True) -> list:
             divergences.append((i, pattern, sql,
                                 f"EXCEPTION {type(e).__name__}: "
                                 f"{str(e)[:300]}"))
+            if verbose:
+                print(f"DIVERGE-EXC [{i}] ({pattern}): "
+                      f"{type(e).__name__}: {str(e)[:300]}\n  {sql}")
             continue
         if ooo is not None and ooo[0] != ooo[1]:
             divergences.append((i, pattern, sql,
