@@ -2476,6 +2476,40 @@ def test_streaming_mixed_partition_keys_raise_typed(spark):
     assert s.query(df).count() == 2
 
 
+def test_spark_rejects_chained_stateful_kernels(spark):
+    """Pins the SPARK constraint behind README delta row 11 (closed as
+    a permanent limitation in r12): mixed OVER key sets would need one
+    stateful kernel per key set chained in a single streaming query,
+    and Spark's UnsupportedOperationChecker rejects exactly that —
+    'Multiple applyInPandasWithStates are not supported on a streaming
+    DataFrames/Datasets'.  (The Spark-4 alternative,
+    transformWithStateInPandas, is not exercisable in this
+    environment: its driver worker imports google.protobuf, absent
+    here.)  If a Spark upgrade relaxes this, this pin flips and the
+    delta should be revisited."""
+    import pandas as pd
+    import pytest
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def kern(key, pdfs, state):
+        state.update((1,))
+        yield pd.DataFrame({"k": [key[0]], "n": [1]})
+
+    st = (spark.readStream.format("rate").load()
+          .selectExpr("value % 4 AS k", "value % 8 AS k2"))
+    s1 = st.groupBy("k").applyInPandasWithState(
+        kern, "k long, n long", "n long", "update",
+        GroupStateTimeout.NoTimeout)
+    s2 = s1.groupBy("n").applyInPandasWithState(
+        kern, "k long, n long", "n long", "update",
+        GroupStateTimeout.NoTimeout)
+    with pytest.raises(AnalysisException,
+                       match="Multiple applyInPandasWithState"):
+        (s2.writeStream.format("noop")
+         .outputMode("update").trigger(availableNow=True).start())
+
+
 def test_lookup_star_watch_collision_first_join_wins(spark):
     """Delta row 14 (README "Deltas vs reference"): when two joined
     sources declare the SAME column name, the star watch (and SELECT *
