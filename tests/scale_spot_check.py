@@ -122,7 +122,7 @@ def main():
     n_docs = docs.count()  # materialize the cache
     print(f"# corpus: {n_docs} docs ({copies}x {sf_dir})", file=sys.stderr)
 
-    _bench("minhash_lsh_16x", spark,
+    _bench(f"minhash_lsh_{copies}x", spark,
            lambda: minhash_dedup_pairs(docs, "text", "doc_id",
                                        num_hashes=12, bands=4,
                                        shingle_k=3, threshold=0.5),
@@ -130,7 +130,7 @@ def main():
 
     cc_docs = _scaled_docs(spark, sf_dir, copies, id_cap=1000)
     n_cc = cc_docs.count()
-    _bench("simhash_cc_16x", spark,
+    _bench(f"simhash_cc_{copies}x", spark,
            lambda: dedup_clusters(
                cc_docs, simhash_dedup_pairs(cc_docs, "text", "doc_id",
                                             max_hamming=4), "doc_id"),
@@ -138,7 +138,7 @@ def main():
 
     toks = token_counts(docs.select("doc_id", "source", "text")) \
         .select("doc_id", "source", "text", "est_bpe_tokens")
-    _bench("pack_materialize_16x", spark,
+    _bench(f"pack_materialize_{copies}x", spark,
            lambda: materialize_packs(
                budget_shard_pack(toks, "source", "doc_id",
                                  "est_bpe_tokens", 2048),
