@@ -110,19 +110,21 @@ def _len_bounds(pat) -> tuple[int, int | None]:
     return (0, None)  # unknown node: conservative
 
 
-def _max_next_offset(exprs, floor: int = 1) -> int:
-    """Largest literal NEXT() offset in ``exprs`` (each call defaults
-    to 1; non-literal offsets conservatively count as 1).  ``floor``
-    is the result when no NEXT appears — 1 for the DEFINE span (a span
-    of at least one is assumed by callers gated on _uses_future_nav),
-    0 for the MEASURES probe."""
+def _max_next_offset(exprs, floor: int = 1, fname: str = "next") -> int:
+    """Largest literal ``fname``() navigation offset in ``exprs``
+    (each call defaults to 1; non-literal offsets conservatively count
+    as 1).  ``floor`` is the result when no such call appears — 1 for
+    the DEFINE span (a span of at least one is assumed by callers
+    gated on _uses_future_nav), 0 for the MEASURES probe.  Pass
+    ``fname="prev"`` for the backward span (the streaming kernel's
+    consumed-row context retention, r12)."""
     import dataclasses
 
     best = floor
 
     def walk(x):
         nonlocal best
-        if isinstance(x, N.Func) and str(x.name).lower() == "next":
+        if isinstance(x, N.Func) and str(x.name).lower() == fname:
             n = 1
             if len(x.args) > 1 and isinstance(x.args[1], N.Lit) \
                     and isinstance(x.args[1].value, int):
@@ -525,15 +527,20 @@ class Matcher:
             return False
         return (t1 - t0) > self.within
 
-    def find_emittable(self, flush: bool = False):
+    def find_emittable(self, flush: bool = False, start_at: int = 0):
         """Incremental drive for streaming: emit only matches that cannot
         extend with future rows (their preferred end is strictly before the
         buffer tail), unless ``flush``.  Returns (matches, consumed_upto):
         the caller may drop buffer rows before ``consumed_upto`` — the
         Spark-state analog of the reference's emit-on-advance + Stop()
-        flush (cep/engine.go:240-267, 492-552)."""
+        flush (cep/engine.go:240-267, 492-552).  ``start_at``: the first
+        MATCHABLE index — rows before it are already-consumed context
+        retained only so PREV() navigation in DEFINE/MEASURES reads the
+        true predecessors (r12 CEP-fuzz find: trimming consumed rows
+        made PREV read nil at the buffer head where the batch paths see
+        the real row)."""
         out = []
-        start = 0
+        start = start_at
         n = len(self.rows)
         while start < n:
             m = self.first_match(start)

@@ -1326,7 +1326,8 @@ def cep_flush_outputs(st: dict, spec, ts_col: str, ts_is_time: bool,
         w_end = within * ts_ups if within is not None else None
     matcher = Matcher(spec, rows, t_end, w_end)
     matcher.match_number = mn
-    matches, _ = matcher.find_emittable(flush=True)
+    matches, _ = matcher.find_emittable(flush=True,
+                                        start_at=st.get("ctx", 0))
     outs = []
     for bindings in matches:
         mn += 1
@@ -1364,7 +1365,17 @@ def cep_stream(spark, plan, df: DataFrame):
     moo_s = opt_duration_s(plan, "MAXOUTOFORDERNESS", 0.0)
     ts_ups = parts["ts_ups"]  # numeric event-time units per second
 
-    from ..cep.engine import Matcher
+    from ..cep.engine import Matcher, _max_next_offset
+
+    # PREV() in DEFINE/MEASURES navigates PHYSICALLY over partition
+    # rows — consumed rows must stay readable behind the matchable
+    # region or PREV at the trimmed buffer's head reads nil where the
+    # batch paths see the real predecessor (r12 CEP-fuzz find).  Keep
+    # this many already-consumed rows as navigation-only context.
+    prev_span = max(
+        _max_next_offset(list((spec.defines or {}).values()),
+                         floor=0, fname="prev"),
+        _max_next_offset(spec.measures, floor=0, fname="prev"))
 
     # typed cleaners: the buffered row dicts feed DEFINE/MEASURES
     # evaluation, so an int column must not arrive as 5 from one
@@ -1389,7 +1400,11 @@ def cep_stream(spark, plan, df: DataFrame):
             return
         pdf = _sorted_batch(pdf_iter, order_cols)
         st = _load_state(state) or {"rows": [], "mn": 0}
-        rows, mn = st["rows"], st["mn"]
+        # split off the navigation-only context prefix: the reorder,
+        # null-drop and held-split below apply to MATCHABLE rows only
+        ctx_n = st.get("ctx", 0)
+        ctx_rows = st["rows"][:ctx_n]
+        rows, mn = st["rows"][ctx_n:], st["mn"]
         if len(pdf):
             n_pending = len(rows)
             for r in pdf.to_dict("records"):
@@ -1470,9 +1485,19 @@ def cep_stream(spark, plan, df: DataFrame):
         else:
             wm = None
 
+        if ctx_rows:
+            if ts_is_time:
+                ts_ctx = [r[ts_col].timestamp()
+                          if r.get(ts_col) is not None else None
+                          for r in ctx_rows]
+            else:
+                ts_ctx = [r.get(ts_col) for r in ctx_rows]
+            rows = ctx_rows + rows
+            ts_vals = ts_ctx + ts_vals
         matcher = Matcher(spec, rows, ts_vals, w)
         matcher.match_number = mn
-        matches, consumed = matcher.find_emittable(flush=False)
+        matches, consumed = matcher.find_emittable(
+            flush=False, start_at=len(ctx_rows))
         outs = []
         for bindings in matches:
             mn += 1
@@ -1480,7 +1505,9 @@ def cep_stream(spark, plan, df: DataFrame):
                 if not all_rows_mode:
                     m = {**dict(zip(part_names, key)), **m}
                 outs.append(m)
-        st = {"rows": rows[consumed:] + held, "mn": mn}
+        keep_from = max(0, consumed - prev_span)
+        st = {"rows": rows[keep_from:] + held, "mn": mn,
+              "ctx": consumed - keep_from}
         if wm is not None:
             st["wm"] = wm
         _save_state(state, st, ttl_ms)
