@@ -167,10 +167,18 @@ def main() -> None:
     cal_py = _best_of(3, lambda: spark.range(2_000_000)
                       .selectExpr("id AS x", "id * 1.0 AS y")
                       .mapInPandas(lambda it: it, schema="x long, y double"))
-    cal_stream = _cal_stream(spark)
+    try:
+        cal_stream = _cal_stream(spark)
+    except Exception as e:  # noqa: BLE001 — calibration is advisory;
+        # a failed streaming calibration must never abort the bench
+        # (the payload line is the round's only record — review r12)
+        cal_stream = None
+        print(json.dumps({"cal_stream_failed": str(e)[:200]}),
+              file=sys.stderr)
     print(json.dumps({"calibration": {"jvm": round(cal_jvm, 3),
                                       "py": round(cal_py, 3),
-                                      "stream": round(cal_stream, 3)}}),
+                                      "stream": round(cal_stream, 3)
+                                      if cal_stream else None}}),
           file=sys.stderr)
 
     # Each entry runs three times; the best WARM run is reported.  The
@@ -219,8 +227,9 @@ def main() -> None:
         # (streaming_*_replay entries normalize by cal_stream)
         "cal": round(cal_jvm, 3),
         "cal_py": round(cal_py, 3),
-        "cal_stream": round(cal_stream, 3),
     }
+    if cal_stream:
+        payload["cal_stream"] = round(cal_stream, 3)
     # normalized cross-round comparison vs the newest BENCH_r*.json
     # (stderr; r11 brief #4): entries are flagged only when NEITHER
     # calibration ratio explains their slowdown — the phantom-

@@ -205,18 +205,15 @@ class StreamSQL:
             if cols and not getattr(self._stmt, "joins", None):
                 self._bind_changed_cols_star(cols)
                 return self
-            # Defer the bind to first data: joins present (so table
-            # sources registered AFTER execute() contribute schema
-            # columns — the reference's `*` is the event map AFTER join
-            # enrichment, stream/join.go:41-46), or no declared schema
-            # at all — direct AND windowed statements alike (the
-            # reference expands the star per event at runtime,
-            # functions/analytic_acc.go:195-205; r12 retires the
-            # windowed-needs-schema restriction).  Arrival-stamp
-            # eligibility is a statement-shape property, so prime it
-            # NOW: rows emitted before the star binds must already
-            # carry the monotone processing-time stamp.
-            self._prime_arrival_stamp_from_stmt()
+            # Defer the bind to first data — only DIRECT statements
+            # reach here (windowed ones bound above): joins present
+            # (so table sources registered AFTER execute() contribute
+            # schema columns — the reference's `*` is the event map
+            # AFTER join enrichment, stream/join.go:41-46) or no
+            # declared schema at all (the reference expands the star
+            # per event at runtime, functions/analytic_acc.go:195-205).
+            # No arrival-stamp priming needed: direct mode never
+            # stamps (eligibility requires a window).
             return self
         self._plan = make_plan(self._stmt)
         self._prime_arrival_stamp()
@@ -225,9 +222,10 @@ class StreamSQL:
     def _prime_arrival_stamp(self) -> None:
         """Cache the plan-level processing-time-window eligibility
         (fixed once the plan exists) so emit() pays one flag check.
-        Preserves any counter state a pre-bind stmt-shape primer
-        already established (deferred-star paths stamp from the first
-        emit — the monotone tiebreak must not rewind at bind time)."""
+        Every ELIGIBLE plan exists by the end of execute() — windowed
+        star statements bind there (r12) and the remaining deferred-
+        star paths are direct-mode, which never stamps — so rows are
+        stamped from the very first emit."""
         import threading
 
         plan = self._plan
@@ -237,22 +235,6 @@ class StreamSQL:
         if not hasattr(self, "_arrival_lock"):
             self._arrival_lock = threading.Lock()
             self._last_arrival_us = 0
-
-    def _prime_arrival_stamp_from_stmt(self) -> None:
-        """Deferred-star paths return from execute() with no plan, but
-        emit() may run before the star binds — compute the same
-        eligibility from the STATEMENT shape (window present, no
-        declared event-time column), which is exactly what the plan
-        would report (planner.py: event_time_col := WITH TIMESTAMP;
-        window := stmt.window)."""
-        import threading
-
-        stmt = self._stmt
-        self._arrival_eligible = (
-            stmt.window is not None
-            and not stmt.with_opts.get("TIMESTAMP"))
-        self._arrival_lock = threading.Lock()
-        self._last_arrival_us = 0
 
     def _schema_columns(self) -> list | None:
         """Column names from the declared schema (normalized to
@@ -395,13 +377,11 @@ class StreamSQL:
         return refs
 
     def _maybe_bind_star(self, columns) -> None:
+        # only DIRECT statements still defer (windowed stars bind at
+        # execute(), r12), so the bind columns never carry internal
+        # window-bookkeeping names
         if getattr(self, "_star_pending", False):
-            from ..engine.batch import ARRIVAL_COL
-            base = self._schema_columns() or [
-                # a processing-time-window row buffered before the bind
-                # already carries the internal arrival stamp — never a
-                # watchable column (windowed deferral, r12)
-                c for c in columns if c != ARRIVAL_COL]
+            base = self._schema_columns() or list(columns)
             self._bind_changed_cols_star(self._star_watch_refs(base))
 
     @property

@@ -145,6 +145,42 @@ def _max_next_offset(exprs, floor: int = 1, fname: str = "next") -> int:
     return best
 
 
+def nonliteral_nav_offset(exprs) -> str | None:
+    """The rendering of the first PREV/NEXT call in ``exprs`` whose
+    offset argument is not an integer literal, else None.  The batch
+    and flush paths evaluate dynamic offsets per row (eval.py), but
+    the STREAMING kernel sizes its consumed-row context and tail-hold
+    spans from the maximum literal offset — a dynamic offset would
+    silently under-retain and diverge across micro-batch splits
+    (review find r12), so the kernel refuses it typed instead."""
+    import dataclasses
+
+    bad: list[str] = []
+
+    def walk(x):
+        if bad:
+            return
+        if isinstance(x, N.Func) and str(x.name).lower() in ("prev",
+                                                             "next"):
+            if len(x.args) > 1 and not (
+                    isinstance(x.args[1], N.Lit)
+                    and isinstance(x.args[1].value, int)):
+                bad.append(str(x.name).upper())
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            for f in dataclasses.fields(x):
+                walk(getattr(x, f.name))
+        elif isinstance(x, (list, tuple)):
+            for v in x:
+                walk(v)
+        elif isinstance(x, dict):
+            for v in x.values():
+                walk(v)
+
+    for e in exprs:
+        walk(e)
+    return bad[0] if bad else None
+
+
 def _uses_future_nav(spec: N.MatchSpec) -> bool:
     """True if any DEFINE or MEASURE references NEXT() — the result
     then depends on rows after the current one, so even a fixed-length

@@ -66,6 +66,7 @@ class Planner:
         self.agg_specs: list[AggSpec] = []
         self.analytics: list[AnalyticSpec] = []
         self._agg_by_sql: dict[str, str] = {}
+        self._fanout_names: set[str] = set()  # changed_cols outputs
 
     # ------------------------------------------------------------ lifting
     def _lift_aggregates(self, e: N.Expr) -> N.Expr:
@@ -406,6 +407,23 @@ class Planner:
         plan.analytics = self.analytics
         plan.uses_window_start = self.uses_window_start
         plan.uses_window_end = self.uses_window_end
+        if self._fanout_names:
+            # order-INDEPENDENT duplicate check over the FINAL output
+            # list (review find r12: the in-loop guard only saw outputs
+            # planned earlier, so `changed_cols('', true, region),
+            # region` — field AFTER the fan-out — still produced two
+            # 'region' columns and a silent dict-sink drop).  Scoped to
+            # fan-out names: duplicate PLAIN projections keep their
+            # pre-existing behavior.
+            from collections import Counter
+            counts = Counter(o.name for o in plan.outputs if not o.star)
+            dup = next((n for n in sorted(self._fanout_names)
+                        if counts[n] > 1), None)
+            if dup is not None:
+                raise PlanError(
+                    f"changed_cols fan-out name {dup!r} collides with "
+                    "another output column — alias the statement or "
+                    "drop the duplicate member")
         return plan
 
     def _expand_changed_cols(self, plan: QueryPlan, call: N.Func,
@@ -467,6 +485,7 @@ class Planner:
                     f"changed_cols fan-out name {prefix}{colname!r} is "
                     "produced by more than one watched column — alias "
                     "the statement or drop the duplicate member")
+            self._fanout_names.add(f"{prefix}{colname}")
             ph = f"__analytic_{len(self.analytics)}__"
             arg = self._lift_aggregates(a) if window_mode else a
             # thread the ignoreNull flag through (analytic_acc.go:168-185:

@@ -1365,13 +1365,26 @@ def cep_stream(spark, plan, df: DataFrame):
     moo_s = opt_duration_s(plan, "MAXOUTOFORDERNESS", 0.0)
     ts_ups = parts["ts_ups"]  # numeric event-time units per second
 
-    from ..cep.engine import Matcher, _max_next_offset
+    from ..cep.engine import (Matcher, _max_next_offset,
+                              nonliteral_nav_offset)
 
     # PREV() in DEFINE/MEASURES navigates PHYSICALLY over partition
     # rows — consumed rows must stay readable behind the matchable
     # region or PREV at the trimmed buffer's head reads nil where the
     # batch paths see the real predecessor (r12 CEP-fuzz find).  Keep
     # this many already-consumed rows as navigation-only context.
+    # Spans come from LITERAL offsets; a dynamic offset would silently
+    # under-retain, so it fails typed here (batch/flush support it).
+    from ..engine.batch import ExecError
+    nav_exprs = list((spec.defines or {}).values()) + list(spec.measures)
+    bad_nav = nonliteral_nav_offset(nav_exprs)
+    if bad_nav is not None:
+        raise ExecError(
+            f"{bad_nav}() with a non-literal offset is batch-only: the "
+            "streaming kernel sizes its navigation context and "
+            "tail-hold spans from the maximum literal offset — use a "
+            "constant offset on streams, or run this statement on the "
+            "batch path")
     prev_span = max(
         _max_next_offset(list((spec.defines or {}).values()),
                          floor=0, fname="prev"),

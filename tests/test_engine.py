@@ -3428,6 +3428,13 @@ def test_changed_cols_duplicate_fanout_name_rejected(spark):
     with pytest.raises(PlanError, match="more than one watched column"):
         s.execute("SELECT changed_cols('c_', true, stream.region, "
                   "region) FROM stream")
+    # truly order-independent (review r12): a PLAIN field planned
+    # AFTER the fan-out colliding with a fan-out name is caught by the
+    # final-output pass, not just the in-loop earlier-names guard
+    s2 = StreamSQL(spark)
+    with pytest.raises(PlanError, match="collides"):
+        s2.execute("SELECT changed_cols('', true, region), region "
+                   "FROM stream")
 
 
 def test_windowed_star_arrival_stamp_primed_at_execute(spark):

@@ -2476,6 +2476,38 @@ def test_streaming_mixed_partition_keys_raise_typed(spark):
     assert s.query(df).count() == 2
 
 
+def test_streaming_nonliteral_nav_offset_refused(spark):
+    """A dynamic PREV/NEXT offset in DEFINE is batch-only (review
+    r12): the streaming kernel sizes its consumed-row context and
+    tail-hold spans from the maximum LITERAL offset, so a per-row
+    offset would silently under-retain and diverge across micro-batch
+    splits — typed refusal instead.  The batch path evaluates it."""
+    import pytest
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.engine.batch import ExecError
+
+    sql = ("SELECT a_ts FROM stream MATCH_RECOGNIZE ("
+           " PARTITION BY deviceId ORDER BY ts"
+           " MEASURES A.ts AS a_ts"
+           " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+           " PATTERN (A B)"
+           " DEFINE A AS temperature > 50,"
+           "        B AS temperature > PREV(temperature, humidity)"
+           ") WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    batches = [_rows(("d1", 60.0, 1.0, 1000, "ok"),
+                     ("d1", 70.0, 1.0, 2000, "ok"))]
+    with pytest.raises(ExecError, match="non-literal offset"):
+        run_stream(spark, sql, batches)
+    # the BATCH path evaluates the dynamic offset per row
+    s = StreamSQL(spark)
+    s.execute(sql)
+    df = spark.createDataFrame(
+        _rows(("d1", 60.0, 1.0, 1000, "ok"),
+              ("d1", 70.0, 1.0, 2000, "ok")), EVT)
+    assert [r["a_ts"] for r in s.query(df).collect()] == [1000]
+
+
 def test_spark_rejects_chained_stateful_kernels(spark):
     """Pins the SPARK constraint behind README delta row 11 (closed as
     a permanent limitation in r12): mixed OVER key sets would need one
