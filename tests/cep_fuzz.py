@@ -25,8 +25,8 @@ divergences.
 
     python3 tests/cep_fuzz.py [seed [count]]
 
-r11 baseline: 40 statements/seed incl. 20 ooo legs, 0 divergences
-(seeds 20260816, 7, 99).  CI subset:
+r12 baseline (all axes active): 40 statements/seed incl. 20 ooo
+legs, 0 divergences on FIVE seeds (20260816, 7, 99, 1234, 424242).  CI subset:
 tests/test_cep_fastpath.py::test_cep_fuzz_ci_subset.
 
 Harness lessons (cost a debug round each — keep them):

@@ -16,8 +16,8 @@ and order-insensitive values.
 
     python3 tests/window_fuzz.py [seed [count [sf_dir]]]
 
-r11 baseline: 60 statements/seed, 0 divergences (seeds 20260816, 7,
-99).  The CI subset (tests/test_engine.py::test_window_fuzz_ci_subset)
+r12 baseline (all axes active): 60 statements/seed, 0 divergences
+on FIVE seeds (20260816, 7, 99, 1234, 424242).  The CI subset (tests/test_engine.py::test_window_fuzz_ci_subset)
 runs a fixed seed at count=12 per run.
 """
 
