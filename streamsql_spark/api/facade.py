@@ -659,12 +659,43 @@ class StreamSQL:
 
     def _split_lookup_sources(self):
         """(worker-routable, driver-fallback) partitions of the
-        registered lookup sources (decision cached at registration)."""
+        registered lookup sources (decision cached at registration).
+
+        r13: a worker-routable source is DEMOTED to the driver rounds
+        when its probe-key dependency closure contains (a) a
+        driver-probed source's table — the dep only materializes in
+        the rounds, AFTER worker enrichment would have run — or (b) a
+        snapshot table while the plan carries a bare ``SELECT *`` /
+        ``had_changed(*, '*')`` (the worker pre-join would flatten dim
+        columns the star must surface under real names; the rounds +
+        real joins preserve them).  The rounds handle any DAG, so
+        batch/per-event keep working; the streaming path reports its
+        existing typed no-driver-fallback error."""
         worker: dict[str, object] = {}
         driver: dict[str, object] = {}
         for name, src in self._table_sources.items():
             (worker if self._table_source_route.get(name)
              else driver)[name] = src
+        if worker and (driver or self._tables):
+            universe = set(self._table_sources) | set(self._tables)
+            star = self._plan is not None and (
+                any(o.star and not o.star_qualifier
+                    for o in self._plan.outputs)
+                or any(a.func.name.lower() == "had_changed"
+                       and any(isinstance(x, N.Star)
+                               or (isinstance(x, N.Lit) and x.value == "*")
+                               for x in a.func.args)
+                       for a in self._plan.analytics))
+            changed = True
+            while changed:
+                changed = False
+                for n in list(worker):
+                    clos = self._probe_dep_closure(n, universe)
+                    if any(d in driver for d in clos) or \
+                            (star and any(d in self._tables
+                                          for d in clos)):
+                        driver[n] = worker.pop(n)
+                        changed = True
         return worker, driver
 
     def _lookup_tables(self, source_df: DataFrame,
@@ -1002,13 +1033,23 @@ class StreamSQL:
             # parallel across partitions, zero driver involvement; the
             # rest take the bounded driver-probe fallback
             worker, driver = self._split_lookup_sources()
-            dep_w = {n for n in driver
-                     if worker and self._probe_refs_tables(n, worker)}
             pre_df = source_df
             if worker:
                 from ..streaming.lookup import apply_lookup_joins
                 source_df, plan = apply_lookup_joins(
-                    source_df, plan, worker, via="join")
+                    source_df, plan, worker, via="join",
+                    tables=all_tables)
+            # snapshot dims consumed by the worker pre-join are part
+            # of the enriched frame now: the rounds must not try to
+            # re-join them (their plan entries are gone), and a driver
+            # source reading their columns probes via the qref map
+            prej = {t: None
+                    for t in (plan.options.get("__prejoined__") or ())}
+            for t in prej:
+                all_tables.pop(t, None)
+            dep_w = {n for n in driver
+                     if (worker and self._probe_refs_tables(n, worker))
+                     or (prej and self._probe_refs_tables(n, prej))}
             self._lookup_tables_chained(
                 source_df, plan, driver, all_tables, dep_w=dep_w,
                 qmap=plan.options.get("__qref_map__"),
@@ -1049,7 +1090,9 @@ class StreamSQL:
         if driver:
             raise ExecError(
                 f"table source(s) {sorted(driver)} cannot ship to "
-                "workers (unpicklable, or no usable schema()) — the "
+                "workers (unpicklable, no usable schema(), or probe "
+                "keys depending on a driver-probed source / on a "
+                "snapshot table under a bare SELECT *) — the "
                 "streaming path has no driver-probe fallback. Make the "
                 "source picklable and declare schema() (StructType or "
                 "DDL string) covering its referenced columns.")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from itertools import permutations
 
 from ..dialect import nodes as N
-from .eval import MatchContext, evaluate
+from .eval import MatchContext, NavOffsetCapError, evaluate
 
 
 class CepError(ValueError):
@@ -145,14 +145,15 @@ def _max_next_offset(exprs, floor: int = 1, fname: str = "next") -> int:
     return best
 
 
-def nonliteral_nav_offset(exprs) -> str | None:
-    """The rendering of the first PREV/NEXT call in ``exprs`` whose
+def nonliteral_nav_offset(exprs, fnames=("prev", "next")) -> str | None:
+    """The name of the first call among ``fnames`` in ``exprs`` whose
     offset argument is not an integer literal, else None.  The batch
     and flush paths evaluate dynamic offsets per row (eval.py), but
     the STREAMING kernel sizes its consumed-row context and tail-hold
     spans from the maximum literal offset — a dynamic offset would
     silently under-retain and diverge across micro-batch splits
-    (review find r12), so the kernel refuses it typed instead."""
+    (review find r12), so the kernel refuses it typed unless the query
+    declares a retention cap with the MAXNAVOFFSET option (r13)."""
     import dataclasses
 
     bad: list[str] = []
@@ -160,8 +161,7 @@ def nonliteral_nav_offset(exprs) -> str | None:
     def walk(x):
         if bad:
             return
-        if isinstance(x, N.Func) and str(x.name).lower() in ("prev",
-                                                             "next"):
+        if isinstance(x, N.Func) and str(x.name).lower() in fnames:
             if len(x.args) > 1 and not (
                     isinstance(x.args[1], N.Lit)
                     and isinstance(x.args[1].value, int)):
@@ -209,11 +209,15 @@ def _uses_future_nav(spec: N.MatchSpec) -> bool:
 class Matcher:
     def __init__(self, spec: N.MatchSpec, rows: list[dict],
                  ts_values: list | None = None, within: float | None = None,
-                 pre_cls: dict | None = None):
+                 pre_cls: dict | None = None, nav_cap: int | None = None):
         self.spec = spec
         self.rows = rows
         self.ts = ts_values
         self.within = within
+        # streaming MAXNAVOFFSET: dynamic PREV/NEXT offsets are allowed
+        # up to this cap — spans below inflate to it so tail-holds and
+        # context retention cover any legal runtime offset
+        self.nav_cap = nav_cap
         self.defines = spec.defines
         self.subsets = spec.subsets
         self.pattern = _expand_subsets(spec.pattern, spec.subsets) \
@@ -258,13 +262,19 @@ class Matcher:
         # every tail failure inconclusive — e.g. an A-define without
         # navigation failing on an end-of-stream closer row held
         # forever because a C-define elsewhere used NEXT.
+        def _span(exprs) -> int:
+            s = _max_next_offset(exprs, floor=0)
+            if nav_cap is not None and \
+                    nonliteral_nav_offset(exprs, ("next",)) is not None:
+                s = max(s, nav_cap)
+            return s
+
         self._next_span_by_sym = {
-            s: _max_next_offset([c], floor=0)
-            for s, c in (spec.defines or {}).items()}
+            s: _span([c]) for s, c in (spec.defines or {}).items()}
         # NEXT() in MEASURES reads rows after the MATCH: a completed
         # match whose measures may reach past the buffer tail must hold
         # for the next micro-batch (0 = no NEXT in any measure)
-        self._measures_next = _max_next_offset(spec.measures, floor=0)
+        self._measures_next = _span(spec.measures)
 
     # ------------------------------------------------------ classification
     def classify(self, pos: int, sym: str, bindings: list) -> bool:
@@ -282,9 +292,12 @@ class Matcher:
             return True  # undefined symbol ≡ TRUE (engine.go:463-478)
         ctx = MatchContext(self.rows, bindings, pos=pos, current_symbol=sym,
                            match_number=self.match_number + 1,
-                           subsets=self.subsets, symbols=self.symbols)
+                           subsets=self.subsets, symbols=self.symbols,
+                           nav_cap=self.nav_cap)
         try:
             ok = bool(evaluate(cond, ctx))
+        except NavOffsetCapError:
+            raise  # typed cap breach must not read as "no match"
         except Exception:
             ok = False
         span = self._next_span_by_sym.get(sym, 0)
@@ -631,7 +644,8 @@ class Matcher:
                 ctx = MatchContext(self.rows, bindings, pos=p,
                                    match_number=match_no,
                                    subsets=self.subsets,
-                                   symbols=self.symbols)
+                                   symbols=self.symbols,
+                                   nav_cap=self.nav_cap)
                 out = dict(self.rows[p])
                 out.update({m.alias or f"m{j}": evaluate(m.expr, ctx)
                             for j, m in enumerate(spec.measures)})
@@ -639,7 +653,7 @@ class Matcher:
         else:
             ctx = MatchContext(self.rows, bindings, pos=None,
                                match_number=match_no, subsets=self.subsets,
-                               symbols=self.symbols)
+                               symbols=self.symbols, nav_cap=self.nav_cap)
             outs.append({m.alias or f"m{j}": evaluate(m.expr, ctx)
                          for j, m in enumerate(spec.measures)})
         return outs

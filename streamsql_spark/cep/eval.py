@@ -164,6 +164,14 @@ class CepEvalError(ValueError):
     pass
 
 
+class NavOffsetCapError(CepEvalError):
+    """A DYNAMIC PREV/NEXT offset evaluated beyond the declared
+    MAXNAVOFFSET cap on the streaming kernel — raised typed instead of
+    silently reading nil where the batch paths see a value (the
+    kernel's context retention is sized by the cap).  Must propagate
+    through ``classify``'s broad eval-error-means-no-match catch."""
+
+
 class MatchContext:
     """Evaluation context for one (partial or complete) match.
 
@@ -176,12 +184,14 @@ class MatchContext:
     """
 
     def __init__(self, rows, bindings, pos=None, current_symbol=None,
-                 match_number=1, subsets=None, symbols=None):
+                 match_number=1, subsets=None, symbols=None,
+                 nav_cap=None):
         self.rows = rows
         self.bindings = bindings
         self.pos = pos
         self.current_symbol = current_symbol
         self.match_number = match_number
+        self.nav_cap = nav_cap  # streaming MAXNAVOFFSET, None = unbounded
         self.subsets = {k: set(v) for k, v in (subsets or {}).items()}
         # the pattern's symbol alphabet: lets X.col resolve to "symbol
         # X's rows" even when X bound nothing (empty aggregate), instead
@@ -379,6 +389,15 @@ def _eval_func(e: N.Func, ctx: MatchContext):
         if path is None:
             raise CepEvalError(f"{name}() needs a column argument")
         n = int(evaluate(e.args[1], ctx)) if len(e.args) > 1 else 1
+        # literal offsets are covered by the kernel's span sizing; a
+        # DYNAMIC offset beyond the declared cap would read rows the
+        # kernel no longer retains — fail typed, never read nil
+        if ctx.nav_cap is not None and n > ctx.nav_cap \
+                and len(e.args) > 1 and not isinstance(e.args[1], N.Lit):
+            raise NavOffsetCapError(
+                f"{name}() dynamic offset {n} exceeds the declared "
+                f"MAXNAVOFFSET={ctx.nav_cap} — raise the option to "
+                "cover the largest runtime offset")
         # physical navigation relative to the row being evaluated
         base = ctx.pos if ctx.pos is not None else (
             ctx.all_rows()[-1] if ctx.bindings else None)

@@ -236,6 +236,61 @@ def _contains_map(dt) -> bool:
     return False
 
 
+def _canon_map_sql(expr: str, dt, depth: int = 0) -> str:
+    """SQL-string twin of ``_canon_map_cmp``'s canonical form, kept
+    LOSSLESS (no JSON step): every map anywhere in ``dt`` becomes its
+    entry array sorted by key — ``map<K,V>`` →
+    ``array<struct<key:K, value:canon(V)>>`` — so the result is
+    equality-comparable by Catalyst and ``_uncanon_map_sql`` can
+    rebuild the original value exactly.  Lambda variables are
+    depth-suffixed: Spark scopes lambda parameters lexically, so
+    nested levels must not shadow."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        x, a, b = f"__x{depth}__", f"__a{depth}__", f"__b{depth}__"
+        inner = _canon_map_sql(f"{x}.value", dt.valueType, depth + 1)
+        ent = (f"transform(map_entries({expr}), {x} -> "
+               f"named_struct('key', {x}.key, 'value', {inner}))")
+        return (f"array_sort({ent}, ({a}, {b}) -> "
+                f"CASE WHEN {a}.key < {b}.key THEN -1 "
+                f"WHEN {a}.key > {b}.key THEN 1 ELSE 0 END)")
+    if isinstance(dt, ArrayType) and _contains_map(dt.elementType):
+        x = f"__x{depth}__"
+        inner = _canon_map_sql(x, dt.elementType, depth + 1)
+        return f"transform({expr}, {x} -> {inner})"
+    if isinstance(dt, StructType) and _contains_map(dt):
+        parts = ", ".join(
+            f"'{f.name}', "
+            + _canon_map_sql(f"{expr}.`{f.name}`", f.dataType, depth + 1)
+            for f in dt.fields)
+        return f"named_struct({parts})"
+    return expr
+
+
+def _uncanon_map_sql(expr: str, dt, depth: int = 0) -> str:
+    """Inverse of ``_canon_map_sql``: rebuild the original map-bearing
+    value from its sorted-entry-array canonical form."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        x = f"__y{depth}__"
+        inner = _uncanon_map_sql(f"{x}.value", dt.valueType, depth + 1)
+        return (f"map_from_entries(transform({expr}, {x} -> "
+                f"named_struct('key', {x}.key, 'value', {inner})))")
+    if isinstance(dt, ArrayType) and _contains_map(dt.elementType):
+        x = f"__y{depth}__"
+        inner = _uncanon_map_sql(x, dt.elementType, depth + 1)
+        return f"transform({expr}, {x} -> {inner})"
+    if isinstance(dt, StructType) and _contains_map(dt):
+        parts = ", ".join(
+            f"'{f.name}', "
+            + _uncanon_map_sql(f"{expr}.`{f.name}`", f.dataType, depth + 1)
+            for f in dt.fields)
+        return f"named_struct({parts})"
+    return expr
+
+
 def _canon_map_cmp(c: Column, dt) -> Column:
     """Order-insensitive canonical form of a map-bearing column for
     equality comparison: every map ANYWHERE in the type tree becomes
@@ -1034,21 +1089,21 @@ class BatchExecutor:
     @staticmethod
     def _agg_sql(df: DataFrame, spec) -> str:
         """Type-aware touch-up of one rendered aggregate.
-        ``deduplicate(map_column)`` (r12, retires README delta row 12):
-        Catalyst's ``array_distinct`` rejects map equality, so a
-        MAP-typed argument canonicalizes through sorted entry arrays —
-        ``array_sort(map_entries(m))`` with a key-only comparator gives
-        a canonical ``array<struct<key,value>>`` that equality-compares
-        fine, and the distinct entry arrays map back losslessly.  The
-        reference's incremental deduplicator hashes the Go value
-        directly (functions_aggregation.go:1556-1578), so map dedup
-        works on its every path; a map nested INSIDE the value type
-        still fails in Catalyst (equality again) — unchanged, typed."""
+        ``deduplicate(map_column)`` (r12/r13, retires README delta row
+        12 fully): Catalyst's ``array_distinct`` rejects map equality
+        at ANY nesting depth, so a map-bearing argument canonicalizes
+        through sorted entry arrays RECURSIVELY — every map anywhere
+        in the type tree (top-level, nested map values, struct fields,
+        array elements) becomes ``array_sort(map_entries(...))`` with
+        a key-only comparator, giving an equality-comparable shape
+        that maps back losslessly after the distinct.  The reference's
+        incremental deduplicator hashes the Go value directly
+        (functions_aggregation.go:1556-1578), so map dedup works on
+        its every path; the kernel/pyeval paths here hash dicts the
+        same way — this keeps the batch path in lockstep."""
         fn = getattr(spec, "func", None)
         if fn is None or fn.name.lower() != "deduplicate" or not fn.args:
             return spec.sql
-        from pyspark.sql.types import MapType
-
         from ..dialect.render import Renderer
         from ..functions.registry import _ARRIVAL_LIST
         arg_sql = Renderer(agg_mode="forbid").render(fn.args[0])
@@ -1056,13 +1111,12 @@ class BatchExecutor:
             dt = df.select(F.expr(arg_sql)).schema[0].dataType
         except Exception:  # noqa: BLE001 — leave resolution to Catalyst
             return spec.sql
-        if not isinstance(dt, MapType):
+        if not _contains_map(dt):
             return spec.sql
-        canon = (f"array_sort(map_entries({arg_sql}), (a, b) -> "
-                 "CASE WHEN a.key < b.key THEN -1 "
-                 "WHEN a.key > b.key THEN 1 ELSE 0 END)")
+        canon = _canon_map_sql(arg_sql, dt)
+        uncanon = _uncanon_map_sql("__dm__", dt)
         return (f"transform(array_distinct({_ARRIVAL_LIST.format(canon)}),"
-                " a -> map_from_entries(a))")
+                f" __dm__ -> {uncanon})")
 
     def _chunk_rows(self, df: DataFrame, key_sqls: list[str],
                     n: int) -> DataFrame:

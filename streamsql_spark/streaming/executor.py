@@ -74,7 +74,8 @@ class StreamingExecutor:
 
         if self.lookup_sources:
             from .lookup import apply_lookup_joins
-            df, plan = apply_lookup_joins(df, plan, self.lookup_sources)
+            df, plan = apply_lookup_joins(df, plan, self.lookup_sources,
+                                          tables=self._batch.tables)
         df = self._batch._apply_joins(df, plan)
 
         if plan.mode == "cep":
@@ -361,7 +362,29 @@ class StreamingExecutor:
             return writer.start()
         post = self.post_batch_fn(plan)
 
+        # GetStats totals must not depend on ASYNC listener delivery:
+        # Spark's listener bus may drop events under load, and with a
+        # small numRecentProgressUpdates cap a dropped progress event is
+        # unrecoverable.  Micro-batches run sequentially and batch N-1's
+        # progress is posted in the stream-execution thread BEFORE batch
+        # N starts, so draining recentProgress at the top of every
+        # foreachBatch invocation observes every progress entry even at
+        # cap=1 (the final batch is drained by GetStats itself); the
+        # session listener remains as belt-and-braces and for the
+        # native-file-sink path, which has no foreachBatch hook.
+        query_ref: list = []
+
+        def _drain_progress() -> None:
+            if query_ref:
+                from .progress import ingest
+                try:
+                    for p in (query_ref[0].recentProgress or []):
+                        ingest(p)
+                except Exception:
+                    pass  # metrics must never break the stream
+
         def handle(batch_df: DataFrame, _batch_id: int):
+            _drain_progress()
             done = post(batch_df)
             if sink_path is not None:
                 # distributed write path — executors write, the driver
@@ -397,7 +420,9 @@ class StreamingExecutor:
             writer = writer.option("checkpointLocation", checkpoint)
         trigger = trigger or {"availableNow": True}
         writer = writer.trigger(**trigger)
-        return writer.start()
+        query = writer.start()
+        query_ref.append(query)
+        return query
 
     @staticmethod
     def _output_mode(plan) -> str:

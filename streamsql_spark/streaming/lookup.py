@@ -137,7 +137,7 @@ def _pattern_shadow(spec) -> set:
 
 
 def apply_lookup_joins(df: DataFrame, plan, sources: dict,
-                       via: str = "stage"):
+                       via: str = "stage", tables: dict | None = None):
     """Replace every join against a registered lookup source with a
     worker-side mapInPandas enrichment stage.
 
@@ -170,8 +170,71 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
         return df, plan
 
     src_name = plan.source_alias or plan.source
+
+    # ---- chained probe keys that read a SNAPSHOT table's columns
+    # (JOIN snap ... JOIN w ON snap.region = w.k): the snapshot must
+    # join BEFORE w's probe stage or the key expression is unresolved
+    # (r13 join-fuzz find — only worker-on-worker chains worked).
+    # Walk the join list backwards collecting, transitively, every
+    # non-lookup join some later lookup probe references; those dims
+    # PRE-JOIN (broadcast, columns flattened to __q_{alias}_{col}__)
+    # at their statement position and leave the residual plan.  A
+    # stream-static broadcast join is legal on both batch and
+    # streaming frames, and reordering independent enrichments is
+    # result-preserving (each ON reads only the stream and EARLIER
+    # tables).  Worker sources depending on DRIVER-probed sources
+    # never reach here (facade._split_lookup_sources demotes them).
+    ast_joins = {(aj.table, aj.alias): aj for aj in plan.stmt.joins}
+    ref_of = {}  # join identity (table, alias) -> its ON's root quals
+    pos_of = {}
+    for idx, j in enumerate(plan.joins):
+        pos_of[(j.table, j.alias)] = idx
+        aj = ast_joins.get((j.table, j.alias))
+        roots = set()
+        if aj is not None and aj.on is not None:
+            for node in N.walk(aj.on):
+                if isinstance(node, N.Col) and len(node.parts) >= 2 \
+                        and isinstance(node.parts[0], str):
+                    roots.add(str(node.parts[0]))
+        ref_of[(j.table, j.alias)] = roots
+    by_ref = {}  # qualifier (alias or table name) -> join identity
+    for j in plan.joins:
+        by_ref[j.alias or j.table] = (j.table, j.alias)
+        by_ref.setdefault(j.table, (j.table, j.alias))
+    lookup_ids = {(j.table, j.alias) for j in lookups}
+    needed: set = set()
+    for j in reversed(plan.joins):
+        jid = (j.table, j.alias)
+        if jid in lookup_ids or jid in needed:
+            for root in ref_of[jid]:
+                dep = by_ref.get(root)
+                if dep is None or dep == jid:
+                    continue
+                if pos_of[dep] > pos_of[jid] and jid in lookup_ids:
+                    raise ExecError(
+                        f"lookup source {j.table!r}'s probe keys "
+                        f"reference table {root!r} joined LATER in the "
+                        "statement — forward references (including "
+                        "probe-key cycles) have no enrichment order. "
+                        "Reorder the joins or break the cycle.")
+                if dep not in lookup_ids:
+                    needed.add(dep)
+    prejoin_ids = set()
+    for jid in needed:
+        tname = jid[0]
+        if tables is None or tname not in tables:
+            raise ExecError(
+                f"table {tname!r} is referenced by a lookup source's "
+                "probe keys but is not a registered snapshot table — "
+                "register_table it (or make the chain read a lookup "
+                "source's column).")
+        prejoin_ids.add(jid)
+    rest = [r for r in rest if (r.table, r.alias) not in prejoin_ids]
+    prejoin_quals = {jid[1] or jid[0] for jid in prejoin_ids} \
+        | {jid[0] for jid in prejoin_ids}
+
     quals = {j.table for j in lookups} | {j.alias for j in lookups
-                                          if j.alias}
+                                          if j.alias} | prejoin_quals
     shadow = _pattern_shadow(plan.stmt.match) \
         if plan.mode == "cep" and plan.stmt.match is not None else set()
     quals -= shadow
@@ -220,7 +283,6 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
     # register their cross-table refs in `mapping` before the plan/want
     # snapshots — table a's enrichment then materializes
     # __q_a_region__ for b's probe, and the __qref_map__ is complete.
-    ast_joins = {(aj.table, aj.alias): aj for aj in plan.stmt.joins}
     # a bare SELECT * — or a plan that WATCHES the whole row with
     # had_changed(true, *) (which expands over df.columns at kernel
     # build time) — materializes every schema() column under its real
@@ -236,7 +298,20 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
                              or (isinstance(x, N.Lit) and x.value == "*")
                              for x in a.func.args)
                      for a in plan.analytics))
+    if bare_star and prejoin_ids:
+        # the pre-join flattens dim columns to hidden names that a
+        # bare `*` must not surface; the facade demotes the chained
+        # worker source to the driver rounds for this shape — a
+        # direct caller gets the typed boundary instead of wrong cols
+        raise ExecError(
+            "a lookup source chained on a snapshot table cannot run "
+            "worker-side together with a bare SELECT * — route it "
+            "through the driver-probe path (batch) or project "
+            "explicit columns.")
     per_join = []
+    # pre-register the pre-joined snapshots' PROBE-KEY tokens (their
+    # other refs register via the plan rewrites below); dim column
+    # renames happen in pass 2 at the scheduled position
     for j in lookups:
         ast_j = ast_joins.get((j.table, j.alias))
         if ast_j is None or ast_j.on is None:
@@ -246,12 +321,27 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
         res_sqls = [render(N.transform(r, xf_pre)) for r in residual]
         res_sql = " AND ".join(f"({r})" for r in res_sqls) or None
         per_join.append((j, pairs, res_sql))
+    per_join_by_id = {(j.table, j.alias): (pairs, res)
+                      for j, pairs, res in per_join}
 
     # alias.* outputs expand to the schema columns (under hidden names
     # aliased back — collision-proof); register their refs now
     outputs2 = []
     for o in plan.outputs:
         if o.star and o.star_qualifier and o.star_qualifier in quals:
+            pj = next((jid for jid in prejoin_ids
+                       if o.star_qualifier in (jid[1], jid[0])), None)
+            if pj is not None:
+                # star over a PRE-JOINED snapshot: expand over the
+                # dim DataFrame's columns
+                for cname in tables[pj[0]].columns:
+                    tok = f"{o.star_qualifier}.{cname}"
+                    mapping.setdefault(
+                        tok, f"__q_{o.star_qualifier}_{cname}__")
+                    outputs2.append(replace(
+                        o, star=False, star_qualifier=None,
+                        name=cname, sql=mapping[tok]))
+                continue
             j = next(jj for jj in lookups
                      if o.star_qualifier in (jj.alias, jj.table))
             for fld in source_schema(sources[j.table]).fields:
@@ -308,13 +398,56 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
         options={**plan.options,
                  "__qref_map__": {
                      **(plan.options.get("__qref_map__") or {}),
-                     **mapping, "__src__": src_name}},
+                     **mapping, "__src__": src_name},
+                 # only tables ALL of whose join entries were
+                 # consumed: one joined again under another alias
+                 # must stay registered for the executor's real join
+                 "__prejoined__": tuple(sorted(
+                     {jid[0] for jid in prejoin_ids}
+                     - {r.table for r in rest}))},
     )
 
-    # ---- pass 2: enrich in join order; each table's `want` comes
-    # from the now-complete mapping, plus real-named schema columns
-    # for a bare SELECT * (stream columns win a name collision)
-    for j, pairs, res_sql in per_join:
+    # ---- pass 2: enrich in STATEMENT order, interleaving the
+    # pre-joined snapshot dims at their position so a later probe's
+    # chained key (`__q_{alias}_{col}__`) exists when its stage
+    # builds; each table's `want` comes from the now-complete
+    # mapping, plus real-named schema columns for a bare SELECT *
+    # (stream columns win a name collision)
+    for pj in plan.joins:
+        jid = (pj.table, pj.alias)
+        if jid in prejoin_ids:
+            al = pj.alias or pj.table
+            dim = tables[pj.table]
+            ren = dim
+            for c in dim.columns:
+                tok = f"{al}.{c}"
+                mapping.setdefault(tok, f"__q_{al}_{c}__")
+                ren = ren.withColumnRenamed(c, mapping[tok])
+            # refs written with the TABLE name while an alias exists
+            # flatten to a different hidden name — duplicate those
+            if pj.alias:
+                for c in dim.columns:
+                    tok2 = f"{pj.table}.{c}"
+                    if tok2 in mapping:
+                        ren = ren.withColumn(
+                            mapping[tok2], F.col(f"__q_{al}_{c}__"))
+            ast_j = ast_joins.get(jid)
+            if ast_j is None or ast_j.on is None:
+                df = df.crossJoin(F.broadcast(ren))
+            else:
+                if pj.kind not in ("inner", "left", "cross"):
+                    raise ExecError(
+                        f"snapshot table {pj.table!r} feeding a lookup "
+                        f"probe key supports INNER/LEFT/CROSS joins, "
+                        f"got {pj.kind!r}")
+                on_sql = render(N.transform(ast_j.on, xf_pre))
+                df = df.join(F.broadcast(ren), F.expr(on_sql),
+                             pj.kind if pj.kind != "cross" else "inner")
+            continue
+        if jid not in per_join_by_id:
+            continue  # stays in the residual plan (executor applies)
+        j = pj
+        pairs, res_sql = per_join_by_id[jid]
         src = sources[j.table]
         sch = source_schema(src)
         by_name = {f.name: f for f in sch.fields}

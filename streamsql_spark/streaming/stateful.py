@@ -1299,7 +1299,8 @@ _trigger_code_cache: dict[str, object] = {}
 
 def cep_flush_outputs(st: dict, spec, ts_col: str, ts_is_time: bool,
                       within, ts_ups, part_names, key,
-                      all_rows_mode: bool) -> list[dict]:
+                      all_rows_mode: bool,
+                      nav_cap: int | None = None) -> list[dict]:
     """STATETTL reap = this kernel's ``Engine.Flush()``/``Stop()`` analog
     (cep/engine.go:238-267,321): emit everything the reference's Flush
     would — completed matches still held inside the reorder horizon AND
@@ -1324,7 +1325,7 @@ def cep_flush_outputs(st: dict, spec, ts_col: str, ts_is_time: bool,
     else:
         t_end = [r.get(ts_col) for r in rows]
         w_end = within * ts_ups if within is not None else None
-    matcher = Matcher(spec, rows, t_end, w_end)
+    matcher = Matcher(spec, rows, t_end, w_end, nav_cap=nav_cap)
     matcher.match_number = mn
     matches, _ = matcher.find_emittable(flush=True,
                                         start_at=st.get("ctx", 0))
@@ -1377,18 +1378,36 @@ def cep_stream(spark, plan, df: DataFrame):
     # under-retain, so it fails typed here (batch/flush support it).
     from ..engine.batch import ExecError
     nav_exprs = list((spec.defines or {}).values()) + list(spec.measures)
+    opts_up = {k.upper(): v for k, v in plan.options.items()}
+    nav_cap_raw = opts_up.get("MAXNAVOFFSET")
+    nav_cap = None
+    if nav_cap_raw is not None:
+        try:
+            nav_cap = int(str(nav_cap_raw))
+        except ValueError:
+            raise ExecError(
+                f"MAXNAVOFFSET expects an integer row count, got "
+                f"{nav_cap_raw!r}") from None
+        if nav_cap < 1:
+            raise ExecError("MAXNAVOFFSET must be >= 1")
     bad_nav = nonliteral_nav_offset(nav_exprs)
-    if bad_nav is not None:
+    if bad_nav is not None and nav_cap is None:
         raise ExecError(
-            f"{bad_nav}() with a non-literal offset is batch-only: the "
-            "streaming kernel sizes its navigation context and "
-            "tail-hold spans from the maximum literal offset — use a "
-            "constant offset on streams, or run this statement on the "
-            "batch path")
+            f"{bad_nav}() with a non-literal offset needs a declared "
+            "retention cap on streams: the kernel sizes its navigation "
+            "context and tail-hold spans from the maximum literal "
+            "offset, so a dynamic offset would silently under-retain "
+            "across micro-batch splits. Declare WITH "
+            "(MAXNAVOFFSET='<max rows any runtime offset can reach>') "
+            "— a runtime offset beyond the cap then fails typed — or "
+            "run this statement on the batch path")
     prev_span = max(
         _max_next_offset(list((spec.defines or {}).values()),
                          floor=0, fname="prev"),
         _max_next_offset(spec.measures, floor=0, fname="prev"))
+    if nav_cap is not None and \
+            nonliteral_nav_offset(nav_exprs, ("prev",)) is not None:
+        prev_span = max(prev_span, nav_cap)
 
     # typed cleaners: the buffered row dicts feed DEFINE/MEASURES
     # evaluation, so an int column must not arrive as 5 from one
@@ -1405,7 +1424,7 @@ def cep_stream(spark, plan, df: DataFrame):
             st = _load_state(state) or {"rows": [], "mn": 0}
             outs = cep_flush_outputs(st, spec, ts_col, ts_is_time,
                                      within, ts_ups, part_names, key,
-                                     all_rows_mode)
+                                     all_rows_mode, nav_cap=nav_cap)
             state.remove()
             if outs:
                 yield pd.DataFrame(
@@ -1507,7 +1526,7 @@ def cep_stream(spark, plan, df: DataFrame):
                 ts_ctx = [r.get(ts_col) for r in ctx_rows]
             rows = ctx_rows + rows
             ts_vals = ts_ctx + ts_vals
-        matcher = Matcher(spec, rows, ts_vals, w)
+        matcher = Matcher(spec, rows, ts_vals, w, nav_cap=nav_cap)
         matcher.match_number = mn
         matches, consumed = matcher.find_emittable(
             flush=False, start_at=len(ctx_rows))

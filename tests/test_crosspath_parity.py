@@ -1356,6 +1356,60 @@ def test_nested_map_change_detection_parity(spark):
         spark, sql, rows, schema=EVT_NESTED_MAP))
 
 
+def test_nested_map_dedup_parity(spark):
+    """deduplicate over a NESTED map (map<string,map<string,long>>) on
+    all three paths (r13, retires the README row-12 residual): the
+    batch path canonicalizes maps at EVERY depth into sorted entry
+    arrays before array_distinct and rebuilds the original shape
+    losslessly, so inner key-order variants dedupe together exactly
+    like the kernel's dict hashing (reference
+    functions_aggregation.go:1556-1578 hashes the whole Go value)."""
+    sql = ("SELECT deviceId, deduplicate(attrs) AS dm FROM stream "
+           "GROUP BY deviceId, CountingWindow(4) "
+           "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    rows = [
+        {"deviceId": "d1", "attrs": {"m": {"x": 1, "y": 2}}, "ts": 1000},
+        # same content, inner keys in a different insertion order
+        {"deviceId": "d1", "attrs": {"m": {"y": 2, "x": 1}}, "ts": 2000},
+        {"deviceId": "d1", "attrs": {"m": {"x": 9}}, "ts": 3000},
+        {"deviceId": "d1", "attrs": {"m": {"x": 1, "y": 2}}, "ts": 4000},
+    ]
+
+    def norm(out_rows):
+        def n(v):
+            if isinstance(v, dict):
+                return tuple(sorted((k, n(x)) for k, x in v.items()))
+            if isinstance(v, list):
+                return tuple(n(x) for x in v)
+            return v
+        return sorted(repr((r["deviceId"], n(r["dm"]))) for r in
+                      (dict(r) for r in out_rows))
+
+    # batch (relational) path
+    s = StreamSQL(spark)
+    s.execute(sql)
+    bdf = s.query(spark.createDataFrame(rows, EVT_NESTED_MAP))
+    batch = norm(r.asDict() for r in bdf.collect())
+    assert len(batch) == 1
+    # two distinct values survive, arrival order, variants collapsed
+    assert "({'m': {'x': 1, 'y': 2}}" not in batch[0]  # normalized repr
+    # incremental emit + flush path
+    s2 = StreamSQL(spark)
+    s2.execute(sql)
+    for r in rows:
+        s2.emit(dict(r))
+    flush = norm(s2.trigger_window())
+    assert flush == batch
+    # streaming kernel path
+    s3 = StreamSQL(spark)
+    s3.execute(sql)
+    got = run_streaming_collect(spark, s3, [rows[:2], rows[2:]],
+                                EVT_NESTED_MAP, tables={})
+    assert norm(got) == batch
+    # the deduped list really has 2 entries (4 in, 2 distinct)
+    assert len(bdf.collect()[0]["dm"]) == 2
+
+
 def test_map_output_per_fire_limit(spark):
     """LIMIT without ORDER BY on a windowed query whose visible output
     is map-typed (collect over maps): the per-fire top-K fallback
