@@ -571,6 +571,11 @@ class StreamSQL:
             all_tables.update(self._lookup_tables(
                 pre_df if pre_df is not None else source_df, sources))
             return
+        # dims consumed by the worker pre-join (r13): their columns
+        # exist only as flats on the ENRICHED frame, so a dep table
+        # whose ON reads them must probe source_df, not pre_df
+        prej = {t: None
+                for t in (plan.options.get("__prejoined__") or ())}
         pending = dict(sources)
         while pending:
             ready = {n: s for n, s in pending.items()
@@ -584,9 +589,12 @@ class StreamSQL:
                     "(picklable + schema()).")
             for n, s in ready.items():
                 # a dependency table whose OWN join condition reads a
-                # worker-enriched column forces the enriched frame
+                # worker-enriched or pre-joined-flattened column
+                # forces the enriched frame (its rewritten on_sql only
+                # resolves there — r13 join-fuzz find, seed 1234)
                 dep_needs_worker = any(
                     self._probe_refs_tables(d, self._worker_name_map())
+                    or (prej and self._probe_refs_tables(d, prej))
                     for d in dclos[n]) if pre_df is not None else False
                 use_pre = (pre_df is not None and n not in dep_w
                            and not dep_needs_worker)

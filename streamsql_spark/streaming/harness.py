@@ -68,9 +68,17 @@ class StreamReplay:
 
 
 def run_streaming_collect(spark, plan_holder, batches: list[list[dict]],
-                          schema, tables=None, timeout: int = 120) -> list[dict]:
+                          schema, tables=None, timeout: int = 120,
+                          stop_after_rows: int | None = None) -> list[dict]:
     """Replay ``batches``, run the compiled query to completion
-    (AvailableNow), return all sunk rows in arrival order."""
+    (AvailableNow), return all sunk rows in arrival order.
+
+    ``stop_after_rows``: stop the query as soon as the sink has
+    received this many rows instead of waiting for self-termination —
+    for queries that register processing-time timeouts (STATETTL),
+    AvailableNow keeps the trigger loop alive until the timeouts fire,
+    so a test that only asserts the data rows would otherwise burn the
+    full ``timeout``."""
     from .executor import StreamingExecutor
 
     replay = StreamReplay(spark, schema)
@@ -90,8 +98,17 @@ def run_streaming_collect(spark, plan_holder, batches: list[list[dict]],
         q = ex.start(plan_holder.plan, replay.stream(),
                      sink=lambda rows: got.extend(rows),
                      checkpoint=replay.checkpoint)
-        q.awaitTermination(timeout)
-        if q.isActive:  # timed out — stop before the checkpoint vanishes
+        if stop_after_rows is None:
+            q.awaitTermination(timeout)
+        else:
+            import time as _time
+            deadline = _time.time() + timeout
+            while _time.time() < deadline:
+                if q.awaitTermination(1):
+                    break
+                if len(got) >= stop_after_rows:
+                    break
+        if q.isActive:  # timed out / early stop — before ckpt vanishes
             q.stop()
         return got
     finally:

@@ -29,6 +29,11 @@ r12 baseline (all axes active): 40 statements/seed incl. 20 ooo
 legs, 0 divergences on FIVE seeds (20260816, 7, 99, 1234, 424242).  CI subset:
 tests/test_cep_fastpath.py::test_cep_fuzz_ci_subset.
 
+r13 axis: RUNNING aggregates in DEFINE (count/avg/sum/min-max spread,
+optionally symbol-qualified — cep/eval.go:362-380); every variant
+keeps a per-row range conjunct so the harness's closer rows still
+fail each define regardless of match history.
+
 Harness lessons (cost a debug round each — keep them):
 - relative skew between two displaced rows is up to 2x the per-row
   displacement; keep 2*d*spacing under the horizon or late rows drop
@@ -85,6 +90,23 @@ def gen_pattern(rng: random.Random):
             f"C AS temperature <= PREV(temperature, 2) + 25",
             f"C AS temperature < NEXT(temperature)",
             f"C AS temperature >= {lo} AND PREV(temperature) IS NOT NULL",
+        ])
+    # RUNNING aggregates in DEFINE (~25%, r13 — the reference's eval
+    # supports them, cep/eval.go:362-380): B's condition reads an
+    # aggregate over the match so far (optionally symbol-qualified).
+    # Every variant KEEPS the per-row range conjunct — the harness's
+    # closer rows must fail each define regardless of match history,
+    # or pending matches never flush conclusively.
+    if rng.random() < 0.25:
+        agg_hi = round(rng.uniform(20, 60), 2)
+        defs["B"] = rng.choice([
+            f"B AS temperature < {lo} AND count(*) <= 3",
+            f"B AS temperature < {lo} AND avg(temperature) < {agg_hi}",
+            f"B AS temperature < {lo} AND avg(A.temperature) > {lo}",
+            f"B AS temperature < {lo} AND sum(B.temperature) < "
+            f"{round(3.2 * lo, 2)}",
+            f"B AS temperature < {lo} AND "
+            f"max(temperature) - min(temperature) < 38",
         ])
     quants = ["", "+", "*", "?", "{2}", "{1,2}", "{2,3}",
               "+?", "*?", "??", "{1,2}?", "{2,3}?"]

@@ -32,6 +32,16 @@ divergences.
 r13 baseline: 40 statements/seed, 0 divergences on FIVE seeds
 (20260816, 7, 99, 1234, 424242).  CI subset:
 tests/test_streaming.py::test_join_fuzz_ci_subset.
+
+r13 engine finds from this sweep (all fixed): (a) a worker source
+chained on a SNAPSHOT table's column crashed unresolved on batch AND
+streaming — apply_lookup_joins now pre-joins needed dims before the
+probe stage; (b) seed 1234: a driver source whose snapshot DEP reads
+a pre-joined flat probed the pre-enrichment frame — dep_needs_worker
+now counts pre-joined tables; (c) probe-key cycles fail typed on
+every routing.  Harness lesson: the lookup-source class MUST
+initialize its data store in __init__ — a raised AttributeError in
+lookup() reads as a J2-recovered MISS, masking the injected bug.
 """
 
 from __future__ import annotations
@@ -276,7 +286,10 @@ def _diff(cols_a, rows_a, cols_b, rows_b) -> str | None:
 
 
 def run_fuzz(spark, con, seed: int, count: int,
-             verbose: bool = True) -> list:
+             verbose: bool = True,
+             max_stream_legs: int | None = None,
+             max_emit_legs: int | None = None,
+             emit_rows: int | None = None) -> list:
     from streamsql_spark.api.facade import StreamSQL
     from streamsql_spark.engine.batch import ExecError
     from streamsql_spark.streaming.harness import run_streaming_collect
@@ -322,8 +335,12 @@ def run_fuzz(spark, con, seed: int, count: int,
                 divergences.append((i, label + "/batch",
                                     case["engine_sql"], prob))
 
-            # streaming path (no driver-probe fallback there)
-            if not case["has_driver"]:
+            # streaming path (no driver-probe fallback there);
+            # max_stream_legs caps the expensive query-per-case legs
+            # for the CI subset (the wide sweep runs them all)
+            if not case["has_driver"] and (
+                    max_stream_legs is None
+                    or stats["stream_legs"] < max_stream_legs):
                 stats["stream_legs"] += 1
                 ss = StreamSQL(spark).execute(case["engine_sql"])
                 _register(rng, ss, case)
@@ -340,15 +357,26 @@ def run_fuzz(spark, con, seed: int, count: int,
                                         case["engine_sql"], prob))
 
             # per-event emit_sync path (one row out per event: skip
-            # fan-out cases by contract)
-            if not case["fanout"]:
+            # fan-out cases by contract; max_emit_legs caps the
+            # spark-roundtrip-per-event legs for the CI subset)
+            if not case["fanout"] and (
+                    max_emit_legs is None
+                    or stats["emit_legs"] < max_emit_legs):
                 stats["emit_legs"] += 1
                 se = StreamSQL(spark).execute(case["engine_sql"])
                 _register(rng, se, case)
-                outs = [se.emit_sync(dict(r)) for r in case["stream"]]
+                # emit_rows bounds the spark-roundtrip-per-event cost
+                # (CI subset); the oracle filters to the same prefix
+                # by tsx — per-row join results are independent
+                feed = case["stream"] if emit_rows is None \
+                    else case["stream"][:emit_rows]
+                cutoff = feed[-1]["ts"] if feed else -1
+                ti = o_cols.index("tsx")
+                o_sub = [r for r in o_rows if r[ti] <= cutoff]
+                outs = [se.emit_sync(dict(r)) for r in feed]
                 e_rows = [[r.get(c) for c in o_cols]
                           for r in outs if r is not None]
-                prob = _diff(o_cols, e_rows, o_cols, o_rows)
+                prob = _diff(o_cols, e_rows, o_cols, o_sub)
                 if prob:
                     divergences.append((i, label + "/emit",
                                         case["engine_sql"], prob))

@@ -147,7 +147,7 @@ def check(name, sql, batches, split_at, expect_in_phase2, **kw):
     print("CASE_OK\t" + name + "\t" + str(len(base)))
 """
 
-_WINDOW_CASES = _COMMON + r"""
+_WINDOW_BODY = r"""
 # ---- counting window: 'a' and 'b' are 2/3 full at the split — the
 # fire in phase 2 sums values from BOTH sides of the restart
 check(
@@ -210,7 +210,7 @@ check(
 print("ALL_OK")
 """
 
-_ROW_CASES = _COMMON + r"""
+_ROW_BODY = r"""
 # ---- analytic accumulators: lag/acc_sum history crosses the restart —
 # the first phase-2 row's prev/rs must continue phase-1 state exactly
 check(
@@ -289,7 +289,7 @@ check(
 print("ALL_OK")
 """
 
-_HARD_STOP = _COMMON + r"""
+_HARD_STOP_BODY = r"""
 # Hard stop MID-replay: all files staged up front, processingTime
 # trigger, q.stop() after >=2 sink deliveries with files still queued.
 # foreachBatch + driver sink is at-least-once across a hard stop (the
@@ -343,29 +343,43 @@ def _run(script: str, timeout: int = 900):
     return r.stdout
 
 
-def test_restart_recovery_window_kernels():
+# One subprocess for ALL recovery cases (r13 suite-runtime work): each
+# body is independent flat script text over the _COMMON helpers, so a
+# single Spark session runs every case — the five per-group
+# subprocesses each paid ~17 s of JVM+session startup for identical
+# coverage.  Tests below assert their own named markers from the
+# shared stdout.
+import pytest
+
+
+@pytest.fixture(scope="module")
+def recovery_out():
+    return _run(_COMMON + _WINDOW_BODY + _ROW_BODY + _HARD_STOP_BODY
+                + _CONF_BODY + _EXTRA_BODY, timeout=1800)
+
+
+def test_restart_recovery_window_kernels(recovery_out):
     """Counting / global-TRIGGER-WHEN / lateness kernels recover from a
     RocksDB checkpoint across a stop+restart with state mid-flight."""
-    out = _run(_WINDOW_CASES)
-    assert out.count("CASE_OK") == 3, out
+    for case in ("counting", "global_trigger", "lateness"):
+        assert f"CASE_OK\t{case}\t" in recovery_out, (case, recovery_out)
 
 
-def test_restart_recovery_row_kernels():
+def test_restart_recovery_row_kernels(recovery_out):
     """Analytic / CEP / lookup-join stages recover from a RocksDB
     checkpoint across a stop+restart with state mid-flight."""
-    out = _run(_ROW_CASES)
-    assert out.count("CASE_OK") == 3, out
+    for case in ("analytic", "cep", "lookup_join"):
+        assert f"CASE_OK\t{case}\t" in recovery_out, (case, recovery_out)
 
 
-def test_restart_recovery_hard_stop_mid_replay():
+def test_restart_recovery_hard_stop_mid_replay(recovery_out):
     """A hard q.stop() with unprocessed input queued, then restart:
     no fire is lost, none is fabricated (at-least-once sink contract;
     state versioning prevents double-application)."""
-    out = _run(_HARD_STOP)
-    assert "HARD_STOP_OK" in out, out
+    assert "HARD_STOP_OK" in recovery_out, recovery_out
 
 
-_CONF_CHANGE = _COMMON + r"""
+_CONF_BODY = r"""
 # Restarting with a DIFFERENT spark.sql.shuffle.partitions is the
 # classic production trap: Spark pins the stateful operator's
 # partition count in the checkpoint at first run, so a conf change on
@@ -429,15 +443,15 @@ print("ALL_OK")
 """
 
 
-def test_restart_recovery_conf_change_and_lookup_analytic():
+def test_restart_recovery_conf_change_and_lookup_analytic(recovery_out):
     """Shuffle-partition conf change on restart (state stays on the
     checkpoint's pinned partitioning) and a lookup-enriched stateful
     analytic recovering both surfaces."""
-    out = _run(_CONF_CHANGE)
-    assert "CONF_CHANGE_OK" in out and out.count("CASE_OK") == 1, out
+    assert "CONF_CHANGE_OK" in recovery_out, recovery_out
+    assert "CASE_OK\tlookup_plus_analytic\t" in recovery_out, recovery_out
 
 
-_EXTRA_CASES = _COMMON + r"""
+_EXTRA_BODY = r"""
 # ---- session window (native Spark session_window aggregation): an
 # OPEN session spans the restart — phase-2 rows extend it and the
 # merged session fires once, with the recovered accumulation
@@ -491,8 +505,8 @@ print("ALL_OK")
 """
 
 
-def test_restart_recovery_session_and_cep_horizon():
+def test_restart_recovery_session_and_cep_horizon(recovery_out):
     """Native session-window state and the CEP reorder-horizon held
     tail both recover from a RocksDB checkpoint across restart."""
-    out = _run(_EXTRA_CASES)
-    assert out.count("CASE_OK") == 2, out
+    for case in ("session", "cep_horizon"):
+        assert f"CASE_OK\t{case}\t" in recovery_out, (case, recovery_out)

@@ -107,7 +107,7 @@ def check_retry(name, sql, batches, **kw):
     print("CASE_OK\t" + name + "\t" + str(len(base)))
 """
 
-_WINDOW_CASES = _PREFIX + _COMMON + _PATCH + r"""
+_WINDOW_BODY = r"""
 check_retry(
     "counting",
     "SELECT k, count(*) AS n, round(sum(v), 4) AS s FROM stream "
@@ -152,7 +152,7 @@ check_retry(
 print("ALL_OK")
 """
 
-_ROW_CASES = _PREFIX + _COMMON + _PATCH + r"""
+_ROW_BODY = r"""
 check_retry(
     "analytic",
     "SELECT k, v, lag(v) OVER (PARTITION BY k) AS prev, "
@@ -199,13 +199,23 @@ def _run(script: str, timeout: int = 900):
     return r.stdout
 
 
-def test_task_retry_window_kernels():
-    out = _run(_WINDOW_CASES)
+# one subprocess for all five kernel classes (r13 suite-runtime work:
+# the two per-group subprocesses each paid ~17 s of JVM+session
+# startup for identical coverage)
+import pytest
+
+
+@pytest.fixture(scope="module")
+def retry_out():
+    return _run(_PREFIX + _COMMON + _PATCH + _WINDOW_BODY + _ROW_BODY,
+                timeout=1800)
+
+
+def test_task_retry_window_kernels(retry_out):
     for case in ("counting", "global_trigger", "lateness"):
-        assert f"CASE_OK\t{case}" in out, out
+        assert f"CASE_OK\t{case}" in retry_out, retry_out
 
 
-def test_task_retry_row_kernels():
-    out = _run(_ROW_CASES)
+def test_task_retry_row_kernels(retry_out):
     for case in ("analytic", "cep"):
-        assert f"CASE_OK\t{case}" in out, out
+        assert f"CASE_OK\t{case}" in retry_out, retry_out
