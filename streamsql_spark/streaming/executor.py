@@ -367,18 +367,23 @@ class StreamingExecutor:
         # small numRecentProgressUpdates cap a dropped progress event is
         # unrecoverable.  Micro-batches run sequentially and batch N-1's
         # progress is posted in the stream-execution thread BEFORE batch
-        # N starts, so draining recentProgress at the top of every
-        # foreachBatch invocation observes every progress entry even at
-        # cap=1 (the final batch is drained by GetStats itself); the
-        # session listener remains as belt-and-braces and for the
-        # native-file-sink path, which has no foreachBatch hook.
+        # N starts, so draining ONE lastProgress at the top of every
+        # foreachBatch invocation observes every progress entry exactly
+        # once regardless of the retention cap (the final batch is
+        # drained by GetStats itself); the session listener remains as
+        # belt-and-braces and for the native-file-sink path, which has
+        # no foreachBatch hook.  lastProgress, NOT recentProgress: the
+        # full list is one py4j+JSON fetch of up to 100 entries per
+        # trigger — O(batches²) marshalling that measurably slowed
+        # multi-trigger replays (r13 bench: streaming_cep_replay +40%).
         query_ref: list = []
 
         def _drain_progress() -> None:
             if query_ref:
                 from .progress import ingest
                 try:
-                    for p in (query_ref[0].recentProgress or []):
+                    p = query_ref[0].lastProgress
+                    if p:
                         ingest(p)
                 except Exception:
                     pass  # metrics must never break the stream
