@@ -534,6 +534,21 @@ class StreamSQL:
         only exist after the other tables' enrichment."""
         return bool(self._probe_dep_tables(name, set(others)))
 
+    def _probe_refs_quals(self, name: str, quals: set) -> bool:
+        """True when table ``name``'s ON references a column under any
+        ROOT qualifier in ``quals`` — qualifier-granular, unlike
+        ``_probe_refs_tables``: a twice-joined table may have one
+        alias consumed by the worker pre-join while the other stays a
+        real join (r13)."""
+        for j in self._stmt.joins:
+            if j.table != name or j.on is None:
+                continue
+            for node in N.walk(j.on):
+                if isinstance(node, N.Col) and len(node.parts) >= 2 \
+                        and str(node.parts[0]) in quals:
+                    return True
+        return False
+
     def _lookup_tables_chained(self, source_df: DataFrame, plan,
                                sources: dict, all_tables: dict,
                                dep_w=frozenset(), qmap=None,
@@ -573,9 +588,9 @@ class StreamSQL:
             return
         # dims consumed by the worker pre-join (r13): their columns
         # exist only as flats on the ENRICHED frame, so a dep table
-        # whose ON reads them must probe source_df, not pre_df
-        prej = {t: None
-                for t in (plan.options.get("__prejoined__") or ())}
+        # whose ON reads them — by any consumed QUALIFIER — must
+        # probe source_df, not pre_df
+        prejq = set(plan.options.get("__prejoined_quals__") or ())
         pending = dict(sources)
         while pending:
             ready = {n: s for n, s in pending.items()
@@ -594,7 +609,7 @@ class StreamSQL:
                 # resolves there — r13 join-fuzz find, seed 1234)
                 dep_needs_worker = any(
                     self._probe_refs_tables(d, self._worker_name_map())
-                    or (prej and self._probe_refs_tables(d, prej))
+                    or (prejq and self._probe_refs_quals(d, prejq))
                     for d in dclos[n]) if pre_df is not None else False
                 use_pre = (pre_df is not None and n not in dep_w
                            and not dep_needs_worker)
@@ -685,15 +700,10 @@ class StreamSQL:
             (worker if self._table_source_route.get(name)
              else driver)[name] = src
         if worker and (driver or self._tables):
+            from ..streaming.lookup import plan_watches_bare_star
             universe = set(self._table_sources) | set(self._tables)
-            star = self._plan is not None and (
-                any(o.star and not o.star_qualifier
-                    for o in self._plan.outputs)
-                or any(a.func.name.lower() == "had_changed"
-                       and any(isinstance(x, N.Star)
-                               or (isinstance(x, N.Lit) and x.value == "*")
-                               for x in a.func.args)
-                       for a in self._plan.analytics))
+            star = self._plan is not None \
+                and plan_watches_bare_star(self._plan)
             changed = True
             while changed:
                 changed = False
@@ -1050,14 +1060,15 @@ class StreamSQL:
             # snapshot dims consumed by the worker pre-join are part
             # of the enriched frame now: the rounds must not try to
             # re-join them (their plan entries are gone), and a driver
-            # source reading their columns probes via the qref map
-            prej = {t: None
-                    for t in (plan.options.get("__prejoined__") or ())}
-            for t in prej:
+            # source reading their columns — by any CONSUMED qualifier,
+            # even when the table survives under another alias —
+            # probes via the qref map
+            for t in (plan.options.get("__prejoined__") or ()):
                 all_tables.pop(t, None)
+            prejq = set(plan.options.get("__prejoined_quals__") or ())
             dep_w = {n for n in driver
                      if (worker and self._probe_refs_tables(n, worker))
-                     or (prej and self._probe_refs_tables(n, prej))}
+                     or (prejq and self._probe_refs_quals(n, prejq))}
             self._lookup_tables_chained(
                 source_df, plan, driver, all_tables, dep_w=dep_w,
                 qmap=plan.options.get("__qref_map__"),

@@ -389,11 +389,16 @@ def _eval_func(e: N.Func, ctx: MatchContext):
         if path is None:
             raise CepEvalError(f"{name}() needs a column argument")
         n = int(evaluate(e.args[1], ctx)) if len(e.args) > 1 else 1
-        # literal offsets are covered by the kernel's span sizing; a
-        # DYNAMIC offset beyond the declared cap would read rows the
-        # kernel no longer retains — fail typed, never read nil
+        # INTEGER-literal offsets are covered by the kernel's span
+        # sizing (the same predicate nonliteral_nav_offset uses — a
+        # string/float literal counts as DYNAMIC there, so it must
+        # here too, review find r13); a dynamic offset beyond the
+        # declared cap would read rows the kernel no longer retains —
+        # fail typed, never read nil
         if ctx.nav_cap is not None and n > ctx.nav_cap \
-                and len(e.args) > 1 and not isinstance(e.args[1], N.Lit):
+                and len(e.args) > 1 \
+                and not (isinstance(e.args[1], N.Lit)
+                         and isinstance(e.args[1].value, int)):
             raise NavOffsetCapError(
                 f"{name}() dynamic offset {n} exceeds the declared "
                 f"MAXNAVOFFSET={ctx.nav_cap} — raise the option to "

@@ -136,6 +136,21 @@ def _pattern_shadow(spec) -> set:
     return set(_pattern_symbols(spec.pattern)) | set(spec.subsets)
 
 
+def plan_watches_bare_star(plan) -> bool:
+    """True when the plan carries a bare ``SELECT *`` output or a
+    ``had_changed(..., '*')`` analytic — the shapes whose star
+    expansion must surface enriched columns under REAL names.  Shared
+    by apply_lookup_joins (its bare_star materialization + prejoin
+    guard) and facade._split_lookup_sources (the demotion decision);
+    the two MUST agree or a demote-vs-typed-raise mismatch appears."""
+    return (any(o.star and not o.star_qualifier for o in plan.outputs)
+            or any(a.func.name.lower() == "had_changed"
+                   and any(isinstance(x, N.Star)
+                           or (isinstance(x, N.Lit) and x.value == "*")
+                           for x in a.func.args)
+                   for a in plan.analytics))
+
+
 def apply_lookup_joins(df: DataFrame, plan, sources: dict,
                        via: str = "stage", tables: dict | None = None):
     """Replace every join against a registered lookup source with a
@@ -290,14 +305,7 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
     # wrote into it (stream/join.go:41-46 precedes analytics).
     # (changed_cols '*' needs no flag: its facade-time expansion
     # produces alias-qualified refs that register in `mapping`.)
-    bare_star = (any(o.star and not o.star_qualifier
-                     for o in plan.outputs)
-                 or any(
-                     a.func.name.lower() == "had_changed"
-                     and any(isinstance(x, N.Star)
-                             or (isinstance(x, N.Lit) and x.value == "*")
-                             for x in a.func.args)
-                     for a in plan.analytics))
+    bare_star = plan_watches_bare_star(plan)
     if bare_star and prejoin_ids:
         # the pre-join flattens dim columns to hidden names that a
         # bare `*` must not surface; the facade demotes the chained
@@ -323,6 +331,18 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
         per_join.append((j, pairs, res_sql))
     per_join_by_id = {(j.table, j.alias): (pairs, res)
                       for j, pairs, res in per_join}
+    # the PRE-JOINED dims' ONs must register their cross-table tokens
+    # in pass 1 as well (review find r13): a prejoin ON reading an
+    # EARLIER lookup's column (JOIN w1 ... JOIN snap ON snap.k = w1.r)
+    # otherwise registers `w1.r` only at its pass-2 render — after
+    # w1's stage computed `want` — so the flat column never
+    # materializes; same for table-name refs to an aliased dim, which
+    # the pass-2 duplicate-column step can only see if already mapped
+    for pj in plan.joins:
+        if (pj.table, pj.alias) in prejoin_ids:
+            ast_j = ast_joins.get((pj.table, pj.alias))
+            if ast_j is not None and ast_j.on is not None:
+                N.transform(ast_j.on, xf_pre)  # token registration only
 
     # alias.* outputs expand to the schema columns (under hidden names
     # aliased back — collision-proof); register their refs now
@@ -404,7 +424,16 @@ def apply_lookup_joins(df: DataFrame, plan, sources: dict,
                  # must stay registered for the executor's real join
                  "__prejoined__": tuple(sorted(
                      {jid[0] for jid in prejoin_ids}
-                     - {r.table for r in rest}))},
+                     - {r.table for r in rest})),
+                 # QUALIFIERS of every consumed join entry (alias, or
+                 # table name when fully consumed): a driver source
+                 # whose ON reads one of these must probe the
+                 # enriched frame with the qref map even when the
+                 # TABLE survives under another alias (review r13)
+                 "__prejoined_quals__": tuple(sorted(
+                     {jid[1] or jid[0] for jid in prejoin_ids}
+                     | ({jid[0] for jid in prejoin_ids}
+                        - {r.table for r in rest})))},
     )
 
     # ---- pass 2: enrich in STATEMENT order, interleaving the

@@ -2535,6 +2535,143 @@ def test_streaming_mixed_partition_keys_raise_typed(spark):
     assert s.query(df).count() == 2
 
 
+def test_prejoined_snapshot_on_reads_earlier_lookup_column(spark):
+    """Review find r13: a pre-joined snapshot whose ON reads an
+    EARLIER worker lookup's column (JOIN w1 ... JOIN snap ON
+    w1.r = snap.k JOIN w2 ON snap.v = w2.k) — with w1.r projected
+    NOWHERE else — must register the cross-table token in pass 1 so
+    w1's stage materializes the flat column the snapshot's broadcast
+    join reads (pass-2-only registration crashed unresolved)."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    def mk(name, ddl, data):
+        class Src:
+            def __init__(self):
+                self._d = dict(data)
+
+            def name(self):
+                return name
+
+            def schema(self):
+                return ddl
+
+            def lookup(self, key):
+                row = self._d.get(key)
+                return row, row is not None
+
+        return Src()
+
+    rows = [{"deviceId": "d0", "grp": 0, "v": 1.0, "ts": 1000},
+            {"deviceId": "d1", "grp": 1, "v": 2.0, "ts": 1001}]
+    sql = ("SELECT deviceId AS did, w2.m2 AS m2 FROM stream "
+           "JOIN w1 ON deviceId = w1.k0 "
+           "JOIN snap ON w1.r0 = snap.k1 "
+           "JOIN w2 ON snap.v1 = w2.k2")
+    snap = [{"k1": "x0", "v1": "sA"}, {"k1": "x1", "v1": "sB"}]
+    want = [("d0", "MA"), ("d1", "MB")]
+    for leg in ("batch", "stream"):
+        s = StreamSQL(spark)
+        s.execute(sql)
+        s.register_table("snap", snap)
+        s.register_table_source(mk("w1", "r0 STRING",
+                                   {"d0": {"r0": "x0"},
+                                    "d1": {"r0": "x1"}}))
+        s.register_table_source(mk("w2", "m2 STRING",
+                                   {"sA": {"m2": "MA"},
+                                    "sB": {"m2": "MB"}}))
+        if leg == "batch":
+            out = s.query(spark.createDataFrame(rows, _lookup_schema2()))
+            assert sorted(tuple(r) for r in out.collect()) == want
+        else:
+            got = run_streaming_collect(spark, s, [rows],
+                                        _lookup_schema2())
+            assert sorted((r["did"], r["m2"]) for r in got) == want
+
+
+def _lookup_schema2():
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    return StructType([StructField("deviceId", StringType()),
+                       StructField("grp", LongType()),
+                       StructField("v", DoubleType()),
+                       StructField("ts", LongType())])
+
+
+def test_twice_joined_table_one_alias_consumed_by_prejoin(spark):
+    """Review find r13: table T joined under TWO aliases — alias A
+    consumed by the worker pre-join (a lookup chains on A.rA), alias B
+    surviving as a real join — while a DRIVER source also probes on
+    the CONSUMED alias A.  The consumed-qualifier set (not just fully
+    consumed table names) must route the driver source onto the
+    enriched frame with the qref map."""
+    from streamsql_spark.api.facade import StreamSQL
+
+    def mk_worker():
+        class W:
+            def name(self):
+                return "wt"
+
+            def schema(self):
+                return "mw STRING"
+
+            def lookup(self, key):
+                row = {"x0": {"mw": "W0"}, "x1": {"mw": "W1"}}.get(key)
+                return row, row is not None
+
+        return W()
+
+    class Drv:
+        def __init__(self):
+            self._fh = open(__file__, "rb")  # driver-probe routing
+
+        def name(self):
+            return "dd"
+
+        def schema(self):
+            return "md STRING"
+
+        def lookup(self, key):
+            row = {"x0": {"md": "D0"}, "x1": {"md": "D1"}}.get(key)
+            return row, row is not None
+
+    rows = [{"deviceId": "d0", "grp": 0, "v": 1.0, "ts": 1000},
+            {"deviceId": "d1", "grp": 1, "v": 2.0, "ts": 1001}]
+    s = StreamSQL(spark)
+    s.execute("SELECT deviceId AS did, wt.mw AS mw, B.rA AS rb, "
+              "dd.md AS md FROM stream "
+              "JOIN T A ON deviceId = A.kA "
+              "JOIN T B ON deviceId = B.kA "
+              "JOIN wt ON A.rA = wt.k0 "
+              "JOIN dd ON A.rA = dd.k1")
+    s.register_table("T", [{"kA": "d0", "rA": "x0"},
+                           {"kA": "d1", "rA": "x1"}])
+    s.register_table_source(mk_worker())
+    s.register_table_source(Drv())
+    out = s.query(spark.createDataFrame(rows, _lookup_schema2()))
+    assert sorted(tuple(r) for r in out.collect()) == \
+        [("d0", "W0", "x0", "D0"), ("d1", "W1", "x1", "D1")]
+
+
+def test_string_literal_nav_offset_counts_as_dynamic(spark):
+    """Review find r13: a STRING-literal PREV offset ('5') is
+    classified dynamic by the span-sizing gate, so the runtime cap
+    check must treat it the same — beyond MAXNAVOFFSET it fails typed
+    instead of silently reading nil where batch reads a value."""
+    import pytest
+
+    sql = ("SELECT a_ts FROM stream MATCH_RECOGNIZE ("
+           " PARTITION BY deviceId ORDER BY ts"
+           " MEASURES A.ts AS a_ts"
+           " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+           " PATTERN (A B)"
+           " DEFINE A AS temperature > 50,"
+           "        B AS temperature > PREV(temperature, '5')"
+           ") WITH (TIMESTAMP='ts', TIMEUNIT='ms', MAXNAVOFFSET='3')")
+    rows = [("d1", 60.0, 1.0, 1000 + i, "ok") for i in range(8)]
+    with pytest.raises(Exception, match="MAXNAVOFFSET"):
+        run_stream(spark, sql, [_rows(*rows[:4]), _rows(*rows[4:])])
+
+
 def test_join_fuzz_ci_subset(spark):
     """CI slice of the join/lookup-topology differential fuzz (r13;
     the wide sweep is tests/join_fuzz.py — run it manually after
