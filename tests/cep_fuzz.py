@@ -32,7 +32,8 @@ tests/test_cep_fastpath.py::test_cep_fuzz_ci_subset.
 r13 axis: RUNNING aggregates in DEFINE (count/avg/sum/min-max spread,
 optionally symbol-qualified — cep/eval.go:362-380); every variant
 keeps a per-row range conjunct so the harness's closer rows still
-fail each define regardless of match history.
+fail each define regardless of match history.  r13 baseline with the
+axis active: 0 divergences on the same FIVE seeds x 40.
 
 Harness lessons (cost a debug round each — keep them):
 - relative skew between two displaced rows is up to 2x the per-row
