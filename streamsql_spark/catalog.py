@@ -255,12 +255,17 @@ def _join_inner_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     q1.register_table("orders", tables["orders"])
     bcast = q1.query(tables["lineitem"]).withColumn("kind", F.lit("bcast"))
 
+    # Arrow-path driver transfer (guide §6): building the 150k-key dim
+    # dict from Row objects costs ~1.1 s on the bench box vs ~0.26 s via
+    # toPandas (arrow.pyspark.enabled is on session-wide) — same dict,
+    # measured r13
+    opdf = (tables["orders"]
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+            .toPandas())
     rows_by_key = {
-        r["o_orderkey"]: {"o_orderstatus": r["o_orderstatus"],
-                          "o_orderpriority": r["o_orderpriority"]}
-        for r in tables["orders"]
-        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
-        .collect()}
+        int(k): {"o_orderstatus": s, "o_orderpriority": p}
+        for k, s, p in zip(opdf["o_orderkey"], opdf["o_orderstatus"],
+                           opdf["o_orderpriority"])}
     q2 = StreamSQL(spark).execute(_JOIN_INNER_SQL)
     q2.register_table_source(_OrdersLookupSource(rows_by_key))
     lookup = q2.query(tables["lineitem"]).withColumn("kind", F.lit("lookup"))
@@ -1342,25 +1347,29 @@ def _streaming_tumbling_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     running = []
     # both queries START before either is awaited: they share the
     # session's scheduler pools, so startup + micro-batch execution
-    # overlap instead of paying two full startups back-to-back
-    for kind, spec in (("tumbling", "TumblingWindow('6h')"),
-                       ("sliding", "SlidingWindow('12h', '6h')")):
-        stream = _events_stream(spark, sf_dir)  # shared ns->µs builder
-        q = StreamSQL(spark).execute(f"""
-            SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
-                   unix_timestamp(window_start()) AS ws
-            FROM stream GROUP BY event_type, {spec}
-        """)
-        out = q.query_stream(stream)
-        _drop_stale_stream_views(spark, f"streaming_{kind}_")
-        name = f"streaming_{kind}_" + _uuid.uuid4().hex[:8]
-        sq = (out.writeStream.format("memory").queryName(name)
-              .outputMode("complete").trigger(availableNow=True).start())
-        running.append((kind, name, sq))
-    parts = []
-    for kind, name, sq in running:
-        _await_replay(sq)
-        parts.append(spark.table(name).withColumn("kind", F.lit(kind)))
+    # overlap instead of paying two full startups back-to-back.
+    # _replay_partitions: streaming state fixes its partitioning to
+    # spark.sql.shuffle.partitions at first batch — right-sized to the
+    # replay's key cardinality like the cep/lateness entries (r13)
+    with _replay_partitions(spark):
+        for kind, spec in (("tumbling", "TumblingWindow('6h')"),
+                           ("sliding", "SlidingWindow('12h', '6h')")):
+            stream = _events_stream(spark, sf_dir)  # shared ns->µs builder
+            q = StreamSQL(spark).execute(f"""
+                SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total,
+                       unix_timestamp(window_start()) AS ws
+                FROM stream GROUP BY event_type, {spec}
+            """)
+            out = q.query_stream(stream)
+            _drop_stale_stream_views(spark, f"streaming_{kind}_")
+            name = f"streaming_{kind}_" + _uuid.uuid4().hex[:8]
+            sq = (out.writeStream.format("memory").queryName(name)
+                  .outputMode("complete").trigger(availableNow=True).start())
+            running.append((kind, name, sq))
+        parts = []
+        for kind, name, sq in running:
+            _await_replay(sq)
+            parts.append(spark.table(name).withColumn("kind", F.lit(kind)))
     return parts[0].unionByName(parts[1])
 
 
@@ -1573,27 +1582,31 @@ def _streaming_counting_global_run(spark: SparkSession, sf_dir: str) -> DataFram
     import uuid as _uuid
 
     # both kernels START before either is awaited — startup and
-    # micro-batch execution overlap on the shared local scheduler
+    # micro-batch execution overlap on the shared local scheduler.
+    # _replay_partitions: each applyInPandasWithState kernel pays one
+    # python-worker/state-store lifecycle per shuffle partition per
+    # trigger — right-sized like the cep/lateness entries (r13)
     running = []
-    for mode, sql in (
-            ("counting", """
-                SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
-                FROM stream GROUP BY user_id, CountingWindow(25)
-            """),
-            ("global", """
-                SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
-                FROM stream GROUP BY user_id GLOBAL WINDOW TRIGGER WHEN count(*) >= 20
-            """)):
-        q = StreamSQL(spark).execute(sql)
-        acc: list[dict] = []
-        sq = q.start_stream(_events_stream(spark, sf_dir),
-                            sink=lambda rows, acc=acc: acc.extend(rows),
-                            query_name=f"cgw_{mode}_" + _uuid.uuid4().hex[:8])
-        running.append((mode, acc, sq))
-    out = []
-    for mode, acc, sq in running:
-        _await_replay(sq)
-        out.extend((mode, r["user_id"], r["cnt"], r["total"]) for r in acc)
+    with _replay_partitions(spark):
+        for mode, sql in (
+                ("counting", """
+                    SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+                    FROM stream GROUP BY user_id, CountingWindow(25)
+                """),
+                ("global", """
+                    SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
+                    FROM stream GROUP BY user_id GLOBAL WINDOW TRIGGER WHEN count(*) >= 20
+                """)):
+            q = StreamSQL(spark).execute(sql)
+            acc: list[dict] = []
+            sq = q.start_stream(_events_stream(spark, sf_dir),
+                                sink=lambda rows, acc=acc: acc.extend(rows),
+                                query_name=f"cgw_{mode}_" + _uuid.uuid4().hex[:8])
+            running.append((mode, acc, sq))
+        out = []
+        for mode, acc, sq in running:
+            _await_replay(sq)
+            out.extend((mode, r["user_id"], r["cnt"], r["total"]) for r in acc)
     return spark.createDataFrame(
         out, schema="mode string, user_id bigint, cnt bigint, total double")
 
@@ -1636,12 +1649,16 @@ def _streaming_analytic_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHEN event_type = 'purchase'), 4) AS purchase_total
         FROM stream
     """)
-    out = q.query_stream(_events_stream(spark, sf_dir))
-    _drop_stale_stream_views(spark, "streaming_analytic_")
-    name = "streaming_analytic_" + _uuid.uuid4().hex[:8]
-    sq = (out.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    _await_replay(sq)
+    # 16, not the replay default 8: this is ONE compute-bound python
+    # kernel (per-row state machine), so partitions are its parallelism
+    # — interleaved sweep r13: {8: 3.59, 16: 2.78, 32: 2.80} s
+    with _replay_partitions(spark, 16):
+        out = q.query_stream(_events_stream(spark, sf_dir))
+        _drop_stale_stream_views(spark, "streaming_analytic_")
+        name = "streaming_analytic_" + _uuid.uuid4().hex[:8]
+        sq = (out.writeStream.format("memory").queryName(name)
+              .outputMode("append").trigger(availableNow=True).start())
+        _await_replay(sq)
     return spark.table(name)
 
 
@@ -1867,12 +1884,13 @@ def _streaming_session_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
         FROM stream GROUP BY user_id, SessionWindow('4h')
     """)
-    out = q.query_stream(_events_stream(spark, sf_dir))
-    _drop_stale_stream_views(spark, "streaming_session_")
-    name = "streaming_session_" + _uuid.uuid4().hex[:8]
-    sq = (out.writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(availableNow=True).start())
-    _await_replay(sq)
+    with _replay_partitions(spark):
+        out = q.query_stream(_events_stream(spark, sf_dir))
+        _drop_stale_stream_views(spark, "streaming_session_")
+        name = "streaming_session_" + _uuid.uuid4().hex[:8]
+        sq = (out.writeStream.format("memory").queryName(name)
+              .outputMode("complete").trigger(availableNow=True).start())
+        _await_replay(sq)
     return spark.table(name)
 
 

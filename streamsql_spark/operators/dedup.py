@@ -273,6 +273,12 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     single-pass postings aggregation computes the intersection directly.
     """
     df = ensure_parallelism(df)
+    # NOT checkpointed (measured r13, interleaved A/B): materializing
+    # the token arrays / pruned postings as stats-less LogicalRDDs
+    # demotes the re-verify joins from broadcast and cost ~12% on the
+    # entry; the apparent self-join duplication self-heals at scale —
+    # both sides of an SMJ candidate join are identical subtrees and
+    # share ONE exchange via ReusedExchange.
     toks = (df.select(F.col(id_col).alias("doc_id"),
                       F.expr(f"array_distinct(split({text_col}, ' '))").alias("toks"))
               .withColumn("n_toks", F.size("toks")))

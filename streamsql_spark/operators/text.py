@@ -354,6 +354,12 @@ def ngram_lm_fit(df: DataFrame, text_col: str = "text"
     """
     toks = ensure_parallelism(df).select(
         F.split(F.col(text_col), " ").alias("t"))
+    # NOT checkpointed (measured r13): materializing uni as a stats-less
+    # LogicalRDD demotes perplexity_score's auto-mode gram joins from
+    # broadcast to shuffle plans — the corpus-side bigram explode then
+    # pays a shuffle write before AQE can convert back, which costs more
+    # than the one vocab-sized duplicate aggregation it would save
+    # (text_analysis 2.64→3.14 s with the checkpoint in place).
     uni = (toks.select(F.explode("t").alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
     # NB sequence(1, 0) DESCENDS in Spark — empty-array guard required
@@ -462,7 +468,17 @@ def ppl_buckets(df: DataFrame, ppl_col: str = "ppl",
     (e.g. the raw corpus before the per-doc LM scoring joins, which
     Catalyst cannot prove row-preserving) — else ``df`` itself.
     Documents with NULL perplexity (sub-2-token) land in 'tail'.
+
+    The input frame is lazily ``localCheckpoint``ed before the cut:
+    the threshold aggregate and the bucket-assignment output otherwise
+    each recompute the ENTIRE upstream scoring pipeline (LM joins,
+    feature extraction — the catalog's text_analysis plan ran 10
+    corpus scans for exactly this reason; guide §2.4).  With the
+    checkpoint the pipeline runs once and both consumers read the
+    materialized rows; the copy is executor-local (no network) and is
+    recomputed per run.
     """
+    df = df.localCheckpoint(eager=False)
     if exact:
         probe = (probe_df if probe_df is not None else df) \
             .limit(max_exact_rows + 1).count()
