@@ -400,6 +400,8 @@ def _run_ann_bruteforce_and_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
       trained cells, so the distributed trainer itself is
       value-hash-checked (probe pruning legitimately diverges from
       exact)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import functions as F
 
     from .operators.similarity import (cosine_topk, graph_topk, ivf_topk,
@@ -407,12 +409,21 @@ def _run_ann_bruteforce_and_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     q = emb.where("vec_id < 3")
+    # the three builders that run driver-side jobs (pq: query+codebook
+    # collects; kmeans→ivf: init + Lloyd-means collects; graph: query
+    # collect) are independent — submit them from a small thread pool
+    # so their jobs overlap on the shared scheduler instead of running
+    # back-to-back (guide §2.6); results are the same DataFrames
     exact = cosine_topk(emb, q, k=5).withColumn("method", F.lit("exact"))
-    pq = pq_topk(emb, q, k=5).withColumn("method", F.lit("pq"))
-    cents = kmeans_fit(emb, k=8, max_iter=1)
-    ivf = (ivf_topk(emb, q, k=5, nprobe=2, centroids=cents)
-           .withColumn("method", F.lit("ivf")))
-    graph = graph_topk(emb, q, k=5).withColumn("method", F.lit("graph"))
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_pq = pool.submit(pq_topk, emb, q, 5)
+        f_ivf = pool.submit(
+            lambda: ivf_topk(emb, q, k=5, nprobe=2,
+                             centroids=kmeans_fit(emb, k=8, max_iter=1)))
+        f_graph = pool.submit(graph_topk, emb, q, 5)
+        pq = f_pq.result().withColumn("method", F.lit("pq"))
+        ivf = f_ivf.result().withColumn("method", F.lit("ivf"))
+        graph = f_graph.result().withColumn("method", F.lit("graph"))
     return exact.unionByName(pq).unionByName(ivf).unionByName(graph)
 
 

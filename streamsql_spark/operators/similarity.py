@@ -400,13 +400,41 @@ def _nearest_centroids_col(emb, cents, n: int = 1,
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    import math
+
     k = len(cents)
     d = len(cents[0][1]) if k else 0
     if k * d <= max_expr_cells:
-        lit = F.array(*[
-            F.struct(F.lit(cid).cast(id_type).alias("cid"),
-                     F.array(*[F.lit(float(x)) for x in ce]).alias("ce"))
-            for cid, ce in cents])
+        # ONE SQL-text expression, not k·d F.lit() Column calls: every
+        # lit/struct/array builder is a py4j round trip, and an 8×64
+        # model costs 500+ of them (~1 s of pure driver latency per
+        # assign) — the JVM parses the single string in one call.
+        # repr() of a finite double round-trips bit-exactly through
+        # Java's correctly-rounded parseDouble, so the folded literal
+        # is identical to the F.lit form; non-finite values (never
+        # produced by the trainers) fall back to the Column builders.
+        def _cid_sql(cid) -> str | None:
+            if isinstance(cid, bool):
+                return None
+            if isinstance(cid, int):
+                return f"CAST({cid} AS {id_type})"
+            if isinstance(cid, str) and "\\" not in cid:
+                return "'" + cid.replace("'", "''") + "'"
+            return None
+        vals = [x for _, ce in cents for x in ce]
+        cid_sqls = [_cid_sql(cid) for cid, _ in cents]
+        if all(s is not None for s in cid_sqls) \
+                and all(math.isfinite(float(x)) for x in vals):
+            parts = ", ".join(
+                f"named_struct('cid', {cs}, 'ce', array("
+                + ", ".join(f"{float(x)!r}D" for x in ce) + "))"
+                for cs, (_, ce) in zip(cid_sqls, cents))
+            lit = F.expr(f"array({parts})")
+        else:
+            lit = F.array(*[
+                F.struct(F.lit(cid).cast(id_type).alias("cid"),
+                         F.array(*[F.lit(float(x)) for x in ce]).alias("ce"))
+                for cid, ce in cents])
         scored = F.transform(lit, lambda c: F.struct(
             (-F.round(_cos_col(emb, c["ce"]), 6)).alias("ns"),
             c["cid"].alias("cid")))
