@@ -905,6 +905,7 @@ class BatchExecutor:
         group_cols: list[Column] = []
         injected: dict[str, str] = {}  # group expr sql -> injected col name
         simple_keys: list[str] = []
+        inject_cols: dict[str, Column] = {}
         for i, gsql in enumerate(plan.group_sqls):
             if gsql in df.columns:
                 group_cols.append(F.expr(gsql))
@@ -916,9 +917,14 @@ class BatchExecutor:
                 # name the output column `k`, and the final projection's
                 # raw-text `meta.k` reference then fails UNRESOLVED
                 name = f"__gk_{i}__"
-                df = df.withColumn(name, F.expr(gsql))
+                inject_cols[name] = F.expr(gsql)
                 injected[gsql] = name
                 group_cols.append(F.col(name))
+        if inject_cols:
+            # one withColumns, not one withColumn per key: every
+            # DataFrame transformation re-analyzes the whole plan
+            # eagerly (driver latency, guide §5)
+            df = df.withColumns(inject_cols)
 
         window_struct = None
         if w is None:
@@ -996,8 +1002,9 @@ class BatchExecutor:
         grouped = df.groupBy(*group_cols).agg(*aggs)
 
         if window_struct is not None:
-            grouped = grouped.withColumn(WINDOW_START_COL, F.col("__window__.start")) \
-                             .withColumn(WINDOW_END_COL, F.col("__window__.end"))
+            grouped = grouped.withColumns({
+                WINDOW_START_COL: F.col("__window__.start"),
+                WINDOW_END_COL: F.col("__window__.end")})
         elif plan.uses_window_start or plan.uses_window_end:
             grouped = grouped.withColumnRenamed("__ws_min__", WINDOW_START_COL) \
                              .withColumnRenamed("__ws_max__", WINDOW_END_COL)
@@ -1078,11 +1085,13 @@ class BatchExecutor:
         self._fire_cols = []
         if (plan.order_by or plan.limit is not None or plan.distinct) \
                 and fire_src:
+            carriers: dict[str, Column] = {}
             for k, src in enumerate(fire_src):
                 h = f"{FIRE_COL_PREFIX}{k}__"
-                grouped = grouped.withColumn(h, grouped[src])
+                carriers[h] = grouped[src]
                 extra.append(h)
                 self._fire_cols.append(h)
+            grouped = grouped.withColumns(carriers)
         self._order_extras = extra
         return grouped.select(*out_cols, *[F.col(e) for e in extra])
 
