@@ -3741,3 +3741,45 @@ def test_window_fuzz_ci_subset(spark):
     div = run_fuzz(spark, con, tables["events"], seed=20260816,
                    count=12, verbose=False)
     assert not div, div
+
+
+def test_mixed_distinct_buffer_agg_splits_and_matches(spark):
+    """r13 optimization: a plain GROUP BY mixing an exact DISTINCT
+    aggregate with buffer-heavy aggregates (percentile/collect) splits
+    into two aggregations joined null-safely on the group keys, so the
+    object buffers cross one exchange instead of two.  The rewrite must
+    be invisible: same results, NULL group keys preserved (join is
+    eqNullSafe — a plain equi-join would drop the NULL group)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    src = spark.createDataFrame(
+        [(None, 1.0, "a"), (None, 2.0, "b"), ("x", 3.0, "a"),
+         ("x", 4.0, "a"), ("y", 5.0, "c")],
+        "k string, v double, s string")
+    q = StreamSQL(spark).execute("""
+        SELECT k, count_distinct(s) AS nd, percentile(0.5, v) AS p50,
+               round(sum(v), 2) AS tv
+        FROM stream GROUP BY k
+    """)
+    out = q.query(src)
+    # the split introduces a join into an otherwise join-free aggregate
+    assert "Join" in out._jdf.queryExecution().executedPlan().toString()
+    rows = sorted(((r["k"], r["nd"], r["p50"], r["tv"])
+                   for r in out.collect()),
+                  key=lambda t: (t[0] is None, t[0] or ""))
+    assert rows == [("x", 1, 3.0, 7.0), ("y", 1, 5.0, 5.0),
+                    (None, 2, 1.0, 3.0)]
+
+    # zero group keys: both sides are single-row — cross join, same result
+    q2 = StreamSQL(spark).execute(
+        "SELECT count_distinct(s) AS nd, percentile(0.5, v) AS p50"
+        " FROM stream")
+    r2 = q2.query(src).collect()
+    assert (r2[0]["nd"], r2[0]["p50"]) == (3, 3.0)
+
+    # no buffer-heavy aggregate -> rewrite must NOT engage
+    q3 = StreamSQL(spark).execute(
+        "SELECT k, count_distinct(s) AS nd, round(sum(v), 2) AS tv"
+        " FROM stream GROUP BY k")
+    out3 = q3.query(src)
+    assert "Join" not in out3._jdf.queryExecution().executedPlan().toString()
