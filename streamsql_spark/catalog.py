@@ -829,8 +829,18 @@ def _json_conv_cond_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     to stay inside the driver's 50-entry gate."""
     from pyspark.sql import functions as F
 
+    from .session import ensure_parallelism
+
     tables = load_tables(spark, sf_dir)
-    src = (tables["events"]
+    # spread the scan (r13, guide §2.5 input skew): this entry's plan is
+    # ONE scan stage whose projection is interpreted end-to-end (the
+    # from_json in the WHERE is CodegenFallback, which knocks the whole
+    # stage out of whole-stage codegen) — on a single-row-group fixture
+    # file that serializes ~1.2 s of per-row CPU onto one core.  The
+    # round-robin spread is a no-op at real scale (thousands of splits)
+    # and the 2 MB local exchange is far cheaper than the serialized
+    # projection; measured 1.68 s → 0.96 s on the full entry.
+    src = (ensure_parallelism(tables["events"])
            .withColumn("meta", F.from_json("props", "struct<k:bigint>"))
            .withColumn("toks", F.split("event_type", "i")))
     q = StreamSQL(spark).execute("""
