@@ -52,14 +52,17 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
         adj = edges.selectExpr("greatest(u, v) AS c", "least(u, v) AS n")
         emit = ("transform(filter(array_union(ns, array(c)), x -> x != m), "
                 "x -> struct(least(x, m) AS u, greatest(x, m) AS v))")
-    grouped = (adj.groupBy("c")
-               .agg(F.collect_set("n").alias("ns"))
-               .withColumn("m", F.expr("least(array_min(ns), c)")))
-    out = (grouped.select(F.explode(F.expr(emit)).alias("e"))
-           .select("e.u", "e.v")
-           .where("u != v")
-           .distinct())
-    return out
+    # m folded into the agg (least(min(n), c) == least(array_min(ns), c))
+    # and the struct array exploded straight to columns via inline():
+    # 5 DataFrame constructions per round instead of 8 — each one pays
+    # a py4j round trip plus an eager re-analysis of the round's plan,
+    # pure driver latency on an O(log n)-round loop (r13, guide §5)
+    grouped = adj.groupBy("c").agg(
+        F.collect_set("n").alias("ns"),
+        F.least(F.min("n"), F.col("c")).alias("m"))
+    return (grouped.selectExpr(f"inline({emit})")
+            .where("u != v")
+            .distinct())
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
@@ -119,12 +122,14 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         return row["n"], row["h"]
 
     sig = _sig(e)
+    converged = False
     for _ in range(max_iter):
         e2 = _star_round(e, large=True)
         e2 = _star_round(e2, large=False).localCheckpoint(eager=False)
         sig2 = _sig(e2)
         e = e2
         if sig2 == sig:
+            converged = True
             break
         sig = sig2
 
@@ -134,10 +139,16 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     roots = e.select(F.col("u").alias("node"),
                      F.col("u").alias("component_id")).distinct()
     comp = membership.union(roots)
-    # defensive: a star graph has exactly one component per node; keep
-    # the min should max_iter cut convergence short on an adversarial
-    # graph (then component_id is a valid upper-bound label, not final)
-    comp = comp.groupBy("node").agg(F.min("component_id").alias("component_id"))
+    if not converged:
+        # defensive: only a max_iter-cut run can leave non-star edges
+        # (chains), where a node holds several labels — keep the min
+        # (a valid upper-bound label, not final).  At the sig fixpoint
+        # every node appears exactly once (a chain or a double parent
+        # is provably not sig-stable under either star round), so the
+        # groupBy is an identity — skipping it drops one Exchange from
+        # every converged consumer plan (r13, guide §2.4)
+        comp = comp.groupBy("node").agg(
+            F.min("component_id").alias("component_id"))
     if nodes is not None:
         node_col = node_col or nodes.columns[0]
         allnodes = nodes.select(F.col(node_col).cast("long").alias("node")).distinct()
