@@ -599,7 +599,8 @@ def _analytic_column(spec: AnalyticSpec, order_cols: list[Column],
 
 
 def _apply_custom_analytics(df: DataFrame, group: list,
-                            order_names: list[str]) -> DataFrame:
+                            order_names: list[str],
+                            keep: set | None = None) -> DataFrame:
     """Custom stateful analytics (register_analytic_function) in batch:
     one state object per spec per OVER(PARTITION BY ...) key, ``apply``
     called per row in event-time order — the Spark realization of the
@@ -700,6 +701,24 @@ def _apply_custom_analytics(df: DataFrame, group: list,
             for t, (ph, *_rest) in enumerate(tasks):
                 pdf[ph] = outs[t]
             yield pdf[out_names]
+
+    if keep is not None:
+        # guide §4: mapInPandas ships (and Arrow-serializes) every
+        # input column — Catalyst cannot prune through the opaque
+        # stage.  Keep only engine plumbing (__*-prefixed: event time,
+        # carriers, qref flats — all narrow), the walk's own keys, and
+        # columns the rest of the plan references; wide untouched
+        # payload columns stop crossing the Python boundary twice.
+        need = [c for c in df.columns
+                if c.startswith("__") or c in key_cols or c in keep]
+        if len(need) < len(df.columns):
+            df = df.select(*need)
+            hidden = [c for c in hidden if c in need]
+            out_schema = StructType(
+                [f for f in out_schema.fields
+                 if f.name in set(need) or any(
+                     f.name == ph for ph, *_ in tasks)])
+            out_names = [f.name for f in out_schema.fields]
 
     sort_cols = key_cols + order
     part = (df.repartition(*[F.col(c) for c in key_cols]) if key_cols
@@ -861,8 +880,28 @@ class BatchExecutor:
             if custom is not None:
                 customs.setdefault(tuple(spec.partition_by), []).append(
                     (spec, custom))
+        keep: set | None = None
+        if customs and plan.mode == "direct" \
+                and not any(o.star for o in plan.outputs):
+            # conservative downstream-reference set for walk-stage
+            # input pruning (guide §4): every SQL text the rest of the
+            # direct path can evaluate, matched per column token,
+            # case-insensitively.  False keeps only reduce pruning;
+            # star outputs (unknowable width) disable it above.
+            texts = [o.sql or "" for o in plan.outputs] \
+                + [o.unnest_sql or "" for o in plan.outputs] \
+                + [plan.where_sql or ""] \
+                + [sql for sql, _ in (plan.order_by or [])]
+            for spec in plan.analytics:
+                texts += list(spec.partition_by) + [spec.when_sql or ""]
+                texts += [render(a) for a in spec.func.args]
+            blob = "\n".join(texts)
+            keep = {c for c in df.columns
+                    if re.search(r"(?<![A-Za-z0-9_])" + re.escape(c)
+                                 + r"(?![A-Za-z0-9_])", blob,
+                                 re.IGNORECASE)}
         for group in customs.values():
-            df = _apply_custom_analytics(df, group, order_names)
+            df = _apply_custom_analytics(df, group, order_names, keep)
 
         # the built-in specs land in a few BATCHED transformations
         # (preps, placeholders, drop) instead of two per spec: every
