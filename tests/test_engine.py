@@ -1884,6 +1884,39 @@ def test_custom_analytic_null_partition_key_shares_one_state(spark):
     assert got == {1: None, 2: 10.0, 3: None, 4: 20.0}
 
 
+def test_custom_analytic_walk_prunes_unreferenced_wide_columns(spark):
+    """r13 (guide §4): on a direct star-free plan the custom-analytic
+    mapInPandas stage must not ship columns nothing downstream reads —
+    Catalyst cannot prune through the opaque stage, so the engine
+    projects first.  Results are unchanged; the untouched wide column
+    is absent from the walk's input, and a column the SELECT references
+    still passes through."""
+    import re as _re
+
+    from streamsql_spark.api.facade import StreamSQL
+    from streamsql_spark.functions.examples import PrevValueState
+    from streamsql_spark.functions.registry import register_analytic_function
+
+    register_analytic_function("wp_my_prev", PrevValueState, "double")
+    s = StreamSQL(spark)
+    s.execute("SELECT event_id, kept_col, "
+              "wp_my_prev(value) OVER (PARTITION BY user_id) AS prev "
+              "FROM stream")
+    df = spark.createDataFrame(
+        [(1, 5, 10.0, 1000, "k1", "x" * 64), (2, 5, 20.0, 2000, "k2", "y" * 64)],
+        "event_id long, user_id int, value double, ts long, "
+        "kept_col string, wide_unused string"
+    ).selectExpr("event_id", "user_id", "value",
+                 "timestamp_millis(ts) AS ts", "kept_col", "wide_unused")
+    out = s.query(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    walk_args = _re.search(r"MapInPandas walk\(([^)]*)\)", plan).group(1)
+    assert "wide_unused" not in walk_args
+    assert "kept_col" in walk_args
+    got = {r["event_id"]: (r["kept_col"], r["prev"]) for r in out.collect()}
+    assert got == {1: ("k1", None), 2: ("k2", 10.0)}
+
+
 def test_analytic_max_partitions_eviction_resets(spark):
     """Port of analytic_runtime_test.go:94-131 WithAnalyticMaxPartitions:
     with cap=2 the oldest partition's state is evicted and resets on

@@ -80,6 +80,36 @@ def test_cc_matches_bruteforce_on_random_graph(spark):
     assert got == want
 
 
+def test_cc_converged_skips_relabel_aggregate_but_cut_does_not(spark):
+    """r13: after a sig-stable exit the star forest has exactly one row
+    per node, so the defensive groupBy(node).min relabel is skipped —
+    the converged output must carry no duplicate nodes WITHOUT it.  A
+    max_iter-cut run (chains may survive) must still relabel: one row
+    per node with a valid upper-bound label."""
+    from streamsql_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(12)]
+    e = spark.createDataFrame(chain, "id_a long, id_b long")
+
+    out = connected_components(e).collect()
+    assert sorted((r["node"], r["component_id"]) for r in out) == \
+        [(i, 0) for i in range(13)]
+    # converged path: exactly one Aggregate (the roots distinct);
+    # the cut path adds the defensive relabel aggregate on top
+    def n_aggs(df):
+        return df._jdf.queryExecution().optimizedPlan() \
+            .toString().count("Aggregate ")
+    conv_aggs = n_aggs(connected_components(e))
+    cut_aggs = n_aggs(connected_components(e, max_iter=1))
+    assert cut_aggs == conv_aggs + 1
+
+    cut = connected_components(e, max_iter=1).collect()
+    nodes = [r["node"] for r in cut]
+    assert sorted(nodes) == sorted(set(nodes))  # relabel kept: unique
+    by = {r["node"]: r["component_id"] for r in cut}
+    assert all(by[nd] <= nd for nd in by)  # labels are min-directed
+
+
 def test_dedup_clusters_marks_min_id_representative(spark):
     from streamsql_spark.operators.graph import dedup_clusters
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
