@@ -360,15 +360,26 @@ def ngram_lm_fit(df: DataFrame, text_col: str = "text"
     # pays a shuffle write before AQE can convert back, which costs more
     # than the one vocab-sized duplicate aggregation it would save
     # (text_analysis 2.64→3.14 s with the checkpoint in place).
-    uni = (toks.select(F.explode("t").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    # ONE corpus pass for both gram orders (r13, guide §2.4): unigrams
+    # (tagged w2 = NULL — split() tokens are never NULL, so the tag is
+    # unambiguous) and bigrams explode from the same array and
+    # aggregate through ONE exchange keyed (w1, w2); the uni / big /
+    # vocab consumers filter the SAME aggregate subtree, which
+    # canonicalizes identically on every branch, so the scoring plan
+    # re-reads it via ReusedExchange — one corpus scan + explode +
+    # shuffle where there were two of each.
     # NB sequence(1, 0) DESCENDS in Spark — empty-array guard required
-    big = (toks.select(F.explode(F.expr(
+    grams = (toks.select(F.explode(F.expr(
+        "concat(transform(t, w -> struct(w AS w1, CAST(NULL AS STRING) AS w2)), "
         "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
         "i -> struct(t[i-1] AS w1, t[i] AS w2)) "
-        "ELSE array() END")).alias("p"))
+        "ELSE array() END)")).alias("p"))
         .select("p.w1", "p.w2")
-        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    uni = grams.where("w2 IS NULL").select(F.col("w1").alias("w"),
+                                           F.col("c").alias("c1"))
+    big = grams.where("w2 IS NOT NULL").select(
+        "w1", "w2", F.col("c").alias("c12"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vs"))
     return uni, big, vocab
 
