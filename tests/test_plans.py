@@ -351,17 +351,28 @@ def test_perplexity_score_broadcast_gate(spark):
     from streamsql_spark.operators.text import ngram_lm_fit, perplexity_score
     from streamsql_spark.session import load_tables
 
+    import re
+
+    def gram_smj_count(plan: str) -> int:
+        # SMJ detail blocks whose join keys are gram columns (w1[, w2]);
+        # the doc_id join-back is Catalyst's own stats-based pick (a
+        # big-big join at scale — SMJ there is correct, AQE converts
+        # locally) and is NOT what this gate controls
+        return sum(1 for m in re.finditer(
+            r"\(\d+\) SortMergeJoin[^\n]*\n\s*Left keys \[\d+\]: \[([^\]]*)\]",
+            plan) if "w1#" in m.group(1))
+
     docs = load_tables(spark, SF_DIR)["documents"]
     uni, big, v = ngram_lm_fit(docs)
     p = _plan_of(perplexity_score(docs, uni, big, v, broadcast_lm=True))
     assert p.count("BroadcastExchange") >= 2, p
-    assert "SortMergeJoin" not in p
+    assert gram_smj_count(p) == 0, p
 
     p = _plan_of(perplexity_score(docs, uni, big, v, broadcast_lm=False))
     # both gram joins (bigram + unigram) must be merge joins — the
     # forced hint is gone (remaining broadcasts are Catalyst's own
     # stats-based picks for the one-row vocab and the join-back)
-    assert p.count("SortMergeJoin") >= 2, p
+    assert gram_smj_count(p) == 2, p
 
 
 def test_topk_rank_pushes_partial_window_group_limit(spark):
