@@ -95,17 +95,19 @@ def _distinct_orderby_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     'countfire' = per-(key, chunk) fires — LIMIT 1 keeps every full
     chunk's row (processor_data.go:481-483 truncates each batch).
     Outputs normalized to a shared (kind, a, b, n, v) shape."""
-    from pyspark.sql import functions as F
-
     tables = load_tables(spark, sf_dir)
 
     def norm(df, kind, a, b, n, v):
-        return df.select(
-            F.lit(kind).alias("kind"),
-            (a if a is not None else F.lit(None)).cast("string").alias("a"),
-            (b if b is not None else F.lit(None)).cast("string").alias("b"),
-            (n if n is not None else F.lit(None)).cast("long").alias("n"),
-            (v if v is not None else F.lit(None)).cast("double").alias("v"))
+        # ONE selectExpr, not five Column builder chains: each
+        # F.lit/.cast/.alias is a ~1 ms py4j round trip and every
+        # transformation re-analyzes the (deep) upstream plan eagerly —
+        # one call builds the identical projection (r13, guide §5)
+        return df.selectExpr(
+            f"'{kind}' AS kind",
+            f"CAST({a if a is not None else 'NULL'} AS string) AS a",
+            f"CAST({b if b is not None else 'NULL'} AS string) AS b",
+            f"CAST({n if n is not None else 'NULL'} AS long) AS n",
+            f"CAST({v if v is not None else 'NULL'} AS double) AS v")
 
     q1 = StreamSQL(spark).execute("""
         SELECT DISTINCT user_id, event_type FROM stream WHERE value > 100
@@ -125,14 +127,10 @@ def _distinct_orderby_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH (TIMESTAMP='ts') ORDER BY total DESC LIMIT 1""")
     ev = tables["events"]
     out = [
-        norm(q1.query(ev), "direct", F.col("user_id"),
-             F.col("event_type"), None, None),
-        norm(q2.query(ev), "winfire", F.col("event_type"), F.col("ws"),
-             F.col("cnt"), None),
-        norm(q3.query(ev), "sessfire", F.col("user_id"), None,
-             F.col("cnt"), F.col("total")),
-        norm(q4.query(ev), "countfire", F.col("user_id"), None, None,
-             F.col("total")),
+        norm(q1.query(ev), "direct", "user_id", "event_type", None, None),
+        norm(q2.query(ev), "winfire", "event_type", "ws", "cnt", None),
+        norm(q3.query(ev), "sessfire", "user_id", None, "cnt", "total"),
+        norm(q4.query(ev), "countfire", "user_id", None, None, "total"),
     ]
     res = out[0]
     for df in out[1:]:

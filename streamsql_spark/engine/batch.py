@@ -168,11 +168,15 @@ def per_window_topk(df: DataFrame, win_cols: list[str], exprs: list,
                             for c, dt in df.dtypes
                             if c not in win_cols and c not in drop_cols]
     w = Window.partitionBy(*win_cols).orderBy(*order_exprs)
-    df = (df.withColumn("__rn__", F.row_number().over(w))
-          .where(F.col("__rn__") <= limit).drop("__rn__"))
+    # one select + one filter, rank dropped with the carrier columns at
+    # the end — every saved transformation skips an eager re-analysis
+    # of the (deep) upstream plan (r13, guide §5); the row_number +
+    # rank-filter pattern still compiles to WindowGroupLimit
+    df = (df.select("*", F.row_number().over(w).alias("__rn__"))
+          .where(F.col("__rn__") <= limit))
     if exprs:
         df = df.orderBy(*[F.col(c).asc() for c in win_cols], *exprs)
-    return df.drop(*[c for c in drop_cols if c in df.columns])
+    return df.drop("__rn__", *[c for c in drop_cols if c in df.columns])
 
 
 def _event_time_col(df: DataFrame, plan: QueryPlan) -> Column | None:
@@ -618,10 +622,14 @@ def _apply_custom_analytics(df: DataFrame, group: list,
 
     partition_by = group[0][0].partition_by
     key_cols: list[str] = []
+    # every injected column (partition keys, WHEN gates, pre-evaluated
+    # args) references only source columns, so they all batch into ONE
+    # withColumns — one eager re-analysis instead of one per spec/arg
+    inject: dict[str, Column] = {}
     for i, psql in enumerate(partition_by):
         nm = psql if psql in df.columns else f"__cak_{i}__"
         if nm not in df.columns:
-            df = df.withColumn(nm, F.expr(psql))
+            inject[nm] = F.expr(psql)
         key_cols.append(nm)
 
     tasks = []  # (placeholder, factory, when_col|None, arg_cols, lits)
@@ -631,7 +639,7 @@ def _apply_custom_analytics(df: DataFrame, group: list,
         when_col = None
         if spec.when_sql:
             when_col = f"__caw_{tag}__"
-            df = df.withColumn(when_col, F.expr(spec.when_sql))
+            inject[when_col] = F.expr(spec.when_sql)
         arg_cols: list[str | None] = []
         lits: list[object] = []
         for j, a in enumerate(spec.func.args):
@@ -640,11 +648,13 @@ def _apply_custom_analytics(df: DataFrame, group: list,
                 lits.append(a.value)
             else:
                 c = f"__caa_{tag}_{j}__"
-                df = df.withColumn(c, F.expr(_render(a)))
+                inject[c] = F.expr(_render(a))
                 arg_cols.append(c)
                 lits.append(None)
         tasks.append((spec.placeholder, factory, when_col, arg_cols, lits))
         fields.append(StructField(spec.placeholder, dtype))
+    if inject:
+        df = df.withColumns(inject)
 
     hidden = [c for c in df.columns if c.startswith("__ca")]
     out_schema = StructType(list(df.schema.fields) + fields)
@@ -1076,8 +1086,9 @@ class BatchExecutor:
                 WINDOW_START_COL: F.col("__window__.start"),
                 WINDOW_END_COL: F.col("__window__.end")})
         elif plan.uses_window_start or plan.uses_window_end:
-            grouped = grouped.withColumnRenamed("__ws_min__", WINDOW_START_COL) \
-                             .withColumnRenamed("__ws_max__", WINDOW_END_COL)
+            grouped = grouped.withColumnsRenamed(
+                {"__ws_min__": WINDOW_START_COL,
+                 "__ws_max__": WINDOW_END_COL})
 
         # window-output analytics: state across successive window
         # emissions (stream/processor_data.go:443-453) — evaluated over
@@ -1272,9 +1283,13 @@ class BatchExecutor:
         part = [F.expr(s) for s in key_sqls] or [F.lit(1)]
         rn = F.row_number().over(Window.partitionBy(*part).orderBy(order))
         total = F.count(F.lit(1)).over(Window.partitionBy(*part))
-        df = df.withColumn("__win_id__", F.floor((rn - 1) / F.lit(n))) \
-               .withColumn("__win_full__",
-                           F.col("__win_id__") < F.floor(total / F.lit(n)))
+        # both window columns in ONE projection (r13): one eager
+        # re-analysis instead of two, and both window functions land in
+        # a single Window operator over the shared sort
+        win_id = F.floor((rn - 1) / F.lit(n))
+        df = df.select(
+            "*", win_id.alias("__win_id__"),
+            (win_id < F.floor(total / F.lit(n))).alias("__win_full__"))
         return df.filter(F.col("__win_full__")).drop("__win_full__")
 
     @staticmethod
