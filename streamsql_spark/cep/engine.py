@@ -82,6 +82,103 @@ def _first_symbols(pat) -> tuple[set, bool]:
     return set(), True  # unknown node: no skipping
 
 
+_MAX_EXPANDED_SEQS = 64
+
+
+def _expand_concat(parts: list) -> list | None:
+    """Cross product of per-item expansions, prefix-major (leftmost
+    item's alternatives outermost) — exactly the backtracker's
+    _match_seq preference order."""
+    if any(p is None for p in parts):
+        return None
+    out: list = [()]
+    for p in parts:
+        out = [a + b for a in out for b in p]
+        if len(out) > _MAX_EXPANDED_SEQS:
+            return None
+    return out
+
+
+def _expand_seqs(pat) -> list | None:
+    """Expand a pattern into the PREFERENCE-ORDERED list of fixed
+    symbol-name tuples it can match, or None when that is not a finite
+    small set (unbounded quantifier, empty-matchable quantifier item,
+    > _MAX_EXPANDED_SEQS alternatives).  The order reproduces the
+    backtracker's yield order exactly: alternation/permutation branches
+    left-to-right, sequences prefix-major, greedy quantifiers
+    more-reps-first (reluctant fewer-first).  Zero-length sequences are
+    dropped — first_match ignores empty matches."""
+    out = _expand_node(pat)
+    if out is None:
+        return None
+    seqs = [q for q in out if q]
+    return seqs or None
+
+
+def _expand_node(pat) -> list | None:
+    if isinstance(pat, N.PSym):
+        return [(pat.name,)]
+    if isinstance(pat, N.PSeq):
+        return _expand_concat([_expand_node(it) for it in pat.items])
+    if isinstance(pat, N.PAlt):
+        out: list = []
+        for it in pat.items:
+            sub = _expand_node(it)
+            if sub is None:
+                return None
+            out.extend(sub)
+            if len(out) > _MAX_EXPANDED_SEQS:
+                return None
+        return out
+    if isinstance(pat, N.PPermute):
+        out = []
+        for perm in permutations(pat.items):
+            sub = _expand_concat([_expand_node(it) for it in perm])
+            if sub is None:
+                return None
+            out.extend(sub)
+            if len(out) > _MAX_EXPANDED_SEQS:
+                return None
+        return out
+    if isinstance(pat, N.PQuant):
+        if pat.max is None:
+            return None
+        item = _expand_node(pat.item)
+        if item is None or any(not q for q in item):
+            # an empty-matchable quantifier item hits the backtracker's
+            # zero-width guard (reps of empty alternatives are SKIPPED,
+            # not counted) — repetition expansion would not be
+            # equivalent, so leave it to the generic matcher
+            return None
+        out = []
+
+        def rec(prefix: tuple, reps: int) -> bool:
+            if len(out) > _MAX_EXPANDED_SEQS:
+                return False
+            more = reps < pat.max
+            done = reps >= pat.min
+            if pat.greedy:
+                if more:
+                    for s in item:
+                        if not rec(prefix + s, reps + 1):
+                            return False
+                if done:
+                    out.append(prefix)
+            else:
+                if done:
+                    out.append(prefix)
+                if more:
+                    for s in item:
+                        if not rec(prefix + s, reps + 1):
+                            return False
+            return True
+
+        if not rec((), 0):
+            return None
+        return out
+    return None  # unknown node: no expansion
+
+
 def _len_bounds(pat) -> tuple[int, int | None]:
     """(min_rows, max_rows) a pattern node can consume; max None =
     unbounded.  Excluded symbols still consume rows (exclusion only
@@ -455,21 +552,25 @@ class Matcher:
         return None
 
     def _find_all_fast(self, max_matches: int):
-        """Closed-form drive for the two dominant pattern shapes under
-        SKIP PAST LAST ROW (leftmost-greedy ⇒ non-overlapping):
+        """Closed-form drive for the dominant pattern shapes:
 
-        - ``A{m,}[{,M}]`` greedy  → maximal runs of A-classified rows,
-          found with one numpy pass (gaps-and-islands);
-        - ``A B C …`` fixed symbol sequence → shifted-AND of the class
-          arrays, then a leftmost non-overlap sweep over candidates.
+        - ``A{m,}[{,M}]`` greedy under SKIP PAST LAST ROW, no WITHIN →
+          maximal runs of A-classified rows, one numpy pass
+          (gaps-and-islands);
+        - any pattern expandable to a small preference-ordered set of
+          FIXED symbol sequences (sequences, alternation, PERMUTE,
+          bounded quantifiers — see :func:`_expand_seqs`) → per-sequence
+          shifted-AND of the class arrays + a WITHIN span mask, then a
+          leftmost preference sweep honouring all four AFTER MATCH SKIP
+          policies.
 
-        Replaces per-row backtracking with O(n) vector work + O(#matches)
-        Python — the generic matcher remains the fallback for
-        alternation, PERMUTE, navigation-dependent DEFINEs, WITHIN, and
-        other skip policies.  Returns None when not applicable.
+        Replaces per-row backtracking with O(n) vector work +
+        O(#matches) Python — the generic matcher remains the fallback
+        for unbounded non-run quantifiers, navigation/aggregate-
+        dependent DEFINEs, and NULL/unordered event times under WITHIN.
+        Returns None when not applicable.
         """
-        if self.spec.after_match_skip[0] != "past_last_row" \
-                or self.within is not None or self.pattern is None:
+        if self.pattern is None:
             return None
         import numpy as np
 
@@ -478,7 +579,9 @@ class Matcher:
         if isinstance(pat, N.PSeq) and len(pat.items) == 1:
             pat = pat.items[0]
 
-        if isinstance(pat, N.PQuant) and isinstance(pat.item, N.PSym) \
+        if self.spec.after_match_skip[0] == "past_last_row" \
+                and self.within is None \
+                and isinstance(pat, N.PQuant) and isinstance(pat.item, N.PSym) \
                 and pat.greedy and pat.min >= 1:
             arr = self._cls_array(pat.item.name, n)
             if arr is None:
@@ -503,32 +606,61 @@ class Matcher:
                     s += take
             return out
 
-        items = pat.items if isinstance(pat, N.PSeq) else [pat]
-        if all(isinstance(it, N.PSym) for it in items):
-            arrs = []
-            for it in items:
-                a = self._cls_array(it.name, n)
-                if a is None:
-                    return None
-                arrs.append(a)
-            k = len(items)
+        seqs = _expand_seqs(self.pattern)
+        if seqs is None:
+            return None
+        arrs = {}
+        for s in {sym for q in seqs for sym in q}:
+            a = self._cls_array(s, n)
+            if a is None:
+                return None
+            arrs[s] = a
+        tsf = None
+        if self.within is not None and self.ts is not None:
+            try:
+                tsf = np.asarray(self.ts, dtype=object).astype(float)
+            except (TypeError, ValueError):
+                return None
+            if np.isnan(tsf).any() \
+                    or (tsf.size > 1 and np.any(np.diff(tsf) < 0)):
+                # NULL event times or a non-ascending order column:
+                # classify()'s pairwise WITHIN check is not reducible
+                # to a last-minus-first span — generic matcher
+                return None
+        masks = []
+        for q in seqs:
+            k = len(q)
             if n < k:
-                return []
-            mask = arrs[0][: n - k + 1].copy()
+                masks.append(None)
+                continue
+            m = arrs[q[0]][: n - k + 1].copy()
             for j in range(1, k):
-                mask &= arrs[j][j: n - k + 1 + j]
-            out = []
-            nxt = 0
-            for i in np.flatnonzero(mask).tolist():
-                if i < nxt:
-                    continue
-                self.match_number += 1
-                out.append([(i + j, items[j].name) for j in range(k)])
-                nxt = i + k
-                if len(out) >= max_matches:
+                m &= arrs[q[j]][j: n - k + 1 + j]
+            if tsf is not None and k > 1:
+                # ts ascending + non-NULL (guarded above): the max pair
+                # span inside the window is last - first
+                m &= (tsf[k - 1:] - tsf[: n - k + 1]) <= self.within
+            masks.append(m)
+        any_mask = np.zeros(n, dtype=bool)
+        for m in masks:
+            if m is not None and len(m):
+                any_mask[: len(m)] |= m
+        cand = np.flatnonzero(any_mask)
+        out = []
+        ci = 0
+        while ci < len(cand) and len(out) < max_matches:
+            i = int(cand[ci])
+            for q, m in zip(seqs, masks):
+                if m is not None and i < len(m) and m[i]:
+                    bindings = [(i + j, q[j]) for j in range(len(q))]
                     break
-            return out
-        return None
+            self.match_number += 1
+            out.append(bindings)
+            # _skip_to always advances past the match start; max() is a
+            # belt-and-braces guard against an infinite sweep
+            ci = int(np.searchsorted(cand,
+                                     max(self._skip_to(bindings), i + 1)))
+        return out
 
     def find_all(self, max_matches: int = 100000):
         """All matches per AFTER MATCH SKIP policy, leftmost-first."""

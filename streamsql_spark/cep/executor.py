@@ -32,6 +32,69 @@ from .engine import run_partition
 _TASK_CHUNK_ROWS = 65_536
 
 
+class _LazyRows:
+    """List-of-dicts façade over a pandas frame for the match kernel.
+
+    The matcher and measure evaluator touch only bound/navigated rows
+    (with vectorized DEFINEs, a tiny fraction of the partition), so the
+    per-row dict — and even the per-COLUMN python-object conversion —
+    is deferred until first touch and cached (guide §4: the eager
+    ``to_dict("records")`` + NaN fix-up was O(rows × cols) Python work
+    per task regardless of match count).  Supports ``len``, integer
+    indexing and contiguous slicing — the full access surface of
+    ``Matcher``/``MatchContext``.  Slices share the column cache and the
+    absolute-index row cache with their parent.
+    """
+
+    __slots__ = ("_pdf", "_cols", "_rows", "_off", "_n")
+
+    def __init__(self, pdf, off=0, n=None, cols=None, rows=None):
+        self._pdf = pdf
+        self._off = off
+        self._n = len(pdf) - off if n is None else n
+        self._cols = {} if cols is None else cols    # name -> list
+        self._rows = {} if rows is None else rows    # abs index -> dict
+
+    def __len__(self):
+        return self._n
+
+    def _column(self, name):
+        vals = self._cols.get(name)
+        if vals is None:
+            import numpy as np
+
+            col = self._pdf[name]
+            vals = col.tolist()
+            # NaN/NaT -> None: raw pandas NaN breaks SQL NULL semantics
+            # in the interpreted evaluator (nan > 5 is False where SQL
+            # says UNKNOWN; nan passes `is not None` and poisons
+            # SUM/AVG measures)
+            na = col.isna().to_numpy()
+            if na.any():
+                for j in np.flatnonzero(na).tolist():
+                    vals[j] = None
+            self._cols[name] = vals
+        return vals
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            lo, hi, step = i.indices(self._n)
+            if step != 1:
+                raise ValueError("_LazyRows supports contiguous slices only")
+            return _LazyRows(self._pdf, self._off + lo, max(0, hi - lo),
+                             self._cols, self._rows)
+        if i < 0:
+            i += self._n
+        if not 0 <= i < self._n:
+            raise IndexError(i)
+        j = self._off + i
+        r = self._rows.get(j)
+        if r is None:
+            r = {c: self._column(c)[j] for c in self._pdf.columns}
+            self._rows[j] = r
+        return r
+
+
 def _descend_type(dt: DataType, segs: list) -> DataType:
     """Walk nested-path segments through a container DataType
     (render_col's try_element_at / dot-access chain)."""
@@ -366,26 +429,23 @@ def execute_cep(spark: SparkSession, plan, source_df: DataFrame, executor) -> Da
         if ts_is_time:
             ints = pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
             nat = pdf[ts_col].isna().to_numpy()
-            secs = ints / 1e9
-            ts_full = [None if nat[i] else secs[i] for i in range(n)]
+            # object array of python floats (+ None at NaT): same values
+            # the per-element list build produced, without the O(n)
+            # python loop; slices below are zero-copy views
+            ts_full = (ints / 1e9).astype(object)
+            if nat.any():
+                ts_full[nat] = None
             within = within_s
         else:
-            ts_full = pdf[ts_col].tolist() if ts_col in pdf.columns else [None] * n
+            ts_full = np.asarray(
+                pdf[ts_col].tolist() if ts_col in pdf.columns else [None] * n,
+                dtype=object)
             # numeric event time: scale per TIMEUNIT (default ms)
             within = within_s * ts_ups if within_s is not None else None
-        rows = pdf.to_dict("records")
-        # NaN/NaT → None, matching the streaming kernel's _clean: raw
-        # pandas NaN breaks SQL NULL semantics in the interpreted
-        # evaluator (nan > 5 is False where SQL says UNKNOWN; nan
-        # passes `is not None` and poisons SUM/AVG measures).  Only
-        # rows that actually contain NaNs pay the fix-up loop.
-        na = pdf.isna().to_numpy()
-        if na.any():
-            cols = list(pdf.columns)
-            for i in np.flatnonzero(na.any(axis=1)):
-                r = rows[i]
-                for j in np.flatnonzero(na[i]):
-                    r[cols[j]] = None
+        # lazy row materialization: NaN→None fix-up and dict building
+        # happen per TOUCHED row/column inside _LazyRows, not eagerly
+        # over the whole partition
+        rows = _LazyRows(pdf)
 
         if not part_names or n == 0:
             bounds = [(0, n)] if n else []
