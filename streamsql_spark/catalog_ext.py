@@ -529,18 +529,33 @@ def _run_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  perplexity_score, quality_features,
                                  token_counts)
     t = load_tables(spark, sf_dir)
-    feat = fingerprint(token_counts(quality_features(language_id(t["documents"]))))
+    docs = t["documents"]
+    # ONE parquet scan for the whole family (r14, guide §5/§2.4): the
+    # feature chain, the LM fit and the perplexity pair explode each
+    # consumed their own scan of `documents` (narrow chains share no
+    # exchange, so AQE cannot dedup them) — persist the narrow
+    # (doc_id, text) base they all derive from instead.  Spread BEFORE
+    # the persist: the 1-split local scan would otherwise cache as one
+    # partition and serialize every downstream kernel.  Registered via
+    # register_persisted AFTER the ppl_buckets call so the current
+    # run's cut keeps it alive and the next run reclaims it.  At
+    # 100 TB persist() is MEMORY_AND_DISK — the trade is one corpus
+    # copy on local disk vs three full parquet re-scans.
+    from .operators.text import ppl_buckets, register_persisted
+    from .session import ensure_parallelism
+    base = ensure_parallelism(docs.select("doc_id", "text")).persist()
+    feat = fingerprint(token_counts(quality_features(language_id(base))))
     feat = linear_quality_score(feat, _CLF_WEIGHTS, bias=_CLF_BIAS)
     # CCNet-style perplexity under a bigram LM self-trained on the
     # corpus (merged r4): every gram is in-model, so the score is a
     # deterministic function of the counts on both engines
-    uni, big, v = ngram_lm_fit(t["documents"])
+    uni, big, v = ngram_lm_fit(base)
     feat = perplexity_score(feat, uni, big, v)
     # head/middle/tail cut (merged r5): exact percentiles here so the
     # DuckDB quantile_cont replica hash-matches — the row-guard bounds
     # the holistic aggregate; at corpus scale the approx default applies
-    from .operators.text import ppl_buckets
-    feat = ppl_buckets(feat, exact=True, probe_df=t["documents"])
+    feat = ppl_buckets(feat, exact=True, probe_df=docs)
+    register_persisted(base)
     return feat.select(
         "doc_id", "lang_pred", "lang_score",
         "n_chars_m", "n_tokens", "mean_tok_len", "punct_ratio",

@@ -452,10 +452,19 @@ def perplexity_score(df: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
     return df.join(per_doc, id_col, "left")
 
 
-# the one live persisted cut-input frame (see ppl_buckets) — LIFO of
-# length <= 1; module-level so repeated calls in one process (bench
-# reps, a service loop) never accumulate cache entries
+# the live persisted pipeline frames (see ppl_buckets /
+# register_persisted) — drained in full at the next pipeline run's
+# ppl_buckets call; module-level so repeated calls in one process
+# (bench reps, a service loop) never accumulate cache entries
 _PPL_PERSISTED: list[DataFrame] = []
+
+
+def register_persisted(df: DataFrame) -> None:
+    """Register an externally ``persist``-ed frame for the NEXT pipeline
+    run's drain (ppl_buckets unpersists every registered frame on
+    entry).  Callers register AFTER their ppl_buckets call so the frame
+    survives the current run and is reclaimed by the next one."""
+    _PPL_PERSISTED.append(df)
 
 
 def ppl_buckets(df: DataFrame, ppl_col: str = "ppl",
@@ -500,9 +509,8 @@ def ppl_buckets(df: DataFrame, ppl_col: str = "ppl",
     from a stale CacheManager match — every run recomputes from its
     inputs.
     """
-    prev = _PPL_PERSISTED.pop() if _PPL_PERSISTED else None
-    if prev is not None:
-        prev.unpersist()
+    while _PPL_PERSISTED:
+        _PPL_PERSISTED.pop().unpersist()
     df = df.persist()
     _PPL_PERSISTED.append(df)
     if exact:
