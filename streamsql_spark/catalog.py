@@ -1365,9 +1365,12 @@ def _streaming_tumbling_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session's scheduler pools, so startup + micro-batch execution
     # overlap instead of paying two full startups back-to-back.
     # _replay_partitions: streaming state fixes its partitioning to
-    # spark.sql.shuffle.partitions at first batch — right-sized to the
-    # replay's key cardinality like the cep/lateness entries (r13)
-    with _replay_partitions(spark):
+    # spark.sql.shuffle.partitions at first batch — sized to the
+    # windowed-agg state-key cardinality (event_type × 6h bucket; the
+    # sliding leg holds ~2 slots/row over the same buckets)
+    n_parts = _replay_parts_for(spark, sf_dir, (
+        "event_type", "CAST(unix_timestamp(ts) DIV 21600 AS BIGINT)"))
+    with _replay_partitions(spark, n_parts):
         for kind, spec in (("tumbling", "TumblingWindow('6h')"),
                            ("sliding", "SlidingWindow('12h', '6h')")):
             stream = _events_stream(spark, sf_dir)  # shared ns->µs builder
@@ -1474,16 +1477,64 @@ def _drop_staging(cache: dict[str, str], sf_dir: str) -> None:
         shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
 
 
+# distinct state-key counts of the replay inputs, memoized per
+# (sf_dir, key exprs) — a TABLE STATISTIC in the filesourcePartition-
+# cache sense (guide §6), never a query result: every replay still
+# computes from the parquet input; this only sizes its state
+# partitioning.  First bench rep of an entry pays the one count job.
+_REPLAY_KEYS: dict[tuple, int] = {}
+
+
+def _replay_key_count(spark, sf_dir: str, exprs: tuple[str, ...]) -> int:
+    import os as _os
+
+    key = (_os.path.abspath(sf_dir), exprs)
+    n = _REPLAY_KEYS.get(key)
+    if n is None:
+        ev = load_tables(spark, sf_dir)["events"]
+        n = ev.selectExpr(*exprs).distinct().count()
+        _REPLAY_KEYS[key] = n = max(1, n)
+    return n
+
+
+def _replay_parts_for(spark, sf_dir: str, key_exprs: tuple[str, ...],
+                      keys_per_partition: int | None = None) -> int:
+    """State-partition count for a replay, derived from its STATE-KEY
+    CARDINALITY and bounded by cluster width:
+
+        n = clamp(2, ceil(keys / keys_per_partition), defaultParallelism)
+
+    ``keys_per_partition`` is the amortization constant — how many
+    keys' state one partition's per-trigger lifecycle is worth; the
+    default 200 reproduces the r13 sweep optimum (1500 user_id keys →
+    8 partitions) and is conf-able via SPARK_GRAFT_REPLAY_KEYS_PER_PART
+    for deployments where the per-trigger fixed cost differs (a
+    compute-bound python kernel amortizes at ~100 — see the analytic
+    replay).  At production cardinalities (10^8 keys) the width bound
+    governs and the result is the cluster's own parallelism."""
+    import math as _math
+    import os as _os
+
+    if keys_per_partition is None:
+        keys_per_partition = int(_os.environ.get(
+            "SPARK_GRAFT_REPLAY_KEYS_PER_PART", "200"))
+    keys = _replay_key_count(spark, sf_dir, key_exprs)
+    width = spark.sparkContext.defaultParallelism
+    return max(2, min(_math.ceil(keys / keys_per_partition), width))
+
+
 class _replay_partitions:
     """Scoped shuffle-partition override for the multi-micro-batch
     replay entries: a stateful streaming query fixes its STATE
     partitioning to spark.sql.shuffle.partitions at first batch (no
-    AQE in stateful workloads), so a 4-trigger replay over sf0.1-sized
-    data pays 32 python-worker/state-store lifecycles per trigger for
-    a few thousand keyed rows — measured ~1.0s/trigger at 32 vs ~0.7 at
-    8 on the bench box.  Harness-scale right-sizing only; a production
-    deployment sizes the conf to its key cardinality.  Bench runs
-    entries serially, so the set/restore window is single-owner."""
+    AQE in stateful workloads), so a replay over a bounded key set
+    would otherwise pay cluster-width python-worker/state-store
+    lifecycles per trigger (measured ~1.0 s/trigger at 32 partitions
+    vs ~0.7 at 8 on the bench box for a few thousand keyed rows).
+    Entries size ``n`` from their state-key cardinality via
+    :func:`_replay_parts_for`; bench.py's cal_stream calibration passes
+    a FIXED n (fixed work by construction).  Bench runs entries
+    serially, so the set/restore window is single-owner."""
 
     def __init__(self, spark, n: int = 8):
         self.spark, self.n = spark, n
@@ -1601,9 +1652,10 @@ def _streaming_counting_global_run(spark: SparkSession, sf_dir: str) -> DataFram
     # micro-batch execution overlap on the shared local scheduler.
     # _replay_partitions: each applyInPandasWithState kernel pays one
     # python-worker/state-store lifecycle per shuffle partition per
-    # trigger — right-sized like the cep/lateness entries (r13)
+    # trigger — sized to the user_id state-key cardinality
     running = []
-    with _replay_partitions(spark):
+    with _replay_partitions(
+            spark, _replay_parts_for(spark, sf_dir, ("user_id",))):
         for mode, sql in (
                 ("counting", """
                     SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
@@ -1665,10 +1717,14 @@ def _streaming_analytic_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHEN event_type = 'purchase'), 4) AS purchase_total
         FROM stream
     """)
-    # 16, not the replay default 8: this is ONE compute-bound python
-    # kernel (per-row state machine), so partitions are its parallelism
-    # — interleaved sweep r13: {8: 3.59, 16: 2.78, 32: 2.80} s
-    with _replay_partitions(spark, 16):
+    # keys_per_partition=100, not the 200 default: this is ONE
+    # compute-bound python kernel (per-row state machine), so
+    # partitions are its parallelism — it amortizes the per-trigger
+    # lifecycle at half the key load (interleaved sweep r13 over the
+    # equivalent counts: {8: 3.59, 15-16: 2.78, 32: 2.80} s)
+    with _replay_partitions(
+            spark, _replay_parts_for(spark, sf_dir, ("user_id",),
+                                     keys_per_partition=100)):
         out = q.query_stream(_events_stream(spark, sf_dir))
         _drop_stale_stream_views(spark, "streaming_analytic_")
         name = "streaming_analytic_" + _uuid.uuid4().hex[:8]
@@ -1713,7 +1769,8 @@ def _streaming_cep_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    with _replay_partitions(spark):
+    with _replay_partitions(
+            spark, _replay_parts_for(spark, sf_dir, ("user_id",))):
         q = StreamSQL(spark).execute(_CEP_ADJ_SQL)
         out = q.query_stream(_events_stream(spark, sf_dir))
         _drop_stale_stream_views(spark, "streaming_cep_")
@@ -1900,7 +1957,8 @@ def _streaming_session_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS total
         FROM stream GROUP BY user_id, SessionWindow('4h')
     """)
-    with _replay_partitions(spark):
+    with _replay_partitions(
+            spark, _replay_parts_for(spark, sf_dir, ("user_id",))):
         out = q.query_stream(_events_stream(spark, sf_dir))
         _drop_stale_stream_views(spark, "streaming_session_")
         name = "streaming_session_" + _uuid.uuid4().hex[:8]
@@ -1971,7 +2029,9 @@ def _streaming_lateness_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         """)
         acc: list[dict] = []
         ckpt = _fast_ckpt("ssql_lateness_ckpt_")
-        with _replay_partitions(spark):
+        n_parts = _replay_parts_for(spark, sf_dir, (
+            "event_type", "CAST(unix_timestamp(ts) DIV 21600 AS BIGINT)"))
+        with _replay_partitions(spark, n_parts):
             try:
                 sq = q.start_stream(
                     stream, sink=lambda rows: acc.extend(rows),
