@@ -1166,6 +1166,7 @@ def test_measure_aggregate_over_unbound_symbol_is_empty(spark):
 
 
 # ---------------- r7: measures evaluator differential fuzz vs Spark
+@pytest.mark.slow
 def test_measures_differential_fuzz_vs_spark(spark):
     """cep/eval.py is the one hand-rolled expression engine that is
     neither Catalyst nor pyeval (both r6 MEASURES defects lived there).

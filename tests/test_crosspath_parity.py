@@ -147,8 +147,17 @@ def _run_pyeval(spark, sql, rows):
     return [o for o in out if o is not None]
 
 
-@pytest.mark.parametrize("gate", sorted(GATES))
-@pytest.mark.parametrize("part", sorted(PARTS))
+# slow tier (r14): one (part, gate) combo stays in the default run as
+# the three-path analytic-parity representative; the remaining grid is
+# opt-in (`-m slow`) after analytic-engine changes
+@pytest.mark.parametrize("part,gate", [
+    ("part", "nogate"),
+    pytest.param("nopart", "strgate", marks=pytest.mark.slow),
+    pytest.param("part", "nullgate", marks=pytest.mark.slow),
+    pytest.param("part", "strgate", marks=pytest.mark.slow),
+    pytest.param("nopart", "nogate", marks=pytest.mark.slow),
+    pytest.param("nopart", "nullgate", marks=pytest.mark.slow),
+])
 def test_analytic_grid_three_path_parity(spark, gate, part):
     import zlib
 
@@ -218,6 +227,7 @@ def test_gated_lag_offset2_matches_kernel(spark):
     assert got_py == want
 
 
+@pytest.mark.slow
 def test_cdc_state_duration_idiom_three_paths(spark):
     """The lifted OVER (WHEN had_changed(...)) CDC idiom — an analytic
     call INSIDE the gate — must agree across batch / stream / pyeval."""
@@ -303,9 +313,12 @@ def _norm_wagg(r: dict):
     return tuple(out)
 
 
+# slow tier (r14): session+counting stay default (cheapest pair, both
+# stateful kernels); tumbling/sliding stream-batch parity is separately
+# default-covered by the out-of-order-delivery and lateness tests
 @pytest.mark.parametrize("wspec,pad", [
-    ("TumblingWindow('5s')", None),
-    ("SlidingWindow('10s', '5s')", None),
+    pytest.param("TumblingWindow('5s')", None, marks=pytest.mark.slow),
+    pytest.param("SlidingWindow('10s', '5s')", None, marks=pytest.mark.slow),
     ("SessionWindow('3s')", None),
     ("CountingWindow(4)", 4),
 ])
@@ -362,7 +375,11 @@ CEP_PATTERNS = [
 ]
 
 
-@pytest.mark.parametrize("pat_idx", range(len(CEP_PATTERNS)))
+# slow tier (r14): pattern 0 stays default; the rest of the random-CEP
+# parity sweep is opt-in alongside tests/cep_fuzz.py
+@pytest.mark.parametrize("pat_idx", [0] + [
+    pytest.param(i, marks=pytest.mark.slow)
+    for i in range(1, len(CEP_PATTERNS))])
 def test_cep_stream_batch_parity_random(spark, pat_idx):
     """Random event streams through the SAME pattern on the batch
     trigger (full-replay flush) and the incremental streaming matcher
@@ -428,7 +445,8 @@ def test_cep_stream_batch_parity_random(spark, pat_idx):
     assert norm(got) == batch_out, f"pattern ({pattern}) diverged"
 
 
-@pytest.mark.parametrize("pat_idx", [0, 3])
+@pytest.mark.parametrize("pat_idx", [
+    0, pytest.param(3, marks=pytest.mark.slow)])
 def test_cep_stream_batch_parity_out_of_order(spark, pat_idx):
     """Same CEP parity contract with BOUNDED out-of-order delivery:
     rows are displaced up to 3 positions (3s) and the query declares
@@ -945,6 +963,7 @@ def _split_batches(rows, rng, hi=5):
     return batches
 
 
+@pytest.mark.slow
 def test_analytic_array_of_struct_stream_parity(spark):
     """array<struct> columns through the analytic kernels: Arrow hands
     the cell as an ndarray OF dicts — lag/latest must buffer and
@@ -972,6 +991,7 @@ def test_analytic_array_of_struct_stream_parity(spark):
         "array<struct> analytics diverged batch/stream"
 
 
+@pytest.mark.slow
 def test_window_collect_array_of_struct_stream_parity(spark):
     """collect/deduplicate/first_value/last_value buffers carrying
     struct and array<struct> values across micro-batch splits: the
@@ -1011,6 +1031,7 @@ def test_window_collect_array_of_struct_stream_parity(spark):
     assert got == batch, "struct agg buffers diverged batch/stream"
 
 
+@pytest.mark.slow
 def test_cep_measures_array_of_struct_stream_parity(spark):
     """MATCH_RECOGNIZE measures returning struct and array<struct>
     (FIRST(A.sensors), LAST(B.sensor)): measure out-schema inference
@@ -1093,8 +1114,8 @@ def test_window_timeunit_batch_stream_parity(spark, unit):
 
 @pytest.mark.parametrize("wspec", [
     "TumblingWindow('5s')",
-    "SlidingWindow('10s', '5s')",
-    "SessionWindow('3s')",
+    pytest.param("SlidingWindow('10s', '5s')", marks=pytest.mark.slow),
+    pytest.param("SessionWindow('3s')", marks=pytest.mark.slow),
 ])
 def test_window_agg_out_of_order_delivery_parity(spark, wspec):
     """Window-aggregation analog of the CEP out-of-order fuzz: rows
@@ -1208,7 +1229,13 @@ def _keyed_map(rows):
     return {(r["deviceId"], r["ts"]): _norm_map(r) for r in rows}
 
 
-@pytest.mark.parametrize("gate", ["nogate", "strgate"])
+# slow tier (r14): map-typed analytic parity is rig-scale (~2 min for
+# the pair); map cells stay default-covered by the struct/rich-types
+# parity tests and the engine unit tests
+@pytest.mark.parametrize("gate", [
+    pytest.param("nogate", marks=pytest.mark.slow),
+    pytest.param("strgate", marks=pytest.mark.slow),
+])
 def test_analytic_map_types_three_path_parity(spark, gate):
     """map[string]any through every analytic path (r9, VERDICT item 4):
     batch Catalyst windows (canonical-JSON compare — `<=>` rejects map
@@ -1429,9 +1456,11 @@ def test_map_output_per_fire_limit(spark):
 
 
 @pytest.mark.parametrize("wspec,limit_sql", [
-    ("SessionWindow('5s')", "ORDER BY cnt DESC LIMIT 1"),
+    pytest.param("SessionWindow('5s')", "ORDER BY cnt DESC LIMIT 1",
+                 marks=pytest.mark.slow),
     ("CountingWindow(4)", "LIMIT 1"),
-    ("TumblingWindow('10s')", "ORDER BY cnt DESC, deviceId LIMIT 1"),
+    pytest.param("TumblingWindow('10s')", "ORDER BY cnt DESC, deviceId LIMIT 1",
+                 marks=pytest.mark.slow),
 ])
 def test_per_fire_limit_batch_stream_agreement(spark, wspec, limit_sql):
     """The per-fire LIMIT contract (r9) holds identically on the batch
@@ -1602,7 +1631,15 @@ LOOKUP_GRID = {
 }
 
 
-@pytest.mark.parametrize("kind", sorted(LOOKUP_GRID))
+# slow tier (r14): the inner + left_residual cells stay default (both
+# physical shapes of the lookup join); the analytic/window/cep stage
+# combinations are opt-in
+@pytest.mark.parametrize("kind", [
+    "inner", "left_residual",
+    pytest.param("analytic", marks=pytest.mark.slow),
+    pytest.param("window", marks=pytest.mark.slow),
+    pytest.param("cep", marks=pytest.mark.slow),
+])
 def test_lookup_join_batch_stream_parity_random(spark, kind):
     """The lookup join runs as TWO physical shapes — the batch
     distinct-keys-probe-join (_enrich_via_join) and the streaming

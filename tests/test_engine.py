@@ -1977,6 +1977,7 @@ def test_nil_event_handling(spark):
     assert e.emit_sync({"id": None}) == {"id": None}
 
 
+@pytest.mark.slow
 def test_pyeval_differential_vs_spark_fast_path(spark):
     """The in-process Python evaluator must agree with the Spark fast
     path (the semantics oracle) on every event it does NOT fall back
@@ -2828,6 +2829,7 @@ def test_pyeval_latency_is_in_process(spark):
     assert rate > 5000, f"{rate:.0f} events/s — python path not engaged?"
 
 
+@pytest.mark.slow
 def test_pyeval_analytic_differential_vs_spark_route(spark):
     """The in-process analytic path must produce the same per-event
     outputs AND the same state evolution as the Spark route: two

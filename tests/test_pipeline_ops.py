@@ -968,6 +968,7 @@ def test_incremental_dedup_vs_seen_corpus(spark):
     assert "LeftAnti" in p
 
 
+@pytest.mark.slow
 def test_perplexity_differential_vs_python_replica(spark):
     """Hypothesis sweep: the distributed fit+score must equal a
     from-scratch python replica on arbitrary small corpora (token

@@ -351,6 +351,10 @@ def _run(script: str, timeout: int = 900):
 # shared stdout.
 import pytest
 
+# slow tier (r14): one ~8 min subprocess rig — restart recovery is
+# re-verified opt-in (`-m slow`) after any streaming/state change
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def recovery_out():

@@ -105,6 +105,7 @@ print("PARITY_DONE")
 """
 
 
+@pytest.mark.slow
 def test_replay_catalog_value_parity_on_rocksdb(spark):
     """Every streaming replay entry must produce value-identical output
     under the RocksDB state-store provider (the 100-TB deployment
@@ -196,6 +197,7 @@ print(f"CEP_MANYKEYS_OK state_rows={n_state} mem_per_key={mem/N:.0f}B")
 """
 
 
+@pytest.mark.slow
 def test_cep_many_keys_bounded_state():
     """Reference parity for the CEP memory guard (cep/engine.go:17-23
     caps live partitions at 10k with LRU eviction; cep_stress_test.go

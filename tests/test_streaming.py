@@ -438,7 +438,9 @@ def test_cep_fixed_length_emits_at_tail(spark):
 
 
 # ------------------------------------------------- batch/stream parity
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", [
+    0, pytest.param(1, marks=pytest.mark.slow),
+    pytest.param(2, marks=pytest.mark.slow)])
 def test_analytic_stream_batch_parity_random(spark, seed):
     # the streaming state machine and the batch window-function
     # compilation implement the SAME reference semantics
@@ -514,6 +516,7 @@ def test_stream_batch_parity_window_agg(spark):
     assert len(batch_out - stream_out) == 1  # only the final open window
 
 
+@pytest.mark.slow
 def test_analytic_stream_many_partitions(spark):
     # partition-capacity analog of the reference's 100k-device claim
     # (README.md perf table; stream/analytic.go LRU): 5000 distinct keys
@@ -2672,6 +2675,7 @@ def test_string_literal_nav_offset_counts_as_dynamic(spark):
         run_stream(spark, sql, [_rows(*rows[:4]), _rows(*rows[4:])])
 
 
+@pytest.mark.slow
 def test_join_fuzz_ci_subset(spark):
     """CI slice of the join/lookup-topology differential fuzz (r13;
     the wide sweep is tests/join_fuzz.py — run it manually after

@@ -31,7 +31,13 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 from test_restart_recovery import _COMMON
+
+# slow tier (r14): subprocess fault-injection rig — opt-in (`-m slow`)
+# after any stateful-kernel/state-store change
+pytestmark = pytest.mark.slow
 
 _PREFIX = r"""
 import os
